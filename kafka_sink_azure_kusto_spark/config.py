@@ -1,0 +1,284 @@
+"""Job configuration: topic→table mappings, flush/retry/error policy.
+
+Parity with the reference's config layer:
+
+- ``TopicToTableMapping``   ← TopicToTableMapping.java:7-25 (fields) and
+  :90-117 (identifier validation / KQL-injection guard, SURVEY §2.7 V5)
+- ``KustoSinkConfig``       ← KustoSinkConfig.java (defaults at :239-260
+  flush, :191-211 retry, :487-501 behavior.on.error enum, :437-472 DLQ
+  pairing rule — SURVEY §2.7 V7)
+- format coalescing json/singlejson/multijson → multijson
+  ← KustoSinkTask.java:156-158,186-190 (SURVEY §2.3 E5)
+- ingestion-mapping kind inference ← KustoSinkTask.java:163-174 (E6)
+- endpoint scheme guard ← KustoEndpointUrlValidator.java:48-95 (V6; the
+  cloud-allowlist lookup lives in the Kusto SDK — here we enforce the
+  in-repo parts: reject http://, prepend https://).
+
+Everything here is driver-side, plain Python — no Spark dependency — so
+the config can be validated before a SparkSession exists, exactly like
+the reference validates before any task starts.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from enum import Enum
+from typing import Optional
+
+# TopicToTableMapping.java:14-19 — identifier guard (KQL-injection).
+_IDENTIFIER_RE = re.compile(r"^[a-zA-Z0-9_.\-]+$")
+# format must be purely alphanumeric (TopicToTableMapping.java:104-108).
+_FORMAT_RE = re.compile(r"^[a-zA-Z0-9]+$")
+
+# KustoSinkTask.java:156-158 — json/singlejson are ingested as multijson.
+_JSON_ALIASES = {"json", "singlejson", "multijson"}
+
+SUPPORTED_FORMATS = {
+    "json",
+    "singlejson",
+    "multijson",
+    "avro",
+    "apacheavro",
+    "csv",
+    "tsv",
+    "parquet",
+    "orc",
+}
+
+
+class ConfigException(ValueError):
+    """Raised on invalid configuration (mirror of ConnectException at
+    config time, KustoSinkConfig.java:115-122)."""
+
+
+class BehaviorOnError(str, Enum):
+    """KustoSinkConfig.java:487-501 — what to do when a record/batch fails.
+
+    FAIL   → raise, query dies (default).
+    LOG    → log + send to DLQ + continue.
+    IGNORE → silently send to DLQ + continue.
+    """
+
+    FAIL = "fail"
+    LOG = "log"
+    IGNORE = "ignore"
+
+    @classmethod
+    def parse(cls, value: str) -> "BehaviorOnError":
+        try:
+            return cls(value.strip().lower())
+        except ValueError:
+            raise ConfigException(
+                f"behavior.on.error must be one of "
+                f"{[m.value for m in cls]}, got {value!r}"
+            ) from None
+
+
+def coalesce_format(fmt: str) -> str:
+    """E5: json/singlejson/multijson are all staged as NDJSON and ingested
+    as MULTIJSON (KustoSinkTask.java:186-190)."""
+    f = fmt.strip().lower()
+    return "multijson" if f in _JSON_ALIASES else f
+
+
+def mapping_kind_for_format(fmt: str) -> str:
+    """E6: format → ingestion-mapping kind (KustoSinkTask.java:163-174)."""
+    f = coalesce_format(fmt)
+    if f == "multijson":
+        return "JSON"
+    if f == "avro":
+        return "AVRO"
+    if f == "apacheavro":
+        return "APACHEAVRO"
+    return "CSV"
+
+
+def validate_endpoint_url(url: str) -> str:
+    """V6 (in-repo part): reject plain http://, default scheme to https://
+    (KustoEndpointUrlValidator.java:48-95). The well-known-endpoint
+    allowlist check is delegated to the Kusto SDK at connect time."""
+    u = url.strip()
+    if not u:
+        raise ConfigException("kusto url must be non-empty")
+    if u.lower().startswith("http://"):
+        raise ConfigException(f"insecure http:// endpoint rejected: {url}")
+    if not u.lower().startswith("https://"):
+        u = "https://" + u
+    return u
+
+
+@dataclass(frozen=True)
+class TopicToTableMapping:
+    """One entry of ``kusto.tables.topics.mapping``
+    (TopicToTableMapping.java:7-25).
+
+    ``topic == "*"`` is the wildcard fallback: any topic with no explicit
+    mapping routes here (KustoSinkTask.java:334-340).
+    """
+
+    topic: str
+    db: str
+    table: str
+    format: str = "json"
+    mapping: Optional[str] = None
+    streaming: bool = False
+
+    def __post_init__(self) -> None:
+        if not self.topic:
+            raise ConfigException("mapping entry missing 'topic'")
+        for label, value in (("db", self.db), ("table", self.table)):
+            if not value or not _IDENTIFIER_RE.match(value):
+                raise ConfigException(
+                    f"invalid {label} {value!r} for topic {self.topic!r}: "
+                    f"must match {_IDENTIFIER_RE.pattern}"
+                )
+        if self.mapping is not None and not _IDENTIFIER_RE.match(self.mapping):
+            raise ConfigException(
+                f"invalid mapping {self.mapping!r} for topic {self.topic!r}"
+            )
+        fmt = self.format.strip().lower()
+        if not _FORMAT_RE.match(fmt):
+            raise ConfigException(
+                f"invalid format {self.format!r} for topic {self.topic!r}: "
+                f"must be alphanumeric"
+            )
+        if fmt not in SUPPORTED_FORMATS:
+            raise ConfigException(
+                f"unsupported format {self.format!r} for topic {self.topic!r}; "
+                f"supported: {sorted(SUPPORTED_FORMATS)}"
+            )
+        object.__setattr__(self, "format", fmt)
+
+    @property
+    def ingest_format(self) -> str:
+        return coalesce_format(self.format)
+
+    @property
+    def mapping_kind(self) -> str:
+        return mapping_kind_for_format(self.format)
+
+    @property
+    def is_wildcard(self) -> bool:
+        return self.topic == "*"
+
+
+def parse_table_mappings(raw: str) -> list[TopicToTableMapping]:
+    """Parse the JSON array config value ``kusto.tables.topics.mapping``
+    (KustoSinkConfig.java:410-418 / KustoSinkTask.java:145-184)."""
+    try:
+        entries = json.loads(raw)
+    except json.JSONDecodeError as e:
+        raise ConfigException(f"kusto.tables.topics.mapping is not valid JSON: {e}")
+    if not isinstance(entries, list) or not entries:
+        raise ConfigException("kusto.tables.topics.mapping must be a non-empty JSON array")
+    out = []
+    for entry in entries:
+        if not isinstance(entry, dict):
+            raise ConfigException(f"mapping entry must be an object, got {entry!r}")
+        known = {"topic", "db", "table", "format", "mapping", "streaming"}
+        unknown = set(entry) - known
+        if unknown:
+            raise ConfigException(f"unknown mapping keys {sorted(unknown)} in {entry!r}")
+        out.append(TopicToTableMapping(**entry))
+    topics = [m.topic for m in out]
+    if len(topics) != len(set(topics)):
+        raise ConfigException(f"duplicate topics in mapping: {topics}")
+    return out
+
+
+@dataclass
+class KustoSinkConfig:
+    """Full job config. Defaults mirror KustoSinkConfig.java.
+
+    Required: ``ingest_url`` + ``mappings`` (the reference additionally
+    requires auth config; here auth is delegated to the backend).
+    """
+
+    ingest_url: str
+    mappings: list[TopicToTableMapping]
+    query_url: Optional[str] = None
+
+    # B1/B2 — flush thresholds (KustoSinkConfig.java:239-260).
+    flush_size_bytes: int = 1024 * 1024
+    flush_interval_ms: int = 30_000
+
+    # R2 — retry budget (KustoSinkConfig.java:191-211).
+    retry_max_time_ms: int = 300_000
+    retry_backoff_time_ms: int = 10_000
+
+    # R4 — error policy (KustoSinkConfig.java:487-501).
+    behavior_on_error: BehaviorOnError = BehaviorOnError.FAIL
+
+    # K3 — misc DLQ (KustoSinkConfig.java:437-472): both-or-neither.
+    dlq_bootstrap_servers: Optional[str] = None
+    dlq_topic_name: Optional[str] = None
+
+    # Streaming job knobs (Spark-side equivalents of Connect worker config).
+    checkpoint_location: Optional[str] = None
+    staging_dir: str = "/tmp/kusto_sink_staging"
+    trigger_interval_ms: Optional[int] = None  # None → derive from flush_interval_ms
+
+    # V1–V4 validation queries at startup (default off, KustoSinkConfig.java:327-336).
+    validate_tables: bool = False
+
+    extra: dict = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        self.ingest_url = validate_endpoint_url(self.ingest_url)
+        if self.query_url is not None:
+            self.query_url = validate_endpoint_url(self.query_url)
+        if not self.mappings:
+            raise ConfigException("at least one topic→table mapping is required")
+        if isinstance(self.behavior_on_error, str):
+            self.behavior_on_error = BehaviorOnError.parse(self.behavior_on_error)
+        # Value ranges (KustoSinkConfig.java:239-260 minimums).
+        if self.flush_size_bytes < 100:
+            raise ConfigException("flush.size.bytes must be ≥ 100")
+        if self.flush_interval_ms < 0:
+            raise ConfigException("flush.interval.ms must be ≥ 0")
+        if self.retry_backoff_time_ms <= 0:
+            raise ConfigException("errors.retry.backoff.time.ms must be > 0")
+        if self.retry_max_time_ms < 0:
+            raise ConfigException("errors.retry.max.time.ms must be ≥ 0")
+        # DLQ both-or-neither (KustoSinkConfig.java:437-446).
+        if (self.dlq_bootstrap_servers is None) != (self.dlq_topic_name is None):
+            raise ConfigException(
+                "misc DLQ requires BOTH dlq_bootstrap_servers and dlq_topic_name "
+                "(or neither)"
+            )
+        wildcards = [m for m in self.mappings if m.is_wildcard]
+        if len(wildcards) > 1:
+            raise ConfigException("at most one '*' wildcard mapping allowed")
+
+    # R2 — attempts = max_time / backoff (KustoSinkConfig.java:474-477).
+    @property
+    def max_retry_attempts(self) -> int:
+        return max(0, self.retry_max_time_ms // self.retry_backoff_time_ms)
+
+    @property
+    def dlq_enabled(self) -> bool:
+        return self.dlq_topic_name is not None
+
+    @property
+    def trigger_processing_time(self) -> str:
+        ms = self.trigger_interval_ms
+        if ms is None:
+            ms = self.flush_interval_ms
+        return f"{ms} milliseconds"
+
+    # F3 — topic routing: exact match first, then '*' fallback, else error
+    # (KustoSinkTask.java:334-340,400-402).
+    def mapping_for_topic(self, topic: str) -> TopicToTableMapping:
+        by_topic = {m.topic: m for m in self.mappings}
+        if topic in by_topic:
+            return by_topic[topic]
+        if "*" in by_topic:
+            return by_topic["*"]
+        raise ConfigException(
+            f"no mapping for topic {topic!r} and no '*' wildcard configured"
+        )
+
+    def has_streaming_mapping(self) -> bool:
+        return any(m.streaming for m in self.mappings)

@@ -1,0 +1,306 @@
+"""Deduplication operators for training-data pipelines (north-star
+additions, SURVEY §7.3.6): exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the 100 TB contract):
+- Exact dedup is a hash aggregation on a fingerprint — one shuffle on
+  md5(text), never on the text itself (shuffle bytes ∝ 32-char keys).
+- MinHash/LSH never forms the O(n²) cross join: candidate pairs come
+  from an equi-join on (band_id, band_hash) — AQE-skew-friendly, and
+  the band hash is a fixed-width string so the shuffle is narrow.
+- All hashing is md5-based and string-ordered so every stage is exactly
+  reproducible in ANSI SQL (DuckDB oracle) — no JVM-specific murmur.
+- Everything below is built-in expressions (explode/transform/
+  aggregate/min/join) — no Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_sink_azure_kusto_spark.functions.text import fingerprint, tokens
+
+
+# --------------------------------------------------------------- exact dedup
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the lowest id per identical (normalized) text.
+
+    groupBy on the md5 fingerprint (not the full text) keeps shuffle
+    width constant regardless of document size.
+    """
+    fp = fingerprint(text_col)
+    return (
+        df.withColumn("_fp", fp)
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("_fp")
+    )
+
+
+def duplicate_clusters(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-duplicate clusters: (fingerprint, canonical id, member count),
+    only clusters with >1 member."""
+    return (
+        df.withColumn("fp", fingerprint(text_col))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("members"))
+        .filter(F.col("members") > 1)
+    )
+
+
+# ------------------------------------------------------------------ shingles
+def shingles(col: str | Column, k: int = 3) -> Column:
+    """k-token shingles (word n-grams) as an array<string>; empty-safe.
+
+    element_at/slice are 1-indexed in both Spark and DuckDB, keeping the
+    oracle SQL literally parallel.
+    """
+    toks = tokens(col)
+    n = F.size(toks)
+    count = F.greatest(n - F.lit(k - 1), F.lit(0))
+    idx = F.when(count > 0, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+
+
+# ---------------------------------------------------------------- MinHash/LSH
+def minhash_signature(col: str | Column, num_hashes: int = 16, k: int = 3) -> Column:
+    """MinHash signature as array<string>[num_hashes]: element h is
+    ``min(md5(h || ':' || shingle))`` over the document's shingle set.
+
+    md5-with-seed-prefix is a family of pseudo-random permutations of the
+    shingle universe under lexicographic string order — same construction
+    runs verbatim in the SQL oracle. 128-bit hex strings keep collision
+    probability negligible at 100 TB corpus sizes.
+    """
+    sh = shingles(col, k)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda h: F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(h.cast("string"), F.lit(":"), s)))
+        ),
+    )
+
+
+def lsh_bands(sig_col: Column, num_bands: int, rows_per_band: int) -> Column:
+    """Band the signature: array of (band_id, band_hash) structs where
+    band_hash = md5 of the concatenated band slice."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            F.md5(
+                F.concat_ws("|", F.slice(sig_col, b * rows_per_band + 1, rows_per_band))
+            ).alias("band_hash"),
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding.
+
+    Plan shape (scale-reviewed):
+      1. signature per doc — narrow, one pass over text.
+      2. explode bands — n_docs × num_bands rows, fixed-width.
+      3. self-equi-join on (band_id, band_hash) — the ONLY shuffle;
+         hash-partitioned on a 32-char key, AQE handles band skew.
+      4. distinct candidate pairs, then exact signature-overlap estimate
+         ≥ threshold. No O(n²) anywhere.
+
+    Returns (left id, right id, est_jaccard) with left < right.
+    """
+    rows_per_band = num_hashes // num_bands
+    assert num_bands * rows_per_band == num_hashes
+    sigs = df.select(
+        F.col(id_col).alias("id"), minhash_signature(text_col, num_hashes, k).alias("sig")
+    ).filter(F.size("sig") > 0)
+
+    banded = sigs.select(
+        "id", "sig", F.explode(lsh_bands(F.col("sig"), num_bands, rows_per_band)).alias("b")
+    ).select("id", "sig", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            on=[
+                F.col("l.band_id") == F.col("r.band_id"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(
+            F.col("l.id").alias("left_id"),
+            F.col("r.id").alias("right_id"),
+            F.col("l.sig").alias("lsig"),
+            F.col("r.sig").alias("rsig"),
+        )
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    overlap = F.size(F.array_intersect("lsig", "rsig"))
+    est = overlap.cast("double") / F.size("lsig").cast("double")
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("left_id", "right_id", "est_jaccard")
+    )
+
+
+# --------------------------------------------------------------------- SimHash
+def simhash64(col: str | Column) -> Column:
+    """64-bit SimHash over whitespace tokens, as an array<int>[64] of bits
+    (bit i = 1 iff the weighted sum of token-hash bit i is positive).
+
+    Token bit source: md5 hex — bit i lives in hex digit i/4, bit (3-i%4).
+    Same arithmetic is expressible in the SQL oracle; returning the bit
+    array (not a packed long) keeps both engines in exact integer math.
+    """
+    toks = tokens(col)
+    bits = F.sequence(F.lit(0), F.lit(63))
+    return F.transform(
+        bits,
+        lambda i: F.when(
+            F.aggregate(
+                toks,
+                F.lit(0),
+                lambda acc, t: acc
+                + 2
+                * (
+                    F.shiftright(
+                        # value of the hex digit holding bit i
+                        F.instr(
+                            F.lit("0123456789abcdef"),
+                            F.substring(F.md5(t), (i / 4).cast("int") + 1, 1),
+                        )
+                        - 1,
+                        # bit position inside the digit, MSB-first
+                        (F.lit(3) - i % 4).cast("int"),
+                    )
+                    % 2
+                )
+                - 1,
+            )
+            > 0,
+            1,
+        ).otherwise(0),
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    num_blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Candidate generation uses the standard block trick (pigeonhole): split
+    the 64 bits into ``num_blocks`` blocks; any pair within distance
+    ``num_blocks-1`` shares at least one exact block — join on
+    (block_id, block_bits). With default max_hamming=8 > num_blocks-1 the
+    block join is a RECALL-bounded candidate filter (documented), still
+    never O(n²).
+    """
+    block = 64 // num_blocks
+    sigs = df.select(F.col(id_col).alias("id"), simhash64(text_col).alias("bits"))
+    blocked = sigs.select(
+        "id",
+        "bits",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_blocks - 1)),
+                lambda b: F.struct(
+                    b.alias("block_id"),
+                    F.concat_ws("", F.slice("bits", b * block + 1, block)).alias(
+                        "block_bits"
+                    ),
+                ),
+            )
+        ).alias("blk"),
+    ).select("id", "bits", "blk.block_id", "blk.block_bits")
+    l, r = blocked.alias("l"), blocked.alias("r")
+    cand = (
+        l.join(
+            r,
+            on=[
+                F.col("l.block_id") == F.col("r.block_id"),
+                F.col("l.block_bits") == F.col("r.block_bits"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(
+            F.col("l.id").alias("left_id"),
+            F.col("r.id").alias("right_id"),
+            F.col("l.bits").alias("lbits"),
+            F.col("r.bits").alias("rbits"),
+        )
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    hamming = F.aggregate(
+        F.zip_with("lbits", "rbits", lambda a, b: F.abs(a - b)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("left_id", "right_id", "hamming")
+    )
+
+
+# ------------------------------------------------------------- n-gram Jaccard
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs, LSH-free but still not
+    O(n²): candidates must share at least one shingle (equi-join on the
+    shingle hash), then |∩|/|∪| computed from per-pair shared-shingle
+    counts and per-doc distinct-shingle counts.
+
+    For common-shingle-heavy corpora prefer ``minhash_lsh_pairs`` — this
+    exact variant is the oracle/verification path.
+    """
+    ex = (
+        df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("sh"))
+        .distinct()
+        .withColumn("shh", F.md5("sh"))
+        .select("id", "shh")
+    )
+    sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    l, r = ex.alias("l"), ex.alias("r")
+    inter = (
+        l.join(r, on=[F.col("l.shh") == F.col("r.shh"), F.col("l.id") < F.col("r.id")])
+        .groupBy(F.col("l.id").alias("left_id"), F.col("r.id").alias("right_id"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sl = sizes.alias("sl")
+    sr = sizes.alias("sr")
+    out = (
+        inter.join(sl, F.col("left_id") == F.col("sl.id"))
+        .join(sr, F.col("right_id") == F.col("sr.id"))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("sl.n_sh") + F.col("sr.n_sh") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "jaccard")
+    )
+    return out

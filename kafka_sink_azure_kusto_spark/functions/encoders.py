@@ -1,0 +1,121 @@
+"""Format decode/encode operators (SURVEY §2.2 F4, §2.3 E1–E4) and the
+reference E2E verification projection (``pack_all``).
+
+Reference behavior:
+- F4 record-shape dispatch: Map / Struct / String / Bytes chooses the
+  serializer (FileWriter.java:304-330).
+- E1 NDJSON encode: one JSON object per line (JsonRecordWriterProvider.java:36-88).
+- E2 Avro container encode (AvroRecordWriterProvider.java:27-73).
+- E3 CSV/string passthrough — record already IS the line
+  (StringRecordWriterProvider.java:17-45); the IT generator serializes
+  fields in alphabetical order (KustoSinkIT.java:413-415).
+- E4 bytes passthrough (ByteRecordWriterProvider.java:21-39).
+- E2E verify query: ``table | where vtype=='fmt' | project vlong,
+  vresult = pack_all()`` (KustoSinkIT.java:269-271,465-467).
+
+All encoders are built-in JVM expressions (to_json / concat_ws /
+cast) — whole-stage-codegen'd, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def decode_payload(
+    df: DataFrame,
+    fmt: str,
+    schema: Optional[StructType] = None,
+    value_col: str = "value",
+    avro_schema_json: Optional[str] = None,
+) -> DataFrame:
+    """F4 — dispatch decode by configured format (the Spark analog of
+    FileWriter.initializeRecordWriter's class-based dispatch,
+    FileWriter.java:304-330):
+
+    - json/singlejson/multijson → ``from_json(cast(value as string), schema)``
+      (schemaless → map<string,string> when no schema given)
+    - avro/apacheavro → ``from_avro(value, schema)`` (spark-avro)
+    - csv → ``cast(value as string)`` — the record already is the line
+    - bytes → value kept as BinaryType, untouched
+
+    Adds a ``payload`` column; leaves the original columns in place so
+    offsets/topic survive for routing and DLQ.
+    """
+    f = fmt.strip().lower()
+    v = F.col(value_col)
+    if f in ("json", "singlejson", "multijson"):
+        if schema is not None:
+            payload = F.from_json(v.cast("string"), schema)
+        else:
+            payload = F.from_json(v.cast("string"), "map<string,string>")
+    elif f in ("avro", "apacheavro"):
+        if avro_schema_json is None:
+            raise ValueError("avro decode requires avro_schema_json")
+        try:
+            from pyspark.sql.avro.functions import from_avro
+        except ImportError as e:  # spark-avro jar not on classpath
+            raise NotImplementedError(
+                "from_avro requires the spark-avro package on the classpath"
+            ) from e
+        payload = from_avro(v, avro_schema_json)
+    elif f in ("csv", "tsv"):
+        payload = v.cast("string")
+    else:  # bytes / parquet / orc passthrough (E4)
+        payload = v
+    return df.withColumn("payload", payload)
+
+
+def encode_ndjson(df: DataFrame, cols: Optional[Sequence[str]] = None) -> Column:
+    """E1 — one JSON object per record (NDJSON), schemas.enable=false
+    style: bare object, no envelope (JsonRecordWriterProvider.java:36-88).
+
+    Returns a Column; write with ``df.select(encode_ndjson(df).alias("value"))``
+    then ``.write.text(..., compression="gzip")``.
+    """
+    struct = F.struct(*[F.col(c) for c in cols]) if cols else F.struct("*")
+    return F.to_json(struct)
+
+
+def encode_csv_line(
+    df: DataFrame,
+    cols: Optional[Sequence[str]] = None,
+    sep: str = ",",
+    alphabetical: bool = True,
+) -> Column:
+    """E3 — one CSV line per record. The reference's IT serializes fields
+    in alphabetical order (TreeMap, KustoSinkIT.java:413-415); mirror that
+    by default."""
+    names = list(cols) if cols else list(df.columns)
+    if alphabetical:
+        names = sorted(names)
+    return F.concat_ws(sep, *[F.col(c).cast("string") for c in names])
+
+
+def pack_all(df: DataFrame, exclude: Sequence[str] = ()) -> Column:
+    """KQL ``pack_all()`` — a JSON property bag of every column
+    (the E2E verification projection, KustoSinkIT.java:269-271).
+
+    Spark rendition: ``to_json(struct(*))`` over the non-excluded columns.
+    """
+    cols = [c for c in df.columns if c not in set(exclude)]
+    return F.to_json(F.struct(*[F.col(c) for c in cols]))
+
+
+def encode_for_format(
+    df: DataFrame, fmt: str, cols: Optional[Sequence[str]] = None
+) -> Column:
+    """Dispatch E1/E3 by coalesced format; avro/bytes are handled at the
+    file-writer level (they are container formats, not line formats)."""
+    from kafka_sink_azure_kusto_spark.config import coalesce_format
+
+    f = coalesce_format(fmt)
+    if f == "multijson":
+        return encode_ndjson(df, cols)
+    if f in ("csv", "tsv"):
+        return encode_csv_line(df, cols, sep="\t" if f == "tsv" else ",")
+    raise ValueError(f"no line encoder for format {fmt!r}")

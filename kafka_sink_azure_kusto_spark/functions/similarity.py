@@ -1,0 +1,170 @@
+"""Vector similarity search over an embedding column (north-star
+additions, SURVEY §7.3.6): brute-force cosine top-k baseline + bucketed
+(IVF-style) scale path.
+
+Scale design:
+- The query side is small (a handful-to-thousands of probe vectors) →
+  ALWAYS broadcast it; the corpus side streams. The only wide operation
+  is the final per-query top-k, a shuffle of n_queries × k rows.
+- Dot products run in JVM via zip_with/aggregate (no Python, no UDF) on
+  double precision with sequential fold order — deterministic and
+  bit-reproducible against the DuckDB oracle's list_dot_product.
+- IVF variant prunes the corpus to matching cells before scoring —
+  probing ``n_probe`` cells scans n_probe/n_cells of the data; at 100 TB
+  the cell column is also the parquet partition key so pruning happens
+  at the scan (partition pruning), not after it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision, sequential fold (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector.
+
+    Plan: broadcast(queries) × corpus → score → window top-k per query.
+    The cross join is broadcast-nested-loop with the SMALL side broadcast
+    — corpus never shuffles; the window top-k shuffles only scored rows.
+    For large query sets, chunk the queries and union.
+
+    Returns (query_id, neighbor_id, score, rank), excluding self-matches.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qvec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scorer = cosine if metric == "cosine" else dot
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", scorer(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    query_cell_col: str = "label",
+) -> DataFrame:
+    """IVF-style ANN: score only corpus vectors in the query's cell(s).
+
+    The cell assignment is any coarse quantizer — a KMeans centroid id,
+    an LSH bucket, or (as in the driver's ``embeddings`` table) a
+    precomputed ``label``. The join on cell id prunes the candidate set
+    before any scoring; with the corpus parquet partitioned by cell the
+    pruning is a metadata operation.
+
+    Exactness: recall < 1 by construction (neighbors outside the probed
+    cell are missed) — that is the documented ANN trade-off.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qvec"),
+        F.col(query_cell_col).alias("cell"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col(cell_col).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector (sign-of-dot-product
+    sketch). Hyperplane components are deterministic pseudo-randoms
+    derived from md5(plane:dim) so the bucketing is reproducible across
+    engines and runs (no RNG state to ship).
+
+    Returns (id, bucket) where bucket is a bit-string of length
+    ``num_planes``. Used as the cell assignment for ``ivf_topk`` when no
+    precomputed cells exist.
+    """
+    # component(p, d) = (int(md5(p:d)[:6], 16) / 0xffffff) * 2 - 1  ∈ [-1, 1]
+    def plane_component(p: int, d: Column) -> Column:
+        h = F.md5(F.concat(F.lit(f"{p}:"), d.cast("string")))
+        return (F.conv(F.substring(h, 1, 6), 16, 10).cast("double") / F.lit(float(0xFFFFFF))) * 2.0 - 1.0
+
+    vec = F.col(vec_col)
+    bits = []
+    for p in range(num_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, d: x.cast("double") * plane_component(p, d),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.select(
+        F.col(id_col).alias("id"), F.concat(*bits).alias("bucket")
+    )

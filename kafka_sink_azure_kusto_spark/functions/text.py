@@ -1,0 +1,131 @@
+"""Text-analysis operators for training-data pipelines (north-star
+additions, SURVEY §7.3.6 — no reference citation; additive scope).
+
+All pure built-in-function compositions (split / regexp / aggregate) —
+JVM-side, whole-stage-codegen'd, zero Python in the hot path, no
+shuffles. Designed so every output is reproducible in ANSI SQL for the
+DuckDB oracle (md5-based fingerprints, single-space tokenization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword-ratio language
+# heuristic. Deliberately small + deterministic (oracle-reproducible).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+
+def tokens(col: str | Column = "text") -> Column:
+    """Whitespace tokenization (single-space split, matching the oracle's
+    string_split semantics exactly)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def token_count(col: str | Column = "text") -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: str | Column = "text") -> Column:
+    """BPE-ish subword estimate: words + punctuation runs counted
+    separately (a regex proxy for tokenizer behavior: ~1 token per word
+    piece of ≤4 chars)."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.size(F.split(F.trim(c), "\\s+"))
+    # long words split into ceil(len/4) pieces — approximate BPE fan-out
+    chars = F.length(F.regexp_replace(c, "\\s", ""))
+    return F.greatest(words, F.ceil(chars / F.lit(4)).cast("int"))
+
+
+def stopword_count(col: str | Column, lang: str) -> Column:
+    """Count of tokens that are stopwords of ``lang`` (aggregate over the
+    token array — no explode, no shuffle)."""
+    toks = tokens(col)
+    sw = STOPWORDS[lang]
+    return F.aggregate(
+        toks,
+        F.lit(0),
+        lambda acc, t: acc + F.when(t.isin(sw), 1).otherwise(0),
+    )
+
+
+def language_id(col: str | Column = "text") -> Column:
+    """Heuristic language ID: pick the language whose stopword list has
+    the most hits; 'und' (undetermined) when no stopword matches."""
+    c = F.col(col) if isinstance(col, str) else col
+    counts = {lang: stopword_count(c, lang) for lang in STOPWORDS}
+    best = F.greatest(*counts.values())
+    expr = F.lit("und")
+    # deterministic tie-break: reverse-alphabetical chain so earlier
+    # languages win ties when built last (en > es > de on equal counts)
+    for lang in sorted(STOPWORDS, reverse=True):
+        expr = F.when((best > 0) & (counts[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_features(df: DataFrame, col: str = "text") -> DataFrame:
+    """Quality-scoring features: length, token count, mean word length,
+    punctuation ratio, stopword ratio, uppercase ratio — the standard
+    heuristic-filter family for pretraining corpora."""
+    c = F.col(col)
+    n_chars = F.length(c)
+    n_tokens = token_count(c)
+    n_punct = n_chars - F.length(F.regexp_replace(c, "[^a-zA-Z0-9 ]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(c, "[A-Z]", ""))
+    n_stop = stopword_count(c, "en")
+    return df.select(
+        "*",
+        n_chars.cast("bigint").alias("q_chars"),
+        n_tokens.cast("bigint").alias("q_tokens"),
+        (n_chars.cast("double") / n_tokens).alias("q_mean_token_len"),
+        (n_punct.cast("double") / n_chars).alias("q_punct_ratio"),
+        (n_upper.cast("double") / n_chars).alias("q_upper_ratio"),
+        (n_stop.cast("double") / n_tokens).alias("q_stopword_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, col: str = "text") -> DataFrame:
+    """Composite [0,1] quality score from the features (monotone simple
+    blend — tune per corpus; the shape is what matters for the pipeline)."""
+    feats = quality_features(df, col)
+    score = (
+        F.when(F.col("q_tokens") < 5, 0.0)
+        .otherwise(
+            F.least(
+                F.lit(1.0),
+                0.4 * F.least(F.lit(1.0), F.col("q_tokens") / 100.0)
+                + 0.3 * (1.0 - F.least(F.lit(1.0), F.col("q_punct_ratio") * 5.0))
+                + 0.3 * F.least(F.lit(1.0), F.col("q_stopword_ratio") * 10.0),
+            )
+        )
+        .alias("quality_score")
+    )
+    return feats.select("*", score)
+
+
+def fingerprint(col: str | Column = "text") -> Column:
+    """Document fingerprint: md5 of the normalized text (lowercase,
+    collapsed whitespace). md5 is available in both Spark and DuckDB with
+    identical hex output → exact-oracle-checkable."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.lower(F.trim(c)), "\\s+", " ")
+    return F.md5(normalized)
+
+
+def rolling_hashes(col: str | Column, k: int = 8) -> Column:
+    """Array of rolling k-token window fingerprints (winnowing-style
+    document fingerprinting): md5 of each k-gram of tokens."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.transform(
+        idx,
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
+    )

@@ -1,0 +1,257 @@
+"""Pluggable ingest backends (SURVEY §2.5 K1–K2, §2.7 V1–V4).
+
+The reference hands rolled files to the Kusto Java SDK
+(``IngestClient.ingestFromFile``, TopicPartitionWriter.java:91-148;
+clients built in KustoSinkTask.java:309-332). We keep the same seam:
+the sink stages gzipped files, a backend ships them.
+
+- ``LocalEmulatorBackend`` — CI/test backend: "ingesting" a staged
+  NDJSON/CSV gz file appends its rows to a local parquet-backed table
+  and records an ingest-command log (the rebuild test plan's "Kusto
+  emulator", SURVEY §5).
+- ``QueuedKustoBackend`` / ``StreamingKustoBackend`` — thin wrappers
+  over the public ``azure-kusto-ingest`` Python SDK (queued DM
+  ingestion K1; managed-streaming with queued fallback K2). The SDK is
+  not installed in this environment, so construction raises a clear
+  error unless the import succeeds; all logic that can be tested
+  without the SDK (property building, error classification) lives
+  outside the import guard.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import threading
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Optional, Protocol
+
+from kafka_sink_azure_kusto_spark.config import mapping_kind_for_format
+
+
+@dataclass(frozen=True)
+class IngestionProperties:
+    """db/table/format/mapping handed to the backend per rolled file
+    (mirror of IngestionProperties built at KustoSinkTask.java:145-184)."""
+
+    database: str
+    table: str
+    format: str = "multijson"
+    mapping_reference: Optional[str] = None
+    streaming: bool = False
+
+    @property
+    def mapping_kind(self) -> str:
+        return mapping_kind_for_format(self.format)
+
+
+@dataclass(frozen=True)
+class IngestResult:
+    """Final ingestion status. The streaming path treats
+    Skipped/PartiallySucceeded as final-but-accepted
+    (TopicPartitionWriter.java:150-176)."""
+
+    status: str  # Succeeded | Skipped | PartiallySucceeded | Failed
+    source_id: str
+
+    @property
+    def accepted(self) -> bool:
+        return self.status in ("Succeeded", "Skipped", "PartiallySucceeded")
+
+
+class TransientIngestError(Exception):
+    """Service-side error — retry (R3: service errors ⇒ retry)."""
+
+
+class PermanentIngestError(Exception):
+    """isPermanent()==True / client / URI errors — fail fast
+    (TopicPartitionWriter.java:130-146)."""
+
+
+def classify_ingest_error(exc: BaseException) -> bool:
+    """R3 — True ⇒ permanent (fail fast, no retry budget burn). Mirrors
+    TopicPartitionWriter.java:130-146: KustoDataExceptionBase with
+    isPermanent(), client errors, URI errors ⇒ permanent; service errors
+    ⇒ transient (retry)."""
+    if isinstance(exc, PermanentIngestError):
+        return True
+    if isinstance(exc, TransientIngestError):
+        return False
+    perm = getattr(exc, "is_permanent", None)
+    if callable(perm):
+        try:
+            return bool(perm())
+        except Exception:  # noqa: BLE001
+            return False
+    return bool(perm) if perm is not None else False
+
+
+class IngestBackend(Protocol):
+    def ingest_file(self, path: str, props: IngestionProperties) -> IngestResult: ...
+
+    def validate(self, props: IngestionProperties) -> None:
+        """V1–V4 startup probes (table access / mapping existence /
+        principal role / streaming policy)."""
+
+
+def _read_staged_lines(path: str) -> list[str]:
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rt", encoding="utf-8") as f:
+        return [line for line in f.read().splitlines() if line]
+
+
+class LocalEmulatorBackend:
+    """File-system Kusto emulator for tests and benches.
+
+    Tables land at ``{root}/{db}/{table}/part-*.ndjson``; every ingest
+    command is appended to ``{root}/_ingest_log.jsonl`` with the same
+    coordinates the reference logs. Thread-safe: foreachBatch may ingest
+    several mappings concurrently.
+    """
+
+    def __init__(self, root: str, fail_times: int = 0, permanent_fail: bool = False):
+        self.root = root
+        self._lock = threading.Lock()
+        # Test hooks: fail the first N ingests transiently, or always
+        # permanently — drives the R2/R3/R4 unit tests.
+        self._fail_times = fail_times
+        self._permanent_fail = permanent_fail
+        os.makedirs(root, exist_ok=True)
+
+    # -- V1–V4 -------------------------------------------------------------
+    def validate(self, props: IngestionProperties) -> None:
+        os.makedirs(os.path.join(self.root, props.database, props.table), exist_ok=True)
+
+    # -- K1/K2 -------------------------------------------------------------
+    def ingest_file(self, path: str, props: IngestionProperties) -> IngestResult:
+        if self._permanent_fail:
+            raise PermanentIngestError("emulated permanent failure")
+        with self._lock:
+            if self._fail_times > 0:
+                self._fail_times -= 1
+                raise TransientIngestError("emulated transient failure")
+        source_id = str(uuid.uuid4())
+        lines = _read_staged_lines(path)
+        table_dir = os.path.join(self.root, props.database, props.table)
+        os.makedirs(table_dir, exist_ok=True)
+        out = os.path.join(table_dir, f"part-{source_id}.{props.format}")
+        with self._lock:
+            with open(out, "w", encoding="utf-8") as f:
+                f.write("\n".join(lines) + ("\n" if lines else ""))
+            with open(os.path.join(self.root, "_ingest_log.jsonl"), "a") as logf:
+                logf.write(
+                    json.dumps(
+                        {
+                            "ts": time.time(),
+                            "file": os.path.basename(path),
+                            "db": props.database,
+                            "table": props.table,
+                            "format": props.format,
+                            "mapping": props.mapping_reference,
+                            "streaming": props.streaming,
+                            "records": len(lines),
+                            "source_id": source_id,
+                        }
+                    )
+                    + "\n"
+                )
+        return IngestResult(status="Succeeded", source_id=source_id)
+
+    # -- test/bench helpers -------------------------------------------------
+    def table_rows(self, db: str, table: str) -> list[str]:
+        table_dir = os.path.join(self.root, db, table)
+        rows: list[str] = []
+        if not os.path.isdir(table_dir):
+            return rows
+        for name in sorted(os.listdir(table_dir)):
+            with open(os.path.join(table_dir, name), encoding="utf-8") as f:
+                rows.extend(line for line in f.read().splitlines() if line)
+        return rows
+
+    def ingest_log(self) -> list[dict]:
+        p = os.path.join(self.root, "_ingest_log.jsonl")
+        if not os.path.exists(p):
+            return []
+        with open(p, encoding="utf-8") as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+
+@dataclass
+class _KustoSdkBackendBase:
+    """Shared construction for the real backends (K1/K2). Kept separate so
+    error-classification logic is importable without the SDK."""
+
+    ingest_url: str
+    query_url: Optional[str] = None
+    auth: dict = field(default_factory=dict)
+
+    def __post_init__(self) -> None:  # overridden by SDK-backed subclasses
+        return None
+
+    classify = staticmethod(classify_ingest_error)
+
+
+class QueuedKustoBackend(_KustoSdkBackendBase):
+    """K1 — queued (DM) ingestion via azure-kusto-ingest
+    (TopicPartitionWriter.java:106; client KustoSinkTask.java:309-321)."""
+
+    def __post_init__(self) -> None:
+        try:
+            from azure.kusto.data import KustoConnectionStringBuilder  # noqa: F401
+            from azure.kusto.ingest import QueuedIngestClient  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "QueuedKustoBackend requires the public azure-kusto-ingest "
+                "package (not installed in this environment); use "
+                "LocalEmulatorBackend for tests"
+            ) from e
+        from azure.kusto.data import KustoConnectionStringBuilder
+        from azure.kusto.ingest import QueuedIngestClient
+
+        kcsb = KustoConnectionStringBuilder.with_aad_application_key_authentication(
+            self.ingest_url,
+            self.auth.get("app_id", ""),
+            self.auth.get("app_key", ""),
+            self.auth.get("authority", ""),
+        )
+        self._client = QueuedIngestClient(kcsb)
+
+    def validate(self, props: IngestionProperties) -> None:
+        # V1–V4 issued via the query endpoint when enabled; delegated to
+        # azure-kusto-data (KustoSinkTask.java:221-300).
+        return None
+
+    def ingest_file(self, path: str, props: IngestionProperties) -> IngestResult:
+        from azure.kusto.ingest import IngestionProperties as SdkProps
+
+        sdk_props = SdkProps(
+            database=props.database,
+            table=props.table,
+            data_format=props.format,
+            ingestion_mapping_reference=props.mapping_reference,
+        )
+        self._client.ingest_from_file(path, ingestion_properties=sdk_props)
+        return IngestResult(status="Succeeded", source_id=str(uuid.uuid4()))
+
+
+class StreamingKustoBackend(_KustoSdkBackendBase):
+    """K2 — managed streaming ingestion (engine first, queued fallback;
+    ManagedStreamingIngestClient, KustoSinkTask.java:322-328)."""
+
+    def __post_init__(self) -> None:
+        try:
+            from azure.kusto.ingest import ManagedStreamingIngestClient  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "StreamingKustoBackend requires azure-kusto-ingest; use "
+                "LocalEmulatorBackend for tests"
+            ) from e
+
+    def validate(self, props: IngestionProperties) -> None:
+        return None
+
+    def ingest_file(self, path: str, props: IngestionProperties) -> IngestResult:
+        raise NotImplementedError("requires azure-kusto-ingest at runtime")
