@@ -1,0 +1,586 @@
+"""Query registry backing ``__spark_entry__``: every implemented operator
+from SURVEY §2 (reference-parity dataflow expressed as verifiable batch
+queries over the driver TESTDATA) plus the north-star training-data
+operators, each with a DuckDB-runnable ANSI-SQL oracle.
+
+Conventions (driver contract):
+- every callable takes (spark, sf_dir) and returns a DataFrame;
+- every computed column is aliased IDENTICALLY in Spark and SQL;
+- all hashing is md5 (identical hex in both engines); no doubles in
+  JSON/CSV string outputs; decimal sums for aggregates (exact in both).
+
+Synthetic Kafka coordinates used by the dataflow queries (deterministic
+in both engines): topic = event_type, partition = event_id % 4,
+offset = dense per-(topic, partition) sequence ordered by event_id.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_sink_azure_kusto_spark.config import TopicToTableMapping
+from kafka_sink_azure_kusto_spark.functions.routing import with_route
+from kafka_sink_azure_kusto_spark.operators.batching import (
+    staged_file_name,
+    with_file_assignment,
+)
+from kafka_sink_azure_kusto_spark.sources.tables import load_table
+
+# The mapping fixture used by the routing/dataflow queries — mirrors the
+# reference config-test fixture (FIXTURES.md §4) on the events table's
+# event_type values.
+ROUTE_MAPPINGS = [
+    TopicToTableMapping(topic="click", db="db1", table="clicks", format="csv"),
+    TopicToTableMapping(
+        topic="purchase", db="db2", table="purchases", format="json", mapping="Mapping"
+    ),
+    TopicToTableMapping(topic="*", db="dbW", table="tableW", format="json"),
+]
+
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], Optional[str]]] = {}
+
+
+def register(name: str, oracle: Optional[str]):
+    def deco(fn):
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+QUERIES = _REGISTRY  # convenience alias
+
+
+def _events_with_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + synthetic (topic, partition, offset) coordinates."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", (F.col("event_id") % 4)).orderBy("event_id")
+    return (
+        ev.withColumn("topic", F.col("event_type"))
+        .withColumn("partition", (F.col("event_id") % 4).cast("long"))
+        .withColumn("offset", (F.row_number().over(w) - 1).cast("long"))
+    )
+
+
+_COORDS_SQL = """
+    SELECT *,
+           event_type AS topic,
+           CAST(event_id % 4 AS BIGINT) AS "partition",
+           CAST(ROW_NUMBER() OVER (PARTITION BY event_type, event_id % 4
+                                   ORDER BY event_id) - 1 AS BIGINT) AS "offset"
+    FROM events
+"""
+
+
+# =====================================================================
+# Flagship + reference dataflow operators (SURVEY §2)
+# =====================================================================
+
+
+@register(
+    "flagship_pack_all",
+    """
+    SELECT event_id,
+           '{"event_id":' || event_id || ',"user_id":' || user_id ||
+           ',"event_type":"' || event_type || '"}' AS vresult
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def flagship_pack_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference E2E verification query (KustoSinkIT.java:269-271):
+    ``table | where vtype == 'fmt' | project vlong, vresult = pack_all()``
+    — filter on the discriminator column, project key + JSON bag."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "click").select(
+        "event_id",
+        F.to_json(F.struct("event_id", "user_id", "event_type")).alias("vresult"),
+    )
+
+
+@register(
+    "tombstone_filter",
+    """
+    WITH k AS (SELECT event_id,
+                      CASE WHEN event_id % 97 = 0 THEN NULL ELSE props END AS value
+               FROM events)
+    SELECT event_id, value FROM k WHERE value IS NOT NULL
+    """,
+)
+def tombstone_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — null-value records (tombstones) are dropped
+    (KustoSinkTask.java:510-513). Every 97th event plays the tombstone."""
+    from kafka_sink_azure_kusto_spark.functions.filters import drop_tombstones
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 97 == 0, None).otherwise(F.col("props")).alias("value"),
+    )
+    return drop_tombstones(ev)
+
+
+@register(
+    "empty_serialization_filter",
+    """
+    WITH k AS (SELECT event_id,
+                      CASE WHEN event_id % 11 = 0 THEN ''
+                           WHEN event_id % 13 = 0 THEN '{}'
+                           ELSE props END AS value
+               FROM events)
+    SELECT event_id, value FROM k
+    WHERE value IS NOT NULL AND length(value) > 0 AND value <> '{}'
+    """,
+)
+def empty_serialization_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 — records serializing to zero JSON bytes are skipped
+    (JsonRecordWriterProvider.java:53-56)."""
+    from kafka_sink_azure_kusto_spark.functions.filters import drop_empty_serializations
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 11 == 0, "")
+        .when(F.col("event_id") % 13 == 0, "{}")
+        .otherwise(F.col("props"))
+        .alias("value"),
+    )
+    return drop_empty_serializations(ev)
+
+
+@register(
+    "topic_routing",
+    """
+    SELECT event_id,
+           event_type AS topic,
+           CASE event_type WHEN 'click' THEN 'db1' WHEN 'purchase' THEN 'db2'
+                ELSE 'dbW' END AS route_db,
+           CASE event_type WHEN 'click' THEN 'clicks' WHEN 'purchase' THEN 'purchases'
+                ELSE 'tableW' END AS route_table,
+           CASE event_type WHEN 'click' THEN 'csv' ELSE 'multijson' END AS route_format
+    FROM events
+    """,
+)
+def topic_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 — topic→(db, table, format) routing: exact match first, then
+    '*' wildcard (KustoSinkTask.java:334-340); E5 format coalescing
+    applied (json → multijson)."""
+    ev = load_table(spark, sf_dir, "events").withColumn("topic", F.col("event_type"))
+    return with_route(ev, ROUTE_MAPPINGS).select(
+        "event_id", "topic", "route_db", "route_table", "route_format"
+    )
+
+
+@register(
+    "record_shape_dispatch",
+    """
+    SELECT shape, COUNT(*) AS n FROM (
+      SELECT CASE WHEN props IS NULL THEN 'tombstone'
+                  WHEN props LIKE '{%' THEN 'struct'
+                  ELSE 'string' END AS shape
+      FROM events) GROUP BY shape
+    """,
+)
+def record_shape_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — serializer dispatch by record value shape
+    (FileWriter.java:304-330): Map/Struct vs String vs Bytes."""
+    ev = load_table(spark, sf_dir, "events")
+    shape = (
+        F.when(F.col("props").isNull(), "tombstone")
+        .when(F.col("props").startswith("{"), "struct")
+        .otherwise("string")
+    )
+    return ev.select(shape.alias("shape")).groupBy("shape").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "json_decode",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events
+    """,
+)
+def json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schemaless JSON decode (§1.3): from_json into a typed column —
+    the Spark analog of the Connect JsonConverter step."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.from_json("props", "k int").getField("k").alias("k")
+    )
+
+
+@register(
+    "ndjson_encode",
+    """
+    SELECT event_id,
+           '{"event_id":' || event_id || ',"user_id":' || user_id || '}' AS line
+    FROM events
+    """,
+)
+def ndjson_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 — NDJSON encoding, one bare JSON object per record
+    (JsonRecordWriterProvider.java:36-88)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.to_json(F.struct("event_id", "user_id")).alias("line")
+    )
+
+
+@register(
+    "csv_encode",
+    """
+    SELECT event_id,
+           event_id || ',' || event_type || ',' || user_id AS line
+    FROM events
+    """,
+)
+def csv_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 — CSV line encoding with alphabetical field order
+    (KustoSinkIT.java:413-415: event_id < event_type < user_id)."""
+    from kafka_sink_azure_kusto_spark.functions.encoders import encode_csv_line
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        encode_csv_line(ev, cols=["event_id", "event_type", "user_id"]).alias("line"),
+    )
+
+
+@register(
+    "format_coalescing",
+    """
+    SELECT fmt,
+           CASE WHEN fmt IN ('json','singlejson','multijson') THEN 'multijson'
+                ELSE fmt END AS ingest_format,
+           CASE WHEN fmt IN ('json','singlejson','multijson') THEN 'JSON'
+                WHEN fmt = 'avro' THEN 'AVRO'
+                WHEN fmt = 'apacheavro' THEN 'APACHEAVRO'
+                ELSE 'CSV' END AS mapping_kind
+    FROM (SELECT DISTINCT CASE event_type
+                 WHEN 'click' THEN 'json' WHEN 'view' THEN 'singlejson'
+                 WHEN 'purchase' THEN 'avro' WHEN 'signup' THEN 'apacheavro'
+                 ELSE 'csv' END AS fmt FROM events)
+    """,
+)
+def format_coalescing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5/E6 — json/singlejson/multijson all ingest as MULTIJSON
+    (KustoSinkTask.java:156-158,186-190) and format → mapping-kind
+    inference (:163-174)."""
+    from kafka_sink_azure_kusto_spark.config import (
+        coalesce_format,
+        mapping_kind_for_format,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    fmt = (
+        F.when(F.col("event_type") == "click", "json")
+        .when(F.col("event_type") == "view", "singlejson")
+        .when(F.col("event_type") == "purchase", "avro")
+        .when(F.col("event_type") == "signup", "apacheavro")
+        .otherwise("csv")
+    )
+    distinct_fmts = ev.select(fmt.alias("fmt")).distinct()
+    # drive the same pure functions the sink uses, compiled into the plan
+    coalesce_expr = F.lit(None).cast("string")
+    kind_expr = F.lit(None).cast("string")
+    for f in ["json", "singlejson", "multijson", "avro", "apacheavro", "csv"]:
+        coalesce_expr = F.when(F.col("fmt") == f, coalesce_format(f)).otherwise(
+            coalesce_expr
+        )
+        kind_expr = F.when(F.col("fmt") == f, mapping_kind_for_format(f)).otherwise(
+            kind_expr
+        )
+    return distinct_fmts.select(
+        "fmt", coalesce_expr.alias("ingest_format"), kind_expr.alias("mapping_kind")
+    )
+
+
+@register(
+    "file_assignment",
+    f"""
+    WITH k AS ({_COORDS_SQL}),
+    sized AS (SELECT topic, "partition", "offset",
+                     CAST(length(props) + 1 AS BIGINT) AS serialized_size FROM k),
+    seq AS (SELECT *,
+              CAST(FLOOR(COALESCE(SUM(serialized_size) OVER (
+                   PARTITION BY topic, "partition" ORDER BY "offset"
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   / 100.0) AS BIGINT) AS file_seq
+            FROM sized)
+    SELECT topic, "partition", "offset", file_seq,
+           MIN("offset") OVER (PARTITION BY topic, "partition", file_seq) AS file_offset,
+           'kafka_' || topic || '_' || "partition" || '_' ||
+             MIN("offset") OVER (PARTITION BY topic, "partition", file_seq) ||
+             '.multijson.gz' AS file_name
+    FROM seq
+    """,
+)
+def file_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1+B4 — size-triggered file rolling (FileWriter.java:296-301) and
+    staged-file naming (TopicPartitionWriter.java:235-242) as a window
+    prefix-sum over (topic, partition), threshold 100 B."""
+    ev = _events_with_coords(spark, sf_dir)
+    sized = ev.select(
+        "topic",
+        "partition",
+        "offset",
+        (F.length("props") + F.lit(1)).cast("long").alias("serialized_size"),
+    )
+    assigned = with_file_assignment(sized, flush_size_bytes=100)
+    return assigned.select(
+        "topic",
+        "partition",
+        "offset",
+        "file_seq",
+        "file_offset",
+        staged_file_name("multijson").alias("file_name"),
+    )
+
+
+@register(
+    "offset_ledger",
+    f"""
+    WITH k AS ({_COORDS_SQL})
+    SELECT topic, "partition",
+           CAST(MAX("offset") + 1 AS BIGINT) AS commit_offset,
+           COUNT(*) AS records
+    FROM k GROUP BY topic, "partition"
+    """,
+)
+def offset_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 — preCommit reports lastCommittedOffset + 1 per partition
+    (KustoSinkTask.java:526-546, the +1 bug-fix noted in README.md:768)."""
+    ev = _events_with_coords(spark, sf_dir)
+    return ev.groupBy("topic", "partition").agg(
+        (F.max("offset") + 1).cast("long").alias("commit_offset"),
+        F.count(F.lit(1)).alias("records"),
+    )
+
+
+@register(
+    "dlq_key_format",
+    f"""
+    WITH k AS ({_COORDS_SQL})
+    SELECT 'Failed to write record to KustoDB with the following kafka coordinates, '
+           || 'topic=' || topic || ', partition=' || "partition" || ', offset=' || "offset"
+           || '.' AS key,
+           props AS value
+    FROM k WHERE event_id % 251 = 0
+    """,
+)
+def dlq_key_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3 — DLQ record: key = error-coordinates string, value = record
+    bytes (TopicPartitionWriter.java:210-233). Every 251st event plays a
+    failed record."""
+    ev = _events_with_coords(spark, sf_dir)
+    return ev.filter(F.col("event_id") % 251 == 0).select(
+        F.concat(
+            F.lit(
+                "Failed to write record to KustoDB with the following kafka coordinates, "
+            ),
+            F.lit("topic="),
+            F.col("topic"),
+            F.lit(", partition="),
+            F.col("partition").cast("string"),
+            F.lit(", offset="),
+            F.col("offset").cast("string"),
+            F.lit("."),
+        ).alias("key"),
+        F.col("props").alias("value"),
+    )
+
+
+@register(
+    "metrics_counters",
+    """
+    SELECT CAST(COUNT(*) FILTER (WHERE props IS NOT NULL) AS BIGINT) AS records_written,
+           CAST(COUNT(*) FILTER (WHERE props IS NULL) AS BIGINT) AS records_failed
+    FROM (SELECT CASE WHEN event_id % 97 = 0 THEN NULL ELSE props END AS props
+          FROM events)
+    """,
+)
+def metrics_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 — the RecordsWritten/RecordsFailed counter pair as an
+    observable aggregation (KustoSinkMetrics.java:17-124)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 97 == 0, None).otherwise(F.col("props")).alias("props")
+    )
+    return ev.agg(
+        F.count(F.col("props")).cast("bigint").alias("records_written"),
+        F.count_if(F.col("props").isNull()).cast("bigint").alias("records_failed"),
+    )
+
+
+# =====================================================================
+# General analytics surface (bench headliners; Spark-native capability
+# the Kusto target would otherwise run — count/filter/project per §2.7)
+# =====================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+               (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary — scan + filter + hash aggregate.
+    Decimal sums for exact cross-engine equality."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_top_orders",
+    """
+    SELECT o.o_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+               (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: selective dim filter → joins → agg → top-k.
+    customer is broadcast (small side); deterministic tie-break."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "region_rollup",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                  JOIN nation n ON c.c_nationkey = n.n_nationkey
+                  JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join rollup through two broadcast dims (nation, region) —
+    the canonical broadcast-chain plan; no shuffle on the dim side."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+@register(
+    "window_topn_per_customer",
+    """
+    SELECT c_custkey, o_orderkey, rnk FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders)
+    WHERE rnk <= 2
+    """,
+)
+def window_topn_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-N per group with deterministic tie-break — the
+    analytics-side window-function surface."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 2)
+    )
+
+
+@register(
+    "event_time_windows",
+    """
+    SELECT event_type,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+    """,
+)
+def event_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window aggregation (the batch shape of the
+    Structured Streaming windowed agg; watermark semantics tested in the
+    streaming suite)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("window_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
