@@ -159,42 +159,40 @@ def minhash_lsh_pairs(
 
 
 # --------------------------------------------------------------------- SimHash
+def _hex_digit_value(c: Column) -> Column:
+    """Value of one lowercase hex digit via ascii() — identical in Spark
+    and DuckDB (no conv/instr dialect divergence)."""
+    a = F.ascii(c)
+    return F.when(a >= 97, a - 87).otherwise(a - 48)
+
+
 def simhash64(col: str | Column) -> Column:
     """64-bit SimHash over whitespace tokens, as an array<int>[64] of bits
     (bit i = 1 iff the weighted sum of token-hash bit i is positive).
 
-    Token bit source: md5 hex — bit i lives in hex digit i/4, bit (3-i%4).
-    Same arithmetic is expressible in the SQL oracle; returning the bit
-    array (not a packed long) keeps both engines in exact integer math.
+    Token bit source: md5 hex — bit i lives in hex digit i/4 (0-based),
+    at position (3 - i%4) MSB-first; extracted with pure arithmetic
+    (floor-div by a power of two, then mod 2) so the SQL oracle runs the
+    literally-same computation. Returning the bit array (not a packed
+    long) keeps both engines in exact integer math.
     """
     toks = tokens(col)
     bits = F.sequence(F.lit(0), F.lit(63))
-    return F.transform(
-        bits,
-        lambda i: F.when(
-            F.aggregate(
-                toks,
-                F.lit(0),
-                lambda acc, t: acc
-                + 2
-                * (
-                    F.shiftright(
-                        # value of the hex digit holding bit i
-                        F.instr(
-                            F.lit("0123456789abcdef"),
-                            F.substring(F.md5(t), (i / 4).cast("int") + 1, 1),
-                        )
-                        - 1,
-                        # bit position inside the digit, MSB-first
-                        (F.lit(3) - i % 4).cast("int"),
-                    )
-                    % 2
-                )
-                - 1,
+
+    def bit_weight(i: Column):
+        def token_bit(t: Column) -> Column:
+            digit = F.substring(F.md5(t), (i / 4).cast("int") + 1, 1)
+            val = _hex_digit_value(digit)
+            return (
+                F.floor(val / F.pow(F.lit(2.0), (F.lit(3) - i % 4).cast("double")))
+                .cast("int")
+                % 2
             )
-            > 0,
-            1,
-        ).otherwise(0),
+
+        return F.aggregate(toks, F.lit(0), lambda acc, t: acc + 2 * token_bit(t) - 1)
+
+    return F.transform(
+        bits, lambda i: F.when(bit_weight(i) > 0, 1).otherwise(0)
     )
 
 

@@ -62,10 +62,11 @@ def language_id(col: str | Column = "text") -> Column:
     c = F.col(col) if isinstance(col, str) else col
     counts = {lang: stopword_count(c, lang) for lang in STOPWORDS}
     best = F.greatest(*counts.values())
+    # deterministic tie-break priority en > es > de (the SQL oracle's CASE
+    # evaluates in the same order); built inside-out so the first priority
+    # ends up as the outermost WHEN.
     expr = F.lit("und")
-    # deterministic tie-break: reverse-alphabetical chain so earlier
-    # languages win ties when built last (en > es > de on equal counts)
-    for lang in sorted(STOPWORDS, reverse=True):
+    for lang in reversed(["en", "es", "de"]):
         expr = F.when((best > 0) & (counts[lang] == best), F.lit(lang)).otherwise(expr)
     return expr
 

@@ -1,0 +1,429 @@
+"""North-star training-data-pipeline queries (SURVEY §7.3.6, additive —
+no reference citations): dedup family, similarity search, text
+analysis, multimodal columns. Registered into the same registry as the
+dataflow queries; every oracle is literally the same algorithm in
+DuckDB SQL (md5/ascii arithmetic, identical window/shingle indexing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_sink_azure_kusto_spark.functions import dedup as D
+from kafka_sink_azure_kusto_spark.functions import similarity as S
+from kafka_sink_azure_kusto_spark.functions import text as T
+from kafka_sink_azure_kusto_spark.functions import multimodal as M
+from kafka_sink_azure_kusto_spark.plans.registry import register
+from kafka_sink_azure_kusto_spark.sources.tables import load_table
+
+# Shared SQL fragments -------------------------------------------------------
+
+_NORM_FP = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+# 3-token shingles; range(1, greatest(n-1, 1)) yields 1..n-2 (= n-k+1 windows)
+_SHINGLES_SQL = """
+    words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+                         i -> array_to_string(ws[i:i+2], ' '))) AS s
+           FROM words)
+"""
+
+_STOP = {
+    "en": "('the','a','of','and','to')",
+    "es": "('el','la','de','que','y')",
+    "de": "('der','die','und','das','ist')",
+}
+_SW_COUNT = {
+    lang: f"len(list_filter(string_split(text, ' '), x -> x IN {words}))"
+    for lang, words in _STOP.items()
+}
+
+
+# ============================================================ dedup family
+
+
+@register(
+    "dedup_exact",
+    f"""
+    SELECT {_NORM_FP} AS fp,
+           MIN(doc_id) AS doc_id,
+           COUNT(*) AS dup_count
+    FROM documents GROUP BY fp
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized-text md5 fingerprint;
+    keep lowest doc_id per cluster. Shuffle key is the 32-char hash, not
+    the document text — constant shuffle width at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fp", T.fingerprint("text"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SHINGLES_SQL},
+    mh AS (SELECT doc_id, hs.h AS h, MIN(md5(hs.h || ':' || s)) AS mv
+           FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS h) hs
+           GROUP BY doc_id, hs.h),
+    sig AS (SELECT doc_id, list(mv ORDER BY h) AS sig FROM mh GROUP BY doc_id),
+    banded AS (SELECT doc_id, sig, bs.b AS band_id,
+                      md5(array_to_string(sig[bs.b*4+1 : bs.b*4+4], '|')) AS band_hash
+               FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+    cand AS (SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+             FROM banded l JOIN banded r
+               ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+              AND l.doc_id < r.doc_id)
+    SELECT left_id, right_id,
+           len(list_intersect(ls.sig, rs.sig)) * 1.0 / 16 AS est_jaccard
+    FROM cand JOIN sig ls ON left_id = ls.doc_id
+              JOIN sig rs ON right_id = rs.doc_id
+    WHERE len(list_intersect(ls.sig, rs.sig)) * 1.0 / 16 >= 0.5
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via MinHash (16 md5-seeded hashes over 3-token
+    shingles) + LSH banding (4 bands × 4 rows). The only shuffle is the
+    equi-join on (band_id, band_hash); no O(n²) stage anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs, num_hashes=16, num_bands=4, k=3, jaccard_threshold=0.5
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLES_SQL},
+    dsh AS (SELECT DISTINCT doc_id, md5(s) AS shh FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM dsh GROUP BY doc_id),
+    inter AS (SELECT l.doc_id AS left_id, r.doc_id AS right_id, COUNT(*) AS n_inter
+              FROM dsh l JOIN dsh r ON l.shh = r.shh AND l.doc_id < r.doc_id
+              GROUP BY 1, 2)
+    SELECT left_id, right_id,
+           n_inter * 1.0 / (sl.n_sh + sr.n_sh - n_inter) AS jaccard
+    FROM inter JOIN sizes sl ON left_id = sl.doc_id
+               JOIN sizes sr ON right_id = sr.doc_id
+    WHERE n_inter * 1.0 / (sl.n_sh + sr.n_sh - n_inter) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs ≥ 0.5 — candidates restricted to pairs
+    sharing ≥1 shingle (equi-join on shingle hash), then |∩|/|∪| from
+    per-pair and per-doc distinct-shingle counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+
+
+@register(
+    "dedup_simhash",
+    """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    hx AS (SELECT doc_id, bi.i AS i,
+                  ascii(substr(md5(tok), CAST(FLOOR(bi.i / 4.0) AS INT) + 1, 1)) AS a
+           FROM toks CROSS JOIN (SELECT unnest(range(0, 64)) AS i) bi),
+    bitw AS (SELECT doc_id, i,
+                    SUM(2 * (CAST(FLOOR(
+                        (CASE WHEN a >= 97 THEN a - 87 ELSE a - 48 END)
+                        / pow(2, 3 - i % 4)) AS INT) % 2) - 1) AS w
+             FROM hx GROUP BY doc_id, i),
+    sig AS (SELECT doc_id, list(CASE WHEN w > 0 THEN 1 ELSE 0 END ORDER BY i) AS bits
+            FROM bitw GROUP BY doc_id),
+    blocked AS (SELECT doc_id, bits, bs.b AS block_id,
+                       array_to_string(bits[bs.b*16+1 : bs.b*16+16], '') AS block_bits
+                FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+    cand AS (SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+             FROM blocked l JOIN blocked r
+               ON l.block_id = r.block_id AND l.block_bits = r.block_bits
+              AND l.doc_id < r.doc_id)
+    SELECT left_id, right_id,
+           len(list_filter(range(1, 65), i -> ls.bits[i] <> rs.bits[i])) AS hamming
+    FROM cand JOIN sig ls ON left_id = ls.doc_id
+              JOIN sig rs ON right_id = rs.doc_id
+    WHERE len(list_filter(range(1, 65), i -> ls.bits[i] <> rs.bits[i])) <= 8
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signature from md5 token hashes,
+    block-LSH candidates (4 × 16-bit blocks), Hamming ≤ 8. The oracle
+    mirrors the block-candidate algorithm exactly (same recall bound)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_pairs(docs, max_hamming=8, num_blocks=4)
+    return pairs.select(
+        "left_id", "right_id", F.col("hamming").cast("bigint").alias("hamming")
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT l.vec_id AS left_id, r.vec_id AS right_id,
+           round(list_dot_product(l.v, r.v) /
+                 (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))),
+                 6) AS cos_sim
+    FROM e l JOIN e r ON l.vec_id < r.vec_id
+    WHERE list_dot_product(l.v, r.v) /
+          (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))) >= 0.45
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.45 — the corpus max
+    is ~0.51, so this exercises the boundary). Exact all-pairs variant
+    for the oracle; the 100 TB path is ``hyperplane_lsh_buckets`` +
+    within-bucket scoring (see ``similarity_lsh_bucketed``)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    left = emb.select(F.col("vec_id").alias("left_id"), F.col("embedding").alias("lv"))
+    right = emb.select(F.col("vec_id").alias("right_id"), F.col("embedding").alias("rv"))
+    pairs = left.join(right, F.col("left_id") < F.col("right_id"))
+    cos = S.cosine(F.col("lv"), F.col("rv"))
+    return (
+        pairs.withColumn("cos_raw", cos)
+        .filter(F.col("cos_raw") >= 0.45)
+        .select("left_id", "right_id", F.round("cos_raw", 6).alias("cos_sim"))
+    )
+
+
+# ===================================================== similarity search
+
+
+@register(
+    "similarity_topk_bruteforce",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+                      list_dot_product(qv, c.v) /
+                      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v)))
+                      AS score
+               FROM e c CROSS JOIN q WHERE c.vec_id <> query_id)
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           round(score, 6) AS score
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id ASC) AS rank
+          FROM scored)
+    WHERE rank <= 10
+    """,
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 per query vector (queries = vec_id < 5).
+    broadcast(queries) × corpus — the corpus side never shuffles; the
+    final top-k windows only the scored rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+@register(
+    "similarity_topk_ivf",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e WHERE vec_id < 5),
+    scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+                      list_dot_product(qv, c.v) /
+                      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v)))
+                      AS score
+               FROM e c JOIN q ON c.label = qlabel WHERE c.vec_id <> query_id)
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           round(score, 6) AS score
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id ASC) AS rank
+          FROM scored)
+    WHERE rank <= 10
+    """,
+)
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: probe only the query's cell (here the precomputed
+    ``label`` plays the coarse-quantizer cell). At scale the corpus
+    parquet is partitioned by cell → pruning happens at the scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+@register("similarity_lsh_bucketed", None)  # rows-only: bucketing is the scale path
+def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing + within-bucket exact cosine —
+    the 100 TB ANN path (bucket join instead of cross join). Rows-only
+    check: the md5→float hyperplane derivation has no clean SQL analog
+    (hex→int over 6 digits), documented as Spark-native."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = S.hyperplane_lsh_buckets(emb, num_planes=8)
+    with_cell = emb.join(buckets, emb.vec_id == buckets.id).select(
+        "vec_id", "embedding", F.col("bucket").alias("cell")
+    )
+    queries = with_cell.filter(F.col("vec_id") < 20)
+    out = S.ivf_topk(
+        with_cell,
+        queries,
+        k=5,
+        cell_col="cell",
+        query_cell_col="cell",
+    )
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
+
+
+# ========================================================= text analysis
+
+
+@register(
+    "text_fingerprint",
+    f"SELECT doc_id, {_NORM_FP} AS fp FROM documents",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 of lowercase whitespace-collapsed text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint("text").alias("fp"))
+
+
+@register(
+    "text_token_counts",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(greatest(len(string_split_regex(trim(text), '\\s+')),
+                CAST(CEIL(length(regexp_replace(text, '\\s', '', 'g')) / 4.0) AS BIGINT))
+                AS BIGINT) AS n_bpe
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + BPE-ish subword estimate
+    (≈ max(words, non-space chars / 4))."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").cast("bigint").alias("n_tokens"),
+        T.bpe_ish_token_count("text").cast("bigint").alias("n_bpe"),
+    )
+
+
+@register(
+    "text_language_id",
+    f"""
+    WITH c AS (SELECT doc_id,
+                      {_SW_COUNT['en']} AS en,
+                      {_SW_COUNT['es']} AS es,
+                      {_SW_COUNT['de']} AS de
+               FROM documents)
+    SELECT doc_id,
+           CASE WHEN greatest(en, es, de) = 0 THEN 'und'
+                WHEN en = greatest(en, es, de) THEN 'en'
+                WHEN es = greatest(en, es, de) THEN 'es'
+                ELSE 'de' END AS lang_guess
+    FROM c
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language heuristic over tiny deterministic word
+    lists; tie-break priority en > es > de in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.language_id("text").alias("lang_guess"))
+
+
+@register(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS q_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS q_tokens,
+           CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS q_mean_token_len,
+           CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                AS DOUBLE) / length(text) AS q_punct_ratio,
+           CAST({_SW_COUNT['en']} AS DOUBLE) / len(string_split(text, ' '))
+                AS q_stopword_ratio
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features (length / token / punctuation / stopword
+    ratios) — the standard heuristic-filter family for pretraining data."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = T.quality_features(docs, "text")
+    return feats.select(
+        "doc_id",
+        "q_chars",
+        "q_tokens",
+        "q_mean_token_len",
+        "q_punct_ratio",
+        "q_stopword_ratio",
+    )
+
+
+@register(
+    "text_rolling_fingerprint",
+    """
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    w AS (SELECT doc_id,
+                 unnest(list_transform(range(1, greatest(len(ws) - 7, 1) + 1),
+                        i -> md5(array_to_string(ws[i:i+7], ' ')))) AS h
+          FROM words)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct
+    FROM w GROUP BY doc_id
+    """,
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling 8-token window fingerprints; per-doc
+    window count + distinct count (repeat windows ⇒ internal repetition,
+    a standard quality signal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rolled = docs.select(
+        "doc_id", T.rolling_hashes("text", k=8).alias("hs")
+    )
+    return rolled.select(
+        "doc_id",
+        F.size("hs").cast("bigint").alias("n_windows"),
+        F.size(F.array_distinct("hs")).cast("bigint").alias("n_distinct"),
+    )
+
+
+# ====================================================== multimodal columns
+
+
+@register(
+    "multimodal_decode",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(16 * (CASE WHEN ascii(substr(md5(text), 1, 1)) >= 97
+                           THEN ascii(substr(md5(text), 1, 1)) - 87
+                           ELSE ascii(substr(md5(text), 1, 1)) - 48 END)
+                + (CASE WHEN ascii(substr(md5(text), 2, 1)) >= 97
+                        THEN ascii(substr(md5(text), 2, 1)) - 87
+                        ELSE ascii(substr(md5(text), 2, 1)) - 48 END) AS BIGINT) AS width,
+           CAST(16 * (CASE WHEN ascii(substr(md5(text), 3, 1)) >= 97
+                           THEN ascii(substr(md5(text), 3, 1)) - 87
+                           ELSE ascii(substr(md5(text), 3, 1)) - 48 END)
+                + (CASE WHEN ascii(substr(md5(text), 4, 1)) >= 97
+                        THEN ascii(substr(md5(text), 4, 1)) - 87
+                        ELSE ascii(substr(md5(text), 4, 1)) - 48 END) AS BIGINT) AS height,
+           CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'RGB' ELSE 'L' END AS mode
+    FROM documents
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary column → Arrow-batched
+    mapInPandas 'decode' (STUB body — no codec libs in this container;
+    derives deterministic fake dims from md5 so the full Python/Arrow
+    path is oracle-checked)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.decode_media(M.with_media_blob(docs))

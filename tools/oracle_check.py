@@ -70,6 +70,7 @@ def main() -> int:
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("oracle-check")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
