@@ -112,18 +112,71 @@ class LocalEmulatorBackend:
     several mappings concurrently.
     """
 
-    def __init__(self, root: str, fail_times: int = 0, permanent_fail: bool = False):
+    def __init__(
+        self,
+        root: str,
+        fail_times: int = 0,
+        permanent_fail: bool = False,
+        strict_validation: bool = False,
+    ):
         self.root = root
         self._lock = threading.Lock()
         # Test hooks: fail the first N ingests transiently, or always
         # permanently — drives the R2/R3/R4 unit tests.
         self._fail_times = fail_times
         self._permanent_fail = permanent_fail
+        # strict_validation emulates a cluster with pre-existing state:
+        # tables/mappings/policies must have been declared via the
+        # create_* helpers or validate() fails (reference behavior when
+        # kusto.validation.table.enable=true).
+        self._strict = strict_validation
         os.makedirs(root, exist_ok=True)
+
+    # -- emulated cluster state (the IT's it-table-setup.kql analog) --------
+    def create_table(self, db: str, table: str, streaming_policy: bool = False) -> None:
+        os.makedirs(os.path.join(self.root, db, table), exist_ok=True)
+        if streaming_policy:
+            with open(os.path.join(self.root, db, table, "_streaming_policy"), "w"):
+                pass
+
+    def create_mapping(self, db: str, table: str, name: str, kind: str) -> None:
+        os.makedirs(os.path.join(self.root, db, table), exist_ok=True)
+        with open(os.path.join(self.root, db, table, f"_mapping_{name}"), "w") as f:
+            f.write(kind)
 
     # -- V1–V4 -------------------------------------------------------------
     def validate(self, props: IngestionProperties) -> None:
-        os.makedirs(os.path.join(self.root, props.database, props.table), exist_ok=True)
+        """Emulated startup probes (KustoSinkTask.java:221-300):
+        V1 table access (``<table> | count``), V2 mapping existence,
+        V4 streaming-ingestion policy. V3 (principal ingest role) is
+        always granted by the emulator. Raises PermanentIngestError with
+        the aggregated reason on failure, like validateTableMappings'
+        ConnectException."""
+        table_dir = os.path.join(self.root, props.database, props.table)
+        if not self._strict:
+            os.makedirs(table_dir, exist_ok=True)
+            return
+        errors = []
+        if not os.path.isdir(table_dir):  # V1
+            errors.append(
+                f"Couldn't validate table access: {props.database}.{props.table} missing"
+            )
+        if props.mapping_reference and not os.path.exists(
+            os.path.join(table_dir, f"_mapping_{props.mapping_reference}")
+        ):  # V2
+            errors.append(
+                f"Mapping '{props.mapping_reference}' not found on "
+                f"{props.database}.{props.table}"
+            )
+        if props.streaming and not os.path.exists(
+            os.path.join(table_dir, "_streaming_policy")
+        ):  # V4
+            errors.append(
+                f"Streaming ingestion policy not enabled on "
+                f"{props.database}.{props.table}"
+            )
+        if errors:
+            raise PermanentIngestError("; ".join(errors))
 
     # -- K1/K2 -------------------------------------------------------------
     def ingest_file(self, path: str, props: IngestionProperties) -> IngestResult:

@@ -41,3 +41,39 @@ class SinkMetrics:
                 "IngestionFailures": self.ingestion_failures,
                 "DlqRecordsSent": self.dlq_records_sent,
             }
+
+
+def make_metrics_listener(metrics: SinkMetrics, log_fn=None):
+    """Build a ``StreamingQueryListener`` that publishes the six counters
+    on every query progress event (the JMX-registration analog,
+    KustoSinkMetrics.java register/unregister). Attach with
+    ``spark.streams.addListener(make_metrics_listener(sink.metrics))``.
+
+    NOTE: listener events are delivered asynchronously on a separate
+    dispatch thread — ``last_published`` may lag ``query.stop()`` by a
+    beat; read ``metrics.snapshot()`` directly for synchronous access.
+    """
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _SinkMetricsListener(StreamingQueryListener):
+        def __init__(self):
+            super().__init__()
+            self.last_published: dict[str, int] = {}
+
+        def onQueryStarted(self, event):
+            return None
+
+        def onQueryProgress(self, event):
+            self.last_published = metrics.snapshot()
+            if log_fn is not None:
+                log_fn(self.last_published)
+
+        def onQueryIdle(self, event):
+            return None
+
+        def onQueryTerminated(self, event):
+            self.last_published = metrics.snapshot()
+            if log_fn is not None:
+                log_fn(self.last_published)
+
+    return _SinkMetricsListener()

@@ -75,11 +75,15 @@ class StagedFile:
     raw_bytes: int
 
 
-def _stage_writer(out_dir: str, fmt: str):
+def _stage_writer(out_dir: str, fmt: str, binary_mode: bool = False):
     """Build the applyInPandas group writer: one rolled gzipped file per
     (topic, partition, file_seq) group, named per B4
     (TopicPartitionWriter.java:235-242), owner-only perms like
-    FileWriter.openFile (FileWriter.java:93-154)."""
+    FileWriter.openFile (FileWriter.java:93-154).
+
+    ``binary_mode`` is the E4 bytes passthrough: payloads are written
+    verbatim with no newline separator (Avro bytes = one complete
+    container file per message, ByteRecordWriterProvider.java:21-39)."""
     import gzip
 
     def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -90,7 +94,10 @@ def _stage_writer(out_dir: str, fmt: str):
         name = f"kafka_{topic}_{partition}_{file_offset}.{fmt}.gz"
         os.makedirs(out_dir, exist_ok=True)
         path = os.path.join(out_dir, name)
-        body = ("\n".join(pdf["line"].astype(str)) + "\n").encode("utf-8")
+        if binary_mode:
+            body = b"".join(bytes(b) for b in pdf["line"])
+        else:
+            body = ("\n".join(pdf["line"].astype(str)) + "\n").encode("utf-8")
         with open(path, "wb") as raw:
             os.fchmod(raw.fileno(), 0o600)
             with gzip.GzipFile(fileobj=raw, mode="wb", mtime=0) as gz:
@@ -132,8 +139,18 @@ class KustoSparkSink:
         # df.write.format("kafka"), TopicPartitionWriter.java:210-233).
         self._dlq_writer = dlq_writer
         if config.validate_tables:
+            # V1–V4 startup probes, errors aggregated across mappings then
+            # thrown once (validateTableMappings, KustoSinkTask.java:342-375).
+            errors = []
             for m in config.mappings:
-                self.backend.validate(self._props_for(m))
+                try:
+                    self.backend.validate(self._props_for(m))
+                except Exception as e:  # noqa: BLE001
+                    errors.append(f"{m.db}.{m.table}: {e}")
+            if errors:
+                raise RuntimeError(
+                    "table mapping validation failed: " + " | ".join(errors)
+                )
 
     # ------------------------------------------------------------------ utils
     @staticmethod
@@ -166,14 +183,26 @@ class KustoSparkSink:
         self, df: DataFrame, m: TopicToTableMapping, epoch_id: int
     ) -> None:
         fmt = m.ingest_format
+        value_type = df.schema["value"].dataType.typeName()
+        # E4 special case — pre-serialized Avro payloads: one message is a
+        # complete container file, forcing an immediate roll per record
+        # (FileWriter.java:320-323,298; the reference's B3 degenerate mode).
+        avro_bytes_mode = fmt in ("avro", "apacheavro") and value_type == "binary"
         # E1/E3/E4 encode to one line per record, JVM-side. Dispatch mirrors
         # FileWriter.initializeRecordWriter (F4): a struct payload is
         # serialized per the mapping's format; a string/binary payload
         # already IS the line (String/ByteRecordWriterProvider).
         if "line" not in df.columns:
-            value_type = df.schema["value"].dataType.typeName()
-            if value_type == "struct":
+            if avro_bytes_mode:
+                line = F.col("value")  # raw container bytes, untouched
+            elif value_type == "struct":
                 struct_df = df.select("value.*")
+                if fmt in ("avro", "apacheavro"):
+                    raise NotImplementedError(
+                        "struct→Avro container encode requires the spark-avro "
+                        "package (to_avro), not present on this classpath; "
+                        "pre-serialized Avro bytes (E4) are supported"
+                    )
                 line = encode_for_format(
                     df, fmt, cols=[f"value.{c}" for c in struct_df.columns]
                 )
@@ -186,15 +215,20 @@ class KustoSparkSink:
         df = df.filter(F.length("line") > 0)
         # B1 — size-based file assignment on UNCOMPRESSED bytes (+1 newline,
         # matching CountingOutputStream accounting, FileWriter.java:332-362).
+        # avro-bytes: threshold 1 ⇒ every record rolls its own file (E4/B3).
         df = df.withColumn("serialized_size", F.length("line").cast("long") + F.lit(1))
-        df = with_file_assignment(df, self.config.flush_size_bytes)
+        threshold = 1 if avro_bytes_mode else self.config.flush_size_bytes
+        df = with_file_assignment(df, threshold)
         out_dir = os.path.join(
             self.config.staging_dir, f"epoch={epoch_id}", m.db, m.table
         )
         manifest_df = (
             df.select("topic", "partition", "offset", "line", "file_seq", "file_offset")
             .groupBy("topic", "partition", "file_seq")
-            .applyInPandas(_stage_writer(out_dir, fmt), schema=_MANIFEST_SCHEMA)
+            .applyInPandas(
+                _stage_writer(out_dir, fmt, binary_mode=avro_bytes_mode),
+                schema=_MANIFEST_SCHEMA,
+            )
         )
         staged = [
             StagedFile(**row.asDict()) for row in manifest_df.collect()
@@ -285,15 +319,32 @@ class KustoSparkSink:
         self.metrics.incr("dlq_records_sent", len(records))
 
     # --------------------------------------------------------- control plane
-    def attach(self, stream_df: DataFrame, query_name: str = "kusto_sink"):
-        """SURVEY §3.1 — start the streaming query. Trigger interval plays
-        the reference's flush.interval.ms role (B2): every trigger flushes
-        whatever is buffered."""
-        writer = (
-            stream_df.writeStream.queryName(query_name)
-            .foreachBatch(self.process_batch)
-            .trigger(processingTime=self.config.trigger_processing_time)
+    def attach(
+        self,
+        stream_df: DataFrame,
+        query_name: str = "kusto_sink",
+        available_now: bool = False,
+    ):
+        """SURVEY §3.1 — start the streaming query. The processing-time
+        trigger plays the reference's flush.interval.ms role (B2): every
+        trigger flushes whatever is buffered. ``available_now=True``
+        drains the source then stops (backfill / test mode — the analog
+        of the reference's drain-on-stop close path)."""
+        writer = stream_df.writeStream.queryName(query_name).foreachBatch(
+            self.process_batch
         )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime=self.config.trigger_processing_time)
         if self.config.checkpoint_location:
             writer = writer.option("checkpointLocation", self.config.checkpoint_location)
         return writer.start()
+
+    @staticmethod
+    def close(query, timeout_s: float = 60.0) -> None:
+        """R6 — graceful close: stop triggering first (no new ingestion),
+        then wait for the in-flight batch to finish
+        (KustoSinkTask.java:413-433,473-494)."""
+        query.stop()
+        query.awaitTermination(timeout_s)

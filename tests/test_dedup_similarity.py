@@ -1,0 +1,113 @@
+"""Dedup + similarity operator tests (north-star; SURVEY §7.3.6)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_sink_azure_kusto_spark.functions import dedup as D
+from kafka_sink_azure_kusto_spark.functions import similarity as S
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, near),  # near dup of 0
+        (3, "completely different words about spark streaming engines here"),
+        (4, "another unrelated document mentioning databases and queries"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact(spark):
+    out = {r.doc_id: r.dup_count for r in D.dedup_exact(_docs(spark)).collect()}
+    assert out[0] == 2  # docs 0+1 collapse, canonical = min id
+    assert 1 not in out
+    assert out[3] == 1
+
+
+def test_duplicate_clusters(spark):
+    cl = D.duplicate_clusters(_docs(spark)).collect()
+    assert len(cl) == 1 and cl[0].canonical_id == 0 and cl[0].members == 2
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    sh = df.select(D.shingles("text", 3).alias("sh")).collect()[0].sh
+    assert sh == ["a b c", "b c d"]
+    # short doc → no shingles
+    df2 = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    assert df2.select(D.shingles("text", 3).alias("sh")).collect()[0].sh == []
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = D.minhash_lsh_pairs(_docs(spark), jaccard_threshold=0.5).collect()
+    got = {(r.left_id, r.right_id) for r in pairs}
+    assert (0, 1) in got  # exact dup: est_jaccard = 1
+    assert (0, 2) in got and (1, 2) in got  # near dup
+    assert all({l, r} <= {0, 1, 2} for l, r in got)  # no false positives
+
+
+def test_minhash_exact_dup_signature_identical(spark):
+    sigs = {r.id: r.sig for r in D.minhash_signatures_df(_docs(spark)).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[3]
+
+
+def test_simhash_near_dups_close(spark):
+    sigs = {r.id: r.bits for r in D.simhash_signatures_df(_docs(spark)).collect()}
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))  # noqa: E731
+    assert ham(sigs[0], sigs[1]) == 0  # identical docs
+    assert ham(sigs[0], sigs[2]) < ham(sigs[0], sigs[3])  # near < far
+
+
+def test_ngram_jaccard_exact_values(spark):
+    pairs = {(r.left_id, r.right_id): r.jaccard for r in
+             D.ngram_jaccard_pairs(_docs(spark), threshold=0.1).collect()}
+    assert pairs[(0, 1)] == pytest.approx(1.0)
+    assert 0.5 < pairs[(0, 2)] < 1.0
+
+
+def _emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),  # close to 0
+        (2, [0.0, 1.0, 0.0], 1),
+        (3, [0.0, 0.95, 0.05], 1),  # close to 2
+        (4, [0.0, 0.0, 1.0], 2),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_bruteforce_topk(spark):
+    emb = _emb(spark)
+    out = S.brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=2)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert [r.neighbor_id for r in rows] == [1, 2]  # nearest first
+    assert rows[0].score > 0.99
+
+
+def test_ivf_topk_restricts_to_cell(spark):
+    emb = _emb(spark)
+    out = S.ivf_topk(emb, emb.filter(F.col("vec_id") == 2), k=5)
+    ids = {r.neighbor_id for r in out.collect()}
+    assert ids == {3}  # only same-label candidates
+
+
+def test_hyperplane_buckets_deterministic(spark):
+    emb = _emb(spark)
+    a = {r.id: r.bucket for r in S.hyperplane_lsh_buckets(emb, num_planes=8, dim=3).collect()}
+    b = {r.id: r.bucket for r in S.hyperplane_lsh_buckets(emb, num_planes=8, dim=3).collect()}
+    assert a == b
+    assert all(len(v) == 8 and set(v) <= {"0", "1"} for v in a.values())
+
+
+def test_cosine_exact(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])],
+        "a array<float>, b array<float>",
+    )
+    got = [r.c for r in df.select(S.cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert got[0] == pytest.approx(0.0)
+    assert got[1] == pytest.approx(1.0)

@@ -1,0 +1,71 @@
+"""Text-analysis operator tests (north-star; SURVEY §7.3.6)."""
+
+from pyspark.sql import functions as F
+
+from kafka_sink_azure_kusto_spark.functions import text as T
+
+
+def _docs(spark):
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "el gato y la casa de que"),
+        (2, "xyzzy plugh quux"),
+        (3, "the the the a a of"),
+        (4, "Hello, World! How's it going?"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count(spark):
+    got = {r.doc_id: r.n for r in _docs(spark).select(
+        "doc_id", T.token_count("text").alias("n")).collect()}
+    assert got[0] == 6 and got[2] == 3
+
+
+def test_language_id(spark):
+    got = {r.doc_id: r.lang for r in _docs(spark).select(
+        "doc_id", T.language_id("text").alias("lang")).collect()}
+    assert got[0] == "en"
+    assert got[1] == "es"
+    assert got[2] == "und"
+    assert got[3] == "en"
+
+
+def test_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello  World"), (1, "  hello world "), (2, "different")],
+        "doc_id long, text string",
+    )
+    fps = [r.fp for r in df.select(T.fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+    assert len(fps[0]) == 32  # md5 hex
+
+
+def test_quality_features(spark):
+    feats = T.quality_features(_docs(spark)).filter(F.col("doc_id") == 4).collect()[0]
+    assert feats.q_chars == 29
+    assert feats.q_tokens == 5
+    assert feats.q_punct_ratio > 0  # punctuation present
+    assert abs(feats.q_mean_token_len - 29 / 5) < 1e-12
+
+
+def test_quality_score_bounds(spark):
+    scored = T.quality_score(_docs(spark)).select("quality_score").collect()
+    assert all(0.0 <= r.quality_score <= 1.0 for r in scored)
+
+
+def test_rolling_hashes_window_count(spark):
+    df = spark.createDataFrame([(0, " ".join(str(i) for i in range(12)))],
+                               "doc_id long, text string")
+    n = df.select(F.size(T.rolling_hashes("text", k=8)).alias("n")).collect()[0].n
+    assert n == 5  # 12 - 8 + 1
+
+
+def test_bpe_ish_longer_than_words(spark):
+    df = spark.createDataFrame(
+        [(0, "antidisestablishmentarianism"), (1, "a b c")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.n for r in df.select(
+        "doc_id", T.bpe_ish_token_count("text").alias("n")).collect()}
+    assert got[0] == 7  # ceil(28/4) pieces for one long word
+    assert got[1] == 3
