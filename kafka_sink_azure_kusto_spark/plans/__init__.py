@@ -1,2 +1,3 @@
 from kafka_sink_azure_kusto_spark.plans.registry import QUERIES, oracle_sql, queries  # noqa: F401
 import kafka_sink_azure_kusto_spark.plans.registry_northstar  # noqa: E402,F401 — registers north-star queries
+import kafka_sink_azure_kusto_spark.plans.registry_extras  # noqa: E402,F401 — sessionization/skew/sql/streaming

@@ -41,9 +41,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _TS_COLUMNS.get(name, []):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
-            # floor-div to µs matches DuckDB's ns→µs truncation for the
-            # positive epoch range the generator uses.
-            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+            # Integer `div` (NOT `/`): epoch-nanos ≈ 1.7e18 exceeds double
+            # mantissa precision, so float division is off by ±1 µs.
+            # Truncating integer division matches DuckDB's ns→µs behavior
+            # for the positive epoch range the generator uses.
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 
