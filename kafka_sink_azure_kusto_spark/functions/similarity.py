@@ -131,6 +131,26 @@ def ivf_topk(
     )
 
 
+def _hex_digit_value(c: Column) -> Column:
+    """Lowercase hex digit value via ascii() — dialect-portable (the SQL
+    oracle uses the identical CASE arithmetic)."""
+    a = F.ascii(c)
+    return F.when(a >= 97, a - 87).otherwise(a - 48)
+
+
+def hyperplane_component(p: int, d: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1]:
+    the first TWO hex digits of md5('p:d') as an integer in [0, 255],
+    scaled — 256 levels is ample resolution for sign-of-projection, and
+    two digits keep the construction literally expressible in ANSI SQL
+    (no hex→int builtin needed)."""
+    h = F.md5(F.concat(F.lit(f"{p}:"), d.cast("string")))
+    val = 16 * _hex_digit_value(F.substring(h, 1, 1)) + _hex_digit_value(
+        F.substring(h, 2, 1)
+    )
+    return (val.cast("double") / F.lit(255.0)) * 2.0 - 1.0
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     num_planes: int = 8,
@@ -147,11 +167,6 @@ def hyperplane_lsh_buckets(
     ``num_planes``. Used as the cell assignment for ``ivf_topk`` when no
     precomputed cells exist.
     """
-    # component(p, d) = (int(md5(p:d)[:6], 16) / 0xffffff) * 2 - 1  ∈ [-1, 1]
-    def plane_component(p: int, d: Column) -> Column:
-        h = F.md5(F.concat(F.lit(f"{p}:"), d.cast("string")))
-        return (F.conv(F.substring(h, 1, 6), 16, 10).cast("double") / F.lit(float(0xFFFFFF))) * 2.0 - 1.0
-
     vec = F.col(vec_col)
     bits = []
     for p in range(num_planes):
@@ -159,7 +174,7 @@ def hyperplane_lsh_buckets(
             F.zip_with(
                 vec,
                 F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, d: x.cast("double") * plane_component(p, d),
+                lambda x, d: x.cast("double") * hyperplane_component(p, d),
             ),
             F.lit(0.0),
             lambda acc, x: acc + x,

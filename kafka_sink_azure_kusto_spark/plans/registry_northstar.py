@@ -258,12 +258,54 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_lsh_bucketed", None)  # rows-only: bucketing is the scale path
+def _hv_sql(expr: str) -> str:
+    return (
+        f"(CASE WHEN ascii({expr}) >= 97 THEN ascii({expr}) - 87 "
+        f"ELSE ascii({expr}) - 48 END)"
+    )
+
+
+def _comp_sql(p: int) -> str:
+    """SQL list of the 64 hyperplane components for plane ``p`` — the
+    same md5 two-hex-digit derivation as similarity.hyperplane_component."""
+    h = f"md5('{p}:' || d)"
+    return (
+        f"list_transform(range(0, 64), d -> "
+        f"((16 * {_hv_sql(f'substr({h}, 1, 1)')} + {_hv_sql(f'substr({h}, 2, 1)')})"
+        f" / 255.0) * 2 - 1)"
+    )
+
+
+_BUCKET_SQL = " || ".join(
+    f"(CASE WHEN list_dot_product(v, {_comp_sql(p)}) >= 0 THEN '1' ELSE '0' END)"
+    for p in range(8)
+)
+
+
+@register(
+    "similarity_lsh_bucketed",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {_BUCKET_SQL} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 20),
+    scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+                      list_dot_product(qv, c.v) /
+                      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v)))
+                      AS score
+               FROM b c JOIN q USING (bucket) WHERE c.vec_id <> query_id)
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id ASC) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
 def similarity_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucketing + within-bucket exact cosine —
-    the 100 TB ANN path (bucket join instead of cross join). Rows-only
-    check: the md5→float hyperplane derivation has no clean SQL analog
-    (hex→int over 6 digits), documented as Spark-native."""
+    the 100 TB ANN path (bucket equi-join instead of cross join; recall
+    traded for candidate pruning). The oracle rebuilds the identical
+    md5-derived hyperplanes in SQL, so bucketing AND ranking are both
+    exact-checked."""
     emb = load_table(spark, sf_dir, "embeddings")
     buckets = S.hyperplane_lsh_buckets(emb, num_planes=8)
     with_cell = emb.join(buckets, emb.vec_id == buckets.id).select(
@@ -394,6 +436,33 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("hs").cast("bigint").alias("n_windows"),
         F.size(F.array_distinct("hs")).cast("bigint").alias("n_distinct"),
     )
+
+
+@register(
+    "text_quality_score",
+    f"""
+    WITH f AS (SELECT doc_id,
+                      len(string_split(text, ' ')) AS q_tokens,
+                      CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                           AS DOUBLE) / length(text) AS q_punct_ratio,
+                      CAST({_SW_COUNT['en']} AS DOUBLE) / len(string_split(text, ' '))
+                           AS q_stopword_ratio
+               FROM documents)
+    SELECT doc_id,
+           CASE WHEN q_tokens < 5 THEN 0.0
+                ELSE LEAST(1.0,
+                     0.4 * LEAST(1.0, q_tokens / 100.0)
+                   + 0.3 * (1.0 - LEAST(1.0, q_punct_ratio * 5.0))
+                   + 0.3 * LEAST(1.0, q_stopword_ratio * 10.0))
+           END AS quality_score
+    FROM f
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite [0,1] quality score — the filter-threshold shape used to
+    gate pretraining corpora; blend is exact-reproduced in the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.quality_score(docs, "text").select("doc_id", "quality_score")
 
 
 # ====================================================== multimodal columns

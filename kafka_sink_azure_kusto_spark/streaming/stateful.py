@@ -1,0 +1,106 @@
+"""Streaming-native operators built on Spark's event-time machinery
+(SURVEY §2.10: event-time handling comes from Spark itself, not the
+reference) — watermarked windows, streaming dedup, and a custom
+stateful operator via ``applyInPandasWithState``.
+
+Scale notes: all of these keep state in Spark's state store, partitioned
+by the grouping key — state size is O(active keys), independent of
+stream length; watermarks bound retention so late data past the horizon
+is dropped deterministically.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def windowed_counts(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window counts — the streaming form of the
+    batch ``event_time_windows`` query; late rows beyond the watermark
+    are dropped, windows finalize once the watermark passes."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            key_col,
+            "n",
+        )
+    )
+
+
+def streaming_dedup(
+    stream: DataFrame, key_cols: list[str], ts_col: str = "ts", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence of each key wins; state
+    for keys older than the watermark is evicted (bounded state — the
+    required shape for an endless training-data ingest stream)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicates(key_cols + [ts_col])
+
+
+RATE_STATE_SCHEMA = StructType(
+    [StructField("count", LongType(), False), StructField("max_ts", TimestampType(), True)]
+)
+RATE_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType(), False),
+        StructField("total", LongType(), False),
+        StructField("batch_rows", LongType(), False),
+    ]
+)
+
+
+def _rate_monitor(
+    key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState body: running per-key record counter with
+    a processing-time TTL — the streaming analog of the reference's
+    per-topic monotonic counters (M1), here as a first-class operator."""
+    (event_type,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    total = state.get[0] if state.exists else 0
+    batch_rows = 0
+    for pdf in pdfs:
+        batch_rows += len(pdf)
+    total += batch_rows
+    state.update((total, None))
+    state.setTimeoutDuration(3_600_000)  # 1h TTL — idle keys evicted
+    yield pd.DataFrame(
+        [{"event_type": event_type, "total": total, "batch_rows": batch_rows}]
+    )
+
+
+def rate_monitor(stream: DataFrame, key_col: str = "event_type") -> DataFrame:
+    """Custom stateful operator: per-key running totals with TTL eviction
+    via ``applyInPandasWithState`` (Arrow-batched, state-store backed)."""
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            _rate_monitor,
+            outputStructType=RATE_OUTPUT_SCHEMA,
+            stateStructType=RATE_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

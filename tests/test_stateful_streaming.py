@@ -1,0 +1,110 @@
+"""Event-time / stateful streaming semantics: watermarked windows,
+late-data handling, streaming dedup, applyInPandasWithState."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from kafka_sink_azure_kusto_spark.streaming.stateful import (
+    rate_monitor,
+    streaming_dedup,
+    windowed_counts,
+)
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string"
+
+
+_MTIME = [1_700_000_000]
+
+
+def _write_chunk(path: str, rows: list[dict]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    # strictly increasing mtimes: the file source orders batches by
+    # modification time, and same-ms writes make the order unstable.
+    _MTIME[0] += 1000
+    os.utime(path, (_MTIME[0], _MTIME[0]))
+
+
+def _run_stream(spark, src_dir, transform, out_mode, chk):
+    stream = spark.readStream.schema(SCHEMA).option("maxFilesPerTrigger", 1).json(src_dir)
+    q = (
+        transform(stream)
+        .writeStream.format("memory")
+        .queryName(os.path.basename(chk))
+        .outputMode(out_mode)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return spark.sql(f"select * from {os.path.basename(chk)}")
+
+
+def test_windowed_counts_with_late_data(spark, tmp_path):
+    src = str(tmp_path / "src")
+    # batch 0: events in the 10:00 window; batch 1 advances the watermark
+    # past it (15:00 - 30min = 14:30); batch 2 finalizes + emits the
+    # 10:00 window; batch 3 delivers a very late row AFTER finalization —
+    # it must be dropped, and the window must not be re-emitted.
+    # (Observed Spark subtlety: a late row landing in the SAME batch that
+    # finalizes its window still merges into state before eviction — the
+    # drop applies only once the window state is gone.)
+    _write_chunk(f"{src}/a.json", [
+        {"event_id": 1, "ts": "2024-01-01 10:05:00", "user_id": 1, "event_type": "click"},
+        {"event_id": 2, "ts": "2024-01-01 10:20:00", "user_id": 2, "event_type": "click"},
+    ])
+    _write_chunk(f"{src}/b.json", [
+        {"event_id": 3, "ts": "2024-01-01 15:00:00", "user_id": 3, "event_type": "click"},
+    ])
+    _write_chunk(f"{src}/c.json", [
+        {"event_id": 5, "ts": "2024-01-01 16:00:00", "user_id": 5, "event_type": "click"},
+    ])
+    _write_chunk(f"{src}/d.json", [  # late beyond the watermark → dropped
+        {"event_id": 4, "ts": "2024-01-01 10:10:00", "user_id": 4, "event_type": "click"},
+    ])
+    out = _run_stream(
+        spark, src, lambda s: windowed_counts(s), "append", str(tmp_path / "wm1")
+    )
+    rows = [(str(r.window_start), r.n) for r in out.collect()]
+    counts = dict(rows)
+    assert counts.get("2024-01-01 10:00:00") == 2  # late row NOT counted
+    assert len(rows) == len(counts)  # no window emitted twice
+    assert "2024-01-01 16:00:00" not in counts  # still open (append mode)
+
+
+def test_streaming_dedup_drops_replays(spark, tmp_path):
+    src = str(tmp_path / "src2")
+    row = {"event_id": 7, "ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "x"}
+    _write_chunk(f"{src}/a.json", [row,
+        {"event_id": 8, "ts": "2024-01-01 10:01:00", "user_id": 1, "event_type": "x"}])
+    _write_chunk(f"{src}/b.json", [row])  # exact replay in a later batch
+    out = _run_stream(
+        spark, src, lambda s: streaming_dedup(s, ["event_id"]), "append",
+        str(tmp_path / "dd1"),
+    )
+    ids = [r.event_id for r in out.collect()]
+    assert sorted(ids) == [7, 8]  # replayed 7 deduped across batches
+
+
+def test_rate_monitor_accumulates_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src3")
+    _write_chunk(f"{src}/a.json", [
+        {"event_id": i, "ts": "2024-01-01 10:00:00", "user_id": i, "event_type": "click"}
+        for i in range(3)
+    ])
+    _write_chunk(f"{src}/b.json", [
+        {"event_id": 10 + i, "ts": "2024-01-01 10:05:00", "user_id": i, "event_type": "click"}
+        for i in range(2)
+    ])
+    out = _run_stream(
+        spark, src, lambda s: rate_monitor(s), "update", str(tmp_path / "rm1")
+    )
+    rows = sorted(out.collect(), key=lambda r: r.total)
+    # two emissions for 'click': 3 after batch 1, then 5 after batch 2
+    assert [(r.total, r.batch_rows) for r in rows] == [(3, 3), (5, 2)]
+    assert all(r.event_type == "click" for r in rows)
