@@ -30,6 +30,31 @@ def _serialized_length(col: Column) -> Column:
     return F.length(col)
 
 
+def split_decode_failures(
+    df: DataFrame, schema: str, value_col: str = "value"
+) -> tuple[DataFrame, DataFrame]:
+    """K4 — deserialization-failure DLQ routing (inherited from the
+    Connect framework in the reference, README.md:169-177; here a
+    first-class split): parse ``value_col`` with the expected schema;
+    records where every parsed field is null while the raw value is
+    non-null are malformed → second DataFrame (DLQ side).
+
+    Returns (decoded_good, raw_bad). Narrow — two filters over the same
+    scan, no shuffle; Catalyst computes from_json once per branch."""
+    parsed = df.withColumn("_decoded", F.from_json(F.col(value_col).cast("string"), schema))
+    fields = parsed.schema["_decoded"].dataType.fieldNames()
+    all_null = None
+    for f_name in fields:
+        c = F.col("_decoded").getField(f_name).isNull()
+        all_null = c if all_null is None else (all_null & c)
+    bad_cond = F.col(value_col).isNotNull() & (
+        F.col("_decoded").isNull() | all_null
+    )
+    good = parsed.filter(~bad_cond)
+    bad = parsed.filter(bad_cond).drop("_decoded")
+    return good, bad
+
+
 def drop_empty_serializations(df: DataFrame, value_col: str = "value") -> DataFrame:
     """F2 — drop records whose serialized form is empty
     (JsonRecordWriterProvider.java:53-56): zero-length strings/bytes or

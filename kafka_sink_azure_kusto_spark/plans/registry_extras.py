@@ -111,6 +111,114 @@ def sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "deserialization_dlq_split",
+    """
+    WITH k AS (SELECT event_id,
+                      CASE WHEN event_id % 17 = 0 THEN 'not-json-at-all'
+                           ELSE props END AS value
+               FROM events)
+    SELECT event_id, value,
+           CASE WHEN NOT json_valid(value) THEN 'dlq'
+                WHEN json_extract_string(value, '$.k') IS NULL THEN 'dlq'
+                ELSE 'ok' END AS route
+    FROM k
+    """,
+)
+def deserialization_dlq_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 — deserialization-failure routing: malformed payloads (every
+    17th event carries garbage) decode to null and route to the DLQ side
+    instead of poisoning the batch (Connect-framework
+    errors.deadletterqueue analog, README.md:169-177)."""
+    from kafka_sink_azure_kusto_spark.functions.filters import split_decode_failures
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 17 == 0, "not-json-at-all")
+        .otherwise(F.col("props"))
+        .alias("value"),
+    )
+    good, bad = split_decode_failures(ev, "k int")
+    return good.select("event_id", "value", F.lit("ok").alias("route")).unionByName(
+        bad.select("event_id", "value", F.lit("dlq").alias("route"))
+    )
+
+
+@register(
+    "semi_join_active_customers",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    """,
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS) — relational surface completeness."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "anti_join_dormant_customers",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def anti_join_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS) — customers with no large order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "set_ops_users",
+    """
+    SELECT user_id FROM
+      ((SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-03 00:00:00'
+        INTERSECT
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-03 00:00:00')
+       EXCEPT
+       SELECT DISTINCT user_id FROM events
+       WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-03 00:00:00')
+    """,
+)
+def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (INTERSECT / EXCEPT): users who clicked AND
+    purchased in the first two days but never errored in them."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp")
+    )
+    by = lambda t: ev.filter(F.col("event_type") == t).select("user_id").distinct()  # noqa: E731
+    return by("click").intersect(by("purchase")).exceptAll(by("error")).distinct()
+
+
+@register(
+    "distinct_user_counts",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def distinct_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group — expands to a two-phase aggregation in
+    Spark (partial distinct then count); the scale-path alternative is
+    approx_count_distinct (HLL) when exactness isn't required."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+
+
 @register("streaming_sink_roundtrip", None)  # rows-only: full streaming pipeline
 def streaming_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end Structured Streaming pipeline as a queryable operator:

@@ -118,9 +118,18 @@ class LocalEmulatorBackend:
         fail_times: int = 0,
         permanent_fail: bool = False,
         strict_validation: bool = False,
+        dedupe_replays: bool = False,
     ):
         self.root = root
         self._lock = threading.Lock()
+        # dedupe_replays upgrades at-least-once to effectively-once: the
+        # staged file name (kafka_{topic}_{partition}_{offset}) is a
+        # deterministic replay key, so an ingest of an already-logged
+        # file is acknowledged as Skipped instead of duplicated. The
+        # real Kusto path gets the same property from ingest-by-tag
+        # (ingestIfNotExists) — an improvement over the reference, which
+        # accepts duplicates on rebalance (KustoSinkTask.java:422-424).
+        self._dedupe_replays = dedupe_replays
         # Test hooks: fail the first N ingests transiently, or always
         # permanently — drives the R2/R3/R4 unit tests.
         self._fail_times = fail_times
@@ -186,6 +195,10 @@ class LocalEmulatorBackend:
             if self._fail_times > 0:
                 self._fail_times -= 1
                 raise TransientIngestError("emulated transient failure")
+        if self._dedupe_replays:
+            name = os.path.basename(path)
+            if any(e["file"] == name for e in self.ingest_log()):
+                return IngestResult(status="Skipped", source_id="replay")
         source_id = str(uuid.uuid4())
         lines = _read_staged_lines(path)
         table_dir = os.path.join(self.root, props.database, props.table)
@@ -240,6 +253,9 @@ class _KustoSdkBackendBase:
     ingest_url: str
     query_url: Optional[str] = None
     auth: dict = field(default_factory=dict)
+    # C4 — HTTP proxy for Kusto traffic (KustoSinkTask.java:311-317);
+    # passed to the Python SDK's client options at construction.
+    proxy_url: Optional[str] = None
 
     def __post_init__(self) -> None:  # overridden by SDK-backed subclasses
         return None
