@@ -1,0 +1,139 @@
+"""Scale-stress probe: the driver's documents/embeddings tables are
+fixed at 500 rows, so this synthesizes larger corpora deterministically
+and measures how the dedup/ANN operators scale. Results → PERF.md.
+
+Usage: python tools/scale_probe.py [--sizes 5000,20000,80000]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+
+def synth_docs(spark, base_docs, n_target: int):
+    """Deterministic corpus expansion: each replica drops a different
+    hash-selected ~1/3 of tokens and appends a unique token, so replicas
+    of one document are NOT near-duplicates of each other (keeps the
+    LSH candidate count realistic instead of quadratic)."""
+    n_base = base_docs.count()
+    replicas = (n_target + n_base - 1) // n_base
+    r = base_docs.crossJoin(
+        spark.range(replicas).withColumnRenamed("id", "replica")
+    )
+    toks = F.split(F.col("text"), " ")
+    kept = F.filter(
+        toks,
+        lambda t: F.pmod(
+            F.hash(F.concat(t, F.lit(":"), F.col("doc_id"), F.lit(":"), F.col("replica"))),
+            F.lit(3),
+        )
+        != 0,
+    )
+    text = F.concat_ws(
+        " ",
+        F.concat_ws(" ", kept),
+        F.concat(F.lit("uid"), F.col("doc_id"), F.lit("_"), F.col("replica")),
+    )
+    return (
+        r.select(
+            (F.col("doc_id") + F.col("replica") * n_base).alias("doc_id"),
+            text.alias("text"),
+        )
+        .filter(F.col("doc_id") < n_target)
+        .repartition(32)
+    )
+
+
+def synth_embeddings(spark, n: int, dim: int = 64):
+    df = spark.range(n).withColumnRenamed("id", "vec_id")
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.randn(seed=42) .cast("float"),
+    )
+    # randn(seed) per element would correlate; derive from hash instead
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (
+            (
+                F.pmod(F.hash(F.concat(F.col("vec_id"), F.lit(":"), d)), F.lit(10_000))
+                / 5_000.0
+            )
+            - 1.0
+        ).cast("float"),
+    )
+    return df.select("vec_id", vec.alias("embedding"), (F.col("vec_id") % 32).cast("int").alias("label")).repartition(32)
+
+
+def timed(label, df):
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    print(f"{label}: {dt:.2f}s")
+    return dt
+
+
+def main():
+    sizes = [5000, 20000, 80000]
+    if len(sys.argv) > 2 and sys.argv[1] == "--sizes":
+        sizes = [int(x) for x in sys.argv[2].split(",")]
+
+    from pyspark.sql import SparkSession
+
+    from kafka_sink_azure_kusto_spark.functions import dedup as D
+    from kafka_sink_azure_kusto_spark.functions import similarity as S
+    from kafka_sink_azure_kusto_spark.sources.tables import load_table
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("scale-probe")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = load_table(spark, "/root/testdata/sf0.1", "documents")
+    results: dict[str, dict[int, float]] = {}
+    for n in sizes:
+        docs = synth_docs(spark, base, n).cache()
+        n_actual = docs.count()
+        print(f"--- corpus n={n_actual}")
+        results.setdefault("dedup_exact", {})[n] = timed(
+            f"dedup_exact@{n}", D.dedup_exact(docs)
+        )
+        results.setdefault("minhash_lsh", {})[n] = timed(
+            f"minhash_lsh@{n}", D.minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+        )
+        results.setdefault("simhash", {})[n] = timed(
+            f"simhash@{n}", D.simhash_pairs(docs, max_hamming=8)
+        )
+        docs.unpersist()
+
+    for n in [10_000, 50_000]:
+        emb = synth_embeddings(spark, n).cache()
+        emb.count()
+        queries = emb.filter(F.col("vec_id") < 50)
+        print(f"--- vectors n={n}")
+        results.setdefault("ann_bruteforce_50q", {})[n] = timed(
+            f"ann_bruteforce@{n}", S.brute_force_topk(emb, queries, k=10)
+        )
+        results.setdefault("ann_ivf_50q", {})[n] = timed(
+            f"ann_ivf@{n}", S.ivf_topk(emb, queries, k=10)
+        )
+        emb.unpersist()
+
+    print("\nRESULTS")
+    for op, xs in results.items():
+        print(op, {k: round(v, 2) for k, v in xs.items()})
+
+
+if __name__ == "__main__":
+    main()
