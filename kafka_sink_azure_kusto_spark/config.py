@@ -53,6 +53,25 @@ class ConfigException(ValueError):
     config time, KustoSinkConfig.java:115-122)."""
 
 
+class AuthStrategy(str, Enum):
+    """aad.auth.strategy (KustoSinkConfig.java:503-505)."""
+
+    APPLICATION = "application"
+    MANAGED_IDENTITY = "managed_identity"
+    AZ_DEV_TOKEN = "az_dev_token"
+    WORKLOAD_IDENTITY = "workload_identity"
+
+    @classmethod
+    def parse(cls, value: str) -> "AuthStrategy":
+        try:
+            return cls(value.strip().lower())
+        except ValueError:
+            raise ConfigException(
+                f"aad.auth.strategy must be one of {[m.value for m in cls]}, "
+                f"got {value!r}"
+            ) from None
+
+
 class BehaviorOnError(str, Enum):
     """KustoSinkConfig.java:487-501 — what to do when a record/batch fails.
 
@@ -223,6 +242,18 @@ class KustoSinkConfig:
     # V1–V4 validation queries at startup (default off, KustoSinkConfig.java:327-336).
     validate_tables: bool = False
 
+    # Auth (aad.auth.*, KustoSinkConfig.java:32-60; strategy matrix
+    # validated per the reference's config tests).
+    auth_strategy: AuthStrategy = AuthStrategy.APPLICATION
+    auth_appid: Optional[str] = None
+    auth_appkey: Optional[str] = None
+    auth_authority: Optional[str] = None
+    auth_accesstoken: Optional[str] = None
+
+    # C4 — proxy.host/proxy.port (KustoSinkTask.java:311-317).
+    proxy_host: Optional[str] = None
+    proxy_port: Optional[int] = None
+
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
@@ -251,6 +282,29 @@ class KustoSinkConfig:
         wildcards = [m for m in self.mappings if m.is_wildcard]
         if len(wildcards) > 1:
             raise ConfigException("at most one '*' wildcard mapping allowed")
+        if isinstance(self.auth_strategy, str):
+            self.auth_strategy = AuthStrategy.parse(self.auth_strategy)
+        # Auth matrix (reference: APPLICATION needs appid+appkey+authority
+        # unless an access token is supplied; other strategies delegate to
+        # the environment/SDK).
+        if (
+            self.auth_strategy is AuthStrategy.APPLICATION
+            and self.auth_accesstoken is None
+            and any(
+                v is None
+                for v in (self.auth_appid, self.auth_appkey, self.auth_authority)
+            )
+            and any(
+                v is not None
+                for v in (self.auth_appid, self.auth_appkey, self.auth_authority)
+            )
+        ):
+            raise ConfigException(
+                "application auth requires aad.auth.appid, aad.auth.appkey "
+                "and aad.auth.authority (or aad.auth.accesstoken)"
+            )
+        if (self.proxy_host is None) != (self.proxy_port is None):
+            raise ConfigException("proxy.host and proxy.port must be set together")
 
     # R2 — attempts = max_time / backoff (KustoSinkConfig.java:474-477).
     @property
@@ -282,3 +336,85 @@ class KustoSinkConfig:
 
     def has_streaming_mapping(self) -> bool:
         return any(m.streaming for m in self.mappings)
+
+    @classmethod
+    def from_connect_properties(cls, props: dict) -> "KustoSinkConfig":
+        """Build from the REFERENCE'S Kafka-Connect property names, so an
+        existing connector deployment's JSON config works verbatim
+        (property set from KustoSinkConfig.java; quickstart example at
+        docker-quickstart/connector-config/kusto-sink-connector.json).
+
+        Connect-framework-owned keys (connector.class, tasks.max,
+        topics, key/value.converter, errors.deadletterqueue.*) have no
+        sink-side meaning here — ``topics`` is implied by the mapping
+        table plus the Kafka source options — and are accepted but
+        recorded under ``extra``.
+        """
+        known = {
+            "kusto.ingestion.url",
+            "kusto.query.url",
+            "kusto.tables.topics.mapping",
+            "flush.size.bytes",
+            "flush.interval.ms",
+            "errors.retry.max.time.ms",
+            "errors.retry.backoff.time.ms",
+            "behavior.on.error",
+            "misc.deadletterqueue.bootstrap.servers",
+            "misc.deadletterqueue.topic.name",
+            "kusto.validation.table.enable",
+            "aad.auth.strategy",
+            "aad.auth.appid",
+            "aad.auth.appkey",
+            "aad.auth.authority",
+            "aad.auth.accesstoken",
+            "proxy.host",
+            "proxy.port",
+            "tempdir.path",
+        }
+        p = dict(props)
+        if "kusto.ingestion.url" not in p:
+            raise ConfigException("kusto.ingestion.url is required")
+        if "kusto.tables.topics.mapping" not in p:
+            raise ConfigException("kusto.tables.topics.mapping is required")
+
+        def as_bool(v) -> bool:
+            return str(v).strip().lower() in ("true", "1", "yes")
+
+        kwargs: dict = {
+            "ingest_url": p["kusto.ingestion.url"],
+            "query_url": p.get("kusto.query.url"),
+            "mappings": parse_table_mappings(p["kusto.tables.topics.mapping"]),
+        }
+        if "flush.size.bytes" in p:
+            kwargs["flush_size_bytes"] = int(p["flush.size.bytes"])
+        if "flush.interval.ms" in p:
+            kwargs["flush_interval_ms"] = int(p["flush.interval.ms"])
+        if "errors.retry.max.time.ms" in p:
+            kwargs["retry_max_time_ms"] = int(p["errors.retry.max.time.ms"])
+        if "errors.retry.backoff.time.ms" in p:
+            kwargs["retry_backoff_time_ms"] = int(p["errors.retry.backoff.time.ms"])
+        if "behavior.on.error" in p:
+            kwargs["behavior_on_error"] = BehaviorOnError.parse(p["behavior.on.error"])
+        if "misc.deadletterqueue.bootstrap.servers" in p:
+            kwargs["dlq_bootstrap_servers"] = p["misc.deadletterqueue.bootstrap.servers"]
+        if "misc.deadletterqueue.topic.name" in p:
+            kwargs["dlq_topic_name"] = p["misc.deadletterqueue.topic.name"]
+        if "kusto.validation.table.enable" in p:
+            kwargs["validate_tables"] = as_bool(p["kusto.validation.table.enable"])
+        if "aad.auth.strategy" in p:
+            kwargs["auth_strategy"] = AuthStrategy.parse(p["aad.auth.strategy"])
+        for src, dst in (
+            ("aad.auth.appid", "auth_appid"),
+            ("aad.auth.appkey", "auth_appkey"),
+            ("aad.auth.authority", "auth_authority"),
+            ("aad.auth.accesstoken", "auth_accesstoken"),
+            ("proxy.host", "proxy_host"),
+        ):
+            if src in p:
+                kwargs[dst] = p[src]
+        if "proxy.port" in p:
+            kwargs["proxy_port"] = int(p["proxy.port"])
+        if "tempdir.path" in p:
+            kwargs["staging_dir"] = p["tempdir.path"]
+        kwargs["extra"] = {k: v for k, v in p.items() if k not in known}
+        return cls(**kwargs)

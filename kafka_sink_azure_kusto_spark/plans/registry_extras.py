@@ -219,6 +219,63 @@ def distinct_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "kusto_type_roundtrip",
+    """
+    SELECT event_id,
+           CAST(event_id % 1000 AS INT) AS vnum,
+           CAST(CAST(value AS DECIMAL(38, 18)) AS DOUBLE) AS vdec,
+           ts AS vdate,
+           (event_id % 2 = 0) AS vb,
+           CAST(value AS DOUBLE) AS vreal,
+           event_type AS vstr,
+           CAST(event_id * 42 AS BIGINT) AS vlong,
+           'json' AS vtype
+    FROM events WHERE event_id < 1000
+    """,
+)
+def kusto_type_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §1.2 — the E2E record type surface (it-avro.avsc →
+    it-table-setup.kql): int, decimal(38,18), datetime, boolean, real,
+    string, long round-tripped through Spark's type system with the
+    same column names the reference's IT asserts on (vnum/vdec/vdate/
+    vb/vreal/vstr/vlong/vtype)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    return ev.select(
+        "event_id",
+        (F.col("event_id") % 1000).cast("int").alias("vnum"),
+        F.col("value").cast("decimal(38,18)").cast("double").alias("vdec"),
+        F.col("ts").alias("vdate"),
+        (F.col("event_id") % 2 == 0).alias("vb"),
+        F.col("value").cast("double").alias("vreal"),
+        F.col("event_type").alias("vstr"),
+        (F.col("event_id") * 42).cast("bigint").alias("vlong"),
+        F.lit("json").alias("vtype"),
+    )
+
+
+@register(
+    "dynamic_variant_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           json_valid(props) AS is_valid
+    FROM events
+    """,
+)
+def dynamic_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``dynamic`` (JSON bag) via Spark 4's native VariantType:
+    parse_json → variant_get typed extraction — the modern engine path
+    for schemaless bags (create-table.kql:53-55's dynamic column)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k"),
+        F.try_parse_json("props").isNotNull().alias("is_valid"),
+    )
+
+
 @register("streaming_sink_roundtrip", None)  # rows-only: full streaming pipeline
 def streaming_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end Structured Streaming pipeline as a queryable operator:
