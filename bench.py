@@ -30,12 +30,17 @@ HEADLINE = [
     "region_rollup",
     "window_topn_per_customer",
     "event_time_windows",
+    "events_sessionization",
+    "semi_join_active_customers",
+    "distinct_user_counts",
+    "skew_salted_agg",
     # north-star training-data ops
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "similarity_topk_bruteforce",
+    "similarity_lsh_bucketed",
     "text_quality",
     "text_token_counts",
     "multimodal_decode",

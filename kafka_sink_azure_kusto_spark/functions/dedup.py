@@ -338,9 +338,23 @@ def ngram_jaccard_pairs(
         .select("id", "shh")
     )
     sizes = ex.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    l, r = ex.alias("l"), ex.alias("r")
+    # Length-ratio prefilter (pure optimization, result-preserving):
+    # jaccard(A,B) ≥ t implies min(|A|,|B|) ≥ t·max(|A|,|B|), so pairs
+    # violating the size ratio can be pruned BEFORE the per-shingle
+    # count — on templated corpora this cuts the candidate join output
+    # substantially. Sizes ride along each exploded row (one extra int).
+    exs = ex.join(sizes, on="id").select("id", "shh", "n_sh")
+    l, r = exs.alias("l"), exs.alias("r")
     inter = (
-        l.join(r, on=[F.col("l.shh") == F.col("r.shh"), F.col("l.id") < F.col("r.id")])
+        l.join(
+            r,
+            on=[
+                F.col("l.shh") == F.col("r.shh"),
+                F.col("l.id") < F.col("r.id"),
+                F.least(F.col("l.n_sh"), F.col("r.n_sh"))
+                >= F.lit(threshold) * F.greatest(F.col("l.n_sh"), F.col("r.n_sh")),
+            ],
+        )
         .groupBy(F.col("l.id").alias("left_id"), F.col("r.id").alias("right_id"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

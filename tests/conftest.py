@@ -10,12 +10,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from pyspark.sql import SparkSession
 
     spark = (
         SparkSession.builder.master("local[4]")
         .appName("kafka_sink_azure_kusto_spark-tests")
+        .config(
+            "spark.sql.warehouse.dir",
+            str(tmp_path_factory.mktemp("spark_warehouse")),
+        )
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
