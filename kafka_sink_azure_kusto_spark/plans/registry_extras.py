@@ -276,6 +276,85 @@ def dynamic_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rollup_region_nation",
+    """
+    SELECT COALESCE(r.r_name, 'ALL') AS region,
+           COALESCE(n.n_name, 'ALL') AS nation,
+           COUNT(*) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy aggregation (region → nation → grand total) —
+    multi-level aggregates in one pass."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_customers",
+        )
+    )
+
+
+@register(
+    "pivot_event_counts",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): per-user counts of selected event types via
+    ``groupBy().pivot()`` — the oracle expresses the same result with
+    FILTER aggregates (engine-portable pivot semantics)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "purchase", "view"])
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves null for absent combos; counts should read 0
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ("click", "purchase", "view")],
+    )
+
+
+@register(
+    "percentile_order_values",
+    """
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.95) AS p95
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def percentile_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p50/p95) per group — Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the linear-
+    interpolation definition. The 100 TB path swaps in
+    ``approx_percentile`` (t-digest) when exactness isn't required."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+        F.percentile("o_totalprice", F.lit(0.95)).alias("p95"),
+    )
+
+
 @register("streaming_sink_roundtrip", None)  # rows-only: full streaming pipeline
 def streaming_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end Structured Streaming pipeline as a queryable operator:
