@@ -315,6 +315,83 @@ def simhash_pairs(
     )
 
 
+# -------------------------------------------------- connected components
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph → canonical
+    cluster id (= min node id in the component) per node. This is how a
+    dedup pipeline turns pairwise matches into keep/drop decisions:
+    transitively connected docs form one cluster, keep the canonical.
+
+    Algorithm: min-label propagation WITH pointer-doubling — each round
+    takes the min over (own label, neighbors' labels, label-of-label).
+    The shortcut step compresses paths geometrically, so convergence is
+    O(log diameter) rounds (a bare neighbor-propagation needs O(diameter)
+    — measured: a 30-node chain does NOT converge in 20 plain rounds but
+    does in 7 doubled ones). Each round is two equi-joins + an
+    aggregation, fully distributed; lineage is truncated per round with
+    localCheckpoint so plans stay bounded. The fixpoint (min id per
+    component) is algorithm-independent, which is what makes it exactly
+    oracle-able. Raises if max_iter is exhausted before the fixpoint —
+    a silently partial clustering would corrupt dedup decisions.
+    """
+    e = edges.select(F.col(left_col).alias("a"), F.col(right_col).alias("b"))
+    e = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    e = e.localCheckpoint(eager=True)
+    labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+    converged = False
+    for _ in range(max_iter):
+        nb = (
+            e.join(labels, e["b"] == labels["id"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        stepped = labels.join(nb, labels["id"] == nb["a"], "left").select(
+            labels["id"],
+            F.least(
+                F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer doubling: label ← label of my label (path compression)
+        parent = stepped.select(
+            F.col("id").alias("pid"), F.col("label").alias("plabel")
+        )
+        new_labels = (
+            stepped.join(parent, stepped["label"] == parent["pid"], "left")
+            .select(
+                stepped["id"],
+                F.least(
+                    F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations; "
+            f"raise max_iter (components deeper than 2^{max_iter})"
+        )
+    return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+
+
 # ------------------------------------------------------------- n-gram Jaccard
 def ngram_jaccard_pairs(
     df: DataFrame,

@@ -161,6 +161,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MINHASH_PAIRS_SQL = None  # filled after dedup_minhash_lsh registers
+
+
+@register(
+    "dedup_cc_clusters",
+    None,  # oracle attached below (needs the minhash oracle text)
+)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical cluster id per document: connected components over the
+    MinHash-LSH near-dup pair graph (min doc_id per component). The
+    oracle computes the identical fixpoint with a recursive CTE —
+    the converged labeling is algorithm-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, num_hashes=16, num_bands=4, k=3, jaccard_threshold=0.5
+    )
+    return D.connected_components(docs, pairs)
+
+
 @register(
     "dedup_embedding_cosine",
     """
@@ -189,6 +208,32 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_raw") >= 0.45)
         .select("left_id", "right_id", F.round("cos_raw", 6).alias("cos_sim"))
     )
+
+
+# Attach the CC oracle now that the minhash oracle text exists: the pair
+# graph is the dedup_minhash_lsh result verbatim, the fixpoint a
+# recursive CTE (transitive reachability → min reachable id).
+from kafka_sink_azure_kusto_spark.plans.registry import _REGISTRY as _REG  # noqa: E402
+
+_REG["dedup_cc_clusters"] = (
+    _REG["dedup_cc_clusters"][0],
+    f"""
+    WITH RECURSIVE pairs0 AS (
+      SELECT left_id, right_id FROM ({_REG['dedup_minhash_lsh'][1]})
+    ),
+    edges AS (
+      SELECT left_id AS a, right_id AS b FROM pairs0
+      UNION
+      SELECT right_id AS a, left_id AS b FROM pairs0
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.a AS id, reach.r FROM edges e JOIN reach ON e.b = reach.id
+    )
+    SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    """,
+)
 
 
 # ===================================================== similarity search

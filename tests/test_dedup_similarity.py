@@ -69,6 +69,30 @@ def test_ngram_jaccard_exact_values(spark):
     assert 0.5 < pairs[(0, 2)] < 1.0
 
 
+def test_connected_components_transitive(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    # chain 0-1-2, pair 5-6, isolated 3,4,7; edge direction mixed
+    edges = spark.createDataFrame(
+        [(1, 0), (1, 2), (5, 6)], "left_id long, right_id long"
+    )
+    got = {r.doc_id: r.cluster_id for r in
+           D.connected_components(nodes, edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 12-node path needs multiple propagation rounds — exercises the
+    # fixpoint loop, not just one join
+    n = 12
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "left_id long, right_id long"
+    )
+    got = {r.doc_id: r.cluster_id for r in
+           D.connected_components(nodes, edges).collect()}
+    assert set(got.values()) == {0}
+
+
 def _emb(spark):
     rows = [
         (0, [1.0, 0.0, 0.0], 0),
