@@ -48,6 +48,29 @@ def windowed_counts(
     )
 
 
+def session_windows(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming gap-based sessionization via ``F.session_window`` — the
+    streaming form of the batch ``events_sessionization`` query: a
+    session closes once the watermark passes its last event + gap."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(ts_col, gap).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def streaming_dedup(
     stream: DataFrame, key_cols: list[str], ts_col: str = "ts", watermark: str = "1 hour"
 ) -> DataFrame:

@@ -91,6 +91,36 @@ def test_streaming_dedup_drops_replays(spark, tmp_path):
     assert sorted(ids) == [7, 8]  # replayed 7 deduped across batches
 
 
+def test_session_windows_streaming(spark, tmp_path):
+    from kafka_sink_azure_kusto_spark.streaming.stateful import session_windows
+
+    src = str(tmp_path / "src_sess")
+    # user 1: two events 10 min apart (one session), then one 2 h later
+    # (new session); a far-future event closes the watermark.
+    _write_chunk(f"{src}/a.json", [
+        {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "x"},
+        {"event_id": 2, "ts": "2024-01-01 10:10:00", "user_id": 1, "event_type": "x"},
+        {"event_id": 3, "ts": "2024-01-01 12:10:00", "user_id": 1, "event_type": "x"},
+    ])
+    _write_chunk(f"{src}/b.json", [
+        {"event_id": 9, "ts": "2024-01-02 00:00:00", "user_id": 2, "event_type": "x"},
+    ])
+    _write_chunk(f"{src}/c.json", [
+        {"event_id": 10, "ts": "2024-01-02 09:00:00", "user_id": 2, "event_type": "x"},
+    ])
+    out = _run_stream(
+        spark, src, lambda s: session_windows(s), "append", str(tmp_path / "sw1")
+    )
+    sessions = {
+        (r.user_id, str(r.session_start)): r.n_events
+        for r in out.collect()
+    }
+    # user 1's sessions finalized: [10:00, 10:10+gap) with 2 events and
+    # [12:10, 12:40) with 1 event
+    assert sessions[(1, "2024-01-01 10:00:00")] == 2
+    assert sessions[(1, "2024-01-01 12:10:00")] == 1
+
+
 def test_rate_monitor_accumulates_across_batches(spark, tmp_path):
     src = str(tmp_path / "src3")
     _write_chunk(f"{src}/a.json", [
