@@ -114,10 +114,44 @@ def mapping_kind_for_format(fmt: str) -> str:
     return "CSV"
 
 
+# V6 — trusted Kusto endpoint DNS suffixes, mirroring the public
+# WellKnownKustoEndpoints.json the SDK's KustoTrustedEndpoints reads
+# (KustoEndpointUrlValidator.java:48-95 delegates to it; the accepted
+# set below reproduces every case in KustoEndpointUrlValidatorTest.java:
+# public cloud + MFA + dev, China, US Gov, Synapse, Fabric, PlayFab,
+# data.microsoft.com, and the sovereign clouds). Matching is a
+# dot-anchored suffix check on the hostname, so substring spoofs like
+# kusto.windows.net.evil.com or kusto-fake.windows.net are rejected.
+_TRUSTED_ENDPOINT_SUFFIXES = (
+    ".kusto.windows.net",
+    ".kustomfa.windows.net",
+    ".kustodev.windows.net",
+    ".kusto.chinacloudapi.cn",
+    ".kustomfa.chinacloudapi.cn",
+    ".kusto.usgovcloudapi.net",
+    ".kustomfa.usgovcloudapi.net",
+    ".kusto.azuresynapse.net",
+    ".kusto.azuresynapse.azure.cn",
+    ".kusto.azuresynapse.usgovcloudapi.net",
+    ".kusto.fabric.microsoft.com",
+    ".kusto.data.microsoft.com",
+    ".playfab.com",
+    ".playfabapi.com",
+    ".azureplayfab.com",
+    ".kusto.core.eaglex.ic.gov",
+    ".kusto.core.microsoft.scloud",
+    ".kusto.sovcloud-api.fr",
+    ".kusto.sovcloud-api.de",
+    ".kusto.sovcloud-api.sg",
+)
+
+
 def validate_endpoint_url(url: str) -> str:
-    """V6 (in-repo part): reject plain http://, default scheme to https://
-    (KustoEndpointUrlValidator.java:48-95). The well-known-endpoint
-    allowlist check is delegated to the Kusto SDK at connect time."""
+    """V6: reject plain http://, default scheme to https://, then require
+    the hostname to end with a well-known trusted Kusto endpoint suffix
+    (KustoEndpointUrlValidator.java:48-95; suffix source of truth is the
+    SDK's public WellKnownKustoEndpoints.json). Prevents SSRF-style
+    exfiltration of AAD tokens to attacker-controlled hosts."""
     u = url.strip()
     if not u:
         raise ConfigException("kusto url must be non-empty")
@@ -125,6 +159,21 @@ def validate_endpoint_url(url: str) -> str:
         raise ConfigException(f"insecure http:// endpoint rejected: {url}")
     if not u.lower().startswith("https://"):
         u = "https://" + u
+    from urllib.parse import urlparse
+
+    try:
+        host = urlparse(u).hostname
+    except ValueError as e:
+        raise ConfigException(f"invalid kusto url {url!r}: {e}") from None
+    if not host:
+        raise ConfigException(f"invalid kusto url {url!r}: no hostname")
+    host = host.lower()
+    if not any(host.endswith(sfx) for sfx in _TRUSTED_ENDPOINT_SUFFIXES):
+        raise ConfigException(
+            f"URL {url!r} does not point to a known Azure Data Explorer "
+            f"endpoint; the hostname must end with a well-known trusted "
+            f"Kusto suffix (WellKnownKustoEndpoints.json)"
+        )
     return u
 
 

@@ -355,14 +355,22 @@ def percentile_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("streaming_sink_roundtrip", None)  # rows-only: full streaming pipeline
+@register(
+    "streaming_sink_roundtrip",
+    """
+    SELECT event_id, user_id, event_type
+    FROM events ORDER BY event_id LIMIT 500
+    """,
+)
 def streaming_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end Structured Streaming pipeline as a queryable operator:
     events → Kafka-record shape → replay file stream → foreachBatch sink
     (tombstone filter, routing, NDJSON encode, rolled gzipped staging,
-    emulated ingestion) → read the ingested table back. Rows-only check:
-    the driver verifies count/schema stability; oracle omitted because
-    the result passes through the streaming engine, not SQL."""
+    emulated ingestion) → read the ingested table back. The input subset
+    is deterministic (lowest 500 event_ids; event_id is unique), so the
+    exact oracle is the identity transform of that subset — every hop of
+    the pipeline (encode, roll, ingest, read-back) must preserve it
+    byte-for-byte for the value hash to match."""
     import kafka_sink_azure_kusto_spark as pks
     from kafka_sink_azure_kusto_spark.sources.replay import (
         as_kafka_records,
@@ -375,7 +383,7 @@ def streaming_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     work = tempfile.mkdtemp(prefix="stream_rt_")
-    ev = load_table(spark, sf_dir, "events").limit(500)
+    ev = load_table(spark, sf_dir, "events").orderBy("event_id").limit(500)
     records = as_kafka_records(
         ev.withColumn("v", F.to_json(F.struct("event_id", "user_id", "event_type"))),
         topic_col="event_type",

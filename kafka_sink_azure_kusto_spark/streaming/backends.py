@@ -80,6 +80,12 @@ def classify_ingest_error(exc: BaseException) -> bool:
         return True
     if isinstance(exc, TransientIngestError):
         return False
+    if isinstance(exc, FileNotFoundError):
+        # A staged file the backend can't see never materializes by
+        # retrying — it means staging_dir isn't shared storage (see
+        # KustoSparkSink docstring). Fail fast instead of burning the
+        # whole retry budget.
+        return True
     perm = getattr(exc, "is_permanent", None)
     if callable(perm):
         try:

@@ -74,10 +74,14 @@ def session_windows(
 def streaming_dedup(
     stream: DataFrame, key_cols: list[str], ts_col: str = "ts", watermark: str = "1 hour"
 ) -> DataFrame:
-    """Streaming exact dedup: first occurrence of each key wins; state
-    for keys older than the watermark is evicted (bounded state — the
-    required shape for an endless training-data ingest stream)."""
-    return stream.withWatermark(ts_col, watermark).dropDuplicates(key_cols + [ts_col])
+    """Streaming exact dedup: first occurrence of each key within the
+    watermark horizon wins — duplicates carrying DIFFERENT event times
+    (e.g. producer retries re-stamped at send time) are dropped too,
+    which plain ``dropDuplicates(key + ts)`` would keep. State is evicted
+    once the watermark passes a key's first sighting + horizon (bounded
+    state — the required shape for an endless training-data ingest
+    stream)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(key_cols)
 
 
 RATE_STATE_SCHEMA = StructType(

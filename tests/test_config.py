@@ -77,14 +77,72 @@ def test_format_coalescing_and_mapping_kind():
     assert mapping_kind_for_format("csv") == "CSV"
 
 
-def test_endpoint_validation():
-    # KustoEndpointUrlValidator.java:48-95 (V6): http rejected, https prepended
+@pytest.mark.parametrize(
+    "url",
+    [
+        # KustoEndpointUrlValidatorTest.java "valid URLs" block
+        "https://ingest-mycluster.kusto.windows.net",
+        "https://mycluster.kusto.windows.net",
+        "https://ingest-mycluster.eastus.kusto.windows.net",
+        "https://INGEST-MYCLUSTER.KUSTO.WINDOWS.NET",  # case insensitive
+        "https://mycluster.kusto.windows.net/",  # trailing slash
+        "https://mycluster.kusto.windows.net:443",  # explicit port
+        "https://mycluster.kusto.windows.net/some/path",  # with path
+        "https://mycluster.kustomfa.windows.net",  # MFA
+        "https://mycluster.kusto.chinacloudapi.cn",  # Azure China
+        "https://mycluster.kusto.usgovcloudapi.net",  # US Gov
+        "https://mycluster.kustodev.windows.net",  # Dev/Test
+        "https://mycluster.kusto.fabric.microsoft.com",  # Fabric
+        "https://mycluster.playfab.com",  # PlayFab
+        "https://mycluster.kusto.azuresynapse.net",  # Synapse
+        "https://mycluster.playfabapi.com",
+        "https://mycluster.azureplayfab.com",
+        "https://mycluster.kusto.data.microsoft.com",
+        "https://mycluster.kusto.core.eaglex.ic.gov",  # sovereign clouds
+        "https://mycluster.kusto.core.microsoft.scloud",
+        "https://mycluster.kusto.sovcloud-api.fr",
+        "https://mycluster.kusto.sovcloud-api.de",
+        "https://mycluster.kusto.sovcloud-api.sg",
+    ],
+)
+def test_endpoint_allowlist_accepts_trusted(url):
+    # KustoEndpointUrlValidator.java:48-95 (V6) + WellKnownKustoEndpoints.json
+    assert validate_endpoint_url(url) == url.strip()
+
+
+@pytest.mark.parametrize(
+    "url",
+    [
+        "mycluster.kusto.windows.net",
+        "ingest-mycluster.kusto.windows.net",
+        "mycluster.eastus.kusto.windows.net",
+        "mycluster.kusto.chinacloudapi.cn",
+        "mycluster.kusto.usgovcloudapi.net",
+        "mycluster.kusto.fabric.microsoft.com",
+    ],
+)
+def test_endpoint_allowlist_prepends_https(url):
+    assert validate_endpoint_url(url) == "https://" + url
+
+
+@pytest.mark.parametrize(
+    "url",
+    [
+        "http://mycluster.kusto.windows.net",  # HTTP rejected outright
+        "https://evil.attacker.com",
+        "evil.attacker.com",
+        "https://kusto.windows.net.evil.com",  # subdomain spoof
+        "https://evil.attacker.com/ingest",
+        "https://internal-service.corp.net",
+        "https://not-kusto.microsoft.com",
+        "https://kusto-fake.windows.net",  # not *.kusto.windows.net
+        "https://kusto.windows.net.attacker.com",
+    ],
+)
+def test_endpoint_allowlist_rejects_untrusted(url):
+    # KustoEndpointUrlValidatorTest.java "invalid URLs" block — SSRF guard
     with pytest.raises(ConfigException):
-        validate_endpoint_url("http://cluster.kusto.windows.net")
-    assert (
-        validate_endpoint_url("cluster.kusto.windows.net")
-        == "https://cluster.kusto.windows.net"
-    )
+        validate_endpoint_url(url)
 
 
 def test_parse_table_mappings_and_routing():
@@ -94,7 +152,7 @@ def test_parse_table_mappings_and_routing():
         '{"topic":"topic2","db":"db2","table":"table2","format":"json","mapping":"Mapping"}]'
     )
     ms = parse_table_mappings(raw)
-    cfg = KustoSinkConfig(ingest_url="https://x", mappings=ms)
+    cfg = KustoSinkConfig(ingest_url="https://x.kusto.windows.net", mappings=ms)
     assert cfg.mapping_for_topic("topic1").table == "table1"
     assert cfg.mapping_for_topic("topic2").mapping == "Mapping"
     with pytest.raises(ConfigException):
@@ -104,7 +162,7 @@ def test_parse_table_mappings_and_routing():
     ms_wc = parse_table_mappings(
         raw[:-1] + ',{"topic":"*","db":"dbW","table":"tableW","format":"json"}]'
     )
-    cfg_wc = KustoSinkConfig(ingest_url="https://x", mappings=ms_wc)
+    cfg_wc = KustoSinkConfig(ingest_url="https://x.kusto.windows.net", mappings=ms_wc)
     assert cfg_wc.mapping_for_topic("topic3").db == "dbW"
     assert cfg_wc.mapping_for_topic("topic1").db == "db1"  # explicit wins
 

@@ -91,6 +91,24 @@ def test_streaming_dedup_drops_replays(spark, tmp_path):
     assert sorted(ids) == [7, 8]  # replayed 7 deduped across batches
 
 
+def test_streaming_dedup_drops_restamped_duplicates(spark, tmp_path):
+    # Producer-retry shape: same key arrives again with a DIFFERENT
+    # event time — dropDuplicatesWithinWatermark drops it; a (key, ts)
+    # dedup would not (ADVICE r1).
+    src = str(tmp_path / "src3")
+    _write_chunk(f"{src}/a.json", [
+        {"event_id": 7, "ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": "x"}])
+    _write_chunk(f"{src}/b.json", [
+        {"event_id": 7, "ts": "2024-01-01 10:02:00", "user_id": 1, "event_type": "x"},
+        {"event_id": 9, "ts": "2024-01-01 10:03:00", "user_id": 2, "event_type": "x"}])
+    out = _run_stream(
+        spark, src, lambda s: streaming_dedup(s, ["event_id"]), "append",
+        str(tmp_path / "dd2"),
+    )
+    ids = [r.event_id for r in out.collect()]
+    assert sorted(ids) == [7, 9]  # restamped 7 deduped, first ts wins
+
+
 def test_session_windows_streaming(spark, tmp_path):
     from kafka_sink_azure_kusto_spark.streaming.stateful import session_windows
 
