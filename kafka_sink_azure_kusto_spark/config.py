@@ -282,11 +282,20 @@ class KustoSinkConfig:
     # K3 — misc DLQ (KustoSinkConfig.java:437-472): both-or-neither.
     dlq_bootstrap_servers: Optional[str] = None
     dlq_topic_name: Optional[str] = None
+    # DLQ producer security/client props — the prefix-stripped
+    # ``misc.deadletterqueue.*`` pass-through (security.protocol,
+    # sasl.mechanism, ssl.*, …) the reference forwards to its dedicated
+    # KafkaProducer (KustoSinkConfig.getDlqProps, :465-472).
+    dlq_props: dict = field(default_factory=dict)
 
     # Streaming job knobs (Spark-side equivalents of Connect worker config).
     checkpoint_location: Optional[str] = None
     staging_dir: str = "/tmp/kusto_sink_staging"
     trigger_interval_ms: Optional[int] = None  # None → derive from flush_interval_ms
+    # Concurrent ingest RPCs per micro-batch (ingest is I/O-bound HTTP;
+    # the reference gets the same concurrency from one thread per Connect
+    # task — here a bounded pool over a batch's staged files).
+    ingest_threads: int = 8
 
     # V1–V4 validation queries at startup (default off, KustoSinkConfig.java:327-336).
     validate_tables: bool = False
@@ -322,6 +331,8 @@ class KustoSinkConfig:
             raise ConfigException("errors.retry.backoff.time.ms must be > 0")
         if self.retry_max_time_ms < 0:
             raise ConfigException("errors.retry.max.time.ms must be ≥ 0")
+        if self.ingest_threads < 1:
+            raise ConfigException("ingest_threads must be ≥ 1")
         # DLQ both-or-neither (KustoSinkConfig.java:437-446).
         if (self.dlq_bootstrap_servers is None) != (self.dlq_topic_name is None):
             raise ConfigException(
@@ -363,6 +374,23 @@ class KustoSinkConfig:
     @property
     def dlq_enabled(self) -> bool:
         return self.dlq_topic_name is not None
+
+    def dlq_producer_props(self) -> dict:
+        """The DLQ producer property set, mirroring
+        KustoSinkConfig.getDlqProps (KustoSinkConfig.java:465-472): the
+        prefix-stripped ``misc.deadletterqueue.*`` pass-through plus
+        bootstrap.servers and byte-array serializers. Serializer entries
+        keep the reference's class names for config parity; the Python
+        ``KafkaDlqWriter`` translates them to client kwargs."""
+        props = dict(self.dlq_props)
+        props["bootstrap.servers"] = self.dlq_bootstrap_servers
+        props["key.serializer"] = (
+            "org.apache.kafka.common.serialization.ByteArraySerializer"
+        )
+        props["value.serializer"] = (
+            "org.apache.kafka.common.serialization.ByteArraySerializer"
+        )
+        return props
 
     @property
     def trigger_processing_time(self) -> str:
@@ -448,6 +476,21 @@ class KustoSinkConfig:
             kwargs["dlq_bootstrap_servers"] = p["misc.deadletterqueue.bootstrap.servers"]
         if "misc.deadletterqueue.topic.name" in p:
             kwargs["dlq_topic_name"] = p["misc.deadletterqueue.topic.name"]
+        # DLQ_PROPS_PREFIX pass-through (KustoSinkConfig.java:465-472):
+        # every other misc.deadletterqueue.* key, prefix-stripped, feeds
+        # the DLQ producer (security.protocol, sasl.*, ssl.* …).
+        _dlq_prefix = "misc.deadletterqueue."
+        _dlq_owned = {
+            "misc.deadletterqueue.bootstrap.servers",
+            "misc.deadletterqueue.topic.name",
+        }
+        dlq_props = {
+            k[len(_dlq_prefix):]: v
+            for k, v in p.items()
+            if k.startswith(_dlq_prefix) and k not in _dlq_owned
+        }
+        if dlq_props:
+            kwargs["dlq_props"] = dlq_props
         if "kusto.validation.table.enable" in p:
             kwargs["validate_tables"] = as_bool(p["kusto.validation.table.enable"])
         if "aad.auth.strategy" in p:
@@ -465,5 +508,9 @@ class KustoSinkConfig:
             kwargs["proxy_port"] = int(p["proxy.port"])
         if "tempdir.path" in p:
             kwargs["staging_dir"] = p["tempdir.path"]
-        kwargs["extra"] = {k: v for k, v in p.items() if k not in known}
+        kwargs["extra"] = {
+            k: v
+            for k, v in p.items()
+            if k not in known and not k.startswith(_dlq_prefix)
+        }
         return cls(**kwargs)

@@ -1,0 +1,293 @@
+"""Pure-Python Avro Object Container File writer/reader (SURVEY §2.3 E2).
+
+The reference stages struct records as real Avro container files via
+``DataFileWriter`` with flush-per-block (AvroRecordWriterProvider.java:
+27-73). No spark-avro jar or avro package exists on this classpath, so
+this module implements the (public, stable) Avro 1.x container format
+directly — binary encoding per the Apache Avro specification: zigzag
+varint longs, little-endian IEEE floats, length-prefixed strings/bytes,
+null-first unions for nullable fields, and the ``Obj\\x01`` container
+framing with a metadata map and 16-byte sync markers.
+
+Scope: flat records of Spark's scalar types (the shape the connector
+ingests — see it-avro.avsc: boolean/string/double/long/int/float), plus
+bytes, date and timestamp logical types. Nested structs/arrays/maps
+raise cleanly.
+
+Determinism: the sync marker is derived from the schema JSON (md5), not
+random, so re-staging the same batch yields byte-identical files — the
+property the effectively-once replay dedup keys on.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import hashlib
+import io
+import json
+import struct as _struct
+from typing import BinaryIO, Iterable, Iterator
+
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    ByteType,
+    DataType,
+    DateType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructType,
+    TimestampType,
+)
+
+_MAGIC = b"Obj\x01"
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+_EPOCH_TS = _dt.datetime(1970, 1, 1)
+
+
+# --------------------------------------------------------------- schema
+def avro_schema_for(spark_schema: StructType, name: str = "KustoSinkRecord") -> dict:
+    """Map a flat Spark StructType to an Avro record schema (the
+    fromConnectSchema step, AvroRecordWriterProvider.java:37). Nullable
+    Spark fields become null-first unions, matching Avro convention."""
+    fields = []
+    for f in spark_schema.fields:
+        t = _avro_type(f.dataType, f.name)
+        fields.append({"name": f.name, "type": ["null", t] if f.nullable else t})
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def _avro_type(dt: DataType, field_name: str):
+    if isinstance(dt, (LongType,)):
+        return "long"
+    if isinstance(dt, (IntegerType, ShortType, ByteType)):
+        return "int"
+    if isinstance(dt, DoubleType):
+        return "double"
+    if isinstance(dt, FloatType):
+        return "float"
+    if isinstance(dt, StringType):
+        return "string"
+    if isinstance(dt, BooleanType):
+        return "boolean"
+    if isinstance(dt, BinaryType):
+        return "bytes"
+    if isinstance(dt, TimestampType):
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(dt, DateType):
+        return {"type": "int", "logicalType": "date"}
+    raise NotImplementedError(
+        f"avro encode: unsupported Spark type {dt.simpleString()} for field "
+        f"{field_name!r} (flat scalar records only, like the connector's "
+        f"it-avro.avsc shape)"
+    )
+
+
+def sync_marker_for(schema_json: str) -> bytes:
+    """Deterministic 16-byte sync marker — md5 of the schema JSON."""
+    return hashlib.md5(schema_json.encode("utf-8")).digest()
+
+
+# ------------------------------------------------------- primitive codec
+def _zigzag_encode(n: int) -> bytes:
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag_decode(buf: BinaryIO) -> int:
+    shift = 0
+    acc = 0
+    while True:
+        byte = buf.read(1)
+        if not byte:
+            raise EOFError("truncated varint")
+        b = byte[0]
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def _encode_value(t, v) -> bytes:
+    """Encode one datum per the Avro binary spec. ``t`` is the (JSON)
+    avro type: str primitive, dict logical type, or list union."""
+    if isinstance(t, list):  # union — index then value (null-first)
+        if v is None:
+            idx = t.index("null")
+            return _zigzag_encode(idx)
+        branch = next(x for x in t if x != "null")
+        return _zigzag_encode(t.index(branch)) + _encode_value(branch, v)
+    if isinstance(t, dict):
+        logical = t.get("logicalType")
+        if logical == "timestamp-micros":
+            if hasattr(v, "value") and isinstance(v, _dt.datetime):
+                v = v.value // 1000  # pandas.Timestamp: exact nanos → micros
+            elif isinstance(v, _dt.datetime):
+                base = v.replace(tzinfo=None) if v.tzinfo is None else v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                v = (base - _EPOCH_TS) // _dt.timedelta(microseconds=1)  # exact int µs
+            return _zigzag_encode(int(v))
+        if logical == "date":
+            if isinstance(v, _dt.date):
+                v = (v - _EPOCH_DATE).days
+            return _zigzag_encode(int(v))
+        return _encode_value(t["type"], v)
+    if t == "null":
+        return b""
+    if t == "boolean":
+        return b"\x01" if v else b"\x00"
+    if t in ("int", "long"):
+        return _zigzag_encode(int(v))
+    if t == "float":
+        return _struct.pack("<f", float(v))
+    if t == "double":
+        return _struct.pack("<d", float(v))
+    if t == "string":
+        raw = str(v).encode("utf-8")
+        return _zigzag_encode(len(raw)) + raw
+    if t == "bytes":
+        raw = bytes(v)
+        return _zigzag_encode(len(raw)) + raw
+    raise NotImplementedError(f"avro encode: unsupported type {t!r}")
+
+
+def _decode_value(t, buf: BinaryIO):
+    if isinstance(t, list):
+        idx = _zigzag_decode(buf)
+        return _decode_value(t[idx], buf)
+    if isinstance(t, dict):
+        logical = t.get("logicalType")
+        if logical == "timestamp-micros":
+            return _EPOCH_TS + _dt.timedelta(microseconds=_zigzag_decode(buf))
+        if logical == "date":
+            return _EPOCH_DATE + _dt.timedelta(days=_zigzag_decode(buf))
+        return _decode_value(t["type"], buf)
+    if t == "null":
+        return None
+    if t == "boolean":
+        return buf.read(1) == b"\x01"
+    if t in ("int", "long"):
+        return _zigzag_decode(buf)
+    if t == "float":
+        return _struct.unpack("<f", buf.read(4))[0]
+    if t == "double":
+        return _struct.unpack("<d", buf.read(8))[0]
+    if t == "string":
+        n = _zigzag_decode(buf)
+        return buf.read(n).decode("utf-8")
+    if t == "bytes":
+        n = _zigzag_decode(buf)
+        return buf.read(n)
+    raise NotImplementedError(f"avro decode: unsupported type {t!r}")
+
+
+def encode_record(schema: dict, record: dict) -> bytes:
+    return b"".join(
+        _encode_value(f["type"], record.get(f["name"])) for f in schema["fields"]
+    )
+
+
+def decode_record(schema: dict, buf: BinaryIO) -> dict:
+    return {f["name"]: _decode_value(f["type"], buf) for f in schema["fields"]}
+
+
+# ------------------------------------------------------------ container
+def write_container(
+    records: Iterable[dict],
+    schema: dict,
+    out: BinaryIO,
+    block_records: int = 1000,
+) -> int:
+    """Write an Avro Object Container File: magic, metadata map
+    (avro.schema + avro.codec=null), deterministic sync marker, then one
+    data block per ``block_records`` records — the flush-per-block
+    behavior of DataFileWriter.setFlushOnEveryBlock(true)
+    (AvroRecordWriterProvider.java:39). Returns the record count."""
+    schema_json = json.dumps(schema, sort_keys=True)
+    sync = sync_marker_for(schema_json)
+    out.write(_MAGIC)
+    meta = {"avro.schema": schema_json.encode("utf-8"), "avro.codec": b"null"}
+    out.write(_zigzag_encode(len(meta)))
+    for k, v in sorted(meta.items()):
+        kb = k.encode("utf-8")
+        out.write(_zigzag_encode(len(kb)) + kb)
+        out.write(_zigzag_encode(len(v)) + v)
+    out.write(_zigzag_encode(0))  # end of metadata map
+    out.write(sync)
+
+    total = 0
+    block: list[bytes] = []
+
+    def flush_block():
+        if not block:
+            return
+        payload = b"".join(block)
+        out.write(_zigzag_encode(len(block)))
+        out.write(_zigzag_encode(len(payload)))
+        out.write(payload)
+        out.write(sync)
+        block.clear()
+
+    for rec in records:
+        block.append(encode_record(schema, rec))
+        total += 1
+        if len(block) >= block_records:
+            flush_block()
+    flush_block()
+    return total
+
+
+def read_container(data: bytes) -> tuple[dict, list[dict]]:
+    """Parse an Avro Object Container File → (schema, records). Supports
+    the null codec (what the writer above and DataFileWriter-default
+    produce)."""
+    buf = io.BytesIO(data)
+    if buf.read(4) != _MAGIC:
+        raise ValueError("not an Avro container file (bad magic)")
+    meta: dict[str, bytes] = {}
+    while True:
+        n = _zigzag_decode(buf)
+        if n == 0:
+            break
+        if n < 0:  # spec: negative count ⇒ abs count + byte size follows
+            n = -n
+            _zigzag_decode(buf)
+        for _ in range(n):
+            klen = _zigzag_decode(buf)
+            k = buf.read(klen).decode("utf-8")
+            vlen = _zigzag_decode(buf)
+            meta[k] = buf.read(vlen)
+    codec = meta.get("avro.codec", b"null")
+    if codec not in (b"null", b""):
+        raise NotImplementedError(f"avro codec {codec!r} not supported")
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    sync = buf.read(16)
+    records: list[dict] = []
+    while True:
+        try:
+            count = _zigzag_decode(buf)
+        except EOFError:
+            break
+        _zigzag_decode(buf)  # block byte size (unused with null codec)
+        for _ in range(count):
+            records.append(decode_record(schema, buf))
+        if buf.read(16) != sync:
+            raise ValueError("avro container: sync marker mismatch")
+    return schema, records
+
+
+def iter_container_records(data: bytes) -> Iterator[dict]:
+    _, records = read_container(data)
+    yield from records

@@ -356,6 +356,71 @@ def percentile_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "avro_container_encode",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM events ORDER BY event_id LIMIT 500
+    """,
+)
+def avro_container_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 — struct records staged as real Avro Object Container Files
+    (pure-Python writer, functions/avro_io.py; the Spark rendition of
+    AvroRecordWriterProvider.java:27-73) and read back DISTRIBUTED:
+    events → sink.process_batch(format=avro) → emulator binary ingest →
+    ``binaryFile`` source + ``mapInPandas`` container decode. The oracle
+    is the identity transform of the deterministic input subset, so the
+    hash check proves the full encode→container→decode round trip is
+    lossless for long/string/double incl. nulls."""
+    import pandas as pd  # noqa: F401 — used in the decode closure
+
+    import kafka_sink_azure_kusto_spark as pks
+    from kafka_sink_azure_kusto_spark.streaming import (
+        KustoSparkSink,
+        LocalEmulatorBackend,
+    )
+
+    work = tempfile.mkdtemp(prefix="avro_rt_")
+    ev = load_table(spark, sf_dir, "events").orderBy("event_id").limit(500)
+    records = ev.select(
+        F.lit(None).cast("string").alias("key"),
+        F.struct("event_id", "user_id", "event_type", "value").alias("value"),
+        F.lit("events").alias("topic"),
+        (F.col("event_id") % 4).cast("long").alias("partition"),
+        F.col("event_id").cast("long").alias("offset"),
+    )
+    cfg = pks.KustoSinkConfig(
+        ingest_url="https://ingest.example.kusto.windows.net",
+        mappings=[
+            pks.TopicToTableMapping(topic="events", db="db", table="t", format="avro")
+        ],
+        staging_dir=os.path.join(work, "staging"),
+        flush_size_bytes=16 * 1024,  # force several rolled container files
+    )
+    backend = LocalEmulatorBackend(os.path.join(work, "kusto"))
+    sink = KustoSparkSink(cfg, backend)
+    sink.process_batch(records, epoch_id=0)
+    table_dir = os.path.join(work, "kusto", "db", "t")
+
+    def decode(batches):
+        import pandas as pd
+
+        from kafka_sink_azure_kusto_spark.functions.avro_io import read_container
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf["content"]:
+                _, recs = read_container(bytes(blob))
+                rows.extend(recs)
+            if rows:
+                yield pd.DataFrame(rows)
+
+    bin_df = spark.read.format("binaryFile").load(os.path.join(table_dir, "part-*.avro"))
+    return bin_df.select("content").mapInPandas(
+        decode, schema="event_id long, user_id long, event_type string, value double"
+    )
+
+
+@register(
     "streaming_sink_roundtrip",
     """
     SELECT event_id, user_id, event_type

@@ -206,33 +206,66 @@ class LocalEmulatorBackend:
             if any(e["file"] == name for e in self.ingest_log()):
                 return IngestResult(status="Skipped", source_id="replay")
         source_id = str(uuid.uuid4())
-        lines = _read_staged_lines(path)
         table_dir = os.path.join(self.root, props.database, props.table)
         os.makedirs(table_dir, exist_ok=True)
         out = os.path.join(table_dir, f"part-{source_id}.{props.format}")
+        if props.format in ("avro", "apacheavro"):
+            # E2 — staged Avro container files are binary: copy verbatim
+            # (decompressed) and count records by parsing the container.
+            from kafka_sink_azure_kusto_spark.functions.avro_io import read_container
+
+            opener = gzip.open if path.endswith(".gz") else open
+            with opener(path, "rb") as f:
+                blob = f.read()
+            try:
+                n_records = len(read_container(blob)[1])
+            except (ValueError, EOFError, KeyError):
+                n_records = 1  # E4 passthrough: one opaque payload per file
+            with self._lock:
+                with open(out, "wb") as f:
+                    f.write(blob)
+                self._append_log(path, props, n_records, source_id)
+            return IngestResult(status="Succeeded", source_id=source_id)
+        lines = _read_staged_lines(path)
         with self._lock:
             with open(out, "w", encoding="utf-8") as f:
                 f.write("\n".join(lines) + ("\n" if lines else ""))
-            with open(os.path.join(self.root, "_ingest_log.jsonl"), "a") as logf:
-                logf.write(
-                    json.dumps(
-                        {
-                            "ts": time.time(),
-                            "file": os.path.basename(path),
-                            "db": props.database,
-                            "table": props.table,
-                            "format": props.format,
-                            "mapping": props.mapping_reference,
-                            "streaming": props.streaming,
-                            "records": len(lines),
-                            "source_id": source_id,
-                        }
-                    )
-                    + "\n"
-                )
+            self._append_log(path, props, len(lines), source_id)
         return IngestResult(status="Succeeded", source_id=source_id)
 
+    def _append_log(
+        self, path: str, props: IngestionProperties, n_records: int, source_id: str
+    ) -> None:
+        with open(os.path.join(self.root, "_ingest_log.jsonl"), "a") as logf:
+            logf.write(
+                json.dumps(
+                    {
+                        "ts": time.time(),
+                        "file": os.path.basename(path),
+                        "db": props.database,
+                        "table": props.table,
+                        "format": props.format,
+                        "mapping": props.mapping_reference,
+                        "streaming": props.streaming,
+                        "records": n_records,
+                        "source_id": source_id,
+                    }
+                )
+                + "\n"
+            )
+
     # -- test/bench helpers -------------------------------------------------
+    def table_files(self, db: str, table: str) -> list[str]:
+        """Paths of ingested part files (binary formats read these)."""
+        table_dir = os.path.join(self.root, db, table)
+        if not os.path.isdir(table_dir):
+            return []
+        return [
+            os.path.join(table_dir, n)
+            for n in sorted(os.listdir(table_dir))
+            if n.startswith("part-")
+        ]
+
     def table_rows(self, db: str, table: str) -> list[str]:
         table_dir = os.path.join(self.root, db, table)
         rows: list[str] = []
@@ -312,21 +345,82 @@ class QueuedKustoBackend(_KustoSdkBackendBase):
         return IngestResult(status="Succeeded", source_id=str(uuid.uuid4()))
 
 
+# K2 — streaming-status dispositions (hasStreamingSucceeded,
+# TopicPartitionWriter.java:150-176): Succeeded/Queued/Pending are
+# success; Skipped/PartiallySucceeded are FINAL-but-accepted (warned, not
+# retried, never DLQ'd); Failed is retryable.
+_STREAMING_OK = {"succeeded", "success", "queued", "pending"}
+_STREAMING_FINAL_WARN = {"skipped", "partiallysucceeded"}
+
+
+def streaming_status_accepted(status: str) -> bool:
+    """True ⇒ the streaming ingest result is final and accepted; False ⇒
+    Failed, which the caller retries (TopicPartitionWriter.java:110-116)."""
+    s = str(status).replace("_", "").replace(" ", "").lower()
+    if s in _STREAMING_OK:
+        return True
+    if s in _STREAMING_FINAL_WARN:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "streaming ingestion finished with final status %s; not retried "
+            "and not sent to DLQ (reference parity)",
+            status,
+        )
+        return True
+    return False
+
+
 class StreamingKustoBackend(_KustoSdkBackendBase):
-    """K2 — managed streaming ingestion (engine first, queued fallback;
-    ManagedStreamingIngestClient, KustoSinkTask.java:322-328)."""
+    """K2 — managed streaming ingestion via the public azure-kusto-ingest
+    ``ManagedStreamingIngestClient`` (engine-first with automatic queued
+    fallback inside the client; KustoSinkTask.java:322-328). Failed
+    streaming statuses raise ``TransientIngestError`` so the sink's retry
+    loop replays them — the Spark rendition of the hasStreamingSucceeded
+    retry continue (TopicPartitionWriter.java:107-116)."""
 
     def __post_init__(self) -> None:
         try:
-            from azure.kusto.ingest import ManagedStreamingIngestClient  # noqa: F401
+            from azure.kusto.data import KustoConnectionStringBuilder
+            from azure.kusto.ingest import ManagedStreamingIngestClient
         except ImportError as e:
             raise NotImplementedError(
                 "StreamingKustoBackend requires azure-kusto-ingest; use "
                 "LocalEmulatorBackend for tests"
             ) from e
+        # Managed streaming talks to the ENGINE endpoint; derive it from
+        # query_url, else strip the DM prefix (KustoSinkTask.java:322-328
+        # builds both clients from the pair of URLs).
+        engine_url = self.query_url or self.ingest_url.replace(
+            "https://ingest-", "https://"
+        )
+        kcsb = KustoConnectionStringBuilder.with_aad_application_key_authentication(
+            engine_url,
+            self.auth.get("app_id", ""),
+            self.auth.get("app_key", ""),
+            self.auth.get("authority", ""),
+        )
+        self._client = ManagedStreamingIngestClient.from_engine_kcsb(kcsb)
 
     def validate(self, props: IngestionProperties) -> None:
+        # V1–V4 issued via the query endpoint when enabled; delegated to
+        # azure-kusto-data (KustoSinkTask.java:221-300).
         return None
 
     def ingest_file(self, path: str, props: IngestionProperties) -> IngestResult:
-        raise NotImplementedError("requires azure-kusto-ingest at runtime")
+        from azure.kusto.ingest import IngestionProperties as SdkProps
+
+        sdk_props = SdkProps(
+            database=props.database,
+            table=props.table,
+            data_format=props.format,
+            ingestion_mapping_reference=props.mapping_reference,
+        )
+        result = self._client.ingest_from_file(path, ingestion_properties=sdk_props)
+        status = getattr(result, "status", "Succeeded")
+        status_name = getattr(status, "name", None) or str(status)
+        if not streaming_status_accepted(status_name):
+            raise TransientIngestError(
+                f"streaming ingestion returned Failed for {path}"
+            )
+        return IngestResult(status="Succeeded", source_id=str(uuid.uuid4()))

@@ -1,0 +1,97 @@
+"""Miscellaneous dead-letter-queue writers (SURVEY §2.5 K3).
+
+The reference ships failed records to a Kafka topic through a dedicated
+byte-array producer built from the ``misc.deadletterqueue.*`` property
+set (KustoSinkTask.java:442-458; props KustoSinkConfig.java:437-472) and
+sends one record per failed sink record with the error-coordinates key
+(TopicPartitionWriter.java:210-233).
+
+Spark rendition: the sink hands ``list[dict]`` batches of
+``{"key": str, "value": str|bytes}`` to a pluggable ``dlq_writer``
+callable. ``KafkaDlqWriter`` is the production implementation — a thin
+shim over a Kafka producer. The producer itself is injectable
+(``producer_factory``) so tests assert the exact key/value bytes without
+a broker; the default factory uses kafka-python when present and raises
+a clear gate error otherwise (no Kafka client ships in this
+environment — same policy as the SDK-gated Kusto backends).
+
+Driver-side by design: DLQ records are the bounded failure tail of a
+batch (the sink collects only failed files' records), so a single
+producer on the driver mirrors the reference's one-producer-per-task
+model without per-executor connection churn.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Callable, Optional
+
+log = logging.getLogger(__name__)
+
+
+def _default_producer_factory(props: dict):
+    """Build a kafka-python producer from reference-style props
+    (bootstrap.servers + pass-through security keys). Gated import:
+    kafka-python is optional, like azure-kusto-ingest for the backends."""
+    try:
+        from kafka import KafkaProducer  # type: ignore[import-not-found]
+    except ImportError as e:
+        raise NotImplementedError(
+            "KafkaDlqWriter requires the kafka-python package (not installed "
+            "in this environment); inject producer_factory or use the "
+            "default file DLQ"
+        ) from e
+    kwargs = {"bootstrap_servers": props.get("bootstrap.servers")}
+    # kafka-python spells Kafka config with underscores; forward the
+    # security-relevant pass-through keys (DLQ_PROPS_PREFIX set).
+    for k, v in props.items():
+        if k in ("bootstrap.servers", "key.serializer", "value.serializer"):
+            continue  # serializers: we hand the producer raw bytes already
+        kwargs[k.replace(".", "_")] = v
+    return KafkaProducer(**kwargs)
+
+
+class KafkaDlqWriter:
+    """``dlq_writer`` callable shipping failed records to the configured
+    DLQ topic as raw bytes (ByteArraySerializer parity)."""
+
+    def __init__(
+        self,
+        topic: str,
+        producer_props: dict,
+        producer_factory: Optional[Callable[[dict], object]] = None,
+    ):
+        self.topic = topic
+        self.producer_props = producer_props
+        self._factory = producer_factory or _default_producer_factory
+        self._producer = None  # lazy — only built on first failure batch
+
+    @classmethod
+    def from_config(cls, config, producer_factory=None) -> "KafkaDlqWriter":
+        if not config.dlq_enabled:
+            raise ValueError("DLQ is not configured (misc.deadletterqueue.*)")
+        return cls(
+            topic=config.dlq_topic_name,
+            producer_props=config.dlq_producer_props(),
+            producer_factory=producer_factory,
+        )
+
+    def __call__(self, records: list[dict]) -> None:
+        if self._producer is None:
+            self._producer = self._factory(self.producer_props)
+        for r in records:
+            key = r["key"].encode("utf-8") if isinstance(r["key"], str) else bytes(r["key"])
+            value = r["value"]
+            value = value.encode("utf-8") if isinstance(value, str) else bytes(value)
+            self._producer.send(self.topic, key=key, value=value)
+        # Reference sends async with an error callback; a flush per batch
+        # bounds in-flight records at micro-batch granularity.
+        self._producer.flush()
+
+    def close(self) -> None:
+        if self._producer is not None:
+            try:
+                self._producer.close()
+            except Exception:  # noqa: BLE001 — close is best-effort
+                log.warning("DLQ producer close failed", exc_info=True)
+            self._producer = None

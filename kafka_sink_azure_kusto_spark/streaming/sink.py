@@ -16,7 +16,20 @@ Scale notes:
   by flush_size_bytes so no group can OOM an executor, and the only
   shuffle is keyed on the natural (topic, partition) parallelism unit.
 - Only the tiny per-file manifest is collected to the driver; record
-  data never is.
+  data never is (DLQ records — failed files only — are the bounded
+  exception).
+- Ingestion of a batch's staged files runs on a bounded thread pool
+  (``config.ingest_threads``): ingest RPCs are I/O-bound HTTP, so one
+  slow file no longer serializes the whole batch behind its retry loop.
+
+Staging-directory requirement (multi-node clusters): files are WRITTEN
+by executors (``applyInPandas``) and READ/deleted by the driver-side
+ingest loop, so ``config.staging_dir`` MUST be shared storage (NFS /
+DBFS / fuse-mounted object store) on a real cluster; executor-local
+paths only work in local mode. A non-shared path surfaces as
+``FileNotFoundError`` at ingest time, which ``classify_ingest_error``
+treats as PERMANENT (no retry-budget burn) precisely to make this
+misconfiguration fail fast.
 """
 
 from __future__ import annotations
@@ -75,7 +88,9 @@ class StagedFile:
     raw_bytes: int
 
 
-def _stage_writer(out_dir: str, fmt: str, binary_mode: bool = False):
+def _stage_writer(
+    out_dir: str, fmt: str, binary_mode: bool = False, avro_schema: Optional[dict] = None
+):
     """Build the applyInPandas group writer: one rolled gzipped file per
     (topic, partition, file_seq) group, named per B4
     (TopicPartitionWriter.java:235-242), owner-only perms like
@@ -83,7 +98,13 @@ def _stage_writer(out_dir: str, fmt: str, binary_mode: bool = False):
 
     ``binary_mode`` is the E4 bytes passthrough: payloads are written
     verbatim with no newline separator (Avro bytes = one complete
-    container file per message, ByteRecordWriterProvider.java:21-39)."""
+    container file per message, ByteRecordWriterProvider.java:21-39).
+
+    ``avro_schema`` switches on E2 struct→Avro: the group's ``value``
+    structs are serialized into ONE Avro Object Container File per rolled
+    file (pure-Python writer, functions/avro_io.py — the DataFileWriter
+    path of AvroRecordWriterProvider.java:27-73), then gzipped like every
+    other staged format (FileWriter.java:151)."""
     import gzip
 
     def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -94,7 +115,13 @@ def _stage_writer(out_dir: str, fmt: str, binary_mode: bool = False):
         name = f"kafka_{topic}_{partition}_{file_offset}.{fmt}.gz"
         os.makedirs(out_dir, exist_ok=True)
         path = os.path.join(out_dir, name)
-        if binary_mode:
+        if avro_schema is not None:
+            from kafka_sink_azure_kusto_spark.functions.avro_io import write_container
+
+            bio = __import__("io").BytesIO()
+            write_container((dict(v) for v in pdf["value"]), avro_schema, bio)
+            body = bio.getvalue()
+        elif binary_mode:
             body = b"".join(bytes(b) for b in pdf["line"])
         else:
             body = ("\n".join(pdf["line"].astype(str)) + "\n").encode("utf-8")
@@ -134,9 +161,15 @@ class KustoSparkSink:
         self.config = config
         self.backend = backend
         self.metrics = metrics or SinkMetrics()
-        # K3 — dlq_writer: callable(list[dict]) shipping failed records;
-        # defaults to an NDJSON file DLQ under staging (Kafka DLQ in prod:
-        # df.write.format("kafka"), TopicPartitionWriter.java:210-233).
+        # K3 — dlq_writer: callable(list[dict]) shipping failed records.
+        # Resolution order: explicit injection > Kafka DLQ when
+        # misc.deadletterqueue.* is configured (KustoSinkTask.java:442-458,
+        # producer built lazily on first failure) > NDJSON file fallback
+        # under staging.
+        if dlq_writer is None and config.dlq_enabled:
+            from kafka_sink_azure_kusto_spark.streaming.dlq import KafkaDlqWriter
+
+            dlq_writer = KafkaDlqWriter.from_config(config)
         self._dlq_writer = dlq_writer
         if config.validate_tables:
             # V1–V4 startup probes, errors aggregated across mappings then
@@ -188,21 +221,32 @@ class KustoSparkSink:
         # complete container file, forcing an immediate roll per record
         # (FileWriter.java:320-323,298; the reference's B3 degenerate mode).
         avro_bytes_mode = fmt in ("avro", "apacheavro") and value_type == "binary"
+        # B3 — flush.interval.ms == 0 rolls EVERY record into its own file
+        # regardless of format (FileWriter.java:298), not just avro-bytes.
+        per_record_roll = avro_bytes_mode or self.config.flush_interval_ms == 0
         # E1/E3/E4 encode to one line per record, JVM-side. Dispatch mirrors
         # FileWriter.initializeRecordWriter (F4): a struct payload is
         # serialized per the mapping's format; a string/binary payload
         # already IS the line (String/ByteRecordWriterProvider).
+        avro_struct_mode = fmt in ("avro", "apacheavro") and value_type == "struct"
+        avro_schema: Optional[dict] = None
+        if avro_struct_mode:
+            # E2 — struct payloads staged as real Avro container files
+            # (AvroRecordWriterProvider.java:27-73) via the pure-Python
+            # writer. ``line`` becomes a JSON size proxy: B1 thresholds
+            # then track serialized record size within a small constant
+            # factor of the avro bytes (documented deviation — the
+            # reference counts exact avro bytes; both bound file sizes).
+            from kafka_sink_azure_kusto_spark.functions.avro_io import avro_schema_for
+
+            avro_schema = avro_schema_for(df.schema["value"].dataType)
         if "line" not in df.columns:
             if avro_bytes_mode:
                 line = F.col("value")  # raw container bytes, untouched
+            elif avro_struct_mode:
+                line = F.to_json(F.col("value"))  # size/empty proxy only
             elif value_type == "struct":
                 struct_df = df.select("value.*")
-                if fmt in ("avro", "apacheavro"):
-                    raise NotImplementedError(
-                        "struct→Avro container encode requires the spark-avro "
-                        "package (to_avro), not present on this classpath; "
-                        "pre-serialized Avro bytes (E4) are supported"
-                    )
                 line = encode_for_format(
                     df, fmt, cols=[f"value.{c}" for c in struct_df.columns]
                 )
@@ -217,37 +261,63 @@ class KustoSparkSink:
         # matching CountingOutputStream accounting, FileWriter.java:332-362).
         # avro-bytes: threshold 1 ⇒ every record rolls its own file (E4/B3).
         df = df.withColumn("serialized_size", F.length("line").cast("long") + F.lit(1))
-        threshold = 1 if avro_bytes_mode else self.config.flush_size_bytes
+        threshold = 1 if per_record_roll else self.config.flush_size_bytes
         df = with_file_assignment(df, threshold)
         out_dir = os.path.join(
             self.config.staging_dir, f"epoch={epoch_id}", m.db, m.table
         )
+        stage_cols = ["topic", "partition", "offset", "line", "file_seq", "file_offset"]
+        if avro_struct_mode:
+            stage_cols.append("value")  # typed structs for the avro writer
         manifest_df = (
-            df.select("topic", "partition", "offset", "line", "file_seq", "file_offset")
+            df.select(*stage_cols)
             .groupBy("topic", "partition", "file_seq")
             .applyInPandas(
-                _stage_writer(out_dir, fmt, binary_mode=avro_bytes_mode),
+                _stage_writer(
+                    out_dir, fmt, binary_mode=avro_bytes_mode, avro_schema=avro_schema
+                ),
                 schema=_MANIFEST_SCHEMA,
             )
         )
         staged = [
             StagedFile(**row.asDict()) for row in manifest_df.collect()
         ]  # tiny: one row per rolled file
+        staged.sort(key=lambda s: (s.topic, s.partition, s.file_offset))
         if not staged:
             return  # lazy-init parity: no empty files (FileWriter.java:185-190)
         props = self._props_for(m)
-        total_records = sum(s.records for s in staged)
+        # Concurrent ingest with PER-FILE outcome tracking: successes count
+        # toward records_written even when a sibling file fails, and only
+        # the failed files' records ever reach the DLQ — a successfully
+        # delivered record must never reappear there as a duplicate.
+        from concurrent.futures import ThreadPoolExecutor
+
+        failed: list[StagedFile] = []
+        first_error: Optional[Exception] = None
+        workers = max(1, min(len(staged), self.config.ingest_threads))
         try:
-            for s in staged:
-                self._ingest_with_retry(s, props)
-            self.metrics.incr("records_written", total_records)
-        except Exception as e:  # noqa: BLE001 — R4 dispatch
-            self.metrics.incr("records_failed", total_records)
-            if self.config.behavior_on_error is BehaviorOnError.FAIL:
-                raise
-            if self.config.behavior_on_error is BehaviorOnError.LOG:
-                log.error("ingestion failed for %s.%s: %s", m.db, m.table, e)
-            self._send_to_dlq(staged, m, e)
+            with ThreadPoolExecutor(
+                max_workers=workers, thread_name_prefix="kusto-ingest"
+            ) as pool:
+                futures = [(pool.submit(self._ingest_with_retry, s, props), s) for s in staged]
+                for fut, s in futures:
+                    try:
+                        fut.result()
+                        self.metrics.incr("records_written", s.records)
+                    except Exception as e:  # noqa: BLE001 — R4 dispatch below
+                        self.metrics.incr("records_failed", s.records)
+                        failed.append(s)
+                        if first_error is None:
+                            first_error = e
+            if first_error is not None:
+                if self.config.behavior_on_error is BehaviorOnError.FAIL:
+                    raise first_error
+                if self.config.behavior_on_error is BehaviorOnError.LOG:
+                    log.error(
+                        "ingestion failed for %d/%d staged files of %s.%s: %s",
+                        len(failed), len(staged), m.db, m.table, first_error,
+                    )
+                self._send_to_dlq(df, failed, m, binary_values=avro_bytes_mode)
         finally:
             for s in staged:
                 try:
@@ -281,42 +351,72 @@ class KustoSparkSink:
             raise
 
     def _send_to_dlq(
-        self, staged: Iterable[StagedFile], m: TopicToTableMapping, err: Exception
+        self,
+        df: DataFrame,
+        failed: Iterable[StagedFile],
+        m: TopicToTableMapping,
+        binary_values: bool = False,
     ) -> None:
-        """K3 — key = error-coordinates string, value = record line
-        (TopicPartitionWriter.java:210-233)."""
-        records = []
-        import gzip
+        """K3 — one DLQ record per failed record, each key carrying the
+        record's OWN kafka coordinates (TopicPartitionWriter.java:210-233
+        formats them per sinkRecord, not per rolled file).
 
-        for s in staged:
-            try:
-                with gzip.open(s.path, "rt", encoding="utf-8") as f:
-                    lines = [ln for ln in f.read().splitlines() if ln]
-            except OSError:
-                continue
-            for ln in lines:
-                records.append(
-                    {
-                        "key": f"Failed to write record to KustoDB with the following kafka coordinates, "
-                        f"topic={s.topic}, partition={s.partition}, offset={s.file_offset}.",
-                        "value": ln,
-                    }
-                )
+        Records come from the batch DataFrame filtered to the failed
+        files' (topic, partition, file_offset) groups — never from
+        re-reading staged gzip on the driver — so per-record offsets
+        survive file rolling, binary Avro payloads never pass through a
+        text decode (a corrupt staged file can't escalate a LOG/IGNORE
+        batch into a query failure), and only failed-file records are
+        collected (bounded by the failure volume, not the batch)."""
+        file_key = F.concat_ws(
+            "\x1f",
+            F.col("topic"),
+            F.col("partition").cast("string"),
+            F.col("file_offset").cast("string"),
+        )
+        wanted = [f"{s.topic}\x1f{s.partition}\x1f{s.file_offset}" for s in failed]
+        rows = (
+            df.filter(file_key.isin(wanted))
+            .select("topic", "partition", "offset", "line")
+            .orderBy("topic", "partition", "offset")
+            .collect()
+        )
+        records = [
+            {
+                "key": f"Failed to write record to KustoDB with the following kafka coordinates, "
+                f"topic={r['topic']}, partition={r['partition']}, offset={r['offset']}.",
+                "value": bytes(r["line"]) if binary_values else str(r["line"]),
+            }
+            for r in rows
+        ]
         if not records:
             return
-        if self._dlq_writer is not None:
-            self._dlq_writer(records)
-        else:
-            dlq_dir = os.path.join(self.config.staging_dir, "_dlq")
-            os.makedirs(dlq_dir, exist_ok=True)
+        writer = self._dlq_writer or self._default_dlq_writer(m)
+        writer(records)
+        self.metrics.incr("dlq_records_sent", len(records))
+
+    def _default_dlq_writer(self, m: TopicToTableMapping):
+        """Fallback DLQ: NDJSON file under staging. Binary values (E4
+        avro-bytes) are base64-encoded under ``value_b64`` so the JSONL
+        stays valid; the Kafka writer ships raw bytes instead."""
+        dlq_dir = os.path.join(self.config.staging_dir, "_dlq")
+        path = os.path.join(dlq_dir, f"dlq_{m.db}_{m.table}.jsonl")
+
+        def write(records: list[dict]) -> None:
+            import base64
             import json
 
-            with open(
-                os.path.join(dlq_dir, f"dlq_{m.db}_{m.table}.jsonl"), "a"
-            ) as f:
+            os.makedirs(dlq_dir, exist_ok=True)
+            with open(path, "a", encoding="utf-8") as f:
                 for r in records:
+                    if isinstance(r.get("value"), (bytes, bytearray)):
+                        r = {
+                            "key": r["key"],
+                            "value_b64": base64.b64encode(bytes(r["value"])).decode("ascii"),
+                        }
                     f.write(json.dumps(r) + "\n")
-        self.metrics.incr("dlq_records_sent", len(records))
+
+        return write
 
     # --------------------------------------------------------- control plane
     def attach(

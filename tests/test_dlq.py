@@ -1,0 +1,116 @@
+"""Kafka DLQ writer tests (K3, TopicPartitionWriter.java:210-233 /
+KustoSinkTask.java:442-458) — property surface round-trip and byte-exact
+producer sends via an injected fake producer (no broker in CI)."""
+
+import json
+
+import pytest
+
+from kafka_sink_azure_kusto_spark.config import KustoSinkConfig, TopicToTableMapping
+from kafka_sink_azure_kusto_spark.streaming.backends import LocalEmulatorBackend
+from kafka_sink_azure_kusto_spark.streaming.dlq import KafkaDlqWriter
+from kafka_sink_azure_kusto_spark.streaming.sink import KustoSparkSink
+
+
+class FakeProducer:
+    def __init__(self):
+        self.sent: list[tuple[str, bytes, bytes]] = []
+        self.flushes = 0
+        self.closed = False
+
+    def send(self, topic, key=None, value=None):
+        self.sent.append((topic, key, value))
+
+    def flush(self):
+        self.flushes += 1
+
+    def close(self):
+        self.closed = True
+
+
+CONNECT_PROPS = {
+    "kusto.ingestion.url": "https://ingest-c.kusto.windows.net",
+    "kusto.tables.topics.mapping": '[{"topic":"t1","db":"db","table":"tb","format":"json"}]',
+    "behavior.on.error": "log",
+    "misc.deadletterqueue.bootstrap.servers": "dlq-broker:9092",
+    "misc.deadletterqueue.topic.name": "dlq.topic",
+    "misc.deadletterqueue.security.protocol": "SASL_SSL",
+    "misc.deadletterqueue.sasl.mechanism": "PLAIN",
+    "misc.deadletterqueue.ssl.truststore.location": "/tmp/ts.jks",
+}
+
+
+def test_dlq_props_roundtrip_from_connect_properties():
+    # KustoSinkConfig.getDlqProps parity (KustoSinkConfig.java:465-472):
+    # prefix-stripped pass-through + bootstrap + byte-array serializers.
+    cfg = KustoSinkConfig.from_connect_properties(CONNECT_PROPS)
+    assert cfg.dlq_enabled
+    assert cfg.dlq_props == {
+        "security.protocol": "SASL_SSL",
+        "sasl.mechanism": "PLAIN",
+        "ssl.truststore.location": "/tmp/ts.jks",
+    }
+    props = cfg.dlq_producer_props()
+    assert props["bootstrap.servers"] == "dlq-broker:9092"
+    assert props["security.protocol"] == "SASL_SSL"
+    assert props["key.serializer"].endswith("ByteArraySerializer")
+    assert props["value.serializer"].endswith("ByteArraySerializer")
+    # DLQ keys are owned, not generic extras
+    assert not any(k.startswith("misc.deadletterqueue") for k in cfg.extra)
+
+
+def test_kafka_dlq_writer_sends_key_value_bytes():
+    fake = FakeProducer()
+    cfg = KustoSinkConfig.from_connect_properties(CONNECT_PROPS)
+    writer = KafkaDlqWriter.from_config(cfg, producer_factory=lambda props: fake)
+    writer(
+        [
+            {"key": "coords-0", "value": '{"a": 1}'},
+            {"key": "coords-1", "value": b"\x00binary\xff"},
+        ]
+    )
+    assert fake.sent == [
+        ("dlq.topic", b"coords-0", b'{"a": 1}'),
+        ("dlq.topic", b"coords-1", b"\x00binary\xff"),
+    ]
+    assert fake.flushes == 1
+    writer.close()
+    assert fake.closed
+
+
+def test_kafka_dlq_writer_gates_without_client():
+    cfg = KustoSinkConfig.from_connect_properties(CONNECT_PROPS)
+    writer = KafkaDlqWriter.from_config(cfg)  # default factory, no kafka-python
+    with pytest.raises(NotImplementedError, match="kafka-python"):
+        writer([{"key": "k", "value": "v"}])
+
+
+def test_sink_wires_kafka_dlq_from_config(spark, tmp_path):
+    # End-to-end: DLQ-configured sink + failing backend ⇒ failed records
+    # land on the fake Kafka producer with per-record coordinate keys.
+    fake = FakeProducer()
+    cfg = KustoSinkConfig.from_connect_properties(CONNECT_PROPS)
+    cfg.staging_dir = str(tmp_path / "staging")
+    backend = LocalEmulatorBackend(str(tmp_path / "kusto"), permanent_fail=True)
+    sink = KustoSparkSink(cfg, backend)
+    sink._dlq_writer = KafkaDlqWriter.from_config(cfg, producer_factory=lambda p: fake)
+    rows = [(f"k{i}", json.dumps({"n": i}), "t1", 0, i) for i in range(3)]
+    df = spark.createDataFrame(
+        rows, "key string, value string, topic string, partition long, offset long"
+    )
+    sink.process_batch(df, epoch_id=0)  # behavior=log ⇒ no raise
+    assert len(fake.sent) == 3
+    for i, (topic, key, value) in enumerate(fake.sent):
+        assert topic == "dlq.topic"
+        assert f"topic=t1, partition=0, offset={i}.".encode() in key
+        assert json.loads(value) == {"n": i}
+    assert sink.metrics.snapshot()["DlqRecordsSent"] == 3
+
+
+def test_dlq_writer_requires_dlq_config():
+    cfg = KustoSinkConfig(
+        ingest_url="https://c.kusto.windows.net",
+        mappings=[TopicToTableMapping(topic="t", db="d", table="t2")],
+    )
+    with pytest.raises(ValueError, match="not configured"):
+        KafkaDlqWriter.from_config(cfg)

@@ -118,6 +118,134 @@ def test_behavior_log_sends_dlq(spark, tmp_path):
     assert m["RecordsFailed"] == 4
 
 
+def test_dlq_keys_carry_per_record_offsets(spark, tmp_path):
+    # K3 fidelity (TopicPartitionWriter.java:210-233): a multi-record
+    # rolled file must yield one DLQ record per source record, each key
+    # carrying the record's OWN offset — not the file's base offset.
+    backend = LocalEmulatorBackend(str(tmp_path / "kusto"), permanent_fail=True)
+    dlq: list[dict] = []
+    cfg = _cfg(
+        tmp_path,
+        mappings=[TopicToTableMapping(topic="topic1", db="db1", table="t", format="json")],
+        behavior_on_error=BehaviorOnError.IGNORE,
+    )
+    sink = KustoSparkSink(cfg, backend, dlq_writer=dlq.extend)
+    sink.process_batch(_records_df(spark, n=5), epoch_id=0)  # one rolled file, 5 records
+    keys = [d["key"] for d in dlq]
+    assert len(keys) == 5
+    for i in range(5):
+        assert (
+            f"topic=topic1, partition=0, offset={i}." in keys[i]
+        ), keys[i]  # byte-identical to the dlq_key_format oracle's shape
+    assert [json.loads(d["value"])["hello"] for d in dlq] == list(range(5))
+
+
+def test_partial_failure_only_failed_files_reach_dlq(spark, tmp_path):
+    # Per-file outcome tracking: 3 rolled files, the first ingest fails
+    # permanently via a flaky wrapper — only that file's records may land
+    # in the DLQ; the other files' records count as written.
+    class FirstCallFails:
+        def __init__(self, inner):
+            self.inner = inner
+            self.calls = 0
+
+        def ingest_file(self, path, props):
+            self.calls += 1
+            if self.calls == 1:
+                from kafka_sink_azure_kusto_spark.streaming.backends import (
+                    PermanentIngestError,
+                )
+
+                raise PermanentIngestError("boom")
+            return self.inner.ingest_file(path, props)
+
+        def validate(self, props):
+            return None
+
+    rows = [(f"k{i}", "x" * 53, "topic1", 0, i) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "key string, value string, topic string, partition long, offset long"
+    )
+    dlq: list[dict] = []
+    cfg = _cfg(
+        tmp_path,
+        mappings=[TopicToTableMapping(topic="topic1", db="db1", table="t", format="csv")],
+        flush_size_bytes=100,  # ⇒ 3 files × 2 records
+        behavior_on_error=BehaviorOnError.LOG,
+        ingest_threads=1,  # deterministic: first submitted file fails
+    )
+    backend = FirstCallFails(LocalEmulatorBackend(str(tmp_path / "kusto")))
+    sink = KustoSparkSink(cfg, backend, dlq_writer=dlq.extend)
+    sink.process_batch(df, epoch_id=0)
+    m = sink.metrics.snapshot()
+    assert m["RecordsWritten"] == 4  # 2 surviving files
+    assert m["RecordsFailed"] == 2  # only the failed file
+    assert m["DlqRecordsSent"] == 2
+    dlq_offsets = sorted(int(d["key"].split("offset=")[1].rstrip(".")) for d in dlq)
+    assert dlq_offsets == [0, 1]  # the failed file's own records
+
+
+def test_ingest_runs_concurrently(spark, tmp_path):
+    # The staged files of one batch must ingest in parallel (bounded
+    # pool), not serially behind each other's latency.
+    import threading
+    import time as _time
+
+    class SlowBackend:
+        def __init__(self):
+            self._lock = threading.Lock()
+            self.active = 0
+            self.max_active = 0
+
+        def ingest_file(self, path, props):
+            with self._lock:
+                self.active += 1
+                self.max_active = max(self.max_active, self.active)
+            _time.sleep(0.3)
+            with self._lock:
+                self.active -= 1
+            from kafka_sink_azure_kusto_spark.streaming.backends import IngestResult
+
+            return IngestResult(status="Succeeded", source_id=path)
+
+        def validate(self, props):
+            return None
+
+    rows = [(f"k{i}", "x" * 53, "topic1", i % 4, i) for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "key string, value string, topic string, partition long, offset long"
+    )
+    cfg = _cfg(
+        tmp_path,
+        mappings=[TopicToTableMapping(topic="topic1", db="db1", table="t", format="csv")],
+        flush_size_bytes=100,  # ⇒ 4 files (one per partition)
+    )
+    backend = SlowBackend()
+    sink = KustoSparkSink(cfg, backend)
+    t0 = _time.monotonic()
+    sink.process_batch(df, epoch_id=0)
+    elapsed = _time.monotonic() - t0
+    assert backend.max_active >= 2  # genuinely concurrent
+    assert elapsed < 4 * 0.3 + 2.0  # not serialized (4 × 0.3 s + slack)
+
+
+def test_flush_interval_zero_rolls_per_record(spark, tmp_path):
+    # B3 (FileWriter.java:298): flush.interval.ms == 0 ⇒ every record
+    # rolls its own staged file, for ALL formats — not just avro-bytes.
+    cfg = _cfg(
+        tmp_path,
+        mappings=[TopicToTableMapping(topic="topic1", db="db1", table="t", format="json")],
+        flush_interval_ms=0,
+        trigger_interval_ms=100,
+    )
+    backend = LocalEmulatorBackend(str(tmp_path / "kusto"))
+    sink = KustoSparkSink(cfg, backend)
+    sink.process_batch(_records_df(spark, n=5), epoch_id=0)
+    log = [e for e in backend.ingest_log() if e["table"] == "t"]
+    assert len(log) == 5  # N records ⇒ N files
+    assert all(e["records"] == 1 for e in log)
+
+
 def test_permanent_error_skips_retry(spark, tmp_path):
     backend = LocalEmulatorBackend(str(tmp_path / "kusto"), permanent_fail=True)
     cfg = _cfg(

@@ -95,15 +95,27 @@ def test_avro_bytes_roll_per_message(spark, tmp_path):
     assert all(e["file"].endswith(".avro.gz") for e in log)
 
 
-def test_struct_to_avro_raises_clear_error(spark, tmp_path):
+def test_struct_to_avro_container_roundtrip(spark, tmp_path):
+    # E2 (AvroRecordWriterProvider.java:27-73): struct payloads are staged
+    # as real Avro Object Container Files — parse one back and check both
+    # values and the declared reader schema.
+    from kafka_sink_azure_kusto_spark.functions.avro_io import read_container
+
     df = spark.createDataFrame(
-        [(("x", 1), "t1", 0, 0)],
+        [(("x", 1), "t1", 0, 0), (("y", None), "t1", 0, 1)],
         "value struct<s:string,i:int>, topic string, partition long, offset long",
     )
     cfg = _cfg(tmp_path, [TopicToTableMapping(topic="t1", db="d", table="t", format="avro")])
-    sink = KustoSparkSink(cfg, LocalEmulatorBackend(str(tmp_path / "kusto")))
-    with pytest.raises(NotImplementedError, match="spark-avro"):
-        sink.process_batch(df, epoch_id=0)
+    backend = LocalEmulatorBackend(str(tmp_path / "kusto"))
+    sink = KustoSparkSink(cfg, backend)
+    sink.process_batch(df, epoch_id=0)
+    files = backend.table_files("d", "t")
+    assert len(files) == 1
+    with open(files[0], "rb") as f:
+        schema, records = read_container(f.read())
+    assert [f_["name"] for f_ in schema["fields"]] == ["s", "i"]
+    assert records == [{"s": "x", "i": 1}, {"s": "y", "i": None}]
+    assert backend.ingest_log()[0]["records"] == 2
 
 
 def test_validation_probes(tmp_path):
