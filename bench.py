@@ -44,6 +44,9 @@ HEADLINE = [
     "text_quality",
     "text_token_counts",
     "multimodal_decode",
+    # curation (r2)
+    "deterministic_sample",
+    "sequence_packing",
 ]
 
 

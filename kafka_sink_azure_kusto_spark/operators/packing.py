@@ -1,0 +1,65 @@
+"""Sequence packing for LLM training pipelines (north-star op).
+
+Training consumes documents concatenated into fixed-size context windows
+("packing"); unpacked short documents waste compute as padding. This
+operator assigns each document a (shard, pack) coordinate such that the
+token sum per pack stays ≤ the context budget — the training-data twin
+of the sink's size-based file rolling (operators/batching.py), and it
+reuses the same scale-safe shape:
+
+- Documents are sharded by a deterministic key hash; each shard packs
+  independently with a window prefix-sum (one narrow shuffle keyed on
+  the shard id — no global ordering, no driver loop, no sequential
+  dependency across shards). At 100 TB, shards ≫ executors and each
+  window partition is bounded.
+- Within a shard, docs pack in stable key order; pack boundaries are the
+  prefix-sum bucket ``floor(cum_tokens_before / budget)`` — the same
+  deviation from sequential first-fit as file assignment (documented in
+  with_file_assignment): a pack may overshoot by at most one document,
+  and a document longer than the budget occupies its own pack(s).
+  Deterministic and engine-portable, so the DuckDB oracle runs the
+  literally-same computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    max_tokens: int = 2048,
+    num_shards: int = 64,
+) -> DataFrame:
+    """Adds ``shard`` (hash bucket), ``pack_id`` (0-based within shard)
+    and ``pack_tokens_before`` (prefix sum — the document's start offset
+    inside its pack stream). Output rows = input rows."""
+    df = df.withColumn("shard", F.pmod(F.col(key_col), F.lit(num_shards)).cast("int"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("long")
+    return df.withColumn("pack_tokens_before", before).withColumn(
+        "pack_id", (before / F.lit(max_tokens)).cast("bigint")
+    )
+
+
+def pack_stats(packed: DataFrame, max_tokens: int = 2048) -> DataFrame:
+    """Per-(shard, pack) utilization: docs, tokens, fill ratio — the
+    padding-waste observable a packing pipeline monitors."""
+    return (
+        packed.groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("pack_tokens"),
+        )
+        .withColumn(
+            "fill_ratio",
+            F.round(F.col("pack_tokens") / F.lit(float(max_tokens)), 6),
+        )
+    )

@@ -209,18 +209,28 @@ class LocalEmulatorBackend:
         table_dir = os.path.join(self.root, props.database, props.table)
         os.makedirs(table_dir, exist_ok=True)
         out = os.path.join(table_dir, f"part-{source_id}.{props.format}")
-        if props.format in ("avro", "apacheavro"):
-            # E2 — staged Avro container files are binary: copy verbatim
-            # (decompressed) and count records by parsing the container.
-            from kafka_sink_azure_kusto_spark.functions.avro_io import read_container
-
+        if props.format in ("avro", "apacheavro", "parquet", "orc"):
+            # Binary container formats: copy verbatim (decompressed) and
+            # count records by parsing the container (E2 avro; parquet
+            # via pyarrow footer metadata).
             opener = gzip.open if path.endswith(".gz") else open
             with opener(path, "rb") as f:
                 blob = f.read()
             try:
-                n_records = len(read_container(blob)[1])
-            except (ValueError, EOFError, KeyError):
-                n_records = 1  # E4 passthrough: one opaque payload per file
+                if props.format in ("avro", "apacheavro"):
+                    from kafka_sink_azure_kusto_spark.functions.avro_io import (
+                        read_container,
+                    )
+
+                    n_records = len(read_container(blob)[1])
+                else:
+                    import io as _io
+
+                    import pyarrow.parquet as pq
+
+                    n_records = pq.ParquetFile(_io.BytesIO(blob)).metadata.num_rows
+            except Exception:  # noqa: BLE001 — opaque payload (E4 passthrough)
+                n_records = 1
             with self._lock:
                 with open(out, "wb") as f:
                     f.write(blob)

@@ -89,7 +89,11 @@ class StagedFile:
 
 
 def _stage_writer(
-    out_dir: str, fmt: str, binary_mode: bool = False, avro_schema: Optional[dict] = None
+    out_dir: str,
+    fmt: str,
+    binary_mode: bool = False,
+    avro_schema: Optional[dict] = None,
+    arrow_schema=None,
 ):
     """Build the applyInPandas group writer: one rolled gzipped file per
     (topic, partition, file_seq) group, named per B4
@@ -104,7 +108,11 @@ def _stage_writer(
     structs are serialized into ONE Avro Object Container File per rolled
     file (pure-Python writer, functions/avro_io.py — the DataFileWriter
     path of AvroRecordWriterProvider.java:27-73), then gzipped like every
-    other staged format (FileWriter.java:151)."""
+    other staged format (FileWriter.java:151).
+
+    ``arrow_schema`` switches on struct→parquet (extension beyond the
+    reference's writer set; Kusto ingests parquet natively): one parquet
+    file per rolled file via pyarrow, typed by the Spark struct schema."""
     import gzip
 
     def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -120,6 +128,18 @@ def _stage_writer(
 
             bio = __import__("io").BytesIO()
             write_container((dict(v) for v in pdf["value"]), avro_schema, bio)
+            body = bio.getvalue()
+        elif arrow_schema is not None:
+            import io as _io
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            table = pa.Table.from_pylist(
+                [dict(v) for v in pdf["value"]], schema=arrow_schema
+            )
+            bio = _io.BytesIO()
+            pq.write_table(table, bio)
             body = bio.getvalue()
         elif binary_mode:
             body = b"".join(bytes(b) for b in pdf["line"])
@@ -229,7 +249,15 @@ class KustoSparkSink:
         # serialized per the mapping's format; a string/binary payload
         # already IS the line (String/ByteRecordWriterProvider).
         avro_struct_mode = fmt in ("avro", "apacheavro") and value_type == "struct"
+        parquet_struct_mode = fmt == "parquet" and value_type == "struct"
         avro_schema: Optional[dict] = None
+        arrow_schema = None
+        if parquet_struct_mode:
+            # Parquet staging (extension; Kusto-native format): typed by
+            # the Spark struct schema so the round trip is lossless.
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            arrow_schema = to_arrow_schema(df.schema["value"].dataType)
         if avro_struct_mode:
             # E2 — struct payloads staged as real Avro container files
             # (AvroRecordWriterProvider.java:27-73) via the pure-Python
@@ -243,7 +271,7 @@ class KustoSparkSink:
         if "line" not in df.columns:
             if avro_bytes_mode:
                 line = F.col("value")  # raw container bytes, untouched
-            elif avro_struct_mode:
+            elif avro_struct_mode or parquet_struct_mode:
                 line = F.to_json(F.col("value"))  # size/empty proxy only
             elif value_type == "struct":
                 struct_df = df.select("value.*")
@@ -267,14 +295,18 @@ class KustoSparkSink:
             self.config.staging_dir, f"epoch={epoch_id}", m.db, m.table
         )
         stage_cols = ["topic", "partition", "offset", "line", "file_seq", "file_offset"]
-        if avro_struct_mode:
-            stage_cols.append("value")  # typed structs for the avro writer
+        if avro_struct_mode or parquet_struct_mode:
+            stage_cols.append("value")  # typed structs for the container writer
         manifest_df = (
             df.select(*stage_cols)
             .groupBy("topic", "partition", "file_seq")
             .applyInPandas(
                 _stage_writer(
-                    out_dir, fmt, binary_mode=avro_bytes_mode, avro_schema=avro_schema
+                    out_dir,
+                    fmt,
+                    binary_mode=avro_bytes_mode,
+                    avro_schema=avro_schema,
+                    arrow_schema=arrow_schema,
                 ),
                 schema=_MANIFEST_SCHEMA,
             )
