@@ -94,3 +94,63 @@ def resize_stub(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
     return df.withColumn(
         "scale_x", F.col("width") / F.lit(float(target_w))
     ).withColumn("scale_y", F.col("height") / F.lit(float(target_h)))
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("feat_idx", LongType(), False),
+        StructField("feature", StringType(), False),
+    ]
+)
+
+
+def feature_extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body for feature extraction: blob → 8 scalar features
+    in long form (doc_id, feat_idx, feature). STUB feature function —
+    md5-derived hex-pair values, so the SQL oracle reproduces it exactly
+    on the text stand-in payload; a real deployment swaps in a CLIP/CNN
+    embedding call with the identical Arrow batch shape. Features are
+    emitted as fixed-6-decimal strings to keep the cross-engine hash in
+    exact arithmetic."""
+    for pdf in it:
+        rows = {"doc_id": [], "feat_idx": [], "feature": []}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            h = hashlib.md5(bytes(blob)).hexdigest()
+            for i in range(8):
+                rows["doc_id"].append(int(doc_id))
+                rows["feat_idx"].append(i)
+                rows["feature"].append(f"{int(h[2 * i:2 * i + 2], 16) / 255.0:.6f}")
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                "feat_idx": pd.Series(rows["feat_idx"], dtype="int64"),
+                "feature": rows["feature"],
+            }
+        )
+
+
+def feature_extract(df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the binary column — narrow
+    (no shuffle), memory bounded by the Arrow batch, output long-form so
+    downstream aggregation/indexing shuffles carry fixed-width rows."""
+    return df.mapInPandas(feature_extract_batches, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_k: int = 5) -> DataFrame:
+    """Frame-sampling plumbing for video columns: derive the frame count
+    from the payload metadata (STUB: 1 + n_bytes mod 60 — a real
+    deployment reads the container header in the decode pass) and emit
+    every ``every_k``-th frame index. Entirely JVM-side
+    (sequence + explode): the expensive per-frame decode then runs ONLY
+    on the sampled (doc_id, frame_idx) rows, which is the point of
+    sampling before decoding at 100 TB."""
+    n_frames = (F.length("blob").cast("long") % 60 + 1).alias("n_frames")
+    return (
+        df.select("doc_id", F.length("blob").cast("long").alias("n_bytes"), n_frames)
+        .withColumn(
+            "frame_idx",
+            F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_k))),
+        )
+        .select("doc_id", "n_frames", "frame_idx")
+    )

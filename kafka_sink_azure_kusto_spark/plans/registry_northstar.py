@@ -541,3 +541,58 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     path is oracle-checked)."""
     docs = load_table(spark, sf_dir, "documents")
     return M.decode_media(M.with_media_blob(docs))
+
+
+def _hexpair_sql(expr: str, i: int) -> str:
+    """SQL value of md5 hex pair i (0-based) — 16*digit(2i+1)+digit(2i+2),
+    ascii arithmetic (the portable hex pattern from functions/dedup.py)."""
+
+    def d(pos: int) -> str:
+        a = f"ascii(substr(md5({expr}), {pos}, 1))"
+        return f"(CASE WHEN {a} >= 97 THEN {a} - 87 ELSE {a} - 48 END)"
+
+    return f"(16 * {d(2 * i + 1)} + {d(2 * i + 2)})"
+
+
+@register(
+    "multimodal_feature_extract",
+    "SELECT doc_id, feat_idx, feature FROM (\n"
+    + "\nUNION ALL\n".join(
+        f"""SELECT doc_id, CAST({i} AS BIGINT) AS feat_idx,
+               printf('%.6f', {_hexpair_sql("text", i)} / 255.0) AS feature
+        FROM documents"""
+        for i in range(8)
+    )
+    + "\n)",
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over the binary column: Arrow-batched
+    mapInPandas emitting 8 features per document in long form (STUB
+    feature fn — md5 hex pairs; a CLIP/CNN call slots into the same
+    batch shape). Long-form output keeps downstream shuffles fixed-width;
+    features print at 6 decimals so the oracle hash stays in exact
+    arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.feature_extract(M.with_media_blob(docs))
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) % 60 + 1 AS BIGINT) AS n_frames
+      FROM documents)
+    SELECT doc_id, n_frames,
+           CAST(unnest(generate_series(0, n_frames - 1, 5)) AS BIGINT) AS frame_idx
+    FROM m
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling plumbing: frame count from payload metadata
+    (STUB: n_bytes mod 60 + 1), every-5th frame index via JVM
+    sequence+explode — the cheap row-multiplying step that runs BEFORE
+    any per-frame decode, so the expensive path only sees sampled
+    frames."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.frame_sample(M.with_media_blob(docs), every_k=5)

@@ -69,3 +69,28 @@ def test_bpe_ish_longer_than_words(spark):
         "doc_id", T.bpe_ish_token_count("text").alias("n")).collect()}
     assert got[0] == 7  # ceil(28/4) pieces for one long word
     assert got[1] == 3
+
+
+def test_multimodal_feature_extract_shape(spark):
+    from kafka_sink_azure_kusto_spark.functions import multimodal as M
+
+    df = spark.createDataFrame([(1, "hello"), (2, "world")], "doc_id long, text string")
+    out = M.feature_extract(M.with_media_blob(df)).collect()
+    assert len(out) == 16  # 8 features per doc, long form
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.feat_idx, r.feature))
+        assert 0.0 <= float(r.feature) <= 1.0
+    assert sorted(i for i, _ in by_doc[1]) == list(range(8))
+    # deterministic: same payload → same features
+    out2 = M.feature_extract(M.with_media_blob(df)).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_multimodal_frame_sample_every_k(spark):
+    from kafka_sink_azure_kusto_spark.functions import multimodal as M
+
+    df = spark.createDataFrame([(1, "x" * 13)], "doc_id long, text string")
+    rows = M.frame_sample(M.with_media_blob(df), every_k=5).collect()
+    # 13 bytes ⇒ n_frames = 14 ⇒ sampled indices 0,5,10
+    assert [(r.n_frames, r.frame_idx) for r in rows] == [(14, 0), (14, 5), (14, 10)]
