@@ -223,6 +223,12 @@ class LocalEmulatorBackend:
                     )
 
                     n_records = len(read_container(blob)[1])
+                elif props.format == "orc":
+                    import io as _io
+
+                    import pyarrow.orc as _orc
+
+                    n_records = _orc.ORCFile(_io.BytesIO(blob)).nrows
                 else:
                     import io as _io
 

@@ -22,14 +22,21 @@ Scale notes:
   (``config.ingest_threads``): ingest RPCs are I/O-bound HTTP, so one
   slow file no longer serializes the whole batch behind its retry loop.
 
-Staging-directory requirement (multi-node clusters): files are WRITTEN
-by executors (``applyInPandas``) and READ/deleted by the driver-side
-ingest loop, so ``config.staging_dir`` MUST be shared storage (NFS /
-DBFS / fuse-mounted object store) on a real cluster; executor-local
-paths only work in local mode. A non-shared path surfaces as
-``FileNotFoundError`` at ingest time, which ``classify_ingest_error``
-treats as PERMANENT (no retry-budget burn) precisely to make this
-misconfiguration fail fast.
+Staging-directory requirement (multi-node clusters): in the default
+driver-ingest mode, files are WRITTEN by executors (``applyInPandas``)
+and READ/deleted by the driver-side ingest loop, so
+``config.staging_dir`` MUST be shared storage (NFS / DBFS /
+fuse-mounted object store) on a real cluster; executor-local paths only
+work in local mode. A non-shared path surfaces as ``FileNotFoundError``
+at ingest time, which ``classify_ingest_error`` treats as PERMANENT (no
+retry-budget burn) precisely to make this misconfiguration fail fast.
+
+``executor_side_ingest=True`` removes that requirement entirely — each
+staging group ingests its own rolled file on the executor that wrote it
+(retry + permanent classification included), the file never leaves
+local disk, and ingest parallelism equals staging parallelism. This is
+the 1000-executor mode; the driver only aggregates the per-file outcome
+manifest (metrics, behavior.on.error, DLQ).
 """
 
 from __future__ import annotations
@@ -74,6 +81,10 @@ _MANIFEST_SCHEMA = StructType(
         StructField("file_offset", LongType(), False),
         StructField("records", LongType(), False),
         StructField("raw_bytes", LongType(), False),
+        # Executor-side-ingest outcome (driver-mode rows carry "Staged").
+        StructField("status", StringType(), False),
+        StructField("error", StringType(), False),
+        StructField("attempts", LongType(), False),
     ]
 )
 
@@ -86,6 +97,27 @@ class StagedFile:
     file_offset: int
     records: int
     raw_bytes: int
+    status: str = "Staged"
+    error: str = ""
+    attempts: int = 0
+
+
+# Per-Python-worker backend cache for executor-side ingest: one client
+# per (worker process, cache token) instead of one per rolled file —
+# applyInPandas reuses worker processes across groups and batches.
+_EXECUTOR_BACKENDS: dict = {}
+
+
+def _cached_backend(token: str, factory):
+    b = _EXECUTOR_BACKENDS.get(token)
+    if b is None:
+        if len(_EXECUTOR_BACKENDS) >= 16:
+            # Long-lived workers serving many sink instances: bound the
+            # cache (stale clients from finished sinks hold connections).
+            _EXECUTOR_BACKENDS.clear()
+        b = factory()
+        _EXECUTOR_BACKENDS[token] = b
+    return b
 
 
 def _stage_writer(
@@ -94,6 +126,7 @@ def _stage_writer(
     binary_mode: bool = False,
     avro_schema: Optional[dict] = None,
     arrow_schema=None,
+    ingest: Optional[dict] = None,
 ):
     """Build the applyInPandas group writer: one rolled gzipped file per
     (topic, partition, file_seq) group, named per B4
@@ -112,7 +145,15 @@ def _stage_writer(
 
     ``arrow_schema`` switches on struct→parquet (extension beyond the
     reference's writer set; Kusto ingests parquet natively): one parquet
-    file per rolled file via pyarrow, typed by the Spark struct schema."""
+    file per rolled file via pyarrow, typed by the Spark struct schema.
+
+    ``ingest`` (executor-side-ingest mode) carries ``{"factory", "token",
+    "props", "max_attempts", "backoff_ms"}``: the group ingests its OWN
+    rolled file right after writing it — write and ingest co-located on
+    the executor, so ``staging_dir`` needs no shared filesystem and
+    ingest parallelism equals staging parallelism. The manifest row
+    reports the per-file outcome instead of raising, so one poisoned
+    group can't kill the Spark stage before its siblings finish."""
     import gzip
 
     def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -133,13 +174,19 @@ def _stage_writer(
             import io as _io
 
             import pyarrow as pa
-            import pyarrow.parquet as pq
 
             table = pa.Table.from_pylist(
                 [dict(v) for v in pdf["value"]], schema=arrow_schema
             )
             bio = _io.BytesIO()
-            pq.write_table(table, bio)
+            if fmt == "orc":
+                import pyarrow.orc as _orc
+
+                _orc.write_table(table, bio)
+            else:
+                import pyarrow.parquet as pq
+
+                pq.write_table(table, bio)
             body = bio.getvalue()
         elif binary_mode:
             body = b"".join(bytes(b) for b in pdf["line"])
@@ -149,6 +196,40 @@ def _stage_writer(
             os.fchmod(raw.fileno(), 0o600)
             with gzip.GzipFile(fileobj=raw, mode="wb", mtime=0) as gz:
                 gz.write(body)
+        status, error, attempts = "Staged", "", 0
+        if ingest is not None:
+            from kafka_sink_azure_kusto_spark.streaming.backends import (
+                classify_ingest_error,
+            )
+            from kafka_sink_azure_kusto_spark.streaming.retry import (
+                retry_with_backoff,
+            )
+
+            backend = _cached_backend(ingest["token"], ingest["factory"])
+            n_attempts = [0]
+
+            def attempt():
+                result = backend.ingest_file(path, ingest["props"])
+                if not result.accepted:
+                    raise RuntimeError(f"ingestion final status {result.status}")
+                return result
+
+            try:
+                retry_with_backoff(
+                    attempt,
+                    max_attempts=ingest["max_attempts"],
+                    backoff_ms=ingest["backoff_ms"],
+                    is_permanent=classify_ingest_error,
+                    on_attempt=lambda _: n_attempts.__setitem__(0, n_attempts[0] + 1),
+                )
+                status = "Succeeded"
+            except Exception as e:  # noqa: BLE001 — reported via manifest
+                status, error = "Failed", f"{type(e).__name__}: {e}"
+            attempts = n_attempts[0]
+            try:
+                os.remove(path)  # B5 — co-located cleanup, success or not
+            except OSError:
+                pass
         return pd.DataFrame(
             [
                 {
@@ -158,6 +239,9 @@ def _stage_writer(
                     "file_offset": file_offset,
                     "records": len(pdf),
                     "raw_bytes": len(body),
+                    "status": status,
+                    "error": error,
+                    "attempts": attempts,
                 }
             ]
         )
@@ -177,10 +261,29 @@ class KustoSparkSink:
         backend: IngestBackend,
         metrics: Optional[SinkMetrics] = None,
         dlq_writer=None,
+        backend_factory=None,
+        executor_side_ingest: bool = False,
     ):
         self.config = config
         self.backend = backend
         self.metrics = metrics or SinkMetrics()
+        # Executor-side ingest (the 1000-executor mode): each staging
+        # group ingests its own rolled file where it wrote it — no shared
+        # staging_dir, ingest parallelism = staging parallelism, and the
+        # driver only sees the per-file outcome manifest.
+        # ``backend_factory`` must be a picklable zero-arg callable
+        # building the backend ON the executor (clients don't pickle).
+        if executor_side_ingest and backend_factory is None:
+            raise ValueError("executor_side_ingest=True requires backend_factory")
+        self._backend_factory = backend_factory
+        self._executor_side_ingest = executor_side_ingest
+        # Sink-instance nonce: scopes the executor-side backend cache so
+        # a reused Python worker never serves this sink with a client
+        # built by a DIFFERENT sink's factory (same cluster URL ≠ same
+        # factory — think tests, or credential rotation on restart).
+        import uuid as _uuid
+
+        self._instance_token = _uuid.uuid4().hex
         # K3 — dlq_writer: callable(list[dict]) shipping failed records.
         # Resolution order: explicit injection > Kafka DLQ when
         # misc.deadletterqueue.* is configured (KustoSinkTask.java:442-458,
@@ -249,12 +352,13 @@ class KustoSparkSink:
         # serialized per the mapping's format; a string/binary payload
         # already IS the line (String/ByteRecordWriterProvider).
         avro_struct_mode = fmt in ("avro", "apacheavro") and value_type == "struct"
-        parquet_struct_mode = fmt == "parquet" and value_type == "struct"
+        parquet_struct_mode = fmt in ("parquet", "orc") and value_type == "struct"
         avro_schema: Optional[dict] = None
         arrow_schema = None
         if parquet_struct_mode:
-            # Parquet staging (extension; Kusto-native format): typed by
-            # the Spark struct schema so the round trip is lossless.
+            # Parquet/ORC staging (extension; Kusto ingests both
+            # natively): typed by the Spark struct schema so the round
+            # trip is lossless.
             from pyspark.sql.pandas.types import to_arrow_schema
 
             arrow_schema = to_arrow_schema(df.schema["value"].dataType)
@@ -297,6 +401,16 @@ class KustoSparkSink:
         stage_cols = ["topic", "partition", "offset", "line", "file_seq", "file_offset"]
         if avro_struct_mode or parquet_struct_mode:
             stage_cols.append("value")  # typed structs for the container writer
+        props = self._props_for(m)
+        ingest_spec = None
+        if self._executor_side_ingest:
+            ingest_spec = {
+                "factory": self._backend_factory,
+                "token": f"{self._instance_token}|{self.config.ingest_url}",
+                "props": props,
+                "max_attempts": self.config.max_retry_attempts,
+                "backoff_ms": self.config.retry_backoff_time_ms,
+            }
         manifest_df = (
             df.select(*stage_cols)
             .groupBy("topic", "partition", "file_seq")
@@ -307,6 +421,7 @@ class KustoSparkSink:
                     binary_mode=avro_bytes_mode,
                     avro_schema=avro_schema,
                     arrow_schema=arrow_schema,
+                    ingest=ingest_spec,
                 ),
                 schema=_MANIFEST_SCHEMA,
             )
@@ -317,7 +432,9 @@ class KustoSparkSink:
         staged.sort(key=lambda s: (s.topic, s.partition, s.file_offset))
         if not staged:
             return  # lazy-init parity: no empty files (FileWriter.java:185-190)
-        props = self._props_for(m)
+        if self._executor_side_ingest:
+            self._finish_executor_ingested(df, staged, m, avro_bytes_mode)
+            return
         # Concurrent ingest with PER-FILE outcome tracking: successes count
         # toward records_written even when a sibling file fails, and only
         # the failed files' records ever reach the DLQ — a successfully
@@ -356,6 +473,38 @@ class KustoSparkSink:
                     os.remove(s.path)  # B5 — delete local file after roll
                 except OSError:
                     pass
+
+    def _finish_executor_ingested(
+        self,
+        df: DataFrame,
+        staged: list[StagedFile],
+        m: TopicToTableMapping,
+        binary_values: bool,
+    ) -> None:
+        """Aggregate executor-side-ingest outcomes: per-file metrics from
+        the manifest, then the same R4 behavior dispatch and per-record
+        DLQ as driver mode (files were already retried, ingested and
+        deleted where they were written)."""
+        failed = [s for s in staged if s.status != "Succeeded"]
+        for s in staged:
+            self.metrics.incr("ingestion_attempts", s.attempts)
+            if s.status == "Succeeded":
+                self.metrics.incr("ingestion_successes")
+                self.metrics.incr("records_written", s.records)
+            else:
+                self.metrics.incr("ingestion_failures")
+                self.metrics.incr("records_failed", s.records)
+        if not failed:
+            return
+        first_error = RuntimeError(
+            f"executor-side ingestion failed for {len(failed)}/{len(staged)} "
+            f"files of {m.db}.{m.table}; first: {failed[0].error}"
+        )
+        if self.config.behavior_on_error is BehaviorOnError.FAIL:
+            raise first_error
+        if self.config.behavior_on_error is BehaviorOnError.LOG:
+            log.error("%s", first_error)
+        self._send_to_dlq(df, failed, m, binary_values=binary_values)
 
     def _ingest_with_retry(self, s: StagedFile, props: IngestionProperties) -> None:
         """R2 constant backoff + R3 permanent classification around K1/K2."""

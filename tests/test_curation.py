@@ -99,3 +99,27 @@ def test_parquet_stage_roundtrip_types(spark, tmp_path):
     back = spark.read.parquet(files[0]).orderBy("s").collect()
     assert [(r.s, r.d, r.i) for r in back] == [("a", 1.5, 10), ("b", None, None)]
     assert backend.ingest_log()[0]["records"] == 2  # footer-counted
+
+
+def test_orc_stage_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, ("a", 10)), (2, ("b", None))],
+        "offset long, value struct<s:string,i:long>",
+    ).select(
+        F.lit("t1").alias("topic"),
+        F.lit(0).cast("long").alias("partition"),
+        "offset",
+        "value",
+    )
+    cfg = KustoSinkConfig(
+        ingest_url="https://ingest.example.kusto.windows.net",
+        mappings=[TopicToTableMapping(topic="t1", db="d", table="t", format="orc")],
+        staging_dir=str(tmp_path / "staging"),
+    )
+    backend = LocalEmulatorBackend(str(tmp_path / "kusto"))
+    KustoSparkSink(cfg, backend).process_batch(df, epoch_id=0)
+    files = backend.table_files("d", "t")
+    assert len(files) == 1 and files[0].endswith(".orc")
+    back = spark.read.orc(files[0]).orderBy("s").collect()
+    assert [(r.s, r.i) for r in back] == [("a", 10), ("b", None)]
+    assert backend.ingest_log()[0]["records"] == 2  # ORC-counted
