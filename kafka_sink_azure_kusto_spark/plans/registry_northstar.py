@@ -425,6 +425,47 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.language_id("text").alias("lang_guess"))
 
 
+from kafka_sink_azure_kusto_spark.plans.registry import _REGISTRY as _REG  # noqa: E402
+
+
+@register(
+    "corpus_language_stats",
+    # Compose the ALREADY-PROVEN per-doc oracles (language id + token
+    # count) by reference, so the aggregate can't drift from the row-level
+    # definitions it summarizes.
+    f"""
+    WITH lang AS ({_REG["text_language_id"][1]}),
+         tok AS (SELECT doc_id,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                 FROM documents)
+    SELECT lang.lang_guess AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(tok.n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(tok.n_tokens) AS BIGINT) AS max_tokens
+    FROM lang JOIN tok USING (doc_id)
+    GROUP BY lang.lang_guess
+    """,
+)
+def corpus_language_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition report: per detected language, document count
+    and token volume — the first dashboard any pretraining-data pipeline
+    needs (what's in the pot, and how much). One hash-partitioned
+    aggregate over codegen'd row expressions; no joins at scale (the
+    oracle's join is only how SQL names the two derived columns)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        T.language_id("text").alias("lang"),
+        T.token_count("text").cast("long").alias("n_tokens"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+    )
+
+
 @register(
     "text_quality",
     f"""
