@@ -88,7 +88,15 @@ def main(argv: list[str] | None = None) -> int:
     else:
         from kafka_sink_azure_kusto_spark.streaming.backends import StreamingKustoBackend
 
-        backend = StreamingKustoBackend(ingest_url=cfg.ingest_url, query_url=cfg.query_url)
+        backend = StreamingKustoBackend(
+            ingest_url=cfg.ingest_url,
+            query_url=cfg.query_url,
+            auth={
+                "app_id": cfg.auth_appid or "",
+                "app_key": cfg.auth_appkey or "",
+                "authority": cfg.auth_authority or "",
+            },
+        )
 
     sink = KustoSparkSink(cfg, backend)
     query = sink.attach(stream, available_now=args.available_now)

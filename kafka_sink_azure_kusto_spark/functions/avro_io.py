@@ -291,3 +291,33 @@ def read_container(data: bytes) -> tuple[dict, list[dict]]:
 def iter_container_records(data: bytes) -> Iterator[dict]:
     _, records = read_container(data)
     yield from records
+
+
+def count_container_records(data: bytes) -> int:
+    """Record count in O(blocks): each data block is prefixed with its
+    record count and byte size, so payloads are skipped, not decoded —
+    the cheap path for accounting (e.g. the emulator's ingest log)."""
+    buf = io.BytesIO(data)
+    if buf.read(4) != _MAGIC:
+        raise ValueError("not an Avro container file (bad magic)")
+    while True:  # skip metadata map
+        n = _zigzag_decode(buf)
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            _zigzag_decode(buf)
+        for _ in range(n):
+            buf.seek(_zigzag_decode(buf), 1)  # key
+            buf.seek(_zigzag_decode(buf), 1)  # value
+    buf.seek(16, 1)  # sync marker
+    total = 0
+    while True:
+        try:
+            count = _zigzag_decode(buf)
+        except EOFError:
+            break
+        size = _zigzag_decode(buf)
+        buf.seek(size + 16, 1)  # payload + sync
+        total += count
+    return total

@@ -29,11 +29,11 @@ from pyspark.sql import functions as F
 _HEX8_SPAN = 16**8
 
 
-def _hex_digit_value(c: Column) -> Column:
-    """Lowercase hex digit value via ascii() (portable: identical in
-    Spark and DuckDB; see functions/dedup.py SimHash)."""
-    a = F.ascii(c)
-    return F.when(a >= 97, a - 87).otherwise(a - 48)
+# Portable hex-digit primitive shared with the SimHash implementation —
+# ONE definition so the cross-engine oracle contract can't drift.
+from kafka_sink_azure_kusto_spark.functions.dedup import (  # noqa: E402
+    _hex_digit_value,
+)
 
 
 def md5_unit_interval(key: Column, salt: str = "") -> Column:

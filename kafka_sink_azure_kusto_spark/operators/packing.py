@@ -34,9 +34,23 @@ def pack_sequences(
     max_tokens: int = 2048,
     num_shards: int = 64,
 ) -> DataFrame:
-    """Adds ``shard`` (hash bucket), ``pack_id`` (0-based within shard)
-    and ``pack_tokens_before`` (prefix sum — the document's start offset
-    inside its pack stream). Output rows = input rows."""
+    """Adds ``shard`` (key modulo bucket), ``pack_id`` (0-based within
+    shard) and ``pack_tokens_before`` (prefix sum — the document's start
+    offset inside its pack stream). Output rows = input rows.
+
+    ``key_col`` must be an integral column (the shard is ``key mod
+    num_shards`` — the engine-portable choice the oracle replays; a
+    silent cast of a string key would null out the shard and collapse
+    the corpus into one window partition, so non-integral keys are
+    rejected here). Callers with non-uniform integral keys (e.g. ids
+    strided by a multiple of ``num_shards``) should pre-hash into a
+    surrogate key first."""
+    key_type = df.schema[key_col].dataType.typeName()
+    if key_type not in ("long", "integer", "short", "byte"):
+        raise TypeError(
+            f"pack_sequences key_col {key_col!r} must be integral, got "
+            f"{key_type}; pre-hash string keys into a numeric surrogate"
+        )
     df = df.withColumn("shard", F.pmod(F.col(key_col), F.lit(num_shards)).cast("int"))
     w = (
         Window.partitionBy("shard")

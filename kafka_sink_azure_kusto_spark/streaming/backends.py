@@ -84,7 +84,10 @@ def classify_ingest_error(exc: BaseException) -> bool:
         # A staged file the backend can't see never materializes by
         # retrying — it means staging_dir isn't shared storage (see
         # KustoSparkSink docstring). Fail fast instead of burning the
-        # whole retry budget.
+        # whole retry budget. Trade-off: shared stores with read-after-
+        # write lag can transiently 404 — deployments on such storage
+        # should use executor_side_ingest (write+ingest co-located, no
+        # cross-node visibility window at all).
         return True
     perm = getattr(exc, "is_permanent", None)
     if callable(perm):
@@ -203,7 +206,9 @@ class LocalEmulatorBackend:
                 raise TransientIngestError("emulated transient failure")
         if self._dedupe_replays:
             name = os.path.basename(path)
-            if any(e["file"] == name for e in self.ingest_log()):
+            with self._lock:  # log is appended under the lock by pool threads
+                replayed = any(e["file"] == name for e in self.ingest_log())
+            if replayed:
                 return IngestResult(status="Skipped", source_id="replay")
         source_id = str(uuid.uuid4())
         table_dir = os.path.join(self.root, props.database, props.table)
@@ -219,10 +224,10 @@ class LocalEmulatorBackend:
             try:
                 if props.format in ("avro", "apacheavro"):
                     from kafka_sink_azure_kusto_spark.functions.avro_io import (
-                        read_container,
+                        count_container_records,
                     )
 
-                    n_records = len(read_container(blob)[1])
+                    n_records = count_container_records(blob)
                 elif props.format == "orc":
                     import io as _io
 

@@ -41,13 +41,43 @@ def _default_producer_factory(props: dict):
             "in this environment); inject producer_factory or use the "
             "default file DLQ"
         ) from e
+    # kafka-python accepts only ITS OWN kwarg vocabulary — a blanket
+    # dot→underscore rename of Java client props would crash producer
+    # construction on the first DLQ batch (e.g. ssl.truststore.location
+    # has no kafka-python equivalent). Translate the supported keys,
+    # coerce numerics, and WARN-skip the rest instead of dying inside a
+    # LOG/IGNORE error path whose whole job is to keep the query alive.
+    _TRANSLATABLE = {
+        "security.protocol": "security_protocol",
+        "sasl.mechanism": "sasl_mechanism",
+        "sasl.plain.username": "sasl_plain_username",
+        "sasl.plain.password": "sasl_plain_password",
+        "sasl.kerberos.service.name": "sasl_kerberos_service_name",
+        "ssl.cafile": "ssl_cafile",
+        "ssl.certfile": "ssl_certfile",
+        "ssl.keyfile": "ssl_keyfile",
+        "ssl.password": "ssl_password",
+        "ssl.check.hostname": "ssl_check_hostname",
+        "client.id": "client_id",
+        "acks": "acks",
+        "retries": "retries",
+        "linger.ms": "linger_ms",
+        "request.timeout.ms": "request_timeout_ms",
+        "max.block.ms": "max_block_ms",
+        "compression.type": "compression_type",
+    }
+    _INT_KWARGS = {"retries", "linger_ms", "request_timeout_ms", "max_block_ms"}
     kwargs = {"bootstrap_servers": props.get("bootstrap.servers")}
-    # kafka-python spells Kafka config with underscores; forward the
-    # security-relevant pass-through keys (DLQ_PROPS_PREFIX set).
     for k, v in props.items():
         if k in ("bootstrap.servers", "key.serializer", "value.serializer"):
             continue  # serializers: we hand the producer raw bytes already
-        kwargs[k.replace(".", "_")] = v
+        dest = _TRANSLATABLE.get(k)
+        if dest is None:
+            log.warning(
+                "DLQ producer property %r has no kafka-python equivalent; skipped", k
+            )
+            continue
+        kwargs[dest] = int(v) if dest in _INT_KWARGS else v
     return KafkaProducer(**kwargs)
 
 

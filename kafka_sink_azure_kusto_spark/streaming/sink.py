@@ -156,12 +156,20 @@ def _stage_writer(
     group can't kill the Spark stage before its siblings finish."""
     import gzip
 
+    # Parquet/ORC must NOT be externally gzipped: they are internally
+    # compressed columnar containers and Kusto rejects a .gz wrapper
+    # around them (deliberate deviation from the reference's
+    # gzip-everything COMPRESSION_EXTENSION — the reference never stages
+    # these formats). Text formats and Avro keep the reference's .gz.
+    compress = arrow_schema is None
+
     def write_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("offset")
         topic = str(pdf["topic"].iloc[0])
         partition = int(pdf["partition"].iloc[0])
         file_offset = int(pdf["file_offset"].iloc[0])
-        name = f"kafka_{topic}_{partition}_{file_offset}.{fmt}.gz"
+        ext = f".{fmt}.gz" if compress else f".{fmt}"
+        name = f"kafka_{topic}_{partition}_{file_offset}{ext}"
         os.makedirs(out_dir, exist_ok=True)
         path = os.path.join(out_dir, name)
         if avro_schema is not None:
@@ -194,8 +202,11 @@ def _stage_writer(
             body = ("\n".join(pdf["line"].astype(str)) + "\n").encode("utf-8")
         with open(path, "wb") as raw:
             os.fchmod(raw.fileno(), 0o600)
-            with gzip.GzipFile(fileobj=raw, mode="wb", mtime=0) as gz:
-                gz.write(body)
+            if compress:
+                with gzip.GzipFile(fileobj=raw, mode="wb", mtime=0) as gz:
+                    gz.write(body)
+            else:
+                raw.write(body)
         status, error, attempts = "Staged", "", 0
         if ingest is not None:
             from kafka_sink_azure_kusto_spark.streaming.backends import (
@@ -376,7 +387,10 @@ class KustoSparkSink:
             if avro_bytes_mode:
                 line = F.col("value")  # raw container bytes, untouched
             elif avro_struct_mode or parquet_struct_mode:
-                line = F.to_json(F.col("value"))  # size/empty proxy only
+                # Size proxy AND the DLQ value for failed records —
+                # keep null fields so the DLQ payload is schema-faithful
+                # to the staged record (to_json drops nulls by default).
+                line = F.to_json(F.col("value"), {"ignoreNullFields": "false"})
             elif value_type == "struct":
                 struct_df = df.select("value.*")
                 line = encode_for_format(

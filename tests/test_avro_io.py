@@ -154,3 +154,19 @@ def test_unsupported_nested_type_raises():
     schema = StructType([StructField("a", ArrayType(LongType()), True)])
     with pytest.raises(NotImplementedError, match="unsupported Spark type"):
         avro_schema_for(schema)
+
+
+def test_count_container_records_matches_decode():
+    from kafka_sink_azure_kusto_spark.functions.avro_io import count_container_records
+
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [{"name": "n", "type": "long"}, {"name": "s", "type": "string"}],
+    }
+    bio = io.BytesIO()
+    write_container([{"n": i, "s": "x" * i} for i in range(23)], schema, bio,
+                    block_records=5)
+    blob = bio.getvalue()
+    assert count_container_records(blob) == 23  # O(blocks), no decode
+    assert len(read_container(blob)[1]) == 23
