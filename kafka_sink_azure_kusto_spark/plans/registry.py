@@ -52,6 +52,20 @@ def register(name: str, oracle: Optional[str]):
     return deco
 
 
+def _workdir(prefix: str) -> str:
+    """Scratch dir for round-trip queries, registered for atexit cleanup
+    — the returned DataFrame scans it LAZILY, so eager deletion inside
+    the query would break the driver's collect; process exit is the
+    earliest safe point."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in _REGISTRY.items()}
 

@@ -19,7 +19,7 @@ from kafka_sink_azure_kusto_spark.functions.sampling import (
 )
 from kafka_sink_azure_kusto_spark.functions.text import token_count
 from kafka_sink_azure_kusto_spark.operators.packing import pack_sequences, pack_stats
-from kafka_sink_azure_kusto_spark.plans.registry import register
+from kafka_sink_azure_kusto_spark.plans.registry import _workdir, register
 from kafka_sink_azure_kusto_spark.sources.tables import load_table
 
 _U = md5_unit_interval_sql("event_id", salt="s1")
@@ -130,7 +130,7 @@ def parquet_stage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         LocalEmulatorBackend,
     )
 
-    work = tempfile.mkdtemp(prefix="pq_rt_")
+    work = _workdir("pq_rt_")
     ev = load_table(spark, sf_dir, "events").orderBy("event_id").limit(500)
     records = ev.select(
         F.col("event_id").cast("string").alias("key"),

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_sink_azure_kusto_spark.operators.skew import salted_sum_count
-from kafka_sink_azure_kusto_spark.plans.registry import register
+from kafka_sink_azure_kusto_spark.plans.registry import _workdir, register
 from kafka_sink_azure_kusto_spark.sources.tables import load_table, register_temp_views
 
 
@@ -379,7 +379,7 @@ def avro_container_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         LocalEmulatorBackend,
     )
 
-    work = tempfile.mkdtemp(prefix="avro_rt_")
+    work = _workdir("avro_rt_")
     ev = load_table(spark, sf_dir, "events").orderBy("event_id").limit(500)
     records = ev.select(
         F.lit(None).cast("string").alias("key"),
@@ -447,7 +447,7 @@ def streaming_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         LocalEmulatorBackend,
     )
 
-    work = tempfile.mkdtemp(prefix="stream_rt_")
+    work = _workdir("stream_rt_")
     ev = load_table(spark, sf_dir, "events").orderBy("event_id").limit(500)
     records = as_kafka_records(
         ev.withColumn("v", F.to_json(F.struct("event_id", "user_id", "event_type"))),
