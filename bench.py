@@ -44,9 +44,10 @@ HEADLINE = [
     "text_quality",
     "text_token_counts",
     "multimodal_decode",
-    # curation (r2)
+    # curation + custom joins (r2)
     "deterministic_sample",
     "sequence_packing",
+    "asof_join_attribution",
 ]
 
 

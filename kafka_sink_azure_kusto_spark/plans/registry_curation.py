@@ -110,6 +110,85 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_join_attribution",
+    """
+    SELECT l.event_id, l.user_id,
+           r.value AS purchase_value_asof,
+           r.ts AS purchase_ts_asof
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT user_id, ts, MAX(value) AS value
+                    FROM events WHERE event_type = 'purchase'
+                    GROUP BY user_id, ts) r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def asof_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): for every click, the user's most
+    recent purchase at-or-before it — attribution / point-in-time
+    feature lookup. The Spark plan is the union-sort carry-forward
+    (one hash shuffle, no inequality join); the oracle is DuckDB's
+    NATIVE ``ASOF LEFT JOIN`` — two independent implementations that
+    must hash-match."""
+    from kafka_sink_azure_kusto_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    # the matched right timestamp rides along as a second value column
+    out2 = asof_join(
+        clicks,
+        purchases.withColumn("rts", F.col("ts")),
+        by=["user_id"],
+        value_cols=["value", "rts"],
+        suffix="_x",
+    )
+    return out2.select(
+        "event_id",
+        "user_id",
+        F.col("value_x").alias("purchase_value_asof"),
+        F.col("rts_x").alias("purchase_ts_asof"),
+    )
+
+
+@register(
+    "range_join_sessions",
+    """
+    WITH iv AS (
+      SELECT user_id,
+             MIN(ts) AS start_ts,
+             MIN(ts) + INTERVAL 2 HOUR AS end_ts
+      FROM events GROUP BY user_id)
+    SELECT e.event_id, e.user_id, iv.start_ts
+    FROM events e JOIN iv
+      ON e.user_id = iv.user_id
+     AND e.ts >= iv.start_ts AND e.ts < iv.end_ts
+    """,
+)
+def range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join (operators/asof.py): events falling inside
+    each user's first-2-hours window. Spark side explodes intervals into
+    hour buckets and equi-joins (hash join, no broadcast-nested-loop);
+    the oracle is a plain inequality join — independent plans, same
+    rows."""
+    from kafka_sink_azure_kusto_spark.operators.asof import range_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.groupBy("user_id").agg(
+        F.min("ts").alias("start_ts"),
+        (F.min("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    pts = ev.select("event_id", "user_id", "ts")
+    out = range_join_bucketed(
+        pts, iv, by=["user_id"], point_ts="ts", bucket_seconds=3600
+    )
+    return out.select("event_id", "user_id", "start_ts")
+
+
+@register(
     "parquet_stage_roundtrip",
     """
     SELECT event_id, user_id, event_type, value
