@@ -189,6 +189,50 @@ def range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_quantize_int8",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+      FROM embeddings)
+    SELECT vec_id, CAST(i AS BIGINT) AS dim,
+           CAST(CASE WHEN scale = 0 THEN 0
+                ELSE FLOOR(127.0 * CAST(embedding[i] AS DOUBLE) / scale + 0.5)
+                END AS BIGINT) AS q
+    FROM s, UNNEST(generate_series(1, len(embedding))) AS t(i)
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (max-abs
+    scale per vector) — the 4× storage compression step an
+    embedding-heavy corpus applies before indexing. Rounding is spelled
+    ``floor(x + 0.5)`` in BOTH engines (identical definition — engine
+    round() half-tie behavior differs), and all arithmetic is
+    float→double promoted, so the long-form (vec_id, dim, q) output
+    hash-matches exactly. Zero shuffles: scale is an aggregate OVER THE
+    ARRAY (JVM fold), the explode is narrow."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    q = emb.withColumn("scale", scale).select(
+        "vec_id",
+        F.posexplode(F.col("embedding")).alias("pos", "x"),
+        "scale",
+    )
+    return q.select(
+        "vec_id",
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        F.when(F.col("scale") == 0, F.lit(0))
+        .otherwise(F.floor(127.0 * F.col("x").cast("double") / F.col("scale") + 0.5))
+        .cast("bigint")
+        .alias("q"),
+    )
+
+
+@register(
     "parquet_stage_roundtrip",
     """
     SELECT event_id, user_id, event_type, value
