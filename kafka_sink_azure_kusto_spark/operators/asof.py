@@ -61,21 +61,34 @@ def asof_join(
     r = right.groupBy(*by, F.col(right_ts).alias("_ts")).agg(
         *[F.max(c).alias(f"{c}{suffix}") for c in value_cols]
     )
+    # Carry the WHOLE matched row as one struct. A struct from a matched
+    # right row is non-null even when every value field inside it is NULL,
+    # so ``last(_rv, ignorenulls=True)`` skips only left rows (which get a
+    # NULL struct) — never a genuinely matched right row with NULL values.
+    # (Carrying value columns individually would fall through NULLs to an
+    # older row's value: silent wrong data for nullable columns.)
+    r = r.withColumn(
+        "_rv",
+        F.struct(
+            F.col("_ts").alias("_matched_ts"),
+            *[F.col(f"{c}{suffix}") for c in value_cols],
+        ),
+    )
+    rv_type = r.schema["_rv"].dataType
     left_payload = [c for c in left.columns if c not in set(by) | {left_ts}]
     l_tagged = left.select(
         *by,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         *[F.col(c).alias(c) for c in left_payload],
-        *[F.lit(None).cast(r.schema[f"{c}{suffix}"].dataType).alias(f"{c}{suffix}")
-          for c in value_cols],
+        F.lit(None).cast(rv_type).alias("_rv"),
     )
     r_tagged = r.select(
         *by,
         "_ts",
         F.lit(0).alias("_side"),  # right sorts BEFORE left at equal ts ⇒ inclusive
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_payload],
-        *[f"{c}{suffix}" for c in value_cols],
+        "_rv",
     )
     u = l_tagged.unionByName(r_tagged)
     w = (
@@ -83,15 +96,13 @@ def asof_join(
         .orderBy("_ts", "_side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = [
-        F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-        for c in value_cols
-    ]
+    carried = F.last("_rv", ignorenulls=True).over(w).alias("_rv")
     return (
-        u.select(*by, "_ts", "_side", *left_payload, *carried)
+        u.select(*by, "_ts", "_side", *left_payload, carried)
         .filter(F.col("_side") == 1)
         .select(*by, F.col("_ts").alias(left_ts), *left_payload,
-                *[f"{c}{suffix}" for c in value_cols])
+                *[F.col("_rv")[f"{c}{suffix}"].alias(f"{c}{suffix}")
+                  for c in value_cols])
     )
 
 
@@ -110,14 +121,31 @@ def range_join_bucketed(
     exact range predicate filters afterwards — no inequality join, no
     broadcast-nested-loop, scale governed by interval_len/bucket ratio."""
     by = list(by)
-    b = F.lit(bucket_seconds)
-    p = points.withColumn("_bucket", (F.col(point_ts).cast("long") / b).cast("long"))
-    iv = intervals.withColumn(
+
+    # Bucket at MICROSECOND precision. Casting a timestamp to long first
+    # truncates sub-second fractions, so an interval whose end's whole
+    # second is bucket-aligned loses its final fractional window (points
+    # in [end_floor, end) would land in a bucket the interval never
+    # exploded into). unix_micros keeps both sides on the same exact
+    # integer timeline; (u - u % B) / B is an exact integer floor-div
+    # (numerator < 2^53, exactly divisible).
+    micros = bucket_seconds * 1_000_000
+
+    def _bucket_of(col):
+        u = F.unix_micros(col)
+        return ((u - (u % F.lit(micros))) / F.lit(micros)).cast("long")
+
+    def _last_bucket_of(col):  # exclusive end → bucket of (end - 1µs)
+        u = F.unix_micros(col) - F.lit(1)
+        return ((u - (u % F.lit(micros))) / F.lit(micros)).cast("long")
+
+    p = points.withColumn("_bucket", _bucket_of(F.col(point_ts)))
+    iv = intervals.filter(F.col(end_col) > F.col(start_col)).withColumn(
         "_bucket",
         F.explode(
             F.sequence(
-                (F.col(start_col).cast("long") / b).cast("long"),
-                ((F.col(end_col).cast("long") - 1) / b).cast("long"),
+                _bucket_of(F.col(start_col)),
+                _last_bucket_of(F.col(end_col)),
             )
         ),
     )
