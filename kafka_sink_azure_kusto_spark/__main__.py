@@ -32,9 +32,28 @@ def main(argv: list[str] | None = None) -> int:
     with open(args.config) as f:
         props = json.load(f)
 
-    from kafka_sink_azure_kusto_spark.config import KustoSinkConfig
+    from kafka_sink_azure_kusto_spark.config import ConfigException, KustoSinkConfig
 
     cfg = KustoSinkConfig.from_connect_properties(props)
+
+    # Fail fast BEFORE starting a JVM: empty-string credentials passed to
+    # the SDK backends would defer the failure to an opaque AAD error on
+    # the first ingest.
+    if args.backend in ("queued", "streaming"):
+        missing = [
+            key
+            for key, val in (
+                ("aad.auth.appid", cfg.auth_appid),
+                ("aad.auth.appkey", cfg.auth_appkey),
+                ("aad.auth.authority", cfg.auth_authority),
+            )
+            if not val
+        ]
+        if missing:
+            raise ConfigException(
+                f"--backend {args.backend} requires AAD application auth; "
+                f"missing config keys: {', '.join(missing)}"
+            )
 
     from pyspark.sql import SparkSession
 
@@ -73,30 +92,24 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.backend == "emulator":
         backend = LocalEmulatorBackend(args.emulator_root)
-    elif args.backend == "queued":
-        from kafka_sink_azure_kusto_spark.streaming.backends import QueuedKustoBackend
-
-        backend = QueuedKustoBackend(
-            ingest_url=cfg.ingest_url,
-            query_url=cfg.query_url,
-            auth={
-                "app_id": cfg.auth_appid or "",
-                "app_key": cfg.auth_appkey or "",
-                "authority": cfg.auth_authority or "",
-            },
-        )
     else:
-        from kafka_sink_azure_kusto_spark.streaming.backends import StreamingKustoBackend
+        auth = {
+            "app_id": cfg.auth_appid,
+            "app_key": cfg.auth_appkey,
+            "authority": cfg.auth_authority,
+        }
+        if args.backend == "queued":
+            from kafka_sink_azure_kusto_spark.streaming.backends import QueuedKustoBackend
 
-        backend = StreamingKustoBackend(
-            ingest_url=cfg.ingest_url,
-            query_url=cfg.query_url,
-            auth={
-                "app_id": cfg.auth_appid or "",
-                "app_key": cfg.auth_appkey or "",
-                "authority": cfg.auth_authority or "",
-            },
-        )
+            backend = QueuedKustoBackend(
+                ingest_url=cfg.ingest_url, query_url=cfg.query_url, auth=auth
+            )
+        else:
+            from kafka_sink_azure_kusto_spark.streaming.backends import StreamingKustoBackend
+
+            backend = StreamingKustoBackend(
+                ingest_url=cfg.ingest_url, query_url=cfg.query_url, auth=auth
+            )
 
     sink = KustoSparkSink(cfg, backend)
     query = sink.attach(stream, available_now=args.available_now)

@@ -146,11 +146,45 @@ _TRUSTED_ENDPOINT_SUFFIXES = (
 )
 
 
-def validate_endpoint_url(url: str) -> str:
+def _sdk_trusted_suffixes() -> tuple:
+    """When azure-kusto-data is installed, read the suffix set from its
+    bundled WellKnownKustoEndpoints.json (the same source of truth the
+    reference's KustoTrustedEndpoints reads) so new clouds don't require
+    a code change here. Falls back to the snapshot above. Cached."""
+    global _SDK_SUFFIX_CACHE
+    if _SDK_SUFFIX_CACHE is not None:
+        return _SDK_SUFFIX_CACHE
+    suffixes: set = set()
+    try:  # gated: the SDK isn't installed in this environment
+        import importlib.resources as res
+        import json as _json
+
+        data = _json.loads(
+            res.files("azure.kusto.data")
+            .joinpath("wellKnownKustoEndpoints.json")
+            .read_text(encoding="utf-8")
+        )
+        for login in data.get("AllowedEndpointsByLogin", {}).values():
+            for sfx in login.get("AllowedKustoSuffixes", []):
+                s = sfx.lower()
+                suffixes.add(s if s.startswith(".") else "." + s)
+    except Exception:  # noqa: BLE001 — any SDK/resource issue ⇒ snapshot
+        suffixes = set()
+    _SDK_SUFFIX_CACHE = tuple(sorted(suffixes)) if suffixes else ()
+    return _SDK_SUFFIX_CACHE
+
+
+_SDK_SUFFIX_CACHE = None
+
+
+def validate_endpoint_url(url: str, extra_suffixes: tuple = ()) -> str:
     """V6: reject plain http://, default scheme to https://, then require
     the hostname to end with a well-known trusted Kusto endpoint suffix
     (KustoEndpointUrlValidator.java:48-95; suffix source of truth is the
-    SDK's public WellKnownKustoEndpoints.json). Prevents SSRF-style
+    SDK's public WellKnownKustoEndpoints.json, read live when the SDK is
+    installed). ``extra_suffixes`` is the opt-in allowlist extension for
+    emulator / self-hosted endpoints
+    (``kusto.validation.trusted.endpoints.extra``). Prevents SSRF-style
     exfiltration of AAD tokens to attacker-controlled hosts."""
     u = url.strip()
     if not u:
@@ -168,11 +202,17 @@ def validate_endpoint_url(url: str) -> str:
     if not host:
         raise ConfigException(f"invalid kusto url {url!r}: no hostname")
     host = host.lower()
-    if not any(host.endswith(sfx) for sfx in _TRUSTED_ENDPOINT_SUFFIXES):
+    trusted = (
+        (_sdk_trusted_suffixes() or _TRUSTED_ENDPOINT_SUFFIXES)
+        + tuple(s.lower() if s.startswith(".") else "." + s.lower()
+                for s in extra_suffixes)
+    )
+    if not any(host.endswith(sfx) for sfx in trusted):
         raise ConfigException(
             f"URL {url!r} does not point to a known Azure Data Explorer "
             f"endpoint; the hostname must end with a well-known trusted "
-            f"Kusto suffix (WellKnownKustoEndpoints.json)"
+            f"Kusto suffix (WellKnownKustoEndpoints.json) or one listed in "
+            f"kusto.validation.trusted.endpoints.extra"
         )
     return u
 
@@ -300,6 +340,10 @@ class KustoSinkConfig:
     # V1–V4 validation queries at startup (default off, KustoSinkConfig.java:327-336).
     validate_tables: bool = False
 
+    # V6 extension — extra trusted endpoint DNS suffixes (emulator /
+    # self-hosted clusters). Opt-in; the well-known-cloud set always applies.
+    trusted_endpoint_suffixes_extra: tuple = ()
+
     # Auth (aad.auth.*, KustoSinkConfig.java:32-60; strategy matrix
     # validated per the reference's config tests).
     auth_strategy: AuthStrategy = AuthStrategy.APPLICATION
@@ -315,9 +359,10 @@ class KustoSinkConfig:
     extra: dict = field(default_factory=dict)
 
     def __post_init__(self) -> None:
-        self.ingest_url = validate_endpoint_url(self.ingest_url)
+        extra_sfx = tuple(self.trusted_endpoint_suffixes_extra)
+        self.ingest_url = validate_endpoint_url(self.ingest_url, extra_sfx)
         if self.query_url is not None:
-            self.query_url = validate_endpoint_url(self.query_url)
+            self.query_url = validate_endpoint_url(self.query_url, extra_sfx)
         if not self.mappings:
             raise ConfigException("at least one topic→table mapping is required")
         if isinstance(self.behavior_on_error, str):
@@ -439,6 +484,7 @@ class KustoSinkConfig:
             "misc.deadletterqueue.bootstrap.servers",
             "misc.deadletterqueue.topic.name",
             "kusto.validation.table.enable",
+            "kusto.validation.trusted.endpoints.extra",
             "aad.auth.strategy",
             "aad.auth.appid",
             "aad.auth.appkey",
@@ -493,6 +539,12 @@ class KustoSinkConfig:
             kwargs["dlq_props"] = dlq_props
         if "kusto.validation.table.enable" in p:
             kwargs["validate_tables"] = as_bool(p["kusto.validation.table.enable"])
+        if "kusto.validation.trusted.endpoints.extra" in p:
+            kwargs["trusted_endpoint_suffixes_extra"] = tuple(
+                s.strip()
+                for s in str(p["kusto.validation.trusted.endpoints.extra"]).split(",")
+                if s.strip()
+            )
         if "aad.auth.strategy" in p:
             kwargs["auth_strategy"] = AuthStrategy.parse(p["aad.auth.strategy"])
         for src, dst in (

@@ -67,6 +67,7 @@ def _default_producer_factory(props: dict):
         "compression.type": "compression_type",
     }
     _INT_KWARGS = {"retries", "linger_ms", "request_timeout_ms", "max_block_ms"}
+    _BOOL_KWARGS = {"ssl_check_hostname"}
     kwargs = {"bootstrap_servers": props.get("bootstrap.servers")}
     for k, v in props.items():
         if k in ("bootstrap.servers", "key.serializer", "value.serializer"):
@@ -77,7 +78,15 @@ def _default_producer_factory(props: dict):
                 "DLQ producer property %r has no kafka-python equivalent; skipped", k
             )
             continue
-        kwargs[dest] = int(v) if dest in _INT_KWARGS else v
+        if dest in _INT_KWARGS:
+            v = int(v)
+        elif dest in _BOOL_KWARGS:
+            # Java props arrive as strings; 'false' must not become truthy
+            v = str(v).strip().lower() in ("true", "1")
+        elif dest == "acks":
+            # kafka-python accepts 0/1 as ints or the literal 'all'
+            v = v if str(v).strip().lower() == "all" else int(v)
+        kwargs[dest] = v
     return KafkaProducer(**kwargs)
 
 

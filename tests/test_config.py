@@ -177,3 +177,30 @@ def test_behavior_on_error_parse():
     assert BehaviorOnError.parse("LOG") is BehaviorOnError.LOG
     with pytest.raises(ConfigException):
         BehaviorOnError.parse("explode")
+
+
+def test_endpoint_allowlist_extra_suffixes_opt_in():
+    # Opt-in extension for emulator / self-hosted clusters: the extra
+    # suffix admits the host, but ONLY when explicitly configured.
+    with pytest.raises(ConfigException):
+        validate_endpoint_url("https://kusto.corp.example.com")
+    assert (
+        validate_endpoint_url("https://kusto.corp.example.com", (".corp.example.com",))
+        == "https://kusto.corp.example.com"
+    )
+    # missing leading dot is normalized; spoofs still rejected
+    assert validate_endpoint_url("https://x.corp.example.com", ("corp.example.com",))
+    with pytest.raises(ConfigException):
+        validate_endpoint_url("https://corp.example.com.evil.io", (".corp.example.com",))
+
+
+def test_endpoint_allowlist_extra_via_connect_properties():
+    cfg = KustoSinkConfig.from_connect_properties(
+        {
+            "kusto.ingestion.url": "https://ingest.kusto-emu.local.test",
+            "kusto.tables.topics.mapping": '[{"topic":"t","db":"d","table":"x"}]',
+            "kusto.validation.trusted.endpoints.extra": ".local.test, .corp.example.com",
+        }
+    )
+    assert cfg.ingest_url == "https://ingest.kusto-emu.local.test"
+    assert "kusto.validation.trusted.endpoints.extra" not in cfg.extra

@@ -114,3 +114,41 @@ def test_dlq_writer_requires_dlq_config():
     )
     with pytest.raises(ValueError, match="not configured"):
         KafkaDlqWriter.from_config(cfg)
+
+
+def test_producer_factory_coerces_bool_and_acks(monkeypatch):
+    # kafka-python rejects string acks ('1') and treats 'false' as truthy
+    # for ssl_check_hostname — the factory must coerce Java-prop strings.
+    import sys
+    import types
+
+    captured = {}
+
+    class CapturingProducer:
+        def __init__(self, **kwargs):
+            captured.update(kwargs)
+
+    fake_kafka = types.ModuleType("kafka")
+    fake_kafka.KafkaProducer = CapturingProducer
+    monkeypatch.setitem(sys.modules, "kafka", fake_kafka)
+
+    from kafka_sink_azure_kusto_spark.streaming.dlq import _default_producer_factory
+
+    _default_producer_factory(
+        {
+            "bootstrap.servers": "b:9092",
+            "ssl.check.hostname": "false",
+            "acks": "1",
+            "retries": "3",
+        }
+    )
+    assert captured["ssl_check_hostname"] is False
+    assert captured["acks"] == 1
+    assert captured["retries"] == 3
+
+    captured.clear()
+    _default_producer_factory(
+        {"bootstrap.servers": "b:9092", "ssl.check.hostname": "TRUE", "acks": "all"}
+    )
+    assert captured["ssl_check_hostname"] is True
+    assert captured["acks"] == "all"
