@@ -316,11 +316,197 @@ class _KustoSdkBackendBase:
     # C4 — HTTP proxy for Kusto traffic (KustoSinkTask.java:311-317);
     # passed to the Python SDK's client options at construction.
     proxy_url: Optional[str] = None
+    # V1–V4 seam: zero-arg callable building the ENGINE query client.
+    # Tests inject a stub asserting the exact KQL; production defaults to
+    # azure-kusto-data's KustoClient against the engine endpoint.
+    query_client_factory: Optional[object] = None
 
     def __post_init__(self) -> None:  # overridden by SDK-backed subclasses
         return None
 
     classify = staticmethod(classify_ingest_error)
+
+    # The four validation probes, verbatim from KustoSinkTask.java:46-50.
+    FETCH_TABLE_COMMAND = "{table} | count"
+    FETCH_TABLE_MAPPING_COMMAND = ".show table {table} ingestion {format} mapping '{mapping}'"
+    FETCH_PRINCIPAL_ROLES_COMMAND = (
+        ".show principal access with (principal = '{principal}', "
+        "accesstype='ingest',database='{database}',table='{table}')"
+    )
+    STREAMING_POLICY_SHOW_COMMAND = ".show {entity_type} {entity_name} policy streamingingestion"
+    _INGESTION_ALLOWED_INDEX = 3  # KustoSinkTask.java:50
+
+    @property
+    def engine_url(self) -> str:
+        """Engine (query) endpoint: explicit query_url, else the DM URL
+        with its ingest- prefix stripped (KustoSinkTask.java:322-328)."""
+        return self.query_url or self.ingest_url.replace(
+            "https://ingest-", "https://"
+        )
+
+    def _query_client(self):
+        client = getattr(self, "_qclient", None)
+        if client is None:
+            if self.query_client_factory is not None:
+                client = self.query_client_factory()
+            else:
+                try:
+                    from azure.kusto.data import (
+                        KustoClient,
+                        KustoConnectionStringBuilder,
+                    )
+                except ImportError as e:
+                    raise NotImplementedError(
+                        "table validation needs azure-kusto-data (not "
+                        "installed); inject query_client_factory or disable "
+                        "kusto.validation.table.enable"
+                    ) from e
+                kcsb = KustoConnectionStringBuilder.with_aad_application_key_authentication(
+                    self.engine_url,
+                    self.auth.get("app_id", ""),
+                    self.auth.get("app_key", ""),
+                    self.auth.get("authority", ""),
+                )
+                client = KustoClient(kcsb)
+            self._qclient = client
+        return client
+
+    @staticmethod
+    def _validate_only_crp():
+        """ClientRequestProperties with validate_permissions=true
+        (KustoSinkTask.java:55,70) — dict fallback when the SDK's class
+        isn't importable (stub-test environments)."""
+        try:
+            from azure.kusto.data import ClientRequestProperties
+
+            crp = ClientRequestProperties()
+            crp.set_option("validate_permissions", True)
+            return crp
+        except (ImportError, AttributeError):
+            return {"validate_permissions": True}
+
+    @staticmethod
+    def _first_row(response):
+        return list(response.primary_results[0].rows)[0]
+
+    def _streaming_policy_enabled(self, client, entity_type: str,
+                                  entity_name: str, database: str) -> bool:
+        # isStreamingPolicyEnabled (KustoSinkTask.java:303-308): the
+        # Policy column is non-null when a streamingingestion policy is set.
+        resp = client.execute_mgmt(
+            database,
+            self.STREAMING_POLICY_SHOW_COMMAND.format(
+                entity_type=entity_type, entity_name=entity_name
+            ),
+        )
+        row = self._first_row(resp)
+        try:
+            policy = row["Policy"]
+        except (TypeError, KeyError):
+            policy = row[0]
+        return policy is not None
+
+    def validate(self, props: IngestionProperties) -> None:
+        """V1–V4 startup probes via the engine query client, mirroring
+        validateTableAccess (KustoSinkTask.java:221-300): V1 table access
+        (``<table> | count`` with validate_permissions), V2 mapping
+        existence, V3 principal ingest role, V4 streaming policy (db
+        level first; table level only if db-level is absent). Errors
+        aggregate into one PermanentIngestError, like the reference's
+        error lists feeding one ConnectException."""
+        from kafka_sink_azure_kusto_spark.config import coalesce_format
+
+        client = self._query_client()
+        db, table = props.database, props.table
+        fmt = (props.format or "").strip().lower()
+        # isDataFormatAnyTypeOfJson ⇒ JSON (KustoSinkTask.java:229-231)
+        if coalesce_format(fmt) == "multijson":
+            fmt = "json"
+        errors: list[str] = []
+        has_access = False
+        should_check_streaming = props.streaming
+        if should_check_streaming and self._streaming_policy_enabled(
+            client, "database", db, db
+        ):
+            should_check_streaming = False
+
+        try:  # V1
+            resp = client.execute_query(
+                db,
+                self.FETCH_TABLE_COMMAND.format(table=table),
+                self._validate_only_crp(),
+            )
+            if self._first_row(resp)[0] == "OK":  # VALIDATION_OK
+                has_access = True
+            else:
+                errors.append(
+                    f"Couldn't validate access to Database '{db}' Table "
+                    f"'{table}': validation query did not return OK"
+                )
+        except Exception as e:  # noqa: BLE001 — aggregate, don't abort
+            errors.append(
+                f"Couldn't validate access to Database '{db}' Table "
+                f"'{table}', with exception '{e}'"
+            )
+
+        if has_access and props.mapping_reference:  # V2
+            try:
+                client.execute_mgmt(
+                    db,
+                    self.FETCH_TABLE_MAPPING_COMMAND.format(
+                        table=table, format=fmt, mapping=props.mapping_reference
+                    ),
+                )
+            except Exception as e:  # noqa: BLE001
+                has_access = False
+                errors.append(
+                    f"Database:{db} Table:{table} | {fmt} mapping "
+                    f"'{props.mapping_reference}' not found, with exception '{e}'"
+                )
+
+        if has_access:  # V3
+            app_id = self.auth.get("app_id")
+            authority = self.auth.get("authority")
+            if not app_id or not authority:
+                from kafka_sink_azure_kusto_spark.config import ConfigException
+
+                raise ConfigException(
+                    "Authority ID and Application ID must be provided to "
+                    "validate table accesses."
+                )
+            query = self.FETCH_PRINCIPAL_ROLES_COMMAND.format(
+                principal=f"aadapp={app_id};{authority}", database=db, table=table
+            )
+            try:
+                resp = client.execute_mgmt(db, query)
+                allowed = bool(
+                    self._first_row(resp)[self._INGESTION_ALLOWED_INDEX]
+                )
+                if not allowed:
+                    errors.append(
+                        f"User does not have appropriate permissions to "
+                        f"sink data into the Kusto database {db}"
+                    )
+            except Exception as e:  # noqa: BLE001
+                # Reference warns-and-continues on Forbidden (the principal
+                # may still be able to ingest); other errors are recorded.
+                if "forbidden" not in str(e).lower():
+                    errors.append(
+                        f"Fetching principal roles using query '{query}' "
+                        f"resulted in exception '{e}'"
+                    )
+
+        if has_access and should_check_streaming and not self._streaming_policy_enabled(
+            client, "table", table, db
+        ):  # V4
+            errors.append(
+                f"Ingestion is configured as streaming, but a streaming "
+                f"ingestion policy was not found on either database '{db}' "
+                f"or table '{table}'"
+            )
+
+        if errors:
+            raise PermanentIngestError("; ".join(errors))
 
 
 class QueuedKustoBackend(_KustoSdkBackendBase):
@@ -348,10 +534,7 @@ class QueuedKustoBackend(_KustoSdkBackendBase):
         )
         self._client = QueuedIngestClient(kcsb)
 
-    def validate(self, props: IngestionProperties) -> None:
-        # V1–V4 issued via the query endpoint when enabled; delegated to
-        # azure-kusto-data (KustoSinkTask.java:221-300).
-        return None
+    # validate(): inherited V1–V4 KQL probes (_KustoSdkBackendBase)
 
     def ingest_file(self, path: str, props: IngestionProperties) -> IngestResult:
         from azure.kusto.ingest import IngestionProperties as SdkProps
@@ -409,24 +592,18 @@ class StreamingKustoBackend(_KustoSdkBackendBase):
                 "StreamingKustoBackend requires azure-kusto-ingest; use "
                 "LocalEmulatorBackend for tests"
             ) from e
-        # Managed streaming talks to the ENGINE endpoint; derive it from
-        # query_url, else strip the DM prefix (KustoSinkTask.java:322-328
-        # builds both clients from the pair of URLs).
-        engine_url = self.query_url or self.ingest_url.replace(
-            "https://ingest-", "https://"
-        )
+        # Managed streaming talks to the ENGINE endpoint
+        # (KustoSinkTask.java:322-328 builds both clients from the pair
+        # of URLs).
         kcsb = KustoConnectionStringBuilder.with_aad_application_key_authentication(
-            engine_url,
+            self.engine_url,
             self.auth.get("app_id", ""),
             self.auth.get("app_key", ""),
             self.auth.get("authority", ""),
         )
         self._client = ManagedStreamingIngestClient.from_engine_kcsb(kcsb)
 
-    def validate(self, props: IngestionProperties) -> None:
-        # V1–V4 issued via the query endpoint when enabled; delegated to
-        # azure-kusto-data (KustoSinkTask.java:221-300).
-        return None
+    # validate(): inherited V1–V4 KQL probes (_KustoSdkBackendBase)
 
     def ingest_file(self, path: str, props: IngestionProperties) -> IngestResult:
         from azure.kusto.ingest import IngestionProperties as SdkProps
