@@ -1,0 +1,215 @@
+"""Pure-Python media codecs for the multimodal operators.
+
+No codec libraries ship in this environment, so the simple container
+formats are implemented from their public specs:
+
+- **BMP** (Windows bitmap): BITMAPFILEHEADER + BITMAPINFOHEADER,
+  24 bpp, bottom-up row order, rows padded to 4 bytes, BGR channel
+  order.
+- **PPM** (Netpbm P6): ASCII header tokens (with ``#`` comment
+  support) followed by raw RGB bytes.
+- **WAV** (RIFF/WAVE): chunk walk to ``fmt `` + ``data``, PCM 16-bit
+  little-endian mono; unknown chunks are skipped (word-aligned).
+
+Decoders return the DECODED SAMPLES (channel-interleaved RGB for
+images, signed 16-bit amplitudes for audio) — not just header fields —
+so the registry oracles assert on pixel/sample content. Encoders exist
+to synthesize deterministic fixtures; a wrong stride, padding, channel
+order, or row direction in either half breaks the cross-engine hash.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+from typing import Sequence
+
+
+@dataclass(frozen=True)
+class DecodedMedia:
+    media_type: str  # bmp | ppm | wav
+    width: int  # 0 for audio
+    height: int  # 0 for audio
+    sample_rate: int  # 0 for images
+    samples: list  # RGB-interleaved ints (images) or PCM amplitudes (audio)
+
+
+class MediaDecodeError(ValueError):
+    """Malformed or unsupported media payload."""
+
+
+# ------------------------------------------------------------------ BMP
+
+_BMP_FILE_HEADER = struct.Struct("<2sIHHI")  # magic, size, res1, res2, offset
+_BMP_INFO_HEADER = struct.Struct("<IiiHHIIiiII")
+
+
+def encode_bmp(width: int, height: int, rgb: Sequence[int]) -> bytes:
+    """24-bit BMP: rows bottom-up, BGR within a pixel, rows padded to a
+    4-byte boundary. ``rgb`` is row-major top-down RGB-interleaved."""
+    if len(rgb) != 3 * width * height:
+        raise ValueError("rgb length must be 3*width*height")
+    pad = (4 - (3 * width) % 4) % 4
+    stride = 3 * width + pad
+    pixel_bytes = bytearray(stride * height)
+    for y in range(height):
+        src_row = height - 1 - y  # bottom-up storage
+        base = y * stride
+        for x in range(width):
+            r, g, b = rgb[3 * (src_row * width + x): 3 * (src_row * width + x) + 3]
+            pixel_bytes[base + 3 * x] = b  # BGR
+            pixel_bytes[base + 3 * x + 1] = g
+            pixel_bytes[base + 3 * x + 2] = r
+    offset = _BMP_FILE_HEADER.size + _BMP_INFO_HEADER.size
+    header = _BMP_FILE_HEADER.pack(b"BM", offset + len(pixel_bytes), 0, 0, offset)
+    info = _BMP_INFO_HEADER.pack(
+        _BMP_INFO_HEADER.size, width, height, 1, 24, 0, len(pixel_bytes),
+        2835, 2835, 0, 0,
+    )
+    return header + info + bytes(pixel_bytes)
+
+
+def decode_bmp(data: bytes) -> DecodedMedia:
+    """Parse a 24 bpp uncompressed BMP into top-down RGB samples."""
+    if len(data) < _BMP_FILE_HEADER.size + _BMP_INFO_HEADER.size:
+        raise MediaDecodeError("BMP truncated header")
+    magic, _size, _r1, _r2, offset = _BMP_FILE_HEADER.unpack_from(data, 0)
+    if magic != b"BM":
+        raise MediaDecodeError("not a BMP payload")
+    (hdr_size, width, height, planes, bpp, compression, _img_size,
+     _xppm, _yppm, _clr, _clr_imp) = _BMP_INFO_HEADER.unpack_from(
+        data, _BMP_FILE_HEADER.size
+    )
+    if hdr_size < 40 or planes != 1:
+        raise MediaDecodeError(f"unsupported BMP header (size={hdr_size})")
+    if bpp != 24 or compression != 0:
+        raise MediaDecodeError(f"unsupported BMP bpp={bpp}/compression={compression}")
+    bottom_up = height > 0
+    height = abs(height)
+    if width <= 0 or height <= 0:
+        raise MediaDecodeError("non-positive BMP dimensions")
+    pad = (4 - (3 * width) % 4) % 4
+    stride = 3 * width + pad
+    if offset + stride * height > len(data):
+        raise MediaDecodeError("BMP pixel array truncated")
+    samples: list[int] = []
+    for y in range(height):
+        stored_row = (height - 1 - y) if bottom_up else y
+        base = offset + stored_row * stride
+        row = data[base: base + 3 * width]
+        for x in range(width):
+            b, g, r = row[3 * x: 3 * x + 3]
+            samples.extend((r, g, b))
+    return DecodedMedia("bmp", width, height, 0, samples)
+
+
+# ------------------------------------------------------------------ PPM
+
+
+def encode_ppm(width: int, height: int, rgb: Sequence[int]) -> bytes:
+    if len(rgb) != 3 * width * height:
+        raise ValueError("rgb length must be 3*width*height")
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + bytes(rgb)
+
+
+def _ppm_tokens(data: bytes, count: int, start: int) -> tuple[list[int], int]:
+    """Read ``count`` whitespace-separated ASCII integer tokens starting
+    at ``start``, honoring ``#`` comments (to end of line)."""
+    toks: list[int] = []
+    i = start
+    n = len(data)
+    while len(toks) < count:
+        while i < n and data[i: i + 1].isspace():
+            i += 1
+        if i < n and data[i: i + 1] == b"#":
+            while i < n and data[i] not in (0x0A, 0x0D):
+                i += 1
+            continue
+        j = i
+        while j < n and not data[j: j + 1].isspace():
+            j += 1
+        if j == i:
+            raise MediaDecodeError("PPM header truncated")
+        try:
+            toks.append(int(data[i:j]))
+        except ValueError as e:
+            raise MediaDecodeError(f"bad PPM header token {data[i:j]!r}") from e
+        i = j
+    return toks, i + 1  # single whitespace after maxval precedes raster
+
+
+def decode_ppm(data: bytes) -> DecodedMedia:
+    """Parse a binary P6 PPM (maxval ≤ 255) into RGB samples."""
+    if data[:2] != b"P6":
+        raise MediaDecodeError("not a P6 PPM payload")
+    (width, height, maxval), raster = _ppm_tokens(data, 3, 2)
+    if width <= 0 or height <= 0:
+        raise MediaDecodeError("non-positive PPM dimensions")
+    if maxval != 255:
+        raise MediaDecodeError(f"unsupported PPM maxval={maxval}")
+    need = 3 * width * height
+    if raster + need > len(data):
+        raise MediaDecodeError("PPM raster truncated")
+    return DecodedMedia("ppm", width, height, 0, list(data[raster: raster + need]))
+
+
+# ------------------------------------------------------------------ WAV
+
+
+def encode_wav(samples: Sequence[int], sample_rate: int) -> bytes:
+    """PCM 16-bit little-endian mono RIFF/WAVE container."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> DecodedMedia:
+    """Chunk-walk a RIFF/WAVE payload; PCM 16-bit mono only. Unknown
+    chunks (LIST, fact, …) are skipped with word alignment."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise MediaDecodeError("not a RIFF/WAVE payload")
+    i = 12
+    sample_rate = None
+    samples: list[int] | None = None
+    while i + 8 <= len(data):
+        cid = data[i: i + 4]
+        (clen,) = struct.unpack_from("<I", data, i + 4)
+        body = data[i + 8: i + 8 + clen]
+        if cid == b"fmt ":
+            if clen < 16:
+                raise MediaDecodeError("WAV fmt chunk truncated")
+            audio_fmt, channels, rate, _brate, _align, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise MediaDecodeError(
+                    f"unsupported WAV (fmt={audio_fmt}, ch={channels}, bits={bits})"
+                )
+            sample_rate = rate
+        elif cid == b"data":
+            if len(body) < clen:
+                raise MediaDecodeError("WAV data chunk truncated")
+            samples = list(struct.unpack(f"<{clen // 2}h", body[: clen - clen % 2]))
+        i += 8 + clen + (clen % 2)  # chunks are word-aligned
+    if sample_rate is None or samples is None:
+        raise MediaDecodeError("WAV missing fmt or data chunk")
+    return DecodedMedia("wav", 0, 0, sample_rate, samples)
+
+
+# ------------------------------------------------------------- dispatch
+
+
+def decode_media_bytes(data: bytes) -> DecodedMedia:
+    """Magic-byte dispatch to the right decoder."""
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    if data[:2] == b"P6":
+        return decode_ppm(data)
+    if data[:4] == b"RIFF":
+        return decode_wav(data)
+    raise MediaDecodeError(f"unrecognized media magic {data[:4]!r}")

@@ -1,22 +1,25 @@
 """Multimodal-column operators (north-star additions, SURVEY §7.3.6).
 
 Design for image/audio/video at 100 TB: media are opaque ``binary``
-columns + a typed metadata struct; decode / feature-extract / resize /
+columns + typed metadata; decode / feature-extract / resize /
 frame-sample run as Arrow-batched pandas functions over ``mapInPandas``
 (one Python worker per partition, zero-copy Arrow transfer, bounded
 batch memory via spark.sql.execution.arrow.maxRecordsPerBatch).
 
-The actual codec libraries (PIL/ffmpeg/etc.) are NOT in this container,
-so the decode body is a clearly-marked deterministic stub: it derives
-fake (width, height, mode) from the md5 of the payload. Everything
-around it — schema contract, binary column handling, Arrow batch shape,
-partition-parallel execution — is real and oracle-checked (the stub's
-arithmetic is reproducible in SQL).
+Decoding is REAL: ``functions/codecs.py`` implements BMP / PPM / WAV
+from their public specs (row padding, bottom-up order, BGR swap, RIFF
+chunk walk), and the decode operators emit statistics over the DECODED
+pixel/sample values. Fixture payloads are synthesized deterministically
+from ``doc_id`` (per-channel arithmetic series), so the DuckDB oracles
+recompute the expected content stats independently with
+``generate_series`` — a wrong stride / channel order / row direction in
+the decoder breaks the cross-engine hash. Formats needing external
+codec libs (JPEG/PNG/MP4) slot into the same dispatch with the
+identical Arrow batch shape.
 """
 
 from __future__ import annotations
 
-import hashlib
 from typing import Iterator
 
 import pandas as pd
@@ -30,43 +33,82 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from kafka_sink_azure_kusto_spark.functions.codecs import (
+    DecodedMedia,
+    decode_media_bytes,
+    encode_bmp,
+    encode_ppm,
+    encode_wav,
+)
+
 DECODE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),
+        StructField("media_type", StringType(), False),
         StructField("n_bytes", LongType(), False),
         StructField("width", LongType(), False),
         StructField("height", LongType(), False),
-        StructField("mode", StringType(), False),
+        StructField("sample_rate", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("sample_sum", LongType(), False),
+        StructField("sample_min", LongType(), False),
+        StructField("sample_max", LongType(), False),
+        StructField("checksum", LongType(), False),
     ]
 )
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, str]:
-    """STUB decoder (no codec libs in this container). Deterministic:
-    width/height come from the first four hex digits of md5(payload),
-    mode from byte length parity. A real deployment replaces this body
-    with PIL.Image.open/ffmpeg — the signature and schema stay fixed."""
-    h = hashlib.md5(payload).hexdigest()
-    width = int(h[0:2], 16)
-    height = int(h[2:4], 16)
-    mode = "RGB" if len(payload) % 2 == 0 else "L"
-    return width, height, mode
+def synth_media_payload(doc_id: int) -> bytes:
+    """Deterministic media fixture for ``doc_id`` (the spec the DuckDB
+    oracles replicate with generate_series):
+
+    - kind = doc_id % 3 → 0: BMP, 1: PPM, 2: WAV
+    - images: width = 4 + doc_id % 13, height = 3 + doc_id % 7; pixel i
+      (row-major) has channels r=(doc_id*31+i*7)%256,
+      g=(doc_id*37+i*11)%256, b=(doc_id*41+i*13)%256
+    - audio: n = 50 + doc_id % 100 samples of
+      ((doc_id*131 + i*17) % 65536) - 32768 at
+      rate 8000 + (doc_id % 5) * 1000
+    """
+    kind = doc_id % 3
+    if kind == 2:
+        n = 50 + doc_id % 100
+        samples = [((doc_id * 131 + i * 17) % 65536) - 32768 for i in range(n)]
+        return encode_wav(samples, 8000 + (doc_id % 5) * 1000)
+    w, h = 4 + doc_id % 13, 3 + doc_id % 7
+    rgb: list[int] = []
+    for i in range(w * h):
+        rgb.append((doc_id * 31 + i * 7) % 256)
+        rgb.append((doc_id * 37 + i * 11) % 256)
+        rgb.append((doc_id * 41 + i * 13) % 256)
+    return (encode_bmp if kind == 0 else encode_ppm)(w, h, rgb)
+
+
+def _decoded_stats(doc_id: int, n_bytes: int, m: DecodedMedia) -> tuple:
+    # checksum is position-weighted so sample ORDER (row direction,
+    # channel interleave, stride handling) is asserted, not just the bag.
+    checksum = sum((j + 1) * v for j, v in enumerate(m.samples))
+    return (
+        doc_id, m.media_type, n_bytes, m.width, m.height, m.sample_rate,
+        len(m.samples), sum(m.samples), min(m.samples), max(m.samples), checksum,
+    )
 
 
 def decode_media_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas body: (doc_id, blob) → DECODE_SCHEMA rows."""
+    """mapInPandas body: (doc_id, blob) → DECODE_SCHEMA rows with stats
+    over the decoded samples."""
+    cols = [f.name for f in DECODE_SCHEMA.fields]
     for pdf in it:
-        payloads = pdf["blob"]
-        meta = [_fake_decode(bytes(b)) for b in payloads]
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"].astype("int64"),
-                "n_bytes": payloads.map(len).astype("int64"),
-                "width": pd.Series([m[0] for m in meta], dtype="int64"),
-                "height": pd.Series([m[1] for m in meta], dtype="int64"),
-                "mode": [m[2] for m in meta],
-            }
-        )
+        rows = [
+            _decoded_stats(int(doc_id), len(bytes(blob)),
+                           decode_media_bytes(bytes(blob)))
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"])
+        ]
+        out = pd.DataFrame(rows, columns=cols)
+        for c in cols:
+            if c != "media_type":
+                out[c] = out[c].astype("int64")
+        yield out
 
 
 def with_media_blob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -77,8 +119,33 @@ def with_media_blob(df: DataFrame, text_col: str = "text", id_col: str = "doc_id
     )
 
 
+def with_synth_media_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Materialize a real BMP/PPM/WAV payload per row from the
+    deterministic fixture spec (``synth_media_payload``). Arrow-batched;
+    in production the blob comes straight off the parquet binary column
+    and this synthesis step disappears."""
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "blob": [synth_media_payload(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("blob", BinaryType(), False),
+        ]
+    )
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(synth, schema=schema)
+
+
 def decode_media(df: DataFrame) -> DataFrame:
-    """Arrow-batched 'decode' over the binary column.
+    """Arrow-batched decode over the binary column: real BMP/PPM/WAV
+    parsing, stats over decoded pixel/sample values.
 
     Scale: mapInPandas is narrow (no shuffle); each task streams its
     partition through the Python worker in Arrow batches, so memory is
@@ -100,32 +167,48 @@ FEATURE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),
         StructField("feat_idx", LongType(), False),
-        StructField("feature", StringType(), False),
+        StructField("feature", LongType(), False),
     ]
 )
 
+N_FEATURES = 8
+
+
+def media_features(m: DecodedMedia) -> list[int]:
+    """8 integer-exact features over the DECODED samples (long-form
+    friendly; a CLIP/CNN embedding call slots into the same batch shape
+    with float features). Integer stats keep the cross-engine hash in
+    exact arithmetic."""
+    s = m.samples
+    return [
+        len(s),
+        sum(s),
+        min(s),
+        max(s),
+        sum((j + 1) * v for j, v in enumerate(s)),  # order-weighted
+        sum(v * v for v in s),  # energy
+        s[0],
+        s[-1],
+    ]
+
 
 def feature_extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas body for feature extraction: blob → 8 scalar features
-    in long form (doc_id, feat_idx, feature). STUB feature function —
-    md5-derived hex-pair values, so the SQL oracle reproduces it exactly
-    on the text stand-in payload; a real deployment swaps in a CLIP/CNN
-    embedding call with the identical Arrow batch shape. Features are
-    emitted as fixed-6-decimal strings to keep the cross-engine hash in
-    exact arithmetic."""
+    """mapInPandas body for feature extraction: blob → decode →
+    ``N_FEATURES`` scalar features in long form (doc_id, feat_idx,
+    feature)."""
     for pdf in it:
         rows = {"doc_id": [], "feat_idx": [], "feature": []}
         for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-            h = hashlib.md5(bytes(blob)).hexdigest()
-            for i in range(8):
+            feats = media_features(decode_media_bytes(bytes(blob)))
+            for i, v in enumerate(feats):
                 rows["doc_id"].append(int(doc_id))
                 rows["feat_idx"].append(i)
-                rows["feature"].append(f"{int(h[2 * i:2 * i + 2], 16) / 255.0:.6f}")
+                rows["feature"].append(int(v))
         yield pd.DataFrame(
             {
                 "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
                 "feat_idx": pd.Series(rows["feat_idx"], dtype="int64"),
-                "feature": rows["feature"],
+                "feature": pd.Series(rows["feature"], dtype="int64"),
             }
         )
 

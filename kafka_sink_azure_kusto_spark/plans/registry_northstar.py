@@ -554,67 +554,107 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ====================================================== multimodal columns
 
 
+# Decoded-sample value model shared by the multimodal oracles: replays
+# the fixture spec (multimodal.synth_media_payload) with generate_series,
+# INDEPENDENTLY of the Python encode→decode chain — the decoder must
+# invert the real BMP/PPM/WAV containers exactly (stride, padding,
+# bottom-up rows, BGR swap, chunk walk) for the hashes to match.
+_MEDIA_VALS_CTE = """
+    base AS (
+      SELECT doc_id,
+             doc_id % 3 AS kind,
+             4 + doc_id % 13 AS w,
+             3 + doc_id % 7 AS h,
+             50 + doc_id % 100 AS na,
+             CASE WHEN doc_id % 3 = 2 THEN 50 + doc_id % 100
+                  ELSE 3 * (4 + doc_id % 13) * (3 + doc_id % 7) END AS n_tot
+      FROM documents),
+    idx AS (
+      SELECT *, unnest(generate_series(0, n_tot - 1)) AS j FROM base),
+    vals AS (
+      SELECT doc_id, kind, w, h, na, n_tot, j,
+             CAST(CASE
+               WHEN kind = 2 THEN ((doc_id * 131 + j * 17) % 65536) - 32768
+               WHEN j % 3 = 0 THEN (doc_id * 31 + (j // 3) * 7) % 256
+               WHEN j % 3 = 1 THEN (doc_id * 37 + (j // 3) * 11) % 256
+               ELSE (doc_id * 41 + (j // 3) * 13) % 256
+             END AS BIGINT) AS v
+      FROM idx)
+"""
+
+
 @register(
     "multimodal_decode",
-    """
+    f"""
+    WITH {_MEDIA_VALS_CTE}
     SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CAST(16 * (CASE WHEN ascii(substr(md5(text), 1, 1)) >= 97
-                           THEN ascii(substr(md5(text), 1, 1)) - 87
-                           ELSE ascii(substr(md5(text), 1, 1)) - 48 END)
-                + (CASE WHEN ascii(substr(md5(text), 2, 1)) >= 97
-                        THEN ascii(substr(md5(text), 2, 1)) - 87
-                        ELSE ascii(substr(md5(text), 2, 1)) - 48 END) AS BIGINT) AS width,
-           CAST(16 * (CASE WHEN ascii(substr(md5(text), 3, 1)) >= 97
-                           THEN ascii(substr(md5(text), 3, 1)) - 87
-                           ELSE ascii(substr(md5(text), 3, 1)) - 48 END)
-                + (CASE WHEN ascii(substr(md5(text), 4, 1)) >= 97
-                        THEN ascii(substr(md5(text), 4, 1)) - 87
-                        ELSE ascii(substr(md5(text), 4, 1)) - 48 END) AS BIGINT) AS height,
-           CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'RGB' ELSE 'L' END AS mode
-    FROM documents
+           any_value(CASE kind WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+                     ELSE 'wav' END) AS media_type,
+           CAST(any_value(CASE kind
+             WHEN 0 THEN 54 + h * (3 * w + (4 - (3 * w) % 4) % 4)
+             WHEN 1 THEN length('P6' || chr(10) || CAST(w AS VARCHAR)
+                         || ' ' || CAST(h AS VARCHAR) || chr(10) || '255'
+                         || chr(10)) + 3 * w * h
+             ELSE 44 + 2 * na END) AS BIGINT) AS n_bytes,
+           CAST(any_value(CASE WHEN kind = 2 THEN 0 ELSE w END) AS BIGINT) AS width,
+           CAST(any_value(CASE WHEN kind = 2 THEN 0 ELSE h END) AS BIGINT) AS height,
+           CAST(any_value(CASE WHEN kind = 2
+                THEN 8000 + (doc_id % 5) * 1000 ELSE 0 END) AS BIGINT) AS sample_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS sample_sum,
+           CAST(MIN(v) AS BIGINT) AS sample_min,
+           CAST(MAX(v) AS BIGINT) AS sample_max,
+           CAST(SUM((j + 1) * v) AS BIGINT) AS checksum
+    FROM vals
+    GROUP BY doc_id
     """,
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: opaque binary column → Arrow-batched
-    mapInPandas 'decode' (STUB body — no codec libs in this container;
-    derives deterministic fake dims from md5 so the full Python/Arrow
-    path is oracle-checked)."""
+    """Real multimodal decode: synthesize a BMP/PPM/WAV container per
+    document (deterministic from doc_id), parse it with the pure-Python
+    codecs (functions/codecs.py), and emit statistics over the decoded
+    pixel/sample values. The oracle recomputes the stats from the value
+    model alone — it never sees the bytes — so container parsing must be
+    exactly right. Narrow Arrow mapInPandas end to end; no shuffle."""
     docs = load_table(spark, sf_dir, "documents")
-    return M.decode_media(M.with_media_blob(docs))
-
-
-def _hexpair_sql(expr: str, i: int) -> str:
-    """SQL value of md5 hex pair i (0-based) — 16*digit(2i+1)+digit(2i+2),
-    ascii arithmetic (the portable hex pattern from functions/dedup.py)."""
-
-    def d(pos: int) -> str:
-        a = f"ascii(substr(md5({expr}), {pos}, 1))"
-        return f"(CASE WHEN {a} >= 97 THEN {a} - 87 ELSE {a} - 48 END)"
-
-    return f"(16 * {d(2 * i + 1)} + {d(2 * i + 2)})"
+    return M.decode_media(M.with_synth_media_blob(docs))
 
 
 @register(
     "multimodal_feature_extract",
-    "SELECT doc_id, feat_idx, feature FROM (\n"
-    + "\nUNION ALL\n".join(
-        f"""SELECT doc_id, CAST({i} AS BIGINT) AS feat_idx,
-               printf('%.6f', {_hexpair_sql("text", i)} / 255.0) AS feature
-        FROM documents"""
-        for i in range(8)
+    f"""
+    WITH {_MEDIA_VALS_CTE},
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS f0,
+             CAST(SUM(v) AS BIGINT) AS f1,
+             CAST(MIN(v) AS BIGINT) AS f2,
+             CAST(MAX(v) AS BIGINT) AS f3,
+             CAST(SUM((j + 1) * v) AS BIGINT) AS f4,
+             CAST(SUM(v * v) AS BIGINT) AS f5,
+             CAST(MAX(CASE WHEN j = 0 THEN v END) AS BIGINT) AS f6,
+             CAST(MAX(CASE WHEN j = n_tot - 1 THEN v END) AS BIGINT) AS f7
+      FROM vals GROUP BY doc_id)
+    SELECT doc_id, feat_idx, feature FROM (
+      SELECT doc_id, CAST(0 AS BIGINT) AS feat_idx, f0 AS feature FROM agg
+      UNION ALL SELECT doc_id, CAST(1 AS BIGINT), f1 FROM agg
+      UNION ALL SELECT doc_id, CAST(2 AS BIGINT), f2 FROM agg
+      UNION ALL SELECT doc_id, CAST(3 AS BIGINT), f3 FROM agg
+      UNION ALL SELECT doc_id, CAST(4 AS BIGINT), f4 FROM agg
+      UNION ALL SELECT doc_id, CAST(5 AS BIGINT), f5 FROM agg
+      UNION ALL SELECT doc_id, CAST(6 AS BIGINT), f6 FROM agg
+      UNION ALL SELECT doc_id, CAST(7 AS BIGINT), f7 FROM agg
     )
-    + "\n)",
+    """,
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction over the binary column: Arrow-batched
-    mapInPandas emitting 8 features per document in long form (STUB
-    feature fn — md5 hex pairs; a CLIP/CNN call slots into the same
-    batch shape). Long-form output keeps downstream shuffles fixed-width;
-    features print at 6 decimals so the oracle hash stays in exact
-    arithmetic."""
+    """Feature extraction over DECODED media content: blob → real
+    BMP/PPM/WAV decode → 8 integer-exact features per document in long
+    form (count/sum/min/max/order-weighted checksum/energy/first/last).
+    A CLIP/CNN embedding call slots into the same Arrow batch shape.
+    Long-form output keeps downstream shuffles fixed-width."""
     docs = load_table(spark, sf_dir, "documents")
-    return M.feature_extract(M.with_media_blob(docs))
+    return M.feature_extract(M.with_synth_media_blob(docs))
 
 
 @register(

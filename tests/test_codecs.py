@@ -1,0 +1,165 @@
+"""Pure-Python media codec tests: golden-byte decodes (hand-assembled
+containers, not roundtrips), padding/row-order/channel-order traps, RIFF
+chunk walking, and encode→decode roundtrip properties."""
+
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kafka_sink_azure_kusto_spark.functions.codecs import (
+    MediaDecodeError,
+    decode_bmp,
+    decode_media_bytes,
+    decode_ppm,
+    decode_wav,
+    encode_bmp,
+    encode_ppm,
+    encode_wav,
+)
+
+
+# ---------------------------------------------------------------- golden BMP
+
+
+def test_bmp_golden_2x2_hand_assembled():
+    # 2x2 24bpp BMP assembled by hand: stride = 6+2 pad = 8 bytes/row,
+    # bottom-up storage, BGR within pixel. Logical (top-down RGB):
+    #   row0: (255,0,0) (0,255,0)
+    #   row1: (0,0,255) (10,20,30)
+    bottom_row = bytes([255, 0, 0, 30, 20, 10]) + b"\x00\x00"  # stored first
+    top_row = bytes([0, 0, 255, 0, 255, 0]) + b"\x00\x00"
+    pixels = bottom_row + top_row
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixels), 0, 0, 0, 0)
+    m = decode_bmp(header + info + pixels)
+    assert (m.width, m.height) == (2, 2)
+    assert m.samples == [255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30]
+
+
+def test_bmp_top_down_negative_height():
+    # Negative height ⇒ rows stored top-down; decoder must NOT flip.
+    rows = bytes([1, 2, 3]) + b"\x00" + bytes([4, 5, 6]) + b"\x00"  # 1px/row, pad 1
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 1, -2, 1, 24, 0, len(rows), 0, 0, 0, 0)
+    m = decode_bmp(header + info + rows)
+    # stored BGR ⇒ logical RGB reversed per pixel, rows in stored order
+    assert m.samples == [3, 2, 1, 6, 5, 4]
+
+
+@pytest.mark.parametrize("width", [1, 2, 3, 4, 5])
+def test_bmp_roundtrip_all_paddings(width):
+    # widths 1..5 hit every row-padding remainder (3w % 4 = 3,2,1,0,3)
+    h = 3
+    rgb = [(i * 7 + c) % 256 for i in range(width * h) for c in (0, 1, 2)]
+    m = decode_bmp(encode_bmp(width, h, rgb))
+    assert (m.width, m.height) == (width, h)
+    assert m.samples == rgb
+
+
+def test_bmp_rejects_wrong_magic_and_bpp():
+    with pytest.raises(MediaDecodeError, match="not a BMP"):
+        decode_bmp(b"XX" + b"\x00" * 60)
+    header = struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54)
+    info8 = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 8, 0, 0, 0, 0, 0, 0)
+    with pytest.raises(MediaDecodeError, match="bpp=8"):
+        decode_bmp(header + info8)
+
+
+def test_bmp_truncated_pixel_array():
+    full = encode_bmp(3, 3, [0] * 27)
+    with pytest.raises(MediaDecodeError, match="truncated"):
+        decode_bmp(full[:-5])
+
+
+# ---------------------------------------------------------------- golden PPM
+
+
+def test_ppm_golden_with_comments_and_whitespace():
+    raster = bytes([9, 8, 7, 1, 2, 3])
+    data = b"P6 # raw ppm\n# size next\n 2\t1 # dims\n255\n" + raster
+    m = decode_ppm(data)
+    assert (m.width, m.height) == (2, 1)
+    assert m.samples == [9, 8, 7, 1, 2, 3]
+
+
+def test_ppm_roundtrip():
+    rgb = [(i * 13) % 256 for i in range(3 * 4 * 2)]
+    m = decode_ppm(encode_ppm(4, 2, rgb))
+    assert (m.width, m.height, m.samples) == (4, 2, rgb)
+
+
+def test_ppm_rejects_bad_maxval_and_truncation():
+    with pytest.raises(MediaDecodeError, match="maxval=65535"):
+        decode_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 6)
+    with pytest.raises(MediaDecodeError, match="truncated"):
+        decode_ppm(b"P6\n2 2\n255\n" + b"\x00" * 5)
+
+
+# ---------------------------------------------------------------- golden WAV
+
+
+def test_wav_golden_hand_assembled_with_extra_chunk():
+    # fmt, an unknown LIST chunk (odd length ⇒ word-align pad), then data.
+    samples = [0, 1000, -1000, 32767, -32768]
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    listc = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # padded
+    data = struct.pack("<5h", *samples)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + listc + b"data" + struct.pack("<I", len(data)) + data)
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    m = decode_wav(payload)
+    assert m.sample_rate == 16000
+    assert m.samples == samples
+
+
+def test_wav_roundtrip_and_rejects():
+    samples = [((i * 997) % 65536) - 32768 for i in range(100)]
+    m = decode_wav(encode_wav(samples, 8000))
+    assert m.sample_rate == 8000 and m.samples == samples
+    with pytest.raises(MediaDecodeError, match="not a RIFF"):
+        decode_wav(b"RIFX" + b"\x00" * 40)
+    stereo_fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(stereo_fmt)) + stereo_fmt
+    with pytest.raises(MediaDecodeError, match="ch=2"):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+# ------------------------------------------------------------------ dispatch
+
+
+def test_dispatch_by_magic():
+    assert decode_media_bytes(encode_bmp(1, 1, [1, 2, 3])).media_type == "bmp"
+    assert decode_media_bytes(encode_ppm(1, 1, [1, 2, 3])).media_type == "ppm"
+    assert decode_media_bytes(encode_wav([0], 8000)).media_type == "wav"
+    with pytest.raises(MediaDecodeError, match="unrecognized"):
+        decode_media_bytes(b"\x89PNG\r\n")
+
+
+# ------------------------------------------------------------------ property
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=16),
+    h=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_image_roundtrip_property(w, h, seed):
+    rgb = [(seed * 31 + i * 7) % 256 for i in range(3 * w * h)]
+    for enc, dec in ((encode_bmp, decode_bmp), (encode_ppm, decode_ppm)):
+        m = dec(enc(w, h, rgb))
+        assert (m.width, m.height, m.samples) == (w, h, rgb)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(min_value=1, max_value=300),
+    seed=st.integers(min_value=0, max_value=10_000),
+    rate=st.sampled_from([8000, 11025, 16000, 44100]),
+)
+def test_wav_roundtrip_property(n, seed, rate):
+    samples = [((seed * 131 + i * 17) % 65536) - 32768 for i in range(n)]
+    m = decode_wav(encode_wav(samples, rate))
+    assert m.sample_rate == rate and m.samples == samples

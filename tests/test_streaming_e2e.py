@@ -159,17 +159,19 @@ def test_validation_off_by_default(tmp_path):
     KustoSparkSink(cfg, backend)  # no probe, no raise
 
 
-def test_multimodal_decode_plumbing(spark, sf_dir):
+def test_multimodal_decode_real_content(spark, sf_dir):
     from kafka_sink_azure_kusto_spark.functions import multimodal as M
+    from kafka_sink_azure_kusto_spark.functions.codecs import decode_media_bytes
 
     docs = load_table(spark, sf_dir, "documents").limit(20)
-    out = M.decode_media(M.with_media_blob(docs)).collect()
+    out = M.decode_media(M.with_synth_media_blob(docs)).collect()
     assert len(out) == 20
-    import hashlib
-
-    src = {r.doc_id: r.text for r in docs.collect()}
     for r in out:
-        h = hashlib.md5(src[r.doc_id].encode()).hexdigest()
-        assert r.width == int(h[0:2], 16) and r.height == int(h[2:4], 16)
-        assert r.n_bytes == len(src[r.doc_id].encode())
-        assert r.mode in ("RGB", "L")
+        payload = M.synth_media_payload(r.doc_id)
+        m = decode_media_bytes(payload)
+        assert r.media_type == {0: "bmp", 1: "ppm", 2: "wav"}[r.doc_id % 3]
+        assert r.n_bytes == len(payload)
+        assert (r.width, r.height, r.sample_rate) == (m.width, m.height, m.sample_rate)
+        assert r.n_samples == len(m.samples)
+        assert r.sample_sum == sum(m.samples)
+        assert r.checksum == sum((j + 1) * v for j, v in enumerate(m.samples))

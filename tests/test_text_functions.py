@@ -71,20 +71,35 @@ def test_bpe_ish_longer_than_words(spark):
     assert got[1] == 3
 
 
-def test_multimodal_feature_extract_shape(spark):
+def test_multimodal_feature_extract_decoded_content(spark):
     from kafka_sink_azure_kusto_spark.functions import multimodal as M
 
-    df = spark.createDataFrame([(1, "hello"), (2, "world")], "doc_id long, text string")
-    out = M.feature_extract(M.with_media_blob(df)).collect()
-    assert len(out) == 16  # 8 features per doc, long form
-    by_doc = {}
-    for r in out:
-        by_doc.setdefault(r.doc_id, []).append((r.feat_idx, r.feature))
-        assert 0.0 <= float(r.feature) <= 1.0
-    assert sorted(i for i, _ in by_doc[1]) == list(range(8))
-    # deterministic: same payload → same features
-    out2 = M.feature_extract(M.with_media_blob(df)).collect()
-    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    df = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")  # ppm, wav, bmp
+    out = M.feature_extract(M.with_synth_media_blob(df)).collect()
+    assert len(out) == 24  # 8 features per doc, long form
+    got = {(r.doc_id, r.feat_idx): r.feature for r in out}
+
+    # independent expectation from the fixture value model (not the codecs)
+    def expected_samples(doc_id):
+        if doc_id % 3 == 2:
+            n = 50 + doc_id % 100
+            return [((doc_id * 131 + i * 17) % 65536) - 32768 for i in range(n)]
+        w, h = 4 + doc_id % 13, 3 + doc_id % 7
+        return [
+            (doc_id * (31, 37, 41)[c] + i * (7, 11, 13)[c]) % 256
+            for i in range(w * h) for c in range(3)
+        ]
+
+    for doc_id in (1, 2, 3):
+        s = expected_samples(doc_id)
+        assert got[(doc_id, 0)] == len(s)
+        assert got[(doc_id, 1)] == sum(s)
+        assert got[(doc_id, 2)] == min(s)
+        assert got[(doc_id, 3)] == max(s)
+        assert got[(doc_id, 4)] == sum((j + 1) * v for j, v in enumerate(s))
+        assert got[(doc_id, 5)] == sum(v * v for v in s)
+        assert got[(doc_id, 6)] == s[0]
+        assert got[(doc_id, 7)] == s[-1]
 
 
 def test_multimodal_frame_sample_every_k(spark):
