@@ -134,3 +134,86 @@ class KafkaDlqWriter:
             except Exception:  # noqa: BLE001 — close is best-effort
                 log.warning("DLQ producer close failed", exc_info=True)
             self._producer = None
+
+
+def _to_bytes(v) -> bytes:
+    return v.encode("utf-8") if isinstance(v, str) else bytes(v)
+
+
+class FileDlqProducer:
+    """Producer-shaped file writer for executor-side DLQ when no broker
+    is reachable (or configured): records buffer per task and land as a
+    uniquely-named base64 JSONL file under ``directory`` on flush —
+    point it at shared storage in a real cluster. Base64 keeps binary
+    Avro values lossless in JSONL. Also serves as the byte-parity test
+    seam for the Kafka path (same send/flush/close surface).
+
+    Use via ``functools.partial(FileDlqProducer, directory=...)`` as the
+    sink's ``dlq_partition_producer_factory``."""
+
+    def __init__(self, props: dict, directory: str):
+        self.props = props
+        self.directory = directory
+        self._buf: list[dict] = []
+
+    def send(self, topic, key=None, value=None) -> None:
+        import base64
+
+        self._buf.append(
+            {
+                "topic": topic,
+                "key": base64.b64encode(_to_bytes(key)).decode("ascii"),
+                "value": base64.b64encode(_to_bytes(value)).decode("ascii"),
+            }
+        )
+
+    def flush(self) -> None:
+        import json as _json
+        import os
+        import uuid
+
+        if not self._buf:
+            return
+        os.makedirs(self.directory, exist_ok=True)
+        path = os.path.join(self.directory, f"dlq_{uuid.uuid4().hex}.jsonl")
+        with open(path, "w", encoding="utf-8") as f:
+            for r in self._buf:
+                f.write(_json.dumps(r) + "\n")
+        self._buf = []
+
+    def close(self) -> None:
+        self.flush()
+
+
+def executor_partition_sender(
+    topic: str,
+    producer_props: dict,
+    producer_factory: Optional[Callable[[dict], object]] = None,
+):
+    """Executor-side DLQ production: returns a picklable per-partition
+    callable for ``DataFrame.foreachPartition`` over (key, value) rows.
+
+    Each task builds ONE producer for its partition, streams its rows,
+    flushes, and closes — so DLQ throughput scales with the cluster and
+    no failure tail is ever collected to the driver. Record bytes are
+    identical to the driver path's ``KafkaDlqWriter`` (same key format,
+    same raw-bytes values); only the production locus differs."""
+    factory = producer_factory or _default_producer_factory
+
+    def send_partition(rows) -> None:
+        producer = None
+        try:
+            for r in rows:
+                if producer is None:  # lazy: empty partitions build nothing
+                    producer = factory(producer_props)
+                producer.send(topic, key=_to_bytes(r["key"]), value=_to_bytes(r["value"]))
+            if producer is not None:
+                producer.flush()
+        finally:
+            if producer is not None:
+                try:
+                    producer.close()
+                except Exception:  # noqa: BLE001 — close is best-effort
+                    log.warning("executor DLQ producer close failed", exc_info=True)
+
+    return send_partition

@@ -274,6 +274,7 @@ class KustoSparkSink:
         dlq_writer=None,
         backend_factory=None,
         executor_side_ingest: bool = False,
+        dlq_partition_producer_factory=None,
     ):
         self.config = config
         self.backend = backend
@@ -305,6 +306,10 @@ class KustoSparkSink:
 
             dlq_writer = KafkaDlqWriter.from_config(config)
         self._dlq_writer = dlq_writer
+        # Executor-side DLQ produce seam (config.dlq_executor_side):
+        # picklable callable(props) -> producer, shipped to foreachPartition
+        # tasks. None ⇒ kafka-python's default factory on the executors.
+        self._dlq_partition_producer_factory = dlq_partition_producer_factory
         if config.validate_tables:
             # V1–V4 startup probes, errors aggregated across mappings then
             # thrown once (validateTableMappings, KustoSinkTask.java:342-375).
@@ -570,8 +575,44 @@ class KustoSparkSink:
             F.col("file_offset").cast("string"),
         )
         wanted = [f"{s.topic}\x1f{s.partition}\x1f{s.file_offset}" for s in failed]
+        filtered = df.filter(file_key.isin(wanted))
+        if self.config.dlq_executor_side and (
+            self.config.dlq_enabled or self._dlq_partition_producer_factory
+        ):
+            # Scale path: produce from the executors (one producer per
+            # partition task) — DLQ cost scales with the cluster and the
+            # failure tail never crosses the driver. Bytes are identical
+            # to the driver path below; only the production locus moves.
+            from kafka_sink_azure_kusto_spark.streaming.dlq import (
+                executor_partition_sender,
+            )
+
+            key_col = F.concat(
+                F.lit(
+                    "Failed to write record to KustoDB with the following "
+                    "kafka coordinates, topic="
+                ),
+                F.col("topic"),
+                F.lit(", partition="),
+                F.col("partition").cast("string"),
+                F.lit(", offset="),
+                F.col("offset").cast("string"),
+                F.lit("."),
+            )
+            out = filtered.select(key_col.alias("key"), F.col("line").alias("value"))
+            n = out.count()  # extra job, but only on the failure path
+            if n:
+                out.foreachPartition(
+                    executor_partition_sender(
+                        self.config.dlq_topic_name,
+                        self.config.dlq_producer_props(),
+                        self._dlq_partition_producer_factory,
+                    )
+                )
+                self.metrics.incr("dlq_records_sent", n)
+            return
         rows = (
-            df.filter(file_key.isin(wanted))
+            filtered
             .select("topic", "partition", "offset", "line")
             .orderBy("topic", "partition", "offset")
             .collect()

@@ -152,3 +152,65 @@ def test_producer_factory_coerces_bool_and_acks(monkeypatch):
     )
     assert captured["ssl_check_hostname"] is True
     assert captured["acks"] == "all"
+
+
+# ------------------------------------------------------- executor-side DLQ
+
+
+from kafka_sink_azure_kusto_spark.streaming.dlq import FileDlqProducer
+
+
+def _failed_batch_df(spark):
+    rows = [(f"k{i}", json.dumps({"n": i}), "t1", 0, i) for i in range(6)]
+    return spark.createDataFrame(
+        rows, "key string, value string, topic string, partition long, offset long"
+    )
+
+
+def test_executor_side_dlq_bytes_match_driver_path(spark, tmp_path):
+    import base64
+    import functools
+    import os
+
+    # --- driver path (reference shape) ---
+    fake = FakeProducer()
+    cfg_d = KustoSinkConfig.from_connect_properties(CONNECT_PROPS)
+    cfg_d.staging_dir = str(tmp_path / "staging_d")
+    sink_d = KustoSparkSink(
+        cfg_d, LocalEmulatorBackend(str(tmp_path / "kusto_d"), permanent_fail=True)
+    )
+    sink_d._dlq_writer = KafkaDlqWriter.from_config(cfg_d, producer_factory=lambda p: fake)
+    sink_d.process_batch(_failed_batch_df(spark), epoch_id=0)
+    driver_records = {(k, v) for _, k, v in fake.sent}
+    assert len(driver_records) == 6
+
+    # --- executor path (scale shape) ---
+    capture = tmp_path / "capture"
+    capture.mkdir()
+    props = dict(CONNECT_PROPS)
+    props["misc.deadletterqueue.executor.side.enable"] = "true"
+    cfg_e = KustoSinkConfig.from_connect_properties(props)
+    assert cfg_e.dlq_executor_side
+    cfg_e.staging_dir = str(tmp_path / "staging_e")
+    sink_e = KustoSparkSink(
+        cfg_e,
+        LocalEmulatorBackend(str(tmp_path / "kusto_e"), permanent_fail=True),
+        dlq_partition_producer_factory=functools.partial(
+            FileDlqProducer, directory=str(capture)
+        ),
+    )
+    sink_e.process_batch(_failed_batch_df(spark), epoch_id=0)
+
+    executor_records = set()
+    topics = set()
+    for name in os.listdir(capture):
+        with open(capture / name) as f:
+            for line in f:
+                r = json.loads(line)
+                topics.add(r["topic"])
+                executor_records.add(
+                    (base64.b64decode(r["key"]), base64.b64decode(r["value"]))
+                )
+    assert topics == {"dlq.topic"}
+    assert executor_records == driver_records  # byte-identical per record
+    assert sink_e.metrics.snapshot()["DlqRecordsSent"] == 6
