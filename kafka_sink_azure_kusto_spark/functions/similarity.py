@@ -166,20 +166,30 @@ def hyperplane_lsh_buckets(
     Returns (id, bucket) where bucket is a bit-string of length
     ``num_planes``. Used as the cell assignment for ``ivf_topk`` when no
     precomputed cells exist.
+
+    Shape: posexplode → ``num_planes`` flat per-dimension contribution
+    columns → map-side-combined sums per id — everything stays inside
+    whole-stage codegen (aggregate/zip_with HOF lambdas evaluate
+    interpreted: the repo's measured 13× cliff, functions/dedup.py:79-82).
+    The one exchange is keyed on id; since an exploded vector's rows are
+    contiguous within their partition, the partial sum accumulates in
+    ascending-dimension order — the same float addition order as the
+    previous per-row fold, so bucket values (and oracle hashes) are
+    unchanged.
     """
-    vec = F.col(vec_col)
-    bits = []
-    for p in range(num_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, d: x.cast("double") * hyperplane_component(p, d),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return df.select(
-        F.col(id_col).alias("id"), F.concat(*bits).alias("bucket")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.col(vec_col)).alias("d", "x"),
+    ).filter(F.col("d") < dim)
+    contribs = [
+        (F.col("x").cast("double") * hyperplane_component(p, F.col("d"))).alias(f"c{p}")
+        for p in range(num_planes)
+    ]
+    sums = base.select("id", *contribs).groupBy("id").agg(
+        *[F.sum(f"c{p}").alias(f"s{p}") for p in range(num_planes)]
     )
+    bits = [
+        F.when(F.col(f"s{p}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in range(num_planes)
+    ]
+    return sums.select("id", F.concat(*bits).alias("bucket"))
