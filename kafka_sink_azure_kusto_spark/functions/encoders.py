@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import pandas as pd  # noqa: F401 — pandas_udf resolves 'pd.*' hints here
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -32,6 +33,7 @@ def decode_payload(
     schema: Optional[StructType] = None,
     value_col: str = "value",
     avro_schema_json: Optional[str] = None,
+    proto_field_schema: Optional[dict] = None,
 ) -> DataFrame:
     """F4 — dispatch decode by configured format (the Spark analog of
     FileWriter.initializeRecordWriter's class-based dispatch,
@@ -40,6 +42,10 @@ def decode_payload(
     - json/singlejson/multijson → ``from_json(cast(value as string), schema)``
       (schemaless → map<string,string> when no schema given)
     - avro/apacheavro → ``from_avro(value, schema)`` (spark-avro)
+    - protobuf → Arrow-batched wire-format decode (converter matrix row 6,
+      reference README.md:147-156); needs ``schema`` (output struct) +
+      ``proto_field_schema`` ({field_number: (name, type)}, the
+      schema-registry stand-in) — see functions/protobuf_io.py
     - csv → ``cast(value as string)`` — the record already is the line
     - bytes → value kept as BinaryType, untouched
 
@@ -53,6 +59,13 @@ def decode_payload(
             payload = F.from_json(v.cast("string"), schema)
         else:
             payload = F.from_json(v.cast("string"), "map<string,string>")
+    elif f == "protobuf":
+        if schema is None or proto_field_schema is None:
+            raise ValueError(
+                "protobuf decode requires schema (output struct) and "
+                "proto_field_schema ({field_number: (name, type)})"
+            )
+        payload = _protobuf_decode_column(v, schema, proto_field_schema)
     elif f in ("avro", "apacheavro"):
         if avro_schema_json is None:
             raise ValueError("avro decode requires avro_schema_json")
@@ -68,6 +81,31 @@ def decode_payload(
     else:  # bytes / parquet / orc passthrough (E4)
         payload = v
     return df.withColumn("payload", payload)
+
+
+def _protobuf_decode_column(v: Column, schema: StructType, proto_field_schema: dict) -> Column:
+    """Arrow-batched (pandas UDF) protobuf wire decode: binary → typed
+    struct. Missing fields → NULL (proto3 absent-field semantics at the
+    converter boundary); NULL payloads → NULL struct fields."""
+    from pyspark.sql.functions import pandas_udf
+
+    from kafka_sink_azure_kusto_spark.functions.protobuf_io import decode_message
+
+    names = [f.name for f in schema.fields]
+
+    @pandas_udf(returnType=schema)
+    def _decode(vals: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in vals:
+            if b is None:
+                rows.append({})
+            else:
+                rows.append(decode_message(bytes(b), proto_field_schema))
+        return pd.DataFrame(
+            {n: [r.get(n) for r in rows] for n in names}
+        )
+
+    return _decode(v)
 
 
 def encode_ndjson(df: DataFrame, cols: Optional[Sequence[str]] = None) -> Column:

@@ -21,6 +21,14 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from kafka_sink_azure_kusto_spark.config import TopicToTableMapping
 from kafka_sink_azure_kusto_spark.functions.routing import with_route
@@ -232,6 +240,82 @@ def json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id", F.from_json("props", "k int").getField("k").alias("k")
     )
+
+
+@register(
+    "protobuf_decode",
+    """
+    SELECT event_id, user_id, event_type, value,
+           CAST(user_id * 2 - 1000 AS BIGINT) AS balance,
+           event_type = 'click' AS is_click
+    FROM events
+    """,
+)
+def protobuf_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Converter-matrix row 6 (ProtobufConverter, reference
+    README.md:147-156): protobuf-encoded record values → typed columns.
+
+    Fixture: each events row is wire-encoded (pure-Python codec,
+    functions/protobuf_io.py — varint/fixed64/length-delimited/zigzag),
+    then decoded back through ``decode_payload(fmt="protobuf")``'s
+    Arrow-batched wire parser. The oracle reads the source columns
+    directly, so any tag/varint/zigzag/endianness bug in the chain
+    breaks the hash. Both halves are narrow mapInPandas/pandas_udf —
+    no shuffle."""
+    import pandas as pd
+
+    from kafka_sink_azure_kusto_spark.functions.encoders import decode_payload
+    from kafka_sink_azure_kusto_spark.functions.protobuf_io import (
+        encode_message,
+        encode_zigzag,
+    )
+
+    def encode_batches(it):
+        for pdf in it:
+            payloads = []
+            for _, r in pdf.iterrows():
+                fields = []
+                if not pd.isna(r["event_id"]):
+                    fields.append((1, int(r["event_id"])))
+                if not pd.isna(r["user_id"]):
+                    uid = int(r["user_id"])
+                    fields.append((2, uid))
+                    fields.append((5, encode_zigzag(uid * 2 - 1000)))  # sint64
+                if r["event_type"] is not None:
+                    fields.append((3, str(r["event_type"])))
+                    fields.append((6, int(r["event_type"] == "click")))  # bool
+                if not pd.isna(r["value"]):
+                    fields.append((4, float(r["value"])))  # fixed64 double
+                payloads.append(encode_message(fields))
+            yield pd.DataFrame({"value": payloads})
+
+    ev = load_table(spark, sf_dir, "events")
+    encoded = ev.select("event_id", "user_id", "event_type", "value").mapInPandas(
+        encode_batches, schema="value binary"
+    )
+    decoded = decode_payload(
+        encoded,
+        fmt="protobuf",
+        schema=StructType(
+            [
+                StructField("event_id", LongType()),
+                StructField("user_id", LongType()),
+                StructField("event_type", StringType()),
+                StructField("value", DoubleType()),
+                StructField("balance", LongType()),
+                StructField("is_click", BooleanType()),
+            ]
+        ),
+        proto_field_schema={
+            1: ("event_id", "int64"),
+            2: ("user_id", "int64"),
+            3: ("event_type", "string"),
+            4: ("value", "double"),
+            5: ("balance", "sint64"),
+            6: ("is_click", "bool"),
+        },
+    )
+    return decoded.select("payload.*")
 
 
 @register(

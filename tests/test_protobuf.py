@@ -1,0 +1,131 @@
+"""Protobuf wire-format codec tests: golden bytes straight from the
+public encoding spec, varint/zigzag edges, unknown-field skip, error
+paths, and the Spark decode_payload('protobuf') path."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from kafka_sink_azure_kusto_spark.functions.protobuf_io import (
+    ProtoDecodeError,
+    decode_message,
+    decode_varint,
+    decode_zigzag,
+    encode_field,
+    encode_message,
+    encode_varint,
+    encode_zigzag,
+    parse_wire_fields,
+)
+
+
+# -------------------------------------------------- spec golden bytes
+# https://protobuf.dev/programming-guides/encoding/ worked examples
+
+
+def test_spec_golden_varint_150():
+    # `message Test1 { int32 a = 1; }` with a=150 ⇒ bytes 08 96 01
+    assert encode_field(1, 150) == bytes.fromhex("089601")
+    assert decode_message(bytes.fromhex("089601"), {1: ("a", "int64")}) == {"a": 150}
+
+
+def test_spec_golden_string_testing():
+    # `message Test2 { string b = 2; }` with b="testing" ⇒ 12 07 74..67
+    payload = bytes.fromhex("120774657374696e67")
+    assert encode_field(2, "testing") == payload
+    assert decode_message(payload, {2: ("b", "string")}) == {"b": "testing"}
+
+
+def test_spec_negative_int64_is_ten_bytes():
+    # spec: negative int32/int64 values always encode as 10-byte varints
+    enc = encode_varint(-2)
+    assert len(enc) == 10
+    v, pos = decode_varint(enc, 0)
+    assert pos == 10
+    assert v == (1 << 64) - 2
+    assert decode_message(encode_field(1, -2), {1: ("a", "int64")}) == {"a": -2}
+
+
+@pytest.mark.parametrize(
+    "n,z", [(0, 0), (-1, 1), (1, 2), (-2, 3), (2147483647, 4294967294),
+            (-2147483648, 4294967295)],
+)
+def test_spec_zigzag_table(n, z):
+    # the spec's sint zigzag table, verbatim
+    assert encode_zigzag(n) == z
+    assert decode_zigzag(z) == n
+
+
+def test_double_and_float_fields():
+    m = encode_field(4, 3.5) + encode_field(7, 1.5, wire_type=5)
+    out = decode_message(m, {4: ("d", "double"), 7: ("f", "float")})
+    assert out == {"d": 3.5, "f": 1.5}
+
+
+def test_unknown_fields_skipped_and_last_wins():
+    m = (encode_field(9, 42)            # unknown → skipped
+         + encode_field(1, 1) + encode_field(1, 2))  # non-repeated: last wins
+    assert decode_message(m, {1: ("a", "int64")}) == {"a": 2}
+
+
+def test_error_paths():
+    with pytest.raises(ProtoDecodeError, match="truncated varint"):
+        list(parse_wire_fields(b"\x08"))
+    with pytest.raises(ProtoDecodeError, match="truncated length"):
+        list(parse_wire_fields(b"\x12\x05ab"))
+    with pytest.raises(ProtoDecodeError, match="field number 0"):
+        list(parse_wire_fields(b"\x00\x01"))
+    with pytest.raises(ProtoDecodeError, match="wire type 3"):
+        list(parse_wire_fields(b"\x0b"))  # deprecated group start
+    with pytest.raises(ProtoDecodeError, match="exceeds 10"):
+        decode_varint(b"\xff" * 11, 0)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1))
+def test_varint_int64_roundtrip_property(n):
+    assert decode_message(encode_field(3, n), {3: ("x", "int64")}) == {"x": n}
+    assert decode_zigzag(encode_zigzag(n)) == n
+
+
+def test_decode_payload_protobuf_spark(spark):
+    from kafka_sink_azure_kusto_spark.functions.encoders import decode_payload
+
+    msgs = [
+        encode_message([(1, 7), (2, "click"), (3, 2.25)]),
+        encode_message([(1, -5)]),  # missing fields → NULL
+        None,  # tombstone-ish: NULL payload → NULL struct fields
+    ]
+    df = spark.createDataFrame([(m,) for m in msgs], "value binary")
+    out = decode_payload(
+        df,
+        fmt="protobuf",
+        schema=StructType(
+            [
+                StructField("n", LongType()),
+                StructField("tag", StringType()),
+                StructField("score", DoubleType()),
+            ]
+        ),
+        proto_field_schema={1: ("n", "int64"), 2: ("tag", "string"),
+                            3: ("score", "double")},
+    ).select("payload.*").collect()
+    assert [tuple(r) for r in out] == [
+        (7, "click", 2.25), (-5, None, None), (None, None, None),
+    ]
+
+
+def test_decode_payload_protobuf_requires_schemas(spark):
+    from kafka_sink_azure_kusto_spark.functions.encoders import decode_payload
+
+    df = spark.createDataFrame([(b"",)], "value binary")
+    with pytest.raises(ValueError, match="proto_field_schema"):
+        decode_payload(df, fmt="protobuf")
