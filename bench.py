@@ -116,6 +116,153 @@ def _scale10x_timings(spark, sf_dir: str) -> dict[str, float]:
     return timings
 
 
+def _scale100x_timings(spark, sf_dir: str) -> dict:
+    """100× step for the two flagship scale claims (minhash-LSH dedup,
+    IVF top-k): time each at 10× (5k docs/vecs) and 100× (50k), and
+    record the scaling exponent log10(t100/t10) — 1.0 ⇒ linear in corpus
+    size, ~0 ⇒ flat (cell-pruned probe). Corpora are synthesized
+    deterministically (tools/scale_probe.py) since documents/embeddings
+    are fixed at 500 rows per TESTDATA.md."""
+    import math
+    import time
+
+    from pyspark.sql import functions as F
+
+    from kafka_sink_azure_kusto_spark.functions import dedup as D
+    from kafka_sink_azure_kusto_spark.functions import similarity as S
+    from kafka_sink_azure_kusto_spark.sources.tables import load_table
+    from tools.scale_probe import synth_docs, synth_embeddings
+
+    out: dict = {}
+
+    def timed(df) -> float:
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        return round(time.perf_counter() - t0, 3)
+
+    base_docs = load_table(spark, sf_dir, "documents")
+    minhash: dict[int, float] = {}
+    for n in (5_000, 50_000):
+        docs = synth_docs(spark, base_docs, n).cache()
+        docs.count()
+        minhash[n] = timed(D.minhash_lsh_pairs(docs, jaccard_threshold=0.5))
+        docs.unpersist()
+    ivf: dict[int, float] = {}
+    for n in (5_000, 50_000):
+        emb = synth_embeddings(spark, n).cache()
+        emb.count()
+        q = emb.filter(F.col("vec_id") < 50)
+        ivf[n] = timed(S.ivf_topk(emb, q, k=10))
+        emb.unpersist()
+
+    def exponent(t: dict[int, float]) -> float:
+        return round(math.log10(max(t[50_000], 1e-3) / max(t[5_000], 1e-3)), 3)
+
+    out["dedup_minhash_lsh"] = {
+        "sec_10x": minhash[5_000], "sec_100x": minhash[50_000],
+        "scaling_exponent": exponent(minhash),  # 1.0 = linear
+    }
+    out["similarity_topk_ivf"] = {
+        "sec_10x": ivf[5_000], "sec_100x": ivf[50_000],
+        "scaling_exponent": exponent(ivf),  # ~0 = flat
+    }
+    return out
+
+
+def _streaming_latency(spark, sf_dir: str) -> dict:
+    """End-to-end micro-batch latency envelope through the emulator
+    backend: p50/p95 of per-batch triggerExecution (source read →
+    tombstone filter → route → encode → roll → stage → ingest → commit)
+    from the streaming query's own progress events.
+
+    Two configs from the reference docs: queued defaults (flush 1 MB /
+    30 s — trigger shortened to 500 ms so the measurement samples
+    PROCESSING latency, not the idle trigger wait) and the streaming-
+    ingestion guidance (≤4 MB batches, 100s-of-ms end-to-end,
+    README.md:427-429) with a 300 ms trigger."""
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    import kafka_sink_azure_kusto_spark as pks
+    from kafka_sink_azure_kusto_spark.sources.replay import (
+        replay_stream,
+        stage_replay_dir,
+    )
+    from kafka_sink_azure_kusto_spark.sources.tables import load_table
+    from kafka_sink_azure_kusto_spark.streaming import (
+        KustoSparkSink,
+        LocalEmulatorBackend,
+    )
+
+    def pct(xs: list[float], p: float) -> float:
+        xs = sorted(xs)
+        return xs[min(len(xs) - 1, int(round(p * (len(xs) - 1))))]
+
+    def run(name: str, cfg_kw: dict, trigger_ms: int, streaming: bool) -> dict:
+        work = tempfile.mkdtemp(prefix=f"bench_lat_{name}_")
+        try:
+            ev = load_table(spark, sf_dir, "events").limit(3000)
+            records = ev.select(
+                F.col("event_id").cast("string").alias("key"),
+                F.to_json(F.struct("event_id", "user_id", "value")).alias("value"),
+                F.lit("events").alias("topic"),
+                (F.col("event_id") % 4).cast("long").alias("partition"),
+                F.col("event_id").cast("long").alias("offset"),
+            )
+            stage_replay_dir(records, f"{work}/replay", chunks=12)
+            cfg = pks.KustoSinkConfig(
+                ingest_url="https://ingest.example.kusto.windows.net",
+                mappings=[pks.TopicToTableMapping(
+                    topic="*", db="db", table="t", format="json",
+                    streaming=streaming,
+                )],
+                staging_dir=f"{work}/staging",
+                checkpoint_location=f"{work}/ckpt",
+                trigger_interval_ms=trigger_ms,
+                **cfg_kw,
+            )
+            sink = KustoSparkSink(cfg, LocalEmulatorBackend(f"{work}/kusto"))
+            query = sink.attach(replay_stream(spark, f"{work}/replay"))
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                done = sum(
+                    e["records"] for e in
+                    LocalEmulatorBackend(f"{work}/kusto").ingest_log()
+                )
+                if done >= 3000:
+                    break
+                time.sleep(0.5)
+            batches = [
+                p["durationMs"]["triggerExecution"]
+                for p in (query.recentProgress or [])
+                if p.get("numInputRows", 0) > 0 and "triggerExecution" in p.get("durationMs", {})
+            ]
+            KustoSparkSink.close(query)
+            if not batches:
+                return {"batches": 0}
+            return {
+                "batches": len(batches),
+                "p50_ms": pct(batches, 0.50),
+                "p95_ms": pct(batches, 0.95),
+            }
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    return {
+        "queued_defaults_1mb_30s": run(
+            "queued", {"flush_size_bytes": 1024 * 1024, "flush_interval_ms": 30_000},
+            trigger_ms=500, streaming=False,
+        ),
+        "streaming_guidance_4mb_subsec": run(
+            "streaming", {"flush_size_bytes": 4 * 1024 * 1024},
+            trigger_ms=300, streaming=True,
+        ),
+    }
+
+
 def _sink_throughput(spark, sf_dir: str) -> dict:
     """Records/sec through the full sink data plane (encode → roll →
     stage → concurrent emulated ingest) on the events table — the
@@ -201,7 +348,9 @@ def main() -> int:
 
     total = round(sum(timings.values()), 3)
     scale10x = _scale10x_timings(spark, sf_dir)
+    scale100x = _scale100x_timings(spark, sf_dir)
     sink_tp = _sink_throughput(spark, sf_dir)
+    latency = _streaming_latency(spark, sf_dir)
     print(
         json.dumps(
             {
@@ -215,7 +364,13 @@ def main() -> int:
                     "value": round(sum(scale10x.values()), 3),
                     "queries": scale10x,
                 },
+                "scale100x": {
+                    "note": "10x vs 100x synthesized corpora; exponent "
+                            "log10(t100/t10): 1.0=linear, 0=flat",
+                    "queries": scale100x,
+                },
                 "sink_throughput": sink_tp,
+                "streaming_latency": latency,
             }
         )
     )
