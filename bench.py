@@ -48,6 +48,10 @@ HEADLINE = [
     "deterministic_sample",
     "sequence_packing",
     "asof_join_attribution",
+    # corpus curation (r3)
+    "contamination_ngram_overlap",
+    "text_repetition_stats",
+    "domain_mix_rebalance",
 ]
 
 

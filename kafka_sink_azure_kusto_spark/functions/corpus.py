@@ -1,0 +1,184 @@
+"""Corpus-level curation operators for training-data pipelines
+(north-star additions; no reference-repo counterpart — the reference is
+a connector, these extend the engine toward LLM data curation):
+
+- benchmark-contamination detection via word n-gram overlap (the
+  published approach: GPT-3 appendix C / PaLM use 8-13-gram collision
+  against evaluation sets),
+- repetition/quality statistics per document (the duplicated-n-gram
+  fraction family popularized by Gopher, Rae et al. 2021),
+- domain-mixture rebalancing (deterministic per-domain downsampling to a
+  target mixture, the standard pre-training data-mix step).
+
+Scale notes (100 TB): all three are single-shuffle shapes.
+Contamination broadcasts the *benchmark* n-gram set — evaluation suites
+are a few MB against a 100 TB corpus, so the corpus side stays in its
+scan stage (broadcast-hash join, no corpus shuffle). Repetition stats
+shuffle once on (doc_id, ngram) with map-side combine, then once on
+doc_id — both keyed on the document id, so width is bounded by corpus
+cardinality, never by pair counts. Mixture rebalancing aggregates one
+tiny per-domain count table (broadcast back) and filters with the same
+md5-unit-interval predicate as ``functions.sampling`` — the filter is a
+pure function of (key, salt) and travels with the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_sink_azure_kusto_spark.functions.dedup import shingles
+from kafka_sink_azure_kusto_spark.functions.sampling import md5_unit_interval
+
+
+# ---------------------------------------------------------- contamination
+def contamination_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+) -> DataFrame:
+    """Per-document count of distinct word ``n``-grams shared with a
+    benchmark/evaluation corpus → (id, n_overlap, contaminated 0/1).
+
+    Any overlap flags the document (the conservative published rule);
+    callers wanting a threshold filter on ``n_overlap`` instead. Every
+    input document appears in the output (zero-overlap docs included) so
+    the result can drive a join-free keep/drop decision downstream.
+    """
+    # array_distinct BEFORE explode: per-document n-gram dedup is row-local,
+    # so the corpus side reaches the probe join without any shuffle (a
+    # .distinct() after explode would exchange every exploded n-gram).
+    doc_ng = docs.select(
+        F.col(id_col).alias(id_col),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("ng"),
+    )
+    bench_ng = benchmark.select(
+        F.explode(shingles(text_col, n)).alias("ng")
+    ).distinct()
+    hits = (
+        doc_ng.join(F.broadcast(bench_ng), "ng")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    n_overlap = F.coalesce(F.col("n_overlap"), F.lit(0).cast("long"))
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            n_overlap.alias("n_overlap"),
+            (n_overlap > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+# ------------------------------------------------------- repetition stats
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-``n``-gram statistics:
+
+    - ``total_{n}grams``   — n-gram occurrences,
+    - ``dup_{n}gram_frac`` — 1 − distinct/total (0 ⇔ no n-gram repeats),
+    - ``top_{n}gram_frac`` — occurrences of the most frequent n-gram /
+      total (the Gopher "top n-gram character fraction" analogue on
+      token counts).
+
+    Documents with fewer than ``n`` tokens produce no n-grams and are
+    absent from the output (no 0/0 rows).
+
+    Shuffle note: both aggregations are keyed by the document id, so a
+    caller that pre-``repartition(id_col)``-s the input pays ONE shuffle
+    of whole documents (≈1× text bytes) and every aggregation — and any
+    doc_id join of several stat frames — stays partition-local;
+    explode-first would exchange ~n× text bytes of n-gram partials.
+    """
+    total = F.col("c_sum").cast("double")
+    return (
+        df.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("ng"))
+        .groupBy(id_col, "ng")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("c_sum"),
+            F.count(F.lit(1)).alias("c_distinct"),
+            F.max("c").alias("c_top"),
+        )
+        .select(
+            id_col,
+            F.col("c_sum").alias(f"total_{n}grams"),
+            (F.lit(1.0) - F.col("c_distinct").cast("double") / total).alias(
+                f"dup_{n}gram_frac"
+            ),
+            (F.col("c_top").cast("double") / total).alias(f"top_{n}gram_frac"),
+        )
+    )
+
+
+# --------------------------------------------------- domain-mix rebalance
+def _share_case(group_col: str, shares: dict[str, float], default_share: float) -> Column:
+    col = None
+    for k, v in shares.items():
+        cond = F.col(group_col) == k
+        col = F.when(cond, F.lit(v)) if col is None else col.when(cond, F.lit(v))
+    return col.otherwise(F.lit(default_share)) if col is not None else F.lit(default_share)
+
+
+def domain_mix_rates(
+    df: DataFrame,
+    group_col: str,
+    shares: dict[str, float],
+    default_share: float,
+    total_keep: int,
+) -> DataFrame:
+    """Per-domain keep rate to hit a target mixture:
+    ``rate(g) = min(1, share(g) · total_keep / count(g))``.
+
+    ``shares`` maps domain → target share of the rebalanced corpus;
+    domains not listed get ``default_share``. Rates are capped at 1 —
+    an under-represented domain keeps everything (this operator never
+    upsamples; duplicate-to-upsample is a different, rarely-wanted op).
+    The result is one row per domain — tiny — meant to be broadcast.
+    """
+    return (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            group_col,
+            F.least(
+                F.lit(1.0),
+                _share_case(group_col, shares, default_share)
+                * F.lit(float(total_keep))
+                / F.col("cnt"),
+            ).alias("keep_rate"),
+        )
+    )
+
+
+def rebalance_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    shares: dict[str, float],
+    default_share: float,
+    total_keep: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministically downsample each domain to its target-mixture
+    rate: keep row ⇔ ``md5_unit(key, salt) < keep_rate(domain)``.
+
+    The kept set is a pure function of (key, salt, domain counts) —
+    stable across replays, partitionings and engines, like
+    ``sampling.hash_sample``. One count-aggregation shuffle over the
+    tiny domain dimension; the corpus itself is filtered in place after
+    a broadcast join of the rates.
+    """
+    rates = domain_mix_rates(df, group_col, shares, default_share, total_keep)
+    return df.join(F.broadcast(rates), group_col).filter(
+        md5_unit_interval(F.col(key_col), salt) < F.col("keep_rate")
+    )

@@ -277,3 +277,126 @@ def parquet_stage_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(table_dir, "part-*.parquet")).select(
         "event_id", "user_id", "event_type", "value"
     )
+
+
+# ===================================================== corpus curation ops
+
+# Word-n-gram CTE fragments (DuckDB): k-token windows, 1-indexed slices —
+# literally parallel to functions.dedup.shingles (range upper bound is
+# exclusive; slice bounds inclusive, so k tokens = ws[i:i+k-1]).
+def _ngram_cte(alias: str, k: int) -> str:
+    return f"""
+    {alias} AS (SELECT doc_id,
+                unnest(list_transform(range(1, greatest(len(ws) - {k - 2}, 1)),
+                       i -> array_to_string(ws[i:i+{k - 1}], ' '))) AS ng
+         FROM words)"""
+
+
+@register(
+    "contamination_ngram_overlap",
+    f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    {_ngram_cte("g", 4)},
+    d AS (SELECT DISTINCT doc_id, ng FROM g),
+    b AS (SELECT DISTINCT ng FROM d WHERE doc_id % 50 = 0),
+    hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+             FROM d JOIN b USING (ng) GROUP BY doc_id)
+    SELECT doc.doc_id,
+           COALESCE(h.n_overlap, 0) AS n_overlap,
+           CAST(COALESCE(h.n_overlap, 0) > 0 AS INT) AS contaminated
+    FROM documents doc LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection (north-star curation op): flag
+    corpus documents sharing any word 4-gram with a benchmark set (here:
+    every 50th document stands in for the eval suite). The published
+    n-gram-collision approach (GPT-3 appendix C uses 8-13-grams; 4 here
+    because the synthetic docs are short).
+
+    Scale shape: the benchmark n-gram set is broadcast (eval suites are
+    MBs against a 100 TB corpus), so the corpus side never shuffles for
+    the probe — one broadcast-hash join in the scan stage, then a
+    doc_id-keyed count."""
+    from kafka_sink_azure_kusto_spark.functions.corpus import contamination_overlap
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return contamination_overlap(docs, bench, n=4)
+
+
+@register(
+    "text_repetition_stats",
+    f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    {_ngram_cte("g2", 2)},
+    {_ngram_cte("g3", 3)},
+    c2 AS (SELECT doc_id, ng, count(*) AS c FROM g2 GROUP BY doc_id, ng),
+    c3 AS (SELECT doc_id, ng, count(*) AS c FROM g3 GROUP BY doc_id, ng),
+    r2 AS (SELECT doc_id,
+                  CAST(sum(c) AS BIGINT) AS total_2grams,
+                  1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+                      AS dup_2gram_frac,
+                  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+                      AS top_2gram_frac
+           FROM c2 GROUP BY doc_id),
+    r3 AS (SELECT doc_id,
+                  CAST(sum(c) AS BIGINT) AS total_3grams,
+                  1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+                      AS dup_3gram_frac,
+                  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+                      AS top_3gram_frac
+           FROM c3 GROUP BY doc_id)
+    SELECT r2.doc_id, total_2grams, dup_2gram_frac, top_2gram_frac,
+           total_3grams, dup_3gram_frac, top_3gram_frac
+    FROM r2 JOIN r3 ON r2.doc_id = r3.doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021):
+    duplicated-n-gram fraction and top-n-gram fraction for n=2,3 per
+    document. The single repartition(doc_id) up front shuffles whole
+    documents once (≈1× text bytes, exchange reused across both
+    branches); every n-gram aggregation and the final doc_id join then
+    stay partition-local — explode-first would exchange ~5× text bytes
+    of n-gram partials across four exchanges."""
+    from kafka_sink_azure_kusto_spark.functions.corpus import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
+    return repetition_stats(docs, n=2).join(repetition_stats(docs, n=3), "doc_id")
+
+
+_UMIX = md5_unit_interval_sql("d.doc_id", salt="mix")
+
+
+@register(
+    "domain_mix_rebalance",
+    f"""
+    WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN c USING (source)
+    WHERE {_UMIX} < least(1.0,
+        ((CASE d.source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.25
+          ELSE CAST(0.5 AS DOUBLE) / 18 END) * 250.0) / cnt)
+    """,
+)
+def domain_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: deterministically downsample each
+    source to a target mix (src0/src1 → 25% each, the rest sharing 50%)
+    of a 250-document budget. Keep-set is a pure function of
+    (doc_id, salt, per-domain counts) — reproducible across replays and
+    engines; the oracle re-derives the identical set. Per-domain counts
+    are one tiny aggregation broadcast back; the corpus is filtered in
+    its scan stage."""
+    from kafka_sink_azure_kusto_spark.functions.corpus import rebalance_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rebalance_sample(
+        docs,
+        group_col="source",
+        key_col="doc_id",
+        shares={"src0": 0.25, "src1": 0.25},
+        default_share=0.5 / 18,
+        total_keep=250,
+        salt="mix",
+    ).select("doc_id", "source")
