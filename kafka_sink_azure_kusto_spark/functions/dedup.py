@@ -231,14 +231,20 @@ def simhash_signatures_df(
     compute the 64 per-bit ±1 contributions as flat codegen'd columns,
     sum-aggregate per doc (map-side combine ⇒ shuffle carries 64 longs
     per doc). Same arithmetic as ``simhash64``/the SQL oracle."""
+    # Two conv() parses give the 64 token-hash bits as two 32-bit longs;
+    # bit i (MSB-first across the 16 hex digits, same layout as the
+    # per-digit arithmetic in simhash64 and the SQL oracle) is then a
+    # single shift+mod — vs 64×(substring + ascii CASE + double
+    # floor/pow) per token in the digit-at-a-time form. Values are
+    # identical: conv is an exact integer parse of the same digits.
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
     ).withColumn("h", F.md5("t"))
+    c0 = F.conv(F.substring("h", 1, 8), 16, 10).cast("long")
+    c1 = F.conv(F.substring("h", 9, 8), 16, 10).cast("long")
     contribs = []
     for i in range(64):
-        digit = F.substring("h", i // 4 + 1, 1)
-        val = _hex_digit_value(digit)
-        bit = F.floor(val / F.lit(float(2 ** (3 - i % 4)))).cast("int") % 2
+        bit = F.shiftright(c0, 31 - i) % 2 if i < 32 else F.shiftright(c1, 63 - i) % 2
         contribs.append(F.sum(2 * bit - 1).alias(f"w{i}"))
     wide = toks.groupBy("id").agg(*contribs)
     return wide.select(

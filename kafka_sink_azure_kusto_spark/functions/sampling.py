@@ -38,12 +38,15 @@ from kafka_sink_azure_kusto_spark.functions.dedup import (  # noqa: E402
 
 def md5_unit_interval(key: Column, salt: str = "") -> Column:
     """Uniform [0, 1) coordinate from a stable key: value of the first 8
-    md5 hex digits / 16^8. Pure integer arithmetic on hex digits so the
-    SQL oracle can mirror it exactly (``md5_unit_interval_sql``)."""
+    md5 hex digits / 16^8.
+
+    Spark side uses one ``conv(hex, 16, 10)`` (exact integer parse of 8
+    hex digits, max 2^32-1 — no long overflow); the SQL oracle mirrors
+    the VALUE with portable per-digit ascii arithmetic
+    (``md5_unit_interval_sql``) since DuckDB lacks ``conv`` — the two
+    are bit-identical on every input."""
     h = F.md5(F.concat(key.cast("string"), F.lit(salt)))
-    acc = F.lit(0).cast("long")
-    for i in range(8):
-        acc = acc * 16 + _hex_digit_value(F.substring(h, i + 1, 1))
+    acc = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
     return acc / F.lit(float(_HEX8_SPAN))
 
 

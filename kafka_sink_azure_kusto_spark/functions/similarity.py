@@ -143,11 +143,10 @@ def hyperplane_component(p: int, d: Column) -> Column:
     the first TWO hex digits of md5('p:d') as an integer in [0, 255],
     scaled — 256 levels is ample resolution for sign-of-projection, and
     two digits keep the construction literally expressible in ANSI SQL
-    (no hex→int builtin needed)."""
+    (the oracle uses per-digit ascii arithmetic; Spark parses the same
+    two digits with one exact ``conv`` — identical value)."""
     h = F.md5(F.concat(F.lit(f"{p}:"), d.cast("string")))
-    val = 16 * _hex_digit_value(F.substring(h, 1, 1)) + _hex_digit_value(
-        F.substring(h, 2, 1)
-    )
+    val = F.conv(F.substring(h, 1, 2), 16, 10).cast("long")
     return (val.cast("double") / F.lit(255.0)) * 2.0 - 1.0
 
 
