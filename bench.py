@@ -52,6 +52,8 @@ HEADLINE = [
     "contamination_ngram_overlap",
     "text_repetition_stats",
     "domain_mix_rebalance",
+    "document_chunking",
+    "pii_redact",
 ]
 
 

@@ -182,3 +182,73 @@ def rebalance_sample(
     return df.join(F.broadcast(rates), group_col).filter(
         md5_unit_interval(F.col(key_col), salt) < F.col("keep_rate")
     )
+
+
+# ---------------------------------------------------------------- chunking
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding-window document chunking: split each document into
+    ``chunk_tokens``-token chunks whose starts advance by
+    ``chunk_tokens - overlap`` → (id, chunk_id, chunk_text, n_tokens).
+
+    Chunk starts are ``1, 1+stride, …`` up to ``max(n − overlap, 1)``,
+    so every token is covered, consecutive chunks share ``overlap``
+    tokens, and a trailing window shorter than ``chunk_tokens`` is kept
+    (a sub-``overlap`` tail is NOT emitted as its own chunk — it already
+    sits inside the previous window). Pure narrow ops (sequence →
+    posexplode → slice): no shuffle, no UDF; chunking parallelism equals
+    scan parallelism at any corpus size.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.col("_n") - overlap, F.lit(1)), F.lit(stride)
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"), F.size(toks).alias("_n"))
+        .select(
+            F.col(id_col),
+            "_toks",
+            "_n",
+            F.posexplode(starts).alias("chunk_id", "_start"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.concat_ws(
+                " ", F.slice(F.col("_toks"), F.col("_start"), chunk_tokens)
+            ).alias("chunk_text"),
+            F.least(F.lit(chunk_tokens), F.col("_n") - F.col("_start") + 1).alias(
+                "n_tokens"
+            ),
+        )
+    )
+
+
+# ------------------------------------------------------------ PII scrubbing
+# Pattern strings chosen to mean the same thing under Java regex (Spark)
+# and RE2 (DuckDB): character classes, bounded repetition, \b, \d, \w only.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[\w.+-]+@[\w-]+\.[\w.-]+", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d -]{7,}\d", "<PHONE>"),
+]
+
+
+def pii_redact(col: str | Column = "text") -> Column:
+    """Replace emails, IPv4 addresses and phone-like digit runs with
+    typed placeholders (the C4/RefinedWeb-style scrub). Order matters —
+    IPs are redacted before the phone pattern so digit runs inside an
+    address can't be half-eaten. Pure ``regexp_replace`` chain: row-local
+    codegen, no UDF, no shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c

@@ -400,3 +400,67 @@ def domain_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         total_keep=250,
         salt="mix",
     ).select("doc_id", "source")
+
+
+@register(
+    "document_chunking",
+    """
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s AS (SELECT doc_id, len(ws) AS n, ws,
+                 unnest(generate_series(1, greatest(len(ws) - 8, 1), 24)) AS start
+          FROM words)
+    SELECT doc_id,
+           CAST((start - 1) // 24 AS INT) AS chunk_id,
+           array_to_string(ws[start:start+31], ' ') AS chunk_text,
+           CAST(least(32, n - start + 1) AS INT) AS n_tokens
+    FROM s
+    """,
+)
+def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (32-token chunks, 8-token overlap) — the
+    preprocessing sibling of ``sequence_packing``: long documents become
+    model-sized windows before packing/training. Narrow plan only
+    (sequence → posexplode → slice): zero shuffles, chunking
+    parallelism = scan parallelism at any corpus size."""
+    from kafka_sink_azure_kusto_spark.functions.corpus import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+@register(
+    "pii_redact",
+    """
+    WITH aug AS (SELECT doc_id,
+                        text || ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@example.com or +1 555 123 4567 at 10.0.'
+                             || CAST(doc_id % 256 AS VARCHAR) || '.1 end' AS t
+                 FROM documents)
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, '[\\w.+-]+@[\\w-]+\\.[\\w.-]+', '<EMAIL>', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+             '\\+?\\d[\\d -]{7,}\\d', '<PHONE>', 'g') AS redacted
+    FROM aug
+    """,
+)
+def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (C4/RefinedWeb-style): emails, IPv4s and phone-like
+    digit runs → typed placeholders, as one codegen'd regexp_replace
+    chain (no UDF, no shuffle — travels with the scan). The query plants
+    deterministic PII in each row so the oracle exercises every pattern;
+    patterns are written to the Java-regex ∩ RE2 common subset so Spark
+    and DuckDB replace the identical spans."""
+    from kafka_sink_azure_kusto_spark.functions.corpus import pii_redact
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 555 123 4567 at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1 end"),
+    )
+    return docs.select("doc_id", pii_redact(aug).alias("redacted"))

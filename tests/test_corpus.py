@@ -94,3 +94,43 @@ def test_rebalance_sample_deterministic_and_bounded(spark):
     assert 65 <= counts["s0"] <= 95
     for s in ("s1", "s2", "s3"):
         assert 25 <= counts[s] <= 55
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    from kafka_sink_azure_kusto_spark.functions.corpus import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2, "a b c")], ["doc_id", "text"]
+    )
+    out = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, chunk_tokens=4, overlap=2).collect()
+    )
+    assert out == [
+        (1, 0, "t1 t2 t3 t4", 4),
+        (1, 1, "t3 t4 t5 t6", 4),
+        (1, 2, "t5 t6 t7 t8", 4),
+        (1, 3, "t7 t8 t9 t10", 4),
+        (2, 0, "a b c", 3),
+    ]
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_pii_redact_patterns(spark):
+    from kafka_sink_azure_kusto_spark.functions.corpus import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp-a.example.org now"),
+            (2, "server 192.168.1.254 down"),
+            (3, "call +1 555 123 4567 today"),
+            (4, "clean text without secrets"),
+        ],
+        ["i", "text"],
+    )
+    out = {r["i"]: r["red"] for r in df.select("i", pii_redact("text").alias("red")).collect()}
+    assert out[1] == "mail <EMAIL> now"
+    assert out[2] == "server <IP> down"
+    assert out[3] == "call <PHONE> today"
+    assert out[4] == "clean text without secrets"
