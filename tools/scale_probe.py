@@ -84,6 +84,7 @@ def main():
 
     from pyspark.sql import SparkSession
 
+    from kafka_sink_azure_kusto_spark.functions import corpus as C
     from kafka_sink_azure_kusto_spark.functions import dedup as D
     from kafka_sink_azure_kusto_spark.functions import similarity as S
     from kafka_sink_azure_kusto_spark.sources.tables import load_table
@@ -114,6 +115,20 @@ def main():
         )
         results.setdefault("simhash", {})[n] = timed(
             f"simhash@{n}", D.simhash_pairs(docs, max_hamming=8)
+        )
+        bench_docs = docs.filter(F.col("doc_id") % 50 == 0)
+        results.setdefault("contamination", {})[n] = timed(
+            f"contamination@{n}", C.contamination_overlap(docs, bench_docs, n=4)
+        )
+        results.setdefault("repetition", {})[n] = timed(
+            f"repetition@{n}",
+            C.repetition_stats(docs.repartition("doc_id"), n=2),
+        )
+        results.setdefault("chunk_pii", {})[n] = timed(
+            f"chunk_pii@{n}",
+            C.chunk_documents(docs, chunk_tokens=32, overlap=8).select(
+                "doc_id", "chunk_id", C.pii_redact("chunk_text").alias("t")
+            ),
         )
         docs.unpersist()
 
