@@ -131,3 +131,103 @@ def rate_monitor(stream: DataFrame, key_col: str = "event_type") -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+NEAR_DUP_STATE_SCHEMA = StructType(
+    [StructField("canonical_id", LongType(), False)]
+)
+NEAR_DUP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("band_id", LongType(), False),
+        StructField("canonical_id", LongType(), False),
+        StructField("is_new", StringType(), False),  # 'claim' | 'dup'
+    ]
+)
+
+
+def _near_dup_detector(key, pdfs, state: GroupState):
+    """applyInPandasWithState body, keyed by (band_id, band_hash): the
+    first document to present a band claims it; every later document
+    presenting the same band is emitted as a near-dup detection against
+    the claimant. Within a batch, rows are ordered by (ts, doc_id) so
+    the canonical pick is deterministic under replay."""
+    band_id = int(key[0])
+    if state.hasTimedOut:
+        state.remove()
+        return
+    canonical = int(state.get[0]) if state.exists else None
+    out = []
+    for pdf in pdfs:
+        for _, row in pdf.sort_values(["ts", "doc_id"]).iterrows():
+            doc = int(row["doc_id"])
+            if canonical is None:
+                canonical = doc
+                out.append((doc, band_id, doc, "claim"))
+            elif doc != canonical:
+                out.append((doc, band_id, canonical, "dup"))
+    state.update((canonical,))
+    state.setTimeoutDuration(3_600_000)  # 1h idle TTL bounds state
+    if out:
+        yield pd.DataFrame(
+            out, columns=["doc_id", "band_id", "canonical_id", "is_new"]
+        )
+
+
+def streaming_near_dup(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate detection — the ingest-time
+    form of ``functions.dedup.minhash_lsh_pairs``: as documents arrive,
+    each is fingerprinted (per-row signature — narrow, no shuffle, no
+    state) and its LSH bands claim state-store slots keyed by
+    (band_id, band_hash). A document colliding with an earlier claimant
+    on ANY band yields `dup` rows naming the canonical document;
+    downstream consumers drop or cluster them without re-scanning the
+    corpus.
+
+    Scale shape: the ONLY shuffle is the stateful groupBy on the
+    fixed-width band key; state is one long per live band slot,
+    TTL-evicted after 1 h idle — O(distinct bands within TTL),
+    independent of stream length. The per-row signature uses the
+    nested-HOF column form (interpreted, not codegen — acceptable here:
+    micro-batch volumes are bounded by the trigger, and the streaming
+    state API is the dominant cost).
+
+    Cites: near-dup semantics mirror the batch operator
+    (functions/dedup.py minhash_lsh_pairs); the reference connector has
+    no streaming-dedup surface (north-star addition).
+    """
+    from kafka_sink_azure_kusto_spark.functions.dedup import (
+        lsh_bands,
+        minhash_signature,
+    )
+
+    rows_per_band = num_hashes // num_bands
+    sig = minhash_signature(F.col(text_col), num_hashes=num_hashes, k=k)
+    banded = (
+        stream.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(ts_col).alias("ts"),
+            F.explode(lsh_bands(sig, num_bands, rows_per_band)).alias("b"),
+        )
+        .select(
+            "doc_id",
+            "ts",
+            F.col("b.band_id").cast("long").alias("band_id"),
+            F.col("b.band_hash").alias("band_hash"),
+        )
+    )
+    return banded.groupBy("band_id", "band_hash").applyInPandasWithState(
+        _near_dup_detector,
+        outputStructType=NEAR_DUP_OUTPUT_SCHEMA,
+        stateStructType=NEAR_DUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -156,3 +156,49 @@ def test_rate_monitor_accumulates_across_batches(spark, tmp_path):
     # two emissions for 'click': 3 after batch 1, then 5 after batch 2
     assert [(r.total, r.batch_rows) for r in rows] == [(3, 3), (5, 2)]
     assert all(r.event_type == "click" for r in rows)
+
+
+def test_streaming_near_dup_detects_across_batches(spark, tmp_path):
+    from kafka_sink_azure_kusto_spark.streaming.stateful import streaming_near_dup
+
+    src = str(tmp_path / "nd_src")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    # batch 0: two dissimilar docs claim their bands
+    _write_chunk(f"{src}/a.json", [
+        {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": base},
+        {"event_id": 2, "ts": "2024-01-01 10:00:01", "user_id": 2,
+         "event_type": "completely different words in this document entirely"},
+    ])
+    # batch 1: doc 3 = doc 1's text with one token changed at the END
+    # (prefix shingles identical -> shares >=1 band); doc 4 novel
+    _write_chunk(f"{src}/b.json", [
+        {"event_id": 3, "ts": "2024-01-01 10:05:00", "user_id": 3,
+         "event_type": base.rsplit(" ", 1)[0] + " tonight"},
+        {"event_id": 4, "ts": "2024-01-01 10:05:01", "user_id": 4,
+         "event_type": "yet another unrelated set of tokens right here"},
+    ])
+    # batch 2: an exact replay of doc 1 collides on EVERY band — state
+    # must have carried across micro-batches (maxFilesPerTrigger=1)
+    _write_chunk(f"{src}/c.json", [
+        {"event_id": 5, "ts": "2024-01-01 10:10:00", "user_id": 5, "event_type": base},
+    ])
+    out = _run_stream(
+        spark,
+        src,
+        lambda s: streaming_near_dup(
+            s.select(F.col("event_id").alias("doc_id"), "ts",
+                     F.col("event_type").alias("text"))),
+        "append",
+        str(tmp_path / "nd_chk"),
+    )
+    rows = out.collect()
+    claims = {r.doc_id for r in rows if r.is_new == "claim"}
+    dups = {(r.doc_id, r.canonical_id) for r in rows if r.is_new == "dup"}
+    # batch-0 docs claimed; the near-identical doc 3 was flagged against
+    # doc 1; the two novel docs were never flagged
+    assert {1, 2} <= claims
+    assert (3, 1) in dups
+    assert not any(d in (2, 4) for d, _ in dups)
+    d5 = [r for r in rows if r.doc_id == 5]
+    assert d5 and all(r.is_new == "dup" and r.canonical_id == 1 for r in d5)
+    assert len(d5) == 4  # all four bands collide
