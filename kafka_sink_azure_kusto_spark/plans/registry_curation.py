@@ -9,7 +9,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_sink_azure_kusto_spark.functions.sampling import (
@@ -426,6 +426,175 @@ def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return chunk_documents(docs, chunk_tokens=32, overlap=8)
+
+
+# Quality-score SQL fragment shared with registry_northstar's
+# text_quality_score oracle (identical expression tree in both engines —
+# the ORDER BY below compares bit-identical doubles).
+from kafka_sink_azure_kusto_spark.plans.registry_northstar import _SW_COUNT  # noqa: E402
+
+_QSCORE_CTES = f"""
+    f AS (SELECT doc_id,
+                 len(string_split(text, ' ')) AS q_tokens,
+                 CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                      AS DOUBLE) / length(text) AS q_punct_ratio,
+                 CAST({_SW_COUNT['en']} AS DOUBLE) / len(string_split(text, ' '))
+                      AS q_stopword_ratio
+          FROM documents),
+    q AS (SELECT doc_id,
+                 CAST(q_tokens AS BIGINT) AS n_tokens,
+                 CASE WHEN q_tokens < 5 THEN 0.0
+                      ELSE LEAST(1.0,
+                           0.4 * LEAST(1.0, q_tokens / 100.0)
+                         + 0.3 * (1.0 - LEAST(1.0, q_punct_ratio * 5.0))
+                         + 0.3 * LEAST(1.0, q_stopword_ratio * 10.0))
+                 END AS quality_score
+          FROM f)"""
+
+
+@register(
+    "token_budget_selection",
+    f"""
+    WITH {_QSCORE_CTES},
+    c AS (SELECT doc_id, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY quality_score DESC, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS cum_before
+          FROM q)
+    SELECT doc_id, n_tokens, cum_before FROM c WHERE cum_before < 20000
+    """,
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked token-budget selection (operators/prefix_sum.py):
+    keep the best-scoring documents until a global 20k-token budget is
+    hit — the curation step that turns "score every document" into "the
+    corpus we actually train on". The running total over the global
+    (quality DESC, doc_id) order is a distributed two-pass prefix sum:
+    range-partition + per-partition partials + O(P) driver scan +
+    broadcast offsets — NEVER the one-task global window. The oracle
+    replays the same greedy walk with a SQL window; the kept SET (not
+    just its size) must match."""
+    from kafka_sink_azure_kusto_spark.functions.text import quality_score
+    from kafka_sink_azure_kusto_spark.operators.prefix_sum import token_budget_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs, "text").select(
+        "doc_id",
+        F.col("q_tokens").cast("bigint").alias("n_tokens"),
+        "quality_score",
+    )
+    kept = token_budget_select(
+        scored,
+        order_by=[F.col("quality_score").desc(), F.col("doc_id").asc()],
+        token_col="n_tokens",
+        budget=20_000,
+    )
+    return kept.select("doc_id", "n_tokens", "cum_before")
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    s AS (SELECT tf.doc_id, tf.term, tf.tf,
+                 round(tf.tf * ln(n.n / df.df), 6) AS tfidf
+          FROM tf JOIN dfreq df USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tf, tfidf, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rn
+          FROM s)
+    WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms — keyword extraction / topic
+    signals for corpus analysis. Two aggregations (term frequency per
+    doc, document frequency per term), one equi-join carrying only
+    (term, df), corpus size as a broadcast scalar, and a per-doc top-k
+    window. Ranking compares the 6-dp-ROUNDED score in both engines so
+    last-ulp libm differences in ln() can never flip an order; ties
+    break on the term itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = float(docs.count())
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("bigint").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.lit(n_docs) / F.col("df").cast("double")),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "tfidf", "rank")
+    )
+
+
+@register(
+    "dedup_keep_best",
+    None,  # oracle attached below (needs the CC oracle text)
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-canonical selection: resolve every MinHash-LSH near-dup
+    cluster (connected components over the pair graph) to its best
+    exemplar — longest document, doc_id as the stable tie-break — and
+    label all rows kept/dropped. The step that turns "these documents
+    are near-dups" into "this is the deduplicated corpus". One extra
+    hash shuffle on cluster_id after CC; the top-1 window is per-cluster
+    (bounded state)."""
+    from kafka_sink_azure_kusto_spark.functions import dedup as D
+    from kafka_sink_azure_kusto_spark.functions.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, num_hashes=16, num_bands=4, k=3, jaccard_threshold=0.5
+    )
+    cc = D.connected_components(docs, pairs)
+    toks = docs.select("doc_id", token_count("text").cast("bigint").alias("n_tokens"))
+    j = cc.join(toks, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    return j.select(
+        "doc_id",
+        "cluster_id",
+        "n_tokens",
+        (F.row_number().over(w) == 1).cast("int").alias("kept"),
+    )
+
+
+# Attach the keep-best oracle now that the CC oracle text exists: the
+# cluster labeling is the dedup_cc_clusters result verbatim, the
+# exemplar a per-cluster top-1 window over (n_tokens DESC, doc_id).
+from kafka_sink_azure_kusto_spark.plans.registry import _REGISTRY as _REG  # noqa: E402
+
+_REG["dedup_keep_best"] = (
+    _REG["dedup_keep_best"][0],
+    f"""
+    WITH cc AS (SELECT * FROM ({_REG['dedup_cc_clusters'][1]})),
+    t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents),
+    j AS (SELECT cc.doc_id, cc.cluster_id, t.n_tokens
+          FROM cc JOIN t USING (doc_id))
+    SELECT doc_id, cluster_id, n_tokens,
+           CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                             ORDER BY n_tokens DESC, doc_id) = 1
+                THEN 1 ELSE 0 END AS INT) AS kept
+    FROM j
+    """,
+)
 
 
 @register(

@@ -1,0 +1,69 @@
+"""Distributed ordered-prefix-sum tests: exactness against a single-node
+cumsum, partition-count invariance, budget-boundary semantics."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from kafka_sink_azure_kusto_spark.operators.prefix_sum import (
+    ordered_prefix_sum,
+    token_budget_select,
+)
+
+
+def _expected_cum_before(pdf: pd.DataFrame) -> dict:
+    pdf = pdf.sort_values(["score", "k"], ascending=[False, True])
+    cum = pdf["v"].cumsum().shift(fill_value=0)
+    return dict(zip(pdf["k"], cum))
+
+
+def _frame(spark, n=1000):
+    return (
+        spark.range(n)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7 + 1).cast("long").alias("v"),
+            # many exact ties in score — the doc_id tie-break must decide
+            (F.col("id") % 13).cast("double").alias("score"),
+        )
+    )
+
+
+def test_prefix_sum_matches_single_node_cumsum(spark):
+    df = _frame(spark)
+    out = ordered_prefix_sum(
+        df, [F.col("score").desc(), F.col("k").asc()], "v", num_partitions=8
+    )
+    got = {r.k: r.cum_before for r in out.collect()}
+    want = _expected_cum_before(df.toPandas())
+    assert got == {k: int(v) for k, v in want.items()}
+
+
+def test_prefix_sum_partition_count_invariant(spark):
+    df = _frame(spark, n=500)
+    order = [F.col("score").desc(), F.col("k").asc()]
+    one = {r.k: r.cum_before for r in
+           ordered_prefix_sum(df, order, "v", num_partitions=1).collect()}
+    many = {r.k: r.cum_before for r in
+            ordered_prefix_sum(df, order, "v", num_partitions=17).collect()}
+    assert one == many  # boundaries shift, the global scan does not
+
+
+def test_token_budget_select_boundary(spark):
+    # v=10 each, budget 35: kept iff cum_before in {0,10,20,30} — the
+    # budget may be EXCEEDED by exactly the straddling document (cum 30
+    # + 10 = 40 > 35), never undershot.
+    df = spark.createDataFrame(
+        [(i, 10, float(i)) for i in range(10)], "k long, v long, score double"
+    )
+    kept = token_budget_select(
+        df, [F.col("score").asc(), F.col("k").asc()], "v", budget=35,
+        num_partitions=3,
+    )
+    assert sorted(r.k for r in kept.collect()) == [0, 1, 2, 3]
+
+
+def test_prefix_sum_empty_frame(spark):
+    df = spark.createDataFrame([], "k long, v long, score double")
+    out = ordered_prefix_sum(df, [F.col("score").asc()], "v", num_partitions=4)
+    assert out.count() == 0
+    assert "cum_before" in out.columns
