@@ -54,6 +54,8 @@ HEADLINE = [
     "domain_mix_rebalance",
     "document_chunking",
     "pii_redact",
+    "token_budget_selection",
+    "tfidf_top_terms",
 ]
 
 

@@ -543,6 +543,34 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_label_centroids",
+    """
+    SELECT label,
+           CAST(i AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_val
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) t(i)
+    GROUP BY label, i
+    """,
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (class prototypes / cluster seeds —
+    the aggregation behind semantic-outlier filtering and k-means-style
+    corpus clustering). Long-form (label, dim, mean) output. Scale
+    shape: narrow posexplode (64× rows, 3 narrow columns), partial
+    (map-side) avg, ONE shuffle keyed (label, dim) whose width is
+    #labels × dim — independent of corpus row count. Averages are
+    rounded at 6 dp in both engines, far above the ~1e-14 float-sum
+    reassociation noise, so the hash comparison is stable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+    return ex.groupBy("label", (F.col("pos") + 1).cast("bigint").alias("dim")).agg(
+        F.count("*").cast("bigint").alias("n_vectors"),
+        F.round(F.avg(F.col("x").cast("double")), 6).alias("mean_val"),
+    )
+
+
+@register(
     "dedup_keep_best",
     None,  # oracle attached below (needs the CC oracle text)
 )

@@ -130,6 +130,25 @@ def main():
                 "doc_id", "chunk_id", C.pii_redact("chunk_text").alias("t")
             ),
         )
+        from kafka_sink_azure_kusto_spark.functions.text import quality_score
+        from kafka_sink_azure_kusto_spark.operators.prefix_sum import (
+            token_budget_select,
+        )
+
+        scored = quality_score(docs, "text").select(
+            "doc_id",
+            F.col("q_tokens").cast("bigint").alias("n_tokens"),
+            "quality_score",
+        )
+        results.setdefault("token_budget", {})[n] = timed(
+            f"token_budget@{n}",
+            token_budget_select(
+                scored,
+                order_by=[F.col("quality_score").desc(), F.col("doc_id").asc()],
+                token_col="n_tokens",
+                budget=n * 20,  # budget grows with the corpus
+            ),
+        )
         docs.unpersist()
 
     for n in [10_000, 50_000]:
