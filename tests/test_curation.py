@@ -123,3 +123,38 @@ def test_orc_stage_roundtrip(spark, tmp_path):
     back = spark.read.orc(files[0]).orderBy("s").collect()
     assert [(r.s, r.i) for r in back] == [("a", 10), ("b", None)]
     assert backend.ingest_log()[0]["records"] == 2  # ORC-counted
+
+
+def test_dedup_keep_best_one_exemplar_per_cluster(spark):
+    from kafka_sink_azure_kusto_spark.plans.registry import QUERIES
+
+    out = QUERIES["dedup_keep_best"][0](spark, "/root/testdata/sf0.001").cache()
+    rows = out.collect()
+    # exactly one kept doc per cluster, and it's a longest member
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        kept = [m for m in members if m.kept == 1]
+        assert len(kept) == 1, f"cluster {cid}: {len(kept)} kept"
+        assert kept[0].n_tokens == max(m.n_tokens for m in members)
+        # stable tie-break: lowest doc_id among the longest
+        longest = [m.doc_id for m in members if m.n_tokens == kept[0].n_tokens]
+        assert kept[0].doc_id == min(longest)
+    out.unpersist()
+
+
+def test_tfidf_top_terms_rank_invariants(spark):
+    from kafka_sink_azure_kusto_spark.plans.registry import QUERIES
+
+    out = QUERIES["tfidf_top_terms"][0](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc, terms in by_doc.items():
+        ranks = sorted(t.rank for t in terms)
+        assert ranks == list(range(1, len(ranks) + 1)) and len(ranks) <= 3
+        ordered = sorted(terms, key=lambda t: t.rank)
+        # scores non-increasing with rank
+        assert all(a.tfidf >= b.tfidf for a, b in zip(ordered, ordered[1:]))
