@@ -63,6 +63,29 @@ def pack_sequences(
     )
 
 
+def pack_texts(
+    packed: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    sep: str = "<|eos|>",
+) -> DataFrame:
+    """Materialize each pack as one training sequence: documents
+    concatenated in stable ``key_col`` order with an EOS separator —
+    the tokenizer-ready output of the packing pipeline. One hash
+    aggregation on (shard, pack_id); `array_sort` on (key, text)
+    structs gives the deterministic in-pack order without a window
+    (the struct sort is row-local, and key uniqueness makes it total),
+    so both the grouping and the ordering are engine-portable for the
+    oracle's ``string_agg(... ORDER BY key)``."""
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col(key_col).alias("k"), F.col(text_col).alias("t")))
+    )
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.array_join(F.transform(ordered, lambda s: s["t"]), sep).alias("pack_text"),
+    )
+
+
 def pack_stats(packed: DataFrame, max_tokens: int = 2048) -> DataFrame:
     """Per-(shard, pack) utilization: docs, tokens, fill ratio — the
     padding-waste observable a packing pipeline monitors."""

@@ -110,6 +110,49 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sequence_pack_texts",
+    """
+    WITH toks AS (
+      SELECT doc_id, text,
+             CAST(doc_id % 8 AS INT) AS shard,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    pre AS (
+      SELECT doc_id, text, shard,
+             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS pack_tokens_before
+      FROM toks)
+    SELECT shard, CAST(FLOOR(pack_tokens_before / 512.0) AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           string_agg(text, '<|eos|>' ORDER BY doc_id) AS pack_text
+    FROM pre GROUP BY shard, pack_id
+    """,
+)
+def sequence_pack_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-ready pack materialization: every (shard, pack) from
+    ``sequence_packing`` rendered as ONE training sequence — documents
+    concatenated in stable doc_id order with an EOS separator
+    (operators/packing.pack_texts). The oracle rebuilds the same packs
+    and concatenates with ``string_agg(... ORDER BY doc_id)``, so pack
+    membership AND in-pack document order are both hash-verified."""
+    from kafka_sink_azure_kusto_spark.operators.packing import pack_texts
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count("text").cast("long")
+    )
+    packed = pack_sequences(
+        docs, token_col="n_tokens", key_col="doc_id", max_tokens=512, num_shards=8
+    )
+    return pack_texts(packed).select(
+        "shard",
+        F.col("pack_id").cast("bigint").alias("pack_id"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "pack_text",
+    )
+
+
+@register(
     "asof_join_attribution",
     """
     SELECT l.event_id, l.user_id,
