@@ -614,6 +614,53 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semantic_outlier_score",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    ex AS (SELECT vec_id, label, i, v[i] AS x
+           FROM e, UNNEST(generate_series(1, len(v))) t(i)),
+    cent AS (SELECT label, i, avg(x) AS m FROM ex GROUP BY label, i),
+    j AS (SELECT ex.vec_id, ex.label, ex.x, cent.m
+          FROM ex JOIN cent USING (label, i)),
+    per AS (SELECT vec_id, label,
+                   SUM(x * m) AS dot,
+                   sqrt(SUM(x * x)) AS nx,
+                   sqrt(SUM(m * m)) AS nm
+            FROM j GROUP BY vec_id, label)
+    SELECT vec_id, label, round(dot / (nx * nm), 6) AS centroid_cos
+    FROM per
+    """,
+)
+def semantic_outlier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-outlier scoring: each vector's cosine to its OWN label
+    centroid — low cosine ⇒ the embedding disagrees with its class, the
+    standard mislabeled/noise-document signal a curation pipeline
+    filters on. Long-form throughout so the whole chain is exactly
+    SQL-oracle-able. Scale shape: centroid aggregate is #labels × dims
+    wide (tiny) and broadcast back to the exploded corpus; the per-vec
+    reduction map-side-combines (a vector's 64 dim-rows are contiguous
+    from the same input row), so the one real shuffle carries one
+    partial row per vector. 6-dp rounding sits ~9 orders above the
+    float-sum reassociation noise of a 64-term dot product."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "xf")
+    ).select("vec_id", "label", "pos", F.col("xf").cast("double").alias("x"))
+    cent = ex.groupBy("label", "pos").agg(F.avg("x").alias("m"))
+    j = ex.join(F.broadcast(cent), ["label", "pos"])
+    per = j.groupBy("vec_id", "label").agg(
+        F.sum(F.col("x") * F.col("m")).alias("dot"),
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nx"),
+        F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("nm"),
+    )
+    return per.select(
+        "vec_id",
+        "label",
+        F.round(F.col("dot") / (F.col("nx") * F.col("nm")), 6).alias("centroid_cos"),
+    )
+
+
+@register(
     "dedup_keep_best",
     None,  # oracle attached below (needs the CC oracle text)
 )
