@@ -614,6 +614,40 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_shuffle_index",
+    """
+    WITH h AS (SELECT doc_id, md5('shuf' || CAST(doc_id AS VARCHAR)) AS hk
+               FROM documents)
+    SELECT doc_id, hk,
+           CAST(ROW_NUMBER() OVER (ORDER BY hk, doc_id) - 1 AS BIGINT) AS shuffle_idx
+    FROM h
+    """,
+)
+def corpus_shuffle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-shuffle order: every document gets
+    a dense 0-based position in the md5-permuted corpus — the
+    reproducible replacement for ``orderBy(rand())`` + zipWithIndex that
+    training-data writers need (same permutation on every replay, any
+    partitioning, any engine). The dense index is the distributed
+    two-pass prefix sum over value=1 (operators/prefix_sum.py) — NOT a
+    one-task global window and NOT an RDD zipWithIndex (whose index
+    depends on partition layout)."""
+    from kafka_sink_azure_kusto_spark.operators.prefix_sum import ordered_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.lit("shuf"), F.col("doc_id").cast("string"))).alias("hk"),
+    )
+    out = ordered_prefix_sum(
+        docs.withColumn("_one", F.lit(1).cast("long")),
+        order_by=[F.col("hk").asc(), F.col("doc_id").asc()],
+        value_col="_one",
+        out_col="shuffle_idx",
+    )
+    return out.select("doc_id", "hk", "shuffle_idx")
+
+
+@register(
     "semantic_outlier_score",
     """
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

@@ -67,3 +67,35 @@ def test_prefix_sum_empty_frame(spark):
     out = ordered_prefix_sum(df, [F.col("score").asc()], "v", num_partitions=4)
     assert out.count() == 0
     assert "cum_before" in out.columns
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_prefix_sum_plan_never_single_partition(spark):
+    # the whole point of the operator: the cumsum window is partitioned
+    # by the staged partition label, never a one-task global window
+    df = _frame(spark, n=2000)
+    out = ordered_prefix_sum(
+        df, [F.col("score").desc(), F.col("k").asc()], "v", num_partitions=8
+    )
+    plan = _executed_plan(out)
+    assert "SinglePartition" not in plan
+    assert "windowspecdefinition(_pid" in plan  # partition-local cumsum
+    assert "BroadcastHashJoin" in plan  # offsets join is broadcast
+
+
+def test_registry_plan_assertions(spark):
+    # scale-shape locks for the late-r3 registry queries: no cartesian
+    # products or nested-loop joins anywhere, broadcast where claimed
+    from kafka_sink_azure_kusto_spark.plans.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("tfidf_top_terms", "semantic_outlier_score",
+                 "sequence_pack_texts", "embedding_label_centroids"):
+        plan = _executed_plan(QUERIES[name][0](spark, sf))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    outlier = _executed_plan(QUERIES["semantic_outlier_score"][0](spark, sf))
+    assert "BroadcastHashJoin" in outlier  # centroids broadcast back
