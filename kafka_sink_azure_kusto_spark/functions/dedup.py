@@ -186,6 +186,62 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_pairs_cross(
+    corpus: DataFrame,
+    probe: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    k: int = 3,
+    jaccard_threshold: float = 0.5,
+    broadcast_probe: bool = True,
+) -> DataFrame:
+    """Cross-corpus near-dup pairs (corpus × probe) — the near-dup form
+    of train-vs-benchmark decontamination: exact n-gram collision
+    (``contamination_overlap``) misses paraphrased leaks; banding the
+    MinHash signatures of BOTH corpora and equi-joining on
+    (band_id, band_hash) catches documents that are merely similar to a
+    benchmark item. Returns (corpus_id, probe_id, est_jaccard).
+
+    Scale shape: probe side (the eval suite) is banded and BROADCAST —
+    MBs against a 100 TB corpus — so the corpus side flows scan →
+    signature agg → broadcast-hash join with no corpus-wide shuffle on
+    the join; identical ids are excluded (probe ⊂ corpus callers)."""
+    rows_per_band = num_hashes // num_bands
+    assert num_bands * rows_per_band == num_hashes
+
+    def banded(df: DataFrame, name: str) -> DataFrame:
+        sigs = minhash_signatures_df(df, text_col, id_col, num_hashes, k)
+        return sigs.select(
+            "id",
+            "sig",
+            F.explode(lsh_bands(F.col("sig"), num_bands, rows_per_band)).alias("b"),
+        ).select(
+            F.col("id").alias(f"{name}_id"),
+            F.col("sig").alias(f"{name}_sig"),
+            F.col("b.band_id").alias("band_id"),
+            F.col("b.band_hash").alias("band_hash"),
+        )
+
+    c = banded(corpus, "corpus")
+    p = banded(probe, "probe")
+    if broadcast_probe:
+        p = F.broadcast(p)
+    cand = (
+        c.join(p, ["band_id", "band_hash"])
+        .filter(F.col("corpus_id") != F.col("probe_id"))
+        .dropDuplicates(["corpus_id", "probe_id"])
+    )
+    overlap = F.size(F.array_intersect("corpus_sig", "probe_sig"))
+    est = overlap.cast("double") / F.size("corpus_sig").cast("double")
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("corpus_id", "probe_id", "est_jaccard")
+    )
+
+
 # --------------------------------------------------------------------- SimHash
 def _hex_digit_value(c: Column) -> Column:
     """Value of one lowercase hex digit via ascii() — identical in Spark

@@ -613,6 +613,88 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from kafka_sink_azure_kusto_spark.plans.registry_northstar import (  # noqa: E402
+    _SHINGLES_SQL,
+)
+
+
+@register(
+    "contamination_near_dup",
+    f"""
+    WITH {_SHINGLES_SQL},
+    mh AS (SELECT doc_id, hs.h AS h, MIN(md5(hs.h || ':' || s)) AS mv
+           FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS h) hs
+           GROUP BY doc_id, hs.h),
+    sig AS (SELECT doc_id, list(mv ORDER BY h) AS sig FROM mh GROUP BY doc_id),
+    banded AS (SELECT doc_id, sig, bs.b AS band_id,
+                      md5(array_to_string(sig[bs.b*4+1 : bs.b*4+4], '|')) AS band_hash
+               FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+    cand AS (SELECT DISTINCT c.doc_id AS corpus_id, p.doc_id AS probe_id
+             FROM banded c JOIN banded p
+               ON c.band_id = p.band_id AND c.band_hash = p.band_hash
+              AND p.doc_id % 50 = 0 AND c.doc_id <> p.doc_id)
+    SELECT corpus_id, probe_id,
+           len(list_intersect(cs.sig, ps.sig)) * 1.0 / 16 AS est_jaccard
+    FROM cand JOIN sig cs ON corpus_id = cs.doc_id
+              JOIN sig ps ON probe_id = ps.doc_id
+    WHERE len(list_intersect(cs.sig, ps.sig)) * 1.0 / 16 >= 0.25
+    """,
+)
+def contamination_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup decontamination (corpus × benchmark, every 50th document
+    standing in for the eval suite): exact n-gram collision
+    (`contamination_ngram_overlap`) misses paraphrased leaks, so this
+    bands MinHash signatures of both corpora and broadcast-joins the
+    tiny probe side — flagging corpus documents ~similar to any
+    benchmark item without a corpus-wide join shuffle
+    (functions/dedup.minhash_lsh_pairs_cross)."""
+    from kafka_sink_azure_kusto_spark.functions import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    probe = docs.filter(F.col("doc_id") % 50 == 0)
+    return D.minhash_lsh_pairs_cross(
+        docs, probe, num_hashes=16, num_bands=4, k=3, jaccard_threshold=0.25
+    )
+
+
+@register(
+    "unigram_logprob_score",
+    """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    freqs AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+              FROM toks GROUP BY term),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM toks),
+    j AS (SELECT toks.doc_id, freqs.c, tot.total
+          FROM toks JOIN freqs USING (term) CROSS JOIN tot)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln(c / total)), 6) AS mean_token_logprob
+    FROM j GROUP BY doc_id
+    """,
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality filter (CCNet-style, simplified to unigrams):
+    per-document mean token log-probability under the corpus's own
+    unigram distribution — documents full of rare/garbage tokens score
+    low, fluent ones high; thresholding this is the classic
+    perplexity-filter curation step. One aggregation builds the
+    vocabulary (term, count), one equi-join scores the token stream,
+    one doc-keyed reduction averages; the corpus token total is a
+    broadcast scalar. The averaged log is 6-dp rounded in both engines
+    (reassociation noise ~1e-15, nine orders below the rounding)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    total = float(toks.count())
+    freqs = toks.groupBy("term").agg(F.count("*").cast("bigint").alias("c"))
+    j = toks.join(freqs, "term")
+    return j.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.round(F.avg(F.log(F.col("c") / F.lit(total))), 6).alias(
+            "mean_token_logprob"
+        ),
+    )
+
+
 @register(
     "corpus_shuffle_index",
     """
