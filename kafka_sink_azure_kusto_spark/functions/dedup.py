@@ -129,6 +129,34 @@ def lsh_bands(sig_col: Column, num_bands: int, rows_per_band: int) -> Column:
     )
 
 
+def banded_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """(id, sig, band_id, band_hash) — one row per document per band:
+    the shared candidate-key computation under every MinHash-LSH path
+    (self-join dedup, cross-corpus decontamination). Documents with no
+    shingles (< k tokens) are dropped structurally by the signature
+    explode, so no all-null signature can band to md5('')."""
+    rows_per_band = num_hashes // num_bands
+    assert num_bands * rows_per_band == num_hashes
+    sigs = minhash_signatures_df(df, text_col, id_col, num_hashes, k)
+    return sigs.select(
+        "id",
+        "sig",
+        F.explode(lsh_bands(F.col("sig"), num_bands, rows_per_band)).alias("b"),
+    ).select(
+        "id",
+        "sig",
+        F.col("b.band_id").alias("band_id"),
+        F.col("b.band_hash").alias("band_hash"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -150,14 +178,7 @@ def minhash_lsh_pairs(
 
     Returns (left id, right id, est_jaccard) with left < right.
     """
-    rows_per_band = num_hashes // num_bands
-    assert num_bands * rows_per_band == num_hashes
-    sigs = minhash_signatures_df(df, text_col, id_col, num_hashes, k)
-
-    banded = sigs.select(
-        "id", "sig", F.explode(lsh_bands(F.col("sig"), num_bands, rows_per_band)).alias("b")
-    ).select("id", "sig", F.col("b.band_id").alias("band_id"), F.col("b.band_hash").alias("band_hash"))
-
+    banded = banded_signatures(df, text_col, id_col, num_hashes, num_bands, k)
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
@@ -208,24 +229,18 @@ def minhash_lsh_pairs_cross(
     MBs against a 100 TB corpus — so the corpus side flows scan →
     signature agg → broadcast-hash join with no corpus-wide shuffle on
     the join; identical ids are excluded (probe ⊂ corpus callers)."""
-    rows_per_band = num_hashes // num_bands
-    assert num_bands * rows_per_band == num_hashes
-
-    def banded(df: DataFrame, name: str) -> DataFrame:
-        sigs = minhash_signatures_df(df, text_col, id_col, num_hashes, k)
-        return sigs.select(
-            "id",
-            "sig",
-            F.explode(lsh_bands(F.col("sig"), num_bands, rows_per_band)).alias("b"),
+    def side(df: DataFrame, name: str) -> DataFrame:
+        return banded_signatures(
+            df, text_col, id_col, num_hashes, num_bands, k
         ).select(
             F.col("id").alias(f"{name}_id"),
             F.col("sig").alias(f"{name}_sig"),
-            F.col("b.band_id").alias("band_id"),
-            F.col("b.band_hash").alias("band_hash"),
+            "band_id",
+            "band_hash",
         )
 
-    c = banded(corpus, "corpus")
-    p = banded(probe, "probe")
+    c = side(corpus, "corpus")
+    p = side(probe, "probe")
     if broadcast_probe:
         p = F.broadcast(p)
     cand = (

@@ -13,12 +13,16 @@ classic two-pass scan (vector-model prefix sum):
 3. each row's global running total = its partition-local running total
    + its partition's offset.
 
-The staged (range-partitioned, sorted) frame is persisted between the
-two passes so both read the same materialized partitioning — partition
-boundaries come from sampling, so recomputing the exchange in a second
-job could legally re-draw them. At 100 TB the same role is played by
-staging to parquet (or RDD checkpoint); MEMORY_AND_DISK is right for
-the sizes a single job holds.
+The staged (range-partitioned, sorted) frame is materialized with an
+eager ``localCheckpoint`` between the two passes so both read the same
+frozen partitioning — partition boundaries come from sampling, so
+recomputing the exchange in a second job could legally re-draw them.
+localCheckpoint (not ``persist``) because it truncates lineage — a
+re-draw is structurally impossible, not merely cached away — and its
+blocks are released by the ContextCleaner when the result goes out of
+scope, where an unpaired ``persist`` would pin a corpus-sized cache
+entry per call. At 100 TB the same role is played by staging to
+parquet.
 
 No reference citation: the reference connector has no analytics surface
 (north-star addition). The algorithm is Blelloch's exclusive scan
@@ -59,7 +63,7 @@ def ordered_prefix_sum(
         df.repartitionByRange(n, *cols)
         .sortWithinPartitions(*cols)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # Pass 1: per-partition totals -> exclusive scan on the driver.
     partials = staged.groupBy("_pid").agg(F.sum(value_col).alias("_t")).collect()

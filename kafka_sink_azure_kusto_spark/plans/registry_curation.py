@@ -74,25 +74,36 @@ def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "event_type")
 
 
-@register(
-    "sequence_packing",
-    """
-    WITH toks AS (
-      SELECT doc_id,
+# Shared pack-assignment CTEs: shard = doc_id % 8, prefix-sum window,
+# 512-token boundary — ONE definition so sequence_packing and
+# sequence_pack_texts can never silently verify different packings.
+def _pack_ctes(with_text: bool) -> str:
+    t = " text," if with_text else ""
+    return f"""toks AS (
+      SELECT doc_id,{t}
              CAST(doc_id % 8 AS INT) AS shard,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
       FROM documents),
     pre AS (
-      SELECT doc_id, shard, n_tokens,
+      SELECT doc_id,{t} shard, n_tokens,
              CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                   AS BIGINT) AS pack_tokens_before
-      FROM toks)
-    SELECT shard, CAST(FLOOR(pack_tokens_before / 512.0) AS BIGINT) AS pack_id,
+      FROM toks),
+    packed AS (
+      SELECT *, CAST(FLOOR(pack_tokens_before / 512.0) AS BIGINT) AS pack_id
+      FROM pre)"""
+
+
+@register(
+    "sequence_packing",
+    f"""
+    WITH {_pack_ctes(False)}
+    SELECT shard, pack_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
            ROUND(SUM(n_tokens) / 512.0, 6) AS fill_ratio
-    FROM pre GROUP BY shard, pack_id
+    FROM packed GROUP BY shard, pack_id
     """,
 )
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,22 +122,12 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sequence_pack_texts",
-    """
-    WITH toks AS (
-      SELECT doc_id, text,
-             CAST(doc_id % 8 AS INT) AS shard,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-      FROM documents),
-    pre AS (
-      SELECT doc_id, text, shard,
-             CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                  AS BIGINT) AS pack_tokens_before
-      FROM toks)
-    SELECT shard, CAST(FLOOR(pack_tokens_before / 512.0) AS BIGINT) AS pack_id,
+    f"""
+    WITH {_pack_ctes(True)}
+    SELECT shard, pack_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            string_agg(text, '<|eos|>' ORDER BY doc_id) AS pack_text
-    FROM pre GROUP BY shard, pack_id
+    FROM packed GROUP BY shard, pack_id
     """,
 )
 def sequence_pack_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -684,8 +685,10 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reassociation noise ~1e-15, nine orders below the rounding)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    total = float(toks.count())
     freqs = toks.groupBy("term").agg(F.count("*").cast("bigint").alias("c"))
+    # corpus token total = sum over the tiny vocab aggregate — NOT a
+    # second full tokenize of the corpus
+    total = float(freqs.agg(F.sum("c")).collect()[0][0])
     j = toks.join(freqs, "term")
     return j.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_tokens"),

@@ -150,22 +150,29 @@ def _near_dup_detector(key, pdfs, state: GroupState):
     """applyInPandasWithState body, keyed by (band_id, band_hash): the
     first document to present a band claims it; every later document
     presenting the same band is emitted as a near-dup detection against
-    the claimant. Within a batch, rows are ordered by (ts, doc_id) so
-    the canonical pick is deterministic under replay."""
+    the claimant. The group's chunks are concatenated BEFORE the single
+    (ts, doc_id) sort — a group spanning several Arrow batches would
+    otherwise elect whichever chunk arrived first, and replay after
+    checkpoint recovery could re-chunk and elect a different canonical."""
     band_id = int(key[0])
     if state.hasTimedOut:
         state.remove()
         return
     canonical = int(state.get[0]) if state.exists else None
     out = []
-    for pdf in pdfs:
-        for _, row in pdf.sort_values(["ts", "doc_id"]).iterrows():
-            doc = int(row["doc_id"])
-            if canonical is None:
-                canonical = doc
-                out.append((doc, band_id, doc, "claim"))
-            elif doc != canonical:
-                out.append((doc, band_id, canonical, "dup"))
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    rows = (
+        pd.concat(chunks).sort_values(["ts", "doc_id"]) if chunks else pd.DataFrame()
+    )
+    for _, row in rows.iterrows():
+        doc = int(row["doc_id"])
+        if canonical is None:
+            canonical = doc
+            out.append((doc, band_id, doc, "claim"))
+        elif doc != canonical:
+            out.append((doc, band_id, canonical, "dup"))
+    if canonical is None:  # zero rows and no prior claim — nothing to do
+        return
     state.update((canonical,))
     state.setTimeoutDuration(3_600_000)  # 1h idle TTL bounds state
     if out:
@@ -207,12 +214,19 @@ def streaming_near_dup(
     from kafka_sink_azure_kusto_spark.functions.dedup import (
         lsh_bands,
         minhash_signature,
+        tokens,
     )
 
     rows_per_band = num_hashes // num_bands
+    assert num_bands * rows_per_band == num_hashes
     sig = minhash_signature(F.col(text_col), num_hashes=num_hashes, k=k)
     banded = (
-        stream.select(
+        # Documents with < k tokens have NO shingles: their signature is
+        # all-null and concat_ws would band every one of them to
+        # md5('') — one giant false dup cluster. The batch path drops
+        # them structurally (explode of zero shingles); drop them here.
+        stream.filter(F.size(tokens(F.col(text_col))) >= k)
+        .select(
             F.col(id_col).alias("doc_id"),
             F.col(ts_col).alias("ts"),
             F.explode(lsh_bands(sig, num_bands, rows_per_band)).alias("b"),

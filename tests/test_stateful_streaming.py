@@ -178,9 +178,15 @@ def test_streaming_near_dup_detects_across_batches(spark, tmp_path):
          "event_type": "yet another unrelated set of tokens right here"},
     ])
     # batch 2: an exact replay of doc 1 collides on EVERY band — state
-    # must have carried across micro-batches (maxFilesPerTrigger=1)
+    # must have carried across micro-batches (maxFilesPerTrigger=1).
+    # Docs 6/7 are sub-k-token (no shingles): they must be dropped, not
+    # all-null-banded into one giant false dup cluster (md5('') bug).
     _write_chunk(f"{src}/c.json", [
         {"event_id": 5, "ts": "2024-01-01 10:10:00", "user_id": 5, "event_type": base},
+        {"event_id": 6, "ts": "2024-01-01 10:10:01", "user_id": 6,
+         "event_type": "hello world"},
+        {"event_id": 7, "ts": "2024-01-01 10:10:02", "user_id": 7,
+         "event_type": "buy milk"},
     ])
     out = _run_stream(
         spark,
@@ -202,3 +208,5 @@ def test_streaming_near_dup_detects_across_batches(spark, tmp_path):
     d5 = [r for r in rows if r.doc_id == 5]
     assert d5 and all(r.is_new == "dup" and r.canonical_id == 1 for r in d5)
     assert len(d5) == 4  # all four bands collide
+    # shingle-less docs appear NOWHERE — neither claims nor dups
+    assert not any(r.doc_id in (6, 7) for r in rows)
