@@ -614,6 +614,42 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "inverted_index_postings",
+    """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    d AS (SELECT DISTINCT term, doc_id FROM toks)
+    SELECT term, CAST(count(*) AS BIGINT) AS df,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
+    FROM d GROUP BY term
+    """,
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term → sorted posting list of containing
+    documents plus document frequency — the retrieval-side structure a
+    corpus pipeline materializes for BM25/keyword search. One distinct
+    (term, doc_id) aggregation, one term-keyed list aggregation; the
+    posting list is sorted NUMERICALLY before stringification in both
+    engines (comma-joined string output keeps the value hash free of
+    array-formatting differences). At scale the term key is the natural
+    index shard key; skewed stopword terms are exactly what the
+    deterministic salting operator handles if needed downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        F.explode(F.split("text", " ")).alias("term"), "doc_id"
+    ).distinct()
+    return d.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("postings"),
+    )
+
+
 from kafka_sink_azure_kusto_spark.plans.registry_northstar import (  # noqa: E402
     _SHINGLES_SQL,
 )
