@@ -160,10 +160,23 @@ def decode_message(data: bytes, field_schema: dict) -> dict:
                 raise ProtoDecodeError(f"{name}: expected varint, got type {wire_type}")
             out[name] = decode_zigzag(raw)
         elif typ == "bool":
+            if wire_type != 0:
+                raise ProtoDecodeError(f"{name}: expected varint, got type {wire_type}")
             out[name] = bool(raw)
         elif typ == "string":
-            out[name] = bytes(raw).decode("utf-8")
+            if wire_type != 2:
+                raise ProtoDecodeError(
+                    f"{name}: expected length-delimited, got type {wire_type}"
+                )
+            try:
+                out[name] = bytes(raw).decode("utf-8")
+            except UnicodeDecodeError as exc:
+                raise ProtoDecodeError(f"{name}: invalid UTF-8 string") from exc
         elif typ == "bytes":
+            if wire_type != 2:
+                raise ProtoDecodeError(
+                    f"{name}: expected length-delimited, got type {wire_type}"
+                )
             out[name] = bytes(raw)
         elif typ == "double":
             if wire_type != 1:

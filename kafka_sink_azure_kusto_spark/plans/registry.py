@@ -74,12 +74,59 @@ def _workdir(prefix: str) -> str:
     return d
 
 
+# Driver-gate ordering: the external correctness gate evaluates the first
+# 50 entries of queries().  Entries never yet covered by a driver
+# CORRECTNESS_r*.json row (plus queries newly added this round) are listed
+# FIRST so every registry query earns a driver-green row across rounds;
+# previously-green anchors fill the remaining gate slots.
+_GATE_PRIORITY = [
+    # never driver-checked through r3 (judge-verified only)
+    "avro_container_encode",
+    "deterministic_sample",
+    "stratified_sample",
+    "sequence_packing",
+    "sequence_pack_texts",
+    "asof_join_attribution",
+    "range_join_sessions",
+    "embedding_quantize_int8",
+    "parquet_stage_roundtrip",
+    "contamination_ngram_overlap",
+    "text_repetition_stats",
+    "domain_mix_rebalance",
+    "document_chunking",
+    "token_budget_selection",
+    "tfidf_top_terms",
+    "embedding_label_centroids",
+    "inverted_index_postings",
+    "contamination_near_dup",
+    "unigram_logprob_score",
+    "corpus_shuffle_index",
+    "semantic_outlier_score",
+    "dedup_keep_best",
+    "pii_redact",
+    # new this round
+    "registry_wire_decode",
+    "dedup_minhash_lsh_capped",
+    "curation_pipeline",
+]
+
+
+def _ordered_names() -> list[str]:
+    pri = [n for n in _GATE_PRIORITY if n in _REGISTRY]
+    rest = [n for n in _REGISTRY if n not in set(pri)]
+    return pri + rest
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+    return {name: _REGISTRY[name][0] for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+    return {
+        name: _REGISTRY[name][1]
+        for name in _ordered_names()
+        if _REGISTRY[name][1] is not None
+    }
 
 
 QUERIES = _REGISTRY  # convenience alias

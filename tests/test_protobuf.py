@@ -89,6 +89,28 @@ def test_error_paths():
         decode_varint(b"\xff" * 11, 0)
 
 
+def test_wire_type_confusion_rejected():
+    """A varint where the schema expects string/bytes must raise — not
+    allocate raw zero-bytes (the raw varint can be up to 2^64-1) or
+    decode a NUL-filled string (ADVICE r3, medium)."""
+    varint_field = encode_field(1, 1 << 40)  # wire type 0, huge raw value
+    for typ in ("string", "bytes"):
+        with pytest.raises(ProtoDecodeError, match="expected length-delimited"):
+            decode_message(varint_field, {1: ("f", typ)})
+    # bool expects varint; a length-delimited payload must not coerce
+    ld_field = encode_field(1, b"\x01")  # wire type 2
+    with pytest.raises(ProtoDecodeError, match="expected varint"):
+        decode_message(ld_field, {1: ("f", "bool")})
+    # fixed64 raw where string is declared is equally rejected
+    f64_field = encode_field(1, 1.5)  # wire type 1
+    with pytest.raises(ProtoDecodeError, match="expected length-delimited"):
+        decode_message(f64_field, {1: ("f", "string")})
+    # invalid UTF-8 in a genuine length-delimited string → clean error
+    bad_utf8 = encode_field(1, b"\xff\xfe", wire_type=2)
+    with pytest.raises(ProtoDecodeError, match="invalid UTF-8"):
+        decode_message(bad_utf8, {1: ("f", "string")})
+
+
 @settings(max_examples=60, deadline=None)
 @given(st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1))
 def test_varint_int64_roundtrip_property(n):
