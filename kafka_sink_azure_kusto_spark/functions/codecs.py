@@ -24,6 +24,8 @@ import struct
 from dataclasses import dataclass
 from typing import Sequence
 
+import numpy as np
+
 
 @dataclass(frozen=True)
 class DecodedMedia:
@@ -31,7 +33,10 @@ class DecodedMedia:
     width: int  # 0 for audio
     height: int  # 0 for audio
     sample_rate: int  # 0 for images
-    samples: list  # RGB-interleaved ints (images) or PCM amplitudes (audio)
+    # RGB-interleaved values (images) or PCM amplitudes (audio), as an
+    # int64 ndarray so downstream stats stay vectorized (no per-sample
+    # Python loop on the hottest bytes in the pipeline).
+    samples: np.ndarray
 
 
 class MediaDecodeError(ValueError):
@@ -49,17 +54,16 @@ def encode_bmp(width: int, height: int, rgb: Sequence[int]) -> bytes:
     4-byte boundary. ``rgb`` is row-major top-down RGB-interleaved."""
     if len(rgb) != 3 * width * height:
         raise ValueError("rgb length must be 3*width*height")
+    arr = np.asarray(rgb, dtype=np.int64)
+    if arr.size and (arr.min() < 0 or arr.max() > 255):
+        raise ValueError("rgb values must be in 0..255")
     pad = (4 - (3 * width) % 4) % 4
     stride = 3 * width + pad
-    pixel_bytes = bytearray(stride * height)
-    for y in range(height):
-        src_row = height - 1 - y  # bottom-up storage
-        base = y * stride
-        for x in range(width):
-            r, g, b = rgb[3 * (src_row * width + x): 3 * (src_row * width + x) + 3]
-            pixel_bytes[base + 3 * x] = b  # BGR
-            pixel_bytes[base + 3 * x + 1] = g
-            pixel_bytes[base + 3 * x + 2] = r
+    # top-down RGB → bottom-up BGR rows, padded to the 4-byte stride.
+    px = arr.astype(np.uint8).reshape(height, width, 3)[::-1, :, ::-1]
+    rows = np.zeros((height, stride), dtype=np.uint8)
+    rows[:, : 3 * width] = px.reshape(height, 3 * width)
+    pixel_bytes = rows.tobytes()
     offset = _BMP_FILE_HEADER.size + _BMP_INFO_HEADER.size
     header = _BMP_FILE_HEADER.pack(b"BM", offset + len(pixel_bytes), 0, 0, offset)
     info = _BMP_INFO_HEADER.pack(
@@ -92,15 +96,13 @@ def decode_bmp(data: bytes) -> DecodedMedia:
     stride = 3 * width + pad
     if offset + stride * height > len(data):
         raise MediaDecodeError("BMP pixel array truncated")
-    samples: list[int] = []
-    for y in range(height):
-        stored_row = (height - 1 - y) if bottom_up else y
-        base = offset + stored_row * stride
-        row = data[base: base + 3 * width]
-        for x in range(width):
-            b, g, r = row[3 * x: 3 * x + 3]
-            samples.extend((r, g, b))
-    return DecodedMedia("bmp", width, height, 0, samples)
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=stride * height, offset=offset
+    ).reshape(height, stride)[:, : 3 * width]
+    if bottom_up:
+        rows = rows[::-1]
+    samples = rows.reshape(height, width, 3)[:, :, ::-1]  # BGR → RGB
+    return DecodedMedia("bmp", width, height, 0, samples.reshape(-1).astype(np.int64))
 
 
 # ------------------------------------------------------------------ PPM
@@ -109,7 +111,10 @@ def decode_bmp(data: bytes) -> DecodedMedia:
 def encode_ppm(width: int, height: int, rgb: Sequence[int]) -> bytes:
     if len(rgb) != 3 * width * height:
         raise ValueError("rgb length must be 3*width*height")
-    return f"P6\n{width} {height}\n255\n".encode("ascii") + bytes(rgb)
+    arr = np.asarray(rgb, dtype=np.int64)
+    if arr.size and (arr.min() < 0 or arr.max() > 255):
+        raise ValueError("rgb values must be in 0..255")
+    return f"P6\n{width} {height}\n255\n".encode("ascii") + arr.astype(np.uint8).tobytes()
 
 
 def _ppm_tokens(data: bytes, count: int, start: int) -> tuple[list[int], int]:
@@ -150,7 +155,8 @@ def decode_ppm(data: bytes) -> DecodedMedia:
     need = 3 * width * height
     if raster + need > len(data):
         raise MediaDecodeError("PPM raster truncated")
-    return DecodedMedia("ppm", width, height, 0, list(data[raster: raster + need]))
+    samples = np.frombuffer(data, dtype=np.uint8, count=need, offset=raster)
+    return DecodedMedia("ppm", width, height, 0, samples.astype(np.int64))
 
 
 # ------------------------------------------------------------------ WAV
@@ -158,7 +164,10 @@ def decode_ppm(data: bytes) -> DecodedMedia:
 
 def encode_wav(samples: Sequence[int], sample_rate: int) -> bytes:
     """PCM 16-bit little-endian mono RIFF/WAVE container."""
-    data = struct.pack(f"<{len(samples)}h", *samples)
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.size and (arr.min() < -32768 or arr.max() > 32767):
+        raise ValueError("samples must fit in signed 16-bit")
+    data = arr.astype("<i2").tobytes()
     fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
     body = (
         b"WAVE"
@@ -175,13 +184,16 @@ def decode_wav(data: bytes) -> DecodedMedia:
         raise MediaDecodeError("not a RIFF/WAVE payload")
     i = 12
     sample_rate = None
-    samples: list[int] | None = None
+    samples: np.ndarray | None = None
     while i + 8 <= len(data):
         cid = data[i: i + 4]
         (clen,) = struct.unpack_from("<I", data, i + 4)
         body = data[i + 8: i + 8 + clen]
         if cid == b"fmt ":
-            if clen < 16:
+            # check the ACTUAL body length, not just the declared clen —
+            # a truncated file whose fmt chunk claims ≥16 bytes must not
+            # escape as a bare struct.error.
+            if clen < 16 or len(body) < 16:
                 raise MediaDecodeError("WAV fmt chunk truncated")
             audio_fmt, channels, rate, _brate, _align, bits = struct.unpack_from(
                 "<HHIIHH", body, 0
@@ -194,7 +206,7 @@ def decode_wav(data: bytes) -> DecodedMedia:
         elif cid == b"data":
             if len(body) < clen:
                 raise MediaDecodeError("WAV data chunk truncated")
-            samples = list(struct.unpack(f"<{clen // 2}h", body[: clen - clen % 2]))
+            samples = np.frombuffer(body, dtype="<i2", count=clen // 2).astype(np.int64)
         i += 8 + clen + (clen % 2)  # chunks are word-aligned
     if sample_rate is None or samples is None:
         raise MediaDecodeError("WAV missing fmt or data chunk")

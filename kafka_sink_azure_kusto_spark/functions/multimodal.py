@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -35,6 +36,7 @@ from pyspark.sql.types import (
 
 from kafka_sink_azure_kusto_spark.functions.codecs import (
     DecodedMedia,
+    MediaDecodeError,
     decode_media_bytes,
     encode_bmp,
     encode_ppm,
@@ -73,24 +75,30 @@ def synth_media_payload(doc_id: int) -> bytes:
     kind = doc_id % 3
     if kind == 2:
         n = 50 + doc_id % 100
-        samples = [((doc_id * 131 + i * 17) % 65536) - 32768 for i in range(n)]
+        i = np.arange(n, dtype=np.int64)
+        samples = (doc_id * 131 + i * 17) % 65536 - 32768
         return encode_wav(samples, 8000 + (doc_id % 5) * 1000)
     w, h = 4 + doc_id % 13, 3 + doc_id % 7
-    rgb: list[int] = []
-    for i in range(w * h):
-        rgb.append((doc_id * 31 + i * 7) % 256)
-        rgb.append((doc_id * 37 + i * 11) % 256)
-        rgb.append((doc_id * 41 + i * 13) % 256)
+    i = np.arange(w * h, dtype=np.int64)
+    rgb = np.empty(3 * w * h, dtype=np.int64)
+    rgb[0::3] = (doc_id * 31 + i * 7) % 256
+    rgb[1::3] = (doc_id * 37 + i * 11) % 256
+    rgb[2::3] = (doc_id * 41 + i * 13) % 256
     return (encode_bmp if kind == 0 else encode_ppm)(w, h, rgb)
 
 
 def _decoded_stats(doc_id: int, n_bytes: int, m: DecodedMedia) -> tuple:
+    s = m.samples
+    if s.size == 0:
+        # a structurally valid container with an empty raster/data chunk
+        # must not escape as a bare ValueError from min()/max()
+        raise MediaDecodeError(f"zero-sample media for doc_id={doc_id}")
     # checksum is position-weighted so sample ORDER (row direction,
     # channel interleave, stride handling) is asserted, not just the bag.
-    checksum = sum((j + 1) * v for j, v in enumerate(m.samples))
+    checksum = int(np.dot(np.arange(1, s.size + 1, dtype=np.int64), s))
     return (
         doc_id, m.media_type, n_bytes, m.width, m.height, m.sample_rate,
-        len(m.samples), sum(m.samples), min(m.samples), max(m.samples), checksum,
+        int(s.size), int(s.sum()), int(s.min()), int(s.max()), checksum,
     )
 
 
@@ -180,15 +188,17 @@ def media_features(m: DecodedMedia) -> list[int]:
     with float features). Integer stats keep the cross-engine hash in
     exact arithmetic."""
     s = m.samples
+    if s.size == 0:
+        raise MediaDecodeError("zero-sample media")
     return [
-        len(s),
-        sum(s),
-        min(s),
-        max(s),
-        sum((j + 1) * v for j, v in enumerate(s)),  # order-weighted
-        sum(v * v for v in s),  # energy
-        s[0],
-        s[-1],
+        int(s.size),
+        int(s.sum()),
+        int(s.min()),
+        int(s.max()),
+        int(np.dot(np.arange(1, s.size + 1, dtype=np.int64), s)),  # order-weighted
+        int(np.dot(s, s)),  # energy
+        int(s[0]),
+        int(s[-1]),
     ]
 
 

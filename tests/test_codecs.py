@@ -35,7 +35,7 @@ def test_bmp_golden_2x2_hand_assembled():
     info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixels), 0, 0, 0, 0)
     m = decode_bmp(header + info + pixels)
     assert (m.width, m.height) == (2, 2)
-    assert m.samples == [255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30]
+    assert list(m.samples) == [255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30]
 
 
 def test_bmp_top_down_negative_height():
@@ -45,7 +45,7 @@ def test_bmp_top_down_negative_height():
     info = struct.pack("<IiiHHIIiiII", 40, 1, -2, 1, 24, 0, len(rows), 0, 0, 0, 0)
     m = decode_bmp(header + info + rows)
     # stored BGR ⇒ logical RGB reversed per pixel, rows in stored order
-    assert m.samples == [3, 2, 1, 6, 5, 4]
+    assert list(m.samples) == [3, 2, 1, 6, 5, 4]
 
 
 @pytest.mark.parametrize("width", [1, 2, 3, 4, 5])
@@ -55,7 +55,7 @@ def test_bmp_roundtrip_all_paddings(width):
     rgb = [(i * 7 + c) % 256 for i in range(width * h) for c in (0, 1, 2)]
     m = decode_bmp(encode_bmp(width, h, rgb))
     assert (m.width, m.height) == (width, h)
-    assert m.samples == rgb
+    assert list(m.samples) == rgb
 
 
 def test_bmp_rejects_wrong_magic_and_bpp():
@@ -81,13 +81,13 @@ def test_ppm_golden_with_comments_and_whitespace():
     data = b"P6 # raw ppm\n# size next\n 2\t1 # dims\n255\n" + raster
     m = decode_ppm(data)
     assert (m.width, m.height) == (2, 1)
-    assert m.samples == [9, 8, 7, 1, 2, 3]
+    assert list(m.samples) == [9, 8, 7, 1, 2, 3]
 
 
 def test_ppm_roundtrip():
     rgb = [(i * 13) % 256 for i in range(3 * 4 * 2)]
     m = decode_ppm(encode_ppm(4, 2, rgb))
-    assert (m.width, m.height, m.samples) == (4, 2, rgb)
+    assert (m.width, m.height, list(m.samples)) == (4, 2, rgb)
 
 
 def test_ppm_rejects_bad_maxval_and_truncation():
@@ -111,19 +111,42 @@ def test_wav_golden_hand_assembled_with_extra_chunk():
     payload = b"RIFF" + struct.pack("<I", len(body)) + body
     m = decode_wav(payload)
     assert m.sample_rate == 16000
-    assert m.samples == samples
+    assert list(m.samples) == samples
 
 
 def test_wav_roundtrip_and_rejects():
     samples = [((i * 997) % 65536) - 32768 for i in range(100)]
     m = decode_wav(encode_wav(samples, 8000))
-    assert m.sample_rate == 8000 and m.samples == samples
+    assert m.sample_rate == 8000 and list(m.samples) == samples
     with pytest.raises(MediaDecodeError, match="not a RIFF"):
         decode_wav(b"RIFX" + b"\x00" * 40)
     stereo_fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(stereo_fmt)) + stereo_fmt
     with pytest.raises(MediaDecodeError, match="ch=2"):
         decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_wav_truncated_fmt_body_is_media_error():
+    # fmt chunk DECLARES 16 bytes but the file ends after 4 — must raise
+    # MediaDecodeError, not a bare struct.error from unpack_from.
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + b"\x01\x00\x01\x00"
+    with pytest.raises(MediaDecodeError, match="fmt chunk truncated"):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_zero_sample_media_raises_media_error():
+    from kafka_sink_azure_kusto_spark.functions.multimodal import (
+        _decoded_stats,
+        media_features,
+    )
+
+    empty_wav = encode_wav([], 8000)
+    m = decode_wav(empty_wav)
+    assert len(m.samples) == 0
+    with pytest.raises(MediaDecodeError, match="zero-sample"):
+        _decoded_stats(7, len(empty_wav), m)
+    with pytest.raises(MediaDecodeError, match="zero-sample"):
+        media_features(m)
 
 
 # ------------------------------------------------------------------ dispatch
@@ -150,7 +173,7 @@ def test_image_roundtrip_property(w, h, seed):
     rgb = [(seed * 31 + i * 7) % 256 for i in range(3 * w * h)]
     for enc, dec in ((encode_bmp, decode_bmp), (encode_ppm, decode_ppm)):
         m = dec(enc(w, h, rgb))
-        assert (m.width, m.height, m.samples) == (w, h, rgb)
+        assert (m.width, m.height, list(m.samples)) == (w, h, rgb)
 
 
 @settings(max_examples=40, deadline=None)
@@ -162,4 +185,4 @@ def test_image_roundtrip_property(w, h, seed):
 def test_wav_roundtrip_property(n, seed, rate):
     samples = [((seed * 131 + i * 17) % 65536) - 32768 for i in range(n)]
     m = decode_wav(encode_wav(samples, rate))
-    assert m.sample_rate == rate and m.samples == samples
+    assert m.sample_rate == rate and list(m.samples) == samples
