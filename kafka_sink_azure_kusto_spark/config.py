@@ -202,8 +202,11 @@ def validate_endpoint_url(url: str, extra_suffixes: tuple = ()) -> str:
     if not host:
         raise ConfigException(f"invalid kusto url {url!r}: no hostname")
     host = host.lower()
+    # UNION of the SDK's live list and the hardcoded snapshot: an older
+    # SDK whose WellKnownKustoEndpoints.json lacks a suffix present in
+    # the snapshot must not start rejecting previously valid endpoints.
     trusted = (
-        (_sdk_trusted_suffixes() or _TRUSTED_ENDPOINT_SUFFIXES)
+        tuple(dict.fromkeys(_TRUSTED_ENDPOINT_SUFFIXES + _sdk_trusted_suffixes()))
         + tuple(s.lower() if s.startswith(".") else "." + s.lower()
                 for s in extra_suffixes)
     )

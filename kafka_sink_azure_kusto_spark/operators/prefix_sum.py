@@ -60,13 +60,19 @@ def ordered_prefix_sum(
     n = int(num_partitions or spark.conf.get("spark.sql.shuffle.partitions", "200"))
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     staged = (
-        df.repartitionByRange(n, *cols)
+        # Cast the summed value to long ONCE, per-row, before either
+        # pass: driver partials and the partition-local window then sum
+        # identical integers, so a fractional value_col can't truncate
+        # at two different points and skew the cumulative result.
+        # (Non-integral inputs are truncated toward zero per SQL cast.)
+        df.withColumn("_v", F.col(value_col).cast("long"))
+        .repartitionByRange(n, *cols)
         .sortWithinPartitions(*cols)
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
     # Pass 1: per-partition totals -> exclusive scan on the driver.
-    partials = staged.groupBy("_pid").agg(F.sum(value_col).alias("_t")).collect()
+    partials = staged.groupBy("_pid").agg(F.sum("_v").alias("_t")).collect()
     acc = 0
     offset_rows = []
     for r in sorted(partials, key=lambda r: r["_pid"]):
@@ -81,12 +87,12 @@ def ordered_prefix_sum(
         .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    local = F.coalesce(F.sum(value_col).over(w), F.lit(0)).cast("long")
+    local = F.coalesce(F.sum("_v").over(w), F.lit(0)).cast("long")
     return (
         staged.withColumn("_local", local)
         .join(F.broadcast(offsets), "_pid")
         .withColumn(out_col, (F.col("_local") + F.col("_poff")).cast("long"))
-        .drop("_pid", "_local", "_poff")
+        .drop("_pid", "_local", "_poff", "_v")
     )
 
 

@@ -189,6 +189,7 @@ def executor_partition_sender(
     topic: str,
     producer_props: dict,
     producer_factory: Optional[Callable[[dict], object]] = None,
+    counter=None,
 ):
     """Executor-side DLQ production: returns a picklable per-partition
     callable for ``DataFrame.foreachPartition`` over (key, value) rows.
@@ -197,18 +198,29 @@ def executor_partition_sender(
     flushes, and closes — so DLQ throughput scales with the cluster and
     no failure tail is ever collected to the driver. Record bytes are
     identical to the driver path's ``KafkaDlqWriter`` (same key format,
-    same raw-bytes values); only the production locus differs."""
+    same raw-bytes values); only the production locus differs.
+
+    ``counter`` is an optional Spark accumulator incremented only AFTER
+    a partition's records have been handed to the producer and flushed,
+    so the sink's dlq_records_sent metric reflects delivered-to-producer
+    records rather than the pre-send candidate count (task retries under
+    at-least-once may still over-count, never a partition that died
+    before flush)."""
     factory = producer_factory or _default_producer_factory
 
     def send_partition(rows) -> None:
         producer = None
+        n = 0
         try:
             for r in rows:
                 if producer is None:  # lazy: empty partitions build nothing
                     producer = factory(producer_props)
                 producer.send(topic, key=_to_bytes(r["key"]), value=_to_bytes(r["value"]))
+                n += 1
             if producer is not None:
                 producer.flush()
+            if counter is not None and n:
+                counter.add(n)
         finally:
             if producer is not None:
                 try:

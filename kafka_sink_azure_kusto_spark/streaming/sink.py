@@ -576,6 +576,18 @@ class KustoSparkSink:
         )
         wanted = [f"{s.topic}\x1f{s.partition}\x1f{s.file_offset}" for s in failed]
         filtered = df.filter(file_key.isin(wanted))
+        key_col = F.concat(
+            F.lit(
+                "Failed to write record to KustoDB with the following "
+                "kafka coordinates, topic="
+            ),
+            F.col("topic"),
+            F.lit(", partition="),
+            F.col("partition").cast("string"),
+            F.lit(", offset="),
+            F.col("offset").cast("string"),
+            F.lit("."),
+        )
         if self.config.dlq_executor_side and (
             self.config.dlq_enabled or self._dlq_partition_producer_factory
         ):
@@ -587,30 +599,51 @@ class KustoSparkSink:
                 executor_partition_sender,
             )
 
-            key_col = F.concat(
-                F.lit(
-                    "Failed to write record to KustoDB with the following "
-                    "kafka coordinates, topic="
-                ),
-                F.col("topic"),
-                F.lit(", partition="),
-                F.col("partition").cast("string"),
-                F.lit(", offset="),
-                F.col("offset").cast("string"),
-                F.lit("."),
-            )
+            # A custom producer factory (e.g. file-based) supplies its own
+            # destination; only then is a missing dlq topic acceptable —
+            # give it a deterministic pseudo-topic instead of None.
+            topic = self.config.dlq_topic_name or f"dlq.{m.db}.{m.table}"
             out = filtered.select(key_col.alias("key"), F.col("line").alias("value"))
-            n = out.count()  # extra job, but only on the failure path
-            if n:
-                out.foreachPartition(
-                    executor_partition_sender(
-                        self.config.dlq_topic_name,
-                        self.config.dlq_producer_props(),
-                        self._dlq_partition_producer_factory,
-                    )
+            sent = df.sparkSession.sparkContext.accumulator(0)
+            out.foreachPartition(
+                executor_partition_sender(
+                    topic,
+                    self.config.dlq_producer_props(),
+                    self._dlq_partition_producer_factory,
+                    counter=sent,
                 )
-                self.metrics.incr("dlq_records_sent", n)
+            )
+            # one evaluation of the failure frame; the accumulator counts
+            # records handed to producers (post-flush), not candidates
+            self.metrics.incr("dlq_records_sent", sent.value)
             return
+        if self._dlq_writer is None:
+            # Fallback file DLQ with no custom writer: still written from
+            # the EXECUTORS (one JSONL per task under staging/_dlq) — a
+            # whole-mapping failure on a big batch must not materialize
+            # every failed record on the driver.
+            import functools
+
+            from kafka_sink_azure_kusto_spark.streaming.dlq import (
+                FileDlqProducer,
+                executor_partition_sender,
+            )
+
+            dlq_dir = os.path.join(self.config.staging_dir, "_dlq")
+            out = filtered.select(key_col.alias("key"), F.col("line").alias("value"))
+            sent = df.sparkSession.sparkContext.accumulator(0)
+            out.foreachPartition(
+                executor_partition_sender(
+                    f"dlq.{m.db}.{m.table}",
+                    {},
+                    functools.partial(FileDlqProducer, directory=dlq_dir),
+                    counter=sent,
+                )
+            )
+            self.metrics.incr("dlq_records_sent", sent.value)
+            return
+        # Custom driver-side writer seam (tests, bespoke sinks): bounded
+        # collect of the failure tail only.
         rows = (
             filtered
             .select("topic", "partition", "offset", "line")
@@ -627,32 +660,8 @@ class KustoSparkSink:
         ]
         if not records:
             return
-        writer = self._dlq_writer or self._default_dlq_writer(m)
-        writer(records)
+        self._dlq_writer(records)
         self.metrics.incr("dlq_records_sent", len(records))
-
-    def _default_dlq_writer(self, m: TopicToTableMapping):
-        """Fallback DLQ: NDJSON file under staging. Binary values (E4
-        avro-bytes) are base64-encoded under ``value_b64`` so the JSONL
-        stays valid; the Kafka writer ships raw bytes instead."""
-        dlq_dir = os.path.join(self.config.staging_dir, "_dlq")
-        path = os.path.join(dlq_dir, f"dlq_{m.db}_{m.table}.jsonl")
-
-        def write(records: list[dict]) -> None:
-            import base64
-            import json
-
-            os.makedirs(dlq_dir, exist_ok=True)
-            with open(path, "a", encoding="utf-8") as f:
-                for r in records:
-                    if isinstance(r.get("value"), (bytes, bytearray)):
-                        r = {
-                            "key": r["key"],
-                            "value_b64": base64.b64encode(bytes(r["value"])).decode("ascii"),
-                        }
-                    f.write(json.dumps(r) + "\n")
-
-        return write
 
     # --------------------------------------------------------- control plane
     def attach(

@@ -214,3 +214,66 @@ def test_executor_side_dlq_bytes_match_driver_path(spark, tmp_path):
     assert topics == {"dlq.topic"}
     assert executor_records == driver_records  # byte-identical per record
     assert sink_e.metrics.snapshot()["DlqRecordsSent"] == 6
+
+
+def test_fallback_file_dlq_writes_from_executors(spark, tmp_path):
+    # No custom writer, no executor flag, no Kafka DLQ config: the
+    # fallback must still land failed records as JSONL under
+    # staging/_dlq WITHOUT collecting the failure tail to the driver,
+    # and dlq_records_sent must count delivered records.
+    import base64
+    import os
+
+    cfg = KustoSinkConfig(
+        ingest_url="https://ingest-c.kusto.windows.net",
+        mappings=[TopicToTableMapping(topic="t1", db="db", table="tb", format="json")],
+        staging_dir=str(tmp_path / "staging"),
+        behavior_on_error="LOG",
+    )
+    sink = KustoSparkSink(
+        cfg, LocalEmulatorBackend(str(tmp_path / "kusto"), permanent_fail=True)
+    )
+    sink.process_batch(_failed_batch_df(spark), epoch_id=0)
+
+    dlq_dir = tmp_path / "staging" / "_dlq"
+    records = []
+    for name in os.listdir(dlq_dir):
+        with open(dlq_dir / name) as f:
+            for line in f:
+                r = json.loads(line)
+                records.append(
+                    (r["topic"], base64.b64decode(r["key"]), base64.b64decode(r["value"]))
+                )
+    assert len(records) == 6
+    assert {t for t, _, _ in records} == {"dlq.db.tb"}
+    values = {json.loads(v)["n"] for _, _, v in records}
+    assert values == set(range(6))
+    for _, k, _ in records:
+        assert k.startswith(b"Failed to write record to KustoDB")
+    assert sink.metrics.snapshot()["DlqRecordsSent"] == 6
+
+
+def test_executor_dlq_metric_counts_sent_records(spark, tmp_path):
+    # The executor path evaluates the failure frame ONCE and counts via
+    # accumulator — a partition whose producer dies before flush must
+    # not be counted as sent.
+    import functools
+
+    class ExplodingFileProducer(FileDlqProducer):
+        def flush(self):
+            raise RuntimeError("broker gone")
+
+    props = dict(CONNECT_PROPS)
+    props["misc.deadletterqueue.executor.side.enable"] = "true"
+    cfg = KustoSinkConfig.from_connect_properties(props)
+    cfg.staging_dir = str(tmp_path / "staging")
+    sink = KustoSparkSink(
+        cfg,
+        LocalEmulatorBackend(str(tmp_path / "kusto"), permanent_fail=True),
+        dlq_partition_producer_factory=functools.partial(
+            ExplodingFileProducer, directory=str(tmp_path / "capture")
+        ),
+    )
+    with pytest.raises(Exception):
+        sink.process_batch(_failed_batch_df(spark), epoch_id=0)
+    assert sink.metrics.snapshot()["DlqRecordsSent"] == 0

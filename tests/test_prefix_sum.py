@@ -99,3 +99,21 @@ def test_registry_plan_assertions(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
     outlier = _executed_plan(QUERIES["semantic_outlier_score"][0](spark, sf))
     assert "BroadcastHashJoin" in outlier  # centroids broadcast back
+
+
+def test_prefix_sum_fractional_values_truncate_once(spark):
+    # Non-integral value_col: per-row cast to long BEFORE both passes, so
+    # driver partials and the local window sum identical integers —
+    # cum_before equals the cumsum of the truncated values regardless of
+    # partitioning.
+    df = spark.range(200).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 5 + 0.9).cast("double").alias("v"),
+    )
+    out = ordered_prefix_sum(
+        df, [F.col("k").asc()], "v", num_partitions=7
+    ).orderBy("k").collect()
+    acc = 0
+    for r in out:
+        assert r["cum_before"] == acc, (r["k"], r["cum_before"], acc)
+        acc += int(r["k"] % 5 + 0.9)  # truncation toward zero per row
