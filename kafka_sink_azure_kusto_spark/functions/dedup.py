@@ -165,6 +165,7 @@ def minhash_lsh_pairs(
     num_bands: int = 4,
     k: int = 3,
     jaccard_threshold: float = 0.5,
+    band_member_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
@@ -177,8 +178,30 @@ def minhash_lsh_pairs(
          ≥ threshold. No O(n²) anywhere.
 
     Returns (left id, right id, est_jaccard) with left < right.
+
+    ``band_member_cap``: hot-band guard for templated corpora. A single
+    (band_id, band_hash) bucket holding m documents emits m·(m-1)/2
+    candidate pairs — boilerplate (license headers, scaffold pages) can
+    push one bucket to thousands of members and the self-join quadratic
+    IN THAT BUCKET even though the plan is an equi-join. With a cap,
+    bands with more than ``band_member_cap`` members are dropped from
+    candidate generation (the standard production mitigation: such
+    buckets are "common template" mass better handled by exact dedup /
+    a dedicated template pass, and each surviving doc pair usually
+    still shares a non-hot band). The member count reuses the join's
+    own hash partitioning (window over the band key), so the guard
+    adds no extra shuffle of the banded frame.
     """
     banded = banded_signatures(df, text_col, id_col, num_hashes, num_bands, k)
+    if band_member_cap is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band_id", "band_hash")
+        banded = (
+            banded.withColumn("_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_n") <= band_member_cap)
+            .drop("_n")
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (

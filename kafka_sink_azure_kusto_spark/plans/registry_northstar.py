@@ -98,6 +98,47 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_lsh_capped",
+    f"""
+    WITH {_SHINGLES_SQL},
+    mh AS (SELECT doc_id, hs.h AS h, MIN(md5(hs.h || ':' || s)) AS mv
+           FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS h) hs
+           GROUP BY doc_id, hs.h),
+    sig AS (SELECT doc_id, list(mv ORDER BY h) AS sig FROM mh GROUP BY doc_id),
+    banded AS (SELECT doc_id, sig, bs.b AS band_id,
+                      md5(array_to_string(sig[bs.b*4+1 : bs.b*4+4], '|')) AS band_hash
+               FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+    capped AS (SELECT doc_id, sig, band_id, band_hash FROM (
+                   SELECT banded.*,
+                          COUNT(*) OVER (PARTITION BY band_id, band_hash) AS bn
+                   FROM banded)
+               WHERE bn <= 2),
+    cand AS (SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+             FROM capped l JOIN capped r
+               ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+              AND l.doc_id < r.doc_id)
+    SELECT left_id, right_id,
+           len(list_intersect(ls.sig, rs.sig)) * 1.0 / 16 AS est_jaccard
+    FROM cand JOIN sig ls ON left_id = ls.doc_id
+              JOIN sig rs ON right_id = rs.doc_id
+    WHERE len(list_intersect(ls.sig, rs.sig)) * 1.0 / 16 >= 0.5
+    """,
+)
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with the hot-band member cap (2):
+    (band_id, band_hash) buckets holding more than 2 documents are
+    dropped from candidate generation — the production guard against
+    templated corpora where one band bucket goes quadratic. Cap low
+    enough to BITE on the test corpus so the gate verifies the guard,
+    not just the happy path."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs, num_hashes=16, num_bands=4, k=3, jaccard_threshold=0.5,
+        band_member_cap=2,
+    )
+
+
+@register(
     "dedup_ngram_jaccard",
     f"""
     WITH {_SHINGLES_SQL},

@@ -135,3 +135,34 @@ def test_cosine_exact(spark):
     got = [r.c for r in df.select(S.cosine(F.col("a"), F.col("b")).alias("c")).collect()]
     assert got[0] == pytest.approx(0.0)
     assert got[1] == pytest.approx(1.0)
+
+
+def test_band_member_cap_bounds_templated_corpus(spark):
+    # 10% boilerplate corpus: 20 docs share one template (every band
+    # identical -> one hot bucket per band with 20 members -> 190
+    # candidate pairs per band uncapped), 180 docs are unique, plus one
+    # genuine near-dup pair that shares low-population bands. The cap
+    # must drop the hot-template buckets (bounding the pair explosion)
+    # while keeping the genuine near-dup pair.
+    template = "all rights reserved license header " * 4
+    base = "a genuinely unique document about topic"
+    rows = [(i, template) for i in range(20)]
+    rows += [(100 + i, f"{base} {i} with extra words number {i * 7}") for i in range(180)]
+    near_a = "the quick brown fox jumps over the lazy dog again and again today"
+    near_b = "the quick brown fox jumps over the lazy dog again and again tonight"
+    rows += [(900, near_a), (901, near_b)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = D.minhash_lsh_pairs(docs, jaccard_threshold=0.5).collect()
+    capped = D.minhash_lsh_pairs(
+        docs, jaccard_threshold=0.5, band_member_cap=5
+    ).collect()
+
+    # uncapped: the template cluster alone contributes C(20,2)=190 pairs
+    assert len(uncapped) >= 190
+    # capped: template buckets (20 members > cap 5) dropped entirely;
+    # only genuinely small-bucket pairs survive -> bounded, not quadratic
+    assert len(capped) < 20
+    capped_pairs = {(r.left_id, r.right_id) for r in capped}
+    assert (900, 901) in capped_pairs  # genuine near-dup survives
+    assert not any(l < 20 and r < 20 for l, r in capped_pairs)  # template gone
