@@ -366,6 +366,92 @@ def protobuf_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "registry_wire_decode",
+    """
+    SELECT event_id,
+           CASE WHEN event_id % 4 = 0 THEN 1
+                WHEN event_id % 4 = 1 THEN 2
+                WHEN event_id % 4 = 2 THEN 99
+                ELSE 1 END AS wire_schema_id,
+           CASE WHEN event_id % 4 IN (0, 1) THEN 'ok'
+                WHEN event_id % 4 = 2 THEN 'unknown_id'
+                ELSE 'bad_magic' END AS wire_status,
+           CASE WHEN event_id % 4 IN (0, 1) THEN event_id END AS decoded_eid,
+           CASE WHEN event_id % 4 IN (0, 1) THEN user_id END AS decoded_uid
+    FROM events
+    """,
+)
+def registry_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confluent Schema-Registry wire format (magic 0x00 + big-endian
+    schema id + body; reference README.md:147-156 converter layer, E2E
+    schema-registry container in KustoSinkIT.java setup).
+
+    Fixture: each events row is framed by event_id%4 — JSON body under
+    schema id 1, protobuf body under id 2, an UNKNOWN id 99, or a bad
+    magic byte — then split + routed by decode_wire_frames' static
+    id→handler map. The oracle recomputes status and decoded fields
+    from the source columns, so a wrong endianness, off-by-one in the
+    header slice, or mis-routed body breaks the hash. Frame split is
+    pure codegen (substring/hex/conv); corrupt frames surface as K4
+    DLQ statuses, never exceptions."""
+    import pandas as pd  # noqa: F401
+
+    from kafka_sink_azure_kusto_spark.functions.protobuf_io import encode_message
+    from kafka_sink_azure_kusto_spark.functions.wire_format import (
+        decode_wire_frames,
+        encode_wire_frame,
+    )
+
+    def encode_batches(it):
+        import json as _json
+
+        for pdf in it:
+            eids, frames = [], []
+            for _, r in pdf.iterrows():
+                eid = int(r["event_id"])
+                uid = int(r["user_id"])
+                jbody = _json.dumps({"eid": eid, "uid": uid}).encode()
+                m = eid % 4
+                if m == 0:
+                    frame = encode_wire_frame(1, jbody)
+                elif m == 1:
+                    frame = encode_wire_frame(2, encode_message([(1, eid), (2, uid)]))
+                elif m == 2:
+                    frame = encode_wire_frame(99, jbody)
+                else:
+                    frame = encode_wire_frame(1, jbody, magic=0x01)
+                eids.append(eid)
+                frames.append(frame)
+            yield pd.DataFrame({"event_id": eids, "value": frames})
+
+    ev = load_table(spark, sf_dir, "events")
+    framed = ev.select("event_id", "user_id").mapInPandas(
+        encode_batches, schema="event_id long, value binary"
+    )
+    payload_schema = StructType(
+        [StructField("eid", LongType()), StructField("uid", LongType())]
+    )
+    decoded = decode_wire_frames(
+        framed,
+        handlers={
+            1: {"fmt": "json"},
+            2: {
+                "fmt": "protobuf",
+                "proto_field_schema": {1: ("eid", "int64"), 2: ("uid", "int64")},
+            },
+        },
+        schema=payload_schema,
+    )
+    return decoded.select(
+        "event_id",
+        "wire_schema_id",
+        "wire_status",
+        F.col("payload.eid").alias("decoded_eid"),
+        F.col("payload.uid").alias("decoded_uid"),
+    )
+
+
+@register(
     "ndjson_encode",
     """
     SELECT event_id,
