@@ -134,7 +134,12 @@ def rate_monitor(stream: DataFrame, key_col: str = "event_type") -> DataFrame:
 
 
 NEAR_DUP_STATE_SCHEMA = StructType(
-    [StructField("canonical_id", LongType(), False)]
+    [
+        StructField("canonical_id", LongType(), False),
+        # newest event time (ms) seen by the band — the event-time mode's
+        # expiry anchor; 0 in processing-time mode
+        StructField("last_event_ms", LongType(), True),
+    ]
 )
 NEAR_DUP_OUTPUT_SCHEMA = StructType(
     [
@@ -146,39 +151,82 @@ NEAR_DUP_OUTPUT_SCHEMA = StructType(
 )
 
 
-def _near_dup_detector(key, pdfs, state: GroupState):
-    """applyInPandasWithState body, keyed by (band_id, band_hash): the
-    first document to present a band claims it; every later document
-    presenting the same band is emitted as a near-dup detection against
-    the claimant. The group's chunks are concatenated BEFORE the single
-    (ts, doc_id) sort — a group spanning several Arrow batches would
-    otherwise elect whichever chunk arrived first, and replay after
-    checkpoint recovery could re-chunk and elect a different canonical."""
-    band_id = int(key[0])
-    if state.hasTimedOut:
-        state.remove()
-        return
-    canonical = int(state.get[0]) if state.exists else None
-    out = []
-    chunks = [pdf for pdf in pdfs if len(pdf)]
-    rows = (
-        pd.concat(chunks).sort_values(["ts", "doc_id"]) if chunks else pd.DataFrame()
-    )
-    for _, row in rows.iterrows():
-        doc = int(row["doc_id"])
-        if canonical is None:
-            canonical = doc
-            out.append((doc, band_id, doc, "claim"))
-        elif doc != canonical:
-            out.append((doc, band_id, canonical, "dup"))
-    if canonical is None:  # zero rows and no prior claim — nothing to do
-        return
-    state.update((canonical,))
-    state.setTimeoutDuration(3_600_000)  # 1h idle TTL bounds state
-    if out:
-        yield pd.DataFrame(
-            out, columns=["doc_id", "band_id", "canonical_id", "is_new"]
+def _make_near_dup_detector(event_time: bool, horizon_ms: int):
+    """Build the applyInPandasWithState body, keyed by
+    (band_id, band_hash): the first document to present a band claims
+    it; every later document presenting the same band is emitted as a
+    near-dup detection against the claimant. The group's chunks are
+    concatenated BEFORE the single (ts, doc_id) sort — a group spanning
+    several Arrow batches would otherwise elect whichever chunk arrived
+    first, and replay after checkpoint recovery could re-chunk and
+    elect a different canonical.
+
+    ``event_time=False``: processing-time TTL — state lives
+    ``horizon_ms`` of WALL CLOCK past the last sighting. Simple, but a
+    long stall (backfill, recovery) can evict a band while logically
+    in-horizon data is still queued; the next arrival then falsely
+    re-'claim's the band.
+
+    ``event_time=True``: the eviction clock is the WATERMARK — state is
+    kept until the watermark (max observed event time − delay) passes
+    the band's last event + horizon. Eviction is then a deterministic
+    function of the DATA: late duplicates inside the
+    watermark+horizon window still find the original canonical no
+    matter how slowly batches arrive."""
+
+    def detector(key, pdfs, state: GroupState):
+        band_id = int(key[0])
+        if state.hasTimedOut:
+            state.remove()
+            return
+        canonical = None
+        anchor_ms = 0
+        if state.exists:
+            canonical = int(state.get[0])
+            anchor_ms = int(state.get[1] or 0)
+            if event_time and state.getCurrentWatermarkMs() > anchor_ms + horizon_ms:
+                # Spark fires hasTimedOut only for keys WITHOUT new data
+                # in the batch; a key whose data arrives after its
+                # horizon must still see the state as expired, or the
+                # eviction clock silently depends on arrival timing.
+                canonical = None
+                anchor_ms = 0
+        out = []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        rows = (
+            pd.concat(chunks).sort_values(["ts", "doc_id"]) if chunks else pd.DataFrame()
         )
+        max_ts_ms = anchor_ms
+        for _, row in rows.iterrows():
+            doc = int(row["doc_id"])
+            ts = row["ts"]
+            if event_time and ts is not None and ts == ts:  # not NaT
+                max_ts_ms = max(max_ts_ms, int(pd.Timestamp(ts).value // 1_000_000))
+            if canonical is None:
+                canonical = doc
+                out.append((doc, band_id, doc, "claim"))
+            elif doc != canonical:
+                out.append((doc, band_id, canonical, "dup"))
+        if canonical is None:  # zero rows and no prior claim — nothing to do
+            return
+        state.update((canonical, max_ts_ms))
+        if event_time:
+            # timeout must be beyond the current watermark; anchor on the
+            # later of (band's newest event, watermark) + horizon
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(max_ts_ms, wm) + horizon_ms)
+        else:
+            state.setTimeoutDuration(horizon_ms)  # idle TTL bounds state
+        if out:
+            yield pd.DataFrame(
+                out, columns=["doc_id", "band_id", "canonical_id", "is_new"]
+            )
+
+    return detector
+
+
+#: processing-time instance (default streaming_near_dup path)
+_near_dup_detector = _make_near_dup_detector(event_time=False, horizon_ms=3_600_000)
 
 
 def streaming_near_dup(
@@ -189,6 +237,9 @@ def streaming_near_dup(
     num_hashes: int = 16,
     num_bands: int = 4,
     k: int = 3,
+    timeout_mode: str = "processing",
+    watermark: str = "1 hour",
+    state_horizon_ms: int = 3_600_000,
 ) -> DataFrame:
     """Streaming MinHash-LSH near-duplicate detection — the ingest-time
     form of ``functions.dedup.minhash_lsh_pairs``: as documents arrive,
@@ -207,6 +258,17 @@ def streaming_near_dup(
     micro-batch volumes are bounded by the trigger, and the streaming
     state API is the dominant cost).
 
+    ``timeout_mode``:
+      - ``"processing"`` (default): 1 h wall-clock idle TTL. Cheap, but
+        eviction depends on arrival timing — a band evicted during a
+        stall can be falsely re-claimed by a late duplicate.
+      - ``"event_time"``: ``withWatermark(ts_col, watermark)`` +
+        EventTimeTimeout — state is evicted only when the WATERMARK
+        passes the band's newest event + ``state_horizon_ms``, so
+        eviction is a deterministic function of the data and a late
+        duplicate inside the horizon still reports the original
+        canonical regardless of wall-clock arrival gaps.
+
     Cites: near-dup semantics mirror the batch operator
     (functions/dedup.py minhash_lsh_pairs); the reference connector has
     no streaming-dedup surface (north-star addition).
@@ -217,15 +279,22 @@ def streaming_near_dup(
         tokens,
     )
 
+    if timeout_mode not in ("processing", "event_time"):
+        raise ValueError(f"timeout_mode must be processing|event_time, got {timeout_mode!r}")
     rows_per_band = num_hashes // num_bands
     assert num_bands * rows_per_band == num_hashes
+    src = (
+        stream.withWatermark(ts_col, watermark)
+        if timeout_mode == "event_time"
+        else stream
+    )
     sig = minhash_signature(F.col(text_col), num_hashes=num_hashes, k=k)
     banded = (
         # Documents with < k tokens have NO shingles: their signature is
         # all-null and concat_ws would band every one of them to
         # md5('') — one giant false dup cluster. The batch path drops
         # them structurally (explode of zero shingles); drop them here.
-        stream.filter(F.size(tokens(F.col(text_col))) >= k)
+        src.filter(F.size(tokens(F.col(text_col))) >= k)
         .select(
             F.col(id_col).alias("doc_id"),
             F.col(ts_col).alias("ts"),
@@ -238,10 +307,20 @@ def streaming_near_dup(
             F.col("b.band_hash").alias("band_hash"),
         )
     )
+    if timeout_mode == "event_time":
+        detector = _make_near_dup_detector(event_time=True, horizon_ms=state_horizon_ms)
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        detector = (
+            _near_dup_detector
+            if state_horizon_ms == 3_600_000
+            else _make_near_dup_detector(event_time=False, horizon_ms=state_horizon_ms)
+        )
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
     return banded.groupBy("band_id", "band_hash").applyInPandasWithState(
-        _near_dup_detector,
+        detector,
         outputStructType=NEAR_DUP_OUTPUT_SCHEMA,
         stateStructType=NEAR_DUP_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=timeout,
     )

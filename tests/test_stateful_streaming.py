@@ -210,3 +210,83 @@ def test_streaming_near_dup_detects_across_batches(spark, tmp_path):
     assert len(d5) == 4  # all four bands collide
     # shingle-less docs appear NOWHERE — neither claims nor dups
     assert not any(r.doc_id in (6, 7) for r in rows)
+
+
+def test_streaming_near_dup_event_time_late_duplicate(spark, tmp_path):
+    from kafka_sink_azure_kusto_spark.streaming.stateful import streaming_near_dup
+
+    src = str(tmp_path / "ndet_src")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    # batch 0: doc 1 claims its bands at 10:00
+    _write_chunk(f"{src}/a.json", [
+        {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": base},
+    ])
+    # batch 1: unrelated doc advances max event time to 10:30 -> with a
+    # 10-minute watermark delay the watermark moves to ~10:20; band
+    # state (horizon 1h past 10:00) is NOT evicted.
+    _write_chunk(f"{src}/b.json", [
+        {"event_id": 2, "ts": "2024-01-01 10:30:00", "user_id": 2,
+         "event_type": "completely different words in this document entirely"},
+    ])
+    # batch 2: a LATE exact duplicate of doc 1 stamped 10:05 (behind the
+    # ~10:20 watermark, inside the horizon). Event-time mode must still
+    # report the ORIGINAL canonical, not a false fresh claim.
+    _write_chunk(f"{src}/c.json", [
+        {"event_id": 9, "ts": "2024-01-01 10:05:00", "user_id": 9, "event_type": base},
+    ])
+    out = _run_stream(
+        spark,
+        src,
+        lambda s: streaming_near_dup(
+            s.select(F.col("event_id").alias("doc_id"), "ts",
+                     F.col("event_type").alias("text")),
+            timeout_mode="event_time",
+            watermark="10 minutes",
+            state_horizon_ms=3_600_000,
+        ),
+        "append",
+        str(tmp_path / "ndet_chk"),
+    )
+    rows = out.collect()
+    d9 = [r for r in rows if r.doc_id == 9]
+    assert d9, "late duplicate produced no output"
+    assert all(r.is_new == "dup" and r.canonical_id == 1 for r in d9)
+    assert len(d9) == 4  # exact dup collides on all four bands
+
+
+def test_streaming_near_dup_event_time_horizon_eviction(spark, tmp_path):
+    from kafka_sink_azure_kusto_spark.streaming.stateful import streaming_near_dup
+
+    src = str(tmp_path / "ndev_src")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    # batch 0: doc 1 claims at 10:00 with a SHORT 5-minute horizon
+    _write_chunk(f"{src}/a.json", [
+        {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 1, "event_type": base},
+    ])
+    # batch 1: advance the watermark far past 10:00 + 5min horizon
+    # (12:00 - 1min delay = 11:59) -> band state evicted by EVENT time
+    _write_chunk(f"{src}/b.json", [
+        {"event_id": 2, "ts": "2024-01-01 12:00:00", "user_id": 2,
+         "event_type": "completely different words in this document entirely"},
+    ])
+    # batch 2: duplicate arriving with a FRESH in-horizon timestamp gets
+    # a new claim (state was deterministically evicted, as configured)
+    _write_chunk(f"{src}/c.json", [
+        {"event_id": 9, "ts": "2024-01-01 12:01:00", "user_id": 9, "event_type": base},
+    ])
+    out = _run_stream(
+        spark,
+        src,
+        lambda s: streaming_near_dup(
+            s.select(F.col("event_id").alias("doc_id"), "ts",
+                     F.col("event_type").alias("text")),
+            timeout_mode="event_time",
+            watermark="1 minute",
+            state_horizon_ms=300_000,
+        ),
+        "append",
+        str(tmp_path / "ndev_chk"),
+    )
+    rows = out.collect()
+    d9 = [r for r in rows if r.doc_id == 9]
+    assert d9 and all(r.is_new == "claim" and r.canonical_id == 9 for r in d9)
