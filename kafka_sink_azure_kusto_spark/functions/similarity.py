@@ -84,6 +84,91 @@ def brute_force_topk(
     )
 
 
+def cell_centroids(
+    corpus: DataFrame,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cell mean vector — the IVF coarse-quantizer codebook,
+    computed from the corpus itself. Shape: posexplode to (cell, dim,
+    x) rows, map-side-combined avg per (cell, dim), then re-assemble
+    the array in dimension order. Output is n_cells rows (tiny —
+    always broadcastable)."""
+    per_dim = (
+        corpus.select(
+            F.col(cell_col).alias("cell"),
+            F.posexplode(F.col(vec_col)).alias("d", "x"),
+        )
+        .groupBy("cell", "d")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+    )
+    return (
+        per_dim.groupBy("cell")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("d"), F.col("m")))
+            ).alias("dm")
+        )
+        .select(
+            "cell", F.transform(F.col("dm"), lambda s: s.getField("m")).alias("centroid")
+        )
+    )
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_cell_col: str = "cell",
+) -> DataFrame:
+    """Nearest-centroid cell assignment — the IVF INDEX BUILD step
+    (one k-means assignment pass). Centroids broadcast; the corpus is
+    scored against every centroid (n_cells fixed-width rows per vector)
+    and reduced to the argmax with ``max_by`` in one hash aggregate.
+    Cost: one shuffle of (id, cell, score) rows — a one-time build,
+    amortized over every subsequent probe; re-run assign+centroids for
+    more k-means refinement iterations."""
+    scored = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("_cd", cosine(F.col("_v"), F.col("centroid")))
+    )
+    assigned = scored.groupBy("_id").agg(
+        F.max_by("cell", F.col("_cd")).alias(out_cell_col),
+        F.first("_v").alias("_v"),
+    )
+    return assigned.select(
+        F.col("_id").alias(id_col),
+        F.col("_v").alias(vec_col),
+        out_cell_col,
+    )
+
+
+def multiprobe_cells(
+    queries: DataFrame,
+    centroids: DataFrame,
+    n_probe: int,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """Expand each query to its ``n_probe`` nearest centroid cells
+    (cosine). centroids is broadcast (n_cells rows); the output is
+    n_queries × n_probe rows — still tiny, still broadcastable into
+    the corpus join."""
+    scored = queries.crossJoin(F.broadcast(centroids)).withColumn(
+        "_cd", cosine(F.col(query_vec_col), F.col("centroid"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("_cd").desc(), F.col("cell").asc()
+    )
+    return (
+        scored.withColumn("_cr", F.row_number().over(w))
+        .filter(F.col("_cr") <= n_probe)
+        .select(query_id_col, query_vec_col, "cell")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -94,6 +179,8 @@ def ivf_topk(
     query_id_col: str = "vec_id",
     query_vec_col: str = "embedding",
     query_cell_col: str = "label",
+    n_probe: int = 1,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: score only corpus vectors in the query's cell(s).
 
@@ -103,14 +190,34 @@ def ivf_topk(
     before any scoring; with the corpus parquet partitioned by cell the
     pruning is a metadata operation.
 
+    Multiprobe: with ``centroids`` (from ``cell_centroids``) and
+    ``n_probe`` > 1, each query probes its ``n_probe`` nearest centroid
+    cells instead of only its own — the standard IVF recall knob. Cost
+    scales linearly in ``n_probe`` (n_probe/n_cells of the corpus is
+    scanned); the probe expansion happens on the broadcast side, the
+    corpus plan is unchanged.
+
     Exactness: recall < 1 by construction (neighbors outside the probed
-    cell are missed) — that is the documented ANN trade-off.
+    cells are missed) — that is the documented ANN trade-off; measured
+    recall@k vs n_probe lives in PERF.md (tools/scale_probe.py).
     """
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(query_vec_col).alias("qvec"),
-        F.col(query_cell_col).alias("cell"),
-    )
+    if n_probe > 1 and centroids is None:
+        raise ValueError("n_probe > 1 requires centroids (see cell_centroids)")
+    if centroids is not None:
+        q = multiprobe_cells(
+            queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(query_vec_col).alias("qvec"),
+            ),
+            centroids,
+            n_probe,
+        )
+    else:
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("qvec"),
+            F.col(query_cell_col).alias("cell"),
+        )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),

@@ -166,3 +166,59 @@ def test_band_member_cap_bounds_templated_corpus(spark):
     capped_pairs = {(r.left_id, r.right_id) for r in capped}
     assert (900, 901) in capped_pairs  # genuine near-dup survives
     assert not any(l < 20 and r < 20 for l, r in capped_pairs)  # template gone
+
+
+def _emb_synth(spark, n=120, dim=8, cells=4):
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (
+            (F.pmod(F.hash(F.concat(F.col("vec_id"), F.lit(":"), d)), F.lit(1000)) / 500.0) - 1.0
+        ).cast("double"),
+    )
+    return (
+        spark.range(n)
+        .withColumnRenamed("id", "vec_id")
+        .select("vec_id", vec.alias("embedding"),
+                (F.col("vec_id") % cells).cast("int").alias("label"))
+    )
+
+
+def test_cell_centroids_are_cell_means(spark):
+    emb = _emb_synth(spark, n=20, dim=4, cells=2)
+    cents = {r.cell: r.centroid for r in S.cell_centroids(emb).collect()}
+    rows = emb.collect()
+    for cell in (0, 1):
+        vs = [r.embedding for r in rows if r.label == cell]
+        expect = [sum(v[d] for v in vs) / len(vs) for d in range(4)]
+        got = cents[cell]
+        assert all(abs(a - b) < 1e-9 for a, b in zip(got, expect))
+
+
+def test_ivf_multiprobe_recall_increases_to_exact(spark):
+    emb = _emb_synth(spark, n=120, dim=8, cells=4)
+    queries = emb.filter(F.col("vec_id") < 5)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, queries, k=5).collect()
+    }
+    cents = S.cell_centroids(emb)
+
+    def recall(n_probe):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in S.ivf_topk(
+                emb, queries, k=5, n_probe=n_probe, centroids=cents
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r1, r4 = recall(1), recall(4)
+    assert r1 <= r4
+    # probing EVERY cell must recover the exact brute-force result
+    assert r4 == 1.0
+
+
+def test_ivf_multiprobe_requires_centroids(spark):
+    emb = _emb_synth(spark, n=20, dim=4, cells=2)
+    with pytest.raises(ValueError, match="centroids"):
+        S.ivf_topk(emb, emb.limit(2), n_probe=3)

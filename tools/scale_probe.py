@@ -162,6 +162,36 @@ def main():
         results.setdefault("ann_ivf_50q", {})[n] = timed(
             f"ann_ivf@{n}", S.ivf_topk(emb, queries, k=10)
         )
+        # recall@10 vs brute force with a real IVF index (nearest-seed
+        # assignment + one k-means refinement) across n_probe — the IVF
+        # recall knob, measured not guessed. The synthetic vectors are
+        # uniform random (worst case for IVF: no cluster structure), so
+        # these are floor numbers.
+        seeds = emb.filter(F.col("vec_id") < 32).select(
+            F.col("vec_id").cast("int").alias("cell"),
+            F.col("embedding").alias("centroid"),
+        )
+        indexed = S.assign_cells(emb, seeds).cache()
+        indexed.count()
+        cents = S.cell_centroids(indexed, cell_col="cell").cache()
+        cents.count()
+        q_idx = indexed.filter(F.col("vec_id") < 50).select("vec_id", "embedding")
+        truth = S.brute_force_topk(indexed, q_idx, k=10).select(
+            "query_id", "neighbor_id"
+        ).cache()
+        n_truth = truth.count()
+        for probe in (1, 2, 4, 8):
+            approx = S.ivf_topk(
+                indexed, q_idx, k=10, cell_col="cell",
+                n_probe=probe, centroids=cents,
+            ).select("query_id", "neighbor_id")
+            hits = truth.join(approx, ["query_id", "neighbor_id"]).count()
+            rec = hits / n_truth
+            results.setdefault(f"ann_ivf_recall@10 probe={probe}", {})[n] = rec
+            print(f"ann_ivf_recall@10 probe={probe} n={n}: {rec:.3f}")
+        truth.unpersist()
+        cents.unpersist()
+        indexed.unpersist()
         emb.unpersist()
 
     print("\nRESULTS")
