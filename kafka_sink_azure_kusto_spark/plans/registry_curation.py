@@ -906,3 +906,136 @@ def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(".1 end"),
     )
     return docs.select("doc_id", pii_redact(aug).alias("redacted"))
+
+
+@register(
+    "curation_pipeline",
+    None,  # oracle attached below (composes the keep-best oracle text)
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-set curation — the proven pieces composed
+    into the realistic "build a training corpus" path:
+
+      quality score → near-dup keep-best (MinHash-LSH + CC exemplar)
+      → benchmark decontamination (4-gram overlap, benchmark = every
+      50th doc) → global token-budget selection (20k, quality-ranked)
+      → deterministic shuffle index (md5 permutation, distributed
+      prefix sum) → sequence packing (8 shards × 512-token packs in
+      shuffle order).
+
+    One row per SELECTED document with its full curation coordinates:
+    (doc_id, n_tokens, cum_before, shuffle_idx, shard, pack_id).
+
+    Scale shape: each stage keeps its audited plan — LSH band
+    equi-join, pointer-doubling CC, broadcast benchmark probe,
+    two-pass prefix sums (never a one-task global window), shard-keyed
+    packing windows. The selection joins are doc_id-keyed semi-joins.
+    The oracle composes the SAME stage oracles, so stage boundaries
+    (which docs survive, their order, their pack coordinates) are all
+    hash-verified, not just the final count."""
+    from kafka_sink_azure_kusto_spark.functions import dedup as D
+    from kafka_sink_azure_kusto_spark.functions.corpus import contamination_overlap
+    from kafka_sink_azure_kusto_spark.functions.text import quality_score, token_count
+    from kafka_sink_azure_kusto_spark.operators.packing import pack_sequences
+    from kafka_sink_azure_kusto_spark.operators.prefix_sum import (
+        ordered_prefix_sum,
+        token_budget_select,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # 1. quality
+    scored = quality_score(docs, "text").select(
+        "doc_id",
+        F.col("q_tokens").cast("bigint").alias("n_tokens"),
+        "quality_score",
+    )
+    # 2. near-dup keep-best exemplars
+    pairs = D.minhash_lsh_pairs(
+        docs, num_hashes=16, num_bands=4, k=3, jaccard_threshold=0.5
+    )
+    cc = D.connected_components(docs, pairs)
+    toks = docs.select("doc_id", token_count("text").cast("bigint").alias("nt"))
+    wk = Window.partitionBy("cluster_id").orderBy(
+        F.col("nt").desc(), F.col("doc_id").asc()
+    )
+    kept = (
+        cc.join(toks, "doc_id")
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    # 3. decontamination (benchmark side broadcast inside the helper)
+    clean = contamination_overlap(
+        docs, docs.filter(F.col("doc_id") % 50 == 0), n=4
+    ).filter(F.col("contaminated") == 0).select("doc_id")
+    selected = scored.join(kept, "doc_id", "semi").join(clean, "doc_id", "semi")
+    # 4. token-budget selection over the survivors
+    budgeted = token_budget_select(
+        selected,
+        order_by=[F.col("quality_score").desc(), F.col("doc_id").asc()],
+        token_col="n_tokens",
+        budget=20_000,
+    )
+    # 5. deterministic shuffle index over the final set
+    shuffled = ordered_prefix_sum(
+        budgeted.withColumn(
+            "hk", F.md5(F.concat(F.lit("shuf"), F.col("doc_id").cast("string")))
+        ).withColumn("_one", F.lit(1).cast("long")),
+        order_by=[F.col("hk").asc(), F.col("doc_id").asc()],
+        value_col="_one",
+        out_col="shuffle_idx",
+    )
+    # 6. pack in shuffle order
+    packed = pack_sequences(
+        shuffled,
+        token_col="n_tokens",
+        key_col="shuffle_idx",
+        max_tokens=512,
+        num_shards=8,
+    )
+    return packed.select(
+        "doc_id", "n_tokens", "cum_before", "shuffle_idx", "shard",
+        F.col("pack_id").cast("bigint").alias("pack_id"),
+    )
+
+
+_REG["curation_pipeline"] = (
+    _REG["curation_pipeline"][0],
+    f"""
+    WITH {_QSCORE_CTES},
+    words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    {_ngram_cte("g", 4)},
+    d AS (SELECT DISTINCT doc_id, ng FROM g),
+    b AS (SELECT DISTINCT ng FROM d WHERE doc_id % 50 = 0),
+    hits AS (SELECT doc_id, count(*) AS n_overlap FROM d JOIN b USING (ng)
+             GROUP BY doc_id),
+    clean AS (SELECT doc.doc_id FROM documents doc
+              LEFT JOIN hits h USING (doc_id)
+              WHERE COALESCE(h.n_overlap, 0) = 0),
+    kept AS (SELECT doc_id FROM ({_REG['dedup_keep_best'][1]}) WHERE kept = 1),
+    sel AS (SELECT q.doc_id, q.n_tokens, q.quality_score
+            FROM q JOIN kept USING (doc_id) JOIN clean USING (doc_id)),
+    bud AS (SELECT doc_id, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                        ORDER BY quality_score DESC, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS cum_before
+            FROM sel),
+    keep2 AS (SELECT * FROM bud WHERE cum_before < 20000),
+    shuf AS (SELECT doc_id, n_tokens, cum_before,
+                    CAST(ROW_NUMBER() OVER (
+                         ORDER BY md5('shuf' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+                         AS BIGINT) AS shuffle_idx
+             FROM keep2),
+    pre AS (SELECT *, CAST(shuffle_idx % 8 AS INT) AS shard,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                        PARTITION BY shuffle_idx % 8 ORDER BY shuffle_idx
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS ptb
+            FROM shuf)
+    SELECT doc_id, n_tokens, cum_before, shuffle_idx, shard,
+           CAST(FLOOR(ptb / 512.0) AS BIGINT) AS pack_id
+    FROM pre
+    """,
+)

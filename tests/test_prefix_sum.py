@@ -117,3 +117,16 @@ def test_prefix_sum_fractional_values_truncate_once(spark):
     for r in out:
         assert r["cum_before"] == acc, (r["k"], r["cum_before"], acc)
         acc += int(r["k"] % 5 + 0.9)  # truncation toward zero per row
+
+
+def test_curation_pipeline_plan_shape(spark):
+    # end-to-end curation composition keeps the audited scale shape:
+    # no cartesian/nested-loop joins; the one-task global window never
+    # appears (prefix sums are the two-pass distributed form)
+    from kafka_sink_azure_kusto_spark.plans.registry import QUERIES
+
+    df = QUERIES["curation_pipeline"][0](spark, "/root/testdata/sf0.001")
+    plan = _executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
