@@ -108,6 +108,7 @@ _GATE_PRIORITY = [
     "registry_wire_decode",
     "dedup_minhash_lsh_capped",
     "curation_pipeline",
+    "similarity_ivf_multiprobe",
 ]
 
 

@@ -344,6 +344,67 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "similarity_ivf_multiprobe",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    pd AS (SELECT label AS cell, unnest(range(1, len(v) + 1)) AS i, v FROM e),
+    cd AS (SELECT cell, i, AVG(v[i]) AS m FROM pd GROUP BY cell, i),
+    cent AS (SELECT cell, list(round(m, 6) ORDER BY i) AS centroid
+             FROM cd GROUP BY cell),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    qc AS (SELECT query_id, qv, cell FROM (
+             SELECT q.query_id, q.qv, c.cell,
+                    ROW_NUMBER() OVER (PARTITION BY q.query_id
+                      ORDER BY list_dot_product(qv, c.centroid) /
+                               (sqrt(list_dot_product(qv, qv)) *
+                                sqrt(list_dot_product(c.centroid, c.centroid)))
+                               DESC, c.cell ASC) AS cr
+             FROM q CROSS JOIN cent c)
+           WHERE cr <= 2),
+    scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+                      list_dot_product(qv, c.v) /
+                      (sqrt(list_dot_product(qv, qv)) *
+                       sqrt(list_dot_product(c.v, c.v))) AS score
+               FROM e c JOIN qc ON c.label = qc.cell
+               WHERE c.vec_id <> query_id)
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           round(score, 6) AS score
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id ASC) AS rank
+          FROM scored)
+    WHERE rank <= 10
+    """,
+)
+def similarity_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF multiprobe ANN (the recall knob, functions/similarity.py):
+    each query probes its 2 nearest centroid cells instead of only its
+    own — centroid codebook from ``cell_centroids`` (per-cell mean),
+    probe expansion on the broadcast side via ``multiprobe_cells``.
+    Centroid components are rounded to 6 dp in BOTH engines before the
+    probe ranking so partial-aggregation float-sum order can't flip a
+    near-tie cell choice; candidate scores are computed from the raw
+    vectors (exact, same fold order as the oracle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.cell_centroids(emb, cell_col="label").select(
+        "cell", F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid")
+    )
+    out = S.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        cell_col="label",
+        n_probe=2,
+        centroids=cents,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def _hv_sql(expr: str) -> str:
     return (
         f"(CASE WHEN ascii({expr}) >= 97 THEN ascii({expr}) - 87 "
