@@ -56,6 +56,11 @@ HEADLINE = [
     "pii_redact",
     "token_budget_selection",
     "tfidf_top_terms",
+    # r4: wire-format decode, capped LSH, multiprobe ANN, full pipeline
+    "registry_wire_decode",
+    "dedup_minhash_lsh_capped",
+    "similarity_ivf_multiprobe",
+    "curation_pipeline",
 ]
 
 

@@ -1,12 +1,19 @@
 """Loaders for the driver's TESTDATA parquet tables (TESTDATA.md).
 
-The driver generates parquet with nanosecond (TIMESTAMP_NANOS) columns,
-which Spark's vectorized reader rejects by default. We flip the public
-``spark.sql.legacy.parquet.nanosAsLong`` conf (runtime-settable) and
-convert the resulting epoch-nanos longs back to TimestampType at
-microsecond precision — the same truncation DuckDB applies when reading
-TIMESTAMP_NS into its TIMESTAMP type, so oracle comparisons line up
-exactly.
+Timestamp normalization — the driver has shipped two layouts across
+rounds, and the loader accepts BOTH, always landing on TimestampType
+(µs, session-zone semantics) so every downstream expression
+(unix_micros, casts, window functions) sees one type:
+
+- TIMESTAMP_NANOS columns (rounds 1-3): Spark's vectorized reader
+  rejects these by default; we flip the public
+  ``spark.sql.legacy.parquet.nanosAsLong`` conf (runtime-settable) and
+  convert the epoch-nanos longs to µs TimestampType — the same
+  truncation DuckDB applies reading TIMESTAMP_NS.
+- TIMESTAMP(MICROS, isAdjustedToUTC=false) columns (round 4 data):
+  Spark reads TIMESTAMP_NTZ; we cast to TimestampType. The cast keeps
+  the wall-clock reading, which is also what DuckDB's naive TIMESTAMP
+  holds — so cross-engine value hashes line up in any session zone.
 """
 
 from __future__ import annotations
@@ -39,13 +46,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one TESTDATA table; timestamps land as TimestampType (µs)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
     for c in _TS_COLUMNS.get(name, []):
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+        if c not in df.columns:
+            continue
+        if dtypes[c] == "bigint":
             # Integer `div` (NOT `/`): epoch-nanos ≈ 1.7e18 exceeds double
             # mantissa precision, so float division is off by ±1 µs.
             # Truncating integer division matches DuckDB's ns→µs behavior
             # for the positive epoch range the generator uses.
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtypes[c] == "timestamp_ntz":
+            # µs-NTZ parquet: keep the wall-clock reading as TimestampType
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
