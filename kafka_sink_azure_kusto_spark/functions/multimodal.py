@@ -151,6 +151,60 @@ def with_synth_media_blob(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(F.col(id_col).alias("doc_id")).mapInPandas(synth, schema=schema)
 
 
+def synth_decode_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fused fixture path: synthesize + decode in ONE mapInPandas body
+    (one Python worker pass, one Arrow round trip) instead of chaining
+    ``with_synth_media_blob`` → ``decode_media`` (two). Byte-identical
+    output to the chained form; production data (real blobs off
+    parquet) uses ``decode_media`` directly and has a single pass
+    anyway."""
+    cols = [f.name for f in DECODE_SCHEMA.fields]
+
+    def body(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                doc = int(d)
+                blob = synth_media_payload(doc)
+                rows.append(_decoded_stats(doc, len(blob), decode_media_bytes(blob)))
+            out = pd.DataFrame(rows, columns=cols)
+            for c in cols:
+                if c != "media_type":
+                    out[c] = out[c].astype("int64")
+            yield out
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        body, schema=DECODE_SCHEMA
+    )
+
+
+def synth_feature_extract(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fused fixture path for feature extraction — see
+    ``synth_decode_media``."""
+
+    def body(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"doc_id": [], "feat_idx": [], "feature": []}
+            for d in pdf["doc_id"]:
+                doc = int(d)
+                feats = media_features(decode_media_bytes(synth_media_payload(doc)))
+                for i, v in enumerate(feats):
+                    rows["doc_id"].append(doc)
+                    rows["feat_idx"].append(i)
+                    rows["feature"].append(int(v))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+                    "feat_idx": pd.Series(rows["feat_idx"], dtype="int64"),
+                    "feature": pd.Series(rows["feature"], dtype="int64"),
+                }
+            )
+
+    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        body, schema=FEATURE_SCHEMA
+    )
+
+
 def decode_media(df: DataFrame) -> DataFrame:
     """Arrow-batched decode over the binary column: real BMP/PPM/WAV
     parsing, stats over decoded pixel/sample values.

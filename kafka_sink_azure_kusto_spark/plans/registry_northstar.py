@@ -717,9 +717,12 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     codecs (functions/codecs.py), and emit statistics over the decoded
     pixel/sample values. The oracle recomputes the stats from the value
     model alone — it never sees the bytes — so container parsing must be
-    exactly right. Narrow Arrow mapInPandas end to end; no shuffle."""
+    exactly right. Narrow Arrow mapInPandas end to end; no shuffle —
+    the fixture path fuses synthesis + decode into ONE mapInPandas pass
+    (one Python worker round trip instead of two; production real-blob
+    data runs decode_media alone)."""
     docs = load_table(spark, sf_dir, "documents")
-    return M.decode_media(M.with_synth_media_blob(docs))
+    return M.synth_decode_media(docs)
 
 
 @register(
@@ -754,9 +757,10 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     BMP/PPM/WAV decode → 8 integer-exact features per document in long
     form (count/sum/min/max/order-weighted checksum/energy/first/last).
     A CLIP/CNN embedding call slots into the same Arrow batch shape.
-    Long-form output keeps downstream shuffles fixed-width."""
+    Long-form output keeps downstream shuffles fixed-width; fixture
+    synthesis + decode fused into one mapInPandas pass."""
     docs = load_table(spark, sf_dir, "documents")
-    return M.feature_extract(M.with_synth_media_blob(docs))
+    return M.synth_feature_extract(docs)
 
 
 @register(
