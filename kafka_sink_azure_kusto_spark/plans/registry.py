@@ -321,19 +321,23 @@ def protobuf_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     def encode_batches(it):
         for pdf in it:
             payloads = []
-            for _, r in pdf.iterrows():
+            # column zip, not iterrows() — Series-per-row construction is
+            # ~10× the cost of tuple iteration on wide Arrow batches
+            for eid, uid, etype, val in zip(
+                pdf["event_id"], pdf["user_id"], pdf["event_type"], pdf["value"]
+            ):
                 fields = []
-                if not pd.isna(r["event_id"]):
-                    fields.append((1, int(r["event_id"])))
-                if not pd.isna(r["user_id"]):
-                    uid = int(r["user_id"])
-                    fields.append((2, uid))
-                    fields.append((5, encode_zigzag(uid * 2 - 1000)))  # sint64
-                if r["event_type"] is not None:
-                    fields.append((3, str(r["event_type"])))
-                    fields.append((6, int(r["event_type"] == "click")))  # bool
-                if not pd.isna(r["value"]):
-                    fields.append((4, float(r["value"])))  # fixed64 double
+                if not pd.isna(eid):
+                    fields.append((1, int(eid)))
+                if not pd.isna(uid):
+                    u = int(uid)
+                    fields.append((2, u))
+                    fields.append((5, encode_zigzag(u * 2 - 1000)))  # sint64
+                if etype is not None:
+                    fields.append((3, str(etype)))
+                    fields.append((6, int(etype == "click")))  # bool
+                if not pd.isna(val):
+                    fields.append((4, float(val)))  # fixed64 double
                 payloads.append(encode_message(fields))
             yield pd.DataFrame({"value": payloads})
 
@@ -408,9 +412,9 @@ def registry_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in it:
             eids, frames = [], []
-            for _, r in pdf.iterrows():
-                eid = int(r["event_id"])
-                uid = int(r["user_id"])
+            for e, u in zip(pdf["event_id"], pdf["user_id"]):
+                eid = int(e)
+                uid = int(u)
                 jbody = _json.dumps({"eid": eid, "uid": uid}).encode()
                 m = eid % 4
                 if m == 0:

@@ -197,9 +197,8 @@ def _make_near_dup_detector(event_time: bool, horizon_ms: int):
             pd.concat(chunks).sort_values(["ts", "doc_id"]) if chunks else pd.DataFrame()
         )
         max_ts_ms = anchor_ms
-        for _, row in rows.iterrows():
-            doc = int(row["doc_id"])
-            ts = row["ts"]
+        for doc, ts in zip(rows.get("doc_id", []), rows.get("ts", [])):
+            doc = int(doc)
             if event_time and ts is not None and ts == ts:  # not NaT
                 max_ts_ms = max(max_ts_ms, int(pd.Timestamp(ts).value // 1_000_000))
             if canonical is None:
