@@ -109,6 +109,7 @@ _GATE_PRIORITY = [
     "dedup_minhash_lsh_capped",
     "curation_pipeline",
     "similarity_ivf_multiprobe",
+    "bm25_topk",
 ]
 
 

@@ -871,6 +871,93 @@ _REG["dedup_keep_best"] = (
 
 
 @register(
+    "bm25_topk",
+    """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+           FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dlen
+           FROM documents),
+    stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT AVG(dlen) FROM dl) AS avgdl),
+    df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+           FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+    q AS (SELECT unnest(['vector', 'stream', 'hash']) AS term),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dlen / stats.avgdl))
+             ) AS s
+      FROM tf JOIN q USING (term)
+              JOIN df USING (term)
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN stats
+      GROUP BY tf.doc_id)
+    SELECT doc_id, score, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT doc_id, round(s, 6) AS score,
+             ROW_NUMBER() OVER (ORDER BY round(s, 6) DESC, doc_id ASC) AS rank
+      FROM scored)
+    WHERE rank <= 20
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (k1=1.2, b=0.75) over the corpus for a
+    fixed 3-term query — the consumer of the inverted-index build: the
+    classic lexical-search scorer a corpus pipeline serves next to the
+    ANN path.
+
+    Scale shape: the query-term set is a literal (broadcast); tf is one
+    (doc, term) hash aggregate FILTERED to query terms before any join
+    (semi-join pushdown — the full posting space never shuffles); df
+    comes from the tiny per-query-term aggregate; N and avgdl are
+    scalar aggregates (broadcast). Ranking compares the 6-dp-rounded
+    score in both engines so last-ulp libm ln() differences cannot
+    flip an order (same device as tfidf_top_terms)."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["vector", "stream", "hash"]
+    k1, b = 1.2, 0.75
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("double").alias("dlen")
+    )
+    n_docs, avgdl = docs.count(), dl.agg(F.avg("dlen")).collect()[0][0]
+    df_ = (
+        toks.filter(F.col("term").isin(terms))
+        .select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+    )
+    idf = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "_s",
+            idf * F.col("tf") * (k1 + 1)
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dlen") / F.lit(float(avgdl)))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("_s"), 6).alias("score"))
+    )
+    # top-k via sort+limit (TakeOrderedAndProject — distributed partial
+    # top-k per partition, never a single-partition window over the full
+    # scored set); the rank window then runs over only k=20 rows.
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(20)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn(
+        "rank", F.row_number().over(w).cast("bigint")
+    ).select("doc_id", "score", "rank")
+
+
+@register(
     "pii_redact",
     """
     WITH aug AS (SELECT doc_id,
