@@ -238,6 +238,70 @@ def ivf_topk(
     )
 
 
+def subvectors(
+    df: DataFrame,
+    num_subspaces: int,
+    sub_len: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Split each vector into ``num_subspaces`` contiguous subvectors of
+    ``sub_len`` dims → (id, m, sv) rows with sv cast to double. The PQ
+    decomposition step; narrow (explode only, no shuffle)."""
+    parts = F.transform(
+        F.sequence(F.lit(0), F.lit(num_subspaces - 1)),
+        lambda m: F.transform(
+            F.slice(F.col(vec_col), m * sub_len + 1, sub_len),
+            lambda x: x.cast("double"),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("id"), F.posexplode(parts).alias("m", "sv")
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    num_subspaces: int,
+    sub_len: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product quantization: each vector's subvector m is replaced by
+    the id of its nearest codebook centroid (L2²) — D floats compress
+    to ``num_subspaces`` small ints, the standard memory/IO scale path
+    for billion-vector ANN (codes are scanned, full vectors fetched
+    only for rerank).
+
+    ``codebook``: (m, code, c) rows — per-subspace centroids, always
+    tiny (num_subspaces × n_codes) → broadcast; the corpus flows
+    scan → subvector explode → broadcast join → per-(id, m) argmin via
+    one struct-min hash aggregate. No corpus-wide shuffle beyond the
+    fixed-width (id, m, code) aggregate.
+
+    Returns (id, m, code, qerr): the code per subspace and its squared
+    quantization error. Ties on distance break toward the smaller code
+    (struct ordering), engine-portable for the oracle.
+    """
+    sub = subvectors(corpus, num_subspaces, sub_len, id_col, vec_col)
+    d2 = F.aggregate(
+        F.zip_with("sv", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = sub.join(F.broadcast(codebook), "m").withColumn("d2", d2)
+    best = scored.groupBy("id", "m").agg(
+        F.min(F.struct(F.col("d2"), F.col("code"))).alias("b")
+    )
+    return best.select(
+        F.col("id").alias(id_col),
+        "m",
+        F.col("b.code").alias("code"),
+        F.col("b.d2").alias("qerr"),
+    )
+
+
 def _hex_digit_value(c: Column) -> Column:
     """Lowercase hex digit value via ascii() — dialect-portable (the SQL
     oracle uses the identical CASE arithmetic)."""

@@ -110,6 +110,7 @@ _GATE_PRIORITY = [
     "curation_pipeline",
     "similarity_ivf_multiprobe",
     "bm25_topk",
+    "embedding_pq_codes",
 ]
 
 

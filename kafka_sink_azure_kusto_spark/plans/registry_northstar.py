@@ -405,6 +405,46 @@ def similarity_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_pq_codes",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sub AS (SELECT vec_id, ms.m AS m, v[ms.m*8+1 : ms.m*8+8] AS sv
+            FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms),
+    cb AS (SELECT m, vec_id AS code, sv AS c FROM sub WHERE vec_id < 16),
+    dist AS (SELECT s.vec_id, s.m, cb.code,
+                    list_sum(list_transform(range(1, 9),
+                             i -> (s.sv[i] - cb.c[i]) * (s.sv[i] - cb.c[i]))) AS d2
+             FROM sub s JOIN cb ON s.m = cb.m),
+    best AS (SELECT vec_id, m, code, d2,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                       ORDER BY d2, code) AS rn
+             FROM dist)
+    SELECT vec_id, CAST(m AS INT) AS m, CAST(code AS BIGINT) AS code,
+           round(d2, 6) AS qerr
+    FROM best WHERE rn = 1
+    """,
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (functions/similarity.pq_encode): 64-d
+    vectors → 8 subspaces × nearest-of-16 codebook centroids = 8 small
+    ints per vector, the standard compression for billion-vector ANN
+    (codes scanned, full vectors fetched only for rerank). Codebook =
+    the subvectors of the first 16 vectors (deterministic stand-in for
+    per-subspace k-means — same plan shape). Distances in double with
+    identical fold order in both engines; ties break toward the lower
+    code via struct-min / ORDER BY d2, code."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = S.subvectors(emb.filter(F.col("vec_id") < 16), 8, 8).select(
+        "m", F.col("id").alias("code"), F.col("sv").alias("c")
+    )
+    out = S.pq_encode(emb, cb, num_subspaces=8, sub_len=8)
+    return out.select(
+        "vec_id", "m", F.col("code").cast("bigint").alias("code"),
+        F.round("qerr", 6).alias("qerr"),
+    )
+
+
 def _hv_sql(expr: str) -> str:
     return (
         f"(CASE WHEN ascii({expr}) >= 97 THEN ascii({expr}) - 87 "

@@ -222,3 +222,31 @@ def test_ivf_multiprobe_requires_centroids(spark):
     emb = _emb_synth(spark, n=20, dim=4, cells=2)
     with pytest.raises(ValueError, match="centroids"):
         S.ivf_topk(emb, emb.limit(2), n_probe=3)
+
+
+def test_pq_encode_reconstruction_and_self_codes(spark):
+    emb = _emb_synth(spark, n=40, dim=16, cells=2)
+    cb = S.subvectors(emb.filter(F.col("vec_id") < 4), 4, 4).select(
+        "m", F.col("id").alias("code"), F.col("sv").alias("c")
+    )
+    out = S.pq_encode(emb, cb, num_subspaces=4, sub_len=4).collect()
+    assert len(out) == 40 * 4  # one code per (vec, subspace)
+    by_vec = {}
+    for r in out:
+        by_vec.setdefault(r.vec_id, {})[r.m] = r
+    # codebook vectors quantize to THEMSELVES with zero error
+    for vid in range(4):
+        for m in range(4):
+            r = by_vec[vid][m]
+            assert r.code == vid and abs(r.qerr) < 1e-12
+    # every error is the true min over the codebook (spot-check vec 20)
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
+    for m in range(4):
+        sv = [float(x) for x in vecs[20][m * 4:(m + 1) * 4]]
+        dists = {
+            c: sum((sv[i] - float(vecs[c][m * 4 + i])) ** 2 for i in range(4))
+            for c in range(4)
+        }
+        want = min(sorted(dists), key=lambda c: (dists[c], c))
+        got = by_vec[20][m]
+        assert got.code == want and abs(got.qerr - dists[want]) < 1e-9
