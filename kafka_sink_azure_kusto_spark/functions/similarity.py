@@ -302,6 +302,59 @@ def pq_encode(
     )
 
 
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebook: DataFrame,
+    num_subspaces: int,
+    sub_len: int,
+    k: int = 10,
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric distance computation over PQ codes — the search half
+    of product quantization: the query stays full-precision, each
+    corpus vector is its 8-byte code word, and the approximate L2²
+    distance is a table lookup sum.
+
+    Plan: per-query distance TABLE (query subvector × codebook
+    centroid, n_queries × num_subspaces × n_codes rows — tiny,
+    broadcast) joins the codes frame on (m, code); one hash aggregate
+    sums the per-subspace lookups into the approximate distance. The
+    corpus-side input is the compressed codes, never the raw vectors —
+    the memory/IO win that makes billion-vector scans feasible; rerank
+    the returned candidates against full vectors if exactness matters.
+
+    Returns (query_id, neighbor_id, adc_d2, rank), ranked by the
+    6-dp-rounded distance (engine-portable) ascending, self excluded.
+    """
+    qsub = subvectors(queries, num_subspaces, sub_len, query_id_col, query_vec_col)
+    qd = F.aggregate(
+        F.zip_with("sv", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dtab = (
+        qsub.join(F.broadcast(codebook), "m")
+        .withColumn("qd", qd)
+        .select(F.col("id").alias("query_id"), "m", "code", "qd")
+    )
+    adc = (
+        codes.join(F.broadcast(dtab), ["m", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("qd"), 6).alias("adc_d2"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_d2", "rank")
+    )
+
+
 def _hex_digit_value(c: Column) -> Column:
     """Lowercase hex digit value via ascii() — dialect-portable (the SQL
     oracle uses the identical CASE arithmetic)."""

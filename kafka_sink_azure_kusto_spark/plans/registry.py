@@ -111,6 +111,7 @@ _GATE_PRIORITY = [
     "similarity_ivf_multiprobe",
     "bm25_topk",
     "embedding_pq_codes",
+    "embedding_pq_adc_topk",
 ]
 
 

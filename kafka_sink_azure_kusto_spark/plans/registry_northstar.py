@@ -445,6 +445,63 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_pq_adc_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sub AS (SELECT vec_id, ms.m AS m, v[ms.m*8+1 : ms.m*8+8] AS sv
+            FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms),
+    cb AS (SELECT m, vec_id AS code, sv AS c FROM sub WHERE vec_id < 16),
+    dist AS (SELECT s.vec_id, s.m, cb.code,
+                    list_sum(list_transform(range(1, 9),
+                             i -> (s.sv[i] - cb.c[i]) * (s.sv[i] - cb.c[i]))) AS d2
+             FROM sub s JOIN cb ON s.m = cb.m),
+    codes AS (SELECT vec_id, m, code FROM (
+                SELECT vec_id, m, code,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                          ORDER BY d2, code) AS rn
+                FROM dist) WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, m, sv FROM sub WHERE vec_id < 5),
+    dtab AS (SELECT q.query_id, q.m, cb.code,
+                    list_sum(list_transform(range(1, 9),
+                             i -> (q.sv[i] - cb.c[i]) * (q.sv[i] - cb.c[i]))) AS qd
+             FROM q JOIN cb ON q.m = cb.m),
+    adc AS (SELECT d.query_id, c.vec_id AS neighbor_id,
+                   round(SUM(d.qd), 6) AS adc_d2
+            FROM codes c JOIN dtab d ON c.m = d.m AND c.code = d.code
+            WHERE d.query_id <> c.vec_id
+            GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, adc_d2, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_d2 ASC, neighbor_id ASC) AS rank
+      FROM adc)
+    WHERE rank <= 10
+    """,
+)
+def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes
+    (functions/similarity.pq_adc_topk): full-precision query × 8-int
+    code words via a broadcast per-query distance table — the search
+    half of product quantization; the corpus side scans only the
+    compressed codes. Ranked by 6-dp-rounded approximate L2² so float
+    sum order can't flip a near-tie across engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = S.subvectors(emb.filter(F.col("vec_id") < 16), 8, 8).select(
+        "m", F.col("id").alias("code"), F.col("sv").alias("c")
+    )
+    codes = S.pq_encode(emb, cb, num_subspaces=8, sub_len=8).select(
+        "vec_id", "m", "code"
+    )
+    out = S.pq_adc_topk(
+        codes, emb.filter(F.col("vec_id") < 5), cb,
+        num_subspaces=8, sub_len=8, k=10,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "adc_d2",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
 def _hv_sql(expr: str) -> str:
     return (
         f"(CASE WHEN ascii({expr}) >= 97 THEN ascii({expr}) - 87 "
