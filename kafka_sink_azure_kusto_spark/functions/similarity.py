@@ -238,6 +238,24 @@ def ivf_topk(
     )
 
 
+def _flat_l2sq(a: str, b: str, sub_len: int) -> Column:
+    """Σ (aᵢ-bᵢ)² as a FLAT codegen expression (element_at chain,
+    left-associated — the same sequential fold order as the HOF
+    aggregate and DuckDB's list_sum, so values are bit-identical).
+    The nested zip_with/aggregate HOF form evaluates interpreted
+    (the repo's measured 13× cliff, functions/dedup.py:79-82);
+    sub_len is known at plan-build time, so the loop unrolls."""
+    terms = [
+        (F.element_at(a, i) - F.element_at(b, i))
+        * (F.element_at(a, i) - F.element_at(b, i))
+        for i in range(1, sub_len + 1)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
 def subvectors(
     df: DataFrame,
     num_subspaces: int,
@@ -285,12 +303,9 @@ def pq_encode(
     (struct ordering), engine-portable for the oracle.
     """
     sub = subvectors(corpus, num_subspaces, sub_len, id_col, vec_col)
-    d2 = F.aggregate(
-        F.zip_with("sv", "c", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    scored = sub.join(F.broadcast(codebook), "m").withColumn(
+        "d2", _flat_l2sq("sv", "c", sub_len)
     )
-    scored = sub.join(F.broadcast(codebook), "m").withColumn("d2", d2)
     best = scored.groupBy("id", "m").agg(
         F.min(F.struct(F.col("d2"), F.col("code"))).alias("b")
     )
@@ -329,14 +344,9 @@ def pq_adc_topk(
     6-dp-rounded distance (engine-portable) ascending, self excluded.
     """
     qsub = subvectors(queries, num_subspaces, sub_len, query_id_col, query_vec_col)
-    qd = F.aggregate(
-        F.zip_with("sv", "c", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     dtab = (
         qsub.join(F.broadcast(codebook), "m")
-        .withColumn("qd", qd)
+        .withColumn("qd", _flat_l2sq("sv", "c", sub_len))
         .select(F.col("id").alias("query_id"), "m", "code", "qd")
     )
     adc = (

@@ -189,6 +189,28 @@ def main():
             rec = hits / n_truth
             results.setdefault(f"ann_ivf_recall@10 probe={probe}", {})[n] = rec
             print(f"ann_ivf_recall@10 probe={probe} n={n}: {rec:.3f}")
+        # PQ/ADC recall@10: 8 subspaces × 16 codes (codebook from the
+        # first 16 vectors), asymmetric distance vs exact brute force.
+        cb = S.subvectors(emb.filter(F.col("vec_id") < 16), 8, 8).select(
+            "m", F.col("id").alias("code"), F.col("sv").alias("c")
+        ).cache()
+        cb.count()
+        codes = S.pq_encode(emb, cb, num_subspaces=8, sub_len=8).select(
+            "vec_id", "m", "code"
+        ).cache()
+        codes.count()
+        t0 = time.perf_counter()
+        pq_approx = S.pq_adc_topk(
+            codes, emb.filter(F.col("vec_id") < 50), cb,
+            num_subspaces=8, sub_len=8, k=10,
+        ).select("query_id", "neighbor_id")
+        hits = truth.join(pq_approx, ["query_id", "neighbor_id"]).count()
+        rec = hits / n_truth
+        results.setdefault("ann_pq_adc_recall@10", {})[n] = rec
+        print(f"ann_pq_adc_recall@10 n={n}: {rec:.3f} "
+              f"({time.perf_counter()-t0:.2f}s)")
+        cb.unpersist()
+        codes.unpersist()
         truth.unpersist()
         cents.unpersist()
         indexed.unpersist()
