@@ -96,3 +96,40 @@ def test_magic_zero_required_even_with_known_id(spark):
     df = spark.createDataFrame(rows, "row_id long, value binary")
     r = decode_wire_frames(df, HANDLERS, SCHEMA).collect()[0]
     assert r.wire_status == "bad_magic" and r.payload is None
+
+
+def test_wire_decode_in_structured_stream(spark, tmp_path):
+    # The converter layer sits at the stream boundary in the reference
+    # (registry-framed Kafka topics); prove the frame split + routing
+    # composes with readStream end to end.
+    import os
+
+    src = tmp_path / "wire_src"
+    src.mkdir()
+    rows = [
+        (0, encode_wire_frame(1, json.dumps({"a": 1, "b": "u"}).encode())),
+        (1, encode_wire_frame(2, encode_message([(1, 2), (2, "v")]))),
+        (2, encode_wire_frame(77, b"whatever")),
+    ]
+    spark.createDataFrame(rows, "row_id long, value binary").write.parquet(
+        str(src / "batch0")
+    )
+    stream = spark.readStream.schema("row_id long, value binary").parquet(
+        str(src / "*")
+    )
+    q = (
+        decode_wire_frames(stream, HANDLERS, SCHEMA)
+        .select("row_id", "wire_status", "payload.a", "payload.b")
+        .writeStream.format("memory")
+        .queryName("wire_mem")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    out = {r.row_id: r for r in spark.sql("select * from wire_mem").collect()}
+    assert out[0].wire_status == "ok" and out[0].a == 1 and out[0].b == "u"
+    assert out[1].wire_status == "ok" and out[1].a == 2 and out[1].b == "v"
+    assert out[2].wire_status == "unknown_id" and out[2].a is None
