@@ -265,7 +265,12 @@ def subvectors(
 ) -> DataFrame:
     """Split each vector into ``num_subspaces`` contiguous subvectors of
     ``sub_len`` dims → (id, m, sv) rows with sv cast to double. The PQ
-    decomposition step; narrow (explode only, no shuffle)."""
+    decomposition step; narrow (explode only, no shuffle).
+
+    Vectors shorter than ``num_subspaces × sub_len`` are dropped rather
+    than silently producing short subvectors — a short sv would make
+    element_at in the distance arithmetic return NULL and corrupt the
+    argmin without an error."""
     parts = F.transform(
         F.sequence(F.lit(0), F.lit(num_subspaces - 1)),
         lambda m: F.transform(
@@ -273,8 +278,9 @@ def subvectors(
             lambda x: x.cast("double"),
         ),
     )
-    return df.select(
-        F.col(id_col).alias("id"), F.posexplode(parts).alias("m", "sv")
+    return (
+        df.filter(F.size(F.col(vec_col)) >= num_subspaces * sub_len)
+        .select(F.col(id_col).alias("id"), F.posexplode(parts).alias("m", "sv"))
     )
 
 

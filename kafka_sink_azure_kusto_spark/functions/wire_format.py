@@ -94,6 +94,8 @@ def decode_wire_frames(
     rows routed elsewhere (never sees foreign bodies, so a JSON body
     can't crash the proto parser). Everything is narrow — no shuffle.
     """
+    if not handlers:
+        raise ValueError("decode_wire_frames requires at least one handler")
     v = F.col(value_col)
     magic = wire_magic(v)
     sid = wire_schema_id(v)

@@ -250,3 +250,11 @@ def test_pq_encode_reconstruction_and_self_codes(spark):
         want = min(sorted(dists), key=lambda c: (dists[c], c))
         got = by_vec[20][m]
         assert got.code == want and abs(got.qerr - dists[want]) < 1e-9
+
+
+def test_subvectors_drops_short_vectors(spark):
+    rows = [(0, [1.0] * 16), (1, [1.0] * 7)]  # vec 1 too short for 4x4
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.subvectors(df, 4, 4).collect()
+    assert {r.id for r in out} == {0}
+    assert len(out) == 4

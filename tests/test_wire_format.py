@@ -133,3 +133,9 @@ def test_wire_decode_in_structured_stream(spark, tmp_path):
     assert out[0].wire_status == "ok" and out[0].a == 1 and out[0].b == "u"
     assert out[1].wire_status == "ok" and out[1].a == 2 and out[1].b == "v"
     assert out[2].wire_status == "unknown_id" and out[2].a is None
+
+
+def test_decode_requires_handlers(spark):
+    df = spark.createDataFrame([(0, b"\x00\x00\x00\x00\x01x")], "row_id long, value binary")
+    with pytest.raises(ValueError, match="at least one handler"):
+        decode_wire_frames(df, {}, SCHEMA)
