@@ -139,3 +139,18 @@ def test_decode_requires_handlers(spark):
     df = spark.createDataFrame([(0, b"\x00\x00\x00\x00\x01x")], "row_id long, value binary")
     with pytest.raises(ValueError, match="at least one handler"):
         decode_wire_frames(df, {}, SCHEMA)
+
+
+def test_schema_id_boundary_values(spark):
+    # sign-bit and max-uint32 ids must parse exactly (hex+conv path)
+    ids = [0, 1, 255, 256, 2**31, 2**32 - 1]
+    rows = [
+        (i, encode_wire_frame(sid, json.dumps({"a": i, "b": "x"}).encode()))
+        for i, sid in enumerate(ids)
+    ]
+    df = spark.createDataFrame(rows, "row_id long, value binary")
+    handlers = {sid: {"fmt": "json"} for sid in ids}
+    out = {r.row_id: r for r in decode_wire_frames(df, handlers, SCHEMA).collect()}
+    for i, sid in enumerate(ids):
+        assert out[i].wire_schema_id == sid, (i, sid, out[i].wire_schema_id)
+        assert out[i].wire_status == "ok" and out[i].payload.a == i
