@@ -371,6 +371,66 @@ def pq_adc_topk(
     )
 
 
+def ivf_pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebook: DataFrame,
+    centroids: DataFrame,
+    num_subspaces: int,
+    sub_len: int,
+    n_probe: int = 1,
+    k: int = 10,
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF + PQ — the production billion-vector ANN stack composed from
+    the audited pieces: the query probes its ``n_probe`` nearest
+    centroid cells (IVF pruning: only n_probe/n_cells of the code frame
+    is touched), and candidates are scored by asymmetric distance over
+    their PQ code words (8 ints per vector scanned, never raw floats).
+
+    ``codes``: (vec_id, m, code, cell) — pq_encode output joined with
+    the cell assignment; at scale this frame is parquet-partitioned by
+    cell so the probe prunes at the scan. Everything query-side
+    (centroids, probe expansion, distance table) is broadcast; the one
+    wide operation is the per-(query, vec) hash aggregate over probed
+    candidates. Returns (query_id, neighbor_id, adc_d2, rank) by
+    6-dp-rounded approximate L2² ascending, self excluded."""
+    probed = multiprobe_cells(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("qvec"),
+        ),
+        centroids,
+        n_probe,
+    )
+    qsub = subvectors(
+        queries, num_subspaces, sub_len, query_id_col, query_vec_col
+    )
+    dtab = (
+        qsub.join(F.broadcast(codebook), "m")
+        .withColumn("qd", _flat_l2sq("sv", "c", sub_len))
+        .select(F.col("id").alias("query_id"), "m", "code", "qd")
+    )
+    cand = codes.join(
+        F.broadcast(probed.select("query_id", "cell")), "cell"
+    )
+    adc = (
+        cand.join(F.broadcast(dtab), ["query_id", "m", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("qd"), 6).alias("adc_d2"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_d2", "rank")
+    )
+
+
 def _hex_digit_value(c: Column) -> Column:
     """Lowercase hex digit value via ascii() — dialect-portable (the SQL
     oracle uses the identical CASE arithmetic)."""

@@ -112,6 +112,7 @@ _GATE_PRIORITY = [
     "bm25_topk",
     "embedding_pq_codes",
     "embedding_pq_adc_topk",
+    "similarity_ivf_pq_topk",
 ]
 
 
