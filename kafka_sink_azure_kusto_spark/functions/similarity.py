@@ -431,6 +431,49 @@ def ivf_pq_topk(
     )
 
 
+def rerank_topk(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact full-vector rerank of an ANN candidate set — the second
+    half of the standard coarse-then-exact production pattern: a cheap
+    wide-net pass (IVF / PQ / LSH, candidates ≫ k) followed by true
+    cosine on ONLY the candidate (query, neighbor) pairs.
+
+    ``candidates``: (query_id, neighbor_id) rows. The full vectors are
+    fetched by equi-join on the candidate ids — the corpus is touched
+    only for candidate rows (at scale: a semi-join pushed to the
+    vector store / parquet scan), and the query side is broadcast.
+    Returns (query_id, neighbor_id, score, rank) by exact cosine
+    descending."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qvec")
+    )
+    scored = (
+        candidates.select("query_id", "neighbor_id")
+        .join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("score", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
 def _hex_digit_value(c: Column) -> Column:
     """Lowercase hex digit value via ascii() — dialect-portable (the SQL
     oracle uses the identical CASE arithmetic)."""

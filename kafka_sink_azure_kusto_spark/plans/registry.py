@@ -113,6 +113,7 @@ _GATE_PRIORITY = [
     "embedding_pq_codes",
     "embedding_pq_adc_topk",
     "similarity_ivf_pq_topk",
+    "similarity_ann_rerank",
 ]
 
 

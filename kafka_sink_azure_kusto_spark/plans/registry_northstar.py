@@ -580,6 +580,96 @@ def similarity_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "similarity_ann_rerank",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    sub AS (SELECT vec_id, ms.m AS m, v[ms.m*8+1 : ms.m*8+8] AS sv
+            FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS m) ms),
+    cb AS (SELECT m, vec_id AS code, sv AS c FROM sub WHERE vec_id < 16),
+    dist AS (SELECT s.vec_id, s.m, cb.code,
+                    list_sum(list_transform(range(1, 9),
+                             i -> (s.sv[i] - cb.c[i]) * (s.sv[i] - cb.c[i]))) AS d2
+             FROM sub s JOIN cb ON s.m = cb.m),
+    codes AS (SELECT c.vec_id, c.m, c.code, e.label AS cell FROM (
+                SELECT vec_id, m, code,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                          ORDER BY d2, code) AS rn
+                FROM dist) c JOIN e USING (vec_id) WHERE c.rn = 1),
+    pd AS (SELECT label AS cell, unnest(range(1, len(v) + 1)) AS i, v FROM e),
+    cd AS (SELECT cell, i, AVG(v[i]) AS m FROM pd GROUP BY cell, i),
+    cent AS (SELECT cell, list(round(m, 6) ORDER BY i) AS centroid
+             FROM cd GROUP BY cell),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    qc AS (SELECT query_id, cell FROM (
+             SELECT q.query_id, c.cell,
+                    ROW_NUMBER() OVER (PARTITION BY q.query_id
+                      ORDER BY list_dot_product(qv, c.centroid) /
+                               (sqrt(list_dot_product(qv, qv)) *
+                                sqrt(list_dot_product(c.centroid, c.centroid)))
+                               DESC, c.cell ASC) AS cr
+             FROM q CROSS JOIN cent c)
+           WHERE cr <= 2),
+    qsub AS (SELECT vec_id AS query_id, m, sv FROM sub WHERE vec_id < 5),
+    dtab AS (SELECT qs.query_id, qs.m, cb.code,
+                    list_sum(list_transform(range(1, 9),
+                             i -> (qs.sv[i] - cb.c[i]) * (qs.sv[i] - cb.c[i]))) AS qd
+             FROM qsub qs JOIN cb ON qs.m = cb.m),
+    adc AS (SELECT d.query_id, c.vec_id AS neighbor_id,
+                   round(SUM(d.qd), 6) AS adc_d2
+            FROM codes c
+            JOIN qc ON c.cell = qc.cell
+            JOIN dtab d ON d.query_id = qc.query_id
+                       AND c.m = d.m AND c.code = d.code
+            WHERE d.query_id <> c.vec_id
+            GROUP BY 1, 2),
+    cand AS (SELECT query_id, neighbor_id FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY adc_d2 ASC, neighbor_id ASC) AS rank
+               FROM adc) WHERE rank <= 50),
+    rer AS (SELECT cand.query_id, cand.neighbor_id,
+                   list_dot_product(q.qv, c2.v) /
+                   (sqrt(list_dot_product(q.qv, q.qv)) *
+                    sqrt(list_dot_product(c2.v, c2.v))) AS score
+            FROM cand JOIN e c2 ON cand.neighbor_id = c2.vec_id
+                      JOIN q ON cand.query_id = q.query_id)
+    SELECT query_id, neighbor_id, round(score, 6) AS score,
+           CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id ASC) AS rank
+      FROM rer)
+    WHERE rank <= 10
+    """,
+)
+def similarity_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-then-exact ANN (functions/similarity.rerank_topk): the
+    IVF+PQ stack casts a 50-candidate wide net per query, then TRUE
+    cosine over only those (query, candidate) pairs picks the final 10
+    — the standard production recall fix: approximate pass touches
+    compressed codes, exact arithmetic touches ≤50 full vectors per
+    query instead of the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = S.subvectors(emb.filter(F.col("vec_id") < 16), 8, 8).select(
+        "m", F.col("id").alias("code"), F.col("sv").alias("c")
+    )
+    codes = S.pq_encode(emb, cb, num_subspaces=8, sub_len=8).select(
+        "vec_id", "m", "code"
+    ).join(emb.select("vec_id", F.col("label").alias("cell")), "vec_id")
+    cents = S.cell_centroids(emb, cell_col="label").select(
+        "cell", F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    cand = S.ivf_pq_topk(
+        codes, queries, cb, cents, num_subspaces=8, sub_len=8, n_probe=2, k=50
+    )
+    out = S.rerank_topk(cand, emb, queries, k=10)
+    return out.select(
+        "query_id", "neighbor_id", F.round("score", 6).alias("score"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+
 def _hv_sql(expr: str) -> str:
     return (
         f"(CASE WHEN ascii({expr}) >= 97 THEN ascii({expr}) - 87 "
