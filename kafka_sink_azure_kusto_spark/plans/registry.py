@@ -80,7 +80,14 @@ def _workdir(prefix: str) -> str:
 # FIRST so every registry query earns a driver-green row across rounds;
 # previously-green anchors fill the remaining gate slots.
 _GATE_PRIORITY = [
-    # never driver-checked through r3 (judge-verified only)
+    # r5: the ONLY query never driver-green (its r1 row predates the
+    # oracle; by r4 it sat past the 50-entry gate window) — first, so the
+    # driver finally records the hard signal (VERDICT r4 next-round #1).
+    "streaming_sink_roundtrip",
+    # r5: queries whose fixtures/impl changed this round (wire-format
+    # message-indexes + avro fallback) or that are new this round.
+    "registry_wire_decode",
+    # r4 backlog rotation (previously judge-verified only)
     "avro_container_encode",
     "deterministic_sample",
     "stratified_sample",
@@ -104,8 +111,7 @@ _GATE_PRIORITY = [
     "semantic_outlier_score",
     "dedup_keep_best",
     "pii_redact",
-    # new this round
-    "registry_wire_decode",
+    # new in r4
     "dedup_minhash_lsh_capped",
     "curation_pipeline",
     "similarity_ivf_multiprobe",
