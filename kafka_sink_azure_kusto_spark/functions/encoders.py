@@ -69,18 +69,45 @@ def decode_payload(
     elif f in ("avro", "apacheavro"):
         if avro_schema_json is None:
             raise ValueError("avro decode requires avro_schema_json")
-        try:
+        if avro_functions_usable(df.sparkSession):
             from pyspark.sql.avro.functions import from_avro
-        except ImportError as e:  # spark-avro jar not on classpath
-            raise NotImplementedError(
-                "from_avro requires the spark-avro package on the classpath"
-            ) from e
-        payload = from_avro(v, avro_schema_json)
+
+            payload = from_avro(v, avro_schema_json)
+        else:  # spark-avro jar not on classpath
+            if schema is None:
+                raise ValueError(
+                    "pure-Python avro decode requires schema (output struct); "
+                    "install the spark-avro package for schema inference"
+                )
+            payload = _avro_decode_column(v, schema, avro_schema_json)
     elif f in ("csv", "tsv"):
         payload = v.cast("string")
     else:  # bytes / parquet / orc passthrough (E4)
         payload = v
     return df.withColumn("payload", payload)
+
+
+_AVRO_USABLE: Optional[bool] = None
+
+
+def avro_functions_usable(spark) -> bool:
+    """True when ``from_avro``/``to_avro`` will actually ANALYZE — the
+    pyspark wrappers import fine without the spark-avro jar and only
+    fail at plan time (AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE), so the
+    import-try gate is useless; probe the JVM for the expression class
+    instead. Cached per process (classpath can't change mid-session);
+    environments without a py4j bridge (Spark Connect) report False and
+    take the pure-Python fallback, which is always correct."""
+    global _AVRO_USABLE
+    if _AVRO_USABLE is None:
+        try:
+            spark._jvm.java.lang.Class.forName(
+                "org.apache.spark.sql.avro.AvroDataToCatalyst"
+            )
+            _AVRO_USABLE = True
+        except Exception:
+            _AVRO_USABLE = False
+    return _AVRO_USABLE
 
 
 def _protobuf_decode_column(v: Column, schema: StructType, proto_field_schema: dict) -> Column:
@@ -104,6 +131,42 @@ def _protobuf_decode_column(v: Column, schema: StructType, proto_field_schema: d
         return pd.DataFrame(
             {n: [r.get(n) for r in rows] for n in names}
         )
+
+    return _decode(v)
+
+
+def _avro_decode_column(v: Column, schema: StructType, avro_schema_json: str) -> Column:
+    """Arrow-batched (pandas UDF) Avro BINARY-record decode: the
+    jar-less fallback for ``from_avro``, backed by the repo's
+    spec-exact pure-Python codec (functions/avro_io.py — the same
+    encoding the container writer is property-tested against). Bodies
+    are bare binary-encoded records (no container framing, exactly the
+    registry wire-format payload shape). NULL inputs → NULL struct;
+    malformed bodies → NULL-field struct (decode errors must surface as
+    DLQ-routable rows, not job kills — K4 semantics)."""
+    import json as _json
+
+    from pyspark.sql.functions import pandas_udf
+
+    from kafka_sink_azure_kusto_spark.functions.avro_io import decode_record
+
+    avro_schema = _json.loads(avro_schema_json)
+    names = [f.name for f in schema.fields]
+
+    @pandas_udf(returnType=schema)
+    def _decode(vals: pd.Series) -> pd.DataFrame:
+        import io as _io
+
+        rows = []
+        for b in vals:
+            if b is None:
+                rows.append({})
+                continue
+            try:
+                rows.append(decode_record(avro_schema, _io.BytesIO(bytes(b))))
+            except Exception:  # malformed body → NULL fields, not a kill
+                rows.append({})
+        return pd.DataFrame({n: [r.get(n) for r in rows] for n in names})
 
     return _decode(v)
 

@@ -9,21 +9,37 @@ public wire format those converters parse is:
     bytes 1-4   schema id, big-endian uint32
     bytes 5..   serialized body (Avro binary / protobuf / JSON)
 
+For PROTOBUF bodies the public Confluent spec inserts a *message-index
+list* between the header and the body: a zigzag-varint count followed by
+that many zigzag-varint indexes identifying the message inside the
+.proto file (nested paths are multiple entries). The overwhelmingly
+common first-message case ``[0]`` is encoded as the single byte 0x00.
+JSON and Avro bodies carry no index list.
+
 Spark rendition: the frame is split with BUILT-IN expressions only
 (`substring`/`hex`/`conv` on the binary column — whole-stage-codegen,
 no Python), then each body is routed to the configured decoder for its
 schema id via a static id→handler map (the no-live-registry stand-in:
-in production the map is the registry's id→schema dump). Frames that
-are truncated, carry the wrong magic, or reference an unknown id are
-NOT errors — they get a non-'ok' status so callers can route them to
-the deserialization DLQ (K4 semantics), keeping one poisoned record
-from killing a 1000-executor job.
+in production the map is the registry's id→schema dump). The protobuf
+message-index list is parsed by the same codegen machinery (bounded:
+count ≤ 8, each index ≤ 63 — i.e. single-byte varints, which covers
+every real nesting depth; longer varints surface as a status, not a
+crash). Frames that are truncated, carry the wrong magic, reference an
+unknown id, or carry an unexpected/unsupported message index are NOT
+errors — they get a non-'ok' status so callers can route them to the
+deserialization DLQ (K4 semantics), keeping one poisoned record from
+killing a 1000-executor job.
+
+A frame of exactly 5 bytes (valid header, empty body) is COMPLETE for
+json/avro — the registered deserializer receives the empty body (an
+empty record is legal) — and `wire_schema_id` stays populated on every
+frame long enough to carry one, so DLQ triage retains routing info.
 """
 
 from __future__ import annotations
 
 import struct
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -36,21 +52,61 @@ STATUS_OK = "ok"
 STATUS_TRUNCATED = "truncated"
 STATUS_BAD_MAGIC = "bad_magic"
 STATUS_UNKNOWN_ID = "unknown_id"
+#: protobuf frames whose message-index list ≠ the handler's declared one
+STATUS_UNKNOWN_INDEX = "unknown_index"
+#: protobuf frames whose index list exceeds the bounded codegen parser
+#: (multi-byte varint count/entry, or count > MAX_MESSAGE_INDEXES)
+STATUS_UNSUPPORTED_INDEX = "unsupported_index"
+
+#: bound on the codegen message-index parser; real Confluent frames use
+#: one entry per message-nesting level — 8 is far beyond observed depth
+MAX_MESSAGE_INDEXES = 8
 
 
-def encode_wire_frame(schema_id: int, body: bytes, magic: int = MAGIC_BYTE) -> bytes:
+def encode_message_indexes(indexes: Sequence[int]) -> bytes:
+    """Confluent protobuf message-index list encoding (count + entries,
+    all zigzag varints; ``[0]`` compresses to the single byte 0x00)."""
+    from kafka_sink_azure_kusto_spark.functions.protobuf_io import (
+        encode_varint,
+        encode_zigzag,
+    )
+
+    idx = [int(i) for i in indexes]
+    if any(i < 0 for i in idx):
+        raise ValueError("message indexes must be non-negative")
+    if idx == [0]:
+        return b"\x00"
+    out = bytearray(encode_varint(encode_zigzag(len(idx))))
+    for i in idx:
+        out += encode_varint(encode_zigzag(i))
+    return bytes(out)
+
+
+def encode_wire_frame(
+    schema_id: int,
+    body: bytes,
+    magic: int = MAGIC_BYTE,
+    message_indexes: Optional[Sequence[int]] = None,
+) -> bytes:
     """Frame ``body`` in the registry wire format (fixture/producer
-    helper; ``magic`` overridable to synthesize corrupt frames)."""
+    helper; ``magic`` overridable to synthesize corrupt frames).
+    ``message_indexes`` prepends the Confluent protobuf index list."""
     if not 0 <= schema_id <= 0xFFFFFFFF:
         raise ValueError("schema_id must fit in uint32")
-    return bytes([magic]) + struct.pack(">I", schema_id) + body
+    prefix = b"" if message_indexes is None else encode_message_indexes(message_indexes)
+    return bytes([magic]) + struct.pack(">I", schema_id) + prefix + body
+
+
+def _byte_at(v: Column, pos: int) -> Column:
+    """Unsigned byte value at 1-indexed ``pos`` (NULL past the end)."""
+    return F.when(
+        F.length(v) >= pos, F.conv(F.hex(F.substring(v, pos, 1)), 16, 10).cast("int")
+    )
 
 
 def wire_magic(v: Column) -> Column:
     """First frame byte as int (NULL for empty payloads)."""
-    return F.when(
-        F.length(v) >= 1, F.conv(F.hex(F.substring(v, 1, 1)), 16, 10).cast("int")
-    )
+    return _byte_at(v, 1)
 
 
 def wire_schema_id(v: Column) -> Column:
@@ -68,6 +124,70 @@ def wire_body(v: Column) -> Column:
     return v.substr(F.lit(6), F.greatest(F.length(v) - F.lit(5), F.lit(0)))
 
 
+def message_index_struct(v: Column) -> Column:
+    """Parse the Confluent protobuf message-index list at frame offset 5
+    with pure codegen expressions → one struct column
+    ``(s: string, idx: array<int>, p: int)``.
+
+    ``s``: 'ok' | 'truncated' (no/short index bytes) | 'unsupported'
+    (multi-byte varint or count > MAX_MESSAGE_INDEXES — bounded parser,
+    see module docstring). ``idx``: decoded indexes (fast path: 0x00 →
+    [0]). ``p``: 1-indexed frame position where the protobuf body
+    starts.
+
+    Bound rationale: valid zigzag varints for non-negative ints are
+    EVEN; a set continuation bit (≥ 0x80) or odd value (negative after
+    zigzag) can't be a legal count/index here. Single-byte entries cover
+    indexes 0..63 — message nesting beyond that depth/width is not a
+    thing real schemas do, and such frames surface as a DLQ status.
+
+    Codegen size: the whole parse is ONE CaseWhen over bytes sliced out
+    of a single shared hex() of the ≤9-byte prefix region, and callers
+    (decode_wire_frames) project the struct ONCE as a named column —
+    referencing the fields does not re-inline the chain (CollapseProject
+    refuses to duplicate non-cheap aliases), which keeps the generated
+    processNext() far below janino's 64 KB method limit. The naive
+    3-chains × per-handler-reference layout blew that limit and dropped
+    the whole stage to interpreted execution.
+    """
+    blen = F.length(v)
+    # hex of count byte + up to MAX entries — one shared slice
+    hexpre = F.hex(F.substring(v, 6, 1 + MAX_MESSAGE_INDEXES))
+
+    def b(i: int) -> Column:  # prefix byte i (0 = count byte)
+        return F.conv(F.substring(hexpre, 2 * i + 1, 2), 16, 10).cast("int")
+
+    null_lst = F.lit(None).cast("array<int>")
+    null_pos = F.lit(None).cast("int")
+
+    def branch(status: str, lst: Column, pos: Column) -> Column:
+        return F.struct(
+            F.lit(status).alias("s"), lst.alias("idx"), pos.alias("p")
+        )
+
+    b0 = b(0)
+    chain = F.when(blen < 6, branch("truncated", null_lst, null_pos))
+    # fast path: single byte 0x00 ⇒ indexes [0], body at 7
+    chain = chain.when(b0 == 0, branch("ok", F.array(F.lit(0)), F.lit(7)))
+    for c in range(1, MAX_MESSAGE_INDEXES + 1):
+        is_count = b0 == 2 * c
+        entries = [b(i) for i in range(1, c + 1)]
+        ok = is_count & (blen >= 6 + c)
+        for e in entries:
+            ok = ok & (e < 128) & (e % 2 == 0)
+        chain = chain.when(
+            ok,
+            branch(
+                "ok",
+                F.array(*[F.shiftright(e, 1) for e in entries]),
+                F.lit(7 + c),
+            ),
+        )
+        # right count byte but frame ends before the entries
+        chain = chain.when(is_count & (blen < 6 + c), branch("truncated", null_lst, null_pos))
+    return chain.otherwise(branch("unsupported", null_lst, null_pos))
+
+
 def decode_wire_frames(
     df: DataFrame,
     handlers: dict,
@@ -81,18 +201,26 @@ def decode_wire_frames(
     ...fmt kwargs}} — the static id→schema map standing in for a live
     registry. ``fmt`` kwargs: json needs nothing (uses ``schema``),
     protobuf needs ``proto_field_schema`` ({field_number: (name,
-    type)}), avro needs ``avro_schema_json``. All handlers decode into
-    the SAME output struct ``schema`` (one typed payload column for the
-    whole topic — the converter-boundary contract).
+    type)}) and honors ``message_indexes`` (the Confluent index list
+    this id's frames must carry; default ``[0]``; pass ``None`` for
+    BARE bodies with no index prefix — non-Confluent producers), avro
+    needs ``avro_schema_json``. All handlers decode into the SAME
+    output struct ``schema`` (one typed payload column for the whole
+    topic — the converter-boundary contract).
 
-    Adds: ``wire_schema_id`` (long, NULL if truncated), ``wire_status``
-    ('ok' / 'truncated' / 'bad_magic' / 'unknown_id'), and
-    ``payload_col`` (struct, NULL unless status='ok').
+    Adds: ``wire_schema_id`` (long, NULL only when the frame is too
+    short to carry one), ``wire_status`` ('ok' / 'truncated' /
+    'bad_magic' / 'unknown_id' / 'unknown_index' /
+    'unsupported_index'), and ``payload_col`` (struct, NULL unless
+    status='ok').
 
-    Scale: frame splitting and JSON decode are codegen'd built-ins; the
-    protobuf path is an Arrow-batched pandas UDF that receives NULL for
-    rows routed elsewhere (never sees foreign bodies, so a JSON body
-    can't crash the proto parser). Everything is narrow — no shuffle.
+    Scale: frame splitting, index parsing and JSON decode are codegen'd
+    built-ins; the protobuf path is an Arrow-batched pandas UDF that
+    receives NULL for rows routed elsewhere (never sees foreign bodies,
+    so a JSON body can't crash the proto parser); the avro path uses
+    the spark-avro ``from_avro`` when the jar is on the classpath and
+    falls back to the repo's spec-exact pure-Python Avro codec
+    (Arrow-batched) when it is not. Everything is narrow — no shuffle.
     """
     if not handlers:
         raise ValueError("decode_wire_frames requires at least one handler")
@@ -100,14 +228,56 @@ def decode_wire_frames(
     magic = wire_magic(v)
     sid = wire_schema_id(v)
     body = wire_body(v)
+    blen = F.length(v)
     known_ids = [int(i) for i in handlers]
-    status = (
-        F.when(F.length(v) < 6, F.lit(STATUS_TRUNCATED))
+    base_status = (
+        F.when(blen < 5, F.lit(STATUS_TRUNCATED))
         .when(magic != MAGIC_BYTE, F.lit(STATUS_BAD_MAGIC))
         .when(~sid.isin(known_ids), F.lit(STATUS_UNKNOWN_ID))
         .otherwise(F.lit(STATUS_OK))
     )
-    out = df.withColumn("wire_schema_id", F.when(status != STATUS_TRUNCATED, sid))
+    any_indexed_protobuf = any(
+        h["fmt"].strip().lower() == "protobuf"
+        and h.get("message_indexes", [0]) is not None
+        for h in handlers.values()
+    )
+    # the id is kept on every frame long enough to carry one (≥ 5 bytes)
+    # regardless of status — DLQ triage needs the routing info. The index
+    # struct is PROJECTED ONCE so downstream field references don't
+    # re-inline its CaseWhen (codegen 64 KB guard, see message_index_struct).
+    out = df.withColumn("wire_schema_id", sid).withColumn("_wire_base", base_status)
+    if any_indexed_protobuf:
+        out = out.withColumn("_wire_idx", message_index_struct(v))
+        idx_status = F.col("_wire_idx").getField("s")
+        idx_list = F.col("_wire_idx").getField("idx")
+        idx_body_pos = F.col("_wire_idx").getField("p")
+        # body with the message-index prefix stripped (protobuf frames only)
+        pbody = v.substr(idx_body_pos, F.greatest(blen - idx_body_pos + 1, F.lit(0)))
+
+    # refine the base status for protobuf ids: index parse problems and
+    # index-list mismatches become DLQ statuses (K4), never exceptions
+    base_col = F.col("_wire_base")
+    status: Column = base_col
+    refinements: list[tuple[Column, str]] = []
+    for schema_id, h in handlers.items():
+        if h["fmt"].strip().lower() != "protobuf":
+            continue
+        declared = h.get("message_indexes", [0])
+        if declared is None:
+            continue  # bare body — no index prefix on this id's frames
+        m = (base_col == STATUS_OK) & (F.col("wire_schema_id") == int(schema_id))
+        refinements.append((m & (idx_status == "truncated"), STATUS_TRUNCATED))
+        refinements.append((m & (idx_status == "unsupported"), STATUS_UNSUPPORTED_INDEX))
+        expected = F.array(*[F.lit(int(i)).cast("int") for i in declared])
+        refinements.append(
+            (m & (idx_status == "ok") & (idx_list != expected), STATUS_UNKNOWN_INDEX)
+        )
+    if refinements:
+        chain = F.when(*refinements[0])
+        for cond, s in refinements[1:]:
+            chain = chain.when(cond, F.lit(s))
+        status = chain.otherwise(base_col)
+
     out = out.withColumn("wire_status", status)
 
     payload: Optional[Column] = None
@@ -115,10 +285,13 @@ def decode_wire_frames(
         fmt = h["fmt"].strip().lower()
         # decoder input is NULLed for rows not routed to this id, so a
         # body of one format can never reach another format's parser
+        this_body = body
+        if fmt == "protobuf" and h.get("message_indexes", [0]) is not None:
+            this_body = pbody
         routed = F.when(
             (F.col("wire_status") == STATUS_OK)
             & (F.col("wire_schema_id") == int(schema_id)),
-            body,
+            this_body,
         )
         if fmt in ("json", "singlejson", "multijson"):
             dec = F.from_json(routed.cast("string"), schema)
@@ -129,18 +302,23 @@ def decode_wire_frames(
 
             dec = _protobuf_decode_column(routed, schema, h["proto_field_schema"])
         elif fmt in ("avro", "apacheavro"):
-            try:
+            from kafka_sink_azure_kusto_spark.functions.encoders import (
+                _avro_decode_column,
+                avro_functions_usable,
+            )
+
+            if avro_functions_usable(df.sparkSession):
                 from pyspark.sql.avro.functions import from_avro
-            except ImportError as e:  # spark-avro jar not on classpath
-                raise NotImplementedError(
-                    "from_avro requires the spark-avro package on the classpath"
-                ) from e
-            dec = from_avro(routed, h["avro_schema_json"])
+
+                dec = from_avro(routed, h["avro_schema_json"])
+            else:  # spark-avro jar not on classpath → pure-Python codec
+                dec = _avro_decode_column(routed, schema, h["avro_schema_json"])
         else:
             raise ValueError(f"unsupported wire handler format: {fmt!r}")
         cond = F.col("wire_schema_id") == int(schema_id)
         payload = F.when(cond, dec) if payload is None else payload.when(cond, dec)
 
-    return out.withColumn(
+    out = out.withColumn(
         payload_col, F.when(F.col("wire_status") == STATUS_OK, payload)
     )
+    return out.drop("_wire_base", "_wire_idx")

@@ -385,38 +385,62 @@ def protobuf_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "registry_wire_decode",
     """
     SELECT event_id,
-           CASE WHEN event_id % 4 = 0 THEN 1
-                WHEN event_id % 4 = 1 THEN 2
-                WHEN event_id % 4 = 2 THEN 99
+           CASE WHEN event_id % 8 = 0 THEN 1
+                WHEN event_id % 8 = 1 THEN 2
+                WHEN event_id % 8 = 2 THEN 99
+                WHEN event_id % 8 = 3 THEN 1
+                WHEN event_id % 8 = 4 THEN 3
+                WHEN event_id % 8 = 5 THEN 4
+                WHEN event_id % 8 = 6 THEN 2
                 ELSE 1 END AS wire_schema_id,
-           CASE WHEN event_id % 4 IN (0, 1) THEN 'ok'
-                WHEN event_id % 4 = 2 THEN 'unknown_id'
-                ELSE 'bad_magic' END AS wire_status,
-           CASE WHEN event_id % 4 IN (0, 1) THEN event_id END AS decoded_eid,
-           CASE WHEN event_id % 4 IN (0, 1) THEN user_id END AS decoded_uid
+           CASE WHEN event_id % 8 IN (0, 1, 4, 5, 7) THEN 'ok'
+                WHEN event_id % 8 = 2 THEN 'unknown_id'
+                WHEN event_id % 8 = 3 THEN 'bad_magic'
+                ELSE 'unknown_index' END AS wire_status,
+           CASE WHEN event_id % 8 IN (0, 1, 4, 5) THEN event_id END AS decoded_eid,
+           CASE WHEN event_id % 8 IN (0, 1, 4, 5) THEN user_id END AS decoded_uid
     FROM events
     """,
 )
 def registry_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Confluent Schema-Registry wire format (magic 0x00 + big-endian
-    schema id + body; reference README.md:147-156 converter layer, E2E
-    schema-registry container in KustoSinkIT.java setup).
+    schema id + protobuf message-index list + body; reference
+    README.md:147-156 converter layer, E2E schema-registry container in
+    KustoSinkIT.java setup).
 
-    Fixture: each events row is framed by event_id%4 — JSON body under
-    schema id 1, protobuf body under id 2, an UNKNOWN id 99, or a bad
-    magic byte — then split + routed by decode_wire_frames' static
-    id→handler map. The oracle recomputes status and decoded fields
-    from the source columns, so a wrong endianness, off-by-one in the
-    header slice, or mis-routed body breaks the hash. Frame split is
-    pure codegen (substring/hex/conv); corrupt frames surface as K4
-    DLQ statuses, never exceptions."""
+    Fixture: each events row is framed by event_id%8 —
+      0: JSON body, id 1                         → ok
+      1: protobuf body, id 2, index [0] (0x00)   → ok
+      2: UNKNOWN id 99                           → unknown_id
+      3: bad magic byte                          → bad_magic
+      4: AVRO binary body, id 3 (pure-Python
+         fallback decode — no spark-avro jar)    → ok
+      5: protobuf, id 4, multi-entry index [1,2] → ok
+      6: protobuf, id 2, index [1] ≠ declared [0]→ unknown_index
+      7: 5-byte frame, id 1, EMPTY body          → ok, NULL payload
+    then split + routed by decode_wire_frames' static id→handler map.
+    The oracle recomputes status and decoded fields from the source
+    columns, so a wrong endianness, off-by-one in the header slice, a
+    mis-stripped index prefix, or a mis-routed body breaks the hash.
+    Frame split and index parse are pure codegen (substring/hex/conv);
+    corrupt frames surface as K4 DLQ statuses, never exceptions."""
     import pandas as pd  # noqa: F401
 
+    from kafka_sink_azure_kusto_spark.functions.avro_io import encode_record
     from kafka_sink_azure_kusto_spark.functions.protobuf_io import encode_message
     from kafka_sink_azure_kusto_spark.functions.wire_format import (
         decode_wire_frames,
         encode_wire_frame,
     )
+
+    avro_schema = {
+        "type": "record",
+        "name": "Ev",
+        "fields": [
+            {"name": "eid", "type": "long"},
+            {"name": "uid", "type": "long"},
+        ],
+    }
 
     def encode_batches(it):
         import json as _json
@@ -427,15 +451,26 @@ def registry_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 eid = int(e)
                 uid = int(u)
                 jbody = _json.dumps({"eid": eid, "uid": uid}).encode()
-                m = eid % 4
+                pbody = encode_message([(1, eid), (2, uid)])
+                m = eid % 8
                 if m == 0:
                     frame = encode_wire_frame(1, jbody)
                 elif m == 1:
-                    frame = encode_wire_frame(2, encode_message([(1, eid), (2, uid)]))
+                    frame = encode_wire_frame(2, pbody, message_indexes=[0])
                 elif m == 2:
                     frame = encode_wire_frame(99, jbody)
-                else:
+                elif m == 3:
                     frame = encode_wire_frame(1, jbody, magic=0x01)
+                elif m == 4:
+                    frame = encode_wire_frame(
+                        3, encode_record(avro_schema, {"eid": eid, "uid": uid})
+                    )
+                elif m == 5:
+                    frame = encode_wire_frame(4, pbody, message_indexes=[1, 2])
+                elif m == 6:
+                    frame = encode_wire_frame(2, pbody, message_indexes=[1])
+                else:
+                    frame = encode_wire_frame(1, b"")
                 eids.append(eid)
                 frames.append(frame)
             yield pd.DataFrame({"event_id": eids, "value": frames})
@@ -447,13 +482,19 @@ def registry_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload_schema = StructType(
         [StructField("eid", LongType()), StructField("uid", LongType())]
     )
+    import json as _json
+
+    proto_fields = {1: ("eid", "int64"), 2: ("uid", "int64")}
     decoded = decode_wire_frames(
         framed,
         handlers={
             1: {"fmt": "json"},
-            2: {
+            2: {"fmt": "protobuf", "proto_field_schema": proto_fields},
+            3: {"fmt": "avro", "avro_schema_json": _json.dumps(avro_schema)},
+            4: {
                 "fmt": "protobuf",
-                "proto_field_schema": {1: ("eid", "int64"), 2: ("uid", "int64")},
+                "proto_field_schema": proto_fields,
+                "message_indexes": [1, 2],
             },
         },
         schema=payload_schema,

@@ -170,3 +170,38 @@ def test_count_container_records_matches_decode():
     blob = bio.getvalue()
     assert count_container_records(blob) == 23  # O(blocks), no decode
     assert len(read_container(blob)[1]) == 23
+
+
+def test_decode_payload_avro_pure_python_fallback(spark):
+    # decode_payload(fmt='avro') must work WITHOUT the spark-avro jar:
+    # the jar probe routes to the Arrow-batched avro_io fallback, which
+    # decodes bare binary records (the from_avro input shape) exactly.
+    import json
+
+    from kafka_sink_azure_kusto_spark.functions.encoders import decode_payload
+
+    avro_schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "string"]},
+        ],
+    }
+    out_schema = StructType(
+        [StructField("a", LongType()), StructField("b", StringType())]
+    )
+    rows = [
+        (0, encode_record(avro_schema, {"a": 7, "b": "x"})),
+        (1, encode_record(avro_schema, {"a": -3, "b": None})),
+        (2, None),  # NULL value → NULL payload fields
+    ]
+    df = spark.createDataFrame(rows, "row_id long, value binary")
+    got = {
+        r.row_id: r.payload
+        for r in decode_payload(df, fmt="avro", schema=out_schema,
+                                avro_schema_json=json.dumps(avro_schema)).collect()
+    }
+    assert got[0].a == 7 and got[0].b == "x"
+    assert got[1].a == -3 and got[1].b is None
+    assert got[2].a is None and got[2].b is None
