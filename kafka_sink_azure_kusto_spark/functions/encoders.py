@@ -65,7 +65,9 @@ def decode_payload(
                 "protobuf decode requires schema (output struct) and "
                 "proto_field_schema ({field_number: (name, type)})"
             )
-        payload = _protobuf_decode_column(v, schema, proto_field_schema)
+        payload = _protobuf_decode_column(
+            v, schema, proto_field_schema, spark=df.sparkSession
+        )
     elif f in ("avro", "apacheavro"):
         if avro_schema_json is None:
             raise ValueError("avro decode requires avro_schema_json")
@@ -88,35 +90,91 @@ def decode_payload(
 
 
 _AVRO_USABLE: Optional[bool] = None
+_PROTOBUF_USABLE: Optional[bool] = None
+
+
+def _jvm_class_loaded(spark, class_name: str) -> bool:
+    """Probe the driver JVM for ``class_name``. The pyspark avro /
+    protobuf function wrappers import fine without their jars and only
+    fail at ANALYSIS time (AVRO_NOT_LOADED... / PROTOBUF_NOT_LOADED...),
+    so an import-try gate is useless — ask the classloader instead.
+    Environments without a py4j bridge (Spark Connect) report False and
+    take the pure-Python fallback, which is always correct."""
+    try:
+        spark._jvm.java.lang.Class.forName(class_name)
+        return True
+    except Exception:
+        return False
 
 
 def avro_functions_usable(spark) -> bool:
-    """True when ``from_avro``/``to_avro`` will actually ANALYZE — the
-    pyspark wrappers import fine without the spark-avro jar and only
-    fail at plan time (AVRO_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE), so the
-    import-try gate is useless; probe the JVM for the expression class
-    instead. Cached per process (classpath can't change mid-session);
-    environments without a py4j bridge (Spark Connect) report False and
-    take the pure-Python fallback, which is always correct."""
+    """True when ``from_avro``/``to_avro`` will actually analyze (the
+    spark-avro jar is on the classpath). Cached per process — the
+    classpath can't change mid-session."""
     global _AVRO_USABLE
     if _AVRO_USABLE is None:
-        try:
-            spark._jvm.java.lang.Class.forName(
-                "org.apache.spark.sql.avro.AvroDataToCatalyst"
-            )
-            _AVRO_USABLE = True
-        except Exception:
-            _AVRO_USABLE = False
+        _AVRO_USABLE = _jvm_class_loaded(
+            spark, "org.apache.spark.sql.avro.AvroDataToCatalyst"
+        )
     return _AVRO_USABLE
 
 
-def _protobuf_decode_column(v: Column, schema: StructType, proto_field_schema: dict) -> Column:
-    """Arrow-batched (pandas UDF) protobuf wire decode: binary → typed
-    struct. Missing fields → NULL (proto3 absent-field semantics at the
-    converter boundary); NULL payloads → NULL struct fields."""
-    from pyspark.sql.functions import pandas_udf
+def protobuf_functions_usable(spark) -> bool:
+    """True when ``from_protobuf`` will actually analyze (the
+    spark-protobuf jar is on the classpath). Cached per process."""
+    global _PROTOBUF_USABLE
+    if _PROTOBUF_USABLE is None:
+        _PROTOBUF_USABLE = _jvm_class_loaded(
+            spark, "org.apache.spark.sql.protobuf.ProtobufDataToCatalyst"
+        )
+    return _PROTOBUF_USABLE
 
+
+def _protobuf_decode_column(
+    v: Column, schema: StructType, proto_field_schema: dict, spark=None
+) -> Column:
+    """Protobuf wire decode: binary → typed struct. Missing fields →
+    NULL (proto3 absent-field semantics at the converter boundary);
+    NULL payloads → NULL struct fields.
+
+    Dispatch: when the spark-protobuf jar is on the classpath (pass
+    ``spark`` to enable the probe) the decode is the BUILT-IN
+    ``from_protobuf`` — JVM-side, no Python in the hot path — driven by
+    a ``FileDescriptorSet`` generated from ``proto_field_schema`` by
+    this repo's own wire encoder (protobuf_io.file_descriptor_set; the
+    fields are proto3-optional, so absent→NULL matches the fallback).
+    Without the jar (this sandbox) the decode is the Arrow-batched
+    pandas UDF over the pure-Python codec — batching right, per-record
+    wire-walk in Python; the jar path exists precisely to retire that
+    cost in production."""
     from kafka_sink_azure_kusto_spark.functions.protobuf_io import decode_message
+
+    if spark is not None and protobuf_functions_usable(spark):
+        from pyspark.sql.protobuf.functions import from_protobuf
+
+        from kafka_sink_azure_kusto_spark.functions.protobuf_io import (
+            DESCRIPTOR_MESSAGE_NAME,
+            DESCRIPTOR_PACKAGE,
+            file_descriptor_set,
+        )
+
+        dec = from_protobuf(
+            v,
+            f"{DESCRIPTOR_PACKAGE}.{DESCRIPTOR_MESSAGE_NAME}",
+            binaryDescriptorSet=file_descriptor_set(proto_field_schema),
+        )
+        # conform to the declared output struct: from_protobuf orders
+        # fields by field number and types sint64/int64 as long — make
+        # name order + types match the fallback path exactly so callers
+        # (and CaseWhen payload merging) see one stable schema
+        return F.struct(
+            *[
+                dec.getField(f.name).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+
+    from pyspark.sql.functions import pandas_udf
 
     names = [f.name for f in schema.fields]
 

@@ -139,6 +139,82 @@ def parse_wire_fields(data: bytes) -> Iterator[tuple[int, int, Union[int, bytes]
         yield field_number, wire_type, raw
 
 
+# ------------------------------------------------------- descriptor set
+
+#: FieldDescriptorProto.Type enum values (descriptor.proto, public spec)
+#: for the field types this codec supports.
+_DESCRIPTOR_TYPE = {
+    "double": 1,   # TYPE_DOUBLE
+    "float": 2,    # TYPE_FLOAT
+    "int64": 3,    # TYPE_INT64
+    "bool": 8,     # TYPE_BOOL
+    "string": 9,   # TYPE_STRING
+    "bytes": 12,   # TYPE_BYTES
+    "sint64": 18,  # TYPE_SINT64
+}
+
+DESCRIPTOR_MESSAGE_NAME = "KustoRecord"
+DESCRIPTOR_PACKAGE = "kustosink"
+
+
+def file_descriptor_set(
+    field_schema: dict,
+    message_name: str = DESCRIPTOR_MESSAGE_NAME,
+    package: str = DESCRIPTOR_PACKAGE,
+) -> bytes:
+    """Serialize a ``FileDescriptorSet`` for ``{field_number: (name,
+    type)}`` — the input shape ``from_protobuf(binaryDescriptorSet=...)``
+    consumes (spark-protobuf). Built with THIS module's wire encoder:
+    descriptor.proto is itself a protobuf message with public, stable
+    field numbers (FileDescriptorSet.file=1; FileDescriptorProto
+    name=1/package=2/message_type=4/syntax=12; DescriptorProto
+    name=1/field=2/oneof_decl=8; FieldDescriptorProto name=1/number=3/
+    label=4/type=5/oneof_index=9/proto3_optional=17), so no
+    google.protobuf dependency is needed to emit one.
+
+    Every field is declared ``proto3 optional`` (synthetic oneof +
+    proto3_optional), giving explicit presence — absent fields decode
+    as NULL on the spark-protobuf path, matching this module's
+    ``decode_message`` absent→None semantics.
+    """
+    fields = []
+    oneofs = []
+    for i, (num, (name, typ)) in enumerate(sorted(field_schema.items())):
+        t = _DESCRIPTOR_TYPE.get(typ)
+        if t is None:
+            raise ValueError(
+                f"field {name!r}: type {typ!r} has no descriptor mapping "
+                f"(supported: {sorted(_DESCRIPTOR_TYPE)})"
+            )
+        fields.append(
+            encode_message(
+                [
+                    (1, str(name)),    # name
+                    (3, int(num)),     # number
+                    (4, 1),            # label = LABEL_OPTIONAL
+                    (5, t),            # type
+                    (9, i),            # oneof_index (synthetic oneof)
+                    (17, 1),           # proto3_optional = true
+                ]
+            )
+        )
+        oneofs.append(encode_message([(1, f"_{name}")]))
+    message = encode_message(
+        [(1, message_name)]
+        + [(2, f, 2) for f in fields]
+        + [(8, o, 2) for o in oneofs]
+    )
+    file_proto = encode_message(
+        [
+            (1, f"{package}.proto"),  # name
+            (2, package),             # package
+            (4, message, 2),          # message_type
+            (12, "proto3"),           # syntax
+        ]
+    )
+    return encode_message([(1, file_proto, 2)])
+
+
 def decode_message(data: bytes, field_schema: dict) -> dict:
     """Typed decode via ``{field_number: (name, type)}``; type ∈
     int64 | sint64 | bool | string | bytes | double | float. Unknown

@@ -300,7 +300,9 @@ def decode_wire_frames(
                 _protobuf_decode_column,
             )
 
-            dec = _protobuf_decode_column(routed, schema, h["proto_field_schema"])
+            dec = _protobuf_decode_column(
+                routed, schema, h["proto_field_schema"], spark=df.sparkSession
+            )
         elif fmt in ("avro", "apacheavro"):
             from kafka_sink_azure_kusto_spark.functions.encoders import (
                 _avro_decode_column,

