@@ -188,9 +188,15 @@ def minhash_lsh_pairs(
     candidate generation (the standard production mitigation: such
     buckets are "common template" mass better handled by exact dedup /
     a dedicated template pass, and each surviving doc pair usually
-    still shares a non-hot band). The member count reuses the join's
-    own hash partitioning (window over the band key), so the guard
-    adds no extra shuffle of the banded frame.
+    still shares a non-hot band). Cost: the count window introduces its
+    own Exchange+Sort of the banded frame on the band key BEFORE the
+    self-join (Window.partitionBy is not free even when the downstream
+    join shuffles on the same key) — one extra fixed-width exchange,
+    bought against removing the hot bucket's m²/2 candidate explosion;
+    measured net win: the 100× scale exponent dropped 0.93 → 0.68 with
+    the cap on (PERF.md round 4). If that exchange ever matters, the
+    alternative is a groupBy count of hot keys broadcast-anti-joined
+    back (no sort, but an extra aggregate + broadcast).
     """
     banded = banded_signatures(df, text_col, id_col, num_hashes, num_bands, k)
     if band_member_cap is not None:

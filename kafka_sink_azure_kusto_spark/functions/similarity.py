@@ -54,16 +54,42 @@ def brute_force_topk(
     query_id_col: str = "vec_id",
     query_vec_col: str = "embedding",
     metric: str = "cosine",
+    max_broadcast_queries: int | None = 10_000,
 ) -> DataFrame:
     """Exact top-k neighbors per query vector.
 
     Plan: broadcast(queries) × corpus → score → window top-k per query.
     The cross join is broadcast-nested-loop with the SMALL side broadcast
     — corpus never shuffles; the window top-k shuffles only scored rows.
-    For large query sets, chunk the queries and union.
+
+    ``max_broadcast_queries`` (enforced, not advisory): the query side
+    is broadcast into a nested-loop join, so its size multiplies every
+    corpus partition's work AND ships to every executor — a
+    million-row query frame here is an accidental O(n·m) disaster. The
+    guard counts at most N+1 query rows (one tiny bounded job at plan
+    build) and raises with guidance beyond the cap. For genuinely large
+    query sets, chunk on your id column and union the results::
+
+        parts = [brute_force_topk(corpus, queries.filter(hash(id) % C == i), ...)
+                 for i in range(C)]
+        out = functools.reduce(DataFrame.unionByName, parts)
+
+    or switch to the bucketed paths (``ivf_topk`` / ``ivf_pq_topk``)
+    whose query side stays broadcast-small per probed cell. Pass
+    ``max_broadcast_queries=None`` to opt out (you've pre-sized it).
 
     Returns (query_id, neighbor_id, score, rank), excluding self-matches.
     """
+    if max_broadcast_queries is not None:
+        probe = queries.limit(max_broadcast_queries + 1).count()
+        if probe > max_broadcast_queries:
+            raise ValueError(
+                f"brute_force_topk: query side exceeds max_broadcast_queries="
+                f"{max_broadcast_queries}; a broadcast nested-loop join over "
+                f"this many queries would scan corpus × queries. Chunk the "
+                f"queries and union (see docstring), use ivf_topk / "
+                f"ivf_pq_topk, or pass max_broadcast_queries=None explicitly."
+            )
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qvec")
     )
@@ -262,26 +288,50 @@ def subvectors(
     sub_len: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    on_short: str = "drop",
 ) -> DataFrame:
     """Split each vector into ``num_subspaces`` contiguous subvectors of
     ``sub_len`` dims → (id, m, sv) rows with sv cast to double. The PQ
     decomposition step; narrow (explode only, no shuffle).
 
-    Vectors shorter than ``num_subspaces × sub_len`` are dropped rather
-    than silently producing short subvectors — a short sv would make
-    element_at in the distance arithmetic return NULL and corrupt the
-    argmin without an error."""
+    ``on_short`` decides what happens to vectors shorter than
+    ``num_subspaces × sub_len`` (a short sv would make element_at in
+    the distance arithmetic return NULL and corrupt the argmin without
+    an error, so they never pass through silently):
+
+    - ``'drop'`` (default, corpus side): filter them out — an ANN
+      trade-off a corpus owner accepts and can audit.
+    - ``'error'`` (query side in pq_adc_topk / ivf_pq_topk): raise at
+      execution with the offending id — a malformed QUERY silently
+      vanishing from the results is an input error, not a trade-off.
+    """
+    needed = num_subspaces * sub_len
+    if on_short == "error":
+        vec = F.when(F.size(F.col(vec_col)) >= needed, F.col(vec_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"subvectors: vector shorter than {needed} "
+                        f"(= {num_subspaces} subspaces × {sub_len} dims) for id "
+                    ),
+                    F.col(id_col).cast("string"),
+                )
+            )
+        )
+        base = df
+    elif on_short == "drop":
+        vec = F.col(vec_col)
+        base = df.filter(F.size(F.col(vec_col)) >= needed)
+    else:
+        raise ValueError(f"on_short must be 'drop' or 'error', got {on_short!r}")
     parts = F.transform(
         F.sequence(F.lit(0), F.lit(num_subspaces - 1)),
         lambda m: F.transform(
-            F.slice(F.col(vec_col), m * sub_len + 1, sub_len),
+            F.slice(vec, m * sub_len + 1, sub_len),
             lambda x: x.cast("double"),
         ),
     )
-    return (
-        df.filter(F.size(F.col(vec_col)) >= num_subspaces * sub_len)
-        .select(F.col(id_col).alias("id"), F.posexplode(parts).alias("m", "sv"))
-    )
+    return base.select(F.col(id_col).alias("id"), F.posexplode(parts).alias("m", "sv"))
 
 
 def pq_encode(
@@ -332,6 +382,7 @@ def pq_adc_topk(
     k: int = 10,
     query_id_col: str = "vec_id",
     query_vec_col: str = "embedding",
+    codes_id_col: str = "vec_id",
 ) -> DataFrame:
     """Asymmetric distance computation over PQ codes — the search half
     of product quantization: the query stays full-precision, each
@@ -348,8 +399,15 @@ def pq_adc_topk(
 
     Returns (query_id, neighbor_id, adc_d2, rank), ranked by the
     6-dp-rounded distance (engine-portable) ascending, self excluded.
+    ``codes_id_col`` names the id column of the codes frame (pq_encode
+    with a non-default ``id_col`` carries that name through). A short
+    QUERY vector raises with its id (on_short='error') — a missing
+    query is an input error, not an ANN trade-off.
     """
-    qsub = subvectors(queries, num_subspaces, sub_len, query_id_col, query_vec_col)
+    qsub = subvectors(
+        queries, num_subspaces, sub_len, query_id_col, query_vec_col,
+        on_short="error",
+    )
     dtab = (
         qsub.join(F.broadcast(codebook), "m")
         .withColumn("qd", _flat_l2sq("sv", "c", sub_len))
@@ -357,7 +415,7 @@ def pq_adc_topk(
     )
     adc = (
         codes.join(F.broadcast(dtab), ["m", "code"])
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .groupBy("query_id", F.col(codes_id_col).alias("neighbor_id"))
         .agg(F.round(F.sum("qd"), 6).alias("adc_d2"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )
@@ -382,6 +440,7 @@ def ivf_pq_topk(
     k: int = 10,
     query_id_col: str = "vec_id",
     query_vec_col: str = "embedding",
+    codes_id_col: str = "vec_id",
 ) -> DataFrame:
     """IVF + PQ — the production billion-vector ANN stack composed from
     the audited pieces: the query probes its ``n_probe`` nearest
@@ -395,7 +454,9 @@ def ivf_pq_topk(
     (centroids, probe expansion, distance table) is broadcast; the one
     wide operation is the per-(query, vec) hash aggregate over probed
     candidates. Returns (query_id, neighbor_id, adc_d2, rank) by
-    6-dp-rounded approximate L2² ascending, self excluded."""
+    6-dp-rounded approximate L2² ascending, self excluded.
+    ``codes_id_col`` names the id column of the codes frame; a short
+    QUERY vector raises with its id (on_short='error')."""
     probed = multiprobe_cells(
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -405,7 +466,8 @@ def ivf_pq_topk(
         n_probe,
     )
     qsub = subvectors(
-        queries, num_subspaces, sub_len, query_id_col, query_vec_col
+        queries, num_subspaces, sub_len, query_id_col, query_vec_col,
+        on_short="error",
     )
     dtab = (
         qsub.join(F.broadcast(codebook), "m")
@@ -417,7 +479,7 @@ def ivf_pq_topk(
     )
     adc = (
         cand.join(F.broadcast(dtab), ["query_id", "m", "code"])
-        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .groupBy("query_id", F.col(codes_id_col).alias("neighbor_id"))
         .agg(F.round(F.sum("qd"), 6).alias("adc_d2"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
     )

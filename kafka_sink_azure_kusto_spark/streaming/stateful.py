@@ -133,6 +133,14 @@ def rate_monitor(stream: DataFrame, key_col: str = "event_type") -> DataFrame:
     )
 
 
+# STATE-SCHEMA COMPATIBILITY: this schema grew from 1 field to 2
+# (last_event_ms added for the event-time mode). applyInPandasWithState
+# does NOT support state-schema evolution — restarting a streaming
+# near-dup query from a checkpoint written by the 1-field version will
+# fail (or misread state) at recovery. Resuming such a deployment
+# requires a FRESH checkpoint location (or versioning the query name,
+# e.g. 'near_dup_v2', which implies a new checkpoint anyway); the band
+# claims rebuild from the stream within one horizon.
 NEAR_DUP_STATE_SCHEMA = StructType(
     [
         StructField("canonical_id", LongType(), False),

@@ -258,3 +258,44 @@ def test_subvectors_drops_short_vectors(spark):
     out = S.subvectors(df, 4, 4).collect()
     assert {r.id for r in out} == {0}
     assert len(out) == 4
+
+def test_subvectors_on_short_error_raises_with_id(spark):
+    rows = [(0, [1.0] * 16), (9, [1.0] * 7)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="shorter than 16.*id 9"):
+        S.subvectors(df, 4, 4, on_short="error").collect()
+    with pytest.raises(ValueError, match="on_short"):
+        S.subvectors(df, 4, 4, on_short="explode")
+
+
+def test_pq_adc_topk_custom_codes_id_col(spark):
+    # a codes frame built with a non-default id column must work when
+    # its name is passed through (ADVICE r4: was hardcoded 'vec_id')
+    emb = _emb_synth(spark, n=20, dim=16, cells=2)
+    renamed = emb.withColumnRenamed("vec_id", "doc_id")
+    cb = S.subvectors(emb.filter(F.col("vec_id") < 4), 4, 4).select(
+        "m", F.col("id").alias("code"), F.col("sv").alias("c")
+    )
+    codes = S.pq_encode(renamed, cb, num_subspaces=4, sub_len=4, id_col="doc_id")
+    assert "doc_id" in codes.columns
+    out = S.pq_adc_topk(
+        codes,
+        emb.filter(F.col("vec_id") == 5),
+        cb,
+        num_subspaces=4,
+        sub_len=4,
+        k=3,
+        codes_id_col="doc_id",
+    ).collect()
+    assert len(out) == 3 and all(r.query_id == 5 for r in out)
+
+
+def test_brute_force_topk_query_broadcast_guard(spark):
+    emb = _emb(spark)
+    with pytest.raises(ValueError, match="max_broadcast_queries"):
+        S.brute_force_topk(emb, emb, k=1, max_broadcast_queries=3)
+    # under the cap and with the guard disabled both still plan + run
+    assert S.brute_force_topk(emb, emb.limit(2), k=1).count() == 2
+    assert (
+        S.brute_force_topk(emb, emb, k=1, max_broadcast_queries=None).count() == 5
+    )
