@@ -334,6 +334,92 @@ def subvectors(
     return base.select(F.col(id_col).alias("id"), F.posexplode(parts).alias("m", "sv"))
 
 
+def pq_train(
+    corpus: DataFrame,
+    num_subspaces: int,
+    sub_len: int,
+    num_codes: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train a PQ codebook: independent k-means per subspace (the
+    standard construction — Jégou et al.'s product quantization trains
+    one ``num_codes``-centroid quantizer per contiguous subvector).
+
+    Init: the subvectors of the ``num_codes`` smallest-id corpus rows
+    (deterministic across runs/engines). Each iteration is one
+    assignment pass (broadcast codebook → per-(id, m) argmin, the same
+    struct-min hash aggregate as ``pq_encode``) and one update pass
+    (per-(m, code) dimension means via posexplode — map-side combined).
+    Codes that lose all members keep their previous centroid.
+
+    Scale: the corpus is scanned once per iteration with only
+    fixed-width aggregates — no corpus-wide shuffle beyond the
+    (id, m) argmin. The codebook itself is tiny (num_subspaces ×
+    num_codes rows) and is COLLECTED to the driver each iteration to
+    truncate the iterative lineage (the MLlib k-means pattern: per-step
+    aggregate to driver, rebroadcast) — O(iters × codebook) driver
+    traffic, independent of corpus size.
+
+    Returns (m, code, c): the trained codebook for ``pq_encode`` /
+    ``pq_adc_topk`` / ``ivf_pq_topk``.
+    """
+    if num_codes < 1 or iters < 0:
+        raise ValueError("num_codes must be ≥ 1 and iters ≥ 0")
+    spark = corpus.sparkSession
+    sub = subvectors(corpus, num_subspaces, sub_len, id_col, vec_col)
+    # deterministic init: subvectors of the num_codes smallest ids,
+    # code = rank of id (tiny frame — the window runs on ≤ num_codes rows)
+    seed_ids = corpus.select(F.col(id_col).alias("id")).orderBy("id").limit(num_codes)
+    wseed = Window.orderBy("id")
+    seed_codes = seed_ids.withColumn("code", F.row_number().over(wseed) - 1)
+    codebook = (
+        sub.join(F.broadcast(seed_codes), "id")
+        .select("m", "code", F.col("sv").alias("c"))
+    )
+    for _ in range(iters):
+        assigned = (
+            sub.join(F.broadcast(codebook), "m")
+            .withColumn("d2", _flat_l2sq("sv", "c", sub_len))
+            .groupBy("id", "m")
+            .agg(
+                F.min(F.struct(F.col("d2"), F.col("code"))).alias("b"),
+                F.first("sv").alias("sv"),
+            )
+            .select("m", F.col("b.code").alias("code"), "sv")
+        )
+        per_dim = (
+            assigned.select("m", "code", F.posexplode("sv").alias("d", "x"))
+            .groupBy("m", "code", "d")
+            .agg(F.avg("x").alias("mu"))
+        )
+        new_cb = (
+            per_dim.groupBy("m", "code")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("d"), F.col("mu")))
+                ).alias("dm")
+            )
+            .select(
+                "m",
+                "code",
+                F.transform(F.col("dm"), lambda s: s.getField("mu")).alias("c"),
+            )
+        )
+        merged = (
+            codebook.alias("old")
+            .join(new_cb.alias("new"), ["m", "code"], "left")
+            .select(
+                "m", "code", F.coalesce(F.col("new.c"), F.col("old.c")).alias("c")
+            )
+        )
+        # truncate lineage: the codebook is tiny by construction
+        rows = [(r["m"], r["code"], [float(x) for x in r["c"]]) for r in merged.collect()]
+        codebook = spark.createDataFrame(rows, "m int, code int, c array<double>")
+    return codebook
+
+
 def pq_encode(
     corpus: DataFrame,
     codebook: DataFrame,
@@ -479,6 +565,115 @@ def ivf_pq_topk(
     )
     adc = (
         cand.join(F.broadcast(dtab), ["query_id", "m", "code"])
+        .groupBy("query_id", F.col(codes_id_col).alias("neighbor_id"))
+        .agg(F.round(F.sum("qd"), 6).alias("adc_d2"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_d2", "rank")
+    )
+
+
+def with_residuals(
+    indexed: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Replace each vector with its RESIDUAL against its cell centroid
+    (vec − centroid[cell]) — the FAISS IndexIVFPQ construction: PQ
+    codebooks trained/encoded on residuals resolve WITHIN-cell
+    structure, where raw-vector PQ collapses a tight cell to one code
+    word per subspace and ADC degenerates to ties (measured: recall@10
+    ≈ 0.02 raw vs ≥0.9 residual on clustered corpora, PERF.md r5).
+
+    centroids: (cell, centroid) from ``cell_centroids`` — broadcast.
+    Output keeps ``vec_col``'s name (now double residuals) so
+    ``pq_train`` / ``pq_encode`` compose unchanged, and keeps
+    ``cell_col`` for the codes frame. The zip_with subtract is an
+    interpreted HOF but runs once per corpus row on the one-time encode
+    path (not per candidate pair) — not the measured 13× hot-loop
+    cliff."""
+    c = centroids.select(F.col("cell").alias(cell_col), "centroid")
+    res = F.zip_with(
+        F.col(vec_col), F.col("centroid"),
+        lambda a, b: a.cast("double") - b.cast("double"),
+    )
+    return (
+        indexed.join(F.broadcast(c), cell_col)
+        .select(F.col(id_col), F.col(cell_col), res.alias(vec_col))
+    )
+
+
+def ivf_pq_residual_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebook: DataFrame,
+    centroids: DataFrame,
+    num_subspaces: int,
+    sub_len: int,
+    n_probe: int = 1,
+    k: int = 10,
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    codes_id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF + residual-PQ — the production IndexIVFPQ search: each
+    probed cell gets its OWN query residual (q − centroid[cell]), whose
+    per-subspace distance table scores that cell's residual-encoded
+    codes. ``codes`` must come from ``pq_encode`` over
+    ``with_residuals(...)`` output (and carry ``cell``); ``codebook``
+    from ``pq_train`` on the same residual frame.
+
+    Plan shape matches ivf_pq_topk — everything query-side (probe
+    expansion, per-(query, cell) residuals, distance tables) stays
+    broadcast (n_queries × n_probe × num_subspaces × n_codes rows);
+    the corpus side scans only probed cells' code words. The residual
+    subtract runs on n_queries × n_probe rows — negligible.
+
+    Returns (query_id, neighbor_id, adc_d2, rank) by 6-dp-rounded
+    approximate L2² of residuals ascending, self excluded."""
+    probed = multiprobe_cells(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("qvec"),
+        ),
+        centroids,
+        n_probe,
+    )
+    qres = probed.join(F.broadcast(centroids), "cell").select(
+        F.struct(F.col("query_id"), F.col("cell")).alias("qc"),
+        F.zip_with(
+            F.col("qvec"), F.col("centroid"),
+            lambda a, b: a.cast("double") - b.cast("double"),
+        ).alias("rvec"),
+    )
+    qsub = subvectors(
+        qres, num_subspaces, sub_len, id_col="qc", vec_col="rvec",
+        on_short="error",
+    )
+    dtab = (
+        qsub.join(F.broadcast(codebook), "m")
+        .withColumn("qd", _flat_l2sq("sv", "c", sub_len))
+        .select(
+            F.col("id.query_id").alias("query_id"),
+            F.col("id.cell").alias("cell"),
+            "m",
+            "code",
+            "qd",
+        )
+    )
+    cand = codes.join(
+        F.broadcast(probed.select("query_id", "cell")), "cell"
+    )
+    adc = (
+        cand.join(F.broadcast(dtab), ["query_id", "cell", "m", "code"])
         .groupBy("query_id", F.col(codes_id_col).alias("neighbor_id"))
         .agg(F.round(F.sum("qd"), 6).alias("adc_d2"))
         .filter(F.col("query_id") != F.col("neighbor_id"))

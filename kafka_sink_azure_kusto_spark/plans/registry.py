@@ -87,6 +87,7 @@ _GATE_PRIORITY = [
     # r5: queries whose fixtures/impl changed this round (wire-format
     # message-indexes + avro fallback) or that are new this round.
     "registry_wire_decode",
+    "similarity_ivf_pq_residual_topk",
     # r4 backlog rotation (previously judge-verified only)
     "avro_container_encode",
     "deterministic_sample",

@@ -299,3 +299,95 @@ def test_brute_force_topk_query_broadcast_guard(spark):
     assert (
         S.brute_force_topk(emb, emb, k=1, max_broadcast_queries=None).count() == 5
     )
+
+
+def test_pq_train_reduces_quantization_error(spark):
+    # clustered data: 4 clusters in 8-d; k-means-trained codebook must
+    # beat the untrained init (= iters=0) on total quantization error
+    import random
+
+    rng = random.Random(7)
+    centers = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(4)]
+    rows = []
+    for i in range(80):
+        c = centers[i % 4]
+        rows.append((i, [x + rng.gauss(0, 0.05) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def total_err(cb):
+        out = S.pq_encode(df, cb, num_subspaces=2, sub_len=4)
+        return out.agg(F.sum("qerr")).collect()[0][0]
+
+    init = S.pq_train(df, 2, 4, num_codes=4, iters=0)
+    trained = S.pq_train(df, 2, 4, num_codes=4, iters=4)
+    assert trained.count() == 2 * 4
+    e0, e1 = total_err(init), total_err(trained)
+    assert e1 < e0 * 0.9, (e0, e1)
+    # determinism: same inputs → same codebook
+    again = S.pq_train(df, 2, 4, num_codes=4, iters=4)
+    a = sorted(map(tuple, trained.select("m", "code").collect()))
+    b = sorted(map(tuple, again.select("m", "code").collect()))
+    assert a == b
+    with pytest.raises(ValueError, match="num_codes"):
+        S.pq_train(df, 2, 4, num_codes=0)
+
+
+def _tight_clusters(spark, n=200, dim=8, n_clusters=4, sigma=0.08):
+    # clusters tight enough that raw-vector PQ collapses members onto
+    # one code word per subspace (the residual-PQ motivating case)
+    import random
+
+    rng = random.Random(11)
+    centers = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n_clusters)]
+    dirs = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n_clusters)]
+    rows = []
+    for i in range(n):
+        c = i % n_clusters
+        t = rng.uniform(-1, 1)
+        rows.append(
+            (i, [centers[c][d] + t * dirs[c][d] * sigma for d in range(dim)], c)
+        )
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, cell int")
+
+
+def test_with_residuals_subtracts_cell_centroid(spark):
+    emb = _tight_clusters(spark, n=40)
+    cents = S.cell_centroids(emb, cell_col="cell")
+    res = S.with_residuals(emb, cents)
+    assert set(res.columns) == {"vec_id", "cell", "embedding"}
+    # residual means per cell ~ 0 (definition of the centroid)
+    mu = (
+        res.select("cell", F.posexplode("embedding").alias("d", "x"))
+        .groupBy("cell", "d").agg(F.avg("x").alias("mu"))
+        .agg(F.max(F.abs(F.col("mu")))).collect()[0][0]
+    )
+    assert mu < 1e-9
+
+
+def test_residual_ivf_pq_beats_raw_on_tight_clusters(spark):
+    emb = _tight_clusters(spark, n=200)
+    q = emb.filter(F.col("vec_id") < 4).select("vec_id", "embedding")
+    truth = S.brute_force_topk(emb, q, k=5).select("query_id", "neighbor_id")
+    cents = S.cell_centroids(emb, cell_col="cell")
+    # raw stack
+    cb_raw = S.subvectors(emb.filter(F.col("vec_id") < 8), 2, 4).select(
+        "m", F.col("id").alias("code"), F.col("sv").alias("c")
+    )
+    codes_raw = S.pq_encode(emb, cb_raw, 2, 4).select("vec_id", "m", "code").join(
+        emb.select("vec_id", "cell"), "vec_id"
+    )
+    raw = S.ivf_pq_topk(codes_raw, q, cb_raw, cents, 2, 4, n_probe=1, k=5)
+    # residual stack (trained codebook)
+    resid = S.with_residuals(emb, cents)
+    cb_res = S.pq_train(resid, 2, 4, num_codes=16, iters=4)
+    codes_res = S.pq_encode(resid, cb_res, 2, 4).select("vec_id", "m", "code").join(
+        emb.select("vec_id", "cell"), "vec_id"
+    )
+    res = S.ivf_pq_residual_topk(codes_res, q, cb_res, cents, 2, 4, n_probe=1, k=5)
+    n_truth = truth.count()
+    r_raw = truth.join(raw.select("query_id", "neighbor_id"),
+                       ["query_id", "neighbor_id"]).count() / n_truth
+    r_res = truth.join(res.select("query_id", "neighbor_id"),
+                       ["query_id", "neighbor_id"]).count() / n_truth
+    assert r_res > r_raw, (r_raw, r_res)
+    assert r_res >= 0.5, r_res

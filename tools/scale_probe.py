@@ -69,6 +69,129 @@ def synth_embeddings(spark, n: int, dim: int = 64):
     return df.select("vec_id", vec.alias("embedding"), (F.col("vec_id") % 32).cast("int").alias("label")).repartition(32)
 
 
+def synth_clustered_embeddings(spark, n: int, dim: int = 64,
+                               n_clusters: int = 32, sigma: float = 0.3,
+                               rank: int = 4):
+    """Clustered corpus with LOW-RANK within-cluster variation:
+    vector = center[c] + sigma · Σ_j t_j(vec) · dir_j[c], all
+    hash-derived (deterministic). Real embedding corpora are clustered
+    with low intrinsic dimension locally — the structure IVF prunes on
+    and residual-PQ quantizes; the uniform-random corpus in
+    synth_embeddings is the documented floor case (no structure for
+    any index to exploit)."""
+    df = spark.range(n).withColumnRenamed("id", "vec_id")
+    c = (F.col("vec_id") % n_clusters).cast("int")
+
+    def h(tag, d):
+        return (
+            F.pmod(F.hash(F.concat(tag, F.lit(":"), d.cast("string"))), F.lit(10_000))
+            / 5_000.0
+            - 1.0
+        )
+
+    def component(d):
+        val = h(F.concat(F.lit("c"), c.cast("string")), d)
+        for j in range(rank):
+            t_j = h(F.lit(f"t{j}"), F.col("vec_id"))  # scalar per vector
+            dir_jd = h(F.concat(F.lit(f"d{j}_"), c.cast("string")), d)
+            val = val + t_j * dir_jd * sigma
+        return val.cast("float")
+
+    vec = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), component)
+    return df.select(
+        "vec_id", vec.alias("embedding"), c.alias("true_cluster")
+    ).repartition(32)
+
+
+def ann_clustered_recall(spark, n: int = 50_000, dim: int = 64):
+    """VERDICT r4 #4: prove the IVF+PQ+rerank stack RETRIEVES on
+    clustered data with a k-means-trained codebook (the random-vector +
+    untrained-codebook recall@10 of 0.086 is PQ's floor case). Measures
+    recall@10 vs exact brute force for raw IVF+PQ and for
+    IVF+PQ→exact-rerank across n_probe."""
+    import time as _t
+
+    from kafka_sink_azure_kusto_spark.functions import similarity as S
+
+    emb = synth_clustered_embeddings(spark, n, dim).cache()
+    emb.count()
+    queries = emb.filter(F.col("vec_id") < 50).select("vec_id", "embedding")
+    truth = (
+        S.brute_force_topk(emb, queries, k=10)
+        .select("query_id", "neighbor_id")
+        .cache()
+    )
+    n_truth = truth.count()
+
+    # IVF index: nearest-seed assignment (seeds = first 32 ids) + one
+    # k-means refinement — the same build path measured in round 4
+    seeds = emb.filter(F.col("vec_id") < 32).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.col("embedding").alias("centroid"),
+    )
+    indexed = S.assign_cells(emb, seeds).cache()
+    indexed.count()
+    cents = S.cell_centroids(indexed, cell_col="cell").cache()
+    cents.count()
+
+    # RAW-vector PQ codebook (the naive stack, for contrast)
+    t0 = _t.perf_counter()
+    cb_raw = S.pq_train(emb, 8, 8, num_codes=32, iters=4).cache()
+    cb_raw.count()
+    print(f"pq_train raw (32 codes, 4 iters)@{n}: {_t.perf_counter()-t0:.2f}s")
+    codes_raw = (
+        S.pq_encode(emb, cb_raw, num_subspaces=8, sub_len=8)
+        .select("vec_id", "m", "code")
+        .join(indexed.select("vec_id", "cell"), "vec_id")
+        .cache()
+    )
+    codes_raw.count()
+
+    # RESIDUAL PQ (the production IndexIVFPQ construction): codebook
+    # trained and codes built on vec − centroid[cell]
+    t0 = _t.perf_counter()
+    resid = S.with_residuals(indexed, cents).cache()
+    resid.count()
+    cb_res = S.pq_train(resid, 8, 8, num_codes=32, iters=4).cache()
+    cb_res.count()
+    print(f"pq_train residual@{n}: {_t.perf_counter()-t0:.2f}s")
+    codes_res = (
+        S.pq_encode(resid, cb_res, num_subspaces=8, sub_len=8)
+        .select("vec_id", "m", "code")
+        .join(indexed.select("vec_id", "cell"), "vec_id")
+        .cache()
+    )
+    codes_res.count()
+
+    out = {}
+    rerank_n = 100
+    for probe in (1, 2, 4, 8):
+        raw = S.ivf_pq_topk(
+            codes_raw, queries, cb_raw, cents, 8, 8, n_probe=probe, k=10
+        ).select("query_id", "neighbor_id")
+        r_raw = truth.join(raw, ["query_id", "neighbor_id"]).count() / n_truth
+        res10 = S.ivf_pq_residual_topk(
+            codes_res, queries, cb_res, cents, 8, 8, n_probe=probe, k=10
+        ).select("query_id", "neighbor_id")
+        r_res = truth.join(res10, ["query_id", "neighbor_id"]).count() / n_truth
+        cand = S.ivf_pq_residual_topk(
+            codes_res, queries, cb_res, cents, 8, 8, n_probe=probe, k=rerank_n
+        ).select("query_id", "neighbor_id")
+        rer = S.rerank_topk(cand, emb, queries, k=10).select(
+            "query_id", "neighbor_id"
+        )
+        r_rer = truth.join(rer, ["query_id", "neighbor_id"]).count() / n_truth
+        out[probe] = (r_raw, r_res, r_rer)
+        print(
+            f"clustered recall@10 n={n} n_probe={probe}: raw_ivf_pq={r_raw:.3f} "
+            f"residual_ivf_pq={r_res:.3f} residual+rerank{rerank_n}={r_rer:.3f}"
+        )
+    for df in (codes_raw, cb_raw, codes_res, cb_res, resid, cents, indexed,
+               truth, emb):
+        df.unpersist()
+    return out
+
+
 def timed(label, df):
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
@@ -79,7 +202,10 @@ def timed(label, df):
 
 def main():
     sizes = [5000, 20000, 80000]
-    if len(sys.argv) > 2 and sys.argv[1] == "--sizes":
+    clustered_only = None
+    if len(sys.argv) > 1 and sys.argv[1] == "--ann-clustered":
+        clustered_only = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+    elif len(sys.argv) > 2 and sys.argv[1] == "--sizes":
         sizes = [int(x) for x in sys.argv[2].split(",")]
 
     from pyspark.sql import SparkSession
@@ -100,6 +226,10 @@ def main():
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    if clustered_only is not None:
+        ann_clustered_recall(spark, clustered_only)
+        return
 
     base = load_table(spark, "/root/testdata/sf0.1", "documents")
     results: dict[str, dict[int, float]] = {}
