@@ -192,6 +192,82 @@ def ann_clustered_recall(spark, n: int = 50_000, dim: int = 64):
     return out
 
 
+def sink_ingest_compare(spark, n: int = 200_000):
+    """VERDICT r4 #7: driver-pool vs executor-side ingest throughput.
+    At 100 TB the driver-side bounded-pool ingest loop is the sink's
+    only centralized stage — this measures both modes on the same
+    synthetic record stream (8 topics × 16 partitions) and records
+    records/s so PERF.md can say WHEN to flip executor_side_ingest."""
+    import shutil
+    import tempfile
+    import time as _t
+
+    from kafka_sink_azure_kusto_spark.config import (
+        KustoSinkConfig,
+        TopicToTableMapping,
+    )
+    from kafka_sink_azure_kusto_spark.streaming.backends import LocalEmulatorBackend
+    from kafka_sink_azure_kusto_spark.streaming.sink import KustoSparkSink
+
+    records = (
+        spark.range(n)
+        .select(
+            F.col("id").cast("string").alias("key"),
+            F.to_json(
+                F.struct(
+                    F.col("id").alias("event_id"),
+                    (F.col("id") % 97).alias("user_id"),
+                    (F.col("id") % 7).cast("double").alias("value"),
+                )
+            ).alias("value"),
+            F.concat(F.lit("t"), (F.col("id") % 8).cast("string")).alias("topic"),
+            (F.col("id") % 16).cast("long").alias("partition"),
+            F.col("id").cast("long").alias("offset"),
+        )
+        .repartition(32)
+        .cache()
+    )
+    n_actual = records.count()
+    out = {}
+    for mode in ("driver_pool", "executor_side"):
+        work = tempfile.mkdtemp(prefix=f"probe_ingest_{mode}_")
+        try:
+            root = f"{work}/kusto"
+            cfg = KustoSinkConfig(
+                ingest_url="https://ingest.example.kusto.windows.net",
+                mappings=[
+                    TopicToTableMapping(topic="*", db="db", table="t", format="json")
+                ],
+                staging_dir=f"{work}/staging",
+            )
+            backend = LocalEmulatorBackend(root)
+            if mode == "executor_side":
+                sink = KustoSparkSink(
+                    cfg,
+                    backend,
+                    backend_factory=lambda root=root: LocalEmulatorBackend(root),
+                    executor_side_ingest=True,
+                )
+            else:
+                sink = KustoSparkSink(cfg, backend)
+            t0 = _t.perf_counter()
+            sink.process_batch(records, epoch_id=0)
+            dt = _t.perf_counter() - t0
+            done = sum(e["records"] for e in LocalEmulatorBackend(root).ingest_log())
+            assert done == n_actual, (mode, done, n_actual)
+            out[mode] = {
+                "records": n_actual,
+                "sec": round(dt, 3),
+                "records_per_sec": round(n_actual / dt),
+                "files": len(LocalEmulatorBackend(root).ingest_log()),
+            }
+            print(f"sink_ingest {mode}: {out[mode]}")
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    records.unpersist()
+    return out
+
+
 def timed(label, df):
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
@@ -203,8 +279,11 @@ def timed(label, df):
 def main():
     sizes = [5000, 20000, 80000]
     clustered_only = None
+    ingest_only = None
     if len(sys.argv) > 1 and sys.argv[1] == "--ann-clustered":
         clustered_only = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+    elif len(sys.argv) > 1 and sys.argv[1] == "--sink-ingest":
+        ingest_only = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
     elif len(sys.argv) > 2 and sys.argv[1] == "--sizes":
         sizes = [int(x) for x in sys.argv[2].split(",")]
 
@@ -229,6 +308,9 @@ def main():
 
     if clustered_only is not None:
         ann_clustered_recall(spark, clustered_only)
+        return
+    if ingest_only is not None:
+        sink_ingest_compare(spark, ingest_only)
         return
 
     base = load_table(spark, "/root/testdata/sf0.1", "documents")
