@@ -252,3 +252,119 @@ def pii_redact(col: str | Column = "text") -> Column:
     for _, pat, repl in PII_PATTERNS:
         c = F.regexp_replace(c, pat, repl)
     return c
+
+
+# ------------------------------------------------ segment-level boilerplate
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 8,
+    max_occurrences: int = 2,
+) -> DataFrame:
+    """Corpus-wide repeated-segment removal (the C4 rule generalized:
+    C4 discards any three-sentence span occurring more than once; here
+    any ``seg_tokens``-token tumbling segment occurring ≥
+    ``max_occurrences`` times corpus-wide is dropped from EVERY document
+    carrying it) → (id, clean_text, n_segments, n_dropped).
+
+    Documents whose every segment is boilerplate vanish from the output
+    — by construction their clean text would be empty.
+
+    Scale shape (100 TB): one fixed-width shuffle to count segment
+    fingerprints (md5, map-side combine), after which only the HOT
+    fingerprints survive the filter — boilerplate sets are tiny by
+    nature (navigation chrome, license headers), so they broadcast into
+    a left-anti join and the corpus segments never shuffle for the
+    probe. The only corpus-sized exchange is the final reassembly
+    groupBy on the document id. Segmentation itself is narrow
+    (split → explode(sequence) → slice).
+    """
+    toks = F.split(F.col(text_col), " ")
+    nseg = F.ceil(F.col("_n") / F.lit(float(seg_tokens))).cast("int")
+    segs = (
+        df.select(F.col(id_col), toks.alias("_ws"), F.size(toks).alias("_n"))
+        .withColumn("_nseg", nseg)
+        .select(
+            id_col,
+            "_nseg",
+            F.explode(F.sequence(F.lit(0), F.col("_nseg") - 1)).alias("seg_id"),
+            "_ws",
+        )
+        .select(
+            id_col,
+            "_nseg",
+            "seg_id",
+            F.concat_ws(
+                " ",
+                F.slice(F.col("_ws"), F.col("seg_id") * seg_tokens + 1, seg_tokens),
+            ).alias("_seg"),
+        )
+    )
+    hot = (
+        segs.groupBy(F.md5("_seg").alias("_h"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= max_occurrences)
+        .select("_h")
+    )
+    kept = segs.join(F.broadcast(hot), F.md5(segs["_seg"]) == hot["_h"], "left_anti")
+    ordered = F.array_sort(F.collect_list(F.struct("seg_id", "_seg")))
+    return kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ", F.transform(ordered, lambda x: x["_seg"])
+        ).alias("clean_text"),
+        F.max("_nseg").cast("long").alias("n_segments"),
+        (F.max("_nseg") - F.count(F.lit(1))).cast("long").alias("n_dropped"),
+    )
+
+
+def contamination_overlap_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    num_bits: int = 1 << 20,
+    num_hashes: int = 3,
+) -> DataFrame:
+    """`contamination_overlap` with a Bloom-bitmap prefilter — the shape
+    for benchmark sets too large to broadcast raw (see functions/bloom).
+
+    The bitmap (num_bits/8 bytes, key-count-independent) is built with
+    one fixed-width aggregation over the benchmark n-grams and probed by
+    k broadcast joins in the corpus scan stage; only Bloom-positive
+    (doc, ngram) candidates reach the exact verify join, so the verify
+    cost scales with true+false positives, not with the corpus. Bloom
+    membership has no false negatives, therefore the output is
+    bit-identical to the exact operator — same oracle applies.
+    """
+    from kafka_sink_azure_kusto_spark.functions.bloom import bloom_build, bloom_probe
+
+    doc_ng = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("ng"),
+    )
+    bench_ng = benchmark.select(
+        F.explode(shingles(text_col, n)).alias("ng")
+    ).distinct()
+    bitmap = bloom_build(bench_ng, "ng", num_bits, num_hashes)
+    cand = (
+        bloom_probe(doc_ng, bitmap, "ng", num_bits, num_hashes)
+        .filter(F.col("bloom_maybe"))
+        .drop("bloom_maybe")
+    )
+    hits = (
+        cand.join(F.broadcast(bench_ng), "ng")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    n_overlap = F.coalesce(F.col("n_overlap"), F.lit(0).cast("long"))
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            n_overlap.alias("n_overlap"),
+            (n_overlap > 0).cast("int").alias("contaminated"),
+        )
+    )

@@ -555,3 +555,109 @@ def ngram_jaccard_pairs(
         .select("left_id", "right_id", "jaccard")
     )
     return out
+
+
+# ------------------------------------------------- split & semantic dedup
+def leakage_safe_split(
+    nodes: DataFrame,
+    edges: DataFrame,
+    fractions: "list[tuple[str, float]] | None" = None,
+    id_col: str = "doc_id",
+    salt: str = "",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Duplicate-cluster-aware train/val/test assignment → (id,
+    cluster_id, split).
+
+    A naive per-document hash split leaks: near-duplicate documents land
+    on both sides of the train/eval boundary and the eval set silently
+    measures memorization. The leakage-safe rule assigns the SPLIT TO
+    THE CLUSTER — every member of a connected near-dup component gets
+    the split of its canonical id, so a duplicate family can never
+    straddle the boundary. Assignment is the same md5-unit-interval
+    coordinate as `functions.sampling` (pure function of cluster_id +
+    salt: reproducible across engines, replays and repartitionings).
+
+    Scale: cost is `connected_components` (O(log diameter) rounds of
+    equi-joins); the split itself adds one narrow projection.
+    `fractions` is an ordered list of (name, fraction) summing to 1 —
+    cumulative boundaries slice [0, 1).
+    """
+    fracs = fractions or [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    total = sum(f for _, f in fracs)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    from kafka_sink_azure_kusto_spark.functions.sampling import md5_unit_interval
+
+    clusters = connected_components(nodes, edges, id_col=id_col, max_iter=max_iter)
+    u = md5_unit_interval(F.col("cluster_id"), salt)
+    # build the CASE front-to-back: u < c1 -> s1, u < c1+c2 -> s2, ...
+    bounds = []
+    acc = 0.0
+    for name, frac in fracs[:-1]:
+        acc += frac
+        bounds.append((name, acc))
+    expr = None
+    for name, bound in bounds:
+        cond = u < bound
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    split = expr.otherwise(fracs[-1][0]) if expr is not None else F.lit(fracs[-1][0])
+    return clusters.select(id_col, "cluster_id", split.alias("split"))
+
+
+def semantic_dedup_cells(
+    emb: DataFrame,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): within
+    each coarse cluster ("cell" — a k-means assignment at scale, the
+    precomputed label here), drop every vector that has a smaller-id
+    neighbor at cosine ≥ threshold → (id, cell, is_kept 0/1), one row
+    per input vector.
+
+    This is the one-pass parallel approximation of the sequential greedy
+    (a dropped vector can still shadow a later one, so it over-drops
+    relative to exact greedy dedup — the conservative direction for
+    training-data curation). Deterministic: the drop decision is a pure
+    function of the pair set, no iteration order involved.
+
+    Scale shape: the pair join is WITHIN-CELL only — one shuffle of the
+    corpus on the cell key, quadratic cost bounded by cell size (the
+    SemDeDup paper's design point: cluster count is chosen so cells hold
+    ~10^3-10^4 vectors). No broadcast of the corpus, no global pair
+    explosion; the final keep-list anti-join shuffles ids only.
+    """
+    from kafka_sink_azure_kusto_spark.functions.similarity import cosine
+
+    left = emb.select(
+        F.col(cell_col).alias("_cell"),
+        F.col(id_col).alias("_lid"),
+        F.col(vec_col).alias("_lv"),
+    )
+    right = emb.select(
+        F.col(cell_col).alias("_rcell"),
+        F.col(id_col).alias("_rid"),
+        F.col(vec_col).alias("_rv"),
+    )
+    dropped = (
+        left.join(
+            right,
+            (left["_cell"] == right["_rcell"]) & (left["_lid"] < right["_rid"]),
+        )
+        .filter(cosine(F.col("_lv"), F.col("_rv")) >= threshold)
+        .select(F.col("_rid").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    return (
+        emb.select(id_col, F.col(cell_col).alias("cell"))
+        .join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            (F.coalesce(F.col("_dropped"), F.lit(0)) == 0).cast("int").alias("is_kept"),
+        )
+    )

@@ -48,3 +48,44 @@ def salted_sum_count(
         F.sum("_psum").alias(f"sum_{sum_col}"),
         F.sum("_pcnt").alias("n"),
     )
+
+
+def salted_replicated_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_buckets: int = 8,
+    salt_on: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: salt the fact side, REPLICATE the dim
+    side ``salt_buckets``× (explode over all salts), join on
+    (key, salt). The result is row-identical to the plain join — salting
+    changes only the physical distribution.
+
+    When to use: the dim side is too big to broadcast (so AQE can't
+    convert to a broadcast join) AND the fact side has hot keys that
+    straggle a shuffle join. One hot key then spreads over
+    ``salt_buckets`` reducers at the cost of dim_rows × salt_buckets
+    replicated build rows — cheap for a dimension, fatal for a fact, so
+    never salt both sides this way (use AQE skew-join splitting when
+    both sides are large). The fact salt derives from a row expression,
+    NOT rand(): replays under at-least-once delivery must salt
+    identically.
+
+    A `shuffle_hash` hint pins the intended physical strategy (sort-merge
+    would also work; broadcast would make salting pointless — if the dim
+    broadcasts, just broadcast it).
+    """
+    salt_src = salt_on or fact_key
+    f = with_salt(fact, salt_buckets, salt_src)
+    d = dim.withColumn(
+        "_dsalt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    joined = f.join(
+        d.hint("shuffle_hash"),
+        (F.col(fact_key) == F.col(dim_key)) & (F.col("_salt") == F.col("_dsalt")),
+        how,
+    )
+    return joined.drop("_salt", "_dsalt")

@@ -1,0 +1,105 @@
+"""Temporal/CDC operators: SCD-2 state compaction and per-key rolling
+features (north-star additions — the reference connector streams change
+events INTO a warehouse; these are the warehouse-side shapes those
+events feed: slowly-changing-dimension history and time-series
+featurization).
+
+Scale notes (100 TB): both operators are single-shuffle shapes — one
+exchange on the entity key, then window functions evaluated inside each
+partition in one sort. Run lengths and window frames never cross the
+key boundary, so partition width is bounded by per-entity history, and
+skewed entities are the usual salting candidates upstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_compact(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    attr_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Compact an event stream into SCD-2 validity intervals → (key,
+    run_id, state, valid_from, valid_to, is_current, n_events).
+
+    Consecutive events (per key, ordered by ``ts_col`` then
+    ``tiebreak_col`` for a total order) carrying the same ``attr_col``
+    collapse into one run; each run becomes a versioned dimension row
+    whose interval is [its first event, the next run's first event), the
+    classic gaps-and-islands → type-2 history build that a CDC pipeline
+    performs downstream of the connector. The final run per key has
+    ``valid_to`` NULL and ``is_current`` 1.
+
+    Plan: lag → running sum (island numbering) → groupBy(key, run) →
+    lead. All windows share the one (key)-partitioned sort; the groupBy
+    shuffles run rows keyed on the same key.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    prev = F.lag(attr_col).over(w)
+    marked = df.withColumn(
+        "_new", F.when(prev.isNull() | (prev != F.col(attr_col)), 1).otherwise(0)
+    )
+    run = F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    runs = marked.withColumn("_run", run)
+    g = runs.groupBy(key_col, "_run").agg(
+        F.max(attr_col).alias("state"),  # constant within a run
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy(key_col).orderBy("_run")
+    nxt = F.lead("valid_from").over(w2)
+    return g.select(
+        key_col,
+        F.col("_run").cast("long").alias("run_id"),
+        "state",
+        "valid_from",
+        nxt.alias("valid_to"),
+        nxt.isNull().cast("int").alias("is_current"),
+        "n_events",
+    )
+
+
+def rolling_features(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    tiebreak_col: str = "event_id",
+    window_rows: int = 5,
+) -> DataFrame:
+    """Per-key ordered rolling features over an event stream: appends
+    (seq, moving_avg, delta_prev, micros_since_prev) to every row.
+
+    - ``seq``: 1-based event index per key,
+    - ``moving_avg``: mean of ``val_col`` over the trailing
+      ``window_rows`` rows (current inclusive), rounded to 6 dp,
+    - ``delta_prev``: value change vs the previous event (6 dp),
+    - ``micros_since_prev``: exact integer microseconds since the
+      previous event (NULL on the first).
+
+    Determinism: the moving sum runs over DECIMAL(18,6) — decimal
+    addition is exact and associative, so the engine's frame-evaluation
+    strategy (running sum vs segment tree) cannot perturb low bits the
+    way a double sum can; the single cast-to-double + divide + round
+    happens once per row. Time deltas use integer epoch-microseconds
+    (``unix_micros``) — no float timestamps anywhere.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    frame = w.rowsBetween(-(window_rows - 1), 0)
+    dec = F.col(val_col).cast("decimal(18,6)")
+    mavg = F.round(
+        F.sum(dec).over(frame).cast("double") / F.count(F.lit(1)).over(frame), 6
+    )
+    micros = F.unix_micros(F.col(ts_col))
+    return df.select(
+        "*",
+        F.row_number().over(w).cast("long").alias("seq"),
+        mavg.alias("moving_avg"),
+        F.round(F.col(val_col) - F.lag(val_col).over(w), 6).alias("delta_prev"),
+        (micros - F.lag(micros).over(w)).alias("micros_since_prev"),
+    )

@@ -2,3 +2,4 @@ from kafka_sink_azure_kusto_spark.plans.registry import QUERIES, oracle_sql, que
 import kafka_sink_azure_kusto_spark.plans.registry_northstar  # noqa: E402,F401 — registers north-star queries
 import kafka_sink_azure_kusto_spark.plans.registry_extras  # noqa: E402,F401 — sessionization/skew/sql/streaming
 import kafka_sink_azure_kusto_spark.plans.registry_curation  # noqa: E402,F401 — sampling/packing/parquet staging
+import kafka_sink_azure_kusto_spark.plans.registry_r5  # noqa: E402,F401 — segment dedup/bloom/splits/SCD2/rolling/salted join

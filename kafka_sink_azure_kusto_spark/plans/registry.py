@@ -84,43 +84,62 @@ _GATE_PRIORITY = [
     # oracle; by r4 it sat past the 50-entry gate window) — first, so the
     # driver finally records the hard signal (VERDICT r4 next-round #1).
     "streaming_sink_roundtrip",
-    # r5: queries whose fixtures/impl changed this round (wire-format
-    # message-indexes + avro fallback) or that are new this round.
-    "registry_wire_decode",
+    # r5: new this round (segment dedup, Bloom decontamination,
+    # leakage-safe splits, SemDeDup cells, SCD-2, rolling features,
+    # salted join, residual IVF-PQ, wire-format message-indexes).
+    "segment_dedup",
+    "contamination_bloom_prefilter",
+    "leakage_safe_split",
+    "dedup_semantic_cells",
+    "scd2_user_state_history",
+    "events_rolling_features",
+    "skew_salted_join",
     "similarity_ivf_pq_residual_topk",
-    # r4 backlog rotation (previously judge-verified only)
-    "avro_container_encode",
-    "deterministic_sample",
-    "stratified_sample",
-    "sequence_packing",
-    "sequence_pack_texts",
-    "asof_join_attribution",
-    "range_join_sessions",
-    "embedding_quantize_int8",
-    "parquet_stage_roundtrip",
-    "contamination_ngram_overlap",
-    "text_repetition_stats",
-    "domain_mix_rebalance",
-    "document_chunking",
-    "token_budget_selection",
-    "tfidf_top_terms",
-    "embedding_label_centroids",
-    "inverted_index_postings",
-    "contamination_near_dup",
-    "unigram_logprob_score",
-    "corpus_shuffle_index",
-    "semantic_outlier_score",
-    "dedup_keep_best",
-    "pii_redact",
-    # new in r4
-    "dedup_minhash_lsh_capped",
+    "registry_wire_decode",
+    # r5 backlog rotation: everything NOT in the r4 driver gate (all
+    # were judge-replica-exact; this re-earns driver-green rows).
+    "event_time_windows",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_cc_clusters",
+    "dedup_embedding_cosine",
+    "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
+    "similarity_lsh_bucketed",
+    "text_fingerprint",
+    "text_token_counts",
+    "text_language_id",
+    "corpus_language_stats",
+    "text_quality",
+    "text_rolling_fingerprint",
+    "text_quality_score",
+    "multimodal_decode",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "events_sessionization",
+    "skew_salted_agg",
+    "sql_passthrough",
+    "deserialization_dlq_split",
+    "semi_join_active_customers",
+    "anti_join_dormant_customers",
+    "set_ops_users",
+    "distinct_user_counts",
+    "kusto_type_roundtrip",
+    "dynamic_variant_extract",
+    "rollup_region_nation",
+    "pivot_event_counts",
+    "percentile_order_values",
+    # r4-green anchors filling the remaining gate slots
+    "flagship_pack_all",
     "curation_pipeline",
-    "similarity_ivf_multiprobe",
-    "bm25_topk",
-    "embedding_pq_codes",
-    "embedding_pq_adc_topk",
+    "dedup_minhash_lsh_capped",
     "similarity_ivf_pq_topk",
-    "similarity_ann_rerank",
+    "sequence_packing",
+    "offset_ledger",
+    "q1_pricing_summary",
+    "file_assignment",
 ]
 
 

@@ -1,0 +1,252 @@
+"""Round-5 north-star queries: corpus boilerplate removal, Bloom-gated
+decontamination, leakage-safe splits, SemDeDup cells, CDC/SCD-2
+compaction, rolling time-series features, and the salted-join skew
+pattern. Every oracle runs the literally-same arithmetic (md5
+fingerprints, decimal sums, integer epoch-micros) as the Spark plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_sink_azure_kusto_spark.functions import dedup as D
+from kafka_sink_azure_kusto_spark.functions.corpus import (
+    contamination_overlap_bloom,
+    segment_dedup,
+)
+from kafka_sink_azure_kusto_spark.functions.sampling import md5_unit_interval_sql
+from kafka_sink_azure_kusto_spark.operators.skew import salted_replicated_join
+from kafka_sink_azure_kusto_spark.operators.timeline import (
+    rolling_features,
+    scd2_compact,
+)
+from kafka_sink_azure_kusto_spark.plans.registry import _REGISTRY, register
+from kafka_sink_azure_kusto_spark.plans.registry_curation import _ngram_cte
+from kafka_sink_azure_kusto_spark.sources.tables import load_table
+
+
+@register(
+    "segment_dedup",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    segs AS (SELECT doc_id, CAST(s AS INT) AS seg_id,
+                    CAST(ceil(len(ws) / 8.0) AS BIGINT) AS nseg,
+                    array_to_string(ws[(s*8+1):(s*8+8)], ' ') AS seg
+             FROM (SELECT doc_id, ws,
+                          unnest(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS s
+                   FROM t)),
+    hot AS (SELECT md5(seg) AS h FROM segs GROUP BY md5(seg)
+            HAVING count(*) >= 2),
+    kept AS (SELECT * FROM segs WHERE md5(seg) NOT IN (SELECT h FROM hot))
+    SELECT doc_id,
+           string_agg(seg, ' ' ORDER BY seg_id) AS clean_text,
+           CAST(max(nseg) AS BIGINT) AS n_segments,
+           CAST(max(nseg) - count(*) AS BIGINT) AS n_dropped
+    FROM kept GROUP BY doc_id
+    """,
+)
+def segment_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated-segment (boilerplate) removal — the C4 rule
+    (discard any repeated span) over 8-token tumbling segments, with
+    document reconstruction. Hot fingerprints broadcast into an
+    anti-join; the only corpus-sized exchanges are the fingerprint count
+    and the doc reassembly (functions/corpus.segment_dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return segment_dedup(docs, seg_tokens=8, max_occurrences=2)
+
+
+@register(
+    "contamination_bloom_prefilter",
+    f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    {_ngram_cte("g", 5)},
+    d AS (SELECT DISTINCT doc_id, ng FROM g),
+    b AS (SELECT DISTINCT ng FROM d WHERE doc_id % 25 = 0),
+    hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+             FROM d JOIN b USING (ng) GROUP BY doc_id)
+    SELECT doc.doc_id,
+           COALESCE(h.n_overlap, 0) AS n_overlap,
+           CAST(COALESCE(h.n_overlap, 0) > 0 AS INT) AS contaminated
+    FROM documents doc LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def contamination_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with a Bloom-bitmap prefilter (every 25th doc as
+    the benchmark, 5-grams): the bitmap build is one fixed-width bit_or
+    aggregation, the probe is k broadcast joins in the corpus scan
+    stage, and only Bloom-positive candidates reach the exact verify —
+    the 100 TB shape when the benchmark n-gram set itself is too big to
+    broadcast raw. Bloom has no false negatives, so the oracle is the
+    plain exact-intersection query (functions/bloom + corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    return contamination_overlap_bloom(docs, bench, n=5, num_bits=1 << 20)
+
+
+@register("leakage_safe_split", None)  # oracle attached below (needs minhash SQL)
+def leakage_safe_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster-aware train/val/test split (80/10/10): every
+    member of a connected near-dup component gets the split of its
+    canonical id, so a duplicate family can never straddle the
+    train/eval boundary (the leakage a naive per-doc hash split causes).
+    Pair graph + components identical to dedup_cc_clusters; assignment
+    is the md5-unit-interval of cluster_id (functions/dedup)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, num_hashes=16, num_bands=4, k=3, jaccard_threshold=0.5
+    )
+    return D.leakage_safe_split(docs, pairs, salt="split1")
+
+
+_U_SPLIT = md5_unit_interval_sql("cluster_id", salt="split1")
+
+_REGISTRY["leakage_safe_split"] = (
+    _REGISTRY["leakage_safe_split"][0],
+    f"""
+    WITH RECURSIVE pairs0 AS (
+      SELECT left_id, right_id FROM ({_REGISTRY['dedup_minhash_lsh'][1]})
+    ),
+    edges AS (
+      SELECT left_id AS a, right_id AS b FROM pairs0
+      UNION
+      SELECT right_id AS a, left_id AS b FROM pairs0
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.a AS id, reach.r FROM edges e JOIN reach ON e.b = reach.id
+    ),
+    cl AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT doc_id, cluster_id,
+           CASE WHEN {_U_SPLIT} < 0.8 THEN 'train'
+                WHEN {_U_SPLIT} < 0.9 THEN 'val'
+                ELSE 'test' END AS split
+    FROM cl
+    """,
+)
+
+
+@register(
+    "dedup_semantic_cells",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id < 4000),
+    d AS (SELECT DISTINCT r.vec_id
+          FROM e l JOIN e r ON l.label = r.label AND l.vec_id < r.vec_id
+          WHERE list_dot_product(l.v, r.v) /
+                (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v)))
+                >= 0.45)
+    SELECT e.vec_id, e.label AS cell,
+           CAST(e.vec_id NOT IN (SELECT vec_id FROM d) AS INT) AS is_kept
+    FROM e
+    """,
+)
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: within each coarse cell (the
+    precomputed label; k-means at scale) drop vectors with a smaller-id
+    neighbor at cosine ≥ 0.45 — the one-pass parallel approximation of
+    the sequential greedy. The pair join is within-cell only, so the
+    quadratic cost is bounded by cell size, never corpus size
+    (functions/dedup.semantic_dedup_cells). Sub-corpus vec_id < 4000
+    keeps the gate's all-pairs oracle cheap; semantics are scale-free."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 4000)
+    return D.semantic_dedup_cells(emb, threshold=0.45)
+
+
+@register(
+    "scd2_user_state_history",
+    """
+    WITH m AS (SELECT user_id, event_id, ts, event_type,
+                      CASE WHEN LAG(event_type) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id)
+                           IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS newrun
+               FROM events),
+    r AS (SELECT *, SUM(newrun) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+          FROM m),
+    g AS (SELECT user_id, run, MAX(event_type) AS state,
+                 MIN(ts) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM r GROUP BY user_id, run)
+    SELECT user_id, CAST(run AS BIGINT) AS run_id, state, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to,
+           CAST(LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run)
+                IS NULL AS INT) AS is_current,
+           n_events
+    FROM g
+    """,
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 history build from the event stream: consecutive
+    same-event_type runs per user collapse to versioned validity
+    intervals [first event, next run's first event), final run open
+    (is_current=1). Gaps-and-islands + lead — one shuffle on user_id,
+    every window sharing that sort (operators/timeline.scd2_compact)."""
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_compact(ev)
+
+
+@register(
+    "events_rolling_features",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / COUNT(*) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS moving_avg,
+           round(value - LAG(value) OVER w, 6) AS delta_prev,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS micros_since_prev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def events_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling time-series features: trailing-5 moving average
+    (decimal-exact sum, so frame-evaluation strategy can't perturb
+    bits), delta vs previous event, exact integer microseconds since the
+    previous event. One user_id shuffle, all windows in one sort
+    (operators/timeline.rolling_features)."""
+    ev = load_table(spark, sf_dir, "events")
+    return rolling_features(ev).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "seq",
+        "moving_avg",
+        "delta_prev",
+        "micros_since_prev",
+    )
+
+
+@register(
+    "skew_salted_join",
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted replicated join (operators/skew.salted_replicated_join):
+    fact side salted on o_orderkey, dim side replicated 8×, shuffle-hash
+    hinted — the hot-key mitigation when the dim is too big to broadcast.
+    Row-identical to the plain join (the oracle), only the physical
+    distribution changes."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    joined = salted_replicated_join(
+        orders, customer, "o_custkey", "c_custkey", salt_buckets=8,
+        salt_on="o_orderkey",
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )

@@ -1,0 +1,246 @@
+"""Round-5 operators: Bloom build/probe, segment dedup, leakage-safe
+splits, SemDeDup cells, SCD-2 compaction, rolling features, salted
+replicated join."""
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kafka_sink_azure_kusto_spark.functions.bloom import bloom_build, bloom_probe
+from kafka_sink_azure_kusto_spark.functions.corpus import (
+    contamination_overlap_bloom,
+    segment_dedup,
+)
+from kafka_sink_azure_kusto_spark.functions.dedup import (
+    leakage_safe_split,
+    semantic_dedup_cells,
+)
+from kafka_sink_azure_kusto_spark.operators.skew import salted_replicated_join
+from kafka_sink_azure_kusto_spark.operators.timeline import (
+    rolling_features,
+    scd2_compact,
+)
+
+
+# ------------------------------------------------------------------- bloom
+def test_bloom_no_false_negatives(spark):
+    keys = spark.createDataFrame([(f"key-{i}",) for i in range(200)], ["k"])
+    bm = bloom_build(keys, "k", num_bits=1 << 12, num_hashes=3)
+    probed = bloom_probe(keys, bm, "k", num_bits=1 << 12, num_hashes=3)
+    assert probed.filter(~F.col("bloom_maybe")).count() == 0
+
+
+def test_bloom_rejects_most_absent_keys(spark):
+    keys = spark.createDataFrame([(f"key-{i}",) for i in range(100)], ["k"])
+    bm = bloom_build(keys, "k", num_bits=1 << 14, num_hashes=3)
+    absent = spark.createDataFrame([(f"other-{i}",) for i in range(500)], ["k"])
+    probed = bloom_probe(absent, bm, "k", num_bits=1 << 14, num_hashes=3)
+    fp = probed.filter(F.col("bloom_maybe")).count()
+    # 100 keys in 2^14 bits with k=3 → FP rate well under 1%; allow slack
+    assert fp < 25
+
+
+def test_bloom_bitmap_is_compact(spark):
+    keys = spark.createDataFrame([(f"key-{i}",) for i in range(1000)], ["k"])
+    bm = bloom_build(keys, "k", num_bits=1 << 12, num_hashes=3)
+    assert bm.count() <= (1 << 12) // 64
+
+
+def test_bloom_build_rejects_bad_num_bits(spark):
+    keys = spark.createDataFrame([("a",)], ["k"])
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom_build(keys, "k", num_bits=100)
+
+
+def test_contamination_bloom_matches_exact(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),
+            (1, "alpha beta gamma delta zeta"),
+            (2, "one two three four five"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = docs.filter(F.col("doc_id") == 0)
+    out = {
+        r["doc_id"]: (r["n_overlap"], r["contaminated"])
+        for r in contamination_overlap_bloom(
+            docs, bench, n=4, num_bits=1 << 10
+        ).collect()
+    }
+    # doc0 shares both its 4-grams with itself; doc1 shares "alpha beta
+    # gamma delta"; doc2 shares nothing
+    assert out[0] == (2, 1)
+    assert out[1] == (1, 1)
+    assert out[2] == (0, 0)
+
+
+# ---------------------------------------------------------- segment dedup
+def test_segment_dedup_drops_repeated_segment(spark):
+    boiler = "nav home about contact login search help terms"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (0, boiler + " unique content zero only here now yes ok"),
+            (1, boiler + " other words one two three four five six"),
+            (2, "fully original text with no repeats at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in segment_dedup(docs, seg_tokens=8).collect()}
+    assert out[0]["clean_text"] == "unique content zero only here now yes ok"
+    assert out[0]["n_segments"] == 2 and out[0]["n_dropped"] == 1
+    assert out[1]["clean_text"].startswith("other words")
+    assert out[2]["n_dropped"] == 0
+    assert out[2]["clean_text"] == "fully original text with no repeats at all"
+
+
+def test_segment_dedup_doc_fully_boilerplate_vanishes(spark):
+    b = "a b c d e f g h"
+    docs = spark.createDataFrame(
+        [(0, b), (1, b), (2, "x y z only once here")], ["doc_id", "text"]
+    )
+    out = segment_dedup(docs, seg_tokens=8).collect()
+    ids = {r["doc_id"] for r in out}
+    assert ids == {2}
+
+
+def test_segment_dedup_preserves_order(spark):
+    # repeated middle segment must be cut out, outer order preserved
+    rep = "r1 r2 r3 r4 r5 r6 r7 r8"
+    docs = spark.createDataFrame(
+        [
+            (0, "s1 s2 s3 s4 s5 s6 s7 s8 " + rep + " t1 t2 t3 t4 t5 t6 t7 t8"),
+            (1, rep),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in segment_dedup(docs, seg_tokens=8).collect()}
+    assert out[0]["clean_text"] == "s1 s2 s3 s4 s5 s6 s7 s8 t1 t2 t3 t4 t5 t6 t7 t8"
+
+
+# ------------------------------------------------------ leakage-safe split
+def test_leakage_safe_split_cluster_members_share_split(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], ["left_id", "right_id"]
+    )
+    out = leakage_safe_split(nodes, edges, salt="t")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[0]["split"] == rows[1]["split"] == rows[2]["split"]
+    assert rows[5]["split"] == rows[6]["split"]
+    assert rows[0]["cluster_id"] == rows[2]["cluster_id"] == 0
+    assert {r["split"] for r in rows.values()} <= {"train", "val", "test"}
+
+
+def test_leakage_safe_split_bad_fractions_raise(spark):
+    nodes = spark.createDataFrame([(0,)], ["doc_id"])
+    edges = spark.createDataFrame([], "left_id long, right_id long")
+    with pytest.raises(ValueError, match="sum to 1"):
+        leakage_safe_split(nodes, edges, fractions=[("train", 0.5), ("val", 0.1)])
+
+
+# ------------------------------------------------------- semantic dedup
+def test_semantic_dedup_cells_drops_within_cell_only(spark):
+    rows = [
+        # cell 0: v0 and v1 identical (cos 1.0) → v1 dropped; v2 orthogonal
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [1.0, 0.0]),
+        (2, 0, [0.0, 1.0]),
+        # cell 1: identical to v0 but in ANOTHER cell → kept (within-cell rule)
+        (3, 1, [1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    out = {r["vec_id"]: r["is_kept"] for r in semantic_dedup_cells(emb, threshold=0.9).collect()}
+    assert out == {0: 1, 1: 0, 2: 1, 3: 1}
+
+
+def test_semantic_dedup_one_pass_overdrops_documented(spark):
+    # chain a~b, b~c, a!~c: one-pass drops BOTH b and c (b shadows c even
+    # though b itself is dropped) — the documented conservative behavior
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [0.9, 0.4359]),  # cos(v0,v1) ≈ 0.9
+        (2, 0, [0.62, 0.7846]),  # cos(v1,v2) ≈ 0.9, cos(v0,v2) ≈ 0.62
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    out = {r["vec_id"]: r["is_kept"] for r in semantic_dedup_cells(emb, threshold=0.85).collect()}
+    assert out == {0: 1, 1: 0, 2: 0}
+
+
+# ------------------------------------------------------------------ SCD-2
+def _ts(s):
+    return datetime.datetime(2026, 1, 1) + datetime.timedelta(seconds=s)
+
+
+def test_scd2_compact_runs_and_intervals(spark):
+    rows = [
+        Row(user_id=1, event_id=1, ts=_ts(0), event_type="view"),
+        Row(user_id=1, event_id=2, ts=_ts(10), event_type="view"),
+        Row(user_id=1, event_id=3, ts=_ts(20), event_type="click"),
+        Row(user_id=1, event_id=4, ts=_ts(30), event_type="view"),
+        Row(user_id=2, event_id=5, ts=_ts(5), event_type="purchase"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = scd2_compact(df).orderBy("user_id", "run_id").collect()
+    u1 = [r for r in out if r["user_id"] == 1]
+    assert [r["state"] for r in u1] == ["view", "click", "view"]
+    assert [r["n_events"] for r in u1] == [2, 1, 1]
+    assert u1[0]["valid_from"] == _ts(0) and u1[0]["valid_to"] == _ts(20)
+    assert u1[1]["valid_to"] == _ts(30)
+    assert u1[2]["valid_to"] is None and u1[2]["is_current"] == 1
+    u2 = [r for r in out if r["user_id"] == 2]
+    assert len(u2) == 1 and u2[0]["is_current"] == 1
+
+
+def test_scd2_compact_ts_tie_broken_by_event_id(spark):
+    rows = [
+        Row(user_id=1, event_id=2, ts=_ts(0), event_type="b"),
+        Row(user_id=1, event_id=1, ts=_ts(0), event_type="a"),
+    ]
+    out = scd2_compact(spark.createDataFrame(rows)).orderBy("run_id").collect()
+    assert [r["state"] for r in out] == ["a", "b"]
+
+
+# -------------------------------------------------------- rolling features
+def test_rolling_features_values(spark):
+    rows = [
+        Row(user_id=1, event_id=i, ts=_ts(i * 10), value=float(i)) for i in range(1, 8)
+    ]
+    out = (
+        rolling_features(spark.createDataFrame(rows), window_rows=3)
+        .orderBy("seq")
+        .collect()
+    )
+    assert [r["seq"] for r in out] == list(range(1, 8))
+    # trailing-3 means of 1..7
+    assert out[0]["moving_avg"] == 1.0
+    assert out[1]["moving_avg"] == 1.5
+    assert out[4]["moving_avg"] == 4.0  # mean(3,4,5)
+    assert out[1]["delta_prev"] == 1.0
+    assert out[0]["delta_prev"] is None
+    assert out[0]["micros_since_prev"] is None
+    assert out[1]["micros_since_prev"] == 10_000_000
+
+
+# ------------------------------------------------------------ salted join
+def test_salted_replicated_join_matches_plain_join(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    salted = salted_replicated_join(
+        orders, customer, "o_custkey", "c_custkey", salt_buckets=4
+    )
+    plain = orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+    assert salted.count() == plain.count()
+    s = salted.groupBy("c_mktsegment").count().orderBy("c_mktsegment").collect()
+    p = plain.groupBy("c_mktsegment").count().orderBy("c_mktsegment").collect()
+    assert s == p
+
+
+def test_salted_replicated_join_left_outer(spark):
+    fact = spark.createDataFrame([(1, "a"), (2, "b"), (99, "c")], ["k", "fv"])
+    dim = spark.createDataFrame([(1, "x"), (2, "y")], ["dk", "dv"])
+    out = salted_replicated_join(fact, dim, "k", "dk", salt_buckets=3, how="left")
+    rows = {r["k"]: r["dv"] for r in out.collect()}
+    assert rows == {1: "x", 2: "y", 99: None}
