@@ -63,6 +63,15 @@ HEADLINE = [
     "curation_pipeline",
     # r5: residual IVF-PQ (the IndexIVFPQ-style retrieval stack)
     "similarity_ivf_pq_residual_topk",
+    # r5: segment dedup, Bloom decontamination, leakage-safe split,
+    # SemDeDup cells, SCD-2, rolling features, salted join
+    "segment_dedup",
+    "contamination_bloom_prefilter",
+    "leakage_safe_split",
+    "dedup_semantic_cells",
+    "scd2_user_state_history",
+    "events_rolling_features",
+    "skew_salted_join",
 ]
 
 
