@@ -72,6 +72,9 @@ HEADLINE = [
     "scd2_user_state_history",
     "events_rolling_features",
     "skew_salted_join",
+    "quality_percentile_gate",
+    "dedup_incremental",
+    "funnel_conversion",
 ]
 
 
@@ -164,12 +167,16 @@ def _scale100x_timings(spark, sf_dir: str) -> dict:
         df.write.format("noop").mode("overwrite").save()
         return round(time.perf_counter() - t0, 3)
 
+    from kafka_sink_azure_kusto_spark.functions import corpus as C
+
     base_docs = load_table(spark, sf_dir, "documents")
     minhash: dict[int, float] = {}
+    seg: dict[int, float] = {}
     for n in (5_000, 50_000):
         docs = synth_docs(spark, base_docs, n).cache()
         docs.count()
         minhash[n] = timed(D.minhash_lsh_pairs(docs, jaccard_threshold=0.5))
+        seg[n] = timed(C.segment_dedup(docs))
         docs.unpersist()
     ivf: dict[int, float] = {}
     for n in (5_000, 50_000):
@@ -189,6 +196,10 @@ def _scale100x_timings(spark, sf_dir: str) -> dict:
     out["similarity_topk_ivf"] = {
         "sec_10x": ivf[5_000], "sec_100x": ivf[50_000],
         "scaling_exponent": exponent(ivf),  # ~0 = flat
+    }
+    out["segment_dedup"] = {
+        "sec_10x": seg[5_000], "sec_100x": seg[50_000],
+        "scaling_exponent": exponent(seg),  # ~1.0 = linear (no pair blowup)
     }
     return out
 

@@ -15,7 +15,7 @@ Scale design (the 100 TB contract):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kafka_sink_azure_kusto_spark.functions.text import fingerprint, tokens
@@ -661,3 +661,38 @@ def semantic_dedup_cells(
             (F.coalesce(F.col("_dropped"), F.lit(0)) == 0).cast("int").alias("is_kept"),
         )
     )
+
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    history: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Continuous-ingest dedup: classify each NEW-batch document against
+    the already-ingested corpus AND within its own batch → (id, status)
+    with status ∈ {'dup_of_history', 'dup_in_batch', 'unique'}.
+
+    History wins over in-batch (a doc matching both is 'dup_of_history');
+    within the batch the smallest id is the keeper ('unique'), later
+    copies are 'dup_in_batch'. Exact fingerprint = md5 of the text.
+
+    Scale shape: the join shuffles on the fingerprint — the BATCH side
+    is the small daily increment, so the cost driver is re-shuffling the
+    history fingerprint set every run. At 100 TB don't: persist history
+    fingerprints as a bucketed table on fp (`operators/bucketing`) so
+    only the batch side exchanges, or put a Bloom bitmap of history fps
+    in front (`functions/bloom`) and exact-join only Bloom-positive
+    batch rows. The in-batch window shuffles batch rows only.
+    """
+    fp = F.md5(F.col(text_col))
+    b = batch.select(F.col(id_col), fp.alias("_fp"))
+    h = history.select(fp.alias("_fp")).distinct().withColumn("_inh", F.lit(1))
+    w = Window.partitionBy("_fp").orderBy(id_col)
+    b2 = b.withColumn("_rn", F.row_number().over(w))
+    status = (
+        F.when(F.col("_inh") == 1, "dup_of_history")
+        .when(F.col("_rn") > 1, "dup_in_batch")
+        .otherwise("unique")
+    )
+    return b2.join(h, "_fp", "left").select(id_col, status.alias("status"))

@@ -22,7 +22,7 @@ Salting (``salt``) decorrelates independent samples over the same keys.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # 16^8 — the first 8 md5 hex digits as an integer's value range.
@@ -84,3 +84,36 @@ def stratified_sample(
     for value, f in sorted(fractions.items()):
         frac = F.when(F.col(stratum_col) == value, F.lit(f)).otherwise(frac)
     return df.filter(md5_unit_interval(F.col(key_col), salt) < frac)
+
+
+def percentile_gate(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    keep_frac: float = 0.3,
+    tiebreak_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top ``keep_frac`` of each group by ``score_col`` —
+    appends ``pct_rank`` (percent_rank within group, 0 = best) and
+    ``kept`` (0/1). The DCLM/FineWeb-style move: a quality classifier
+    scores every document, then each SOURCE keeps its own top slice so
+    one high-scoring domain can't crowd out the rest of the mixture.
+
+    Ranking orders by (score DESC, tiebreak ASC) — the tiebreak makes
+    every position unique, so percent_rank is a pure function of the
+    data (ties broken identically on any engine/partitioning) and the
+    kept set is reproducible. One shuffle on the group key; the window
+    sort is per-group.
+
+    ``keep_frac`` is a boundary on percent_rank ∈ [0, 1] (rank−1)/(n−1):
+    a group of n rows keeps floor(keep_frac·(n−1))+1 rows.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(tiebreak_col).asc()
+    )
+    pr = F.percent_rank().over(w)
+    return df.select(
+        "*",
+        F.round(pr, 6).alias("pct_rank"),
+        (pr <= keep_frac).cast("int").alias("kept"),
+    )

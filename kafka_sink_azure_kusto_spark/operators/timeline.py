@@ -103,3 +103,46 @@ def rolling_features(
         F.round(F.col(val_col) - F.lag(val_col).over(w), 6).alias("delta_prev"),
         (micros - F.lag(micros).over(w)).alias("micros_since_prev"),
     )
+
+
+def funnel_stages(
+    df: DataFrame,
+    steps: "tuple[str, ...]" = ("view", "click", "purchase"),
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: for each key, the first time it reached
+    each step IN ORDER (step i counts only strictly after step i−1's
+    first completion) → (key, ts_<step>…, funnel_stage).
+
+    ``funnel_stage`` is the number of consecutive steps completed (0 =
+    never did step 1). A click before any view does NOT open the click
+    stage — that ordering constraint is what distinguishes a funnel from
+    per-type min(ts) and what makes the metric resistant to
+    out-of-order/replayed events.
+
+    Plan: one aggregation + left join PER STEP, every one keyed on
+    ``key_col`` — after the first exchange the joins are co-partitioned,
+    so step count adds map-side work, not new shuffle width.
+    """
+    base = df.select(key_col).distinct()
+    out = base
+    prev = None
+    for step in steps:
+        ev = df.filter(F.col(type_col) == step)
+        if prev is not None:
+            ev = ev.join(
+                out.select(key_col, prev).filter(F.col(prev).isNotNull()), key_col
+            ).filter(F.col(ts_col) > F.col(prev))
+        t = ev.groupBy(key_col).agg(F.min(ts_col).alias(f"ts_{step}"))
+        out = out.join(t, key_col, "left")
+        prev = f"ts_{step}"
+    # forward build: each later step's WHEN wraps the earlier chain, so
+    # the deepest completed step is checked first in the final CASE
+    stage = F.lit(0)
+    for idx, step in enumerate(steps, start=1):
+        stage = F.when(F.col(f"ts_{step}").isNotNull(), F.lit(idx)).otherwise(stage)
+    return out.select(
+        key_col, *[f"ts_{s}" for s in steps], stage.cast("int").alias("funnel_stage")
+    )

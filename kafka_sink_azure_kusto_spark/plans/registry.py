@@ -94,6 +94,9 @@ _GATE_PRIORITY = [
     "scd2_user_state_history",
     "events_rolling_features",
     "skew_salted_join",
+    "quality_percentile_gate",
+    "dedup_incremental",
+    "funnel_conversion",
     "similarity_ivf_pq_residual_topk",
     "registry_wire_decode",
     # r5 backlog rotation: everything NOT in the r4 driver gate (all
@@ -137,9 +140,6 @@ _GATE_PRIORITY = [
     "dedup_minhash_lsh_capped",
     "similarity_ivf_pq_topk",
     "sequence_packing",
-    "offset_ledger",
-    "q1_pricing_summary",
-    "file_assignment",
 ]
 
 

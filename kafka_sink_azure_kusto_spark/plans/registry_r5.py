@@ -250,3 +250,117 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+# Shared quality-score CTE (identical expression tree to
+# text_quality_score's oracle) for the percentile gate.
+from kafka_sink_azure_kusto_spark.plans.registry_northstar import _SW_COUNT  # noqa: E402
+
+_QUAL_CTE = f"""
+    f AS (SELECT doc_id, source,
+                 len(string_split(text, ' ')) AS q_tokens,
+                 CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                      AS DOUBLE) / length(text) AS q_punct_ratio,
+                 CAST({_SW_COUNT['en']} AS DOUBLE) / len(string_split(text, ' '))
+                      AS q_stopword_ratio
+          FROM documents),
+    q AS (SELECT doc_id, source,
+                 CASE WHEN q_tokens < 5 THEN 0.0
+                      ELSE LEAST(1.0,
+                           0.4 * LEAST(1.0, q_tokens / 100.0)
+                         + 0.3 * (1.0 - LEAST(1.0, q_punct_ratio * 5.0))
+                         + 0.3 * LEAST(1.0, q_stopword_ratio * 10.0))
+                 END AS quality_score
+          FROM f)"""
+
+
+@register(
+    "quality_percentile_gate",
+    f"""
+    WITH {_QUAL_CTE}
+    SELECT doc_id, source, quality_score,
+           round(PERCENT_RANK() OVER
+                 (PARTITION BY source
+                  ORDER BY quality_score DESC, doc_id ASC), 6) AS pct_rank,
+           CAST(PERCENT_RANK() OVER
+                 (PARTITION BY source
+                  ORDER BY quality_score DESC, doc_id ASC) <= 0.3 AS INT) AS kept
+    FROM q
+    """,
+)
+def quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality gating (DCLM/FineWeb shape): score every doc,
+    keep each source's own top 30% so one high-scoring domain can't
+    crowd out the mixture. Deterministic ranking — (score DESC, doc_id)
+    is a total order, so percent_rank is engine-independent
+    (functions/sampling.percentile_gate over text.quality_score)."""
+    from kafka_sink_azure_kusto_spark.functions.sampling import percentile_gate
+    from kafka_sink_azure_kusto_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs).select("doc_id", "source", "quality_score")
+    return percentile_gate(scored, "quality_score", "source", keep_frac=0.3)
+
+
+@register(
+    "dedup_incremental",
+    """
+    WITH b AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 5 = 4),
+    h AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 5 <> 4),
+    r AS (SELECT doc_id, fp,
+                 ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          FROM b)
+    SELECT r.doc_id,
+           CASE WHEN h.fp IS NOT NULL THEN 'dup_of_history'
+                WHEN rn > 1 THEN 'dup_in_batch'
+                ELSE 'unique' END AS status
+    FROM r LEFT JOIN h USING (fp)
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup: classify a new batch (every 5th doc)
+    against the already-ingested corpus and within itself
+    (functions/dedup.incremental_exact_dedup). At 100 TB the history
+    fingerprint set lives as a bucketed table (operators/bucketing) or
+    behind a Bloom bitmap (functions/bloom) so only the daily batch
+    shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 4)
+    history = docs.filter(F.col("doc_id") % 5 != 4)
+    return D.incremental_exact_dedup(batch, history)
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    v AS (SELECT user_id, MIN(ts) AS ts_view FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS ts_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.ts_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS ts_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.ts_click
+          GROUP BY e.user_id)
+    SELECT u.user_id, v.ts_view, c.ts_click, p.ts_purchase,
+           CAST(CASE WHEN p.ts_purchase IS NOT NULL THEN 3
+                     WHEN c.ts_click IS NOT NULL THEN 2
+                     WHEN v.ts_view IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS funnel_stage
+    FROM u LEFT JOIN v ON u.user_id = v.user_id
+           LEFT JOIN c ON u.user_id = c.user_id
+           LEFT JOIN p ON u.user_id = p.user_id
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase per user: step i counts only
+    strictly after step i−1's first completion — the ordering constraint
+    that distinguishes a funnel from per-type min(ts). Every agg/join is
+    keyed on user_id, so the steps co-partition after one exchange
+    (operators/timeline.funnel_stages)."""
+    from kafka_sink_azure_kusto_spark.operators.timeline import funnel_stages
+
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_stages(ev)

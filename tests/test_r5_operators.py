@@ -244,3 +244,113 @@ def test_salted_replicated_join_left_outer(spark):
     out = salted_replicated_join(fact, dim, "k", "dk", salt_buckets=3, how="left")
     rows = {r["k"]: r["dv"] for r in out.collect()}
     assert rows == {1: "x", 2: "y", 99: None}
+
+
+# -------------------------------------------------------- percentile gate
+def test_percentile_gate_keeps_top_fraction(spark):
+    from kafka_sink_azure_kusto_spark.functions.sampling import percentile_gate
+
+    rows = [(i, "a", float(100 - i)) for i in range(10)] + [
+        (100 + i, "b", float(i)) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "score"])
+    out = percentile_gate(df, "score", "source", keep_frac=0.3)
+    kept_a = sorted(
+        r["doc_id"] for r in out.filter("source='a' and kept=1").collect()
+    )
+    # group a: 10 rows, ranks 0..9 → pct_rank i/9 ≤ 0.3 for i=0,1,2 →
+    # the 3 highest scores = doc_ids 0,1,2
+    assert kept_a == [0, 1, 2]
+    kept_b = sorted(
+        r["doc_id"] for r in out.filter("source='b' and kept=1").collect()
+    )
+    # group b: 4 rows → pct_rank ≤ 0.3 keeps ranks 0 (0.0) only (1/3 > 0.3)
+    assert kept_b == [103]
+    assert out.count() == 14  # flag, don't filter
+
+
+def test_percentile_gate_tie_broken_by_id(spark):
+    from kafka_sink_azure_kusto_spark.functions.sampling import percentile_gate
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "a", 1.0)], ["doc_id", "source", "score"]
+    )
+    out = {r["doc_id"]: r["pct_rank"] for r in
+           percentile_gate(df, "score", "source", 0.5).collect()}
+    assert out[1] == 0.0 and out[2] == 1.0
+
+
+# ------------------------------------------------------ incremental dedup
+def test_incremental_exact_dedup_statuses(spark):
+    from kafka_sink_azure_kusto_spark.functions.dedup import incremental_exact_dedup
+
+    history = spark.createDataFrame([(0, "old text")], ["doc_id", "text"])
+    batch = spark.createDataFrame(
+        [
+            (10, "old text"),      # in history
+            (11, "fresh one"),     # unique
+            (12, "fresh two"),     # unique, dup'd below
+            (13, "fresh two"),     # dup within batch
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["status"] for r in
+           incremental_exact_dedup(batch, history).collect()}
+    assert out == {
+        10: "dup_of_history",
+        11: "unique",
+        12: "unique",
+        13: "dup_in_batch",
+    }
+
+
+def test_incremental_dedup_history_wins_over_batch(spark):
+    from kafka_sink_azure_kusto_spark.functions.dedup import incremental_exact_dedup
+
+    history = spark.createDataFrame([(0, "t")], ["doc_id", "text"])
+    batch = spark.createDataFrame([(1, "t"), (2, "t")], ["doc_id", "text"])
+    out = {r["doc_id"]: r["status"] for r in
+           incremental_exact_dedup(batch, history).collect()}
+    # both match history — history classification wins even for the
+    # second in-batch copy
+    assert out == {1: "dup_of_history", 2: "dup_of_history"}
+
+
+# ------------------------------------------------------------------ funnel
+def test_funnel_ordering_constraint(spark):
+    from kafka_sink_azure_kusto_spark.operators.timeline import funnel_stages
+
+    rows = [
+        # user 1: full ordered funnel
+        Row(user_id=1, event_id=1, ts=_ts(0), event_type="view"),
+        Row(user_id=1, event_id=2, ts=_ts(10), event_type="click"),
+        Row(user_id=1, event_id=3, ts=_ts(20), event_type="purchase"),
+        # user 2: click BEFORE any view → stage stops at 1
+        Row(user_id=2, event_id=4, ts=_ts(0), event_type="click"),
+        Row(user_id=2, event_id=5, ts=_ts(10), event_type="view"),
+        # user 3: purchase without click → stage 1
+        Row(user_id=3, event_id=6, ts=_ts(0), event_type="view"),
+        Row(user_id=3, event_id=7, ts=_ts(10), event_type="purchase"),
+        # user 4: never viewed → stage 0
+        Row(user_id=4, event_id=8, ts=_ts(0), event_type="purchase"),
+    ]
+    out = {r["user_id"]: r for r in funnel_stages(spark.createDataFrame(rows)).collect()}
+    assert out[1]["funnel_stage"] == 3
+    assert out[2]["funnel_stage"] == 1 and out[2]["ts_click"] is None
+    assert out[3]["funnel_stage"] == 1 and out[3]["ts_purchase"] is None
+    assert out[4]["funnel_stage"] == 0 and out[4]["ts_view"] is None
+
+
+def test_funnel_strictly_after_semantics(spark):
+    from kafka_sink_azure_kusto_spark.operators.timeline import funnel_stages
+
+    rows = [
+        # click at the SAME instant as the first view does not count;
+        # a later click does
+        Row(user_id=1, event_id=1, ts=_ts(5), event_type="view"),
+        Row(user_id=1, event_id=2, ts=_ts(5), event_type="click"),
+        Row(user_id=1, event_id=3, ts=_ts(9), event_type="click"),
+    ]
+    out = funnel_stages(spark.createDataFrame(rows)).collect()[0]
+    assert out["funnel_stage"] == 2
+    assert out["ts_click"] == _ts(9)
