@@ -75,6 +75,10 @@ HEADLINE = [
     "quality_percentile_gate",
     "dedup_incremental",
     "funnel_conversion",
+    "zorder_layout_key",
+    "timeseries_gap_fill",
+    "cube_event_stats",
+    "value_histogram",
 ]
 
 

@@ -146,3 +146,53 @@ def funnel_stages(
     return out.select(
         key_col, *[f"ts_{s}" for s in steps], stage.cast("int").alias("funnel_stage")
     )
+
+
+def calendar_fill(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    step: str = "1 hour",
+) -> DataFrame:
+    """Dense time-series: aggregate per (group, time bucket) and FILL the
+    missing buckets with zeros over the corpus-wide [min, max] span →
+    (group, bucket_start, n, total_value).
+
+    Downstream window math (moving averages, lag deltas,
+    anomaly baselines) silently mis-computes over sparse series — a
+    missing hour must be a zero row, not an absent row. The dense axis
+    is built with one global min/max aggregate (1 row), a
+    sequence+explode over the span (narrow), and a cross join of the
+    tiny (groups × buckets) dimension frame against the aggregated
+    counts via a left join — the raw events are touched exactly once.
+    """
+    bucket = F.date_trunc("hour", F.col(ts_col))
+    agg = df.groupBy(F.col(group_col).alias("g"), bucket.alias("b")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(val_col).cast("decimal(18,6)")).alias("tv"),
+    )
+    span = df.select(
+        F.date_trunc("hour", F.min(ts_col)).alias("lo"),
+        F.date_trunc("hour", F.max(ts_col)).alias("hi"),
+    )
+    axis = span.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr(f"INTERVAL {step}"))
+        ).alias("bucket_start")
+    )
+    groups = df.select(F.col(group_col).alias(group_col)).distinct()
+    dims = groups.crossJoin(F.broadcast(axis))
+    return (
+        dims.join(
+            agg,
+            (dims[group_col] == agg["g"]) & (dims["bucket_start"] == agg["b"]),
+            "left",
+        )
+        .select(
+            group_col,
+            "bucket_start",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            F.coalesce(F.col("tv").cast("double"), F.lit(0.0)).alias("total_value"),
+        )
+    )

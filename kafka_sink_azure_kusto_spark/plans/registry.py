@@ -97,6 +97,10 @@ _GATE_PRIORITY = [
     "quality_percentile_gate",
     "dedup_incremental",
     "funnel_conversion",
+    "zorder_layout_key",
+    "timeseries_gap_fill",
+    "cube_event_stats",
+    "value_histogram",
     "similarity_ivf_pq_residual_topk",
     "registry_wire_decode",
     # r5 backlog rotation: everything NOT in the r4 driver gate (all
@@ -138,8 +142,6 @@ _GATE_PRIORITY = [
     "flagship_pack_all",
     "curation_pipeline",
     "dedup_minhash_lsh_capped",
-    "similarity_ivf_pq_topk",
-    "sequence_packing",
 ]
 
 

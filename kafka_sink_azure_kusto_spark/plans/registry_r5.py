@@ -364,3 +364,127 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return funnel_stages(ev)
+
+
+from kafka_sink_azure_kusto_spark.operators.layout import (  # noqa: E402
+    zorder_key,
+    zorder_sql,
+)
+
+_ZSQL = zorder_sql(["user_id", "event_id"], bits=10)
+
+
+@register(
+    "zorder_layout_key",
+    f"""
+    SELECT event_id, user_id,
+           CAST({_ZSQL} AS BIGINT) AS zkey
+    FROM events
+    """,
+)
+def zorder_layout_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user_id, event_id) — the
+    Delta/Iceberg OPTIMIZE ZORDER construction as pure codegen bit
+    arithmetic (operators/layout.zorder_key). Sorting by the single
+    interleaved key keeps parquet min/max footers tight on BOTH
+    dimensions, so filters on either column skip files at 100 TB; the
+    oracle SQL is GENERATED from the same interleave loop."""
+    ev = load_table(spark, sf_dir, "events")
+    return zorder_key(ev, ["user_id", "event_id"], bits=10).select(
+        "event_id", "user_id", "zkey"
+    )
+
+
+@register(
+    "timeseries_gap_fill",
+    """
+    WITH agg AS (SELECT event_type AS g, date_trunc('hour', ts) AS b,
+                        CAST(count(*) AS BIGINT) AS n,
+                        SUM(CAST(value AS DECIMAL(18,6))) AS tv
+                 FROM events GROUP BY 1, 2),
+    span AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+                    date_trunc('hour', MAX(ts)) AS hi FROM events),
+    axis AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                    AS bucket_start FROM span),
+    grp AS (SELECT DISTINCT event_type FROM events)
+    SELECT grp.event_type, axis.bucket_start,
+           COALESCE(agg.n, 0) AS n,
+           COALESCE(CAST(agg.tv AS DOUBLE), 0.0) AS total_value
+    FROM grp CROSS JOIN axis
+    LEFT JOIN agg ON grp.event_type = agg.g AND axis.bucket_start = agg.b
+    """,
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event_type: missing hours become explicit
+    zero rows (operators/timeline.calendar_fill) — the precondition for
+    correct moving-average/lag math downstream. Raw events aggregate
+    once; the dense axis is a broadcast-sized dimension frame."""
+    from kafka_sink_azure_kusto_spark.operators.timeline import calendar_fill
+
+    ev = load_table(spark, sf_dir, "events")
+    return calendar_fill(ev)
+
+
+@register(
+    "cube_event_stats",
+    """
+    WITH e AS (SELECT event_type, CAST(user_id % 10 AS BIGINT) AS cohort, value
+               FROM events)
+    SELECT event_type, cohort,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           CAST(GROUPING(event_type) AS INT) AS g_type,
+           CAST(GROUPING(cohort) AS INT) AS g_cohort
+    FROM e GROUP BY CUBE (event_type, cohort)
+    """,
+)
+def cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all 4 grouping sets of event_type × user
+    cohort) with per-column GROUPING flags — the OLAP rollup family
+    beyond the existing hierarchical rollup_region_nation. One shuffle;
+    Spark expands grouping sets map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type", (F.col("user_id") % 10).cast("long").alias("cohort"), "value"
+    )
+    return e.cube("event_type", "cohort").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        F.grouping("event_type").cast("int").alias("g_type"),
+        F.grouping("cohort").cast("int").alias("g_cohort"),
+    )
+
+
+@register(
+    "value_histogram",
+    """
+    SELECT event_type,
+           CAST(LEAST(GREATEST(CAST(floor(value / 10) AS INT), 0), 9) AS INT)
+               AS bucket,
+           CAST(bucket * 10 AS DOUBLE) AS lo,
+           CAST(bucket * 10 + 10 AS DOUBLE) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type, bucket
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram of event values per type (10 bins of width
+    10, clamped) — one hash aggregation, bucket arithmetic identical in
+    both engines (floor on the same double division)."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(
+        F.greatest(F.floor(F.col("value") / 10).cast("int"), F.lit(0)), F.lit(9)
+    )
+    return (
+        ev.withColumn("bucket", bucket)
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bucket",
+            (F.col("bucket") * 10).cast("double").alias("lo"),
+            (F.col("bucket") * 10 + 10).cast("double").alias("hi"),
+            "n",
+        )
+    )

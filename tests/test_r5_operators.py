@@ -354,3 +354,55 @@ def test_funnel_strictly_after_semantics(spark):
     out = funnel_stages(spark.createDataFrame(rows)).collect()[0]
     assert out["funnel_stage"] == 2
     assert out["ts_click"] == _ts(9)
+
+
+# ------------------------------------------------------------------ layout
+def test_zorder_key_interleaves_bits(spark):
+    from kafka_sink_azure_kusto_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame([(0b101, 0b011)], ["x", "y"])
+    out = zorder_key(df, ["x", "y"], bits=3).collect()[0]
+    # x bits at even positions, y bits at odd:
+    # x=101 -> bits 0,2,4 = 1,0,1 ; y=011 -> bits 1,3,5 = 1,1,0
+    # zkey (b5..b0) = 0,1,1,0,1,1 = 0b011011
+    assert out["zkey"] == 0b011011
+
+
+def test_zorder_key_locality(spark):
+    from kafka_sink_azure_kusto_spark.operators.layout import zorder_key
+
+    rows = [(x, y) for x in range(8) for y in range(8)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = {(r["x"], r["y"]): r["zkey"] for r in zorder_key(df, ["x", "y"], bits=3).collect()}
+    # quadrant property: all of [0,4)x[0,4) sorts before any of [4,8)x[4,8)
+    assert max(got[(x, y)] for x in range(4) for y in range(4)) < min(
+        got[(x, y)] for x in range(4, 8) for y in range(4, 8)
+    )
+
+
+def test_zorder_key_rejects_too_wide(spark):
+    from kafka_sink_azure_kusto_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame([(1, 1)], ["x", "y"])
+    with pytest.raises(ValueError, match="exceeds 63"):
+        zorder_key(df, ["x", "y"], bits=32)
+
+
+# --------------------------------------------------------------- gap fill
+def test_calendar_fill_zero_rows_for_missing_hours(spark):
+    from kafka_sink_azure_kusto_spark.operators.timeline import calendar_fill
+
+    rows = [
+        Row(event_type="a", ts=_ts(0), value=1.0),
+        Row(event_type="a", ts=_ts(3 * 3600), value=2.0),  # hours 1,2 missing
+        Row(event_type="b", ts=_ts(3600), value=5.0),
+    ]
+    out = calendar_fill(spark.createDataFrame(rows))
+    # span = hours 0..3, two groups -> 8 dense rows
+    assert out.count() == 8
+    a = {r["bucket_start"].hour: (r["n"], r["total_value"]) for r in
+         out.filter("event_type='a'").collect()}
+    assert a[0] == (1, 1.0) and a[1] == (0, 0.0) and a[2] == (0, 0.0)
+    assert a[3] == (1, 2.0)
+    b = {r["bucket_start"].hour: r["n"] for r in out.filter("event_type='b'").collect()}
+    assert b == {0: 0, 1: 1, 2: 0, 3: 0}
