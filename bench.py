@@ -79,6 +79,9 @@ HEADLINE = [
     "timeseries_gap_fill",
     "cube_event_stats",
     "value_histogram",
+    "kmeans_lloyd_step",
+    "bpe_pair_frequencies",
+    "text_bigram_lm_score",
 ]
 
 

@@ -792,3 +792,51 @@ def hyperplane_lsh_buckets(
         for p in range(num_planes)
     ]
     return sums.select("id", F.concat(*bits).alias("bucket"))
+
+
+def kmeans_lloyd_step(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One spherical k-means Lloyd iteration (assign → re-estimate) over
+    fixed deterministic seeds (the ``k`` smallest-id vectors) → long-form
+    new centroids (cell, dim, mean_x, n_members).
+
+    The clustering primitive behind every "cells at scale" claim in this
+    module (`assign_cells` docstrings, SemDeDup cells, IVF codebooks):
+    assignment is a broadcast of the k seed vectors scored against the
+    corpus with a struct-min argmax (deterministic tiebreak: highest
+    cosine, then smallest cell id — `max_by` alone would tie-break
+    arbitrarily), re-estimation is the same posexplode + map-side-combined
+    avg as `cell_centroids`. Cost per iteration: one corpus scan + one
+    (id)-keyed shuffle + one fixed-width (cell, dim) aggregation — the
+    MLlib iteration shape. Chain calls (feeding means back as seeds) for
+    full training; `pq_train` applies the same loop per subspace.
+    """
+    seeds = (
+        emb.orderBy(id_col)
+        .limit(k)
+        .select(F.col(id_col).alias("cell"), F.col(vec_col).alias("centroid"))
+    )
+    scored = (
+        emb.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .crossJoin(F.broadcast(seeds))
+        .withColumn("_cd", cosine(F.col("_v"), F.col("centroid")))
+    )
+    best = scored.groupBy("_id").agg(
+        F.min(
+            F.struct((-F.col("_cd")).alias("nd"), F.col("cell").alias("c"))
+        ).alias("b"),
+        F.first("_v").alias("_v"),
+    )
+    assigned = best.select(F.col("b.c").alias("cell"), F.col("_v").alias("_v"))
+    return (
+        assigned.select("cell", F.posexplode("_v").alias("dim", "x"))
+        .groupBy("cell", "dim")
+        .agg(
+            F.round(F.avg(F.col("x").cast("double")), 6).alias("mean_x"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )

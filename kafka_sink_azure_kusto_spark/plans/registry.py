@@ -101,6 +101,9 @@ _GATE_PRIORITY = [
     "timeseries_gap_fill",
     "cube_event_stats",
     "value_histogram",
+    "kmeans_lloyd_step",
+    "bpe_pair_frequencies",
+    "text_bigram_lm_score",
     "similarity_ivf_pq_residual_topk",
     "registry_wire_decode",
     # r5 backlog rotation: everything NOT in the r4 driver gate (all

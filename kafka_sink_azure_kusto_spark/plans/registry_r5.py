@@ -488,3 +488,118 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "kmeans_lloyd_step",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (SELECT vec_id AS cell, v AS c FROM e ORDER BY vec_id LIMIT 8),
+    scored AS (SELECT e.vec_id, e.v, s.cell,
+                      list_dot_product(e.v, s.c) /
+                      (sqrt(list_dot_product(e.v, e.v)) *
+                       sqrt(list_dot_product(s.c, s.c))) AS cd
+               FROM e CROSS JOIN seeds s),
+    best AS (SELECT vec_id, v, cell FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY cd DESC, cell ASC) AS rn
+               FROM scored)
+             WHERE rn = 1),
+    pd AS (SELECT cell, unnest(range(1, len(v) + 1)) AS i, v FROM best)
+    SELECT cell, CAST(i - 1 AS INT) AS dim,
+           round(AVG(v[i]), 6) AS mean_x,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM pd GROUP BY cell, i
+    """,
+)
+def kmeans_lloyd_step_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One spherical k-means Lloyd iteration (k=8, deterministic
+    smallest-id seeds): broadcast-seed assignment with struct-min argmax
+    (tie → smallest cell), posexplode + map-side-combined mean
+    re-estimation — the clustering primitive behind the IVF codebooks
+    and SemDeDup cells (functions/similarity.kmeans_lloyd_step)."""
+    from kafka_sink_azure_kusto_spark.functions.similarity import kmeans_lloyd_step
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd_step(emb, k=8)
+
+
+@register(
+    "bpe_pair_frequencies",
+    f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    {_ngram_cte("g2", 2)},
+    c AS (SELECT ng AS pair, CAST(count(*) AS BIGINT) AS n
+          FROM g2 GROUP BY ng)
+    SELECT pair, n, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, pair ASC) AS BIGINT)
+               AS rank
+    FROM c ORDER BY n DESC, pair ASC LIMIT 20
+    """,
+)
+def bpe_pair_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge-round candidate count at word granularity: corpus-
+    wide adjacent-pair frequencies, top 20 (deterministic (count DESC,
+    pair ASC) order) — the vocabulary-induction primitive. Global top-k
+    via orderBy+limit (TakeOrderedAndProject, never a single-partition
+    window over the full pair set); the rank window runs on 20 rows."""
+    from pyspark.sql import Window as W
+
+    from kafka_sink_azure_kusto_spark.functions.dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    counted = (
+        docs.select(F.explode(shingles("text", 2)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = counted.orderBy(F.col("n").desc(), F.col("pair").asc()).limit(20)
+    w = W.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return top.select(
+        "pair", "n", F.row_number().over(w).cast("long").alias("rank")
+    )
+
+
+@register(
+    "text_bigram_lm_score",
+    f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    {_ngram_cte("g2", 2)},
+    c2 AS (SELECT ng, CAST(count(*) AS BIGINT) AS n2 FROM g2 GROUP BY ng),
+    c1 AS (SELECT split_part(ng, ' ', 1) AS w1, CAST(count(*) AS BIGINT) AS n1
+           FROM g2 GROUP BY 1),
+    j AS (SELECT g2.doc_id, c2.n2, c1.n1
+          FROM g2 JOIN c2 USING (ng)
+                  JOIN c1 ON split_part(g2.ng, ' ', 1) = c1.w1)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln(CAST(n2 AS DOUBLE) / n1)), 6) AS mean_bigram_logprob
+    FROM j GROUP BY doc_id
+    """,
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency score (the KenLM-style upgrade of
+    unigram_logprob_score): mean ln P(w2|w1) per document with
+    P(w2|w1) = c(w1 w2)/c(w1 ·) — conditional counts from the corpus
+    itself. Counts aggregate map-side on fixed-width keys; the per-doc
+    shuffle is doc_id-keyed. Docs shorter than 2 tokens drop (no
+    bigrams) — same in the oracle."""
+    from kafka_sink_azure_kusto_spark.functions.dedup import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    g2 = docs.select("doc_id", F.explode(shingles("text", 2)).alias("ng"))
+    c2 = g2.groupBy("ng").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = (
+        g2.select(F.substring_index("ng", " ", 1).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("n1"))
+    )
+    j = (
+        g2.join(c2, "ng")
+        .withColumn("w1", F.substring_index("ng", " ", 1))
+        .join(c1, "w1")
+    )
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.avg(F.log(F.col("n2").cast("double") / F.col("n1"))), 6
+        ).alias("mean_bigram_logprob"),
+    )

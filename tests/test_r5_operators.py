@@ -406,3 +406,46 @@ def test_calendar_fill_zero_rows_for_missing_hours(spark):
     assert a[3] == (1, 2.0)
     b = {r["bucket_start"].hour: r["n"] for r in out.filter("event_type='b'").collect()}
     assert b == {0: 0, 1: 1, 2: 0, 3: 0}
+
+
+# ------------------------------------------------------------------ kmeans
+def test_kmeans_lloyd_step_assignment_and_means(spark):
+    from kafka_sink_azure_kusto_spark.functions.similarity import kmeans_lloyd_step
+
+    rows = [
+        (0, [1.0, 0.0]),   # seed cell 0
+        (1, [0.0, 1.0]),   # seed cell 1
+        (2, [0.9, 0.1]),   # → cell 0
+        (3, [0.1, 0.9]),   # → cell 1
+        (4, [0.8, 0.2]),   # → cell 0
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {(r["cell"], r["dim"]): r for r in kmeans_lloyd_step(emb, k=2).collect()}
+    assert out[(0, 0)]["n_members"] == 3 and out[(1, 0)]["n_members"] == 2
+    assert out[(0, 0)]["mean_x"] == 0.9  # (1.0+0.9+0.8)/3
+    assert out[(1, 1)]["mean_x"] == 0.95  # (1.0+0.9)/2
+
+
+def test_kmeans_lloyd_step_tie_breaks_to_smaller_cell(spark):
+    from kafka_sink_azure_kusto_spark.functions.similarity import kmeans_lloyd_step
+
+    # identical seeds → every vector ties; all must land in cell 0
+    rows = [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.5, 0.5])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = kmeans_lloyd_step(emb, k=2).collect()
+    cells = {r["cell"] for r in out}
+    assert cells == {0}
+
+
+# ---------------------------------------------------------------- bigram LM
+def test_bigram_lm_conditional_probability(spark, sf_dir):
+    import math
+
+    from kafka_sink_azure_kusto_spark.plans.registry_r5 import text_bigram_lm_score
+
+    out = text_bigram_lm_score(spark, sf_dir)
+    row = out.filter("doc_id = 0").collect()[0]
+    assert row["n_bigrams"] > 0
+    # logprob of a conditional ≤ 0 always
+    assert row["mean_bigram_logprob"] <= 0.0
+    assert math.isfinite(row["mean_bigram_logprob"])
