@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -330,4 +331,96 @@ def streaming_near_dup(
         stateStructType=NEAR_DUP_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=timeout,
+    )
+
+
+RUNNING_FEATURES_STATE_SCHEMA = StructType(
+    [
+        StructField("count", LongType(), False),
+        StructField("sum_value", DoubleType(), False),
+        StructField("last_value", DoubleType(), True),
+        StructField("last_ts_us", LongType(), True),
+    ]
+)
+RUNNING_FEATURES_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), False),
+        StructField("event_id", LongType(), False),
+        StructField("seq", LongType(), False),
+        StructField("run_mean", DoubleType(), False),
+        StructField("delta_prev", DoubleType(), True),
+        StructField("micros_since_prev", LongType(), True),
+    ]
+)
+
+
+def _running_features(key, pdfs, state: GroupState):
+    """applyInPandasWithState body: per-key running features emitted PER
+    EVENT — the streaming analog of operators/timeline.rolling_features
+    (running mean instead of a trailing frame: a bounded O(1) state
+    tuple instead of a deque, the streaming-native trade-off). Chunks
+    are concatenated before one (ts, event_id) sort so replay after
+    checkpoint recovery can't reorder a group that spanned Arrow
+    batches."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+    count, total, last_v, last_us = (
+        (int(state.get[0]), float(state.get[1]), state.get[2], state.get[3])
+        if state.exists
+        else (0, 0.0, None, None)
+    )
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks and count == 0:
+        return
+    rows = (
+        pd.concat(chunks).sort_values(["ts", "event_id"]) if chunks else pd.DataFrame()
+    )
+    out = []
+    for eid, ts, v in zip(
+        rows.get("event_id", []), rows.get("ts", []), rows.get("value", [])
+    ):
+        v = float(v)
+        count += 1
+        total += v
+        ts_us = int(pd.Timestamp(ts).value // 1_000)
+        out.append(
+            (
+                int(user_id),
+                int(eid),
+                count,
+                round(total / count, 6),
+                round(v - last_v, 6) if last_v is not None else None,
+                ts_us - last_us if last_us is not None else None,
+            )
+        )
+        last_v, last_us = v, ts_us
+    state.update((count, total, last_v, last_us))
+    state.setTimeoutDuration(3_600_000)
+    if out:
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id",
+                "event_id",
+                "seq",
+                "run_mean",
+                "delta_prev",
+                "micros_since_prev",
+            ],
+        )
+
+
+def streaming_running_features(stream: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Per-event running features over an endless keyed stream (seq,
+    running mean, delta vs previous, exact µs gap) with O(1) state per
+    key and TTL eviction — what the batch ``rolling_features`` becomes
+    when the corpus is a stream."""
+    return stream.groupBy(key_col).applyInPandasWithState(
+        _running_features,
+        outputStructType=RUNNING_FEATURES_OUTPUT_SCHEMA,
+        stateStructType=RUNNING_FEATURES_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )

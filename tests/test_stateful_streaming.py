@@ -290,3 +290,47 @@ def test_streaming_near_dup_event_time_horizon_eviction(spark, tmp_path):
     rows = out.collect()
     d9 = [r for r in rows if r.doc_id == 9]
     assert d9 and all(r.is_new == "claim" and r.canonical_id == 9 for r in d9)
+
+
+def test_streaming_running_features_per_event(spark, tmp_path):
+    from kafka_sink_azure_kusto_spark.streaming.stateful import (
+        streaming_running_features,
+    )
+
+    src = str(tmp_path / "rf_src")
+    _write_chunk(f"{src}/a.json", [
+        {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 1, "value": 2.0},
+        {"event_id": 2, "ts": "2024-01-01 10:00:10", "user_id": 1, "value": 4.0},
+        {"event_id": 3, "ts": "2024-01-01 10:00:00", "user_id": 2, "value": 7.0},
+    ])
+    # second batch continues user 1 from checkpointed state
+    _write_chunk(f"{src}/b.json", [
+        {"event_id": 4, "ts": "2024-01-01 10:00:30", "user_id": 1, "value": 6.0},
+    ])
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    chk = str(tmp_path / "rf_chk")
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+    )
+    q = (
+        streaming_running_features(stream)
+        .writeStream.format("memory")
+        .queryName("rf_out")
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    rows = {r["event_id"]: r for r in spark.sql("select * from rf_out").collect()}
+    assert rows[1]["seq"] == 1 and rows[1]["run_mean"] == 2.0
+    assert rows[1]["delta_prev"] is None and rows[1]["micros_since_prev"] is None
+    assert rows[2]["seq"] == 2 and rows[2]["run_mean"] == 3.0
+    assert rows[2]["delta_prev"] == 2.0
+    assert rows[2]["micros_since_prev"] == 10_000_000
+    # state carried across micro-batches: seq continues, mean = (2+4+6)/3
+    assert rows[4]["seq"] == 3 and rows[4]["run_mean"] == 4.0
+    assert rows[4]["delta_prev"] == 2.0 and rows[4]["micros_since_prev"] == 20_000_000
+    # independent key
+    assert rows[3]["seq"] == 1 and rows[3]["run_mean"] == 7.0
