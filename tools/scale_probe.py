@@ -268,6 +268,44 @@ def sink_ingest_compare(spark, n: int = 200_000):
     return out
 
 
+def bloom_decontam_compare(spark, sizes=(5_000, 50_000)):
+    """Bloom-prefiltered vs raw-broadcast decontamination at growing
+    corpus sizes (fixed benchmark = every 25th doc of the BASE corpus,
+    so the benchmark n-gram set is constant while the corpus grows —
+    the regime where the two approaches differ is a LARGE benchmark;
+    this probe also reports the benchmark-set size the raw broadcast
+    ships vs the constant 128 KB bitmap)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from kafka_sink_azure_kusto_spark.functions import corpus as C
+    from kafka_sink_azure_kusto_spark.sources.tables import load_table
+
+    base = load_table(spark, "/root/testdata/sf0.1", "documents")
+    bench = base.filter(F.col("doc_id") % 25 == 0).cache()
+    n_bench_ngrams = (
+        bench.select(F.explode(C.shingles("text", 5)).alias("ng")).distinct().count()
+    )
+    print(f"benchmark: {bench.count()} docs, {n_bench_ngrams} distinct 5-grams "
+          f"(raw broadcast ~{n_bench_ngrams * 30 // 1024} KB vs bitmap 128 KB)")
+    for n in sizes:
+        docs = synth_docs(spark, base, n).cache()
+        docs.count()
+        t0 = _t.perf_counter()
+        C.contamination_overlap(docs, bench, n=5).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        t_raw = _t.perf_counter() - t0
+        t0 = _t.perf_counter()
+        C.contamination_overlap_bloom(
+            docs, bench, n=5, num_bits=1 << 20
+        ).write.format("noop").mode("overwrite").save()
+        t_bloom = _t.perf_counter() - t0
+        print(f"n={n}: raw_broadcast={t_raw:.2f}s bloom_prefilter={t_bloom:.2f}s")
+        docs.unpersist()
+
+
 def timed(label, df):
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
@@ -280,7 +318,10 @@ def main():
     sizes = [5000, 20000, 80000]
     clustered_only = None
     ingest_only = None
-    if len(sys.argv) > 1 and sys.argv[1] == "--ann-clustered":
+    bloom_only = False
+    if len(sys.argv) > 1 and sys.argv[1] == "--bloom":
+        bloom_only = True
+    elif len(sys.argv) > 1 and sys.argv[1] == "--ann-clustered":
         clustered_only = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
     elif len(sys.argv) > 1 and sys.argv[1] == "--sink-ingest":
         ingest_only = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
@@ -306,6 +347,9 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    if bloom_only:
+        bloom_decontam_compare(spark)
+        return
     if clustered_only is not None:
         ann_clustered_recall(spark, clustered_only)
         return
