@@ -82,6 +82,7 @@ HEADLINE = [
     "kmeans_lloyd_step",
     "bpe_pair_frequencies",
     "text_bigram_lm_score",
+    "partitioned_write_prune",
 ]
 
 

@@ -104,6 +104,7 @@ _GATE_PRIORITY = [
     "kmeans_lloyd_step",
     "bpe_pair_frequencies",
     "text_bigram_lm_score",
+    "partitioned_write_prune",
     "similarity_ivf_pq_residual_topk",
     "registry_wire_decode",
     # r5 backlog rotation: everything NOT in the r4 driver gate (all

@@ -603,3 +603,43 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.log(F.col("n2").cast("double") / F.col("n1"))), 6
         ).alias("mean_bigram_logprob"),
     )
+
+
+@register(
+    "partitioned_write_prune",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    """,
+)
+def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned write + partition-pruned read — the data-layout
+    contract every 100 TB table depends on: events written
+    ``partitionBy(event_type)``, read back with a partition-key filter
+    that Catalyst resolves AT PLANNING TIME (PartitionFilters in the
+    scan; non-matching directories are never opened, verified in
+    tests/test_r5_plans.py). The oracle aggregates the raw table
+    directly — layout must never change query results."""
+    import os as _os
+
+    from kafka_sink_azure_kusto_spark.plans.registry import _workdir
+
+    work = _workdir("part_prune_")
+    path = _os.path.join(work, "events_by_type")
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

@@ -62,3 +62,16 @@ def test_gap_fill_axis_is_broadcast(spark):
     plan = _plan(spark, "timeseries_gap_fill")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_partitioned_write_prune_pushes_partition_filters(spark):
+    from kafka_sink_azure_kusto_spark.plans import registry
+
+    df = registry.queries()["partitioned_write_prune"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the event_type filter must resolve against partition DIRECTORIES,
+    # not row values: PartitionFilters populated, no event_type in the
+    # pushed data filters
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "event_type" in seg
