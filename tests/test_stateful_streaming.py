@@ -334,3 +334,41 @@ def test_streaming_running_features_per_event(spark, tmp_path):
     assert rows[4]["delta_prev"] == 2.0 and rows[4]["micros_since_prev"] == 20_000_000
     # independent key
     assert rows[3]["seq"] == 1 and rows[3]["run_mean"] == 7.0
+
+
+def test_stream_stream_interval_join_attribution(spark, tmp_path):
+    from kafka_sink_azure_kusto_spark.streaming.stateful import (
+        stream_stream_interval_join,
+    )
+
+    lsrc = str(tmp_path / "ssj_l")
+    rsrc = str(tmp_path / "ssj_r")
+    _write_chunk(f"{lsrc}/a.json", [
+        {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 1},
+        {"event_id": 2, "ts": "2024-01-01 11:00:00", "user_id": 2},
+    ])
+    _write_chunk(f"{rsrc}/a.json", [
+        # 5 min after impression 1 → joins
+        {"event_id": 101, "ts": "2024-01-01 10:05:00", "user_id": 1},
+        # 20 min after → outside the 10-min horizon
+        {"event_id": 102, "ts": "2024-01-01 10:20:00", "user_id": 1},
+        # right user mismatch
+        {"event_id": 103, "ts": "2024-01-01 11:05:00", "user_id": 9},
+    ])
+    schema = "event_id long, ts timestamp, user_id long"
+    l = spark.readStream.schema(schema).json(lsrc)
+    r = spark.readStream.schema(schema).json(rsrc)
+    q = (
+        stream_stream_interval_join(l, r, max_delay="10 minutes")
+        .writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ssj_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    rows = spark.sql("select * from ssj_out").collect()
+    assert len(rows) == 1
+    assert rows[0]["l_event_id"] == 1 and rows[0]["r_event_id"] == 101
