@@ -83,6 +83,8 @@ HEADLINE = [
     "bpe_pair_frequencies",
     "text_bigram_lm_score",
     "partitioned_write_prune",
+    "events_anomaly_zscore",
+    "retention_cohorts",
 ]
 
 

@@ -196,3 +196,84 @@ def calendar_fill(
             F.coalesce(F.col("tv").cast("double"), F.lit(0.0)).alias("total_value"),
         )
     )
+
+
+def series_zscores(
+    df: DataFrame,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+) -> DataFrame:
+    """Per-group hourly-count anomaly z-scores over the DENSE series →
+    (group, bucket_start, n, zscore).
+
+    Composes ``calendar_fill`` (zero rows for silent hours — an outage
+    IS the anomaly a sparse series would hide), then computes each
+    group's mean/variance FROM INTEGER SUMS (Σn, Σn², H are exact
+    BIGINTs; variance = (Σn² − H·mean²)/(H−1) evaluated once in double)
+    — no engine-dependent streaming-variance fold, so the oracle matches
+    bit-for-bit after one round. Groups with a degenerate series
+    (H < 2 or zero variance) are dropped rather than emitting ±inf.
+
+    Scale: counts aggregate once (map-side combined); the per-group
+    moment table is group-cardinality-sized and broadcasts back.
+    """
+    dense = calendar_fill(df, group_col=group_col, ts_col=ts_col, val_col=val_col)
+    moments = dense.groupBy(group_col).agg(
+        F.sum("n").alias("_s"),
+        F.sum(F.col("n") * F.col("n")).alias("_ss"),
+        F.count(F.lit(1)).alias("_h"),
+    )
+    mean = F.col("_s").cast("double") / F.col("_h")
+    var = (F.col("_ss").cast("double") - F.col("_h") * mean * mean) / (
+        F.col("_h") - 1
+    )
+    stats = moments.select(
+        group_col, mean.alias("_mean"), var.alias("_var")
+    ).filter((F.col("_var") > 0))
+    z = (F.col("n") - F.col("_mean")) / F.sqrt(F.col("_var"))
+    return (
+        dense.join(F.broadcast(stats), group_col)
+        .select(
+            group_col,
+            "bucket_start",
+            "n",
+            F.round(z, 6).alias("zscore"),
+        )
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Monthly retention-cohort triangle: users grouped by their FIRST
+    active month, counted in each subsequent month they return →
+    (cohort_month, month_offset, n_users).
+
+    The classic product-analytics rollup; month arithmetic is pure
+    integers (year·12 + month), so offsets are engine-exact. Plan: one
+    min-aggregate per key (first month), one distinct on (key, month),
+    one join keyed on the entity key, one fixed-width count — the entity
+    key partitioning is reused across all three.
+    """
+    first = df.groupBy(key_col).agg(
+        F.date_trunc("month", F.min(ts_col)).alias("cohort_month")
+    )
+    active = df.select(
+        key_col, F.date_trunc("month", F.col(ts_col)).alias("_am")
+    ).distinct()
+    months = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    return (
+        active.join(first, key_col)
+        .select(
+            "cohort_month",
+            (months(F.col("_am")) - months(F.col("cohort_month")))
+            .cast("int")
+            .alias("month_offset"),
+            key_col,
+        )
+        .groupBy("cohort_month", "month_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -105,6 +105,9 @@ _GATE_PRIORITY = [
     "bpe_pair_frequencies",
     "text_bigram_lm_score",
     "partitioned_write_prune",
+    "dedup_cluster_size_histogram",
+    "events_anomaly_zscore",
+    "retention_cohorts",
     "similarity_ivf_pq_residual_topk",
     "registry_wire_decode",
     # r5 backlog rotation: everything NOT in the r4 driver gate (all

@@ -643,3 +643,117 @@ def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    f"""
+    WITH RECURSIVE pairs0 AS (
+      SELECT left_id, right_id FROM ({_REGISTRY['dedup_minhash_lsh'][1]})
+    ),
+    edges AS (
+      SELECT left_id AS a, right_id AS b FROM pairs0
+      UNION
+      SELECT right_id AS a, left_id AS b FROM pairs0
+    ),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT e.a AS id, reach.r FROM edges e JOIN reach ON e.b = reach.id
+    ),
+    cl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+              FROM cl GROUP BY cluster_id)
+    SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution (how much of the corpus is
+    singleton vs templated mass) — the triage view that decides dedup
+    strategy: a fat tail of giant clusters means template removal before
+    pairwise passes. Same CC fixpoint as dedup_cc_clusters; two extra
+    fixed-width aggregations."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, num_hashes=16, num_bands=4, k=3, jaccard_threshold=0.5
+    )
+    clusters = D.connected_components(docs, pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    """
+    WITH agg AS (SELECT event_type AS g, date_trunc('hour', ts) AS b,
+                        CAST(count(*) AS BIGINT) AS n
+                 FROM events GROUP BY 1, 2),
+    span AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+                    date_trunc('hour', MAX(ts)) AS hi FROM events),
+    axis AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                    AS bucket_start FROM span),
+    grp AS (SELECT DISTINCT event_type FROM events),
+    dense AS (SELECT grp.event_type, axis.bucket_start,
+                     COALESCE(agg.n, 0) AS n
+              FROM grp CROSS JOIN axis
+              LEFT JOIN agg ON grp.event_type = agg.g
+                           AND axis.bucket_start = agg.b),
+    mom AS (SELECT event_type,
+                   CAST(SUM(n) AS BIGINT) AS s,
+                   CAST(SUM(n * n) AS BIGINT) AS ss,
+                   CAST(COUNT(*) AS BIGINT) AS h
+            FROM dense GROUP BY event_type),
+    stats AS (SELECT event_type,
+                     CAST(s AS DOUBLE) / h AS m,
+                     (CAST(ss AS DOUBLE) - h * (CAST(s AS DOUBLE) / h)
+                                             * (CAST(s AS DOUBLE) / h))
+                       / (h - 1) AS v
+              FROM mom WHERE h > 1)
+    SELECT dense.event_type, dense.bucket_start, dense.n,
+           round((dense.n - stats.m) / sqrt(stats.v), 6) AS zscore
+    FROM dense JOIN stats ON dense.event_type = stats.event_type
+    WHERE stats.v > 0
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-count anomaly z-scores per event type over the DENSE
+    (gap-filled) series — zero hours count as anomalies instead of
+    vanishing. Mean/variance from exact integer sums (Σn, Σn², H); one
+    double evaluation per group, so no engine-dependent streaming-
+    variance fold (operators/timeline.series_zscores)."""
+    from kafka_sink_azure_kusto_spark.operators.timeline import series_zscores
+
+    ev = load_table(spark, sf_dir, "events")
+    return series_zscores(ev)
+
+
+@register(
+    "retention_cohorts",
+    """
+    WITH first AS (SELECT user_id, date_trunc('month', MIN(ts)) AS cohort_month
+                   FROM events GROUP BY user_id),
+    active AS (SELECT DISTINCT user_id, date_trunc('month', ts) AS am
+               FROM events)
+    SELECT first.cohort_month,
+           CAST((EXTRACT(YEAR FROM am) * 12 + EXTRACT(MONTH FROM am))
+              - (EXTRACT(YEAR FROM cohort_month) * 12
+                 + EXTRACT(MONTH FROM cohort_month)) AS INT) AS month_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM active JOIN first USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly retention-cohort triangle (first-active-month × months-
+    since, distinct returning users) — integer month arithmetic, entity-
+    key partitioning reused across first-month agg, distinct and join
+    (operators/timeline.retention_cohorts)."""
+    from kafka_sink_azure_kusto_spark.operators.timeline import retention_cohorts
+
+    ev = load_table(spark, sf_dir, "events")
+    return retention_cohorts(ev)

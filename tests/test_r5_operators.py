@@ -449,3 +449,60 @@ def test_bigram_lm_conditional_probability(spark, sf_dir):
     # logprob of a conditional ≤ 0 always
     assert row["mean_bigram_logprob"] <= 0.0
     assert math.isfinite(row["mean_bigram_logprob"])
+
+
+# --------------------------------------------------------------- z-scores
+def test_series_zscores_flags_spike_and_silence(spark):
+    from kafka_sink_azure_kusto_spark.operators.timeline import series_zscores
+
+    rows = []
+    # type 'a': 1 event/hour for hours 0..9 except a 10-event spike at
+    # hour 5 and silence at hour 7
+    eid = 0
+    for h in range(10):
+        n = 10 if h == 5 else (0 if h == 7 else 1)
+        for _ in range(n):
+            rows.append(Row(event_type="a", ts=_ts(h * 3600), value=1.0, event_id=eid))
+            eid += 1
+    out = {r["bucket_start"].hour: r for r in
+           series_zscores(spark.createDataFrame(rows)).collect()}
+    assert out[5]["zscore"] > 2.0       # the spike
+    assert out[7]["zscore"] < 0         # the silent hour exists and is below mean
+    assert out[7]["n"] == 0
+    assert abs(out[0]["zscore"]) < 1.0  # normal hour
+
+
+def test_series_zscores_drops_degenerate_groups(spark):
+    from kafka_sink_azure_kusto_spark.operators.timeline import series_zscores
+
+    # constant series → zero variance → dropped, no ±inf rows
+    rows = [Row(event_type="c", ts=_ts(h * 3600), value=1.0, event_id=h)
+            for h in range(5)]
+    out = series_zscores(spark.createDataFrame(rows)).collect()
+    assert out == []
+
+
+# ---------------------------------------------------------------- cohorts
+def test_retention_cohorts_triangle(spark):
+    import datetime as dt
+
+    from kafka_sink_azure_kusto_spark.operators.timeline import retention_cohorts
+
+    def m(month, day=1):
+        return dt.datetime(2026, month, day)
+
+    rows = [
+        # user 1: first in Jan, returns in Feb and Apr
+        Row(user_id=1, ts=m(1)), Row(user_id=1, ts=m(2)), Row(user_id=1, ts=m(4)),
+        # user 2: first in Jan only
+        Row(user_id=2, ts=m(1, 15)),
+        # user 3: first in Feb, returns in Mar
+        Row(user_id=3, ts=m(2)), Row(user_id=3, ts=m(3)),
+    ]
+    out = {(r["cohort_month"].month, r["month_offset"]): r["n_users"]
+           for r in retention_cohorts(spark.createDataFrame(rows)).collect()}
+    assert out[(1, 0)] == 2  # Jan cohort: both active in month 0
+    assert out[(1, 1)] == 1  # only user 1 returned in Feb
+    assert out[(1, 3)] == 1  # user 1 in Apr
+    assert out[(2, 0)] == 1 and out[(2, 1)] == 1  # Feb cohort = user 3
+    assert (1, 2) not in out  # nobody from Jan active in Mar
