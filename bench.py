@@ -85,6 +85,8 @@ HEADLINE = [
     "partitioned_write_prune",
     "events_anomaly_zscore",
     "retention_cohorts",
+    "dedup_editdistance_blocked",
+    "table_profile_events",
 ]
 
 

@@ -696,3 +696,53 @@ def incremental_exact_dedup(
         .otherwise("unique")
     )
     return b2.join(h, "_fp", "left").select(id_col, status.alias("status"))
+
+
+def blocked_editdistance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_tokens: int = 4,
+    max_distance: int = 60,
+) -> DataFrame:
+    """Edit-distance near-dup pairs via prefix blocking (the classic
+    record-linkage construction): block on the first ``block_tokens``
+    tokens, compare only within-block pairs, keep pairs with Levenshtein
+    distance ≤ ``max_distance`` → (left_id, right_id, edit_distance).
+
+    Complements MinHash-LSH: Jaccard is order-insensitive (a shuffled
+    template looks identical), edit distance is order-exact — the
+    verification metric for "same document, small edits" (versioned
+    pages, typo families). Blocking is what makes it scale: the
+    quadratic comparison is confined to same-prefix blocks (one
+    fixed-width equi-join shuffle), never the corpus. Prefix blocking
+    misses near-dups whose edits touch the first tokens — the standard
+    trade-off; run multiple block keys (prefix/suffix/mid) and union for
+    higher recall. Levenshtein is an integer, so the oracle compares
+    exactly.
+    """
+    toks = F.split(F.col(text_col), " ")
+    blocked = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, block_tokens))).alias("_bk"),
+    )
+    left = blocked.select(
+        F.col("_bk"),
+        F.col(id_col).alias("left_id"),
+        F.col(text_col).alias("_lt"),
+    )
+    right = blocked.select(
+        F.col("_bk").alias("_rbk"),
+        F.col(id_col).alias("right_id"),
+        F.col(text_col).alias("_rt"),
+    )
+    dist = F.levenshtein(F.col("_lt"), F.col("_rt"))
+    return (
+        left.join(
+            right,
+            (left["_bk"] == right["_rbk"]) & (F.col("left_id") < F.col("right_id")),
+        )
+        .filter(dist <= max_distance)
+        .select("left_id", "right_id", dist.alias("edit_distance"))
+    )

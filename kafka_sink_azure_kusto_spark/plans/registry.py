@@ -108,6 +108,8 @@ _GATE_PRIORITY = [
     "dedup_cluster_size_histogram",
     "events_anomaly_zscore",
     "retention_cohorts",
+    "dedup_editdistance_blocked",
+    "table_profile_events",
     "similarity_ivf_pq_residual_topk",
     "registry_wire_decode",
     # r5 backlog rotation: everything NOT in the r4 driver gate (all

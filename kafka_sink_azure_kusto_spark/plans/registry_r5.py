@@ -757,3 +757,83 @@ def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return retention_cohorts(ev)
+
+
+@register(
+    "dedup_editdistance_blocked",
+    """
+    WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+    b AS (SELECT doc_id, text, md5(array_to_string(ws[1:4], ' ')) AS bk FROM d)
+    SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+           CAST(levenshtein(l.text, r.text) AS INT) AS edit_distance
+    FROM b l JOIN b r ON l.bk = r.bk AND l.doc_id < r.doc_id
+    WHERE levenshtein(l.text, r.text) <= 60
+    """,
+)
+def dedup_editdistance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs via prefix blocking — the order-
+    exact complement to MinHash (Jaccard can't see token order): the
+    quadratic Levenshtein comparison is confined to same-prefix blocks
+    by one equi-join, and the integer distance makes the oracle exact
+    (functions/dedup.blocked_editdistance_pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = D.blocked_editdistance_pairs(docs, block_tokens=4, max_distance=60)
+    return out.select(
+        "left_id", "right_id", F.col("edit_distance").cast("int").alias("edit_distance")
+    )
+
+
+@register(
+    "table_profile_events",
+    """
+    WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_event_id,
+        CAST(COUNT(DISTINCT event_id) AS BIGINT) AS nd_event_id,
+        CAST(MIN(event_id) AS DOUBLE) AS min_event_id,
+        CAST(MAX(event_id) AS DOUBLE) AS max_event_id,
+        CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_user_id,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nd_user_id,
+        CAST(MIN(user_id) AS DOUBLE) AS min_user_id,
+        CAST(MAX(user_id) AS DOUBLE) AS max_user_id,
+        CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_value,
+        CAST(COUNT(DISTINCT value) AS BIGINT) AS nd_value,
+        CAST(MIN(value) AS DOUBLE) AS min_value,
+        CAST(MAX(value) AS DOUBLE) AS max_value,
+        CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_et,
+        CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nd_et,
+        MIN(event_type) AS min_et, MAX(event_type) AS max_et,
+        CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_props,
+        CAST(COUNT(DISTINCT props) AS BIGINT) AS nd_props,
+        MIN(props) AS min_props, MAX(props) AS max_props
+        FROM events)
+    SELECT 'event_id' AS col_name, n_rows, nn_event_id AS n_nulls,
+           nd_event_id AS n_distinct, min_event_id AS min_num,
+           max_event_id AS max_num, CAST(NULL AS VARCHAR) AS min_str,
+           CAST(NULL AS VARCHAR) AS max_str FROM s
+    UNION ALL
+    SELECT 'user_id', n_rows, nn_user_id, nd_user_id, min_user_id,
+           max_user_id, NULL, NULL FROM s
+    UNION ALL
+    SELECT 'value', n_rows, nn_value, nd_value, min_value, max_value,
+           NULL, NULL FROM s
+    UNION ALL
+    SELECT 'event_type', n_rows, nn_et, nd_et, CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), min_et, max_et FROM s
+    UNION ALL
+    SELECT 'props', n_rows, nn_props, nd_props, CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), min_props, max_props FROM s
+    """,
+)
+def table_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column data-quality profile of the events table
+    (null counts, exact cardinalities, ranges — numerics as doubles,
+    never round-tripped through strings). One wide aggregation = one
+    scan regardless of column count (functions/profile.profile_table)."""
+    from kafka_sink_azure_kusto_spark.functions.profile import profile_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return profile_table(
+        ev,
+        numeric_cols=["event_id", "user_id", "value"],
+        string_cols=["event_type", "props"],
+    )

@@ -506,3 +506,62 @@ def test_retention_cohorts_triangle(spark):
     assert out[(1, 3)] == 1  # user 1 in Apr
     assert out[(2, 0)] == 1 and out[(2, 1)] == 1  # Feb cohort = user 3
     assert (1, 2) not in out  # nobody from Jan active in Mar
+
+
+# ---------------------------------------------------------- edit distance
+def test_blocked_editdistance_finds_prefix_sharing_neardups(spark):
+    from kafka_sink_azure_kusto_spark.functions.dedup import blocked_editdistance_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy cat"),   # 1 edit word
+            (2, "the quick brown fox sleeps all day long"),        # same prefix, far
+            (3, "completely different text here with no overlap"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {(r["left_id"], r["right_id"]): r["edit_distance"]
+           for r in blocked_editdistance_pairs(docs, block_tokens=4, max_distance=5).collect()}
+    assert (0, 1) in out and out[(0, 1)] == 3  # dog→cat
+    assert (0, 2) not in out                   # same block, distance > 5
+    assert all(3 not in pair for pair in out)  # different block never compared
+
+
+def test_blocked_editdistance_misses_prefix_edits_documented(spark):
+    from kafka_sink_azure_kusto_spark.functions.dedup import blocked_editdistance_pairs
+
+    # duplicate pair whose ONLY edit is in the blocking prefix → missed
+    # (the documented trade-off; run multiple block keys for recall)
+    docs = spark.createDataFrame(
+        [(0, "aaa bbb ccc ddd eee"), (1, "aaX bbb ccc ddd eee")],
+        ["doc_id", "text"],
+    )
+    assert blocked_editdistance_pairs(docs, block_tokens=4, max_distance=5).count() == 0
+
+
+# ----------------------------------------------------------------- profile
+def test_profile_table_single_pass_stats(spark):
+    from kafka_sink_azure_kusto_spark.functions.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, None), (None, "a")],
+        "x long, s string",
+    )
+    out = {r["col_name"]: r for r in
+           profile_table(df, numeric_cols=["x"], string_cols=["s"]).collect()}
+    assert out["x"]["n_rows"] == 4 and out["x"]["n_nulls"] == 1
+    assert out["x"]["n_distinct"] == 2
+    assert out["x"]["min_num"] == 1.0 and out["x"]["max_num"] == 2.0
+    assert out["x"]["min_str"] is None
+    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+    assert out["s"]["min_str"] == "a" and out["s"]["max_str"] == "b"
+    assert out["s"]["min_num"] is None
+
+
+def test_profile_table_requires_columns(spark):
+    from kafka_sink_azure_kusto_spark.functions.profile import profile_table
+
+    df = spark.createDataFrame([(1,)], ["x"])
+    with pytest.raises(ValueError, match="no columns"):
+        profile_table(df)
