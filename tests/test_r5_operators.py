@@ -565,3 +565,33 @@ def test_profile_table_requires_columns(spark):
     df = spark.createDataFrame([(1,)], ["x"])
     with pytest.raises(ValueError, match="no columns"):
         profile_table(df)
+
+
+# ------------------------------------------------------------ empty inputs
+def test_new_operators_tolerate_empty_input(spark):
+    """Every r5 operator must return an empty (not crashing) frame on an
+    empty source — the first batch of a backfill is often empty."""
+    from kafka_sink_azure_kusto_spark.functions.dedup import (
+        blocked_editdistance_pairs,
+        incremental_exact_dedup,
+    )
+    from kafka_sink_azure_kusto_spark.operators.timeline import (
+        calendar_fill,
+        funnel_stages,
+        retention_cohorts,
+        series_zscores,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_events = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    assert segment_dedup(empty_docs).count() == 0
+    assert blocked_editdistance_pairs(empty_docs).count() == 0
+    assert incremental_exact_dedup(empty_docs, empty_docs).count() == 0
+    assert scd2_compact(empty_events).count() == 0
+    assert rolling_features(empty_events).count() == 0
+    assert funnel_stages(empty_events).count() == 0
+    assert calendar_fill(empty_events).count() == 0
+    assert series_zscores(empty_events).count() == 0
+    assert retention_cohorts(empty_events).count() == 0
