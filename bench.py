@@ -87,6 +87,8 @@ HEADLINE = [
     "retention_cohorts",
     "dedup_editdistance_blocked",
     "table_profile_events",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
 ]
 
 

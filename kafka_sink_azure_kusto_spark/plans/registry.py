@@ -110,6 +110,8 @@ _GATE_PRIORITY = [
     "retention_cohorts",
     "dedup_editdistance_blocked",
     "table_profile_events",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
     "similarity_ivf_pq_residual_topk",
     "registry_wire_decode",
     # r5 backlog rotation: everything NOT in the r4 driver gate (all
