@@ -89,6 +89,8 @@ HEADLINE = [
     "table_profile_events",
     "q5_local_supplier_volume",
     "q10_returned_items",
+    "importance_sample_by_quality",
+    "corpus_epoch_expansion",
 ]
 
 

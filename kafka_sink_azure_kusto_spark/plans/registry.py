@@ -112,6 +112,8 @@ _GATE_PRIORITY = [
     "table_profile_events",
     "q5_local_supplier_volume",
     "q10_returned_items",
+    "importance_sample_by_quality",
+    "corpus_epoch_expansion",
     "similarity_ivf_pq_residual_topk",
     "registry_wire_decode",
     # r5 backlog rotation: everything NOT in the r4 driver gate (all

@@ -938,3 +938,66 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("revenue_d").cast("double").alias("revenue"),
         )
     )
+
+
+_U_IMP = md5_unit_interval_sql("doc_id", salt="imp1")
+
+
+@register(
+    "importance_sample_by_quality",
+    f"""
+    WITH {_QUAL_CTE}
+    SELECT doc_id, source, quality_score
+    FROM q WHERE {_U_IMP} < quality_score
+    """,
+)
+def importance_sample_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted (importance) sampling: each document is kept
+    with probability equal to its quality score — the soft alternative
+    to a hard threshold (low-quality mass is down-weighted, not
+    annihilated, preserving diversity). Decision = md5-unit-interval(id)
+    < score: a pure function of (id, salt, text), reproducible across
+    engines/replays/partitionings; the filter rides the scan."""
+    from kafka_sink_azure_kusto_spark.functions.sampling import md5_unit_interval
+    from kafka_sink_azure_kusto_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score(docs).select("doc_id", "source", "quality_score")
+    u = md5_unit_interval(F.col("doc_id"), salt="imp1")
+    return scored.filter(u < F.col("quality_score"))
+
+
+@register(
+    "corpus_epoch_expansion",
+    f"""
+    WITH {_QUAL_CTE},
+    tiers AS (SELECT doc_id, quality_score,
+                     CASE WHEN quality_score >= 0.8 THEN 3
+                          WHEN quality_score >= 0.5 THEN 2
+                          ELSE 1 END AS n_epochs
+              FROM q)
+    SELECT doc_id, CAST(e AS INT) AS epoch_idx, n_epochs
+    FROM (SELECT doc_id, n_epochs, unnest(range(0, n_epochs)) AS e FROM tiers)
+    """,
+)
+def corpus_epoch_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-aware training-mix expansion: high-quality documents are
+    materialized for MULTIPLE training epochs (≥0.8 → 3 passes, ≥0.5 →
+    2, else 1 — the "good data is worth seeing more than once" mixing
+    rule). Pure narrow plan: score → CASE tier → explode(sequence);
+    expansion parallelism = scan parallelism, no shuffle at all."""
+    from kafka_sink_azure_kusto_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    tiers = quality_score(docs).select(
+        "doc_id",
+        F.when(F.col("quality_score") >= 0.8, 3)
+        .when(F.col("quality_score") >= 0.5, 2)
+        .otherwise(1)
+        .alias("n_epochs"),
+    )
+    return tiers.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("n_epochs") - 1)).alias("_e"),
+        "n_epochs",
+    ).select("doc_id", F.col("_e").cast("int").alias("epoch_idx"), "n_epochs")
