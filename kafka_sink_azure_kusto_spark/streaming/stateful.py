@@ -434,12 +434,21 @@ def stream_stream_interval_join(
     right_ts: str = "ts",
     max_delay: str = "10 minutes",
     watermark: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join: pair each LEFT event
     with RIGHT events of the same key whose time lies in
     (left_ts, left_ts + max_delay] — the attribution shape (impression ⋈
     conversion-within-N-minutes) as a true two-stream join, not a batch
     as-of.
+
+    ``how="leftOuter"`` emits unconverted impressions with NULL right
+    columns — but only once the WATERMARK passes the impression's join
+    horizon (Spark must prove no match can still arrive before declaring
+    the miss), so outer results trail the watermark by up to
+    max_delay + watermark. That deferred emission is the correct
+    semantics for "conversion rate including non-converters" on an
+    endless stream.
 
     Both sides carry watermarks and the join condition bounds the event-
     time distance in BOTH directions, so Spark can evict buffered rows
@@ -472,4 +481,4 @@ def stream_stream_interval_join(
         & (F.col("r_ts") > F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_delay}"))
     )
-    return lw.join(rw, cond, "inner")
+    return lw.join(rw, cond, how)

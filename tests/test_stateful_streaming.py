@@ -372,3 +372,46 @@ def test_stream_stream_interval_join_attribution(spark, tmp_path):
     rows = spark.sql("select * from ssj_out").collect()
     assert len(rows) == 1
     assert rows[0]["l_event_id"] == 1 and rows[0]["r_event_id"] == 101
+
+
+def test_stream_stream_left_outer_emits_miss_after_watermark(spark, tmp_path):
+    from kafka_sink_azure_kusto_spark.streaming.stateful import (
+        stream_stream_interval_join,
+    )
+
+    lsrc = str(tmp_path / "ssjo_l")
+    rsrc = str(tmp_path / "ssjo_r")
+    # impression 1 converts; impression 2 never does
+    _write_chunk(f"{lsrc}/a.json", [
+        {"event_id": 1, "ts": "2024-01-01 10:00:00", "user_id": 1},
+        {"event_id": 2, "ts": "2024-01-01 10:00:00", "user_id": 2},
+    ])
+    _write_chunk(f"{rsrc}/a.json", [
+        {"event_id": 101, "ts": "2024-01-01 10:05:00", "user_id": 1},
+    ])
+    # a later batch on BOTH sides advances the watermark far past
+    # impression 2's horizon (10:10 + 30min watermark), forcing the
+    # outer null row out
+    _write_chunk(f"{lsrc}/b.json", [
+        {"event_id": 3, "ts": "2024-01-01 14:00:00", "user_id": 9},
+    ])
+    _write_chunk(f"{rsrc}/b.json", [
+        {"event_id": 102, "ts": "2024-01-01 14:00:00", "user_id": 9},
+    ])
+    schema = "event_id long, ts timestamp, user_id long"
+    l = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(lsrc)
+    r = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(rsrc)
+    q = (
+        stream_stream_interval_join(l, r, max_delay="10 minutes", how="leftOuter")
+        .writeStream.format("memory")
+        .queryName("ssjo_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ssjo_chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    rows = {r["l_event_id"]: r for r in spark.sql("select * from ssjo_out").collect()}
+    assert rows[1]["r_event_id"] == 101          # converted impression
+    assert 2 in rows and rows[2]["r_event_id"] is None  # emitted as a miss
