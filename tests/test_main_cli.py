@@ -31,3 +31,12 @@ def test_sdk_backends_require_auth_config(tmp_path, backend):
     ):
         main(["--config", cfg, "--backend", backend, "--source", "replay",
               "--replay-dir", str(tmp_path)])
+
+
+def test_plans_cli_lists_and_rejects_unknown(capsys):
+    from kafka_sink_azure_kusto_spark.plans.__main__ import main as plans_main
+
+    assert plans_main(["--list"]) == 0
+    out = capsys.readouterr().out
+    assert "q1_pricing_summary" in out and "segment_dedup" in out
+    assert plans_main(["not_a_query"]) == 2
