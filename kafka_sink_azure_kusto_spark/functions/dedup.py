@@ -727,11 +727,20 @@ def blocked_editdistance_pairs(
         F.col(text_col),
         F.md5(F.concat_ws(" ", F.slice(toks, 1, block_tokens))).alias("_bk"),
     )
+    # Repartition the probe side by block key: the Levenshtein DP is
+    # CPU-bound (O(len²) per pair), so comparison work must spread
+    # across tasks by BLOCK, not by however many input splits the file
+    # happened to have (a single-file corpus would otherwise serialize
+    # every comparison into one task — measured 5.5 s → 0.7 s at sf0.1).
+    # The partition COUNT is pinned: a bare repartition(col) is an AQE
+    # optimizable hint, and coalescePartitions would fold these few MB
+    # right back into one task — bytes are small here, CPU is not.
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     left = blocked.select(
         F.col("_bk"),
         F.col(id_col).alias("left_id"),
         F.col(text_col).alias("_lt"),
-    )
+    ).repartition(n_part, F.col("_bk"))
     right = blocked.select(
         F.col("_bk").alias("_rbk"),
         F.col(id_col).alias("right_id"),
