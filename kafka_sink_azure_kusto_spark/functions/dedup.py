@@ -632,11 +632,20 @@ def semantic_dedup_cells(
     """
     from kafka_sink_azure_kusto_spark.functions.similarity import cosine
 
+    # Round-robin repartition with a PINNED count, same reasoning as
+    # blocked_editdistance_pairs: the pairwise cosine is CPU-bound at
+    # small byte volume and the cells frame is broadcast, so the probe
+    # side needs no co-location — it must simply not inherit the
+    # input's split count (one parquet file would serialize every
+    # comparison into a single task, and AQE would coalesce an unpinned
+    # exchange right back). Round-robin also beats hashing on the cell
+    # key itself: with few cells, a hot cell would pin to one task.
+    n_part = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     left = emb.select(
         F.col(cell_col).alias("_cell"),
         F.col(id_col).alias("_lid"),
         F.col(vec_col).alias("_lv"),
-    )
+    ).repartition(n_part)
     right = emb.select(
         F.col(cell_col).alias("_rcell"),
         F.col(id_col).alias("_rid"),
@@ -732,15 +741,17 @@ def blocked_editdistance_pairs(
     # across tasks by BLOCK, not by however many input splits the file
     # happened to have (a single-file corpus would otherwise serialize
     # every comparison into one task — measured 5.5 s → 0.7 s at sf0.1).
-    # The partition COUNT is pinned: a bare repartition(col) is an AQE
-    # optimizable hint, and coalescePartitions would fold these few MB
-    # right back into one task — bytes are small here, CPU is not.
+    # Round-robin with a PINNED count: the other side is broadcast, so
+    # the probe needs no key co-location — round-robin spreads evenly
+    # even under block skew, and pinning the count stops AQE's
+    # coalescePartitions folding these few MB back into one task
+    # (bytes are small here, CPU is not).
     n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     left = blocked.select(
         F.col("_bk"),
         F.col(id_col).alias("left_id"),
         F.col(text_col).alias("_lt"),
-    ).repartition(n_part, F.col("_bk"))
+    ).repartition(n_part)
     right = blocked.select(
         F.col("_bk").alias("_rbk"),
         F.col(id_col).alias("right_id"),
