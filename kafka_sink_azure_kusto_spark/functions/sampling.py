@@ -36,6 +36,27 @@ from kafka_sink_azure_kusto_spark.functions.dedup import (  # noqa: E402
 )
 
 
+def md5_hex8_long(key: Column, salt: str = "") -> Column:
+    """Value of the first 8 md5 hex digits of ``key || salt`` as a long
+    (uniform over [0, 2^32)) — the shared integer primitive under the
+    unit-interval sampler and the sketch bucket hashes."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def md5_hex8_long_sql(key_expr: str, salt: str = "") -> str:
+    """ANSI-SQL mirror of ``md5_hex8_long`` (DuckDB-runnable) —
+    generated per-digit since DuckDB lacks ``conv``; bit-identical on
+    every input."""
+    h = f"md5(CAST({key_expr} AS VARCHAR) || '{salt}')"
+    acc = "CAST(0 AS BIGINT)"  # INT32 overflows at 16^8 in DuckDB
+    for i in range(8):
+        d = f"ascii(substr({h}, {i + 1}, 1))"
+        val = f"(CASE WHEN {d} >= 97 THEN {d} - 87 ELSE {d} - 48 END)"
+        acc = f"({acc} * 16 + {val})"
+    return acc
+
+
 def md5_unit_interval(key: Column, salt: str = "") -> Column:
     """Uniform [0, 1) coordinate from a stable key: value of the first 8
     md5 hex digits / 16^8.
@@ -45,21 +66,13 @@ def md5_unit_interval(key: Column, salt: str = "") -> Column:
     the VALUE with portable per-digit ascii arithmetic
     (``md5_unit_interval_sql``) since DuckDB lacks ``conv`` — the two
     are bit-identical on every input."""
-    h = F.md5(F.concat(key.cast("string"), F.lit(salt)))
-    acc = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
-    return acc / F.lit(float(_HEX8_SPAN))
+    return md5_hex8_long(key, salt) / F.lit(float(_HEX8_SPAN))
 
 
 def md5_unit_interval_sql(key_expr: str, salt: str = "") -> str:
     """The ANSI-SQL mirror of ``md5_unit_interval`` (DuckDB-runnable) —
     generated, not hand-kept, so the two can't drift."""
-    h = f"md5(CAST({key_expr} AS VARCHAR) || '{salt}')"
-    acc = "CAST(0 AS BIGINT)"  # INT32 overflows at 16^8 in DuckDB
-    for i in range(8):
-        d = f"ascii(substr({h}, {i + 1}, 1))"
-        val = f"(CASE WHEN {d} >= 97 THEN {d} - 87 ELSE {d} - 48 END)"
-        acc = f"({acc} * 16 + {val})"
-    return f"({acc} / {float(_HEX8_SPAN)})"
+    return f"({md5_hex8_long_sql(key_expr, salt)} / {float(_HEX8_SPAN)})"
 
 
 def hash_sample(

@@ -1,0 +1,187 @@
+"""Deterministic frequency / cardinality sketches (north-star ops).
+
+At 100 TB you cannot afford an exact ``groupBy(key)`` for every
+"roughly how often does X occur?" question — the sketch family answers
+them in one pass over bounded state:
+
+- **Count-min** (`countmin_estimates`): ``depth`` md5-salted hash rows
+  of ``width`` buckets each; a key's frequency estimate is the MIN of
+  its bucket sums across rows (never under-counts, over-counts only on
+  collisions). The aggregated sketch is ``depth × width`` longs —
+  mergeable across partitions/days by plain addition, which is why the
+  pattern survives at scale: the shuffle carries the sketch, never the
+  keys.
+- **KMV / k-minimum-values** (`kmv_distinct`): the classic theta-sketch
+  estimator. Hash every key to a uniform [0, 1) coordinate; keep the k
+  smallest per group; the k-th smallest value ``u_k`` estimates the
+  distinct count as ``(k-1)/u_k``. Per-group state is k doubles, and
+  two sketches merge by keeping the k smallest of the union.
+
+Everything is md5 + integer arithmetic so the DuckDB oracle can run the
+LITERALLY same computation (no engine-specific hash functions) — the
+estimates are deterministic, not merely statistically similar.
+
+No reference citation: the reference connector has no analytic surface;
+these are the north-star additions (SURVEY §7.5, BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_sink_azure_kusto_spark.functions.sampling import (
+    md5_hex8_long,
+    md5_hex8_long_sql,
+    md5_unit_interval,
+    md5_unit_interval_sql,
+)
+
+
+def cm_bucket(key: Column, row: int, width: int) -> Column:
+    """Count-min bucket of ``key`` in hash row ``row`` (md5-salted)."""
+    return (md5_hex8_long(key, salt=f"cm{row}:") % F.lit(int(width))).cast("int")
+
+
+def cm_bucket_sql(key_expr: str, row: int, width: int) -> str:
+    """ANSI-SQL mirror of ``cm_bucket`` — generated from the same salt
+    layout so the two cannot drift."""
+    return f"CAST(({md5_hex8_long_sql(key_expr, salt=f'cm{row}:')} % {int(width)}) AS INT)"
+
+
+def countmin_estimates(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Count-min frequency estimate for every distinct value of
+    ``key_col`` → ``(key_col, est)`` with ``est >= true count``.
+
+    Plan shape (the part that matters at 100 TB): ONE pass builds the
+    sketch — explode each row into its ``depth`` (row, bucket) cells and
+    aggregate counts, so the shuffle moves at most ``depth × width``
+    grouped cells per map task (map-side partial aggregation collapses
+    the input long before the exchange). The distinct-key probe then
+    joins against the BROADCAST sketch (``depth × width`` rows by
+    construction — bounded, independent of data size). Querying a known
+    key list instead of all distinct keys makes the whole thing
+    collect-free and sub-linear.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError("countmin_estimates needs depth >= 1 and width >= 1")
+    key = F.col(key_col)
+    # one row per (hash row, bucket) cell hit — posexplode over the
+    # depth bucket expressions stays narrow (no shuffle until the agg)
+    cells = df.select(
+        F.posexplode(F.array(*[cm_bucket(key, r, width) for r in range(depth)])).alias(
+            "cm_row", "cm_bucket"
+        )
+    )
+    sketch = cells.groupBy("cm_row", "cm_bucket").agg(
+        F.count(F.lit(1)).alias("cm_count")
+    )
+    probes = df.select(key.alias(key_col)).distinct()
+    probe_cells = probes.select(
+        key,
+        F.posexplode(F.array(*[cm_bucket(key, r, width) for r in range(depth)])).alias(
+            "cm_row", "cm_bucket"
+        ),
+    )
+    joined = probe_cells.join(F.broadcast(sketch), ["cm_row", "cm_bucket"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("cm_count"), F.lit(0))).alias("est")
+    )
+
+
+def countmin_estimates_sql(
+    table: str, key_expr: str, key_alias: str, depth: int = 4, width: int = 64
+) -> str:
+    """DuckDB oracle for ``countmin_estimates`` — generated from the
+    same (row, salt, width) layout."""
+    cell_rows = " UNION ALL ".join(
+        f"SELECT {r} AS cm_row, {cm_bucket_sql(key_expr, r, width)} AS cm_bucket FROM {table}"
+        for r in range(depth)
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT {key_alias}, {r} AS cm_row, "
+        f"{cm_bucket_sql(key_alias, r, width)} AS cm_bucket FROM probes"
+        for r in range(depth)
+    )
+    return f"""
+    WITH cells AS ({cell_rows}),
+    sketch AS (SELECT cm_row, cm_bucket, COUNT(*) AS cm_count
+               FROM cells GROUP BY cm_row, cm_bucket),
+    probes AS (SELECT DISTINCT {key_expr} AS {key_alias} FROM {table}),
+    probe_cells AS ({probe_rows})
+    SELECT p.{key_alias}, MIN(COALESCE(s.cm_count, 0)) AS est
+    FROM probe_cells p LEFT JOIN sketch s
+      ON p.cm_row = s.cm_row AND p.cm_bucket = s.cm_bucket
+    GROUP BY p.{key_alias}
+    """
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    k: int = 16,
+) -> DataFrame:
+    """KMV distinct-count estimate of ``key_col`` per group →
+    ``(group_cols..., est_distinct, n_hashes)``.
+
+    ``est_distinct`` = (k-1)/u_k where u_k is the k-th smallest md5
+    unit-interval hash of the distinct keys; groups with fewer than k
+    distinct keys report the EXACT count (the sketch holds every hash,
+    so no estimation error — mirrors production theta sketches).
+
+    Scale: distinct-reduce on (group, key) → per-group rank on the hash
+    — two exchanges on the group key, per-group state bounded at k.
+    """
+    if k < 2:
+        raise ValueError("kmv_distinct needs k >= 2")
+    u = md5_unit_interval(F.col(key_col), salt="kmv:")
+    pairs = (
+        df.select(*group_cols, F.col(key_col))
+        .distinct()
+        .withColumn("kmv_u", u)
+    )
+    w = Window.partitionBy(*group_cols).orderBy("kmv_u", key_col)
+    ranked = pairs.withColumn("kmv_rank", F.row_number().over(w))
+    per_group = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_distinct_seen"),
+        F.max(F.when(F.col("kmv_rank") == k, F.col("kmv_u"))).alias("u_k"),
+    )
+    est = F.when(
+        F.col("n_distinct_seen") < k, F.col("n_distinct_seen").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / F.col("u_k"))
+    return per_group.select(
+        *group_cols,
+        F.round(est, 6).alias("est_distinct"),
+        F.least(F.col("n_distinct_seen"), F.lit(k)).alias("n_hashes"),
+    )
+
+
+def kmv_distinct_sql(
+    table: str, group_expr: str, group_alias: str, key_expr: str, k: int = 16
+) -> str:
+    """DuckDB oracle for ``kmv_distinct`` (same hash, same estimator)."""
+    u_sql = md5_unit_interval_sql("kmv_key", salt="kmv:")
+    return f"""
+    WITH pairs AS (SELECT DISTINCT {group_expr} AS {group_alias},
+                          {key_expr} AS kmv_key FROM {table}),
+    hashed AS (SELECT {group_alias}, kmv_key, {u_sql} AS kmv_u FROM pairs),
+    ranked AS (SELECT {group_alias}, kmv_u,
+                      ROW_NUMBER() OVER (PARTITION BY {group_alias}
+                                         ORDER BY kmv_u, kmv_key) AS kmv_rank
+               FROM hashed),
+    per_group AS (SELECT {group_alias}, COUNT(*) AS n_distinct_seen,
+                         MAX(CASE WHEN kmv_rank = {k} THEN kmv_u END) AS u_k
+                  FROM ranked GROUP BY {group_alias})
+    SELECT {group_alias},
+           ROUND(CASE WHEN n_distinct_seen < {k}
+                      THEN CAST(n_distinct_seen AS DOUBLE)
+                      ELSE {float(k - 1)} / u_k END, 6) AS est_distinct,
+           LEAST(n_distinct_seen, {k}) AS n_hashes
+    FROM per_group
+    """

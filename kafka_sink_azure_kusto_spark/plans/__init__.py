@@ -3,3 +3,4 @@ import kafka_sink_azure_kusto_spark.plans.registry_northstar  # noqa: E402,F401 
 import kafka_sink_azure_kusto_spark.plans.registry_extras  # noqa: E402,F401 — sessionization/skew/sql/streaming
 import kafka_sink_azure_kusto_spark.plans.registry_curation  # noqa: E402,F401 — sampling/packing/parquet staging
 import kafka_sink_azure_kusto_spark.plans.registry_r5  # noqa: E402,F401 — segment dedup/bloom/splits/SCD2/rolling/salted join
+import kafka_sink_azure_kusto_spark.plans.registry_r5b  # noqa: E402,F401 — TPC-H analogs/sketches/integrity/pagerank/regression

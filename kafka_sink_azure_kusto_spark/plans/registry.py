@@ -84,6 +84,22 @@ _GATE_PRIORITY = [
     # oracle; by r4 it sat past the 50-entry gate window) — first, so the
     # driver finally records the hard signal (VERDICT r4 next-round #1).
     "streaming_sink_roundtrip",
+    # r5 second batch (TPC-H analog joins, sketches, integrity audit,
+    # weighted WOR sampling, PageRank, exact-sum regression).
+    "q6_forecast_revenue",
+    "q4_priority_exists",
+    "q7_bilateral_trade",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q22_dormant_high_balance",
+    "countmin_heavy_hitters",
+    "distinct_kmv_estimate",
+    "referential_integrity_audit",
+    "weighted_sample_wor",
+    "pagerank_nation_trade",
+    "events_linear_trend",
     # r5: new this round (segment dedup, Bloom decontamination,
     # leakage-safe splits, SemDeDup cells, SCD-2, rolling features,
     # salted join, residual IVF-PQ, wire-format message-indexes).
