@@ -91,6 +91,15 @@ HEADLINE = [
     "q10_returned_items",
     "importance_sample_by_quality",
     "corpus_epoch_expansion",
+    # r5 second batch: TPC-H analog joins, sketches, integrity, graph
+    "q7_bilateral_trade",
+    "q18_large_volume_customers",
+    "countmin_heavy_hitters",
+    "distinct_kmv_estimate",
+    "referential_integrity_audit",
+    "weighted_sample_wor",
+    "pagerank_nation_trade",
+    "events_linear_trend",
 ]
 
 

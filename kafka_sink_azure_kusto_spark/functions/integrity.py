@@ -34,7 +34,11 @@ def fk_audit(
     relation: str,
 ) -> DataFrame:
     """One-row audit of the ``child.fk_col → parent.pk_col`` relation:
-    ``(relation, n_rows, n_null_fk, n_orphan_rows, n_orphan_keys)``."""
+    ``(relation, n_rows, n_null_fk, n_orphan_rows, n_orphan_keys)``.
+
+    The final cross join pairs two ONE-ROW aggregates (it shows up as a
+    BroadcastNestedLoopJoin of single rows in the plan — the scalar
+    combine shape, constant cost at any scale)."""
     keys = parent.select(F.col(pk_col).alias("__pk")).distinct()
     non_null = child.filter(F.col(fk_col).isNotNull())
     orphans = non_null.join(

@@ -4,3 +4,4 @@ import kafka_sink_azure_kusto_spark.plans.registry_extras  # noqa: E402,F401 —
 import kafka_sink_azure_kusto_spark.plans.registry_curation  # noqa: E402,F401 — sampling/packing/parquet staging
 import kafka_sink_azure_kusto_spark.plans.registry_r5  # noqa: E402,F401 — segment dedup/bloom/splits/SCD2/rolling/salted join
 import kafka_sink_azure_kusto_spark.plans.registry_r5b  # noqa: E402,F401 — TPC-H analogs/sketches/integrity/pagerank/regression
+import kafka_sink_azure_kusto_spark.plans.registry_streaming2  # noqa: E402,F401 — session windows/stream-static/watermark dedup

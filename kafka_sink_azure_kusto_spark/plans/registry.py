@@ -100,6 +100,9 @@ _GATE_PRIORITY = [
     "weighted_sample_wor",
     "pagerank_nation_trade",
     "events_linear_trend",
+    "streaming_session_windows",
+    "streaming_static_enrich",
+    "streaming_dedup_watermark",
     # r5: new this round (segment dedup, Bloom decontamination,
     # leakage-safe splits, SemDeDup cells, SCD-2, rolling features,
     # salted join, residual IVF-PQ, wire-format message-indexes).

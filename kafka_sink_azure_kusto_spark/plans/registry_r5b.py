@@ -631,7 +631,9 @@ def events_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials — integer sums for x/x², DECIMAL sums for y/xy — then one
     identical double formula in both engines. The regression of a
     100 TB metric stream is one map-side-combinable aggregation; no
-    MLlib, no iteration."""
+    MLlib, no iteration. The epoch-min attaches as a ONE-ROW broadcast
+    cross join (plan shows a single-row BroadcastNestedLoopJoin — the
+    scalar-subquery shape, constant cost)."""
     ev = load_table(spark, sf_dir, "events")
     xsec = F.expr("unix_micros(ts) div 1000000")
     min_x = ev.agg(F.min(xsec).alias("min_x"))

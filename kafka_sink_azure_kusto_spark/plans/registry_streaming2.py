@@ -1,0 +1,243 @@
+"""Round-5 streaming batch: session windows, stream-static dimension
+enrichment, and watermark-bounded streaming dedup — each run as a REAL
+Structured Streaming job (file replay, availableNow, checkpoint) whose
+final output is gated against an exact batch oracle.
+
+Determinism contract: replay chunks are staged time-ordered with
+strictly increasing mtimes (the file source orders micro-batches by
+modification time), timestamps travel as integer epoch-micros (JSON
+timestamp strings would truncate to milliseconds), and watermark delays
+are sized so no in-subset event is ever late — the streaming result is
+then exactly the batch semantics the oracle computes.
+
+No reference citations: the reference sink has no event-time operators
+(SURVEY §2.10); these are Spark-native streaming surface for the
+north-star pipeline.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_sink_azure_kusto_spark.plans.registry import _workdir, register
+from kafka_sink_azure_kusto_spark.sources.tables import load_table
+
+_MTIME = [1_700_000_000]
+
+
+def _stage_chunks(chunks: list[list[str]], replay_dir: str) -> None:
+    """Write NDJSON chunk files with strictly increasing mtimes so the
+    file stream replays them in order, one micro-batch each."""
+    os.makedirs(replay_dir, exist_ok=True)
+    for i, rows in enumerate(chunks):
+        path = os.path.join(replay_dir, f"chunk_{i:03d}.json")
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(r + "\n")
+        _MTIME[0] += 1000
+        os.utime(path, (_MTIME[0], _MTIME[0]))
+
+
+def _split(rows: list[str], n: int) -> list[list[str]]:
+    """Contiguous equal-count split (rows are pre-sorted by event time,
+    so each chunk is a time range)."""
+    size = max(1, (len(rows) + n - 1) // n)
+    return [rows[i : i + size] for i in range(0, len(rows), size)]
+
+
+def _run_to_memory(spark: SparkSession, stream_df: DataFrame, chk: str) -> DataFrame:
+    name = "strq_" + uuid.uuid4().hex[:12]
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    return spark.table(name)
+
+
+_SESSION_ORACLE = """
+    WITH sub AS (SELECT event_id, user_id, ts, value
+                 FROM events ORDER BY event_id LIMIT 4000),
+    seq AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM sub
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM seq)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM sess GROUP BY user_id, sid
+"""
+
+
+@register("streaming_session_windows", _SESSION_ORACLE)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``F.session_window`` (30-minute gap) aggregation running as a
+    watermarked append-mode streaming query over a 3-chunk time-ordered
+    replay. A single far-future sentinel row in its own final
+    micro-batch advances the GLOBAL watermark past every real event, so
+    append mode flushes all real sessions — the streaming equivalent of
+    the batch gaps-and-islands oracle (session = events with
+    consecutive gaps < 30 min; end = last event + 30 min).
+
+    Scale: session state is per-user and bounded by the watermark;
+    the session-window agg shuffles once on the user key."""
+    work = _workdir("stream_sess_")
+    ev = load_table(spark, sf_dir, "events").orderBy("event_id").limit(4000)
+    rows = (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "value",
+        )
+        .orderBy("ts_us", "event_id")
+        .select(F.to_json(F.struct("event_id", "user_id", "ts_us", "value")))
+        .collect()
+    )
+    json_rows = [r[0] for r in rows]
+    max_us = json.loads(json_rows[-1])["ts_us"]
+    sentinel = json.dumps(
+        {"event_id": -1, "user_id": -1, "ts_us": max_us + 100 * 3600 * 1_000_000, "value": 0.0}
+    )
+    chunks = _split(json_rows, 3) + [[sentinel]]
+    replay = os.path.join(work, "replay")
+    _stage_chunks(chunks, replay)
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts_us long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(replay)
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+        .withWatermark("ts", "1 minute")
+    )
+    agg = (
+        stream.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    out = _run_to_memory(spark, agg, os.path.join(work, "chk"))
+    return out.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "n_events",
+        "total_value",
+    )
+
+
+@register(
+    "streaming_static_enrich",
+    """
+    WITH sub AS (SELECT o_orderkey, o_custkey, o_totalprice
+                 FROM orders ORDER BY o_orderkey LIMIT 5000)
+    SELECT o_orderkey, n_name,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM sub
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    """,
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment: a replayed order stream
+    joins the static customer→nation map per micro-batch (the canonical
+    streaming-ETL enrichment shape; the static side re-plans each batch
+    and broadcasts). Stateless — append emits every enriched row
+    immediately; the oracle is the plain batch join."""
+    work = _workdir("stream_enrich_")
+    orders = load_table(spark, sf_dir, "orders").orderBy("o_orderkey").limit(5000)
+    rows = [
+        r[0]
+        for r in orders.select(
+            F.to_json(F.struct("o_orderkey", "o_custkey", "o_totalprice"))
+        ).collect()
+    ]
+    replay = os.path.join(work, "replay")
+    _stage_chunks(_split(rows, 3), replay)
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = cust.join(F.broadcast(nation), F.col("n_nationkey") == F.col("c_nationkey")).select(
+        "c_custkey", "n_name"
+    )
+    stream = (
+        spark.readStream.schema("o_orderkey long, o_custkey long, o_totalprice double")
+        .option("maxFilesPerTrigger", 1)
+        .json(replay)
+    )
+    enriched = stream.join(dim, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "n_name", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    )
+    return _run_to_memory(spark, enriched, os.path.join(work, "chk"))
+
+
+@register(
+    "streaming_dedup_watermark",
+    """
+    SELECT event_id, user_id, ts, value
+    FROM events ORDER BY event_id LIMIT 3000
+    """,
+)
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with WATERMARK-BOUNDED state
+    (``dropDuplicatesWithinWatermark`` on event_id): the replay carries
+    each of the last 20 events of every chunk AGAIN in the next chunk
+    (+30 s event time) — same-batch and cross-batch duplicates both
+    collapse, so the output is exactly the original subset (the
+    oracle). The 96-hour delay comfortably covers the duplicate
+    horizon; state for keys older than the watermark is dropped, which
+    is what makes this runnable forever at 100 TB/day (plain streaming
+    ``dropDuplicates`` would grow state without bound)."""
+    work = _workdir("stream_dedup_")
+    ev = load_table(spark, sf_dir, "events").orderBy("event_id").limit(3000)
+    rows = (
+        ev.select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value")
+        .orderBy("ts_us", "event_id")
+        .select(F.to_json(F.struct("event_id", "user_id", "ts_us", "value")))
+        .collect()
+    )
+    json_rows = [r[0] for r in rows]
+    chunks = _split(json_rows, 3)
+    # inject cross-batch duplicates: last 20 rows of chunk i replayed in
+    # chunk i+1 with ts shifted +30 s (still far inside the watermark)
+    for i in range(len(chunks) - 1):
+        for r in chunks[i][-20:]:
+            d = json.loads(r)
+            d["ts_us"] += 30 * 1_000_000
+            chunks[i + 1].insert(0, json.dumps(d))
+    replay = os.path.join(work, "replay")
+    _stage_chunks(chunks, replay)
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts_us long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(replay)
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+        .withWatermark("ts", "96 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    out = _run_to_memory(spark, stream, os.path.join(work, "chk"))
+    return out.select("event_id", "user_id", "ts", "value")

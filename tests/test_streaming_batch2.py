@@ -1,0 +1,125 @@
+"""Semantics tests for the round-5 streaming batch — session windows,
+stream-static enrichment, watermark-bounded dedup — plus the state-
+EXPIRY behavior the registry oracle (by design) never exercises:
+a duplicate arriving past the watermark is NOT deduped, proving the
+state really is bounded."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from kafka_sink_azure_kusto_spark.plans.registry_streaming2 import (
+    _split,
+    _stage_chunks,
+    _run_to_memory,
+)
+
+H = 3600 * 1_000_000  # one hour in micros
+T0 = 1_700_000_000 * 1_000_000
+
+
+def _row(eid, uid, us, v=1.0):
+    return json.dumps({"event_id": eid, "user_id": uid, "ts_us": us, "value": v})
+
+
+def _dedup_stream(spark, replay, delay):
+    return (
+        spark.readStream.schema("event_id long, user_id long, ts_us long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .json(replay)
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+
+
+def test_dedup_within_watermark_collapses_cross_batch(spark, tmp_path):
+    replay = str(tmp_path / "replay")
+    _stage_chunks(
+        [
+            [_row(1, 1, T0), _row(2, 1, T0 + H)],
+            [_row(1, 1, T0 + 2 * H), _row(3, 1, T0 + 3 * H)],  # dup of id 1
+        ],
+        replay,
+    )
+    out = _run_to_memory(spark, _dedup_stream(spark, replay, "24 hours"), str(tmp_path / "chk"))
+    assert sorted(r["event_id"] for r in out.collect()) == [1, 2, 3]
+
+
+def test_dedup_state_expires_past_watermark(spark, tmp_path):
+    """A duplicate arriving AFTER its key's state aged out of the
+    watermark is re-emitted — the bounded-state trade-off, stated in the
+    registry docstring, observed here."""
+    replay = str(tmp_path / "replay")
+    _stage_chunks(
+        [
+            [_row(1, 1, T0)],
+            # advances the watermark to T0+49h for the NEXT batch
+            [_row(2, 1, T0 + 50 * H)],
+            # state eviction happens at the END of the batch that runs
+            # with the advanced watermark — this batch evicts id 1
+            [_row(3, 1, T0 + 50 * H)],
+            # id 1 again, state gone → re-emitted
+            [_row(1, 1, T0 + 50 * H)],
+        ],
+        replay,
+    )
+    out = _run_to_memory(spark, _dedup_stream(spark, replay, "1 hour"), str(tmp_path / "chk"))
+    ids = sorted(r["event_id"] for r in out.collect())
+    assert ids == [1, 1, 2, 3]
+
+
+def test_split_is_contiguous_and_complete():
+    rows = [str(i) for i in range(10)]
+    chunks = _split(rows, 3)
+    assert [r for c in chunks for r in c] == rows
+    assert all(len(c) <= 4 for c in chunks)
+    assert _split(["a"], 3) == [["a"]]
+
+
+def test_stage_chunks_orders_by_mtime(tmp_path):
+    replay = str(tmp_path / "replay")
+    _stage_chunks([["a"], ["b"], ["c"]], replay)
+    files = sorted(os.listdir(replay))
+    mtimes = [os.path.getmtime(os.path.join(replay, f)) for f in files]
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 3
+
+
+def test_session_windows_streaming_matches_batch(spark, sf_dir):
+    """End-to-end: the streaming session_window query equals the batch
+    gaps-and-islands computation on the same subset."""
+    from kafka_sink_azure_kusto_spark.plans.registry_streaming2 import (
+        streaming_session_windows,
+    )
+    from kafka_sink_azure_kusto_spark.sources.tables import load_table
+    from pyspark.sql import Window
+
+    got = streaming_session_windows(spark, sf_dir)
+
+    ev = load_table(spark, sf_dir, "events").orderBy("event_id").limit(4000)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    seq = ev.withColumn("ns", F.when(gap.isNull() | (gap >= 1800), 1).otherwise(0))
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = (
+        seq.withColumn("sid", F.sum("ns").over(w2))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    got_set = {
+        (r["user_id"], r["session_start"], r["n_events"]) for r in got.collect()
+    }
+    want_set = {
+        (r["user_id"], r["session_start"], r["n_events"]) for r in want.collect()
+    }
+    assert got_set == want_set
