@@ -5,3 +5,4 @@ import kafka_sink_azure_kusto_spark.plans.registry_curation  # noqa: E402,F401 â
 import kafka_sink_azure_kusto_spark.plans.registry_r5  # noqa: E402,F401 â€” segment dedup/bloom/splits/SCD2/rolling/salted join
 import kafka_sink_azure_kusto_spark.plans.registry_r5b  # noqa: E402,F401 â€” TPC-H analogs/sketches/integrity/pagerank/regression
 import kafka_sink_azure_kusto_spark.plans.registry_streaming2  # noqa: E402,F401 â€” session windows/stream-static/watermark dedup
+import kafka_sink_azure_kusto_spark.plans.registry_windows  # noqa: E402,F401 â€” RANGE frames/ntile bins/shares/lead-lag gaps

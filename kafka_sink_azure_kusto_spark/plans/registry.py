@@ -103,6 +103,10 @@ _GATE_PRIORITY = [
     "streaming_session_windows",
     "streaming_static_enrich",
     "streaming_dedup_watermark",
+    "orders_trailing_30d_revenue",
+    "equidepth_bins",
+    "nation_revenue_share",
+    "customer_order_gaps",
     # r5: new this round (segment dedup, Bloom decontamination,
     # leakage-safe splits, SemDeDup cells, SCD-2, rolling features,
     # salted join, residual IVF-PQ, wire-format message-indexes).

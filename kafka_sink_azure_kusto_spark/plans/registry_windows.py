@@ -1,0 +1,170 @@
+"""Round-5 window-function surface: RANGE-interval trailing frames,
+equi-depth binning (ntile), share-of-total ratios, and lead/lag
+inter-event gaps — the analytics shapes a feature-engineering pipeline
+leans on, each with a deterministic total order and exact arithmetic
+(DECIMAL sums, integer day/second math) so the DuckDB oracle matches
+hash-for-hash.
+
+Scale note common to all four: one shuffle on the partition key, state
+bounded by the frame; no SinglePartition windows anywhere (asserted in
+tests/test_r5_plans.py pattern).
+
+No reference citations: north-star additions (SURVEY §7.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_sink_azure_kusto_spark.plans.registry import register
+from kafka_sink_azure_kusto_spark.sources.tables import load_table
+
+
+@register(
+    "orders_trailing_30d_revenue",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+             AS trailing_rev,
+           COUNT(*) OVER w AS n_orders_30d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY epoch_us(o_orderdate) // 1000000
+                 RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def orders_trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 30-day revenue per customer at every order — a RANGE
+    frame over integer epoch-seconds (2 592 000 s = 30 d). RANGE frames
+    include ALL rows with equal order keys in both engines, so same-day
+    orders see each other symmetrically — no tie-break needed. One
+    shuffle on the customer key; frame state is the 30-day run."""
+    o = load_table(spark, sf_dir, "orders")
+    sec = F.expr("unix_micros(o_orderdate) div 1000000")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(sec)
+        .rangeBetween(-2592000, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_rev"),
+        F.count(F.lit(1)).over(w).alias("n_orders_30d"),
+    )
+
+
+@register(
+    "equidepth_bins",
+    """
+    WITH binned AS (
+      SELECT event_type, value,
+             NTILE(10) OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS decile
+      FROM events)
+    SELECT event_type, decile, COUNT(*) AS n,
+           CAST(MIN(value) AS DOUBLE) AS lo,
+           CAST(MAX(value) AS DOUBLE) AS hi
+    FROM binned GROUP BY event_type, decile
+    """,
+)
+def equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (decile) binning of the metric distribution per event
+    type — the feature-binning / monitoring primitive. NTILE's
+    remainder-to-first-buckets rule is identical across engines, and
+    the (value, event_id) total order makes bucket membership exact,
+    not approximate. At scale this is the exact counterpart to
+    approx-quantile bucketing: one shuffle on the group key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").cast("double").alias("lo"),
+            F.max("value").cast("double").alias("hi"),
+        )
+    )
+
+
+@register(
+    "nation_revenue_share",
+    """
+    WITH nat AS (
+      SELECT n.n_name, r.r_name,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n ON n.n_nationkey = c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY n.n_name, r.r_name)
+    SELECT n_name, r_name,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE)
+             AS share_in_region,
+           CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE) AS share_global
+    FROM nat
+    """,
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total ratios at two grouping levels (region, global)
+    via window sums OVER the aggregated nation rollup — the ratios are
+    double divisions of EXACT decimal sums, identical in both engines.
+    The windows run over ≤ nations rows (post-aggregation), so the
+    empty/global frame is a 25-row problem, never a data-sized one."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    nat = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("n_name", "r_name")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    w_region = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    rev_d = F.col("rev").cast("double")
+    return nat.select(
+        "n_name",
+        "r_name",
+        rev_d.alias("revenue"),
+        (rev_d / F.sum("rev").over(w_region).cast("double")).alias("share_in_region"),
+        (rev_d / F.sum("rev").over(w_all).cast("double")).alias("share_global"),
+    )
+
+
+@register(
+    "customer_order_gaps",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day',
+                LAG(o_orderdate) OVER w, o_orderdate) AS BIGINT) AS days_since_prev,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq,
+           (LEAD(o_orderdate) OVER w IS NULL) AS is_latest
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order day gaps per customer (lag), order sequence number,
+    and latest-order flag (lead IS NULL) — the churn-feature shape.
+    Integer day arithmetic on the (orderdate, orderkey) total order;
+    first orders carry NULL gaps in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("bigint")
+        .alias("days_since_prev"),
+        F.row_number().over(w).cast("bigint").alias("order_seq"),
+        F.lead("o_orderdate").over(w).isNull().alias("is_latest"),
+    )
