@@ -69,9 +69,65 @@ def test_countmin_sketch_is_bounded(spark):
     assert sketch.count() <= 3 * 8
 
 
+def test_countmin_sketch_is_mergeable(spark):
+    """Sketches of two shards merge by cell-wise ADDITION into exactly
+    the whole-input sketch — the property that lets per-day / per-
+    partition sketches combine without touching raw keys."""
+    from kafka_sink_azure_kusto_spark.functions.sketches import cm_bucket
+
+    rows = [Row(k=f"key{i % 13}", shard=i % 2) for i in range(200)]
+    df = spark.createDataFrame(rows)
+
+    def sketch(frame):
+        cells = frame.select(
+            F.posexplode(
+                F.array(*[cm_bucket(F.col("k"), r, 32) for r in range(3)])
+            ).alias("cm_row", "cm_bucket")
+        )
+        return {
+            (r["cm_row"], r["cm_bucket"]): r["n"]
+            for r in cells.groupBy("cm_row", "cm_bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    whole = sketch(df)
+    s0 = sketch(df.filter(F.col("shard") == 0))
+    s1 = sketch(df.filter(F.col("shard") == 1))
+    merged: dict = {}
+    for s in (s0, s1):
+        for cell, n in s.items():
+            merged[cell] = merged.get(cell, 0) + n
+    assert merged == whole
+
+
 # ---------------------------------------------------------------------------
 # KMV
 # ---------------------------------------------------------------------------
+
+
+def test_kmv_sketch_is_mergeable(spark):
+    """Keeping the k smallest hashes of the UNION of two per-shard
+    k-minimum sets yields the whole-input estimate exactly."""
+    import heapq
+
+    from kafka_sink_azure_kusto_spark.functions.sampling import md5_unit_interval
+
+    k = 8
+    df = spark.createDataFrame([Row(k_val=i, shard=i % 2) for i in range(100)])
+    hashed = df.withColumn("u", md5_unit_interval(F.col("k_val"), salt="kmv:"))
+
+    def kmin(frame):
+        return heapq.nsmallest(k, [r["u"] for r in frame.select("u").distinct().collect()])
+
+    whole = kmin(hashed)
+    merged = heapq.nsmallest(
+        k, kmin(hashed.filter(F.col("shard") == 0)) + kmin(hashed.filter(F.col("shard") == 1))
+    )
+    assert merged == whole
+    # and the per-shard sketches really carry k hashes each
+    rows = kmv_distinct(df, ["shard"], "k_val", k=k).collect()
+    assert all(r["n_hashes"] == k for r in rows)
 
 
 def test_kmv_exact_below_k(spark):

@@ -306,6 +306,83 @@ def bloom_decontam_compare(spark, sizes=(5_000, 50_000)):
         docs.unpersist()
 
 
+def sketch_scale_compare(spark, sizes=(100_000, 1_000_000, 10_000_000)):
+    """Count-min and KMV at 10×/100× input scale, against the exact
+    groupBy they substitute for. What the 100 TB story needs on record:
+    the sketch shuffle is bounded (depth×width cells / k hashes per
+    group) while the exact shuffle carries every distinct key — the
+    probe prints both timings AND the grouped-cell counts so the
+    boundedness claim is measured, not asserted. Key skew is zipf-ish
+    (key = floor(u²·n_keys), deterministic), n_keys grows with n/100."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from kafka_sink_azure_kusto_spark.functions.sampling import md5_unit_interval
+    from kafka_sink_azure_kusto_spark.functions.sketches import (
+        countmin_estimates,
+        kmv_distinct,
+    )
+
+    for n in sizes:
+        n_keys = max(1000, n // 100)
+        u = md5_unit_interval(F.col("id"), salt="sk:")
+        df = (
+            spark.range(n)
+            .select(
+                (F.floor(u * u * n_keys)).cast("long").alias("key"),
+                (F.col("id") % 16).alias("grp"),
+            )
+            .cache()
+        )
+        df.count()
+        # sketch BUILD alone (what a production pipeline ships across
+        # days/streams); the registry query additionally probes every
+        # distinct key, which re-does the exact-distinct work and is
+        # only there so the oracle can check est >= true for all keys
+        from kafka_sink_azure_kusto_spark.functions.sketches import cm_bucket
+
+        t0 = _t.perf_counter()
+        (
+            df.select(
+                F.posexplode(
+                    F.array(*[cm_bucket(F.col("key"), r, 4096) for r in range(4)])
+                ).alias("cm_row", "cm_bucket")
+            )
+            .groupBy("cm_row", "cm_bucket")
+            .count()
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        t_cm_build = _t.perf_counter() - t0
+        t0 = _t.perf_counter()
+        countmin_estimates(df, "key", depth=4, width=4096).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        t_cm = _t.perf_counter() - t0
+        t0 = _t.perf_counter()
+        df.groupBy("key").count().write.format("noop").mode("overwrite").save()
+        t_exact = _t.perf_counter() - t0
+        t0 = _t.perf_counter()
+        kmv_distinct(df, ["grp"], "key", k=64).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        t_kmv = _t.perf_counter() - t0
+        t0 = _t.perf_counter()
+        df.groupBy("grp").agg(F.countDistinct("key")).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        t_cd = _t.perf_counter() - t0
+        print(
+            f"n={n} keys~{n_keys}: countmin_build={t_cm_build:.2f}s "
+            f"countmin_query_all_keys={t_cm:.2f}s exact_groupby={t_exact:.2f}s "
+            f"(sketch cells ≤ {4 * 4096}) | kmv={t_kmv:.2f}s "
+            f"exact_count_distinct={t_cd:.2f}s (state 64 hashes/group)"
+        )
+        df.unpersist()
+
+
 def timed(label, df):
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
@@ -319,8 +396,11 @@ def main():
     clustered_only = None
     ingest_only = None
     bloom_only = False
+    sketch_only = False
     if len(sys.argv) > 1 and sys.argv[1] == "--bloom":
         bloom_only = True
+    elif len(sys.argv) > 1 and sys.argv[1] == "--sketch":
+        sketch_only = True
     elif len(sys.argv) > 1 and sys.argv[1] == "--ann-clustered":
         clustered_only = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
     elif len(sys.argv) > 1 and sys.argv[1] == "--sink-ingest":
@@ -349,6 +429,9 @@ def main():
 
     if bloom_only:
         bloom_decontam_compare(spark)
+        return
+    if sketch_only:
+        sketch_scale_compare(spark)
         return
     if clustered_only is not None:
         ann_clustered_recall(spark, clustered_only)
