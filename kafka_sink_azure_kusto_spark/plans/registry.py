@@ -107,6 +107,7 @@ _GATE_PRIORITY = [
     "equidepth_bins",
     "nation_revenue_share",
     "customer_order_gaps",
+    "bpe_iterative_merges",
     # r5: new this round (segment dedup, Bloom decontamination,
     # leakage-safe splits, SemDeDup cells, SCD-2, rolling features,
     # salted join, residual IVF-PQ, wire-format message-indexes).

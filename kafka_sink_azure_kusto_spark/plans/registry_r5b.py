@@ -661,3 +661,99 @@ def events_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         slope.alias("slope"),
         ((sy - slope * sx) / n).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE merges (generated-SQL oracle, like pagerank_sql)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_merge_sql(rounds: int) -> str:
+    """DuckDB oracle for ``bpe_iterative_merges`` — one CTE block per
+    merge round, GENERATED from the same loop as the Spark plan. Each
+    round: adjacent word-pair counts → deterministic top pair (count
+    DESC, pair ASC) → padded-text replace of ``' w1 w2 '`` with
+    ``' w1@@w2 '``."""
+    ctes = [
+        "t0 AS (SELECT doc_id, ' ' || text || ' ' AS txt FROM documents)",
+    ]
+    for i in range(1, rounds + 1):
+        prev = f"t{i - 1}"
+        ctes.append(
+            f"w{i} AS (SELECT doc_id, string_split(trim(txt), ' ') AS ws FROM {prev})"
+        )
+        ctes.append(
+            f"p{i} AS (SELECT ws[s + 1] || ' ' || ws[s + 2] AS pair "
+            f"FROM (SELECT ws, unnest(range(0, len(ws) - 1)) AS s FROM w{i}))"
+        )
+        ctes.append(
+            f"top{i} AS (SELECT pair FROM p{i} GROUP BY pair "
+            f"ORDER BY count(*) DESC, pair ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"t{i} AS (SELECT doc_id, replace(txt, "
+            f"' ' || (SELECT pair FROM top{i}) || ' ', "
+            f"' ' || replace((SELECT pair FROM top{i}), ' ', '@@') || ' ') AS txt "
+            f"FROM {prev})"
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT doc_id,
+           CAST(len(string_split(trim(txt), ' ')) AS BIGINT) AS n_tokens,
+           md5(trim(txt)) AS txt_fingerprint
+    FROM t{rounds}"""
+    )
+
+
+@register("bpe_iterative_merges", _bpe_merge_sql(_BPE_ROUNDS))
+def bpe_iterative_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction actually APPLIED: 3 corpus-wide merge
+    rounds at word granularity (count adjacent pairs → deterministic
+    top pair → merge every padded occurrence into one ``w1@@w2``
+    token), returning each doc's final token count and an md5
+    fingerprint of the merged text — so the oracle verifies the full
+    rewritten corpus, not just the pair statistics
+    (``bpe_pair_frequencies`` is the single-round count view).
+
+    Iterative plan composition like ``pagerank``/``kmeans_train``: each
+    round is one pair-count aggregation plus a scalar top-pair lookup
+    (a one-row collect, the only driver traffic) feeding a codegen
+    ``replace`` over the corpus — no shuffle of document text, ever;
+    only pair counts move. Merge semantics note: the padded-string
+    replace is left-to-right non-overlapping (an immediately repeating
+    pair ``A B A B`` merges once, not twice) — byte-identical semantics
+    in Spark and DuckDB, which is what the fingerprint gate checks.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cur = docs.select(
+        "doc_id", F.concat(F.lit(" "), F.col("text"), F.lit(" ")).alias("txt")
+    )
+    for _ in range(_BPE_ROUNDS):
+        toks = F.split(F.trim(F.col("txt")), " ")
+        n = F.size(toks)
+        idx = F.when(n - 1 > 0, F.sequence(F.lit(1), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        pairs_col = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+        [top] = (
+            cur.select(F.explode(pairs_col).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()
+        )
+        pair = top["pair"]
+        merged = pair.replace(" ", "@@")
+        cur = cur.withColumn(
+            "txt", F.replace(F.col("txt"), F.lit(f" {pair} "), F.lit(f" {merged} "))
+        )
+    return cur.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("txt")), " ")).cast("bigint").alias("n_tokens"),
+        F.md5(F.trim(F.col("txt"))).alias("txt_fingerprint"),
+    )

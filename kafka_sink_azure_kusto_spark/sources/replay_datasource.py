@@ -1,0 +1,173 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API)
+exposing the NDJSON replay directory as a first-class ``kafka_replay``
+format — batch AND streaming.
+
+Why it exists: the repo's replay harness (``sources/replay.py``) stands
+in for a Kafka broker; this wraps it in the public DataSource V2 Python
+API so the same directories are readable as
+``spark.read.format("kafka_replay")`` / ``spark.readStream.format(
+"kafka_replay")`` with real offset/commit semantics — one replay chunk
+file = one source partition = one streaming micro-batch, mirroring how
+the Kafka source maps topic-partitions to tasks (C1).
+
+Positioning: this is the API-surface / test-harness path. Rows are
+parsed in Python (the DataSource Python API is row-based by contract),
+so the hot production path remains the JVM file/Kafka sources — same
+stance as the pure-Python codecs: spec-complete, measured, and NOT the
+default. The streaming reader implements the full offset lifecycle
+(initialOffset → latestOffset → partitions(start, end) → read →
+commit), which is exactly what a custom enterprise source (REST feed,
+queue, changelog) would need; replay files stand in for the remote
+stream.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator
+
+try:  # pragma: no cover - import guard exercised by tests
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    DATASOURCE_API_AVAILABLE = True
+except ImportError:  # pyspark < 4.0
+    DATASOURCE_API_AVAILABLE = False
+
+    class DataSource:  # type: ignore[no-redef]
+        def __init__(self, options=None):
+            self.options = options or {}
+
+    class DataSourceReader:  # type: ignore[no-redef]
+        pass
+
+    class DataSourceStreamReader:  # type: ignore[no-redef]
+        pass
+
+    class InputPartition:  # type: ignore[no-redef]
+        def __init__(self, value):
+            self.value = value
+
+
+REPLAY_SCHEMA_DDL = (
+    "key string, value string, topic string, partition bigint, offset bigint"
+)
+
+
+def _list_chunks(path: str) -> list[str]:
+    """Replay chunk files in micro-batch order: (mtime, name) — the
+    same order the JVM file stream source uses, so both sources replay
+    identical batch sequences."""
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"kafka_replay path does not exist: {path}")
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".json") and not f.startswith(("_", "."))
+    ]
+    return sorted(files, key=lambda p: (os.path.getmtime(p), p))
+
+
+def _read_file(path: str) -> Iterator[tuple]:
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            d = json.loads(line)
+            yield (
+                d.get("key"),
+                d.get("value"),
+                d.get("topic"),
+                int(d["partition"]) if d.get("partition") is not None else None,
+                int(d["offset"]) if d.get("offset") is not None else None,
+            )
+
+
+class _ChunkPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class KafkaReplayBatchReader(DataSourceReader):
+    """One input partition per chunk file — scan parallelism equals
+    chunk count, like Kafka topic-partitions map to tasks."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("kafka_replay requires the 'path' option")
+
+    def partitions(self):
+        return [_ChunkPartition(p) for p in _list_chunks(self.path)]
+
+    def read(self, partition: "_ChunkPartition"):
+        yield from _read_file(partition.path)
+
+
+class KafkaReplayStreamReader(DataSourceStreamReader):
+    """Streaming reader with the full offset lifecycle. Offsets are
+    ``{"index": N}`` = number of chunk files consumed; each
+    ``latestOffset`` advance is capped at ``maxFilesPerTrigger``
+    (default 1) so one chunk = one micro-batch, matching the JVM replay
+    harness. ``commit`` is a no-op (files are immutable); a real queue
+    source would acknowledge upstream here."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("kafka_replay requires the 'path' option")
+        self.per_trigger = int(options.get("maxFilesPerTrigger", "1"))
+        self._last = 0
+
+    def initialOffset(self):
+        return {"index": 0}
+
+    def latestOffset(self):
+        n = len(_list_chunks(self.path))
+        self._last = min(self._last + self.per_trigger, n)
+        return {"index": self._last}
+
+    def partitions(self, start, end):
+        files = _list_chunks(self.path)
+        return [
+            _ChunkPartition(p) for p in files[int(start["index"]) : int(end["index"])]
+        ]
+
+    def read(self, partition: "_ChunkPartition"):
+        yield from _read_file(partition.path)
+
+    def commit(self, end):
+        pass
+
+
+class KafkaReplayDataSource(DataSource):
+    """``spark.dataSource.register(KafkaReplayDataSource)`` then
+    ``spark.read.format("kafka_replay").option("path", dir).load()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kafka_replay"
+
+    def schema(self) -> str:
+        return REPLAY_SCHEMA_DDL
+
+    def reader(self, schema):
+        return KafkaReplayBatchReader(self.options)
+
+    def streamReader(self, schema):
+        return KafkaReplayStreamReader(self.options)
+
+
+def register_kafka_replay_source(spark) -> bool:
+    """Register the custom source on this session (idempotent). Returns
+    False (no-op) when the DataSource API is unavailable."""
+    if not DATASOURCE_API_AVAILABLE:
+        return False
+    spark.dataSource.register(KafkaReplayDataSource)
+    return True

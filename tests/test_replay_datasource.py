@@ -1,0 +1,113 @@
+"""The custom ``kafka_replay`` Python DataSource: batch parity with the
+JVM JSON reader, partition planning (one per chunk), and the streaming
+offset lifecycle (one chunk per micro-batch, availableNow drains all)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_sink_azure_kusto_spark.sources.replay_datasource import (
+    DATASOURCE_API_AVAILABLE,
+    KafkaReplayBatchReader,
+    register_kafka_replay_source,
+)
+
+pytestmark = pytest.mark.skipif(
+    not DATASOURCE_API_AVAILABLE, reason="pyspark.sql.datasource API unavailable"
+)
+
+_MTIME = [1_600_000_000]
+
+
+def _chunk(path, rows):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    _MTIME[0] += 1000
+    os.utime(path, (_MTIME[0], _MTIME[0]))
+
+
+def _rec(i, topic="t", tombstone=False):
+    return {
+        "key": str(i),
+        "value": None if tombstone else f"v{i}",
+        "topic": topic,
+        "partition": i % 2,
+        "offset": i,
+    }
+
+
+@pytest.fixture
+def replay_dir(tmp_path):
+    d = str(tmp_path / "replay")
+    _chunk(f"{d}/a.json", [_rec(0), _rec(1), _rec(2, tombstone=True)])
+    _chunk(f"{d}/b.json", [_rec(3, topic="u"), _rec(4)])
+    _chunk(f"{d}/c.json", [_rec(5)])
+    return d
+
+
+def test_batch_read_matches_jvm_json_reader(spark, replay_dir):
+    register_kafka_replay_source(spark)
+    custom = spark.read.format("kafka_replay").option("path", replay_dir).load()
+    jvm = (
+        spark.read.schema(
+            "key string, value string, topic string, partition bigint, offset bigint"
+        ).json(replay_dir)
+    )
+    a = {tuple(r) for r in custom.collect()}
+    b = {tuple(r) for r in jvm.collect()}
+    assert a == b and len(a) == 6
+    # tombstone survives as NULL value (F1 semantics downstream)
+    assert custom.filter(F.col("value").isNull()).count() == 1
+
+
+def test_batch_partitions_one_per_chunk(replay_dir):
+    reader = KafkaReplayBatchReader({"path": replay_dir})
+    parts = reader.partitions()
+    assert len(parts) == 3
+    # chunk order follows (mtime, name) — the replay batch order
+    assert [os.path.basename(p.path) for p in parts] == ["a.json", "b.json", "c.json"]
+    assert sum(1 for _ in reader.read(parts[0])) == 3
+
+
+def test_missing_path_option_raises():
+    with pytest.raises(ValueError):
+        KafkaReplayBatchReader({})
+
+
+def test_stream_reads_one_chunk_per_microbatch(spark, replay_dir, tmp_path):
+    register_kafka_replay_source(spark)
+    stream = (
+        spark.readStream.format("kafka_replay").option("path", replay_dir).load()
+    )
+    name = "kafka_replay_stream_test"
+    # Python stream sources don't support Trigger.AvailableNow (Spark
+    # falls back to single-batch) — drive with a processing-time
+    # trigger and poll, which exercises the real offset lifecycle
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline and spark.table(name).count() < 6:
+        time.sleep(0.5)
+    nonempty_batches = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
+    q.stop()
+    out = spark.table(name)
+    assert out.count() == 6
+    # one chunk per micro-batch: the 6 rows arrived over >= 3 batches
+    assert nonempty_batches >= 3
+    assert {r["topic"] for r in out.collect()} == {"t", "u"}
