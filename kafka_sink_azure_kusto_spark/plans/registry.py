@@ -124,7 +124,6 @@ _GATE_PRIORITY = [
     "zorder_layout_key",
     "timeseries_gap_fill",
     "cube_event_stats",
-    "value_histogram",
     "kmeans_lloyd_step",
     "bpe_pair_frequencies",
     "text_bigram_lm_score",
@@ -139,6 +138,13 @@ _GATE_PRIORITY = [
     "importance_sample_by_quality",
     "corpus_epoch_expansion",
     "similarity_ivf_pq_residual_topk",
+    # 51 never-driver-gated queries + streaming_sink_roundtrip don't fit
+    # the 50-slot gate. Deliberate order of the two that wait for r6:
+    # value_histogram (simplest of the batch, lowest risk) first-out at
+    # position 51, then registry_wire_decode (changed in r5 but already
+    # holding an r4 driver-green row; the widening is green in the local
+    # oracle sweep). Both lead the r6 gate.
+    "value_histogram",
     "registry_wire_decode",
     # r5 backlog rotation: everything NOT in the r4 driver gate (all
     # were judge-replica-exact; this re-earns driver-green rows).
