@@ -258,6 +258,32 @@ def test_pagerank_sql_matches_spark_on_duckdb(spark):
         assert abs(got[k] - want[k]) < 1e-6
 
 
+def test_r5b_operators_tolerate_empty_input(spark):
+    """Sketches, audit, and PageRank on empty sources: empty frames (or
+    a well-defined zero row for the audit), never a crash — the first
+    batch of a backfill is often empty."""
+    empty_keys = spark.createDataFrame([], "k string")
+    assert countmin_estimates(empty_keys, "k").count() == 0
+    empty_gk = spark.createDataFrame([], "g string, k long")
+    assert kmv_distinct(empty_gk, ["g"], "k").count() == 0
+
+    parent = spark.createDataFrame([], "pk long")
+    child = spark.createDataFrame([], "fk long")
+    [row] = fk_audit(child, "fk", parent, "pk", "empty").collect()
+    assert (row["n_rows"], row["n_null_fk"], row["n_orphan_rows"], row["n_orphan_keys"]) == (
+        0,
+        0,
+        0,
+        0,
+    )
+
+    nodes = spark.createDataFrame([Row(node="a"), Row(node="b")])
+    no_edges = spark.createDataFrame([], "src string, dst string, w double")
+    ranks = {r["node"]: r["rank"] for r in pagerank(nodes, no_edges).collect()}
+    # pure teleport mass everywhere when the graph has no edges
+    assert all(abs(v - (1 - 0.85) / 2) < 2e-6 for v in ranks.values())
+
+
 # ---------------------------------------------------------------------------
 # Weighted WOR sampling invariants
 # ---------------------------------------------------------------------------
