@@ -34,6 +34,8 @@ def pagerank(
     weight_col: str = "w",
     iterations: int = 3,
     damping: float = 0.85,
+    persist_edges: bool = True,
+    checkpoint_interval: int = 5,
 ) -> DataFrame:
     """Damped weighted PageRank after ``iterations`` power steps →
     ``(node_col, rank)``.
@@ -41,6 +43,18 @@ def pagerank(
     ``nodes`` must contain every vertex (including ones absent from
     ``edges``). The node count is read once (a count on the vertex
     frame — at scale this is a dimension-table count, not a fact scan).
+
+    Recompute control, the part that matters when ``edges`` is derived
+    from an expensive upstream join (like the bilateral-trade graph):
+    every iteration references the normalized transition frame, so an
+    unpersisted lineage would RE-RUN the upstream join once per
+    iteration. ``persist_edges`` (default) caches the normalized edges
+    (memory-and-disk; stays pinned for the returned frame's lifetime),
+    and every ``checkpoint_interval`` iterations the O(nodes) rank
+    vector is localCheckpoint'ed so the plan depth stays bounded for
+    long power runs (rank state is materialized, never collected —
+    unlike ``kmeans_train``'s tiny codebook, a web-scale rank vector
+    must not visit the driver).
     """
     if iterations < 1:
         raise ValueError("pagerank needs iterations >= 1")
@@ -60,8 +74,12 @@ def pagerank(
             (F.col(weight_col) / F.col("__out_w")).alias("__p"),
         )
     )
+    if persist_edges:
+        from pyspark import StorageLevel
+
+        trans = trans.persist(StorageLevel.MEMORY_AND_DISK)
     ranks = nodes.select(F.col(node_col), F.lit(1.0 / n).alias("rank"))
-    for _ in range(iterations):
+    for i in range(iterations):
         contribs = (
             trans.join(
                 F.broadcast(ranks.withColumnRenamed(node_col, src_col)), src_col
@@ -81,6 +99,8 @@ def pagerank(
                 ).alias("rank"),
             )
         )
+        if checkpoint_interval and (i + 1) % checkpoint_interval == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(node_col, F.round("rank", 6).alias("rank"))
 
 
