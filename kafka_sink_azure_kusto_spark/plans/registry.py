@@ -108,6 +108,7 @@ _GATE_PRIORITY = [
     "nation_revenue_share",
     "customer_order_gaps",
     "bpe_iterative_merges",
+    "events_ewma",
     # r5: new this round (segment dedup, Bloom decontamination,
     # leakage-safe splits, SemDeDup cells, SCD-2, rolling features,
     # salted join, residual IVF-PQ, wire-format message-indexes).
@@ -123,7 +124,6 @@ _GATE_PRIORITY = [
     "funnel_conversion",
     "zorder_layout_key",
     "timeseries_gap_fill",
-    "cube_event_stats",
     "kmeans_lloyd_step",
     "bpe_pair_frequencies",
     "text_bigram_lm_score",
@@ -138,12 +138,12 @@ _GATE_PRIORITY = [
     "importance_sample_by_quality",
     "corpus_epoch_expansion",
     "similarity_ivf_pq_residual_topk",
-    # 51 never-driver-gated queries + streaming_sink_roundtrip don't fit
-    # the 50-slot gate. Deliberate order of the two that wait for r6:
-    # value_histogram (simplest of the batch, lowest risk) first-out at
-    # position 51, then registry_wire_decode (changed in r5 but already
-    # holding an r4 driver-green row; the widening is green in the local
-    # oracle sweep). Both lead the r6 gate.
+    # 52 never-driver-gated queries + streaming_sink_roundtrip don't fit
+    # the 50-slot gate. Deliberate order of the three that wait for r6
+    # (the simplest, lowest-risk entries of the batch first, then the
+    # r5-changed wire decode, which already holds an r4 driver-green row
+    # and is green in the local oracle sweep). All lead the r6 gate.
+    "cube_event_stats",
     "value_histogram",
     "registry_wire_decode",
     # r5 backlog rotation: everything NOT in the r4 driver gate (all

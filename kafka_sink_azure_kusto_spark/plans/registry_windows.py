@@ -168,3 +168,57 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("bigint").alias("order_seq"),
         F.lead("o_orderdate").over(w).isNull().alias("is_latest"),
     )
+
+
+@register(
+    "events_ewma",
+    """
+    WITH w AS (
+      SELECT event_id, user_id, ts, value,
+             list(CAST(value AS DOUBLE))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr
+      FROM events)
+    SELECT event_id, user_id,
+           list_sum(list_transform(list_zip(arr, range(len(arr))),
+                    p -> p[1] * pow(0.8, len(arr) - 1 - p[2])))
+           / list_sum(list_transform(range(len(arr)), k -> pow(0.8, k)))
+             AS ewma
+    FROM w
+    """,
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted exponentially-weighted moving average (α=0.2) of the
+    metric per user — the smoothing feature every monitoring/feature
+    pipeline wants, expressed EXACTLY as a bounded window: the true
+    EWMA recurrence is not window-expressible, but truncating at 20
+    events (weight 0.8²⁰ ≈ 1.2%) makes it a pure frame computation both
+    engines evaluate identically — collect the frame as an array, fold
+    position-weighted terms with higher-order functions (zip_with +
+    aggregate in Spark; list_zip + list_transform in DuckDB), normalize
+    by the weight sum. One shuffle on the user key; per-row state is
+    the 20-element frame; no UDF, all codegen'd built-ins."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    arr = F.collect_list(F.col("value").cast("double")).over(w)
+    out = ev.select("event_id", "user_id", arr.alias("arr"))
+    n = F.size("arr")
+    weighted = F.zip_with(
+        F.col("arr"),
+        F.sequence(F.lit(0), n - 1),
+        lambda v, k: v * F.pow(F.lit(0.8), (n - 1 - k).cast("double")),
+    )
+    num = F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
+    den = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda k: F.pow(F.lit(0.8), k.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return out.select("event_id", "user_id", (num / den).alias("ewma"))
