@@ -109,6 +109,9 @@ _GATE_PRIORITY = [
     "customer_order_gaps",
     "bpe_iterative_merges",
     "events_ewma",
+    "attribution_last_touch",
+    "record_survivorship",
+    "copurchase_pairs",
     # r5: new this round (segment dedup, Bloom decontamination,
     # leakage-safe splits, SemDeDup cells, SCD-2, rolling features,
     # salted join, residual IVF-PQ, wire-format message-indexes).
@@ -121,9 +124,6 @@ _GATE_PRIORITY = [
     "skew_salted_join",
     "quality_percentile_gate",
     "dedup_incremental",
-    "funnel_conversion",
-    "zorder_layout_key",
-    "timeseries_gap_fill",
     "kmeans_lloyd_step",
     "bpe_pair_frequencies",
     "text_bigram_lm_score",
@@ -138,11 +138,14 @@ _GATE_PRIORITY = [
     "importance_sample_by_quality",
     "corpus_epoch_expansion",
     "similarity_ivf_pq_residual_topk",
-    # 52 never-driver-gated queries + streaming_sink_roundtrip don't fit
-    # the 50-slot gate. Deliberate order of the three that wait for r6
+    # 55 never-driver-gated queries + streaming_sink_roundtrip don't fit
+    # the 50-slot gate. Deliberate order of the five that wait for r6
     # (the simplest, lowest-risk entries of the batch first, then the
     # r5-changed wire decode, which already holds an r4 driver-green row
     # and is green in the local oracle sweep). All lead the r6 gate.
+    "timeseries_gap_fill",
+    "funnel_conversion",
+    "zorder_layout_key",
     "cube_event_stats",
     "value_histogram",
     "registry_wire_decode",
