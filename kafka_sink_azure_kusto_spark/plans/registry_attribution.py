@@ -189,3 +189,160 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
+
+
+@register(
+    "copurchase_lift",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nn AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders_total FROM items),
+    item_n AS (SELECT l_partkey, COUNT(*) AS n_item FROM items GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_pair
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2)
+    SELECT p1, p2, n_pair,
+           CAST(n_pair AS DOUBLE) * (SELECT n_orders_total FROM nn)
+             / (i1.n_item * i2.n_item) AS lift
+    FROM pairs
+    JOIN item_n i1 ON i1.l_partkey = p1
+    JOIN item_n i2 ON i2.l_partkey = p2
+    ORDER BY lift DESC, p1, p2 LIMIT 50
+    """,
+)
+def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule lift over the co-purchase pairs: lift =
+    P(p1,p2) / (P(p1)·P(p2)) computed from exact integer counts (the
+    double division of identical exact inputs is identical in both
+    engines), top-50 with a (lift, p1, p2) deterministic order via
+    TakeOrderedAndProject. Item counts join broadcast-sized frames;
+    the basket-blocked pair join is the only fact-sized work."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n_total = items.agg(
+        F.countDistinct("l_orderkey").alias("n_orders_total")
+    )
+    item_n = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= 2)
+    )
+    i1 = item_n.select(F.col("l_partkey").alias("p1"), F.col("n_item").alias("n1"))
+    i2 = item_n.select(F.col("l_partkey").alias("p2"), F.col("n_item").alias("n2"))
+    return (
+        pairs.join(i1, "p1")
+        .join(i2, "p2")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "p1",
+            "p2",
+            "n_pair",
+            (
+                F.col("n_pair").cast("double")
+                * F.col("n_orders_total")
+                / (F.col("n1") * F.col("n2"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "p1", "p2")
+        .limit(50)
+    )
+
+
+@register(
+    "value_drift_psi",
+    """
+    WITH a AS (SELECT event_type, value, event_id FROM events
+               WHERE ts < TIMESTAMP '2024-01-16'),
+    b AS (SELECT event_type, value, event_id AS b_id FROM events
+          WHERE ts >= TIMESTAMP '2024-01-16'),
+    binned AS (SELECT event_type, value,
+                      NTILE(10) OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS bin
+               FROM a),
+    bounds AS (SELECT event_type, bin,
+                      CASE WHEN bin = 10 THEN 1e308 ELSE MAX(value) END AS hi
+               FROM binned GROUP BY event_type, bin),
+    na AS (SELECT event_type, bin, COUNT(*) AS n_a
+           FROM binned GROUP BY event_type, bin),
+    assigned AS (SELECT b.event_type, MIN(bounds.bin) AS bin
+                 FROM b JOIN bounds ON b.event_type = bounds.event_type
+                                   AND b.value <= bounds.hi
+                 GROUP BY b.event_type, b.value, b.b_id),
+    nb AS (SELECT event_type, bin, COUNT(*) AS n_b
+           FROM assigned GROUP BY event_type, bin),
+    tot AS (SELECT x.event_type,
+                   (SELECT COUNT(*) FROM a WHERE a.event_type = x.event_type) AS t_a,
+                   (SELECT COUNT(*) FROM b WHERE b.event_type = x.event_type) AS t_b
+            FROM (SELECT DISTINCT event_type FROM events) x),
+    terms AS (
+      SELECT na.event_type,
+             (CAST(na.n_a AS DOUBLE) + 0.5) / (t_a + 5.0) AS pa,
+             (CAST(COALESCE(nb.n_b, 0) AS DOUBLE) + 0.5) / (t_b + 5.0) AS pb
+      FROM na
+      LEFT JOIN nb ON na.event_type = nb.event_type AND na.bin = nb.bin
+      JOIN tot ON tot.event_type = na.event_type)
+    SELECT event_type,
+           SUM((pb - pa) * ln(pb / pa)) AS psi
+    FROM terms GROUP BY event_type
+    """,
+)
+def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the month, per event type — the drift monitor that pages the
+    feature-pipeline on-call. Reference deciles from period A (exact
+    ntile bins), period-B rows assigned by broadcast bin boundaries (a
+    ≤10-row non-equi join per type), Laplace-smoothed proportions so
+    empty bins stay finite, PSI as one double formula over exact
+    integer counts — identical in both engines. Everything after the
+    two period scans is dimension-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.to_timestamp(F.lit("2024-01-16"))
+    a = ev.filter(F.col("ts") < cut).select("event_type", "value", "event_id")
+    b = ev.filter(F.col("ts") >= cut).select(
+        "event_type", "value", F.col("event_id").alias("b_id")
+    )
+    wbin = Window.partitionBy("event_type").orderBy("value", "event_id")
+    binned = a.withColumn("bin", F.ntile(10).over(wbin))
+    bounds = binned.groupBy("event_type", "bin").agg(
+        F.when(F.col("bin") == 10, F.lit(1e308))
+        .otherwise(F.max("value"))
+        .alias("hi")
+    )
+    na = binned.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("n_a"))
+    assigned = (
+        b.join(
+            F.broadcast(bounds.withColumnRenamed("event_type", "bt")),
+            (F.col("event_type") == F.col("bt")) & (F.col("value") <= F.col("hi")),
+        )
+        .groupBy("event_type", "value", "b_id")
+        .agg(F.min("bin").alias("bin"))
+    )
+    nb = assigned.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("n_b"))
+    t_a = a.groupBy("event_type").agg(F.count(F.lit(1)).alias("t_a"))
+    t_b = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("t_b"))
+    terms = (
+        na.join(nb, ["event_type", "bin"], "left")
+        .join(F.broadcast(t_a), "event_type")
+        .join(F.broadcast(t_b), "event_type")
+        .select(
+            "event_type",
+            ((F.col("n_a").cast("double") + 0.5) / (F.col("t_a") + 5.0)).alias("pa"),
+            (
+                (F.coalesce(F.col("n_b"), F.lit(0)).cast("double") + 0.5)
+                / (F.col("t_b") + 5.0)
+            ).alias("pb"),
+        )
+    )
+    return terms.groupBy("event_type").agg(
+        F.sum((F.col("pb") - F.col("pa")) * F.log(F.col("pb") / F.col("pa"))).alias(
+            "psi"
+        )
+    )
