@@ -91,7 +91,8 @@ HEADLINE = [
     "q10_returned_items",
     "importance_sample_by_quality",
     "corpus_epoch_expansion",
-    # r5 second batch: TPC-H analog joins, sketches, integrity, graph
+    # r5 second batch: TPC-H analog joins, sketches, integrity, graph,
+    # windows, attribution, BPE merges, drift
     "q7_bilateral_trade",
     "q18_large_volume_customers",
     "countmin_heavy_hitters",
@@ -100,6 +101,15 @@ HEADLINE = [
     "weighted_sample_wor",
     "pagerank_nation_trade",
     "events_linear_trend",
+    "orders_trailing_30d_revenue",
+    "equidepth_bins",
+    "customer_order_gaps",
+    "events_ewma",
+    "bpe_iterative_merges",
+    "attribution_last_touch",
+    "record_survivorship",
+    "copurchase_lift",
+    "value_drift_psi",
 ]
 
 
