@@ -110,6 +110,8 @@ HEADLINE = [
     "record_survivorship",
     "copurchase_lift",
     "value_drift_psi",
+    "incremental_agg_maintenance",
+    "value_winsorize",
 ]
 
 

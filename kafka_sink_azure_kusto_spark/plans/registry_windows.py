@@ -222,3 +222,134 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: acc + x,
     )
     return out.select("event_id", "user_id", (num / den).alias("ewma"))
+
+
+@register(
+    "incremental_agg_maintenance",
+    """
+    WITH base AS (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'),
+    delta AS (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'),
+    base_agg AS (
+      SELECT c_nationkey AS nationkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev, COUNT(*) AS n
+      FROM base JOIN customer ON c_custkey = o_custkey GROUP BY 1),
+    delta_agg AS (
+      SELECT c_nationkey AS nationkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev, COUNT(*) AS n
+      FROM delta JOIN customer ON c_custkey = o_custkey GROUP BY 1),
+    merged AS (
+      SELECT COALESCE(b.nationkey, d.nationkey) AS nationkey,
+             COALESCE(b.rev, 0) + COALESCE(d.rev, 0) AS rev,
+             COALESCE(b.n, 0) + COALESCE(d.n, 0) AS n
+      FROM base_agg b FULL OUTER JOIN delta_agg d ON b.nationkey = d.nationkey)
+    SELECT nationkey, CAST(rev AS DOUBLE) AS revenue, n FROM merged
+    """,
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: the per-nation
+    revenue rollup updated by MERGING a delta batch's partial aggregate
+    into the stored base aggregate (full-outer join + coalesced decimal
+    addition) — never re-scanning base facts. The oracle composes the
+    same two partials, and because DECIMAL addition is associative the
+    merged result is bit-identical to a full recompute (asserted in
+    tests). This is the algebraic property that makes a 100 TB rollup
+    maintainable: the nightly job touches only the delta."""
+    cut = F.to_timestamp(F.lit("2000-01-01"))
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+
+    def agg_of(part: DataFrame) -> DataFrame:
+        return (
+            part.join(cust, F.col("c_custkey") == F.col("o_custkey"))
+            .groupBy(F.col("c_nationkey").alias("nationkey"))
+            .agg(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    base = agg_of(orders.filter(F.col("o_orderdate") < cut))
+    delta = agg_of(orders.filter(F.col("o_orderdate") >= cut))
+    b = base.select(
+        F.col("nationkey").alias("b_key"), F.col("rev").alias("b_rev"), F.col("n").alias("b_n")
+    )
+    d = delta.select(
+        F.col("nationkey").alias("d_key"), F.col("rev").alias("d_rev"), F.col("n").alias("d_n")
+    )
+    merged = b.join(d, F.col("b_key") == F.col("d_key"), "full_outer")
+    zero = F.lit(0).cast("decimal(18,2)")
+    return merged.select(
+        F.coalesce(F.col("b_key"), F.col("d_key")).alias("nationkey"),
+        (F.coalesce(F.col("b_rev"), zero) + F.coalesce(F.col("d_rev"), zero))
+        .cast("double")
+        .alias("revenue"),
+        (F.coalesce(F.col("b_n"), F.lit(0)) + F.coalesce(F.col("d_n"), F.lit(0))).alias(
+            "n"
+        ),
+    )
+
+
+@register(
+    "value_winsorize",
+    """
+    WITH ranked AS (
+      SELECT event_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    cuts AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = CAST(ceil(0.05 * n) AS BIGINT) THEN value END) AS lo,
+             MAX(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT) THEN value END) AS hi
+      FROM ranked GROUP BY event_type)
+    SELECT r.event_id, r.event_type,
+           CAST(r.value AS DOUBLE) AS value,
+           CAST(LEAST(GREATEST(r.value, c.lo), c.hi) AS DOUBLE) AS winsorized,
+           (r.value < c.lo OR r.value > c.hi) AS clipped
+    FROM ranked r JOIN cuts c ON r.event_type = c.event_type
+    """,
+)
+def value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization at exact p05/p95 per event type — the outlier-
+    clipping step before any mean/regression feature. Cut points are
+    EXACT order statistics (rank ceil(q·n) on the (value, event_id)
+    total order — no interpolation, no approximation), broadcast back
+    onto the rows as a tiny per-group cut table. Two passes over the
+    metric column, one shuffle each."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    cuts = ranked.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.05 * F.col("n")).cast("bigint"), F.col("value")
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.95 * F.col("n")).cast("bigint"), F.col("value")
+            )
+        ).alias("hi"),
+    )
+    return ranked.join(
+        F.broadcast(cuts.withColumnRenamed("event_type", "ct")),
+        F.col("event_type") == F.col("ct"),
+    ).select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+        .cast("double")
+        .alias("winsorized"),
+        ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).alias(
+            "clipped"
+        ),
+    )

@@ -75,3 +75,63 @@ def test_order_gaps_first_null_and_seq_dense(spark, sf_dir):
     # exactly one latest order per customer
     latest = df.filter(F.col("is_latest")).groupBy("o_custkey").count()
     assert latest.filter(F.col("count") != 1).count() == 0
+
+
+def test_incremental_merge_equals_full_recompute(spark, sf_dir):
+    """Decimal associativity: base+delta partial-agg merge must be
+    bit-identical to the one-shot rollup."""
+    from pyspark.sql import functions as F
+
+    from kafka_sink_azure_kusto_spark.plans.registry_windows import (
+        incremental_agg_maintenance,
+    )
+    from kafka_sink_azure_kusto_spark.sources.tables import load_table
+
+    merged = {
+        r["nationkey"]: (r["revenue"], r["n"])
+        for r in incremental_agg_maintenance(spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    full = (
+        orders.join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    want = {r["nationkey"]: (r["revenue"], r["n"]) for r in full.collect()}
+    assert merged == want  # exact equality, not approx
+
+
+def test_winsorize_bounds_and_clip_flags(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from kafka_sink_azure_kusto_spark.plans.registry_windows import value_winsorize
+
+    df = value_winsorize(spark, sf_dir)
+    # winsorized values stay inside [lo, hi] per group: min/max of the
+    # winsorized column equal the cut values attained by some rows
+    stats = df.groupBy("event_type").agg(
+        F.min("winsorized").alias("wmin"),
+        F.max("winsorized").alias("wmax"),
+        F.sum(F.col("clipped").cast("int")).alias("n_clipped"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    for r in stats.collect():
+        assert r["n_clipped"] > 0  # p05/p95 clipping touches ~10%
+        assert r["n_clipped"] < 0.2 * r["n"]
+    # unclipped rows keep their value
+    assert df.filter(~F.col("clipped") & (F.col("value") != F.col("winsorized"))).count() == 0
+    # clipped rows land exactly on a bound
+    bad = df.filter(
+        F.col("clipped")
+        & (F.col("winsorized") != F.col("value"))
+        & ~F.col("winsorized").isin(
+            [r["wmin"] for r in stats.collect()] + [r["wmax"] for r in stats.collect()]
+        )
+    )
+    assert bad.count() == 0
