@@ -112,6 +112,7 @@ HEADLINE = [
     "value_drift_psi",
     "incremental_agg_maintenance",
     "value_winsorize",
+    "timeseries_profile_similarity",
 ]
 
 

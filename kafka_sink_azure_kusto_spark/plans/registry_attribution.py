@@ -346,3 +346,80 @@ def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi"
         )
     )
+
+
+def _hourly_profile_sql() -> str:
+    """24 hourly-mean expressions generated by the same loop as the
+    Spark plan (generated-SQL discipline: the two cannot drift)."""
+    cells = ", ".join(
+        f"COALESCE(MAX(CASE WHEN h = {i} THEN m END), 0.0)" for i in range(24)
+    )
+    return f"""
+    hourly AS (
+      SELECT user_id, CAST(EXTRACT(hour FROM ts) AS INT) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS m
+      FROM events GROUP BY 1, 2),
+    prof AS (SELECT user_id, [{cells}] AS v
+             FROM hourly GROUP BY user_id)"""
+
+
+@register(
+    "timeseries_profile_similarity",
+    f"""
+    WITH {_hourly_profile_sql()},
+    q AS (SELECT user_id AS query_id, v AS qv FROM prof WHERE user_id < 10),
+    scored AS (
+      SELECT query_id, c.user_id AS neighbor_id,
+             list_dot_product(qv, c.v) /
+             (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v)))
+               AS score
+      FROM prof c CROSS JOIN q WHERE c.user_id <> query_id)
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           round(score, 6) AS score
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id ASC) AS rank
+          FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def timeseries_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search via the ANN discipline: each user's
+    activity becomes a 24-dim hourly-mean profile (exact decimal
+    partials → identical double means; missing hours are 0), then the
+    existing ``brute_force_topk`` machinery finds the top-5
+    behaviorally-similar users per query by cosine. The profile step
+    collapses an unbounded event stream into a FIXED-width vector — the
+    move that turns time-series similarity into embedding similarity,
+    so the whole existing retrieval stack (IVF cells, PQ codes, rerank)
+    applies unchanged when the user count outgrows the broadcast."""
+    from kafka_sink_azure_kusto_spark.functions.similarity import brute_force_topk
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy("user_id", F.hour("ts").alias("h")).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m")
+    )
+    cells = [
+        F.coalesce(F.max(F.when(F.col("h") == i, F.col("m"))), F.lit(0.0))
+        for i in range(24)
+    ]
+    prof = hourly.groupBy("user_id").agg(
+        F.array(*cells).alias("v")
+    )
+    out = brute_force_topk(
+        prof,
+        prof.filter(F.col("user_id") < 10),
+        k=5,
+        id_col="user_id",
+        vec_col="v",
+        query_id_col="user_id",
+        query_vec_col="v",
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )
