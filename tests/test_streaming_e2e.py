@@ -55,7 +55,11 @@ def test_streaming_roundtrip_with_routing(spark, tmp_path, sf_dir):
         q = sink.attach(
             replay_stream(spark, str(tmp_path / "replay")), available_now=True
         )
-        q.awaitTermination(120)
+        # assert the availableNow query actually DRAINED before closing:
+        # under heavy machine contention 120 s was occasionally not
+        # enough, and closing a live query truncates the ingest counts
+        terminated = q.awaitTermination(300)
+        assert terminated, "streaming query did not drain within 300 s"
         KustoSparkSink.close(q)
     finally:
         spark.streams.removeListener(listener)
