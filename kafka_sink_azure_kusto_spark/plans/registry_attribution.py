@@ -423,3 +423,75 @@ def timeseries_profile_similarity(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("rank").cast("bigint").alias("rank"),
         F.round("score", 6).alias("score"),
     )
+
+
+@register(
+    "scd1_upsert",
+    """
+    WITH snapshot AS (
+      SELECT user_id, event_type AS state, ts, event_id FROM events
+      WHERE ts < TIMESTAMP '2024-01-16'),
+    snap1 AS (
+      SELECT user_id, state, ts FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM snapshot) WHERE rn = 1),
+    delta AS (
+      SELECT user_id, event_type AS state, ts, event_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-16'),
+    delta1 AS (
+      SELECT user_id, state, ts FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM delta) WHERE rn = 1)
+    SELECT COALESCE(d.user_id, s.user_id) AS user_id,
+           COALESCE(d.state, s.state) AS state,
+           COALESCE(d.ts, s.ts) AS state_ts,
+           (d.user_id IS NOT NULL AND s.user_id IS NOT NULL) AS updated,
+           (s.user_id IS NULL) AS inserted
+    FROM snap1 s FULL OUTER JOIN delta1 d ON s.user_id = d.user_id
+    """,
+)
+def scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-1 upsert — the MERGE INTO shape without a table format:
+    dedupe the delta to its latest row per key (rank-1 on the reversed
+    (ts, event_id) order — a CDC feed can carry many updates per key),
+    then full-outer join onto the current snapshot taking the delta
+    side when present, flagging updates vs inserts. One shuffle per
+    side on the entity key; the companion to ``scd2_user_state_history``
+    (which keeps history) and ``incremental_agg_maintenance`` (which
+    merges aggregates)."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.to_timestamp(F.lit("2024-01-16"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def latest(part: DataFrame) -> DataFrame:
+        return (
+            part.select(
+                "user_id", F.col("event_type").alias("state"), "ts", "event_id"
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "state", "ts")
+        )
+
+    snap = latest(ev.filter(F.col("ts") < cut)).select(
+        F.col("user_id").alias("s_key"),
+        F.col("state").alias("s_state"),
+        F.col("ts").alias("s_ts"),
+    )
+    delta = latest(ev.filter(F.col("ts") >= cut)).select(
+        F.col("user_id").alias("d_key"),
+        F.col("state").alias("d_state"),
+        F.col("ts").alias("d_ts"),
+    )
+    merged = snap.join(delta, F.col("s_key") == F.col("d_key"), "full_outer")
+    return merged.select(
+        F.coalesce(F.col("d_key"), F.col("s_key")).alias("user_id"),
+        F.coalesce(F.col("d_state"), F.col("s_state")).alias("state"),
+        F.coalesce(F.col("d_ts"), F.col("s_ts")).alias("state_ts"),
+        (F.col("d_key").isNotNull() & F.col("s_key").isNotNull()).alias("updated"),
+        F.col("s_key").isNull().alias("inserted"),
+    )
