@@ -383,6 +383,69 @@ def sketch_scale_compare(spark, sizes=(100_000, 1_000_000, 10_000_000)):
         df.unpersist()
 
 
+def join_scale_compare(spark, reps=(1, 10)):
+    """The q7 bilateral-trade join shape (lineitem⋈orders⋈supplier⋈
+    customer⋈nation²) at 1× and 10× fact volume — facts replicated with
+    SHIFTED KEYS so join cardinality scales honestly (same keyspace
+    would turn the join quadratic). Records the wall-time exponent for
+    the multi-table shuffle-join + agg shape that dominates warehouse
+    work; sub-linear-to-linear is the pass bar (AQE coalescing + map-
+    side combine keep the agg cheap; the shuffles scale with input)."""
+    import math
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from kafka_sink_azure_kusto_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.1"
+    li0 = load_table(spark, sf, "lineitem")
+    o0 = load_table(spark, sf, "orders")
+    supp = load_table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    n_ord = o0.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    times = {}
+    for rep in reps:
+        r = spark.range(rep).withColumnRenamed("id", "rep")
+        li = (
+            li0.crossJoin(r)
+            .withColumn("l_orderkey", F.col("l_orderkey") + F.col("rep") * n_ord)
+            .drop("rep")
+        )
+        orders = (
+            o0.crossJoin(r)
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.col("rep") * n_ord)
+            .drop("rep")
+        )
+        q = (
+            li.select("l_orderkey", "l_suppkey", "l_shipdate",
+                      (F.col("l_extendedprice").cast("decimal(18,2)")
+                       * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))).alias("rev"))
+            .join(orders.select("o_orderkey", "o_custkey"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nation.select(F.col("n_nationkey").alias("sk"),
+                                            F.col("n_name").alias("sn"))),
+                  F.col("s_nationkey") == F.col("sk"))
+            .join(F.broadcast(nation.select(F.col("n_nationkey").alias("ck"),
+                                            F.col("n_name").alias("cn"))),
+                  F.col("c_nationkey") == F.col("ck"))
+            .filter(F.col("sn") != F.col("cn"))
+            .groupBy("sn", "cn", F.year("l_shipdate").alias("y"))
+            .agg(F.sum("rev").cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n"))
+        )
+        t0 = _t.perf_counter()
+        q.write.format("noop").mode("overwrite").save()
+        times[rep] = _t.perf_counter() - t0
+        print(f"q7_join {rep}x ({rep * 600}k lineitem rows): {times[rep]:.2f}s")
+    if len(reps) == 2 and times[reps[0]] > 0:
+        exp = math.log10(times[reps[1]] / times[reps[0]])
+        print(f"scaling exponent log10(t{reps[1]}/t{reps[0]}): {exp:.2f} (1.0=linear)")
+
+
 def timed(label, df):
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
@@ -397,10 +460,13 @@ def main():
     ingest_only = None
     bloom_only = False
     sketch_only = False
+    join_only = False
     if len(sys.argv) > 1 and sys.argv[1] == "--bloom":
         bloom_only = True
     elif len(sys.argv) > 1 and sys.argv[1] == "--sketch":
         sketch_only = True
+    elif len(sys.argv) > 1 and sys.argv[1] == "--join":
+        join_only = True
     elif len(sys.argv) > 1 and sys.argv[1] == "--ann-clustered":
         clustered_only = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
     elif len(sys.argv) > 1 and sys.argv[1] == "--sink-ingest":
@@ -432,6 +498,9 @@ def main():
         return
     if sketch_only:
         sketch_scale_compare(spark)
+        return
+    if join_only:
+        join_scale_compare(spark)
         return
     if clustered_only is not None:
         ann_clustered_recall(spark, clustered_only)
