@@ -1,0 +1,98 @@
+"""Hypothesis property: the generated-SQL hash mirrors are BIT-IDENTICAL
+to their Spark expressions on arbitrary inputs — the foundation every
+md5-deterministic operator (sampling, sketches, splits, shuffle index)
+stands on. The oracle sweep checks this on table data; here random
+strings/longs get the same guarantee.
+
+Examples are batched into ONE Spark job + ONE DuckDB query per property
+so hypothesis's example count doesn't multiply session round-trips.
+"""
+
+from __future__ import annotations
+
+import duckdb
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from kafka_sink_azure_kusto_spark.functions.sampling import (
+    md5_hex8_long,
+    md5_hex8_long_sql,
+    md5_unit_interval,
+    md5_unit_interval_sql,
+)
+from kafka_sink_azure_kusto_spark.functions.sketches import cm_bucket, cm_bucket_sql
+
+# printable-ish strings incl. unicode, and the integer keys real tables use
+_keys = st.one_of(
+    st.text(min_size=0, max_size=40),
+    st.integers(min_value=-(2**62), max_value=2**62),
+)
+
+
+def _duck_rows(sql: str) -> list:
+    return duckdb.connect().execute(sql).fetchall()
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(_keys, min_size=1, max_size=20, unique=True))
+def test_md5_hex8_long_matches_sql(spark, keys):
+    df = spark.createDataFrame([Row(k=str(k)) for k in keys])
+    got = {
+        r["k"]: r["h"]
+        for r in df.select("k", md5_hex8_long(F.col("k"), salt="s:").alias("h")).collect()
+    }
+    union = " UNION ALL ".join(
+        f"SELECT '{str(k).replace(chr(39), chr(39)*2)}' AS k" for k in keys
+    )
+    sql = f"SELECT k, {md5_hex8_long_sql('k', salt='s:')} AS h FROM ({union})"
+    want = {k: h for k, h in _duck_rows(sql)}
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**40), min_size=1, max_size=20, unique=True),
+    st.integers(min_value=1, max_value=6),  # widths 2..64
+)
+def test_cm_bucket_matches_sql(spark, keys, wexp):
+    width = 2**wexp
+    df = spark.createDataFrame([Row(k=k) for k in keys])
+    got = {
+        r["k"]: (r["b0"], r["b1"])
+        for r in df.select(
+            "k",
+            cm_bucket(F.col("k"), 0, width).alias("b0"),
+            cm_bucket(F.col("k"), 3, width).alias("b1"),
+        ).collect()
+    }
+    union = " UNION ALL ".join(f"SELECT {k} AS k" for k in keys)
+    sql = (
+        f"SELECT k, {cm_bucket_sql('k', 0, width)} AS b0, "
+        f"{cm_bucket_sql('k', 3, width)} AS b1 FROM ({union})"
+    )
+    want = {k: (b0, b1) for k, b0, b1 in _duck_rows(sql)}
+    assert got == want
+    # buckets are in range
+    assert all(0 <= b < width for pair in got.values() for b in pair)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(_keys, min_size=1, max_size=20, unique=True))
+def test_md5_unit_interval_matches_sql(spark, keys):
+    df = spark.createDataFrame([Row(k=str(k)) for k in keys])
+    got = {
+        r["k"]: r["u"]
+        for r in df.select(
+            "k", md5_unit_interval(F.col("k"), salt="wor:").alias("u")
+        ).collect()
+    }
+    union = " UNION ALL ".join(
+        f"SELECT '{str(k).replace(chr(39), chr(39)*2)}' AS k" for k in keys
+    )
+    sql = f"SELECT k, {md5_unit_interval_sql('k', salt='wor:')} AS u FROM ({union})"
+    want = {k: u for k, u in _duck_rows(sql)}
+    assert got.keys() == want.keys()
+    for k in got:
+        assert got[k] == want[k], f"unit interval drift for {k!r}"
+        assert 0.0 <= got[k] < 1.0
