@@ -118,6 +118,7 @@ _GATE_PRIORITY = [
     "value_winsorize",
     "timeseries_profile_similarity",
     "scd1_upsert",
+    "orders_metrics_unpivot",
     # r5: new this round (segment dedup, Bloom decontamination,
     # leakage-safe splits, SemDeDup cells, SCD-2, rolling features,
     # salted join, residual IVF-PQ, wire-format message-indexes).
@@ -129,7 +130,6 @@ _GATE_PRIORITY = [
     "events_rolling_features",
     "skew_salted_join",
     "quality_percentile_gate",
-    "dedup_incremental",
     "bpe_pair_frequencies",
     "dedup_editdistance_blocked",
     "table_profile_events",
@@ -138,11 +138,12 @@ _GATE_PRIORITY = [
     "importance_sample_by_quality",
     "corpus_epoch_expansion",
     "similarity_ivf_pq_residual_topk",
-    # 61 never-driver-gated queries + streaming_sink_roundtrip don't fit
-    # the 50-slot gate. Deliberate order of the eleven that wait for r6
+    # 62 never-driver-gated queries + streaming_sink_roundtrip don't fit
+    # the 50-slot gate. Deliberate order of the twelve that wait for r6
     # (the simplest, lowest-risk entries of the batch first, then the
     # r5-changed wire decode, which already holds an r4 driver-green row
     # and is green in the local oracle sweep). All lead the r6 gate.
+    "dedup_incremental",
     "kmeans_lloyd_step",
     "text_bigram_lm_score",
     "partitioned_write_prune",

@@ -353,3 +353,41 @@ def value_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clipped"
         ),
     )
+
+
+@register(
+    "orders_metrics_unpivot",
+    """
+    WITH wide AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS DOUBLE) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+             CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+             CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderpriority, metric, value FROM wide
+    UNPIVOT (value FOR metric IN (n_orders, total_price, min_price, max_price))
+    """,
+)
+def orders_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long metric reshaping via the native ``DataFrame.unpivot``
+    (melt) — the metrics-catalog / dashboard-feed shape. The wide
+    aggregate is 5 rows, so the unpivot is free; the point is the API
+    surface and the exact DECIMAL-backed values surviving the reshape.
+    DuckDB's UNPIVOT drops NULL cells by default and so does Spark's
+    ``unpivot`` — semantics align without options."""
+    o = load_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+    )
+    return wide.unpivot(
+        ["o_orderpriority"],
+        ["n_orders", "total_price", "min_price", "max_price"],
+        "metric",
+        "value",
+    )
