@@ -119,6 +119,7 @@ _GATE_PRIORITY = [
     "timeseries_profile_similarity",
     "scd1_upsert",
     "orders_metrics_unpivot",
+    "streaming_upsert_materialized",
     # r5: new this round (segment dedup, Bloom decontamination,
     # leakage-safe splits, SemDeDup cells, SCD-2, rolling features,
     # salted join, residual IVF-PQ, wire-format message-indexes).
@@ -129,7 +130,6 @@ _GATE_PRIORITY = [
     "scd2_user_state_history",
     "events_rolling_features",
     "skew_salted_join",
-    "quality_percentile_gate",
     "bpe_pair_frequencies",
     "dedup_editdistance_blocked",
     "table_profile_events",
@@ -138,11 +138,12 @@ _GATE_PRIORITY = [
     "importance_sample_by_quality",
     "corpus_epoch_expansion",
     "similarity_ivf_pq_residual_topk",
-    # 62 never-driver-gated queries + streaming_sink_roundtrip don't fit
-    # the 50-slot gate. Deliberate order of the twelve that wait for r6
+    # 63 never-driver-gated queries + streaming_sink_roundtrip don't fit
+    # the 50-slot gate. Deliberate order of the thirteen that wait for r6
     # (the simplest, lowest-risk entries of the batch first, then the
     # r5-changed wire decode, which already holds an r4 driver-green row
     # and is green in the local oracle sweep). All lead the r6 gate.
+    "quality_percentile_gate",
     "dedup_incremental",
     "kmeans_lloyd_step",
     "text_bigram_lm_score",

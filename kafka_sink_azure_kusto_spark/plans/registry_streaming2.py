@@ -241,3 +241,112 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(spark, stream, os.path.join(work, "chk"))
     return out.select("event_id", "user_id", "ts", "value")
+
+
+@register(
+    "streaming_upsert_materialized",
+    """
+    WITH sub AS (SELECT event_id, user_id, ts, event_type FROM events
+                 ORDER BY event_id LIMIT 3000)
+    SELECT user_id, event_type AS state, ts AS state_ts
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) AS rn
+          FROM sub)
+    WHERE rn = 1
+    """,
+)
+def streaming_upsert_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MATERIALIZED-VIEW maintenance: foreachBatch applies the
+    SCD-1 merge per micro-batch — dedupe the batch to latest-per-key,
+    full-outer merge onto the current snapshot, write a NEW versioned
+    snapshot dir and advance a _CURRENT pointer (atomic rename; readers
+    never see a partial snapshot). After the replay drains, the
+    materialized state must equal the batch latest-per-key over the
+    whole subset — the incremental-maintenance correctness claim, now
+    proven THROUGH the streaming engine, micro-batch by micro-batch
+    (the streaming composition of ``scd1_upsert`` +
+    ``incremental_agg_maintenance``'s algebra).
+
+    Scale: each batch touches the snapshot (O(keys)) and the delta —
+    never the event history; the snapshot join shuffles on the entity
+    key exactly like a production MERGE INTO."""
+    from pyspark.sql import Window
+
+    work = _workdir("stream_mv_")
+    ev = load_table(spark, sf_dir, "events").orderBy("event_id").limit(3000)
+    rows = (
+        ev.select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "event_type")
+        .orderBy("ts_us", "event_id")
+        .select(F.to_json(F.struct("event_id", "user_id", "ts_us", "event_type")))
+        .collect()
+    )
+    replay = os.path.join(work, "replay")
+    _stage_chunks(_split([r[0] for r in rows], 3), replay)
+
+    state_root = os.path.join(work, "state")
+    os.makedirs(state_root, exist_ok=True)
+    pointer = os.path.join(state_root, "_CURRENT")
+
+    def current_snapshot():
+        if not os.path.exists(pointer):
+            return None
+        with open(pointer) as f:
+            return spark.read.parquet(os.path.join(state_root, f.read().strip()))
+
+    def merge_batch(batch_df, epoch_id: int) -> None:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts_us").desc(), F.col("event_id").desc()
+        )
+        delta = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("user_id").alias("d_key"),
+                F.col("event_type").alias("d_state"),
+                F.col("ts_us").alias("d_ts"),
+            )
+        )
+        snap = current_snapshot()
+        if snap is None:
+            merged = delta.select(
+                F.col("d_key").alias("user_id"),
+                F.col("d_state").alias("state"),
+                F.col("d_ts").alias("state_ts_us"),
+            )
+        else:
+            s = snap.select(
+                F.col("user_id").alias("s_key"),
+                F.col("state").alias("s_state"),
+                F.col("state_ts_us").alias("s_ts"),
+            )
+            merged = s.join(delta, F.col("s_key") == F.col("d_key"), "full_outer").select(
+                F.coalesce(F.col("d_key"), F.col("s_key")).alias("user_id"),
+                F.coalesce(F.col("d_state"), F.col("s_state")).alias("state"),
+                F.coalesce(F.col("d_ts"), F.col("s_ts")).alias("state_ts_us"),
+            )
+        version = f"v{epoch_id:06d}"
+        merged.write.mode("overwrite").parquet(os.path.join(state_root, version))
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(version)
+        os.replace(tmp, pointer)  # atomic pointer swap
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, ts_us long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(replay)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(work, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    final = current_snapshot()
+    return final.select(
+        "user_id", "state", F.timestamp_micros("state_ts_us").alias("state_ts")
+    )
