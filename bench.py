@@ -177,6 +177,39 @@ def _scale10x_timings(spark, sf_dir: str) -> dict[str, float]:
         "distinct_users_10x",
         ev10.groupBy("event_type").agg(F.countDistinct("user_id").alias("u")),
     )
+    # r5 window/feature family at 10×: carry-forward attribution and the
+    # EWMA frame fold both shuffle once on the (10×-cardinality) user key
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    timed(
+        "attribution_carry_10x",
+        ev10.select(
+            "event_id",
+            "user_id",
+            F.last(click_ts, ignorenulls=True).over(w).alias("last_click_ts"),
+        ),
+    )
+    wf = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-19, 0)
+    arr = F.collect_list(F.col("value").cast("double")).over(wf)
+    n = F.size("arr")
+    weighted = F.zip_with(
+        F.col("arr"),
+        F.sequence(F.lit(0), n - 1),
+        lambda v, k: v * F.pow(F.lit(0.8), (n - 1 - k).cast("double")),
+    )
+    timed(
+        "ewma_frame_10x",
+        ev10.select("event_id", "user_id", arr.alias("arr")).select(
+            "event_id",
+            F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x).alias("num"),
+        ),
+    )
     ev10.unpersist()
     return timings
 
