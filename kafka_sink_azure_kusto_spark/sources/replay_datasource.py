@@ -112,26 +112,35 @@ class KafkaReplayBatchReader(DataSourceReader):
 
 class KafkaReplayStreamReader(DataSourceStreamReader):
     """Streaming reader with the full offset lifecycle. Offsets are
-    ``{"index": N}`` = number of chunk files consumed; each
-    ``latestOffset`` advance is capped at ``maxFilesPerTrigger``
-    (default 1) so one chunk = one micro-batch, matching the JVM replay
-    harness. ``commit`` is a no-op (files are immutable); a real queue
-    source would acknowledge upstream here."""
+    ``{"index": N}`` = number of chunk files consumed; ``commit`` is a
+    no-op (files are immutable); a real queue source would acknowledge
+    upstream here.
+
+    Offset-monotonicity lesson (found by the restart test, kept as the
+    design note): ``latestOffset`` MUST report the durable on-disk
+    truth, never throttled in-memory reader state. An earlier version
+    advanced an in-process counter by ``maxFilesPerTrigger`` per call;
+    after a checkpoint restart the fresh reader's counter restarted
+    below the committed offset, the engine happily planned a batch
+    whose end REGRESSED, and the next catch-up batch re-served an
+    already-committed file under a NEW batch id — a duplicate the
+    file sink's per-batch idempotence cannot dedupe. Rate limiting
+    belongs to the engine or to durable reader state, not to a
+    counter that dies with the process. Multi-batch behavior now comes
+    from what it models in production: data ARRIVING over time (files
+    appearing between triggers), not from artificially slicing a
+    fully-arrived directory."""
 
     def __init__(self, options):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("kafka_replay requires the 'path' option")
-        self.per_trigger = int(options.get("maxFilesPerTrigger", "1"))
-        self._last = 0
 
     def initialOffset(self):
         return {"index": 0}
 
     def latestOffset(self):
-        n = len(_list_chunks(self.path))
-        self._last = min(self._last + self.per_trigger, n)
-        return {"index": self._last}
+        return {"index": len(_list_chunks(self.path))}
 
     def partitions(self, start, end):
         files = _list_chunks(self.path)

@@ -25,11 +25,14 @@ _MTIME = [1_600_000_000]
 
 def _chunk(path, rows):
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "w") as f:
+    # temp + rename: chunks are now written WHILE a query lists the dir
+    tmp = path + ".tmp_"
+    with open(tmp, "w") as f:
         for r in rows:
             f.write(json.dumps(r) + "\n")
     _MTIME[0] += 1000
-    os.utime(path, (_MTIME[0], _MTIME[0]))
+    os.utime(tmp, (_MTIME[0], _MTIME[0]))
+    os.replace(tmp, path)
 
 
 def _rec(i, topic="t", tombstone=False):
@@ -80,15 +83,20 @@ def test_missing_path_option_raises():
         KafkaReplayBatchReader({})
 
 
-def test_stream_reads_one_chunk_per_microbatch(spark, replay_dir, tmp_path):
+def test_stream_batches_follow_arriving_files(spark, tmp_path):
+    """Files appearing over time become separate micro-batches — the
+    production arrival pattern (latestOffset reports the monotone
+    on-disk truth, so batching granularity IS arrival granularity).
+    Python stream sources don't support Trigger.AvailableNow (Spark
+    falls back to single-batch), so this drives the real offset
+    lifecycle with a processing-time trigger."""
+    import time
+
     register_kafka_replay_source(spark)
-    stream = (
-        spark.readStream.format("kafka_replay").option("path", replay_dir).load()
-    )
+    d = str(tmp_path / "replay")
+    _chunk(f"{d}/a.json", [_rec(0), _rec(1), _rec(2, tombstone=True)])
+    stream = spark.readStream.format("kafka_replay").option("path", d).load()
     name = "kafka_replay_stream_test"
-    # Python stream sources don't support Trigger.AvailableNow (Spark
-    # falls back to single-batch) — drive with a processing-time
-    # trigger and poll, which exercises the real offset lifecycle
     q = (
         stream.writeStream.format("memory")
         .queryName(name)
@@ -97,38 +105,45 @@ def test_stream_reads_one_chunk_per_microbatch(spark, replay_dir, tmp_path):
         .trigger(processingTime="200 milliseconds")
         .start()
     )
-    import time
 
-    deadline = time.time() + 120
-    while time.time() < deadline and spark.table(name).count() < 6:
-        time.sleep(0.5)
-    nonempty_batches = sum(
-        1 for p in q.recentProgress if p["numInputRows"] > 0
-    )
+    def wait_rows(n):
+        deadline = time.time() + 90
+        while time.time() < deadline and spark.table(name).count() < n:
+            time.sleep(0.3)
+        return spark.table(name).count()
+
+    assert wait_rows(3) == 3
+    _chunk(f"{d}/b.json", [_rec(3, topic="u"), _rec(4)])
+    assert wait_rows(5) == 5
+    _chunk(f"{d}/c.json", [_rec(5)])
+    assert wait_rows(6) == 6
+    nonempty_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
     q.stop()
     out = spark.table(name)
     assert out.count() == 6
-    # one chunk per micro-batch: the 6 rows arrived over >= 3 batches
+    # each arrival wave became its own batch (at least 3 nonempty)
     assert nonempty_batches >= 3
     assert {r["topic"] for r in out.collect()} == {"t", "u"}
 
 
-def test_stream_checkpoint_restart_no_duplicates(spark, replay_dir, tmp_path):
-    """Stop mid-stream, restart on the same checkpoint: the remaining
-    chunks arrive exactly once (the offset lifecycle self-heals — the
-    reader's incremental latestOffset starts below the committed offset
-    after restart, yielding empty batches until it catches up, and
-    partitions(start, end) never re-serves committed files)."""
+def test_stream_checkpoint_restart_no_duplicates(spark, tmp_path):
+    """Stop, add data, restart on the same checkpoint: every record is
+    delivered EXACTLY once across the two runs. This test caught the
+    original offset-monotonicity bug (an in-memory throttled
+    latestOffset regressed below the committed offset after restart and
+    re-served a committed file under a new batch id — see the reader
+    docstring); latestOffset now reports the durable on-disk truth."""
     import time
 
     register_kafka_replay_source(spark)
+    d = str(tmp_path / "replay")
+    _chunk(f"{d}/a.json", [_rec(0), _rec(1), _rec(2, tombstone=True)])
+    _chunk(f"{d}/b.json", [_rec(3, topic="u"), _rec(4)])
     chk = str(tmp_path / "chk")
     out = str(tmp_path / "out")
 
     def run(wait_rows: int) -> int:
-        stream = (
-            spark.readStream.format("kafka_replay").option("path", replay_dir).load()
-        )
+        stream = spark.readStream.format("kafka_replay").option("path", d).load()
         q = (
             stream.writeStream.format("parquet")
             .option("path", out)
@@ -149,8 +164,8 @@ def test_stream_checkpoint_restart_no_duplicates(spark, replay_dir, tmp_path):
         q.stop()
         return n
 
-    assert run(3) >= 3  # partial consumption, then stop
-    assert run(6) == 6  # restart drains the rest
-    rows = spark.read.parquet(out).collect()
-    keys = [r["key"] for r in rows]
+    assert run(5) == 5  # first run drains what exists, then stops
+    _chunk(f"{d}/c.json", [_rec(5)])  # new data arrives while down
+    assert run(6) == 6  # restart picks up ONLY the new chunk
+    keys = [r["key"] for r in spark.read.parquet(out).collect()]
     assert len(keys) == len(set(keys)) == 6  # exactly once per record
