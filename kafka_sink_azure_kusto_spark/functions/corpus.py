@@ -10,13 +10,13 @@ a connector, these extend the engine toward LLM data curation):
 - domain-mixture rebalancing (deterministic per-domain downsampling to a
   target mixture, the standard pre-training data-mix step).
 
-Scale notes (100 TB): all three are single-shuffle shapes.
-Contamination broadcasts the *benchmark* n-gram set — evaluation suites
-are a few MB against a 100 TB corpus, so the corpus side stays in its
-scan stage (broadcast-hash join, no corpus shuffle). Repetition stats
-shuffle once on (doc_id, ngram) with map-side combine, then once on
-doc_id — both keyed on the document id, so width is bounded by corpus
-cardinality, never by pair counts. Mixture rebalancing aggregates one
+Scale notes (100 TB): Contamination broadcasts the *benchmark* n-gram
+set — evaluation suites are a few MB against a 100 TB corpus, so the
+corpus side stays in its scan stage (broadcast-hash join, no corpus
+shuffle). Repetition stats are ZERO-shuffle: every statistic is a
+row-local fold over one document's n-gram array (an optional opt-in
+round-robin repartition exists solely to spread CPU when the input
+arrives as few splits). Mixture rebalancing aggregates one
 tiny per-domain count table (broadcast back) and filters with the same
 md5-unit-interval predicate as ``functions.sampling`` — the filter is a
 pure function of (key, salt) and travels with the scan.
@@ -80,6 +80,7 @@ def repetition_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 2,
+    spread_partitions: int | None = None,
 ) -> DataFrame:
     """Per-document duplicated-``n``-gram statistics:
 
@@ -102,16 +103,18 @@ def repetition_stats(
     shuffle was the whole cost, and it bought nothing (measured at
     sf0.1, warm min-of-3: 3.7 s → 1.9 s, oracle hashes unchanged).
 
-    Bench-environment caveat (same as the SemDeDup/edit-distance fix in
-    PERF.md): the fold is CPU-bound, and a small parquet arrives as ONE
-    split, serializing it. A round-robin repartition PINNED to the
-    shuffle-partition count spreads the work (1× text bytes — still
-    strictly less than the old n× n-gram exchange); at real scale the
-    input has thousands of splits and the exchange is just the same 1×
-    or can be dropped by callers already partitioned.
+    ``spread_partitions`` (OPT-IN, default None = no shuffle): the fold
+    is CPU-bound, and in a bench environment a small parquet arrives as
+    ONE split, serializing it — passing a partition count round-robin
+    repartitions to spread the work (1× text bytes, still strictly less
+    than the old n× n-gram exchange). At real scale the input already
+    has thousands of splits, so the default imposes ZERO shuffle and
+    respects the caller's existing partitioning (round-6 advice: the
+    unconditional repartition penalized every production caller to fix
+    a bench artifact).
     """
-    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    df = df.repartition(n_part)
+    if spread_partitions is not None:
+        df = df.repartition(int(spread_partitions))
     ngs = shingles(text_col, n)
     total_i = F.size(ngs)
     total = total_i.cast("double")

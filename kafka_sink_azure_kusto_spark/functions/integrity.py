@@ -76,15 +76,22 @@ def fk_audit_sql(
 ) -> str:
     """DuckDB oracle for one ``fk_audit`` row. ``child_cte`` is a
     subquery/table expression for the child side (so callers can inject
-    deterministic corruption for testing the detector)."""
+    deterministic corruption for testing the detector).
+
+    NOT EXISTS, not NOT IN: with a NULL pk in the parent, NOT IN never
+    evaluates TRUE (three-valued logic) and would report 0 orphans while
+    the Spark side's left_anti join counts them — a silent oracle/engine
+    divergence (round-6 advice)."""
     return f"""
     SELECT '{relation}' AS relation,
            (SELECT COUNT(*) FROM {child_cte} c) AS n_rows,
            (SELECT COUNT(*) FROM {child_cte} c WHERE {fk_expr} IS NULL) AS n_null_fk,
            (SELECT COUNT(*) FROM {child_cte} c
             WHERE {fk_expr} IS NOT NULL
-              AND {fk_expr} NOT IN (SELECT {pk_col} FROM {parent_table})) AS n_orphan_rows,
+              AND NOT EXISTS (SELECT 1 FROM {parent_table} p
+                              WHERE p.{pk_col} = {fk_expr})) AS n_orphan_rows,
            (SELECT COUNT(DISTINCT {fk_expr}) FROM {child_cte} c
             WHERE {fk_expr} IS NOT NULL
-              AND {fk_expr} NOT IN (SELECT {pk_col} FROM {parent_table})) AS n_orphan_keys
+              AND NOT EXISTS (SELECT 1 FROM {parent_table} p
+                              WHERE p.{pk_col} = {fk_expr})) AS n_orphan_keys
     """

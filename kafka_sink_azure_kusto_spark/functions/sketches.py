@@ -137,12 +137,20 @@ def kmv_distinct(
 
     Scale: distinct-reduce on (group, key) → per-group rank on the hash
     — two exchanges on the group key, per-group state bounded at k.
+
+    NULL keys are dropped BEFORE hashing (standard sketch semantics —
+    COUNT(DISTINCT) ignores NULL). This also pins cross-engine rank
+    parity: a NULL key hashes to a NULL kmv_u, and Spark's default
+    ascending sort puts NULLS FIRST while DuckDB's ROW_NUMBER default is
+    NULLS LAST, so leaving NULLs in would shift u_k between engines
+    (round-6 advice).
     """
     if k < 2:
         raise ValueError("kmv_distinct needs k >= 2")
     u = md5_unit_interval(F.col(key_col), salt="kmv:")
     pairs = (
-        df.select(*group_cols, F.col(key_col))
+        df.filter(F.col(key_col).isNotNull())
+        .select(*group_cols, F.col(key_col))
         .distinct()
         .withColumn("kmv_u", u)
     )
@@ -165,11 +173,13 @@ def kmv_distinct(
 def kmv_distinct_sql(
     table: str, group_expr: str, group_alias: str, key_expr: str, k: int = 16
 ) -> str:
-    """DuckDB oracle for ``kmv_distinct`` (same hash, same estimator)."""
+    """DuckDB oracle for ``kmv_distinct`` (same hash, same estimator,
+    same NULL-key drop before hashing)."""
     u_sql = md5_unit_interval_sql("kmv_key", salt="kmv:")
     return f"""
     WITH pairs AS (SELECT DISTINCT {group_expr} AS {group_alias},
-                          {key_expr} AS kmv_key FROM {table}),
+                          {key_expr} AS kmv_key FROM {table}
+                   WHERE {key_expr} IS NOT NULL),
     hashed AS (SELECT {group_alias}, kmv_key, {u_sql} AS kmv_u FROM pairs),
     ranked AS (SELECT {group_alias}, kmv_u,
                       ROW_NUMBER() OVER (PARTITION BY {group_alias}

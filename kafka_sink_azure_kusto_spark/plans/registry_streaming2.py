@@ -69,15 +69,19 @@ _SESSION_ORACLE = """
     WITH sub AS (SELECT event_id, user_id, ts, value
                  FROM events ORDER BY event_id LIMIT 4000),
     seq AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
              CASE WHEN LAG(ts) OVER w IS NULL
                        OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_session
       FROM sub
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sess AS (
+      -- sid window keeps the SAME (ts, event_id) total order as seq's w:
+      -- ordering by ts alone would let DuckDB break same-ts ties
+      -- nondeterministically and assign tied rows to different sessions
+      -- than the session_window result (round-6 advice)
       SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS sid
       FROM seq)
     SELECT user_id,

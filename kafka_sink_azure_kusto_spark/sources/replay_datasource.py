@@ -112,9 +112,22 @@ class KafkaReplayBatchReader(DataSourceReader):
 
 class KafkaReplayStreamReader(DataSourceStreamReader):
     """Streaming reader with the full offset lifecycle. Offsets are
-    ``{"index": N}`` = number of chunk files consumed; ``commit`` is a
-    no-op (files are immutable); a real queue source would acknowledge
+    ``{"index": N, "last": <basename>}`` — N files consumed, the Nth
+    identified BY NAME (not just by position); ``commit`` is a no-op
+    (files are immutable); a real queue source would acknowledge
     upstream here.
+
+    Offset-identity lesson (round-6 advice): a purely positional offset
+    (``{"index": N}``) silently breaks if a file ever arrives whose
+    (mtime, name) sorts BEFORE already-committed files — a copy that
+    preserves mtime, clock skew, or an mtime tie with an
+    earlier-sorting name. The index→file mapping shifts and committed
+    offsets resolve to DIFFERENT files after a restart, re-serving or
+    skipping records. So offsets carry the last-consumed basename and
+    ``partitions(start, end)`` resolves by identity, cross-checking
+    that the named file still sits at the committed position; any
+    drift raises instead of corrupting the replay (the same stance as
+    the JVM FileStreamSource's seen-files log).
 
     Offset-monotonicity lesson (found by the restart test, kept as the
     design note): ``latestOffset`` MUST report the durable on-disk
@@ -137,16 +150,47 @@ class KafkaReplayStreamReader(DataSourceStreamReader):
             raise ValueError("kafka_replay requires the 'path' option")
 
     def initialOffset(self):
-        return {"index": 0}
+        return {"index": 0, "last": None}
 
     def latestOffset(self):
-        return {"index": len(_list_chunks(self.path))}
+        files = _list_chunks(self.path)
+        return {
+            "index": len(files),
+            "last": os.path.basename(files[-1]) if files else None,
+        }
+
+    @staticmethod
+    def _resolve(offset, names: list[str]) -> int:
+        """Map an offset dict to a position in the current listing,
+        verifying file IDENTITY: the basename recorded at commit time
+        must still sit at the committed position. ``last`` missing
+        (pre-upgrade checkpoint) degrades to positional with a
+        length-only check."""
+        idx = int(offset["index"])
+        if idx == 0:
+            return 0
+        if idx > len(names):
+            raise RuntimeError(
+                f"kafka_replay: committed offset {idx} exceeds current "
+                f"listing ({len(names)} files) — committed files were removed"
+            )
+        last = offset.get("last")
+        if last is not None and names[idx - 1] != last:
+            raise RuntimeError(
+                "kafka_replay: committed prefix changed — offset "
+                f"{idx} was committed at file {last!r} but the listing "
+                f"now has {names[idx - 1]!r} there (a file arrived "
+                "sorting before committed files, or one was replaced); "
+                "refusing to replay with a shifted index→file mapping"
+            )
+        return idx
 
     def partitions(self, start, end):
         files = _list_chunks(self.path)
-        return [
-            _ChunkPartition(p) for p in files[int(start["index"]) : int(end["index"])]
-        ]
+        names = [os.path.basename(p) for p in files]
+        lo = self._resolve(start, names)
+        hi = self._resolve(end, names)
+        return [_ChunkPartition(p) for p in files[lo:hi]]
 
     def read(self, partition: "_ChunkPartition"):
         yield from _read_file(partition.path)

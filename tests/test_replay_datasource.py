@@ -126,6 +126,56 @@ def test_stream_batches_follow_arriving_files(spark, tmp_path):
     assert {r["topic"] for r in out.collect()} == {"t", "u"}
 
 
+def test_stream_offsets_identify_files_not_positions(tmp_path):
+    """Offsets carry the last-consumed basename; a file arriving with an
+    earlier (mtime, name) than committed files shifts the positional
+    mapping and MUST be rejected, not silently replayed/skipped
+    (round-6 advice: exactly-once only held for append-only arrival)."""
+    from kafka_sink_azure_kusto_spark.sources.replay_datasource import (
+        KafkaReplayStreamReader,
+    )
+
+    d = str(tmp_path / "replay")
+    _chunk(f"{d}/b.json", [_rec(0)])
+    _chunk(f"{d}/c.json", [_rec(1)])
+    r = KafkaReplayStreamReader({"path": d})
+    assert r.initialOffset() == {"index": 0, "last": None}
+    end = r.latestOffset()
+    assert end == {"index": 2, "last": "c.json"}
+    parts = r.partitions(r.initialOffset(), end)
+    assert [os.path.basename(p.path) for p in parts] == ["b.json", "c.json"]
+
+    # a.json arrives with an mtime BEFORE the committed files (backdated
+    # copy / clock skew): positional index 2 no longer means c.json
+    _chunk(f"{d}/a.json", [_rec(9)])
+    os.utime(f"{d}/a.json", (1_500_000_000, 1_500_000_000))
+    with pytest.raises(RuntimeError, match="committed prefix changed"):
+        r.partitions(end, r.latestOffset())
+
+    # committed file removed entirely → offset exceeds listing
+    os.remove(f"{d}/a.json")
+    os.remove(f"{d}/c.json")
+    with pytest.raises(RuntimeError, match="exceeds current listing"):
+        r.partitions(end, {"index": 1, "last": "b.json"})
+
+
+def test_stream_offsets_positional_fallback_pre_upgrade(tmp_path):
+    """Checkpoints written before the identity upgrade ({'index': N}
+    with no 'last') still resolve positionally with a length check."""
+    from kafka_sink_azure_kusto_spark.sources.replay_datasource import (
+        KafkaReplayStreamReader,
+    )
+
+    d = str(tmp_path / "replay")
+    _chunk(f"{d}/a.json", [_rec(0)])
+    _chunk(f"{d}/b.json", [_rec(1)])
+    r = KafkaReplayStreamReader({"path": d})
+    parts = r.partitions({"index": 1}, {"index": 2})
+    assert [os.path.basename(p.path) for p in parts] == ["b.json"]
+    with pytest.raises(RuntimeError, match="exceeds current listing"):
+        r.partitions({"index": 3}, {"index": 3})
+
+
 def test_stream_checkpoint_restart_no_duplicates(spark, tmp_path):
     """Stop, add data, restart on the same checkpoint: every record is
     delivered EXACTLY once across the two runs. This test caught the
