@@ -188,6 +188,118 @@ def message_index_struct(v: Column) -> Column:
     return chain.otherwise(branch("unsupported", null_lst, null_pos))
 
 
+def _with_frame_meta(df: DataFrame, handlers: dict, value_col: str):
+    """Shared frame-split/routing stage: adds ``wire_schema_id`` and
+    ``wire_status`` (plus the internal ``_wire_idx`` struct when any
+    handler is indexed protobuf). Pure codegen — no body decode, no
+    Python. Returns (df, any_indexed_protobuf)."""
+    if not handlers:
+        raise ValueError("wire frame decoding requires at least one handler")
+    v = F.col(value_col)
+    magic = wire_magic(v)
+    sid = wire_schema_id(v)
+    blen = F.length(v)
+    known_ids = [int(i) for i in handlers]
+    base_status = (
+        F.when(blen < 5, F.lit(STATUS_TRUNCATED))
+        .when(magic != MAGIC_BYTE, F.lit(STATUS_BAD_MAGIC))
+        .when(~sid.isin(known_ids), F.lit(STATUS_UNKNOWN_ID))
+        .otherwise(F.lit(STATUS_OK))
+    )
+    any_indexed_protobuf = any(
+        h["fmt"].strip().lower() == "protobuf"
+        and h.get("message_indexes", [0]) is not None
+        for h in handlers.values()
+    )
+    # the id is kept on every frame long enough to carry one (≥ 5 bytes)
+    # regardless of status — DLQ triage needs the routing info. The index
+    # struct is PROJECTED ONCE so downstream field references don't
+    # re-inline its CaseWhen (codegen 64 KB guard, see message_index_struct).
+    out = df.withColumn("wire_schema_id", sid).withColumn("_wire_base", base_status)
+    if any_indexed_protobuf:
+        out = out.withColumn("_wire_idx", message_index_struct(v))
+        idx_status = F.col("_wire_idx").getField("s")
+        idx_list = F.col("_wire_idx").getField("idx")
+
+    # refine the base status for protobuf ids: index parse problems and
+    # index-list mismatches become DLQ statuses (K4), never exceptions
+    base_col = F.col("_wire_base")
+    status: Column = base_col
+    refinements: list[tuple[Column, str]] = []
+    for schema_id, h in handlers.items():
+        if h["fmt"].strip().lower() != "protobuf":
+            continue
+        declared = h.get("message_indexes", [0])
+        if declared is None:
+            continue  # bare body — no index prefix on this id's frames
+        m = (base_col == STATUS_OK) & (F.col("wire_schema_id") == int(schema_id))
+        refinements.append((m & (idx_status == "truncated"), STATUS_TRUNCATED))
+        refinements.append((m & (idx_status == "unsupported"), STATUS_UNSUPPORTED_INDEX))
+        expected = F.array(*[F.lit(int(i)).cast("int") for i in declared])
+        refinements.append(
+            (m & (idx_status == "ok") & (idx_list != expected), STATUS_UNKNOWN_INDEX)
+        )
+    if refinements:
+        chain = F.when(*refinements[0])
+        for cond, s in refinements[1:]:
+            chain = chain.when(cond, F.lit(s))
+        status = chain.otherwise(base_col)
+    return out.withColumn("wire_status", status), any_indexed_protobuf
+
+
+def wire_frame_audit(
+    df: DataFrame,
+    handlers: dict,
+    value_col: str = "value",
+) -> DataFrame:
+    """Frame split + routing WITHOUT body decode — the DLQ-triage /
+    audit projection, 100% whole-stage-codegen (no Python anywhere).
+
+    Same ``handlers`` contract as :func:`decode_wire_frames` (fmt kwargs
+    beyond ``fmt``/``message_indexes`` are ignored — no decoding
+    happens). Adds:
+
+    - ``wire_schema_id``  — long, NULL only when the frame can't carry one
+    - ``wire_status``     — same status vocabulary as decode_wire_frames
+    - ``wire_indexes``    — parsed Confluent message-index list
+      (array<int>) for 'ok' frames routed to an indexed-protobuf id,
+      NULL otherwise
+    - ``wire_body_len``   — serialized-body byte count for 'ok' frames
+      (index prefix excluded on indexed-protobuf frames), NULL otherwise
+
+    Why it exists separately: at 100 TB you audit/triage a poisoned
+    topic (count statuses, inspect routing, size bodies) far more often
+    than you re-decode it, and the split/route stage is pure codegen
+    while body decode may drop to an Arrow UDF (jar-less protobuf/avro).
+    Splitting the stages keeps the audit path on the fast plan and lets
+    benchmarks grade parse/route and decode independently."""
+    v = F.col(value_col)
+    blen = F.length(v)
+    out, any_indexed = _with_frame_meta(df, handlers, value_col)
+    ok = F.col("wire_status") == STATUS_OK
+    indexed_ids = [
+        int(i)
+        for i, h in handlers.items()
+        if h["fmt"].strip().lower() == "protobuf"
+        and h.get("message_indexes", [0]) is not None
+    ]
+    if any_indexed:
+        is_indexed = F.col("wire_schema_id").isin(indexed_ids)
+        idx_list = F.col("_wire_idx").getField("idx")
+        idx_body_pos = F.col("_wire_idx").getField("p")
+        indexes = F.when(ok & is_indexed, idx_list)
+        body_len = F.when(
+            ok & is_indexed, blen - idx_body_pos + 1
+        ).when(ok, blen - 5)
+    else:
+        indexes = F.lit(None).cast("array<int>")
+        body_len = F.when(ok, blen - 5)
+    out = out.withColumn("wire_indexes", indexes).withColumn(
+        "wire_body_len", body_len.cast("long")
+    )
+    return out.drop("_wire_base", "_wire_idx")
+
+
 def decode_wire_frames(
     df: DataFrame,
     handlers: dict,
@@ -222,63 +334,14 @@ def decode_wire_frames(
     falls back to the repo's spec-exact pure-Python Avro codec
     (Arrow-batched) when it is not. Everything is narrow — no shuffle.
     """
-    if not handlers:
-        raise ValueError("decode_wire_frames requires at least one handler")
     v = F.col(value_col)
-    magic = wire_magic(v)
-    sid = wire_schema_id(v)
     body = wire_body(v)
     blen = F.length(v)
-    known_ids = [int(i) for i in handlers]
-    base_status = (
-        F.when(blen < 5, F.lit(STATUS_TRUNCATED))
-        .when(magic != MAGIC_BYTE, F.lit(STATUS_BAD_MAGIC))
-        .when(~sid.isin(known_ids), F.lit(STATUS_UNKNOWN_ID))
-        .otherwise(F.lit(STATUS_OK))
-    )
-    any_indexed_protobuf = any(
-        h["fmt"].strip().lower() == "protobuf"
-        and h.get("message_indexes", [0]) is not None
-        for h in handlers.values()
-    )
-    # the id is kept on every frame long enough to carry one (≥ 5 bytes)
-    # regardless of status — DLQ triage needs the routing info. The index
-    # struct is PROJECTED ONCE so downstream field references don't
-    # re-inline its CaseWhen (codegen 64 KB guard, see message_index_struct).
-    out = df.withColumn("wire_schema_id", sid).withColumn("_wire_base", base_status)
+    out, any_indexed_protobuf = _with_frame_meta(df, handlers, value_col)
     if any_indexed_protobuf:
-        out = out.withColumn("_wire_idx", message_index_struct(v))
-        idx_status = F.col("_wire_idx").getField("s")
-        idx_list = F.col("_wire_idx").getField("idx")
         idx_body_pos = F.col("_wire_idx").getField("p")
         # body with the message-index prefix stripped (protobuf frames only)
         pbody = v.substr(idx_body_pos, F.greatest(blen - idx_body_pos + 1, F.lit(0)))
-
-    # refine the base status for protobuf ids: index parse problems and
-    # index-list mismatches become DLQ statuses (K4), never exceptions
-    base_col = F.col("_wire_base")
-    status: Column = base_col
-    refinements: list[tuple[Column, str]] = []
-    for schema_id, h in handlers.items():
-        if h["fmt"].strip().lower() != "protobuf":
-            continue
-        declared = h.get("message_indexes", [0])
-        if declared is None:
-            continue  # bare body — no index prefix on this id's frames
-        m = (base_col == STATUS_OK) & (F.col("wire_schema_id") == int(schema_id))
-        refinements.append((m & (idx_status == "truncated"), STATUS_TRUNCATED))
-        refinements.append((m & (idx_status == "unsupported"), STATUS_UNSUPPORTED_INDEX))
-        expected = F.array(*[F.lit(int(i)).cast("int") for i in declared])
-        refinements.append(
-            (m & (idx_status == "ok") & (idx_list != expected), STATUS_UNKNOWN_INDEX)
-        )
-    if refinements:
-        chain = F.when(*refinements[0])
-        for cond, s in refinements[1:]:
-            chain = chain.when(cond, F.lit(s))
-        status = chain.otherwise(base_col)
-
-    out = out.withColumn("wire_status", status)
 
     payload: Optional[Column] = None
     for schema_id, h in handlers.items():

@@ -266,3 +266,48 @@ def test_schema_id_boundary_values(spark):
     for i, sid in enumerate(ids):
         assert out[i].wire_schema_id == sid, (i, sid, out[i].wire_schema_id)
         assert out[i].wire_status == "ok" and out[i].payload.a == i
+
+
+def test_wire_frame_audit_no_decode(spark):
+    """wire_frame_audit: split + routing metadata only, no payload; the
+    index prefix is excluded from body length on indexed-protobuf ids."""
+    from kafka_sink_azure_kusto_spark.functions.wire_format import wire_frame_audit
+
+    pbody = encode_message([(1, 20), (2, "y")])
+    jbody = json.dumps({"a": 10, "b": "x"}).encode()
+    rows = [
+        (0, encode_wire_frame(1, jbody)),                            # json ok
+        (1, encode_wire_frame(2, pbody, message_indexes=[0])),       # proto ok
+        (2, encode_wire_frame(99, jbody)),                           # unknown id
+        (3, encode_wire_frame(1, jbody, magic=0x01)),                # bad magic
+        (4, b"\x00\x00"),                                            # truncated
+        (5, encode_wire_frame(2, pbody, message_indexes=[3])),       # wrong idx
+        (6, bytes([0, 0, 0, 0, 2, 0x81]) + pbody),                   # unsupported
+    ]
+    df = spark.createDataFrame(rows, "row_id long, value binary")
+    out = {r.row_id: r for r in wire_frame_audit(df, HANDLERS).collect()}
+    assert "payload" not in out[0].asDict()
+    assert out[0].wire_status == "ok" and out[0].wire_indexes is None
+    assert out[0].wire_body_len == len(jbody)
+    assert out[1].wire_status == "ok" and out[1].wire_indexes == [0]
+    assert out[1].wire_body_len == len(pbody)  # 1-byte index prefix excluded
+    assert out[2].wire_status == "unknown_id" and out[2].wire_body_len is None
+    assert out[3].wire_status == "bad_magic"
+    assert out[4].wire_status == "truncated" and out[4].wire_schema_id is None
+    assert out[5].wire_status == "unknown_index"
+    assert out[6].wire_status == "unsupported_index"
+
+
+def test_wire_frame_audit_json_only_handlers(spark):
+    """No indexed-protobuf handler: the audit skips the index parser
+    entirely and body length is frame length minus the 5-byte header."""
+    from kafka_sink_azure_kusto_spark.functions.wire_format import wire_frame_audit
+
+    jbody = json.dumps({"a": 1, "b": "q"}).encode()
+    df = spark.createDataFrame(
+        [(0, encode_wire_frame(1, jbody)), (1, encode_wire_frame(1, b""))],
+        "row_id long, value binary",
+    )
+    out = {r.row_id: r for r in wire_frame_audit(df, {1: {"fmt": "json"}}).collect()}
+    assert out[0].wire_body_len == len(jbody) and out[0].wire_indexes is None
+    assert out[1].wire_status == "ok" and out[1].wire_body_len == 0
