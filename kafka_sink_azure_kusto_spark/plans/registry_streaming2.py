@@ -354,3 +354,90 @@ def streaming_upsert_materialized(spark: SparkSession, sf_dir: str) -> DataFrame
     return final.select(
         "user_id", "state", F.timestamp_micros("state_ts_us").alias("state_ts")
     )
+
+
+@register(
+    "streaming_stream_join",
+    """
+    WITH sub AS (SELECT event_id, user_id, ts, event_type FROM events
+                 ORDER BY event_id LIMIT 4000),
+    l AS (SELECT event_id AS l_event_id, user_id AS l_key, ts AS l_ts
+          FROM sub WHERE event_type = 'view'),
+    r AS (SELECT event_id AS r_event_id, user_id AS r_key, ts AS r_ts
+          FROM sub WHERE event_type = 'click')
+    SELECT l_event_id, l_key, l_ts, r_event_id, r_ts
+    FROM l LEFT JOIN r
+      ON r.r_key = l.l_key
+     AND r.r_ts > l.l_ts
+     AND r.r_ts <= l.l_ts + INTERVAL 10 MINUTE
+    """,
+)
+def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER watermarked stream-stream interval join (VERDICT r5
+    #4): 'view' events are impressions, 'click' events of the SAME user
+    within the next 10 minutes are conversions — joined as two live
+    streams via ``stream_stream_interval_join``, not a batch as-of.
+    Unconverted impressions emit with NULL right columns only after the
+    watermark proves no match can still arrive; a far-future sentinel on
+    BOTH streams (global watermark = min across sources) pushes the
+    watermark past every real event so append mode flushes all outer
+    results before availableNow terminates.
+
+    Scale: both sides shuffle once on the join key; buffered state is
+    bounded by watermark + interval (eviction is what makes the join
+    runnable forever — an unbounded condition would grow state without
+    limit). The oracle is the equivalent batch interval left join.
+
+    No reference citation: the reference sink is stateless per record
+    (SURVEY §2.10); this is north-star streaming surface."""
+    from kafka_sink_azure_kusto_spark.streaming.stateful import (
+        stream_stream_interval_join,
+    )
+
+    work = _workdir("stream_ssj_")
+    ev = load_table(spark, sf_dir, "events").orderBy("event_id").limit(4000)
+
+    def stage(event_type: str, subdir: str) -> str:
+        rows = (
+            ev.filter(F.col("event_type") == event_type)
+            .select("event_id", "user_id", F.unix_micros("ts").alias("ts_us"))
+            .orderBy("ts_us", "event_id")
+            .select(F.to_json(F.struct("event_id", "user_id", "ts_us")))
+            .collect()
+        )
+        json_rows = [r[0] for r in rows]
+        last_us = json.loads(json_rows[-1])["ts_us"]
+        sentinel = json.dumps(
+            {"event_id": -1, "user_id": -1, "ts_us": last_us + 1000 * 3600 * 1_000_000}
+        )
+        replay = os.path.join(work, subdir)
+        _stage_chunks(_split(json_rows, 3) + [[sentinel]], replay)
+        return replay
+
+    def read(replay: str) -> DataFrame:
+        return (
+            spark.readStream.schema("event_id long, user_id long, ts_us long")
+            .option("maxFilesPerTrigger", 1)
+            .json(replay)
+            .withColumn("ts", F.timestamp_micros("ts_us"))
+            .select("event_id", "user_id", "ts")
+        )
+
+    left = read(stage("view", "replay_l"))
+    right = read(stage("click", "replay_r"))
+    joined = stream_stream_interval_join(
+        left,
+        right,
+        key_col="user_id",
+        max_delay="10 minutes",
+        watermark="1 minute",
+        how="leftOuter",
+    )
+    out = _run_to_memory(spark, joined, os.path.join(work, "chk"))
+    return out.filter(F.col("l_event_id") >= 0).select(
+        "l_event_id",
+        "l_key",
+        "l_ts",
+        "r_event_id",
+        "r_ts",
+    )
