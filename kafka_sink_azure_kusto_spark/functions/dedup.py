@@ -611,6 +611,7 @@ def semantic_dedup_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.45,
+    cell_member_cap: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023): within
     each coarse cluster ("cell" — a k-means assignment at scale, the
@@ -629,8 +630,37 @@ def semantic_dedup_cells(
     SemDeDup paper's design point: cluster count is chosen so cells hold
     ~10^3-10^4 vectors). No broadcast of the corpus, no global pair
     explosion; the final keep-list anti-join shuffles ids only.
+
+    ``cell_member_cap``: enforced guard for when the coarse clustering
+    misbehaves (one mega-cell — e.g. a zero-vector attractor or a
+    boilerplate mode — makes within-cell quadratic in CORPUS size). A
+    cell with m > cap members is deterministically SUB-SPLIT into
+    ceil(m / cap) subcells by an md5 hash of the id, and comparisons run
+    within (cell, subcell) only — cost is re-bounded at ~cap²/2 pairs
+    per subcell no matter how degenerate the clustering. Direction of
+    the approximation: under-drops (cross-subcell duplicates in an
+    oversized cell are missed), which for a CELL THE CLUSTERING FAILED
+    ON is the honest choice — the principled fix is re-clustering that
+    cell (SemDeDup re-runs k-means); the cap keeps the job alive and
+    bounded until then. Same pattern as ``band_member_cap`` in
+    ``minhash_lsh_pairs``, and the split is a pure function of
+    (id, cell count) so any engine reproduces it (VERDICT r5 #6).
     """
+    from kafka_sink_azure_kusto_spark.functions.sampling import md5_hex8_long
     from kafka_sink_azure_kusto_spark.functions.similarity import cosine
+
+    if cell_member_cap is not None:
+        counts = emb.groupBy(F.col(cell_col).alias("_ccell")).agg(
+            F.count(F.lit(1)).alias("_cnt")
+        )
+        n_sub = F.ceil(F.col("_cnt") / F.lit(cell_member_cap)).cast("long")
+        # per-cell subcell count is a tiny table — broadcast it back
+        emb = emb.join(
+            F.broadcast(counts.select("_ccell", n_sub.alias("_n_sub"))),
+            emb[cell_col] == F.col("_ccell"),
+        ).withColumn("_sub", md5_hex8_long(F.col(id_col), salt="semsub:") % F.col("_n_sub"))
+    else:
+        emb = emb.withColumn("_sub", F.lit(0).cast("long"))
 
     # Round-robin repartition with a PINNED count, same reasoning as
     # blocked_editdistance_pairs: the pairwise cosine is CPU-bound at
@@ -643,18 +673,22 @@ def semantic_dedup_cells(
     n_part = int(emb.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     left = emb.select(
         F.col(cell_col).alias("_cell"),
+        F.col("_sub").alias("_lsub"),
         F.col(id_col).alias("_lid"),
         F.col(vec_col).alias("_lv"),
     ).repartition(n_part)
     right = emb.select(
         F.col(cell_col).alias("_rcell"),
+        F.col("_sub").alias("_rsub"),
         F.col(id_col).alias("_rid"),
         F.col(vec_col).alias("_rv"),
     )
     dropped = (
         left.join(
             right,
-            (left["_cell"] == right["_rcell"]) & (left["_lid"] < right["_rid"]),
+            (left["_cell"] == right["_rcell"])
+            & (left["_lsub"] == right["_rsub"])
+            & (left["_lid"] < right["_rid"]),
         )
         .filter(cosine(F.col("_lv"), F.col("_rv")) >= threshold)
         .select(F.col("_rid").alias(id_col))

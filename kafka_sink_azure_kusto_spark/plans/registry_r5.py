@@ -154,6 +154,45 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.semantic_dedup_cells(emb, threshold=0.45)
 
 
+from kafka_sink_azure_kusto_spark.functions.sampling import md5_hex8_long_sql
+
+_SEMSUB = md5_hex8_long_sql("vec_id", salt="semsub:")
+
+register(
+    "dedup_semantic_cells_capped",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                      {_SEMSUB} AS h
+               FROM embeddings WHERE vec_id < 4000),
+    c AS (SELECT label, CAST(CEIL(COUNT(*) / 20.0) AS BIGINT) AS n_sub
+          FROM e GROUP BY label),
+    s AS (SELECT e.vec_id, e.label, e.v, e.h % c.n_sub AS sub
+          FROM e JOIN c ON e.label = c.label),
+    d AS (SELECT DISTINCT r.vec_id
+          FROM s l JOIN s r ON l.label = r.label AND l.sub = r.sub
+                           AND l.vec_id < r.vec_id
+          WHERE list_dot_product(l.v, r.v) /
+                (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v)))
+                >= 0.45)
+    SELECT s.vec_id, s.label AS cell,
+           CAST(s.vec_id NOT IN (SELECT vec_id FROM d) AS INT) AS is_kept
+    FROM s
+    """,
+)(
+    lambda spark, sf_dir: D.semantic_dedup_cells(
+        load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 4000),
+        threshold=0.45,
+        cell_member_cap=20,
+    )
+)
+# ^ dedup_semantic_cells with the ENFORCED cell-size cap (VERDICT r5 #6):
+#   cells over 20 members sub-split deterministically (md5(id) % ceil(m/20))
+#   so the within-cell quadratic is re-bounded at ~cap²/2 pairs per subcell
+#   even when the coarse clustering degenerates into a mega-cell. At sf0.01
+#   every cell (~50 members) splits into 3 subcells, so the gate exercises
+#   the cap on every row; the oracle mirrors the identical hash arithmetic.
+
+
 @register(
     "scd2_user_state_history",
     """

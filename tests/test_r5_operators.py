@@ -169,6 +169,59 @@ def test_semantic_dedup_one_pass_overdrops_documented(spark):
     assert out == {0: 1, 1: 0, 2: 0}
 
 
+def test_semantic_dedup_cell_member_cap_bounds_pairs(spark):
+    """The cap sub-splits an oversized cell: comparisons stay within
+    (cell, subcell), so some within-cell duplicates are MISSED
+    (documented under-drop) but the quadratic is bounded; uncapped, all
+    identical vectors but the first are dropped."""
+    # one mega-cell of 12 identical vectors
+    rows = [(i, 0, [1.0, 0.0]) for i in range(12)]
+    emb = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    uncapped = {
+        r["vec_id"]: r["is_kept"]
+        for r in semantic_dedup_cells(emb, threshold=0.9).collect()
+    }
+    assert sum(uncapped.values()) == 1  # only the smallest id survives
+
+    capped = {
+        r["vec_id"]: r["is_kept"]
+        for r in semantic_dedup_cells(
+            emb, threshold=0.9, cell_member_cap=4
+        ).collect()
+    }
+    # ceil(12/4)=3 subcells → exactly one survivor PER NON-EMPTY SUBCELL
+    survivors = sum(capped.values())
+    assert 1 <= survivors <= 3
+    assert len(capped) == 12  # every vector still classified
+    # determinism: same result on a second run (pure function of ids)
+    again = {
+        r["vec_id"]: r["is_kept"]
+        for r in semantic_dedup_cells(
+            emb, threshold=0.9, cell_member_cap=4
+        ).collect()
+    }
+    assert capped == again
+
+
+def test_semantic_dedup_cap_noop_on_small_cells(spark):
+    # cap larger than every cell → identical to the uncapped result
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [1.0, 0.0]),
+        (2, 1, [0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    base = {
+        r["vec_id"]: r["is_kept"]
+        for r in semantic_dedup_cells(emb, threshold=0.9).collect()
+    }
+    capped = {
+        r["vec_id"]: r["is_kept"]
+        for r in semantic_dedup_cells(emb, threshold=0.9, cell_member_cap=10).collect()
+    }
+    assert base == capped == {0: 1, 1: 0, 2: 1}
+
+
 # ------------------------------------------------------------------ SCD-2
 def _ts(s):
     return datetime.datetime(2026, 1, 1) + datetime.timedelta(seconds=s)
