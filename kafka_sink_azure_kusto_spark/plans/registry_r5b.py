@@ -664,22 +664,39 @@ def events_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Iterative BPE merges (generated-SQL oracle, like pagerank_sql)
+# Iterative BPE merges, BATCHED (generated-SQL oracle, like pagerank_sql)
 # ---------------------------------------------------------------------------
 
-_BPE_ROUNDS = 3
+_BPE_ROUNDS = 3  # total merges
+_BPE_BATCH = 3  # word-disjoint merges applied per corpus pass
 
 
-def _bpe_merge_sql(rounds: int) -> str:
+def _bpe_sel_words(pass_i: int, upto: int) -> str:
+    """Subquery of every word used by selections 1..upto of this pass."""
+    parts = []
+    for j in range(1, upto + 1):
+        parts.append(f"SELECT w1 FROM s{pass_i}_{j}")
+        parts.append(f"SELECT w2 FROM s{pass_i}_{j}")
+    return " UNION ".join(parts)
+
+
+def _bpe_merge_sql(rounds: int, batch: int) -> str:
     """DuckDB oracle for ``bpe_iterative_merges`` — one CTE block per
-    merge round, GENERATED from the same loop as the Spark plan. Each
-    round: adjacent word-pair counts → deterministic top pair (count
-    DESC, pair ASC) → padded-text replace of ``' w1 w2 '`` with
-    ``' w1@@w2 '``."""
+    corpus PASS, GENERATED from the same loop as the Spark plan. Each
+    pass: adjacent word-pair counts → greedy selection of the top
+    ``batch`` MUTUALLY WORD-DISJOINT pairs (count DESC, pair ASC; a
+    candidate is skipped if it shares a word with any higher-ranked
+    selection — disjoint merges commute, so one padded-replace chain
+    applies them all) → replace ``' w1 w2 '`` with ``' w1@@w2 '`` for
+    every selection. COALESCE(chr(1)) turns an empty selection into a
+    no-op search string instead of a NULL-poisoned replace."""
     ctes = [
         "t0 AS (SELECT doc_id, ' ' || text || ' ' AS txt FROM documents)",
     ]
-    for i in range(1, rounds + 1):
+    passes = [
+        min(batch, rounds - done) for done in range(0, rounds, batch)
+    ]
+    for i, b in enumerate(passes, start=1):
         prev = f"t{i - 1}"
         ctes.append(
             f"w{i} AS (SELECT doc_id, string_split(trim(txt), ' ') AS ws FROM {prev})"
@@ -689,15 +706,31 @@ def _bpe_merge_sql(rounds: int) -> str:
             f"FROM (SELECT ws, unnest(range(0, len(ws) - 1)) AS s FROM w{i}))"
         )
         ctes.append(
-            f"top{i} AS (SELECT pair FROM p{i} GROUP BY pair "
-            f"ORDER BY count(*) DESC, pair ASC LIMIT 1)"
+            f"c{i} AS (SELECT pair, split_part(pair, ' ', 1) AS w1, "
+            f"split_part(pair, ' ', 2) AS w2, count(*) AS cnt "
+            f"FROM p{i} GROUP BY pair)"
         )
-        ctes.append(
-            f"t{i} AS (SELECT doc_id, replace(txt, "
-            f"' ' || (SELECT pair FROM top{i}) || ' ', "
-            f"' ' || replace((SELECT pair FROM top{i}), ' ', '@@') || ' ') AS txt "
-            f"FROM {prev})"
-        )
+        for j in range(1, b + 1):
+            if j == 1:
+                ctes.append(
+                    f"s{i}_1 AS (SELECT pair, w1, w2 FROM c{i} "
+                    f"ORDER BY cnt DESC, pair ASC LIMIT 1)"
+                )
+            else:
+                words = _bpe_sel_words(i, j - 1)
+                ctes.append(
+                    f"s{i}_{j} AS (SELECT pair, w1, w2 FROM c{i} "
+                    f"WHERE w1 NOT IN ({words}) AND w2 NOT IN ({words}) "
+                    f"ORDER BY cnt DESC, pair ASC LIMIT 1)"
+                )
+        expr = "txt"
+        for j in range(1, b + 1):
+            p = f"COALESCE((SELECT pair FROM s{i}_{j}), chr(1))"
+            expr = (
+                f"replace({expr}, ' ' || {p} || ' ', "
+                f"' ' || replace({p}, ' ', '@@') || ' ')"
+            )
+        ctes.append(f"t{i} AS (SELECT doc_id, {expr} AS txt FROM {prev})")
     return (
         "WITH "
         + ",\n    ".join(ctes)
@@ -705,53 +738,84 @@ def _bpe_merge_sql(rounds: int) -> str:
     SELECT doc_id,
            CAST(len(string_split(trim(txt), ' ')) AS BIGINT) AS n_tokens,
            md5(trim(txt)) AS txt_fingerprint
-    FROM t{rounds}"""
+    FROM t{len(passes)}"""
     )
 
 
-@register("bpe_iterative_merges", _bpe_merge_sql(_BPE_ROUNDS))
-def bpe_iterative_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE vocabulary induction actually APPLIED: 3 corpus-wide merge
-    rounds at word granularity (count adjacent pairs → deterministic
-    top pair → merge every padded occurrence into one ``w1@@w2``
-    token), returning each doc's final token count and an md5
-    fingerprint of the merged text — so the oracle verifies the full
-    rewritten corpus, not just the pair statistics
-    (``bpe_pair_frequencies`` is the single-round count view).
+def _select_disjoint(ranked: list, batch: int) -> list[str]:
+    """Greedy top-``batch`` mutually word-disjoint pairs from a ranked
+    (count DESC, pair ASC) list — the driver-side mirror of the s{i}_{j}
+    oracle CTEs (scan in rank order, skip on any shared word)."""
+    chosen: list[str] = []
+    used: set[str] = set()
+    for row in ranked:
+        w1, w2 = row["pair"].split(" ", 1)
+        if w1 in used or w2 in used:
+            continue
+        chosen.append(row["pair"])
+        used.update((w1, w2))
+        if len(chosen) == batch:
+            break
+    return chosen
 
-    Iterative plan composition like ``pagerank``/``kmeans_train``: each
-    round is one pair-count aggregation plus a scalar top-pair lookup
-    (a one-row collect, the only driver traffic) feeding a codegen
-    ``replace`` over the corpus — no shuffle of document text, ever;
-    only pair counts move. Merge semantics note: the padded-string
-    replace is left-to-right non-overlapping (an immediately repeating
-    pair ``A B A B`` merges once, not twice) — byte-identical semantics
-    in Spark and DuckDB, which is what the fingerprint gate checks.
+
+@register("bpe_iterative_merges", _bpe_merge_sql(_BPE_ROUNDS, _BPE_BATCH))
+def bpe_iterative_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction actually APPLIED, with BATCHED merge
+    rounds (VERDICT r5 #3): each corpus pass counts adjacent word pairs
+    ONCE, greedily selects the top ``_BPE_BATCH`` mutually
+    WORD-DISJOINT pairs (count DESC, pair ASC), and applies them all in
+    one codegen replace chain — so a 3-merge train is ONE Spark
+    job/driver round-trip instead of three (a real tokenizer train of
+    thousands of merges runs rounds/batch jobs, the standard batching
+    trick). Disjointness is what makes the batch sound: merging
+    ``(a,b)`` cannot change the occurrences of any pair sharing no word
+    with it, so the batched result equals applying the selections
+    sequentially. (Batched selection CAN diverge from classic
+    one-pair-at-a-time BPE — a merged token's new neighbor pairs only
+    enter counts next pass; the oracle implements the identical batched
+    semantics, generated from the same loop.)
+
+    Returns each doc's final token count and an md5 fingerprint of the
+    merged text — the oracle verifies the full rewritten corpus, not
+    just pair statistics (``bpe_pair_frequencies`` is the single-round
+    count view). No shuffle of document text, ever; only pair counts
+    move. The ranked-pair collect is capped at 512 rows; if fewer than
+    ``batch`` disjoint pairs appear there, an uncapped collect backstops
+    correctness (not hit on real text). Padded-string replace is
+    left-to-right non-overlapping (``A B A B`` merges once) —
+    byte-identical in Spark and DuckDB, which the fingerprint checks.
     """
     docs = load_table(spark, sf_dir, "documents")
     cur = docs.select(
         "doc_id", F.concat(F.lit(" "), F.col("text"), F.lit(" ")).alias("txt")
     )
-    for _ in range(_BPE_ROUNDS):
+    done = 0
+    while done < _BPE_ROUNDS:
+        b = min(_BPE_BATCH, _BPE_ROUNDS - done)
         toks = F.split(F.trim(F.col("txt")), " ")
         n = F.size(toks)
         idx = F.when(n - 1 > 0, F.sequence(F.lit(1), n - 1)).otherwise(
             F.array().cast("array<int>")
         )
         pairs_col = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
-        [top] = (
+        ranked_df = (
             cur.select(F.explode(pairs_col).alias("pair"))
             .groupBy("pair")
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.col("n").desc(), F.col("pair").asc())
-            .limit(1)
-            .collect()
         )
-        pair = top["pair"]
-        merged = pair.replace(" ", "@@")
-        cur = cur.withColumn(
-            "txt", F.replace(F.col("txt"), F.lit(f" {pair} "), F.lit(f" {merged} "))
-        )
+        ranked = ranked_df.limit(512).collect()
+        chosen = _select_disjoint(ranked, b)
+        if len(chosen) < b and len(ranked) == 512:
+            chosen = _select_disjoint(ranked_df.collect(), b)  # backstop
+        for pair in chosen:
+            merged = pair.replace(" ", "@@")
+            cur = cur.withColumn(
+                "txt",
+                F.replace(F.col("txt"), F.lit(f" {pair} "), F.lit(f" {merged} ")),
+            )
+        done += b
     return cur.select(
         "doc_id",
         F.size(F.split(F.trim(F.col("txt")), " ")).cast("bigint").alias("n_tokens"),
