@@ -429,6 +429,7 @@ def connected_components(
     left_col: str = "left_id",
     right_col: str = "right_id",
     max_iter: int = 20,
+    rounds_out: "list | None" = None,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph → canonical
     cluster id (= min node id in the component) per node. This is how a
@@ -446,6 +447,16 @@ def connected_components(
     component) is algorithm-independent, which is what makes it exactly
     oracle-able. Raises if max_iter is exhausted before the fixpoint —
     a silently partial clustering would corrupt dedup decisions.
+
+    Skew note (worst cases probed in PERF.md r6): a GIANT component is
+    the adversarial input. A chain of length n stresses round count —
+    pointer doubling keeps it at O(log n), probed empirically. A hub
+    node with n neighbors stresses the per-round ``groupBy("a").min``
+    — safe, because min is partially aggregatable (map-side combine
+    reduces the hub's updates per shuffle partition before the
+    exchange); the label join on the hub's label value is a plain
+    equi-join AQE skew-split handles. ``rounds_out``: optional list the
+    converged round count is appended to (probe/diagnostic hook).
     """
     e = edges.select(F.col(left_col).alias("a"), F.col(right_col).alias("b"))
     e = e.unionByName(
@@ -454,7 +465,9 @@ def connected_components(
     e = e.localCheckpoint(eager=True)
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         nb = (
             e.join(labels, e["b"] == labels["id"])
             .groupBy("a")
@@ -490,6 +503,8 @@ def connected_components(
         if changed == 0:
             converged = True
             break
+    if rounds_out is not None:
+        rounds_out.append(rounds)
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations; "

@@ -446,6 +446,42 @@ def join_scale_compare(spark, reps=(1, 10)):
         print(f"scaling exponent log10(t{reps[1]}/t{reps[0]}): {exp:.2f} (1.0=linear)")
 
 
+def cc_giant_component_probe(spark, sizes=(50_000, 200_000)):
+    """connected_components worst cases (VERDICT r5 #5): ONE giant
+    component per run, shaped as (a) a chain — maximum diameter, the
+    round-count stress (pointer doubling must hold O(log n) rounds) —
+    and (b) a hub star + chain tail — the aggregation-skew stress (one
+    node owns half the edges; per-round min is map-side combined so the
+    hot key reduces before the exchange). Reports rounds + wall time
+    per shape and size, and verifies every node landed in cluster 0."""
+    from kafka_sink_azure_kusto_spark.functions import dedup as D
+
+    for n in sizes:
+        nodes = spark.range(n).selectExpr("id AS doc_id")
+        chain = spark.range(n - 1).selectExpr(
+            "id AS left_id", "id + 1 AS right_id"
+        )
+        # hub 0 → nodes 1..n/2, then a chain tail n/2..n-1
+        half = n // 2
+        star = spark.range(1, half).selectExpr("0 AS left_id", "id AS right_id")
+        tail = spark.range(half - 1, n - 1).selectExpr(
+            "id AS left_id", "id + 1 AS right_id"
+        )
+        for shape, edges in (("chain", chain), ("star+tail", star.union(tail))):
+            rounds: list = []
+            t0 = time.perf_counter()
+            cc = D.connected_components(
+                nodes, edges, max_iter=40, rounds_out=rounds
+            )
+            bad = cc.filter(F.col("cluster_id") != 0).count()
+            dt = time.perf_counter() - t0
+            print(
+                f"cc_giant {shape} n={n}: rounds={rounds[0]} "
+                f"time={dt:.2f}s wrong_cluster={bad}"
+            )
+            assert bad == 0, f"giant component mislabeled: {bad} nodes"
+
+
 def timed(label, df):
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
@@ -461,7 +497,10 @@ def main():
     bloom_only = False
     sketch_only = False
     join_only = False
-    if len(sys.argv) > 1 and sys.argv[1] == "--bloom":
+    cc_only = False
+    if len(sys.argv) > 1 and sys.argv[1] == "--cc-giant":
+        cc_only = True
+    elif len(sys.argv) > 1 and sys.argv[1] == "--bloom":
         bloom_only = True
     elif len(sys.argv) > 1 and sys.argv[1] == "--sketch":
         sketch_only = True
@@ -493,6 +532,9 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    if cc_only:
+        cc_giant_component_probe(spark)
+        return
     if bloom_only:
         bloom_decontam_compare(spark)
         return
