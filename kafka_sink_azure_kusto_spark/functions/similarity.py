@@ -141,6 +141,33 @@ def cell_centroids(
     )
 
 
+def ivf_cell_count(
+    n_vectors: int, min_cells: int = 8, max_cells: int = 1 << 18
+) -> int:
+    """√n sizing rule for the IVF coarse quantizer (VERDICT r5 #7 —
+    a formula, not a constant).
+
+    With c cells and ``n_probe`` probes, a query scans ≈ n_probe·n/c
+    candidates while the quantizer itself costs c centroid comparisons
+    (broadcast, per query). Total per-query work n_probe·n/c + c is
+    minimized at c = √(n_probe·n) — hence c ≈ √n as the default, the
+    same rule FAISS documents for IndexIVF training. Consequences at
+    scale: candidate-set size per probe stays √n (flat latency growth
+    measured in PERF.md r6: 10× corpus → ~3× candidates, not 10×), and
+    the centroid table stays √n rows — broadcastable even at 10⁹
+    vectors (√10⁹ ≈ 32k × dim doubles ≈ few MB). Recall is then tuned
+    by n_probe alone (linear cost knob), not by re-training the index.
+
+    Bounds: ``min_cells`` keeps tiny corpora from degenerating to one
+    cell; ``max_cells`` caps the broadcastable centroid table. Cells
+    should hold ≳ 100 vectors for trainable centroids — callers with
+    n < ~10⁴ are better served by brute force (which this module keeps
+    as the oracle path anyway)."""
+    import math
+
+    return max(min_cells, min(max_cells, int(round(math.sqrt(n_vectors)))))
+
+
 def assign_cells(
     corpus: DataFrame,
     centroids: DataFrame,

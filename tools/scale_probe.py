@@ -446,6 +446,62 @@ def join_scale_compare(spark, reps=(1, 10)):
         print(f"scaling exponent log10(t{reps[1]}/t{reps[0]}): {exp:.2f} (1.0=linear)")
 
 
+def ann_cell_sizing(spark, n: int = 50_000, dim: int = 64):
+    """VERDICT r5 #7: recall/latency across IVF cell counts on the
+    clustered corpus, validating the √n sizing rule
+    (``similarity.ivf_cell_count``). For each c in {8, 32, 128, √n}:
+    build the index (seed + one k-means refinement), then measure
+    recall@10 vs exact brute force and warm query wall at n_probe 1/4.
+    Expectation: latency falls ~1/c (candidate set = n_probe·n/c),
+    recall at fixed n_probe falls slowly on clustered data until cells
+    under-split the true clusters; √n is the work-optimal point where
+    quantizer cost ≈ scan cost."""
+    import time as _t
+
+    from kafka_sink_azure_kusto_spark.functions import similarity as S
+
+    emb = synth_clustered_embeddings(spark, n, dim).cache()
+    emb.count()
+    queries = emb.filter(F.col("vec_id") < 50).select("vec_id", "embedding")
+    truth = (
+        S.brute_force_topk(emb, queries, k=10)
+        .select("query_id", "neighbor_id")
+        .cache()
+    )
+    n_truth = truth.count()
+
+    sqrt_n = S.ivf_cell_count(n)
+    for c in (8, 32, 128, sqrt_n):
+        seeds = emb.filter(F.col("vec_id") < c).select(
+            F.col("vec_id").cast("int").alias("cell"),
+            F.col("embedding").alias("centroid"),
+        )
+        t0 = _t.perf_counter()
+        indexed = S.assign_cells(emb, seeds)
+        cents = S.cell_centroids(indexed, cell_col="cell").cache()
+        cents.count()
+        indexed = S.assign_cells(emb, cents.select(
+            "cell", F.col("centroid").alias("centroid"))).cache()
+        indexed.count()
+        build = _t.perf_counter() - t0
+        for n_probe in (1, 4):
+            approx = S.ivf_topk(
+                indexed, queries, k=10, cell_col="cell",
+                n_probe=n_probe, centroids=cents,
+            ).select("query_id", "neighbor_id")
+            approx.count()  # warm
+            t0 = _t.perf_counter()
+            hits = truth.join(approx, ["query_id", "neighbor_id"]).count()
+            dt = _t.perf_counter() - t0
+            print(
+                f"ann_cells n={n} cells={c}{' (sqrt-n)' if c == sqrt_n else ''} "
+                f"n_probe={n_probe}: recall@10={hits / n_truth:.3f} "
+                f"query={dt:.2f}s build={build:.1f}s"
+            )
+        cents.unpersist()
+        indexed.unpersist()
+
+
 def cc_giant_component_probe(spark, sizes=(50_000, 200_000)):
     """connected_components worst cases (VERDICT r5 #5): ONE giant
     component per run, shaped as (a) a chain — maximum diameter, the
@@ -498,8 +554,11 @@ def main():
     sketch_only = False
     join_only = False
     cc_only = False
+    cells_only = False
     if len(sys.argv) > 1 and sys.argv[1] == "--cc-giant":
         cc_only = True
+    elif len(sys.argv) > 1 and sys.argv[1] == "--ann-cells":
+        cells_only = True
     elif len(sys.argv) > 1 and sys.argv[1] == "--bloom":
         bloom_only = True
     elif len(sys.argv) > 1 and sys.argv[1] == "--sketch":
@@ -534,6 +593,9 @@ def main():
 
     if cc_only:
         cc_giant_component_probe(spark)
+        return
+    if cells_only:
+        ann_cell_sizing(spark)
         return
     if bloom_only:
         bloom_decontam_compare(spark)
