@@ -113,6 +113,9 @@ HEADLINE = [
     "incremental_agg_maintenance",
     "value_winsorize",
     "timeseries_profile_similarity",
+    # r6: wire split/decode graded separately; capped SemDeDup
+    "wire_frame_split",
+    "dedup_semantic_cells_capped",
 ]
 
 

@@ -13,6 +13,16 @@ then exactly the batch semantics the oracle computes.
 No reference citations: the reference sink has no event-time operators
 (SURVEY §2.10); these are Spark-native streaming surface for the
 north-star pipeline.
+
+HARNESS-ONLY PATTERN — DO NOT COPY INTO PRODUCTION PATHS: the fixture
+staging below drives replay chunks through the DRIVER
+(``.collect()`` of a few-thousand-row subset, then local NDJSON
+writes). That is the deliberate gate-harness shape — the subset must
+be staged deterministically and mtime-ordered, and it is bounded at
+3-5k rows. A production job never routes data through the driver; its
+streams come from Kafka/files directly (see ``sources/kafka.py``,
+``docs/KAFKA_BROKER_RECIPE.md``). The OPERATORS under test (session
+windows, stream joins, dedup, upsert) are fully distributed.
 """
 
 from __future__ import annotations

@@ -155,6 +155,23 @@ def test_kmv_rejects_small_k(spark):
         kmv_distinct(df, ["g"], "k", k=1)
 
 
+def test_kmv_null_keys_dropped_before_hashing(spark):
+    """Round-6 advice: NULL keys hash to NULL and would shift the
+    rank-k hash differently in Spark (NULLS FIRST) vs DuckDB (NULLS
+    LAST); the sketch must drop them, like COUNT(DISTINCT) does."""
+    with_nulls = spark.createDataFrame(
+        [Row(g="a", k=str(i)) for i in range(30)]
+        + [Row(g="a", k=None)] * 5
+        + [Row(g="b", k=None)]  # group with ONLY null keys
+    )
+    rows = {r["g"]: r for r in kmv_distinct(with_nulls, ["g"], "k", k=8).collect()}
+    clean = spark.createDataFrame([Row(g="a", k=str(i)) for i in range(30)])
+    [crow] = kmv_distinct(clean, ["g"], "k", k=8).collect()
+    assert rows["a"]["est_distinct"] == crow["est_distinct"]
+    assert rows["a"]["n_hashes"] == crow["n_hashes"]
+    assert "b" not in rows  # no non-null keys → no sketch row
+
+
 # ---------------------------------------------------------------------------
 # FK audit
 # ---------------------------------------------------------------------------
@@ -171,6 +188,30 @@ def test_fk_audit_counts_orphans_nulls_and_clean(spark):
     assert row["n_null_fk"] == 1
     assert row["n_orphan_rows"] == 3  # 99, 98, 99
     assert row["n_orphan_keys"] == 2  # {98, 99}
+
+
+def test_fk_audit_sql_null_parent_pk(spark):
+    """Round-6 advice: a NULL pk in the parent must not blind the
+    oracle. NOT IN with a NULL on the right never evaluates TRUE (so
+    orphans would read 0); the generated SQL now uses NOT EXISTS and
+    must agree with the Spark left_anti count."""
+    import duckdb
+
+    from kafka_sink_azure_kusto_spark.functions.integrity import fk_audit_sql
+
+    parent = spark.createDataFrame([Row(pk=1), Row(pk=None)])
+    child = spark.createDataFrame([Row(fk=1), Row(fk=99), Row(fk=99)])
+    [srow] = fk_audit(child, "fk", parent, "pk", "rel").collect()
+    assert srow["n_orphan_rows"] == 2 and srow["n_orphan_keys"] == 1
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE parent AS SELECT 1 AS pk UNION ALL SELECT NULL")
+    con.execute(
+        "CREATE TABLE child AS SELECT 1 AS fk UNION ALL SELECT 99 UNION ALL SELECT 99"
+    )
+    orow = con.execute(fk_audit_sql("child", "fk", "parent", "pk", "rel")).fetchone()
+    # (relation, n_rows, n_null_fk, n_orphan_rows, n_orphan_keys)
+    assert orow[3] == srow["n_orphan_rows"] and orow[4] == srow["n_orphan_keys"]
 
 
 def test_fk_audit_many_unions_rows(spark):
