@@ -656,7 +656,12 @@ def wire_frame_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(m == 6, F.concat(magic0, be32(2), F.unhex(F.lit("81")), body))
         .otherwise(F.concat(magic0, be32(3), F.unhex(F.lit("00")), body))
     )
-    ev = load_table(spark, sf_dir, "events")
+    # caller-side spread (the single-split bench artifact, PERF.md r5):
+    # only (event_id) bytes move — frames are BUILT after the exchange,
+    # so the heavy codegen parse runs on every core. Kafka input in
+    # production is already multi-partition; no repartition needed there.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ev = load_table(spark, sf_dir, "events").select("event_id").repartition(n_part)
     framed = ev.select("event_id", frame.alias("value"))
     proto_fields = {1: ("eid", "int64")}
     audited = wire_frame_audit(
