@@ -756,6 +756,89 @@ def incremental_exact_dedup(
     return b2.join(h, "_fp", "left").select(id_col, status.alias("status"))
 
 
+def incremental_neardup_dedup(
+    batch: DataFrame,
+    history_banded: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    k: int = 3,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup triage of a NEW batch against a persisted banded-
+    signature STORE — the incremental form of ``minhash_lsh_pairs``
+    (and the near-dup sibling of ``incremental_exact_dedup``):
+    history text is NEVER re-read or re-hashed; only its
+    (id, sig, band_id, band_hash) rows (``banded_signatures`` output,
+    the thing a production pipeline persists per ingest) participate.
+    → (id, status), one row per batch doc, status ∈
+    {'neardup_of_history', 'neardup_in_batch', 'unique'}.
+
+    Rules (deterministic, one-pass): history wins — any batch doc with
+    a history neighbor at est-Jaccard ≥ threshold is
+    'neardup_of_history'; otherwise a doc with a SMALLER-id batch
+    neighbor at ≥ threshold is 'neardup_in_batch' (the same
+    smaller-id-shadows rule as SemDeDup cells — parallel, no iteration
+    order); else 'unique'. Docs with < k tokens have no signature and
+    are structurally 'unique'.
+
+    Scale shape: the batch side is the small daily increment — its
+    signatures cost one text pass; both joins are equi-joins on
+    (band_id, band_hash), and the history store is pre-bucketed on
+    exactly that key in production so ONLY the batch side exchanges
+    (`operators/bucketing`). Nothing quadratic: candidate pairs are
+    band-bucket collisions, same as the batch-mode LSH path.
+    """
+    bb = banded_signatures(batch, text_col, id_col, num_hashes, num_bands, k)
+    hb = history_banded.select(
+        F.col("id").alias("h_id"),
+        F.col("sig").alias("h_sig"),
+        "band_id",
+        "band_hash",
+    )
+    overlap_h = F.size(F.array_intersect("sig", "h_sig"))
+    hist_hits = (
+        bb.join(hb, ["band_id", "band_hash"])
+        .filter(F.col("id") != F.col("h_id"))
+        .filter(
+            overlap_h.cast("double") / F.lit(float(num_hashes)) >= jaccard_threshold
+        )
+        .select("id")
+        .distinct()
+        .withColumn("_inh", F.lit(1))
+    )
+    left = bb.select("id", "sig", "band_id", "band_hash")
+    right = bb.select(
+        F.col("id").alias("r_id"),
+        F.col("sig").alias("r_sig"),
+        "band_id",
+        "band_hash",
+    )
+    overlap_b = F.size(F.array_intersect("sig", "r_sig"))
+    batch_hits = (
+        left.join(right, ["band_id", "band_hash"])
+        .filter(F.col("id") > F.col("r_id"))  # smaller-id neighbor shadows
+        .filter(
+            overlap_b.cast("double") / F.lit(float(num_hashes)) >= jaccard_threshold
+        )
+        .select("id")
+        .distinct()
+        .withColumn("_inb", F.lit(1))
+    )
+    status = (
+        F.when(F.col("_inh") == 1, "neardup_of_history")
+        .when(F.col("_inb") == 1, "neardup_in_batch")
+        .otherwise("unique")
+    )
+    return (
+        batch.select(F.col(id_col).alias("id"))
+        .join(hist_hits, "id", "left")
+        .join(batch_hits, "id", "left")
+        .select(F.col("id").alias(id_col), status.alias("status"))
+    )
+
+
 def blocked_editdistance_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -105,6 +105,7 @@ _GATE_PRIORITY = [
     "registry_wire_decode",
     "streaming_stream_join",
     "dedup_semantic_cells_capped",
+    "dedup_incremental_neardup",
     "bpe_iterative_merges",
     # r5-green anchors most likely to regress (touched or hot this
     # round), re-gated for continuity.

@@ -202,6 +202,54 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_incremental_neardup",
+    f"""
+    WITH {_SHINGLES_SQL},
+    mh AS (SELECT doc_id, hs.h AS h, MIN(md5(hs.h || ':' || s)) AS mv
+           FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS h) hs
+           GROUP BY doc_id, hs.h),
+    sig AS (SELECT doc_id, list(mv ORDER BY h) AS sig FROM mh GROUP BY doc_id),
+    banded AS (SELECT doc_id, sig, bs.b AS band_id,
+                      md5(array_to_string(sig[bs.b*4+1 : bs.b*4+4], '|')) AS band_hash
+               FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+    bb AS (SELECT * FROM banded WHERE doc_id % 3 = 0),
+    hb AS (SELECT * FROM banded WHERE doc_id % 3 != 0),
+    hist_hits AS (SELECT DISTINCT b.doc_id
+                  FROM bb b JOIN hb h
+                    ON b.band_id = h.band_id AND b.band_hash = h.band_hash
+                  WHERE len(list_intersect(b.sig, h.sig)) * 1.0 / 16 >= 0.5),
+    batch_hits AS (SELECT DISTINCT l.doc_id
+                   FROM bb l JOIN bb r
+                     ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+                    AND l.doc_id > r.doc_id
+                   WHERE len(list_intersect(l.sig, r.sig)) * 1.0 / 16 >= 0.5)
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id IN (SELECT doc_id FROM hist_hits)
+                     THEN 'neardup_of_history'
+                WHEN d.doc_id IN (SELECT doc_id FROM batch_hits)
+                     THEN 'neardup_in_batch'
+                ELSE 'unique' END AS status
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+    """,
+)
+def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup triage (r6): the batch (doc_id % 3 = 0)
+    classifies against a banded-signature STORE built from the history
+    partition (% 3 != 0) — history text is never re-read, mirroring a
+    production pipeline that persists `banded_signatures` per ingest
+    and joins only the signature store
+    (functions/dedup.incremental_neardup_dedup). The exact sibling is
+    `dedup_incremental`; the batch-mode form is `dedup_minhash_lsh`."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    history = docs.filter(F.col("doc_id") % 3 != 0)
+    store = D.banded_signatures(history, "text", "doc_id", 16, 4, 3)
+    return D.incremental_neardup_dedup(
+        batch, store, num_hashes=16, num_bands=4, k=3, jaccard_threshold=0.5
+    )
+
+
 _MINHASH_PAIRS_SQL = None  # filled after dedup_minhash_lsh registers
 
 

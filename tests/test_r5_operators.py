@@ -369,6 +369,45 @@ def test_incremental_dedup_history_wins_over_batch(spark):
     assert out == {1: "dup_of_history", 2: "dup_of_history"}
 
 
+def test_incremental_neardup_against_signature_store(spark):
+    """r6: near-dup triage joins the persisted banded-signature store —
+    no history text — and applies history-wins / smaller-id-shadows."""
+    from kafka_sink_azure_kusto_spark.functions.dedup import (
+        banded_signatures,
+        incremental_neardup_dedup,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    history = spark.createDataFrame(
+        [(0, base), (1, "totally different words entirely here now yes")],
+        ["doc_id", "text"],
+    )
+    store = banded_signatures(history, "text", "doc_id", 16, 4, 3)
+    batch = spark.createDataFrame(
+        [
+            # last word swapped — shares 5/6 shingles with history doc 0
+            # (deterministic md5 minhash: est-jaccard lands above 0.5)
+            (10, "alpha beta gamma delta epsilon zeta eta iota"),
+            (11, "unrelated fresh content nobody wrote before at all"),
+            (12, "brand new text shared by two batch docs exactly"),
+            (13, "brand new text shared by two batch docs exactly"),
+            (14, "xy"),                  # < k tokens → no signature
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["status"]
+        for r in incremental_neardup_dedup(batch, store).collect()
+    }
+    assert out == {
+        10: "neardup_of_history",
+        11: "unique",
+        12: "unique",             # smallest id keeps
+        13: "neardup_in_batch",   # shadowed by 12
+        14: "unique",             # structurally unsigned
+    }
+
+
 # ------------------------------------------------------------------ funnel
 def test_funnel_ordering_constraint(spark):
     from kafka_sink_azure_kusto_spark.operators.timeline import funnel_stages
