@@ -399,14 +399,17 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (Rae et al. 2021):
     duplicated-n-gram fraction and top-n-gram fraction for n=2,3 per
-    document. The single repartition(doc_id) up front shuffles whole
+    document. The single repartition(N, doc_id) up front shuffles whole
     documents once (≈1× text bytes, exchange reused across both
     branches); every n-gram aggregation and the final doc_id join then
-    stay partition-local — explode-first would exchange ~5× text bytes
-    of n-gram partials across four exchanges."""
+    stay partition-local. The count is PINNED: a numberless
+    repartition("doc_id") lets AQE coalesce the few-MB exchange to one
+    partition and the CPU-bound fold then serializes (measured 1.9 s →
+    7.9 s when the pin was briefly dropped in r6)."""
     from kafka_sink_azure_kusto_spark.functions.corpus import repetition_stats
 
-    docs = load_table(spark, sf_dir, "documents").repartition("doc_id")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    docs = load_table(spark, sf_dir, "documents").repartition(n_part, "doc_id")
     return repetition_stats(docs, n=2).join(repetition_stats(docs, n=3), "doc_id")
 
 
