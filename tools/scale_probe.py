@@ -502,6 +502,45 @@ def ann_cell_sizing(spark, n: int = 50_000, dim: int = 64):
         indexed.unpersist()
 
 
+def semdedup_megacell_probe(spark, n: int = 20_000, dim: int = 32, cap: int = 200):
+    """The SemDeDup cap's reason to exist (VERDICT r5 #6): a DEGENERATE
+    clustering that dumps every vector into ONE cell. Uncapped, the
+    within-cell join is n²/2 pairs (2·10⁸ at n=20k — the quadratic the
+    guard exists to stop); with cell_member_cap the same input is
+    ceil(n/cap) subcells × ~cap²/2 pairs (≈ n·cap/2 = 2·10⁶, a 100×
+    reduction that GROWS with n). Measures the capped run and verifies
+    the output still classifies every vector; the uncapped variant is
+    run only at n/10 and its n² extrapolation printed."""
+    import time as _t
+
+    from kafka_sink_azure_kusto_spark.functions import dedup as D
+
+    emb = (
+        synth_embeddings(spark, n, dim)
+        .withColumn("label", F.lit(0))
+        .cache()
+    )
+    emb.count()
+    t0 = _t.perf_counter()
+    out = D.semantic_dedup_cells(emb, threshold=0.9, cell_member_cap=cap)
+    rows = out.count()
+    capped_t = _t.perf_counter() - t0
+    assert rows == n
+    small = emb.filter(F.col("vec_id") < n // 10).cache()
+    small.count()
+    t0 = _t.perf_counter()
+    D.semantic_dedup_cells(small, threshold=0.9).count()
+    uncapped_small_t = _t.perf_counter() - t0
+    print(
+        f"semdedup_megacell n={n} cap={cap}: capped={capped_t:.2f}s "
+        f"(~{n * cap // 2} pairs); uncapped@n/10={uncapped_small_t:.2f}s "
+        f"(~{(n // 10) ** 2 // 2} pairs) → uncapped@n extrapolates "
+        f"~{uncapped_small_t * 100:.0f}s ({n * n // 2} pairs)"
+    )
+    emb.unpersist()
+    small.unpersist()
+
+
 def cc_giant_component_probe(spark, sizes=(50_000, 200_000)):
     """connected_components worst cases (VERDICT r5 #5): ONE giant
     component per run, shaped as (a) a chain — maximum diameter, the
@@ -555,10 +594,13 @@ def main():
     join_only = False
     cc_only = False
     cells_only = False
+    megacell_only = False
     if len(sys.argv) > 1 and sys.argv[1] == "--cc-giant":
         cc_only = True
     elif len(sys.argv) > 1 and sys.argv[1] == "--ann-cells":
         cells_only = True
+    elif len(sys.argv) > 1 and sys.argv[1] == "--semdedup-megacell":
+        megacell_only = True
     elif len(sys.argv) > 1 and sys.argv[1] == "--bloom":
         bloom_only = True
     elif len(sys.argv) > 1 and sys.argv[1] == "--sketch":
@@ -596,6 +638,9 @@ def main():
         return
     if cells_only:
         ann_cell_sizing(spark)
+        return
+    if megacell_only:
+        semdedup_megacell_probe(spark)
         return
     if bloom_only:
         bloom_decontam_compare(spark)
