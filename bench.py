@@ -116,6 +116,8 @@ HEADLINE = [
     # r6: wire split/decode graded separately; capped SemDeDup
     "wire_frame_split",
     "dedup_semantic_cells_capped",
+    "dedup_incremental_neardup",
+    "scd2_asof_enrich",
 ]
 
 

@@ -227,6 +227,65 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_asof_enrich",
+    """
+    WITH m AS (SELECT user_id, event_id, ts, event_type,
+                      CASE WHEN LAG(event_type) OVER
+                           (PARTITION BY user_id ORDER BY ts, event_id)
+                           IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS newrun
+               FROM events WHERE event_id % 2 = 0),
+    r AS (SELECT *, SUM(newrun) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+          FROM m),
+    g AS (SELECT user_id, run, MAX(event_type) AS state,
+                 MIN(ts) AS valid_from
+          FROM r GROUP BY user_id, run),
+    -- duplicate-ts runs collapse to the LATEST run's state so the
+    -- boundary is deterministic in both engines
+    hist AS (SELECT user_id, valid_from, arg_max(state, run) AS state,
+                    LEAD(MIN(valid_from)) OVER
+                        (PARTITION BY user_id ORDER BY valid_from) AS valid_to
+             FROM g GROUP BY user_id, valid_from),
+    f AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 1)
+    SELECT f.event_id, f.user_id, f.ts, h.state AS state_asof
+    FROM f LEFT JOIN hist h
+      ON h.user_id = f.user_id
+     AND f.ts >= h.valid_from
+     AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+    """,
+)
+def scd2_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension join — the canonical warehouse pattern this
+    registry still lacked: each FACT row (odd event_ids) is enriched
+    with the SCD-2 dimension version (built from even event_ids) valid
+    AT ITS TIMESTAMP. Because SCD-2 intervals are contiguous, the
+    containment join reduces to an as-of join on valid_from — so the
+    Spark plan is `operators/asof.asof_join` (one user-key shuffle,
+    merge semantics, NO inequality-join fallback) while the oracle is
+    DuckDB's plain interval LEFT JOIN on [valid_from, valid_to): two
+    INDEPENDENT formulations whose hash match proves the temporal
+    semantics, not mirrored code. Same-ts runs are collapsed to the
+    latest run's state first (max_by/arg_max) so version boundaries
+    are deterministic in both engines."""
+    from kafka_sink_azure_kusto_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = scd2_compact(ev.filter(F.col("event_id") % 2 == 0))
+    dim = (
+        hist.groupBy("user_id", "valid_from")
+        .agg(F.max_by("state", "run_id").alias("state"))
+        .select("user_id", F.col("valid_from").alias("ts"), "state")
+    )
+    facts = ev.filter(F.col("event_id") % 2 == 1).select("event_id", "user_id", "ts")
+    return asof_join(
+        facts, dim, by=["user_id"], value_cols=["state"], suffix="_x"
+    ).select(
+        "event_id", "user_id", "ts", F.col("state_x").alias("state_asof")
+    )
+
+
+@register(
     "events_rolling_features",
     """
     SELECT event_id, user_id, ts,
