@@ -134,7 +134,6 @@ _GATE_PRIORITY = [
     "equidepth_bins",
     "nation_revenue_share",
     "customer_order_gaps",
-    "bpe_iterative_merges",
     "events_ewma",
     "attribution_last_touch",
     "record_survivorship",
