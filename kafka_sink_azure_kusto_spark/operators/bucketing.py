@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 def write_bucketed(
     df: DataFrame,
     table_name: str,
-    bucket_col: str,
+    bucket_col: "str | list[str]",
     num_buckets: int = 32,
     sort_col: str | None = None,
 ) -> None:
@@ -24,9 +24,13 @@ def write_bucketed(
 
     Bucket count should match downstream `spark.sql.shuffle.partitions`
     (or divide it evenly) so the bucketed layout satisfies the join's
-    required distribution exactly.
+    required distribution exactly. ``bucket_col`` may be a list for
+    composite keys (e.g. the LSH signature store bucketed on
+    (band_id, band_hash) so incremental near-dup joins exchange only
+    the new-batch side).
     """
-    writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *cols)
     if sort_col:
         writer = writer.sortBy(sort_col)
     writer.format("parquet").saveAsTable(table_name)
