@@ -219,3 +219,64 @@ def test_stream_checkpoint_restart_no_duplicates(spark, tmp_path):
     assert run(6) == 6  # restart picks up ONLY the new chunk
     keys = [r["key"] for r in spark.read.parquet(out).collect()]
     assert len(keys) == len(set(keys)) == 6  # exactly once per record
+
+
+def test_stream_composes_with_watermarked_aggregation(spark, tmp_path):
+    """The custom Python source feeding a REAL stateful pipeline:
+    kafka_replay → from_json → event-time watermark → windowed count.
+    Proves the offset lifecycle composes with Spark's stateful engine
+    (what any custom enterprise source must support), not just
+    pass-through reads."""
+    import json as _json
+    import time
+
+    register_kafka_replay_source(spark)
+    d = str(tmp_path / "replay")
+
+    def ev(i, minute):
+        return {
+            "key": str(i),
+            "value": _json.dumps(
+                {"user": i % 3, "ts": f"2024-01-01 10:{minute:02d}:00"}
+            ),
+            "topic": "t",
+            "partition": i % 2,
+            "offset": i,
+        }
+
+    # two chunks: minutes 0-9 (10 events), then 30-34 (5 events) — the
+    # second chunk's event time closes the first 10-minute window
+    _chunk(f"{d}/a.json", [ev(i, i) for i in range(10)])
+    _chunk(f"{d}/b.json", [ev(100 + i, 30 + i) for i in range(5)])
+
+    stream = spark.readStream.format("kafka_replay").option("path", d).load()
+    parsed = (
+        stream.select(
+            F.from_json(F.col("value"), "user long, ts timestamp").alias("j")
+        )
+        .select("j.user", "j.ts")
+        .withWatermark("ts", "1 minute")
+    )
+    agg = parsed.groupBy(F.window("ts", "10 minutes")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    name = "kr_agg_out"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 90
+    while time.time() < deadline and spark.table(name).count() < 1:
+        time.sleep(0.3)
+    q.stop()
+    rows = {
+        r["window"].start.strftime("%H:%M"): r["n"]
+        for r in spark.table(name).collect()
+    }
+    # append mode emits the 10:00 window once the watermark (10:34-1min)
+    # passes its end; the 10:30 window stays open (correctly unemitted)
+    assert rows == {"10:00": 10}
