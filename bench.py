@@ -117,6 +117,7 @@ HEADLINE = [
     "wire_frame_split",
     "dedup_semantic_cells_capped",
     "dedup_incremental_neardup",
+    "dedup_minhash_lsh_compact",
     "scd2_asof_enrich",
 ]
 

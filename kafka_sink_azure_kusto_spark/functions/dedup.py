@@ -95,37 +95,74 @@ def minhash_signatures_df(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     k: int = 3,
+    compact: bool = False,
 ) -> DataFrame:
     """(id, sig) per document — the scale-path signature computation:
     explode shingles to rows, evaluate the ``num_hashes`` md5 columns as
     flat whole-stage-codegen expressions, min-aggregate per doc (partial
-    map-side combine ⇒ the shuffle carries one 16×32-char row per doc,
+    map-side combine ⇒ the shuffle carries one fixed-width row per doc,
     regardless of document size). ~50× faster than the nested-lambda
-    form and the shape that survives a 100 TB corpus."""
+    form and the shape that survives a 100 TB corpus.
+
+    ``compact=False`` (default): signature elements are full 32-char
+    md5 HEX STRINGS (512 bytes at 16 hashes) — collision-free and the
+    historical oracle-gated representation. ``compact=True``: elements
+    are the value of the first 8 md5 hex digits as a LONG (min over
+    32-bit integers — a different but equally valid permutation
+    family), 16×8 = 128 bytes per signature. This is the PERSISTED-
+    STORE representation: r6's probe measured the hex store at 3.3×
+    the TEXT size for short documents (512 B of sig vs ~200 B docs),
+    i.e. the store only paid for itself on long documents; compact
+    signatures are 4× smaller and compare long-vs-long instead of
+    32-char strings. Per-doc minhash collision odds at 32 bits are
+    ~|shingles|/2³² per hash — immaterial for the min statistic.
+    """
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("s")
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("s")))).alias(f"m{h}")
-        for h in range(num_hashes)
-    ]
+    if compact:
+        def mh(h: int) -> Column:
+            hx = F.md5(F.concat(F.lit(f"{h}:"), F.col("s")))
+            return F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    else:
+        def mh(h: int) -> Column:
+            return F.md5(F.concat(F.lit(f"{h}:"), F.col("s")))
+    aggs = [F.min(mh(h)).alias(f"m{h}") for h in range(num_hashes)]
     wide = sh.groupBy("id").agg(*aggs)
     return wide.select(
         "id", F.array(*[F.col(f"m{h}") for h in range(num_hashes)]).alias("sig")
     )
 
 
-def lsh_bands(sig_col: Column, num_bands: int, rows_per_band: int) -> Column:
+def lsh_bands(
+    sig_col: Column, num_bands: int, rows_per_band: int, compact: bool = False
+) -> Column:
     """Band the signature: array of (band_id, band_hash) structs where
-    band_hash = md5 of the concatenated band slice."""
+    band_hash = md5 of the concatenated band slice (elements cast to
+    string first, so long-valued compact signatures band identically).
+    ``compact=True``: band_hash is the first 15 md5 hex digits as a
+    LONG (< 2^60, signed-64 safe in every engine) — 8 bytes instead of
+    a 32-char string; spurious-bucket-collision odds at 60 bits are
+    ~n_bands²/2^60, immaterial (a collision only costs one extra
+    verified candidate pair, never a wrong answer)."""
+
+    def bh(b: Column) -> Column:
+        h = F.md5(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.slice(sig_col, b * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        )
+        if compact:
+            return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+        return h
+
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_bands - 1)),
-        lambda b: F.struct(
-            b.alias("band_id"),
-            F.md5(
-                F.concat_ws("|", F.slice(sig_col, b * rows_per_band + 1, rows_per_band))
-            ).alias("band_hash"),
-        ),
+        lambda b: F.struct(b.alias("band_id"), bh(b).alias("band_hash")),
     )
 
 
@@ -136,6 +173,7 @@ def banded_signatures(
     num_hashes: int = 16,
     num_bands: int = 4,
     k: int = 3,
+    compact: bool = False,
 ) -> DataFrame:
     """(id, sig, band_id, band_hash) — one row per document per band:
     the shared candidate-key computation under every MinHash-LSH path
@@ -144,11 +182,13 @@ def banded_signatures(
     explode, so no all-null signature can band to md5('')."""
     rows_per_band = num_hashes // num_bands
     assert num_bands * rows_per_band == num_hashes
-    sigs = minhash_signatures_df(df, text_col, id_col, num_hashes, k)
+    sigs = minhash_signatures_df(df, text_col, id_col, num_hashes, k, compact=compact)
     return sigs.select(
         "id",
         "sig",
-        F.explode(lsh_bands(F.col("sig"), num_bands, rows_per_band)).alias("b"),
+        F.explode(
+            lsh_bands(F.col("sig"), num_bands, rows_per_band, compact=compact)
+        ).alias("b"),
     ).select(
         "id",
         "sig",
@@ -166,6 +206,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     jaccard_threshold: float = 0.5,
     band_member_cap: int | None = None,
+    compact: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
@@ -198,7 +239,9 @@ def minhash_lsh_pairs(
     alternative is a groupBy count of hot keys broadcast-anti-joined
     back (no sort, but an extra aggregate + broadcast).
     """
-    banded = banded_signatures(df, text_col, id_col, num_hashes, num_bands, k)
+    banded = banded_signatures(
+        df, text_col, id_col, num_hashes, num_bands, k, compact=compact
+    )
     if band_member_cap is not None:
         from pyspark.sql.window import Window
 
@@ -765,6 +808,7 @@ def incremental_neardup_dedup(
     num_bands: int = 4,
     k: int = 3,
     jaccard_threshold: float = 0.5,
+    compact: bool = False,
 ) -> DataFrame:
     """Near-dup triage of a NEW batch against a persisted banded-
     signature STORE — the incremental form of ``minhash_lsh_pairs``
@@ -790,7 +834,9 @@ def incremental_neardup_dedup(
     (`operators/bucketing`). Nothing quadratic: candidate pairs are
     band-bucket collisions, same as the batch-mode LSH path.
     """
-    bb = banded_signatures(batch, text_col, id_col, num_hashes, num_bands, k)
+    bb = banded_signatures(
+        batch, text_col, id_col, num_hashes, num_bands, k, compact=compact
+    )
     hb = history_banded.select(
         F.col("id").alias("h_id"),
         F.col("sig").alias("h_sig"),

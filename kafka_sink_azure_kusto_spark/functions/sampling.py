@@ -48,9 +48,19 @@ def md5_hex8_long_sql(key_expr: str, salt: str = "") -> str:
     """ANSI-SQL mirror of ``md5_hex8_long`` (DuckDB-runnable) —
     generated per-digit since DuckDB lacks ``conv``; bit-identical on
     every input."""
+    return md5_hex_prefix_long_sql(key_expr, 8, salt)
+
+
+def md5_hex_prefix_long_sql(key_expr: str, digits: int, salt: str = "") -> str:
+    """Value of the first ``digits`` md5 hex digits as a BIGINT
+    (DuckDB-runnable, per-digit ascii arithmetic). ``digits`` ≤ 15 so
+    the value (< 16^15 = 2^60) fits a signed 64-bit integer in every
+    engine — the compact band-hash representation uses 15."""
+    if not 1 <= digits <= 15:
+        raise ValueError("digits must be in 1..15 (2^60 signed-long bound)")
     h = f"md5(CAST({key_expr} AS VARCHAR) || '{salt}')"
     acc = "CAST(0 AS BIGINT)"  # INT32 overflows at 16^8 in DuckDB
-    for i in range(8):
+    for i in range(digits):
         d = f"ascii(substr({h}, {i + 1}, 1))"
         val = f"(CASE WHEN {d} >= 97 THEN {d} - 87 ELSE {d} - 48 END)"
         acc = f"({acc} * 16 + {val})"

@@ -106,6 +106,7 @@ _GATE_PRIORITY = [
     "streaming_stream_join",
     "dedup_semantic_cells_capped",
     "dedup_incremental_neardup",
+    "dedup_minhash_lsh_compact",
     "scd2_asof_enrich",
     "bpe_iterative_merges",
     # r5-green anchors most likely to regress (touched or hot this

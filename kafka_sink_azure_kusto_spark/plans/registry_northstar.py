@@ -202,6 +202,56 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from kafka_sink_azure_kusto_spark.functions.sampling import md5_hex8_long_sql as _h8
+
+_MH_COMPACT = _h8("hs.h || ':' || s")
+
+@register(
+    "dedup_minhash_lsh_compact",
+    f"""
+    WITH {_SHINGLES_SQL},
+    mh AS (SELECT doc_id, hs.h AS h, MIN({_MH_COMPACT}) AS mv
+           FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS h) hs
+           GROUP BY doc_id, hs.h),
+    sig AS (SELECT doc_id, list(mv ORDER BY h) AS sig FROM mh GROUP BY doc_id),
+    banded AS (SELECT doc_id, sig, bs.b AS band_id,
+                      md5(array_to_string(
+                          list_transform(sig[bs.b*4+1 : bs.b*4+4],
+                                         x -> CAST(x AS VARCHAR)), '|')) AS band_hash
+               FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+    cand AS (SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+             FROM banded l JOIN banded r
+               ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+              AND l.doc_id < r.doc_id)
+    SELECT left_id, right_id,
+           len(list_intersect(ls.sig, rs.sig)) * 1.0 / 16 AS est_jaccard
+    FROM cand JOIN sig ls ON left_id = ls.doc_id
+              JOIN sig rs ON right_id = rs.doc_id
+    WHERE len(list_intersect(ls.sig, rs.sig)) * 1.0 / 16 >= 0.5
+    """,
+)
+def dedup_minhash_lsh_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with COMPACT signatures (r6): each
+    signature element is the value of the first 8 md5 hex digits as a
+    long — min over 32-bit integers, a different but equally valid
+    permutation family — so a persisted signature store holds 16×8 =
+    128 bytes/doc instead of 512 (hex strings), and candidate
+    verification compares longs, not 32-char strings. Motivated by the
+    r6 store-size probe: on short documents the hex store was LARGER
+    than the corpus text, inverting the incremental-dedup economics;
+    compact signatures restore the win for any doc over ~130 bytes.
+    Same plan shape as `dedup_minhash_lsh`. The oracle mirrors the
+    signature integer arithmetic digit-by-digit (`md5_hex8_long_sql`)
+    but keeps hex-string band hashes — band hashes only drive bucket
+    EQUALITY inside each engine, and the compact 60-bit long is
+    injective on the hex value, so the candidate sets (and the gated
+    output) agree while the implementations stay independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(
+        docs, num_hashes=16, num_bands=4, k=3, jaccard_threshold=0.5, compact=True
+    )
+
+
 @register(
     "dedup_incremental_neardup",
     f"""
