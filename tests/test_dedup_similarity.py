@@ -391,3 +391,34 @@ def test_residual_ivf_pq_beats_raw_on_tight_clusters(spark):
                        ["query_id", "neighbor_id"]).count() / n_truth
     assert r_res > r_raw, (r_raw, r_res)
     assert r_res >= 0.5, r_res
+
+
+def test_compact_minhash_family_agrees_on_pairs(spark):
+    """Compact (long-valued) signatures are a different permutation
+    family but must find the same obvious near-dups: identical docs
+    pair at est_jaccard 1.0 in both representations, and signatures/
+    band hashes are fixed-width longs."""
+    from kafka_sink_azure_kusto_spark.functions.dedup import (
+        banded_signatures,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today"),
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different words about some other topic here"),
+        ],
+        ["doc_id", "text"],
+    )
+    for compact in (False, True):
+        pairs = {
+            (r["left_id"], r["right_id"]): r["est_jaccard"]
+            for r in minhash_lsh_pairs(docs, compact=compact).collect()
+        }
+        assert pairs == {(0, 1): 1.0}, (compact, pairs)
+    banded = banded_signatures(docs, compact=True).collect()
+    for r in banded:
+        assert all(isinstance(x, int) for x in r["sig"])
+        assert isinstance(r["band_hash"], int)
+        assert 0 <= r["band_hash"] < 16**15  # 60-bit bound
