@@ -497,32 +497,60 @@ def main() -> int:
     scale100x = _scale100x_timings(spark, sf_dir)
     sink_tp = _sink_throughput(spark, sf_dir)
     latency = _streaming_latency(spark, sf_dir)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "timing": f"min_of_{runs_per_query}",
-                "bench_env": env,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "scale10x": {
-                    "note": "synthesized 10x corpora (scale_probe generators)",
-                    "value": round(sum(scale10x.values()), 3),
-                    "queries": scale10x,
-                },
-                "scale100x": {
-                    "note": "10x vs 100x synthesized corpora; exponent "
-                            "log10(t100/t10): 1.0=linear, 0=flat",
-                    "queries": scale100x,
-                },
-                "sink_throughput": sink_tp,
-                "streaming_latency": latency,
-            }
-        )
+    full = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "timing": f"min_of_{runs_per_query}",
+        "bench_env": env,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "scale10x": {
+            "note": "synthesized 10x corpora (scale_probe generators)",
+            "value": round(sum(scale10x.values()), 3),
+            "queries": scale10x,
+        },
+        "scale100x": {
+            "note": "10x vs 100x synthesized corpora; exponent "
+                    "log10(t100/t10): 1.0=linear, 0=flat",
+            "queries": scale100x,
+        },
+        "sink_throughput": sink_tp,
+        "streaming_latency": latency,
+    }
+    # The driver records only the LAST ~2000 chars of stdout and parses
+    # the tail as JSON; the full payload (90 queries × 3 suites, ~6 KB)
+    # never survived that window (BENCH_r4-r6 landed `parsed: null`).
+    # Contract fix (VERDICT r6 #8): the full record goes to
+    # BENCH_DETAIL.json next to this script, and the FINAL stdout line
+    # is a compact (<1.5 KB) JSON with the totals + the slowest-30
+    # per-query timings so the driver's tail-parse always succeeds.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump(full, f, indent=1)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:30]
+    )
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": full["sf"],
+        "n_queries": len(timings),
+        "queries": slowest,
+        "queries_note": "slowest 30 of %d; full map in BENCH_DETAIL.json"
+        % len(timings),
+        "scale10x_total": full["scale10x"]["value"],
+        "sink_throughput_rec_s": sink_tp.get("records_per_sec"),
+        "streaming_p95_ms": latency.get("p95_ms"),
+        "detail": "BENCH_DETAIL.json",
+    }
     spark.stop()
+    sys.stdout.flush()
+    print(json.dumps(compact, separators=(",", ":")))
+    sys.stdout.flush()
     return 0
 
 

@@ -67,6 +67,34 @@ def shingles(col: str | Column, k: int = 3) -> Column:
 
 
 # ---------------------------------------------------------------- MinHash/LSH
+# Compact-signature permutation family: h_i(x) = (a_i·x + b_i) mod p over
+# the Mersenne prime p = 2³¹−1, applied to a 31-bit md5-derived base.
+# ONE md5 per shingle (vs 4 in the r6 digit-window form, 16 in the hex
+# family) — the multiply-add runs in plain 64-bit integer arithmetic in
+# any engine: a,x < p ⇒ a·x < 2⁶² < 2⁶³−1, no overflow, so the DuckDB
+# oracle mirrors it verbatim (VERDICT r6 #3). Constants are fixed
+# (seeded once, hardcoded) so Spark and the generated SQL cannot drift.
+COMPACT_MERSENNE = 2_147_483_647  # 2^31 - 1
+COMPACT_PERMS: list[tuple[int, int]] = [
+    (2058367755, 1250378731),
+    (1328920189, 372282286),
+    (35052690, 260070992),
+    (1425365892, 920539464),
+    (409468654, 638079615),
+    (1652464807, 2033713062),
+    (1010120343, 873091422),
+    (910172515, 1362467471),
+    (1577225783, 708511551),
+    (1389507383, 1784693824),
+    (2003597556, 347112816),
+    (2133395955, 1638263921),
+    (1962772767, 908613595),
+    (1364526543, 932472842),
+    (1976978008, 656157898),
+    (1457334632, 212322978),
+]
+
+
 def minhash_signature(col: str | Column, num_hashes: int = 16, k: int = 3) -> Column:
     """MinHash signature as array<string>[num_hashes]: element h is
     ``min(md5(h || ':' || shingle))`` over the document's shingle set.
@@ -107,30 +135,40 @@ def minhash_signatures_df(
     ``compact=False`` (default): signature elements are full 32-char
     md5 HEX STRINGS (512 bytes at 16 hashes) — collision-free and the
     historical oracle-gated representation. ``compact=True``: elements
-    are the value of the first 8 md5 hex digits as a LONG (min over
-    32-bit integers — a different but equally valid permutation
-    family), 16×8 = 128 bytes per signature. This is the PERSISTED-
-    STORE representation: r6's probe measured the hex store at 3.3×
-    the TEXT size for short documents (512 B of sig vs ~200 B docs),
-    i.e. the store only paid for itself on long documents; compact
-    signatures are 4× smaller and compare long-vs-long instead of
-    32-char strings. Per-doc minhash collision odds at 32 bits are
-    ~|shingles|/2³² per hash — immaterial for the min statistic.
+    are LONGS from the universal-hash family h_i(x) = (a_i·x + b_i)
+    mod 2³¹−1 over a 31-bit base x = (first 8 md5 hex digits of the
+    shingle) mod 2³¹−1 — ONE md5 per shingle total (the r6 digit-window
+    form cost 4; the hex family costs num_hashes), everything after the
+    base is integer multiply-add inside whole-stage codegen. 16×8 = 128
+    bytes per signature: the PERSISTED-STORE representation — r6's probe
+    measured the hex store at 3.3× the TEXT size for short documents,
+    compact restores the store economics and compares long-vs-long.
+    Per-doc base-collision odds at 31 bits are ~|shingles|²/2³¹ —
+    immaterial for the min statistic; (a·x+b) mod p with a≠0 is an
+    exact permutation of [0, p).
     """
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("s")
     )
     if compact:
-        # one md5 yields FOUR independent 8-hex-digit longs (digit
-        # windows 1-8, 9-16, 17-24, 25-32) — hash h uses window h%4 of
-        # md5((h//4) || ':' || s), so 16 hashes cost 4 md5 calls
-        # instead of 16 (measured: the 16-md5 form was 1.6× slower
-        # than the hex family at build; this form is on par). Codegen
-        # CSE shares each md5 across its four windows.
+        if num_hashes > len(COMPACT_PERMS):
+            raise ValueError(
+                f"compact minhash supports ≤{len(COMPACT_PERMS)} hashes, "
+                f"got {num_hashes}"
+            )
+        p = F.lit(COMPACT_MERSENNE)
+        # materialize the base ONCE per shingle row (structural, not
+        # codegen-CSE-dependent): a,x < 2³¹−1 ⇒ a·x < 2⁶², overflow-free
+        sh = sh.select(
+            "id",
+            (F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long") % p).alias(
+                "_x"
+            ),
+        )
+
         def mh(h: int) -> Column:
-            g, j = divmod(h, 4)
-            hx = F.md5(F.concat(F.lit(f"{g}:"), F.col("s")))
-            return F.conv(F.substring(hx, 1 + 8 * j, 8), 16, 10).cast("long")
+            a, b = COMPACT_PERMS[h]
+            return (F.lit(a) * F.col("_x") + F.lit(b)) % p
     else:
         def mh(h: int) -> Column:
             return F.md5(F.concat(F.lit(f"{h}:"), F.col("s")))
@@ -719,10 +757,14 @@ def semantic_dedup_cells(
             F.count(F.lit(1)).alias("_cnt")
         )
         n_sub = F.ceil(F.col("_cnt") / F.lit(cell_member_cap)).cast("long")
-        # per-cell subcell count is a tiny table — broadcast it back
+        # per-cell subcell count is a tiny table — broadcast it back.
+        # eqNullSafe: a NULL cell label must still match its count row
+        # (groupBy keeps a NULL group) — a plain == would silently drop
+        # NULL-cell vectors from the output, breaking the one-row-per-
+        # input contract the uncapped path honors (ADVICE r6 #1).
         emb = emb.join(
             F.broadcast(counts.select("_ccell", n_sub.alias("_n_sub"))),
-            emb[cell_col] == F.col("_ccell"),
+            emb[cell_col].eqNullSafe(F.col("_ccell")),
         ).withColumn("_sub", md5_hex8_long(F.col(id_col), salt="semsub:") % F.col("_n_sub"))
     else:
         emb = emb.withColumn("_sub", F.lit(0).cast("long"))
@@ -816,6 +858,7 @@ def incremental_neardup_dedup(
     k: int = 3,
     jaccard_threshold: float = 0.5,
     compact: bool = False,
+    history_band_member_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup triage of a NEW batch against a persisted banded-
     signature STORE — the incremental form of ``minhash_lsh_pairs``
@@ -840,7 +883,39 @@ def incremental_neardup_dedup(
     exactly that key in production so ONLY the batch side exchanges
     (`operators/bucketing`). Nothing quadratic: candidate pairs are
     band-bucket collisions, same as the batch-mode LSH path.
+
+    ``history_band_member_cap``: hot-bucket guard for the STORE side
+    (VERDICT r6 #5). A year-old store accumulates boilerplate mass — a
+    single (band_id, band_hash) bucket with m history members turns
+    every colliding batch doc into m candidate verifications, so one
+    templated band can dominate the whole triage join even though the
+    plan is an equi-join. Buckets with more than the cap members are
+    dropped from the HISTORY side of candidate generation (the same
+    production mitigation as ``band_member_cap`` in
+    ``minhash_lsh_pairs``: such buckets are common-template mass better
+    handled by exact dedup, and a true near-dup usually still shares a
+    non-hot band). Direction: under-flags 'neardup_of_history' for
+    template members only. In production, compute the per-bucket count
+    ONCE at store-compaction time and persist it as a store column —
+    here it's a window count over the store, which co-partitions with
+    the store's (band_id, band_hash) bucketing so no extra exchange of
+    the batch side.
+
+    Raises ``TypeError`` if the persisted store's signature element
+    type disagrees with ``compact`` (hex strings vs longs) — otherwise
+    ``array_intersect`` between mismatched families silently finds zero
+    overlap and every batch doc comes back 'unique' (ADVICE r6 #2).
     """
+    from pyspark.sql.types import ArrayType, LongType, StringType
+
+    sig_type = history_banded.schema["sig"].dataType
+    want = LongType() if compact else StringType()
+    if not (isinstance(sig_type, ArrayType) and sig_type.elementType == want):
+        raise TypeError(
+            f"history store sig is {sig_type.simpleString()} but "
+            f"compact={compact} expects array<{want.simpleString()}> — "
+            "the store was persisted with different signature parameters"
+        )
     bb = banded_signatures(
         batch, text_col, id_col, num_hashes, num_bands, k, compact=compact
     )
@@ -850,6 +925,13 @@ def incremental_neardup_dedup(
         "band_id",
         "band_hash",
     )
+    if history_band_member_cap is not None:
+        w = Window.partitionBy("band_id", "band_hash")
+        hb = (
+            hb.withColumn("_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_n") <= history_band_member_cap)
+            .drop("_n")
+        )
     overlap_h = F.size(F.array_intersect("sig", "h_sig"))
     hist_hits = (
         bb.join(hb, ["band_id", "band_hash"])

@@ -202,28 +202,36 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mh_compact_sql() -> str:
-    """Value of the 8-hex-digit window (hs.h % 4) of
-    md5((hs.h // 4) || ':' || s) as BIGINT — the generated per-digit
-    mirror of the compact minhash derivation (4 md5 calls → 16
-    hashes; window j covers digits 8j+1..8j+8)."""
-    h = "md5(CAST((hs.h // 4) AS VARCHAR) || ':' || s)"
+def _mh_compact_base_sql() -> str:
+    """Value of the first 8 hex digits of md5(s) as BIGINT, reduced mod
+    2³¹−1 — the generated per-digit mirror of the compact minhash BASE
+    (one md5 per shingle; the 16 signature hashes are then the
+    universal-hash family (a_i·x + b_i) mod 2³¹−1 over this base,
+    constants shared from functions/dedup.COMPACT_PERMS so the two
+    engines cannot drift)."""
     acc = "CAST(0 AS BIGINT)"
     for i in range(1, 9):
-        d = f"ascii(substr({h}, (hs.h % 4) * 8 + {i}, 1))"
+        d = f"ascii(substr(md5(s), {i}, 1))"
         val = f"(CASE WHEN {d} >= 97 THEN {d} - 87 ELSE {d} - 48 END)"
         acc = f"({acc} * 16 + {val})"
-    return acc
+    return f"({acc} % {D.COMPACT_MERSENNE})"
 
 
-_MH_COMPACT = _mh_compact_sql()
+_MH_A_LIST = "[" + ", ".join(str(a) for a, _ in D.COMPACT_PERMS) + "]"
+_MH_B_LIST = "[" + ", ".join(str(b) for _, b in D.COMPACT_PERMS) + "]"
+_MH_COMPACT = (
+    f"(({_MH_A_LIST})[hs.h + 1] * x + ({_MH_B_LIST})[hs.h + 1]) "
+    f"% {D.COMPACT_MERSENNE}"
+)
+_MH_COMPACT_BASE = _mh_compact_base_sql()
 
 @register(
     "dedup_minhash_lsh_compact",
     f"""
     WITH {_SHINGLES_SQL},
+    base AS (SELECT doc_id, {_MH_COMPACT_BASE} AS x FROM sh),
     mh AS (SELECT doc_id, hs.h AS h, MIN({_MH_COMPACT}) AS mv
-           FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS h) hs
+           FROM base CROSS JOIN (SELECT unnest(range(0, 16)) AS h) hs
            GROUP BY doc_id, hs.h),
     sig AS (SELECT doc_id, list(mv ORDER BY h) AS sig FROM mh GROUP BY doc_id),
     banded AS (SELECT doc_id, sig, bs.b AS band_id,
@@ -243,21 +251,23 @@ _MH_COMPACT = _mh_compact_sql()
     """,
 )
 def dedup_minhash_lsh_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs with COMPACT signatures (r6): each
-    signature element is the value of the first 8 md5 hex digits as a
-    long — min over 32-bit integers, a different but equally valid
-    permutation family — so a persisted signature store holds 16×8 =
-    128 bytes/doc instead of 512 (hex strings), and candidate
-    verification compares longs, not 32-char strings. Motivated by the
-    r6 store-size probe: on short documents the hex store was LARGER
-    than the corpus text, inverting the incremental-dedup economics;
-    compact signatures restore the win for any doc over ~130 bytes.
-    Same plan shape as `dedup_minhash_lsh`. The oracle mirrors the
-    signature integer arithmetic digit-by-digit (`md5_hex8_long_sql`)
-    but keeps hex-string band hashes — band hashes only drive bucket
-    EQUALITY inside each engine, and the compact 60-bit long is
-    injective on the hex value, so the candidate sets (and the gated
-    output) agree while the implementations stay independent."""
+    """MinHash-LSH near-dup pairs with COMPACT signatures (r7 family):
+    each signature element is h_i(x) = (a_i·x + b_i) mod 2³¹−1 over a
+    31-bit md5-derived base x — ONE md5 per shingle (the r6
+    digit-window family cost 4, the hex family 16), the rest is
+    integer multiply-add inside whole-stage codegen. A persisted
+    signature store holds 16×8 = 128 bytes/doc instead of 512 (hex
+    strings), and candidate verification compares longs, not 32-char
+    strings. Motivated by the r6 store-size probe: on short documents
+    the hex store was LARGER than the corpus text, inverting the
+    incremental-dedup economics. Same plan shape as
+    `dedup_minhash_lsh`. The oracle mirrors the base digit-by-digit
+    and the permutation constants verbatim (shared from
+    `functions/dedup.COMPACT_PERMS`) but keeps hex-string band hashes
+    — band hashes only drive bucket EQUALITY inside each engine, and
+    the compact 60-bit long is injective on the hex value, so the
+    candidate sets (and the gated output) agree while the
+    implementations stay independent."""
     docs = load_table(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(
         docs, num_hashes=16, num_bands=4, k=3, jaccard_threshold=0.5, compact=True
@@ -309,6 +319,73 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = D.banded_signatures(history, "text", "doc_id", 16, 4, 3)
     return D.incremental_neardup_dedup(
         batch, store, num_hashes=16, num_bands=4, k=3, jaccard_threshold=0.5
+    )
+
+
+@register(
+    "dedup_incremental_neardup_capped",
+    """
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM
+            (SELECT doc_id, text FROM documents
+             UNION ALL
+             SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 3 != 0)),
+    sh AS (SELECT doc_id,
+                  unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+                         i -> array_to_string(ws[i:i+2], ' '))) AS s
+           FROM words),
+    mh AS (SELECT doc_id, hs.h AS h, MIN(md5(hs.h || ':' || s)) AS mv
+           FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS h) hs
+           GROUP BY doc_id, hs.h),
+    sig AS (SELECT doc_id, list(mv ORDER BY h) AS sig FROM mh GROUP BY doc_id),
+    banded AS (SELECT doc_id, sig, bs.b AS band_id,
+                      md5(array_to_string(sig[bs.b*4+1 : bs.b*4+4], '|')) AS band_hash
+               FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+    bb AS (SELECT * FROM banded WHERE doc_id < 1000000 AND doc_id % 3 = 0),
+    hb AS (SELECT * FROM banded
+           WHERE (doc_id % 3 != 0 AND doc_id < 1000000) OR doc_id >= 1000000
+           QUALIFY COUNT(*) OVER (PARTITION BY band_id, band_hash) <= 1),
+    hist_hits AS (SELECT DISTINCT b.doc_id
+                  FROM bb b JOIN hb h
+                    ON b.band_id = h.band_id AND b.band_hash = h.band_hash
+                  WHERE len(list_intersect(b.sig, h.sig)) * 1.0 / 16 >= 0.5),
+    batch_hits AS (SELECT DISTINCT l.doc_id
+                   FROM bb l JOIN bb r
+                     ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+                    AND l.doc_id > r.doc_id
+                   WHERE len(list_intersect(l.sig, r.sig)) * 1.0 / 16 >= 0.5)
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id IN (SELECT doc_id FROM hist_hits)
+                     THEN 'neardup_of_history'
+                WHEN d.doc_id IN (SELECT doc_id FROM batch_hits)
+                     THEN 'neardup_in_batch'
+                ELSE 'unique' END AS status
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+    """,
+)
+def dedup_incremental_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup triage with the HISTORY hot-bucket cap
+    (r7, VERDICT r6 #5): store buckets holding more than the cap
+    members are dropped from candidate generation — the guard against
+    a year-old store's boilerplate band turning one batch doc into
+    thousands of candidate verifications. The history here is the
+    %3!=0 partition DOUBLED under shifted ids (the realistic
+    re-ingested-template skew: every duplicated doc makes its 4 band
+    buckets hot), and cap=1 so the guard demonstrably BITES on the
+    test corpus — verified: 10 batch docs change status vs the
+    uncapped sibling, because their only history neighbors live in
+    hot buckets (cap=2 never fires here: a doc and its copy share
+    the same bucket, n=2). The QUALIFY window in the oracle is the
+    literal mirror of the Spark-side count-over-bucket filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    hist0 = docs.filter(F.col("doc_id") % 3 != 0)
+    history = hist0.select("doc_id", "text").unionByName(
+        hist0.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    store = D.banded_signatures(history, "text", "doc_id", 16, 4, 3)
+    return D.incremental_neardup_dedup(
+        batch, store, num_hashes=16, num_bands=4, k=3,
+        jaccard_threshold=0.5, history_band_member_cap=1,
     )
 
 

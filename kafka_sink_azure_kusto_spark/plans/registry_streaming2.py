@@ -416,6 +416,11 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
         json_rows = [r[0] for r in rows]
+        if not json_rows:
+            raise ValueError(
+                f"no '{event_type}' events in the 4000-row fixture subset "
+                f"at {sf_dir} — stream-stream join fixture cannot stage"
+            )
         last_us = json.loads(json_rows[-1])["ts_us"]
         sentinel = json.dumps(
             {"event_id": -1, "user_id": -1, "ts_us": last_us + 1000 * 3600 * 1_000_000}

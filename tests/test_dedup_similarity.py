@@ -422,3 +422,35 @@ def test_compact_minhash_family_agrees_on_pairs(spark):
         assert all(isinstance(x, int) for x in r["sig"])
         assert isinstance(r["band_hash"], int)
         assert 0 <= r["band_hash"] < 16**15  # 60-bit bound
+
+
+def test_compact_minhash_matches_python_reference(spark):
+    """r7 compact family: h_i(x) = (a_i·x + b_i) mod 2³¹−1 over
+    x = int(md5(shingle)[:8], 16) mod 2³¹−1 — recompute the whole
+    signature in pure Python and require element-exact equality (the
+    overflow-free arithmetic is what lets the DuckDB oracle mirror it
+    verbatim)."""
+    import hashlib
+
+    from kafka_sink_azure_kusto_spark.functions.dedup import (
+        COMPACT_MERSENNE,
+        COMPACT_PERMS,
+        minhash_signatures_df,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame([(7, text)], ["doc_id", "text"])
+    row = minhash_signatures_df(docs, compact=True).collect()[0]
+
+    toks = text.split(" ")
+    shingles = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+    bases = [
+        int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % COMPACT_MERSENNE
+        for s in shingles
+    ]
+    expected = [
+        min((a * x + b) % COMPACT_MERSENNE for x in bases)
+        for a, b in COMPACT_PERMS
+    ]
+    assert list(row["sig"]) == expected
+    assert all(0 <= v < COMPACT_MERSENNE for v in row["sig"])

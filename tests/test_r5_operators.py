@@ -156,6 +156,26 @@ def test_semantic_dedup_cells_drops_within_cell_only(spark):
     assert out == {0: 1, 1: 0, 2: 1, 3: 1}
 
 
+def test_semantic_dedup_cell_cap_keeps_null_cell_rows(spark):
+    """ADVICE r6 #1: with cell_member_cap set, rows whose cell label is
+    NULL must still come back (one row per input vector) with
+    is_kept=1, exactly as the uncapped path returns them."""
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (1, 0, [1.0, 0.0]),
+        (2, None, [1.0, 0.0]),  # NULL cell — must not vanish
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    for cap in (None, 2):
+        out = {
+            r["vec_id"]: r["is_kept"]
+            for r in semantic_dedup_cells(
+                emb, threshold=0.9, cell_member_cap=cap
+            ).collect()
+        }
+        assert out == {0: 1, 1: 0, 2: 1}, f"cap={cap}: {out}"
+
+
 def test_semantic_dedup_one_pass_overdrops_documented(spark):
     # chain a~b, b~c, a!~c: one-pass drops BOTH b and c (b shadows c even
     # though b itself is dropped) — the documented conservative behavior
@@ -406,6 +426,53 @@ def test_incremental_neardup_against_signature_store(spark):
         13: "neardup_in_batch",   # shadowed by 12
         14: "unique",             # structurally unsigned
     }
+
+
+def test_incremental_neardup_store_family_mismatch_raises(spark):
+    """ADVICE r6 #2: a store persisted with the other signature family
+    (hex vs compact) must raise, not silently return all-'unique'
+    (array_intersect across string/long families finds zero overlap)."""
+    import pytest
+
+    from kafka_sink_azure_kusto_spark.functions.dedup import (
+        banded_signatures,
+        incremental_neardup_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    hex_store = banded_signatures(docs, "text", "doc_id", 16, 4, 3)
+    with pytest.raises(TypeError, match="compact=True"):
+        incremental_neardup_dedup(docs, hex_store, compact=True)
+    compact_store = banded_signatures(docs, "text", "doc_id", 16, 4, 3, compact=True)
+    with pytest.raises(TypeError, match="compact=False"):
+        incremental_neardup_dedup(docs, compact_store, compact=False)
+
+
+def test_incremental_neardup_history_band_cap_drops_hot_buckets(spark):
+    """VERDICT r6 #5: with the history cap, a batch doc whose ONLY
+    history neighbors sit in a hot (over-cap) store bucket is no
+    longer flagged 'neardup_of_history'."""
+    from kafka_sink_azure_kusto_spark.functions.dedup import (
+        banded_signatures,
+        incremental_neardup_dedup,
+    )
+
+    tmpl = "alpha beta gamma delta epsilon zeta eta theta"
+    # template ingested twice under different ids → all its buckets hot
+    history = spark.createDataFrame(
+        [(0, tmpl), (1, tmpl), (2, "totally different words entirely here now")],
+        ["doc_id", "text"],
+    )
+    store = banded_signatures(history, "text", "doc_id", 16, 4, 3)
+    batch = spark.createDataFrame([(10, tmpl)], ["doc_id", "text"])
+    uncapped = incremental_neardup_dedup(batch, store).collect()[0]["status"]
+    capped = incremental_neardup_dedup(
+        batch, store, history_band_member_cap=1
+    ).collect()[0]["status"]
+    assert uncapped == "neardup_of_history"
+    assert capped == "unique"
 
 
 # ------------------------------------------------------------------ funnel

@@ -549,9 +549,15 @@ def incremental_neardup_probe(spark, n_history: int = 50_000, n_batch: int = 2_0
     text_bytes = history.select(
         F.sum(F.octet_length("text")).alias("b")
     ).collect()[0]["b"]
+    # Account the store AS PERSISTED: the banded layout repeats the full
+    # compact signature (size·8 bytes) in each band row — charging it
+    # once per doc (the r6 /4) overstated the steady-state ratio ~2.8×
+    # (ADVICE r6 #3). A normalized two-table store (sig once per doc +
+    # slim band rows) would earn that ratio back; this probe measures
+    # the single-table layout actually written.
     sig_bytes = store.select(
         F.sum(
-            F.size("sig") * 8 / 4  # compact longs; sig repeats per band row
+            F.size("sig") * 8  # compact longs, repeated per band row
             + F.lit(8)  # compact band_hash long
             + F.lit(12)  # id + band_id
         ).alias("b")
