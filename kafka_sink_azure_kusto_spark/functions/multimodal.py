@@ -301,3 +301,138 @@ def frame_sample(df: DataFrame, every_k: int = 5) -> DataFrame:
         )
         .select("doc_id", "n_frames", "frame_idx")
     )
+
+
+# --------------------------------------------------- perceptual hashing
+DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("dhash", LongType(), False),
+    ]
+)
+
+#: dHash grid — the classic 9×8 horizontal-gradient construction
+_DHASH_GW, _DHASH_GH = 9, 8
+
+
+def dhash64(m: DecodedMedia) -> int:
+    """63-bit difference hash over a decoded RGB image: nearest-neighbor
+    point-sample onto a 9×8 grid (x = gc·w//9, y = gr·h//8 — integer
+    arithmetic any engine replays exactly; area-average resampling
+    would bind the oracle to float resize kernels), integer luma
+    299r+587g+114b per grid point (kept SCALED — no division, no
+    rounding ambiguity), bit(gr,gc) = luma(gr,gc) < luma(gr,gc+1),
+    packed row-major (bit index gr·8+gc). The single (7,7) bit — index
+    63, the sign bit — is dropped so the hash stays a NON-NEGATIVE
+    long in every engine (DuckDB raises on ``1::BIGINT << 63``; numpy
+    wraps): 63 of the classic 64 gradient bits, sign-safe by
+    construction. Gradient-sign bits make the hash invariant to global
+    brightness shifts — the perceptual-dup property pixel md5 has none
+    of."""
+    if m.width <= 0 or m.height <= 0:
+        raise MediaDecodeError("dhash needs a decoded image")
+    rgb = m.samples.reshape(m.height, m.width, 3)
+    lum = 299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]
+    ys = (np.arange(_DHASH_GH, dtype=np.int64) * m.height) // _DHASH_GH
+    xs = (np.arange(_DHASH_GW, dtype=np.int64) * m.width) // _DHASH_GW
+    grid = lum[np.ix_(ys, xs)]
+    bits = (grid[:, :-1] < grid[:, 1:]).astype(np.int64)
+    idx = (
+        np.arange(_DHASH_GH, dtype=np.int64)[:, None] * 8
+        + np.arange(_DHASH_GW - 1, dtype=np.int64)[None, :]
+    )
+    weights = np.where(idx < 63, np.int64(1) << np.minimum(idx, 62), 0)
+    return int((bits * weights).sum())
+
+
+def media_dhash(df: DataFrame, id_col: str = "doc_id", media_id=None) -> DataFrame:
+    """(doc_id, dhash long) per IMAGE row via the real synth→decode
+    codec path (Arrow-batched, zero shuffle). ``media_id``: optional
+    Column deriving the payload identity from the doc id (the gated
+    query uses ``doc_id % 97`` so the fixture corpus contains genuine
+    duplicate images); WAV rows (kind 2) are excluded — pHash over
+    audio needs a spectral transform, out of scope."""
+    mid = media_id if media_id is not None else F.col(id_col)
+    base = df.select(
+        F.col(id_col).alias("doc_id"), mid.cast("long").alias("mid")
+    ).filter(F.col("mid") % 3 != 2)
+
+    def body(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            hashes = [
+                dhash64(decode_media_bytes(synth_media_payload(int(m))))
+                for m in pdf["mid"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "dhash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return base.mapInPandas(body, schema=DHASH_SCHEMA)
+
+
+def dhash_neardup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 10,
+    num_blocks: int = 4,
+    block_member_cap: int | None = None,
+) -> DataFrame:
+    """Perceptual near-dup pairs from (doc_id, dhash): block-LSH
+    candidates (the signature split into ``num_blocks`` 16-bit bands —
+    a pair within Hamming ≤ num_blocks·k must agree exactly on some
+    block for small k, the same pigeonhole as SimHash blocking), then
+    exact Hamming via bit_count(xor) ≤ ``max_hamming``. All JVM bit
+    arithmetic on longs; the only shuffle is the (block, bits)
+    equi-join — never a cross join.
+
+    ``block_member_cap``: the hot-bucket guard, same production
+    mitigation as ``minhash_lsh_pairs``: m copies of one image (logo,
+    placeholder thumbnail) put m members in every block bucket and
+    m²/2 pairs through verification — buckets over the cap are dropped
+    from candidate generation (template mass belongs to exact dedup)."""
+    if block_member_cap is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("j", "bb")
+    blocks = hashes.select(
+        "doc_id",
+        "dhash",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(num_blocks - 1))
+        ).alias("j"),
+    ).withColumn(
+        # SQL form: the Python shiftrightunsigned wrapper takes only a
+        # literal shift amount, the expression itself takes a column
+        "bb",
+        F.expr("shiftrightunsigned(dhash, j * 16)").bitwiseAND(F.lit(0xFFFF)),
+    )
+    if block_member_cap is not None:
+        blocks = (
+            blocks.withColumn("_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_n") <= block_member_cap)
+            .drop("_n")
+        )
+    left = blocks.select(
+        F.col("j"), F.col("bb"),
+        F.col("doc_id").alias("left_id"), F.col("dhash").alias("ldh"),
+    )
+    right = blocks.select(
+        F.col("j").alias("rj"), F.col("bb").alias("rbb"),
+        F.col("doc_id").alias("right_id"), F.col("dhash").alias("rdh"),
+    )
+    cand = (
+        left.join(
+            right,
+            (left["j"] == right["rj"])
+            & (left["bb"] == right["rbb"])
+            & (F.col("left_id") < F.col("right_id")),
+        )
+        .select("left_id", "right_id", "ldh", "rdh")
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    ham = F.bit_count(F.col("ldh").bitwiseXOR(F.col("rdh")))
+    return cand.filter(ham <= max_hamming).select(
+        "left_id", "right_id", ham.cast("bigint").alias("hamming")
+    )

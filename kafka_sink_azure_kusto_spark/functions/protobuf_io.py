@@ -265,3 +265,394 @@ def decode_message(data: bytes, field_schema: dict) -> dict:
         else:
             raise ValueError(f"unsupported field type {typ!r}")
     return out
+
+
+# ------------------------------------------------- codegen (expression) decode
+#
+# Whole-stage-codegen protobuf decode for flat scalar messages — the
+# jar-less path that keeps the converter boundary free of Python
+# (VERDICT r6 #2). Same construction discipline as
+# wire_format.message_index_struct: a BOUNDED unrolled walk where every
+# dynamic-length quantity is resolved by a CaseWhen over bytes sliced
+# out of one shared hex() region, and every step is PROJECTED ONCE as a
+# named column by the caller so field references never re-inline the
+# chain (janino 64 KB guard).
+#
+# Codegen-size reality: a lone decode (attach_codegen_decode on a
+# narrow frame) whole-stage-compiles clean. When a QUERY fuses the
+# decode with the full wire-format meta/index machinery into one
+# stage, the fused processNext() can still exceed janino's per-method
+# limit — Spark then logs one ERROR and falls back to PER-OPERATOR
+# codegen (each Project compiles its own split-expression class; see
+# WholeStageCodegenExec's compile-failure path). The plan stays 100%
+# JVM either way — zero Python operators — which is the property this
+# decoder exists to provide; fusion is a bonus where the stage fits.
+#
+# Exactness notes (these make the decode bit-exact, not approximate):
+# - varint values are assembled with bitwise OR over disjoint 7-bit
+#   groups; shiftleft wraps at 64 bits, so a 10-byte two's-complement
+#   varint (negative int64) lands on exactly the right signed long —
+#   no ANSI-mode overflow is possible because no addition occurs.
+# - sint zigzag is (v >>> 1) XOR -(v & 1), all bitwise.
+# - doubles/floats are rebuilt from their IEEE-754 bit fields as
+#   sign · (2^52 + mantissa) · 2^(exp−1075): a ≤53-bit integer times a
+#   power of two is exactly representable, and IEEE multiplication of
+#   representable exact products is exact (unit-tested bit-for-bit
+#   against struct.unpack across the pattern space).
+
+#: field types the expression decoder supports (== decode_message's set)
+CODEGEN_TYPES = frozenset(
+    {"int64", "sint64", "bool", "string", "bytes", "double", "float"}
+)
+
+#: length-delimited bodies longer than 127 bytes need a multi-byte
+#: length varint — supported up to 2 bytes (≤ 16383), beyond is a
+#: schema the UDF path handles
+_MAX_LEN_BYTES = 2
+
+
+def codegen_decodable(field_schema: dict) -> bool:
+    """True when the expression decoder can handle this schema: all
+    scalar types in CODEGEN_TYPES and single-byte tags (field numbers
+    ≤ 15 — tag = num<<3|wt < 128). Nested messages, repeated/packed
+    fields and wide field numbers stay on the UDF/jar paths."""
+    return all(
+        typ in CODEGEN_TYPES and 1 <= int(num) <= 15
+        for num, (_, typ) in field_schema.items()
+    )
+
+
+def _codegen_step_bytes(v, p):
+    """The 11 bytes at 1-indexed body cursor ``p`` as array<long>
+    (tag byte + the longest positionally-parsed value head: 10 varint
+    bytes; fixed64 needs 8, a 2-byte length varint 2). Bytes past the
+    frame end are NULL. Projected as its OWN column per step so the 11
+    hex/conv chains are generated exactly once — the struct step then
+    references cheap element_at() attrs (codegen 64 KB guard)."""
+    from pyspark.sql import functions as F
+
+    hx = F.hex(v.substr(p.cast("int"), F.lit(11)))
+    return F.array(
+        *[
+            F.conv(F.substring(hx, 2 * i + 1, 2), 16, 10).cast("long")
+            for i in range(0, 11)
+        ]
+    )
+
+
+def _codegen_step_scan(bts, p, need_f64=True, need_f32=True, need_len=True):
+    """Positional value scan over the pre-projected byte array ``bts``
+    at cursor ``p`` → struct ``(vv long, vl int[, f64 long][, f32
+    long][, dl long, ds long])``: varint value/length, little-endian
+    fixed64/32 bit patterns, and the length-delimited payload
+    length/start. The fixed/length members are emitted only when the
+    declared schema uses their wire types (``need_*``) — dead scan
+    members are not free, they bloat every fused processNext().
+    Projected as its OWN column per step — the step struct then touches
+    only cheap attr refs, keeping every generated consume method far
+    under janino's 64 KB (whole-stage codegen cannot split a single
+    operator's expression tree, so the splitting must happen in the
+    PLAN, one small projection per concern)."""
+    from pyspark.sql import functions as F
+
+    def b(i):  # byte i (0 = tag byte), NULL past frame end — cheap attr ref
+        return F.element_at(bts, i + 1)
+
+    # varint: include each 7-bit group while every earlier byte had its
+    # continuation bit set — branch-free OR over disjoint bit ranges
+    # (wraps exactly for 10-byte two's-complement int64, no addition →
+    # no ANSI overflow)
+    vval = b(1) % 128
+    vlen = F.when(b(1) < 128, 1)
+    cont = b(1) >= 128
+    for i in range(2, 11):
+        vval = vval.bitwiseOR(
+            F.when(cont, F.shiftleft(b(i) % 128, 7 * (i - 1))).otherwise(F.lit(0))
+        )
+        vlen = vlen.when(cont & (b(i) < 128), i)
+        if i < 10:
+            cont = cont & (b(i) >= 128)
+
+    def or_all(cols):
+        acc = cols[0]
+        for c in cols[1:]:
+            acc = acc.bitwiseOR(c)
+        return acc
+
+    members = [vval.cast("long").alias("vv"), vlen.cast("int").alias("vl")]
+    if need_f64:
+        f64 = or_all([F.shiftleft(b(i), 8 * (i - 1)) for i in range(1, 9)])
+        members.append(f64.cast("long").alias("f64"))
+    if need_f32:
+        f32 = or_all([F.shiftleft(b(i), 8 * (i - 1)) for i in range(1, 5)])
+        members.append(f32.cast("long").alias("f32"))
+    if need_len:
+        llen1 = b(1) < 128
+        dlen = F.when(llen1, b(1)).when(
+            b(2) < 128, (b(1) % 128).bitwiseOR(F.shiftleft(b(2), 7))
+        )
+        dstart = F.when(llen1, p + 2).otherwise(p + 3)
+        members.append(dlen.cast("long").alias("dl"))
+        members.append(dstart.cast("long").alias("ds"))
+    return F.struct(*members)
+
+
+def _codegen_step(v, p, bts, scan, need_f64=True, need_f32=True, need_len=True):
+    """One bounded walk step at 1-indexed body cursor ``p`` over the
+    pre-projected byte array ``bts`` and value scan ``scan`` → struct
+    ``(fld int, wt int, ival long[, sval binary], np long)``.
+
+    ``ival`` carries the raw varint value (wt 0) or the little-endian
+    fixed64/fixed32 bit pattern (wt 1/5); ``sval`` the length-delimited
+    slice (wt 2, emitted only when the schema has string/bytes fields);
+    ``np`` the next cursor. A frame end, multi-byte tag, >10-byte
+    varint, >2-byte length varint, a deprecated group wire type, or a
+    wire type the schema never uses yields an all-NULL struct — NULL
+    ``np`` starves every later step, so the walk aborts without
+    exceptions (DLQ semantics, never a job kill). Aborting on
+    schema-unused wire types is sound: a message whose tail this walk
+    skips could only have yielded values for unknown fields or
+    duplicate occurrences this schema does not need... except later
+    known fields — those decode NULL, the same conservative direction
+    as the bounded index parser."""
+    from pyspark.sql import functions as F
+
+    tag = F.element_at(bts, 1)
+    fld = F.shiftright(tag, 3).cast("int")
+    wt = (tag % 8).cast("int")
+    vlen = scan.getField("vl")
+
+    tag_ok = tag.isNotNull() & (tag < 128)
+    wt0_ok = (wt == 0) & vlen.isNotNull()
+    ok = tag_ok & wt0_ok
+    ival = F.when(wt0_ok, scan.getField("vv"))
+    np = F.when(wt0_ok, p + 1 + vlen)
+    if need_f64:
+        ok = ok | (tag_ok & (wt == 1))
+        ival = ival.when(wt == 1, scan.getField("f64"))
+        np = np.when(wt == 1, p + 9)
+    if need_f32:
+        ok = ok | (tag_ok & (wt == 5))
+        ival = ival.when(wt == 5, scan.getField("f32"))
+        np = np.when(wt == 5, p + 5)
+    wt2_ok = None
+    if need_len:
+        dlen = scan.getField("dl")
+        dstart = scan.getField("ds")
+        wt2_ok = (wt == 2) & dlen.isNotNull()
+        ok = ok | (tag_ok & wt2_ok)
+        np = np.when(wt2_ok, dstart + dlen)
+    members = [
+        F.when(ok, fld).alias("fld"),
+        F.when(ok, wt).alias("wt"),
+        F.when(ok, ival).cast("long").alias("ival"),
+    ]
+    if need_len:
+        members.append(
+            F.when(ok & wt2_ok, v.substr(dstart.cast("int"), dlen.cast("int")))
+            .cast("binary")
+            .alias("sval")
+        )
+    members.append(F.when(ok, np).cast("long").alias("np"))
+    return F.struct(*members)
+
+
+def _ieee_double(bits):
+    """Exact IEEE-754 binary64 from its bit pattern (a long column)."""
+    from pyspark.sql import functions as F
+
+    e = F.shiftrightunsigned(bits, 52).bitwiseAND(F.lit(0x7FF))
+    m = bits.bitwiseAND(F.lit((1 << 52) - 1))
+    sign = F.when(bits < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    return (
+        F.when(
+            e == 0x7FF,
+            F.when(m == 0, sign * F.lit(float("inf"))).otherwise(
+                F.lit(float("nan"))
+            ),
+        )
+        .when(e == 0, sign * m.cast("double") * F.lit(2.0 ** -1074))
+        .otherwise(
+            sign
+            * m.bitwiseOR(F.lit(1 << 52)).cast("double")
+            * F.pow(F.lit(2.0), (e - 1075).cast("double"))
+        )
+    )
+
+
+def _ieee_float(bits):
+    """Exact IEEE-754 binary32 from its bit pattern (low 32 bits)."""
+    from pyspark.sql import functions as F
+
+    e = F.shiftrightunsigned(bits, 23).bitwiseAND(F.lit(0xFF))
+    m = bits.bitwiseAND(F.lit((1 << 23) - 1))
+    sign = F.when(bits.bitwiseAND(F.lit(1 << 31)) != 0, F.lit(-1.0)).otherwise(
+        F.lit(1.0)
+    )
+    return (
+        F.when(
+            e == 0xFF,
+            F.when(m == 0, sign * F.lit(float("inf"))).otherwise(
+                F.lit(float("nan"))
+            ),
+        )
+        .when(e == 0, sign * m.cast("double") * F.lit(2.0 ** -149))
+        .otherwise(
+            sign
+            * m.bitwiseOR(F.lit(1 << 23)).cast("double")
+            * F.pow(F.lit(2.0), (e - 150).cast("double"))
+        )
+    )
+
+
+#: expected wire type per supported field type
+_WIRE_TYPE_OF = {
+    "int64": 0,
+    "sint64": 0,
+    "bool": 0,
+    "string": 2,
+    "bytes": 2,
+    "double": 1,
+    "float": 5,
+}
+
+
+def attach_codegen_decode(
+    df,
+    body_col,
+    field_schema: dict,
+    schema,
+    out_col: str = "payload",
+    n_steps: Optional[int] = None,
+):
+    """Project a whole-stage-codegen protobuf decode of ``body_col``
+    (a Column or column name holding the bare message body) as struct
+    column ``out_col`` typed by ``schema`` — zero Python operators in
+    the plan.
+
+    The walk is unrolled ``n_steps`` times (default: one step per
+    declared field + 2 slack for interleaved unknown fields — a body
+    with more fields than steps simply leaves the tail undecoded, the
+    bounded-parser contract shared with message_index_struct). Each
+    step is projected as its own column so the generated code stays
+    linear in n_steps. Last occurrence wins on duplicate fields and
+    wrong-wire-type matches are skipped, mirroring ``decode_message``;
+    malformed bodies yield NULL fields instead of raising (K4 DLQ
+    semantics — at the converter boundary a poisoned record must
+    never kill the job)."""
+    from pyspark.sql import functions as F
+
+    if not codegen_decodable(field_schema):
+        raise ValueError("field_schema not supported by the codegen decoder")
+    if n_steps is None:
+        n_steps = len(field_schema) + 2
+    body = F.col(body_col) if isinstance(body_col, str) else body_col
+    types_used = {typ for _, (_, typ) in field_schema.items()}
+    need_f64 = "double" in types_used
+    need_f32 = "float" in types_used
+    need_len = bool(types_used & {"string", "bytes"})
+    import uuid as _uuid
+
+    pre = f"_pbcg_{_uuid.uuid4().hex[:8]}"
+    bname = f"{pre}_body"
+    df = df.withColumn(bname, body)
+    names = []
+    for k in range(n_steps):
+        p = (
+            F.lit(1).cast("long")
+            if k == 0
+            else F.col(f"{names[-1]}.np")
+        )
+        bts = f"{pre}_b{k}"
+        df = df.withColumn(bts, _codegen_step_bytes(F.col(bname), p))
+        scan = f"{pre}_v{k}"
+        df = df.withColumn(
+            scan,
+            _codegen_step_scan(F.col(bts), p, need_f64, need_f32, need_len),
+        )
+        name = f"{pre}_s{k}"
+        df = df.withColumn(
+            name,
+            _codegen_step(
+                F.col(bname), p, F.col(bts), F.col(scan),
+                need_f64, need_f32, need_len,
+            ),
+        )
+        names.append(name)
+
+    fields = []
+    by_num = {int(num): spec for num, spec in field_schema.items()}
+    for f in schema.fields:
+        spec = next(
+            ((num, typ) for num, (nm, typ) in by_num.items() if nm == f.name),
+            None,
+        )
+        if spec is None:
+            fields.append(F.lit(None).cast(f.dataType).alias(f.name))
+            continue
+        num, typ = spec
+        wt_want = _WIRE_TYPE_OF[typ]
+        arms = []
+        for name in reversed(names):  # later steps first: last wins
+            s = F.col(name)
+            hit = (s.getField("fld") == num) & (s.getField("wt") == wt_want)
+            ival = s.getField("ival")
+            if typ == "int64":
+                val = ival
+            elif typ == "sint64":
+                val = F.shiftrightunsigned(ival, 1).bitwiseXOR(
+                    -(ival.bitwiseAND(F.lit(1)))
+                )
+            elif typ == "bool":
+                val = ival != 0
+            elif typ == "string":
+                val = s.getField("sval").cast("string")
+            elif typ == "bytes":
+                val = s.getField("sval")
+            elif typ == "double":
+                val = _ieee_double(ival)
+            else:  # float
+                val = _ieee_float(ival)
+            arms.append(F.when(hit, val))
+        fields.append(F.coalesce(*arms).cast(f.dataType).alias(f.name))
+    payload = F.when(F.col(bname).isNotNull(), F.struct(*fields))
+    df = df.withColumn(out_col, payload)
+    aux_cols = [f"{pre}_b{k}" for k in range(n_steps)] + [
+        f"{pre}_v{k}" for k in range(n_steps)
+    ]
+    return df.drop(bname, *names, *aux_cols)
+
+
+def varint_encode_expr(x, max_bytes: int = 5):
+    """Builtin-expression varint ENCODE of a non-negative long column
+    (≤ ``max_bytes`` base-128 groups, i.e. values < 2^(7·max_bytes)) →
+    binary. The fixture-synthesis counterpart of the codegen decoder:
+    lets registry fixtures frame protobuf/avro bodies with zero Python
+    in the plan (the same role unhex/lpad/hex play for the wire header
+    in wire_frame_split). Values outside the bound yield NULL — a
+    fixture generator bug should surface as missing rows, not silent
+    truncation."""
+    from pyspark.sql import functions as F
+
+    def byte_hex(b):  # two-hex-digit string of a byte value column
+        return F.lpad(F.hex(b.cast("long")), 2, "0")
+
+    def group(i):  # 7-bit group i
+        return F.shiftrightunsigned(x.cast("long"), 7 * i) % 128
+
+    chain = F.when(x < 128, byte_hex(group(0)))
+    for n in range(2, max_bytes + 1):
+        parts = [byte_hex(group(i) + 128) for i in range(n - 1)]
+        parts.append(byte_hex(group(n - 1)))
+        chain = chain.when(x < (1 << (7 * n)), F.concat(*parts))
+    return F.unhex(chain)
+
+
+def zigzag_encode_expr(x):
+    """Builtin-expression zigzag mapping of a long column (the avro
+    int/long and protobuf sint encoding): (x << 1) XOR (x >> 63) —
+    all bitwise, exact for the full signed range."""
+    from pyspark.sql import functions as F
+
+    c = x.cast("long")
+    return F.shiftleft(c, 1).bitwiseXOR(F.shiftright(c, 63))

@@ -343,6 +343,86 @@ def decode_wire_frames(
         # body with the message-index prefix stripped (protobuf frames only)
         pbody = v.substr(idx_body_pos, F.greatest(blen - idx_body_pos + 1, F.lit(0)))
 
+    # jar-less protobuf ids with flat scalar schemas decode through the
+    # whole-stage-codegen expression decoder (VERDICT r6 #2) — its
+    # bounded walk steps must be PROJECTED as columns, so they attach
+    # here (df level) and the handler loop below just references the
+    # result by name. Zero Python operators on this path.
+    from kafka_sink_azure_kusto_spark.functions.encoders import (
+        protobuf_functions_usable,
+    )
+    from kafka_sink_azure_kusto_spark.functions.protobuf_io import (
+        attach_codegen_decode,
+        codegen_decodable,
+    )
+
+    pb_usable = protobuf_functions_usable(df.sparkSession)
+    # group handlers by (field schema, indexed-ness): ids sharing a
+    # message schema decode through ONE bounded walk over the union of
+    # their routed bodies — halving the fused projections keeps the
+    # whole-stage processNext() under janino's 64 KB
+    groups: dict[tuple, list[int]] = {}
+    for schema_id, h in handlers.items():
+        if h["fmt"].strip().lower() != "protobuf":
+            continue
+        if pb_usable or not codegen_decodable(h["proto_field_schema"]):
+            continue
+        key = (
+            tuple(sorted((int(n), tuple(s)) for n, s in h["proto_field_schema"].items())),
+            h.get("message_indexes", [0]) is not None,
+            h.get("codegen_steps"),
+        )
+        groups.setdefault(key, []).append(int(schema_id))
+    codegen_cols: dict[int, str] = {}
+    for (fs_key, indexed, n_steps), ids in groups.items():
+        this_body = pbody if indexed else body
+        routed = F.when(
+            (F.col("wire_status") == STATUS_OK)
+            & F.col("wire_schema_id").isin(ids),
+            this_body,
+        )
+        col_name = f"_pbpay_{'_'.join(map(str, ids))}"
+        out = attach_codegen_decode(
+            out,
+            routed,
+            {n: (nm, tp) for n, (nm, tp) in dict(fs_key).items()},
+            schema,
+            out_col=col_name,
+            n_steps=n_steps,
+        )
+        for i in ids:
+            codegen_cols[i] = col_name
+
+    # jar-less avro ids with flat primitive record schemas decode the
+    # same way (sequential typed walk — functions/avro_io)
+    import json as _json
+
+    from kafka_sink_azure_kusto_spark.functions.avro_io import (
+        attach_avro_codegen_decode,
+        avro_codegen_decodable,
+    )
+    from kafka_sink_azure_kusto_spark.functions.encoders import (
+        avro_functions_usable,
+    )
+
+    av_usable = avro_functions_usable(df.sparkSession)
+    for schema_id, h in handlers.items():
+        if h["fmt"].strip().lower() not in ("avro", "apacheavro"):
+            continue
+        av_schema = _json.loads(h["avro_schema_json"])
+        if av_usable or not avro_codegen_decodable(av_schema):
+            continue
+        routed = F.when(
+            (F.col("wire_status") == STATUS_OK)
+            & (F.col("wire_schema_id") == int(schema_id)),
+            body,
+        )
+        col_name = f"_avpay_{schema_id}"
+        out = attach_avro_codegen_decode(
+            out, routed, av_schema, schema, out_col=col_name
+        )
+        codegen_cols[int(schema_id)] = col_name
+
     payload: Optional[Column] = None
     for schema_id, h in handlers.items():
         fmt = h["fmt"].strip().lower()
@@ -359,25 +439,32 @@ def decode_wire_frames(
         if fmt in ("json", "singlejson", "multijson"):
             dec = F.from_json(routed.cast("string"), schema)
         elif fmt == "protobuf":
-            from kafka_sink_azure_kusto_spark.functions.encoders import (
-                _protobuf_decode_column,
-            )
+            if int(schema_id) in codegen_cols:
+                dec = F.col(codegen_cols[int(schema_id)])
+            else:
+                from kafka_sink_azure_kusto_spark.functions.encoders import (
+                    _protobuf_decode_column,
+                )
 
-            dec = _protobuf_decode_column(
-                routed, schema, h["proto_field_schema"], spark=df.sparkSession
-            )
+                dec = _protobuf_decode_column(
+                    routed, schema, h["proto_field_schema"], spark=df.sparkSession
+                )
         elif fmt in ("avro", "apacheavro"):
-            from kafka_sink_azure_kusto_spark.functions.encoders import (
-                _avro_decode_column,
-                avro_functions_usable,
-            )
+            if int(schema_id) in codegen_cols:
+                dec = F.col(codegen_cols[int(schema_id)])
+            else:
+                from kafka_sink_azure_kusto_spark.functions.encoders import (
+                    _avro_decode_column,
+                    avro_functions_usable,
+                )
 
-            if avro_functions_usable(df.sparkSession):
-                from pyspark.sql.avro.functions import from_avro
+                if avro_functions_usable(df.sparkSession):
+                    from pyspark.sql.avro.functions import from_avro
 
-                dec = from_avro(routed, h["avro_schema_json"])
-            else:  # spark-avro jar not on classpath → pure-Python codec
-                dec = _avro_decode_column(routed, schema, h["avro_schema_json"])
+                    dec = from_avro(routed, h["avro_schema_json"])
+                else:  # spark-avro jar absent, schema beyond the
+                    # codegen walk → pure-Python codec (Arrow-batched)
+                    dec = _avro_decode_column(routed, schema, h["avro_schema_json"])
         else:
             raise ValueError(f"unsupported wire handler format: {fmt!r}")
         cond = F.col("wire_schema_id") == int(schema_id)
@@ -386,4 +473,4 @@ def decode_wire_frames(
     out = out.withColumn(
         payload_col, F.when(F.col("wire_status") == STATUS_OK, payload)
     )
-    return out.drop("_wire_base", "_wire_idx")
+    return out.drop("_wire_base", "_wire_idx", *codegen_cols.values())

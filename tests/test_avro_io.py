@@ -205,3 +205,94 @@ def test_decode_payload_avro_pure_python_fallback(spark):
     assert got[0].a == 7 and got[0].b == "x"
     assert got[1].a == -3 and got[1].b is None
     assert got[2].a is None and got[2].b is None
+
+
+# ------------------------------------------ codegen (expression) decode
+
+
+def test_avro_codegen_decode_matches_python_codec(spark):
+    """The r7 avro expression decoder must agree with decode_record on
+    all supported primitives, multi-byte zigzag lengths/values (incl.
+    negative longs), and empty/NULL bodies."""
+    import io as _io
+    import math
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BinaryType,
+        BooleanType,
+        DoubleType,
+        FloatType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from kafka_sink_azure_kusto_spark.functions.avro_io import (
+        attach_avro_codegen_decode,
+        avro_codegen_decodable,
+        decode_record,
+        encode_record,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "T",
+        "fields": [
+            {"name": "l", "type": "long"},
+            {"name": "i", "type": "int"},
+            {"name": "b", "type": "boolean"},
+            {"name": "s", "type": "string"},
+            {"name": "y", "type": "bytes"},
+            {"name": "d", "type": "double"},
+            {"name": "f", "type": "float"},
+        ],
+    }
+    assert avro_codegen_decodable(schema)
+    assert not avro_codegen_decodable(
+        {"type": "record", "name": "U",
+         "fields": [{"name": "x", "type": ["null", "long"]}]}
+    )
+
+    out_schema = StructType(
+        [
+            StructField("l", LongType()),
+            StructField("i", LongType()),
+            StructField("b", BooleanType()),
+            StructField("s", StringType()),
+            StructField("y", BinaryType()),
+            StructField("d", DoubleType()),
+            StructField("f", FloatType()),
+        ]
+    )
+    recs = [
+        {"l": 0, "i": 0, "b": False, "s": "", "y": b"", "d": 0.0, "f": 0.0},
+        {"l": -1, "i": 63, "b": True, "s": "héllo", "y": b"\x00\xff",
+         "d": 2.25, "f": -2.5},
+        {"l": (1 << 62), "i": -(1 << 30), "b": True, "s": "x" * 300,
+         "y": b"\x80" * 200, "d": -1e308, "f": 3.0e38},
+        {"l": -(1 << 62), "i": 1, "b": False, "s": "日本語", "y": b"q",
+         "d": 5e-324, "f": 1.4e-45},
+    ]
+    bodies = [encode_record(schema, r) for r in recs] + [None]
+    df = spark.createDataFrame([(b,) for b in bodies], "value binary")
+    rows = attach_avro_codegen_decode(
+        df, F.col("value"), schema, out_schema
+    ).select("value", "payload").collect()
+    for row in rows:
+        if row["value"] is None:
+            assert row["payload"] is None
+            continue
+        expect = decode_record(schema, _io.BytesIO(bytes(row["value"])))
+        got = row["payload"].asDict()
+        for k in ("l", "i", "b", "s"):
+            assert got[k] == expect[k], (k, expect, got)
+        assert bytes(got["y"]) == expect["y"]
+        for k in ("d", "f"):
+            if math.isnan(expect[k]):
+                assert math.isnan(got[k])
+            else:
+                assert got[k] == expect[k] or abs(got[k] - expect[k]) <= 1e-6 * abs(expect[k]), (
+                    k, expect[k], got[k]
+                )

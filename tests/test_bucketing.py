@@ -78,3 +78,71 @@ def test_signature_store_bucketed_join_exchanges_batch_side_only(spark, tmp_path
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS sig_store_bkt")
+
+
+def test_signature_store_compaction_defragments_and_keeps_buckets(spark):
+    """r7 (VERDICT r6 #7): N daily `append_bucketed` deltas fragment
+    each bucket into N files; `compact_bucketed_table` rewrites to one
+    file per bucket, PRESERVES the bucket spec, loses no rows, and the
+    post-compaction probe join still exchanges only the batch side."""
+    from pyspark.sql import functions as F
+
+    from kafka_sink_azure_kusto_spark.functions.dedup import banded_signatures
+    from kafka_sink_azure_kusto_spark.operators.bucketing import (
+        append_bucketed,
+        compact_bucketed_table,
+        table_file_count,
+        write_bucketed,
+    )
+
+    def sigs(lo, hi):
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta epsilon token{i} zeta eta")
+             for i in range(lo, hi)],
+            ["doc_id", "text"],
+        )
+        return banded_signatures(docs, "text", "doc_id", 16, 4, 3)
+
+    spark.sql("DROP TABLE IF EXISTS sig_store_cpt")
+    spark.sql("DROP TABLE IF EXISTS sig_store_cpt__compact_staging")
+    try:
+        write_bucketed(sigs(0, 30), "sig_store_cpt", ["band_id", "band_hash"],
+                       num_buckets=4)
+        for day in range(3):  # three daily delta appends
+            append_bucketed(sigs(100 * (day + 1), 100 * (day + 1) + 20),
+                            "sig_store_cpt", ["band_id", "band_hash"],
+                            num_buckets=4)
+        total_rows = spark.table("sig_store_cpt").count()
+        frag_files = table_file_count(spark, "sig_store_cpt")
+        assert frag_files > 4, f"appends should fragment: {frag_files} files"
+
+        n_files = compact_bucketed_table(
+            spark, "sig_store_cpt", ["band_id", "band_hash"], num_buckets=4
+        )
+        assert n_files <= 4, f"compaction should leave ≤1 file/bucket: {n_files}"
+        assert spark.table("sig_store_cpt").count() == total_rows
+
+        # post-compaction: probe join exchanges ONLY the batch side
+        batch = banded_signatures(
+            spark.createDataFrame(
+                [(999, "alpha beta gamma delta epsilon token5 zeta eta")],
+                ["doc_id", "text"],
+            ),
+            "text", "doc_id", 16, 4, 3,
+        )
+        store = spark.table("sig_store_cpt").select(
+            F.col("id").alias("h_id"), "band_id", "band_hash"
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            joined = batch.join(store, ["band_id", "band_hash"])
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Bucketed: true" in plan, plan
+            assert plan.count("Exchange hashpartitioning(band_id") == 1, plan
+            assert joined.count() > 0  # token5 doc still matches history
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sig_store_cpt")
+        spark.sql("DROP TABLE IF EXISTS sig_store_cpt__compact_staging")

@@ -286,3 +286,146 @@ def test_builtin_protobuf_jar_path(spark):
         proto_field_schema={1: ("a", "int64"), 2: ("b", "string")},
     ).collect()[0]
     assert out.payload.a == 7 and out.payload.b is None
+
+
+# ------------------------------------------ codegen (expression) decoder
+
+
+def test_codegen_decodable_gate():
+    from kafka_sink_azure_kusto_spark.functions.protobuf_io import (
+        codegen_decodable,
+    )
+
+    assert codegen_decodable({1: ("a", "int64"), 2: ("b", "string")})
+    assert not codegen_decodable({16: ("a", "int64")})  # tag ≥ 128
+    assert not codegen_decodable({1: ("a", "message")})  # nested
+
+
+def test_codegen_decode_matches_python_codec(spark):
+    """The r7 expression decoder must agree with decode_message on a
+    grid that covers every supported type, varint lengths 1..10
+    (including negative int64 two's complement), duplicate fields
+    (last wins), unknown interleaved fields, and empty/NULL bodies."""
+    import math
+
+    from pyspark.sql.types import (
+        BooleanType,
+        BinaryType,
+        DoubleType,
+        FloatType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from kafka_sink_azure_kusto_spark.functions.protobuf_io import (
+        attach_codegen_decode,
+        decode_message,
+        encode_message,
+    )
+
+    fs = {
+        1: ("i", "int64"),
+        2: ("s", "sint64"),
+        3: ("t", "string"),
+        4: ("d", "double"),
+        5: ("f", "float"),
+        6: ("bb", "bytes"),
+        7: ("g", "bool"),
+    }
+    schema = StructType(
+        [
+            StructField("i", LongType()),
+            StructField("s", LongType()),
+            StructField("t", StringType()),
+            StructField("d", DoubleType()),
+            StructField("f", FloatType()),
+            StructField("bb", BinaryType()),
+            StructField("g", BooleanType()),
+        ]
+    )
+    import random
+
+    from kafka_sink_azure_kusto_spark.functions.protobuf_io import (
+        encode_field,
+        encode_zigzag,
+    )
+
+    rng = random.Random(7)
+    msgs = []
+    ints = [0, 1, 127, 128, 2**14, 2**21 - 1, 2**35, 2**62, -1, -(2**62),
+            (1 << 63) - 1, -(1 << 63)]
+    for n in ints:
+        msgs.append(encode_message([(1, n)]))
+        msgs.append(encode_message([(2, encode_zigzag(n))]))
+    doubles = [0.0, -0.0, 2.25, -1e308, 5e-324, 1.7976931348623157e308,
+               math.inf, -math.inf, 3.141592653589793]
+    for d in doubles:
+        msgs.append(encode_message([(4, d)]))
+        msgs.append(encode_field(5, d and min(max(d, -3e38), 3e38) or d, 5))
+    msgs.append(encode_message([(3, "héllo wörld"), (6, b"\x00\xff\x80", 2)]))
+    msgs.append(encode_message([(7, 1), (7, 0)]))  # duplicate: last wins
+    msgs.append(encode_message([(9, 42), (1, 5)]))  # unknown field first
+    msgs.append(encode_message([(1, 1), (2, 2), (3, "x"), (4, 1.5),
+                                (5, 2.0, 5), (6, b"z", 2), (7, 1)]))
+    msgs.append(b"")
+    for _ in range(20):
+        msgs.append(encode_message([(1, rng.getrandbits(63)),
+                                    (2, encode_zigzag(rng.getrandbits(63) - 2**62))]))
+
+    df = spark.createDataFrame([(m,) for m in msgs], "value binary")
+    from pyspark.sql import functions as F
+
+    out = attach_codegen_decode(df, F.col("value"), fs, schema).select(
+        "value", "payload"
+    ).collect()
+    for row in out:
+        expect = decode_message(bytes(row["value"]), fs)
+        got = row["payload"].asDict()
+        for name in ("i", "s", "t", "g"):
+            assert got[name] == expect.get(name), (name, row["value"].hex())
+        exp_bb = expect.get("bb")
+        got_bb = bytes(got["bb"]) if got["bb"] is not None else None
+        assert got_bb == exp_bb
+        for name in ("d", "f"):
+            e = expect.get(name)
+            g = got[name]
+            if e is None or g is None:
+                assert e == g, (name, row["value"].hex())
+            elif math.isnan(e):
+                assert math.isnan(g)
+            else:
+                assert e == g or abs(e - g) < 1e-6 * max(abs(e), 1), (
+                    name, e, g, row["value"].hex()
+                )
+
+
+def test_ieee_reconstruction_bit_exact(spark):
+    """The arithmetic IEEE-754 rebuild must be BIT-exact (not just
+    close): pattern-space sweep over sign/exponent/mantissa corners,
+    compared to struct.unpack."""
+    import struct as _struct
+
+    from pyspark.sql import functions as F
+
+    from kafka_sink_azure_kusto_spark.functions.protobuf_io import _ieee_double
+
+    bit_patterns = []
+    for sign in (0, 1):
+        for e in (0, 1, 2, 1022, 1023, 1024, 2045, 2046, 2047):
+            for m in (0, 1, 0x8000000000000, 0xFFFFFFFFFFFFF, 0x5DEECE66D):
+                bit_patterns.append((sign << 63) | (e << 52) | m)
+    rows = [(p - (1 << 64) if p >= (1 << 63) else p,) for p in bit_patterns]
+    df = spark.createDataFrame(rows, "bits long")
+    got = [r[0] for r in df.select(_ieee_double(F.col("bits"))).collect()]
+    import math
+
+    for p, g in zip(bit_patterns, got):
+        expect = _struct.unpack("<d", p.to_bytes(8, "little"))[0]
+        if math.isnan(expect):
+            assert math.isnan(g), hex(p)
+        else:
+            assert _struct.pack("<d", g) == _struct.pack("<d", expect), (
+                hex(p), g, expect
+            )
