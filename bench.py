@@ -124,6 +124,7 @@ HEADLINE = [
     "registry_wire_decode",
     "bpe_encode_corpus",
     "multimodal_dhash_dedup",
+    "multimodal_audio_fingerprint_dedup",
     "dedup_incremental_neardup_capped",
 ]
 

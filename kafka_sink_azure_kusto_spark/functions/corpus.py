@@ -453,3 +453,43 @@ def bpe_encode(
         F.col(id_col),
         ids.cast("array<int>").alias("token_ids"),
     )
+
+
+def bpe_encode_join(
+    df: DataFrame,
+    merges: list[str],
+    vocab_df: DataFrame,
+    unk_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The SCALE-PATH sibling of ``bpe_encode`` for vocabularies beyond
+    the literal-map bound (a real 50-100k BPE vocab): tokens are
+    pos-exploded, id-resolved by a BROADCAST hash join against
+    ``vocab_df`` (columns ``tok``, ``tid``; a 100k×(token,int) frame is
+    a few MB — always broadcastable), and re-assembled per document
+    with an array_sort on (pos, id) structs — ONE shuffle of
+    fixed-width (doc_id, pos, id) rows, no token strings after the
+    join. Output identical to ``bpe_encode`` given the same vocab:
+    (id_col, token_ids array<int>).
+
+    Documents with NO tokens cannot occur (split of any string yields
+    ≥1 element, and the explode is posexplode over that array), so the
+    groupBy loses no rows."""
+    merged = bpe_apply_merges(text_col, merges)
+    toks = F.split(F.trim(merged), " ")
+    exploded = df.select(
+        F.col(id_col), F.posexplode(toks).alias("pos", "tok")
+    )
+    vocab = F.broadcast(vocab_df.select("tok", "tid"))
+    joined = exploded.join(vocab, "tok", "left").select(
+        id_col,
+        "pos",
+        F.coalesce(F.col("tid"), F.lit(int(unk_id))).cast("int").alias("tid"),
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("pos").alias("p"), F.col("tid").alias("t")))
+    )
+    return joined.groupBy(id_col).agg(
+        F.transform(ordered, lambda s: s["t"]).alias("token_ids")
+    )

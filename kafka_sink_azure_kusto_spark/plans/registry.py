@@ -84,8 +84,10 @@ _GATE_PRIORITY = [
     # OR shared helper changed this round leads the 50-slot gate.
     # --- new in r7 ---
     "bpe_encode_corpus",              # VERDICT #4: encode-to-ids + packing
+    "bpe_encode_corpus_join",         # scale-path broadcast-join encode
     "dedup_incremental_neardup_capped",  # VERDICT #5: history hot-bucket cap
     "multimodal_dhash_dedup",         # VERDICT #6: perceptual image dedup
+    "multimodal_audio_fingerprint_dedup",  # audio modality sibling
     # --- changed implementation in r7 ---
     "dedup_minhash_lsh_compact",      # VERDICT #3: universal-hash family
     "registry_wire_decode",           # VERDICT #2: codegen body decode,

@@ -1384,3 +1384,49 @@ def multimodal_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     hashes = M.media_dhash(docs, media_id=F.col("doc_id") % 97)
     return M.dhash_neardup_pairs(hashes, max_hamming=10, num_blocks=4)
+
+
+@register(
+    "multimodal_audio_fingerprint_dedup",
+    """
+    WITH auds AS (SELECT doc_id, doc_id % 97 AS mid FROM documents
+                  WHERE (doc_id % 97) % 3 = 2),
+    sp AS (SELECT doc_id, mid, 50 + mid % 100 AS n FROM auds),
+    smp AS (SELECT doc_id, n, ii.i AS i,
+                   ((mid * 131 + ii.i * 17) % 65536 - 32768) AS s
+            FROM sp CROSS JOIN (SELECT unnest(range(0, 150)) AS i) ii
+            WHERE ii.i < n),
+    fr AS (SELECT doc_id, (i * 32) // n AS f, SUM(s * s) AS e
+           FROM smp GROUP BY doc_id, (i * 32) // n),
+    bits AS (SELECT a.doc_id, a.f, CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS bit
+             FROM fr a JOIN fr b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+             WHERE a.f < 31),
+    sig AS (SELECT doc_id, SUM(bit * (CAST(1 AS BIGINT) << f)) AS afp
+            FROM bits GROUP BY doc_id),
+    blocks AS (SELECT doc_id, afp, bj.j AS j,
+                      (afp >> (16 * bj.j)) & 65535 AS bb
+               FROM sig CROSS JOIN (SELECT unnest(range(0, 2)) AS j) bj),
+    cand AS (SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id,
+                             l.afp AS lfp, r.afp AS rfp
+             FROM blocks l JOIN blocks r
+               ON l.j = r.j AND l.bb = r.bb AND l.doc_id < r.doc_id)
+    SELECT left_id, right_id,
+           CAST(bit_count(xor(lfp, rfp)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(lfp, rfp)) <= 4
+    """,
+)
+def multimodal_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup dedup for the AUDIO modality (r7): 31-bit
+    frame-energy delta-sign fingerprint through the REAL synth→WAV
+    RIFF codec decode (`functions/multimodal.audio_fingerprint` — the
+    no-FFT analog of Haitsma-Kalker band-energy bits), then 2×16-bit
+    block-LSH candidates and exact Hamming ≤ 4 via bit_count(xor)
+    (`audio_neardup_pairs`). Media identity ``doc_id % 97`` guarantees
+    genuine duplicate clips. The oracle recomputes the fingerprint
+    CLOSED-FORM from the fixture sample spec (generate_series energies
+    per frame f = (i·32)//n) — a wrong chunk walk, sample width, or
+    frame boundary on the Spark side breaks the hash. Completes the
+    modality matrix with `multimodal_dhash_dedup` (images)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = M.media_audio_fingerprint(docs, media_id=F.col("doc_id") % 97)
+    return M.audio_neardup_pairs(fps, max_hamming=4, num_blocks=2)

@@ -967,3 +967,57 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", "n_oov", "ids_fp",
         "shard", "pack_tokens_before", "pack_id",
     )
+
+
+@register("bpe_encode_corpus_join", _bpe_encode_sql())
+def bpe_encode_corpus_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-PATH encode (r7): identical semantics and OUTPUT to
+    `bpe_encode_corpus` — same trained merges, same vocab — but the id
+    resolution is `corpus.bpe_encode_join`'s broadcast hash join over
+    pos-exploded tokens instead of a literal map, the form that holds
+    for a real 50-100k vocabulary (a literal-map expression that size
+    is unplannable). One fixed-width shuffle of (doc_id, pos, id) rows
+    re-assembles sequences. Shares `bpe_encode_corpus`'s oracle
+    verbatim — two independent Spark implementations against one SQL
+    spec, both value-hash-exact."""
+    from kafka_sink_azure_kusto_spark.functions.corpus import (
+        bpe_apply_merges,
+        bpe_encode_join,
+    )
+    from kafka_sink_azure_kusto_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = _train_bpe_merges(docs)
+    merged_toks = F.split(F.trim(bpe_apply_merges("text", merges)), " ")
+    vocab_df = (
+        docs.select(F.explode(merged_toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(_BPE_VOCAB_K)
+        .select(
+            "tok",
+            (F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+            ) - 1).alias("tid"),
+        )
+    )
+    enc = bpe_encode_join(docs, merges, vocab_df, unk_id=_BPE_VOCAB_K)
+    ids = F.col("token_ids")
+    out = enc.select(
+        "doc_id",
+        F.size(ids).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(ids, lambda x: x == _BPE_VOCAB_K))
+        .cast("bigint")
+        .alias("n_oov"),
+        F.md5(
+            F.array_join(F.transform(ids, lambda x: x.cast("string")), ",")
+        ).alias("ids_fp"),
+    )
+    packed = pack_sequences(
+        out, token_col="n_tokens", key_col="doc_id", max_tokens=512, num_shards=8
+    )
+    return packed.select(
+        "doc_id", "n_tokens", "n_oov", "ids_fp",
+        "shard", "pack_tokens_before", "pack_id",
+    )

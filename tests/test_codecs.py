@@ -186,3 +186,67 @@ def test_wav_roundtrip_property(n, seed, rate):
     samples = [((seed * 131 + i * 17) % 65536) - 32768 for i in range(n)]
     m = decode_wav(encode_wav(samples, rate))
     assert m.sample_rate == rate and list(m.samples) == samples
+
+
+# --------------------------------------------------- perceptual hashing
+def test_dhash_brightness_invariance_and_sensitivity():
+    """dHash bit semantics: a global brightness shift (no 8-bit wrap)
+    leaves the hash unchanged; reversing the gradient flips bits."""
+    import numpy as np
+
+    from kafka_sink_azure_kusto_spark.functions.codecs import DecodedMedia
+    from kafka_sink_azure_kusto_spark.functions.multimodal import dhash64
+
+    w, h = 16, 8
+    base = np.tile(np.arange(w, dtype=np.int64) * 3, h)  # rising rows
+    rgb = np.repeat(base, 3)
+    m1 = DecodedMedia("bmp", w, h, 0, rgb)
+    m2 = DecodedMedia("bmp", w, h, 0, rgb + 40)  # brighter, no wrap
+    assert dhash64(m1) == dhash64(m2)
+    m3 = DecodedMedia("bmp", w, h, 0, np.repeat(base[::-1].copy(), 3))
+    assert dhash64(m1) != dhash64(m3)
+    # 63-bit sign safety
+    assert 0 <= dhash64(m1) < (1 << 63)
+
+
+def test_audio_fingerprint_gain_invariance():
+    """Frame-energy delta-sign bits survive integer gain scaling and
+    differ for a reversed envelope."""
+    import numpy as np
+
+    from kafka_sink_azure_kusto_spark.functions.codecs import DecodedMedia
+    from kafka_sink_azure_kusto_spark.functions.multimodal import (
+        audio_fingerprint,
+    )
+
+    n = 128
+    env = np.concatenate([np.arange(64), 64 - np.arange(64)]).astype(np.int64)
+    s = env * 100
+    a1 = DecodedMedia("wav", 0, 0, 8000, s)
+    a2 = DecodedMedia("wav", 0, 0, 8000, s * 3)  # gain x3
+    assert audio_fingerprint(a1) == audio_fingerprint(a2)
+    a3 = DecodedMedia("wav", 0, 0, 8000, s[::-1].copy())
+    assert audio_fingerprint(a1) != audio_fingerprint(a3)
+    assert 0 <= audio_fingerprint(a1) < (1 << 31)
+
+
+def test_dhash_pairs_find_exact_duplicates(spark):
+    """Two docs with the same media identity hash identically and pair
+    at hamming 0 through the block-LSH machinery; the block cap drops
+    a hot identical-image bucket."""
+    from pyspark.sql import functions as F
+
+    from kafka_sink_azure_kusto_spark.functions.multimodal import (
+        dhash_neardup_pairs,
+        media_dhash,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], ["doc_id"])
+    hashes = media_dhash(docs, media_id=F.col("doc_id") % 3)  # kinds 0,1 image
+    pairs = dhash_neardup_pairs(hashes, max_hamming=0).collect()
+    assert len(pairs) > 0
+    assert all(r["hamming"] == 0 for r in pairs)
+    capped = dhash_neardup_pairs(
+        hashes, max_hamming=0, block_member_cap=1
+    ).collect()
+    assert len(capped) == 0  # every bucket is hot → all dropped

@@ -134,3 +134,58 @@ def test_pii_redact_patterns(spark):
     assert out[2] == "server <IP> down"
     assert out[3] == "call <PHONE> today"
     assert out[4] == "clean text without secrets"
+
+
+# ----------------------------------------------------- tokenizer encode
+def test_bpe_encode_literal_map_and_join_agree(spark):
+    """The two encode implementations (literal-map zero-shuffle vs
+    broadcast-join scale path) must produce identical id sequences,
+    with OOV tokens mapped to unk."""
+    from pyspark.sql import functions as F
+
+    from kafka_sink_azure_kusto_spark.functions.corpus import (
+        bpe_apply_merges,
+        bpe_encode,
+        bpe_encode_join,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown cat sits under the lazy dog"),
+            (2, "completely unseen words only here"),
+        ],
+        ["doc_id", "text"],
+    )
+    merges = ["the quick", "lazy dog"]
+    vocab = {"the@@quick": 0, "brown": 1, "fox": 2, "lazy@@dog": 3,
+             "the": 4, "over": 5}
+    unk = 99
+    a = {r["doc_id"]: list(r["token_ids"])
+         for r in bpe_encode(docs, merges, vocab, unk).collect()}
+    vocab_df = spark.createDataFrame(
+        [(t, i) for t, i in vocab.items()], ["tok", "tid"]
+    )
+    b = {r["doc_id"]: list(r["token_ids"])
+         for r in bpe_encode_join(docs, merges, vocab_df, unk).collect()}
+    assert a == b
+    # merges applied, vocab hit, OOV → unk
+    assert a[0][0] == 0            # "the quick" merged → id 0
+    assert a[0][-1] == 3           # "lazy dog" merged → id 3
+    assert all(x == unk for x in a[2])  # all unseen → unk
+    # raw token sanity: merged text of doc 0 has 7 tokens
+    merged = docs.filter(F.col("doc_id") == 0).select(
+        F.split(F.trim(bpe_apply_merges("text", merges)), " ").alias("t")
+    ).collect()[0]["t"]
+    assert merged[0] == "the@@quick" and merged[-1] == "lazy@@dog"
+    assert len(a[0]) == len(merged)
+
+
+def test_bpe_encode_vocab_size_guard(spark):
+    from kafka_sink_azure_kusto_spark.functions.corpus import bpe_encode
+    import pytest
+
+    docs = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
+    huge = {f"t{i}": i for i in range(65537)}
+    with pytest.raises(ValueError, match="65536"):
+        bpe_encode(docs, [], huge, unk_id=0)
