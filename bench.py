@@ -56,8 +56,9 @@ HEADLINE = [
     "pii_redact",
     "token_budget_selection",
     "tfidf_top_terms",
-    # r4: wire-format decode, capped LSH, multiprobe ANN, full pipeline
-    "registry_wire_decode",
+    # r4: capped LSH, multiprobe ANN, full pipeline (wire decode moved
+    # to the r7 regrade slot below — it was listed twice, costing 3
+    # redundant runs per bench)
     "dedup_minhash_lsh_capped",
     "similarity_ivf_multiprobe",
     "curation_pipeline",
@@ -126,6 +127,9 @@ HEADLINE = [
     "multimodal_dhash_dedup",
     "multimodal_audio_fingerprint_dedup",
     "dedup_incremental_neardup_capped",
+    # r8: video frame-sampling dedup, store append→compact lifecycle
+    "multimodal_video_dedup",
+    "dedup_store_compaction_lifecycle",
 ]
 
 
@@ -551,7 +555,14 @@ def main() -> int:
         % len(timings),
         "scale10x_total": full["scale10x"]["value"],
         "sink_throughput_rec_s": sink_tp.get("records_per_sec"),
-        "streaming_p95_ms": latency.get("p95_ms"),
+        # latency is keyed by config — surface the nested p95s (the r7
+        # compact line read the flat key and always reported null)
+        "streaming_p95_ms": latency.get(
+            "queued_defaults_1mb_30s", {}
+        ).get("p95_ms"),
+        "streaming_guidance_p95_ms": latency.get(
+            "streaming_guidance_4mb_subsec", {}
+        ).get("p95_ms"),
         "detail": "BENCH_DETAIL.json",
     }
     spark.stop()

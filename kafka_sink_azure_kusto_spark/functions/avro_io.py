@@ -356,20 +356,32 @@ def avro_codegen_decodable(avro_schema: dict) -> bool:
     )
 
 
-def _avro_field_bytes(v, p, typ):
-    """The value-head bytes for one avro primitive at cursor ``p`` as
-    array<long> (NULL past the frame end) — projected as its OWN column
-    per field so the hex/conv chains are generated once and the value
-    step touches only cheap element_at() refs (janino 64 KB guard,
-    same discipline as protobuf_io._codegen_step_bytes)."""
+def _avro_nbytes(typ) -> int:
+    """Value-head byte count scanned for one avro primitive."""
+    return {"boolean": 1, "double": 8, "float": 4}.get(typ, 10)
+
+
+def _avro_field_hex(v, p, typ):
+    """Hex string of the value-head slice at cursor ``p`` — projected
+    as its OWN column so the (codegen-heavy) substr+hex runs once per
+    field, not once per extracted byte (janino 64 KB guard, r8: the
+    per-element hex(substr(...)) duplication was what kept the fused
+    avro walk over the method limit even in its own stage)."""
     from pyspark.sql import functions as F
 
-    nbytes = {"boolean": 1, "double": 8, "float": 4}.get(typ, 10)
-    hx = F.hex(v.substr(p.cast("int"), F.lit(nbytes)))
+    return F.hex(v.substr(p.cast("int"), F.lit(_avro_nbytes(typ))))
+
+
+def _avro_field_bytes(hx, typ):
+    """The value-head bytes as array<long> from the pre-projected hex
+    column ``hx`` (NULL past the frame end) — each element is a cheap
+    conv(substring(attr)) over the shared slice."""
+    from pyspark.sql import functions as F
+
     return F.array(
         *[
             F.conv(F.substring(hx, 2 * i + 1, 2), 16, 10).cast("long")
-            for i in range(nbytes)
+            for i in range(_avro_nbytes(typ))
         ]
     )
 
@@ -387,7 +399,7 @@ def _avro_field_step(v, p, bts, typ):
     )
 
     def b(i):  # byte i (0-based from cursor) — cheap attr ref
-        return F.element_at(bts, i + 1)
+        return F.get(bts, i)
 
     def or_all(cols):
         acc = cols[0]
@@ -430,13 +442,18 @@ def _avro_field_step(v, p, bts, typ):
             F.when(vlen.isNotNull(), zz).alias("val"),
             F.when(vlen.isNotNull(), p + vlen).cast("long").alias("np"),
         )
-    # string / bytes: zigzag length then the payload slice
+    # string / bytes: zigzag length then the payload slice. The slice
+    # must FIT the body (dstart + zz - 1 <= length): substr silently
+    # returns a short slice for an over-length declaration, which would
+    # decode a truncated body to a non-NULL prefix instead of NULLing
+    # the field and starving the walk (the decode_records contract).
     dstart = p + vlen
+    fits = vlen.isNotNull() & (zz >= 0) & (dstart + zz - 1 <= F.length(v))
     sval = v.substr(dstart.cast("int"), zz.cast("int"))
     val = sval.cast("string") if typ == "string" else sval
     return F.struct(
-        F.when(vlen.isNotNull() & (zz >= 0), val).alias("val"),
-        F.when(vlen.isNotNull() & (zz >= 0), dstart + zz).cast("long").alias("np"),
+        F.when(fits, val).alias("val"),
+        F.when(fits, dstart + zz).cast("long").alias("np"),
     )
 
 
@@ -460,6 +477,8 @@ def attach_avro_codegen_decode(
         raise ValueError("avro schema not supported by the codegen decoder")
     import uuid as _uuid
 
+    from kafka_sink_azure_kusto_spark.functions import protobuf_io as _pb
+
     pre = f"_avcg_{_uuid.uuid4().hex[:8]}"
     body = F.col(body_col) if isinstance(body_col, str) else body_col
     bname = f"{pre}_body"
@@ -469,8 +488,11 @@ def attach_avro_codegen_decode(
     prev = None
     for i, f in enumerate(avro_schema["fields"]):
         p = F.lit(1).cast("long") if prev is None else F.col(f"{prev}.np")
+        hxc = f"{pre}_h{i}"
+        df = df.withColumn(hxc, _avro_field_hex(F.col(bname), p, f["type"]))
+        byte_cols.append(hxc)
         bts = f"{pre}_b{i}"
-        df = df.withColumn(bts, _avro_field_bytes(F.col(bname), p, f["type"]))
+        df = df.withColumn(bts, _avro_field_bytes(F.col(hxc), f["type"]))
         byte_cols.append(bts)
         name = f"{pre}_f{i}"
         df = df.withColumn(
@@ -478,6 +500,13 @@ def attach_avro_codegen_decode(
         )
         step_of[f["name"]] = name
         prev = name
+        # chunk the walk into compilable spans (janino 64 KB guard,
+        # same discipline as attach_codegen_decode)
+        if (i + 1) % _pb._STEPS_PER_SPAN == 0 and i + 1 < len(
+            avro_schema["fields"]
+        ):
+            df = _pb.codegen_stage_split(df)
+    df = _pb.codegen_stage_split(df)  # field assembly in its own span
     fields = []
     for sf in schema.fields:
         step = step_of.get(sf.name)

@@ -47,6 +47,13 @@ from pyspark.sql.types import StructType
 
 MAGIC_BYTE = 0x00
 
+# the zero-cost whole-stage-codegen boundary (no-op coalesce) — see the
+# canonical definition + rationale in protobuf_io.codegen_stage_split;
+# re-exported here because the wire decode chain is its main consumer
+from kafka_sink_azure_kusto_spark.functions.protobuf_io import (  # noqa: E402
+    codegen_stage_split,
+)
+
 #: status values emitted by decode_wire_frames
 STATUS_OK = "ok"
 STATUS_TRUNCATED = "truncated"
@@ -382,6 +389,10 @@ def decode_wire_frames(
             this_body,
         )
         col_name = f"_pbpay_{'_'.join(map(str, ids))}"
+        # each walk compiles in its own whole-stage span — fused with
+        # the frame-meta/index chain (and each other) the single
+        # processNext() overflows janino's 64 KB (VERDICT r7 #2)
+        out = codegen_stage_split(out)
         out = attach_codegen_decode(
             out,
             routed,
@@ -418,6 +429,7 @@ def decode_wire_frames(
             body,
         )
         col_name = f"_avpay_{schema_id}"
+        out = codegen_stage_split(out)  # own span, see protobuf loop
         out = attach_avro_codegen_decode(
             out, routed, av_schema, schema, out_col=col_name
         )
@@ -470,6 +482,10 @@ def decode_wire_frames(
         cond = F.col("wire_schema_id") == int(schema_id)
         payload = F.when(cond, dec) if payload is None else payload.when(cond, dec)
 
+    if codegen_cols:
+        # the payload assembly (from_json + per-id dispatch + IEEE
+        # rebuilds) gets its own span too — it alone is near the limit
+        out = codegen_stage_split(out)
     out = out.withColumn(
         payload_col, F.when(F.col("wire_status") == STATUS_OK, payload)
     )

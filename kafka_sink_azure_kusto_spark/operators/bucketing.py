@@ -81,12 +81,22 @@ def compact_bucketed_table(
     only the batch side).
 
     Mechanics: read the table (bucket metadata rides along), write it
-    bucketed under a staging name, then swap via DROP + RENAME — the
-    same read-rewrite-swap shape as a Delta/Iceberg OPTIMIZE, expressed
-    with plain managed tables. The rewrite is one exchange of the store
-    on its own bucket key (unavoidable: compaction IS the amortized
-    shuffle); everything downstream stays exchange-free. Returns the
-    number of data files after compaction."""
+    bucketed under a staging name, then a three-step rename swap
+    (live→old, staging→live, drop old) — the same read-rewrite-swap
+    shape as a Delta/Iceberg OPTIMIZE, expressed with plain managed
+    tables. A crash at ANY point leaves a queryable copy of the data
+    under either the live or the ``__compact_old`` name (the r7 DROP-
+    then-RENAME ordering had a window where no live table existed —
+    ADVICE r7 #5); a leftover ``__compact_old`` from a previous crash
+    is dropped on the next run. The swap is still NOT atomic for
+    concurrent readers — a reader resolving the table name mid-swap
+    can hit "table not found" and must retry; run compaction in the
+    store's maintenance window (the reference serializes maintenance
+    against ingestion the same way at the writer level,
+    FileWriter.java rotate/finalize). The rewrite is one exchange of
+    the store on its own bucket key (unavoidable: compaction IS the
+    amortized shuffle); everything downstream stays exchange-free.
+    Returns the number of data files after compaction."""
     cols = [bucket_col] if isinstance(bucket_col, str) else list(bucket_col)
     staging = f"{table_name}__compact_staging"
     spark.sql(f"DROP TABLE IF EXISTS {staging}")
@@ -121,8 +131,11 @@ def compact_bucketed_table(
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.conf.set("spark.sql.sources.bucketing.enabled", prev_bkt)
-    spark.sql(f"DROP TABLE {table_name}")
+    old = f"{table_name}__compact_old"
+    spark.sql(f"DROP TABLE IF EXISTS {old}")
+    spark.sql(f"ALTER TABLE {table_name} RENAME TO {old}")
     spark.sql(f"ALTER TABLE {staging} RENAME TO {table_name}")
+    spark.sql(f"DROP TABLE {old}")
     return table_file_count(spark, table_name)
 
 

@@ -80,26 +80,29 @@ def _workdir(prefix: str) -> str:
 # FIRST so every registry query earns a driver-green row across rounds;
 # previously-green anchors fill the remaining gate slots.
 _GATE_PRIORITY = [
-    # r7 rotation rule (VERDICT r6 #1): any query whose implementation
+    # r8 rotation rule (VERDICT r6 #1): any query whose implementation
     # OR shared helper changed this round leads the 50-slot gate.
-    # --- new in r7 ---
-    "bpe_encode_corpus",              # VERDICT #4: encode-to-ids + packing
-    "bpe_encode_corpus_join",         # scale-path broadcast-join encode
-    "dedup_incremental_neardup_capped",  # VERDICT #5: history hot-bucket cap
-    "multimodal_dhash_dedup",         # VERDICT #6: perceptual image dedup
-    "multimodal_audio_fingerprint_dedup",  # audio modality sibling
-    # --- changed implementation in r7 ---
-    "dedup_minhash_lsh_compact",      # VERDICT #3: universal-hash family
-    "registry_wire_decode",           # VERDICT #2: codegen body decode,
-    "wire_frame_split",               #   builtin fixture synthesis
-    "protobuf_decode",                # decode_payload → codegen dispatch
+    # --- new in r8 ---
+    "dedup_store_compaction_lifecycle",  # VERDICT r7 #4: append→compact
+    "multimodal_video_dedup",            # VERDICT r7 #7: frame-sample dedup
+    # --- changed implementation in r8 ---
+    "multimodal_dhash_dedup",         # VERDICT r7 #1: decode-once persist
+    "multimodal_audio_fingerprint_dedup",  # same materialization fix
+    "registry_wire_decode",           # VERDICT r7 #2: chunked codegen spans
+    "wire_frame_split",               #   shares wire_format
+    "protobuf_decode",                # walk chunking + overlength guard
     "record_shape_dispatch",          # shares decode_payload
-    "dedup_semantic_cells_capped",    # NULL-cell eqNullSafe fix
+    "avro_container_encode",          # avro_io walk chunking
+    # --- r7 head retained while still fresh ---
+    "bpe_encode_corpus",
+    "bpe_encode_corpus_join",
+    "dedup_incremental_neardup_capped",
+    "dedup_minhash_lsh_compact",
+    "dedup_semantic_cells_capped",
     "dedup_semantic_cells",
     "dedup_incremental_neardup",      # store-type guard added
-    "bpe_iterative_merges",           # _bpe_merge_sql refactored
-    "streaming_stream_join",          # fixture guard added
-    "avro_container_encode",          # avro_io module extended
+    "bpe_iterative_merges",
+    "streaming_stream_join",
     # --- minhash family: shared minhash_signatures_df changed in r6
     # AFTER their last gate rows (VERDICT #1's exact list) ---
     "dedup_minhash_lsh",
@@ -162,13 +165,9 @@ _GATE_PRIORITY = [
     "scd1_upsert",
     "orders_metrics_unpivot",
     "streaming_upsert_materialized",
-    # r5: new this round (segment dedup, Bloom decontamination,
-    # leakage-safe splits, SemDeDup cells, SCD-2, rolling features,
-    # salted join, residual IVF-PQ, wire-format message-indexes).
-    "segment_dedup",
-    "contamination_bloom_prefilter",
-    "leakage_safe_split",
-    "dedup_semantic_cells",
+    # r5: new this round (SCD-2, rolling features, salted join,
+    # residual IVF-PQ, wire-format message-indexes; the dedup-family
+    # entries moved to the r7 rotation head above — ADVICE r7 #4).
     "scd2_user_state_history",
     "events_rolling_features",
     "skew_salted_join",
@@ -184,10 +183,8 @@ _GATE_PRIORITY = [
     # were judge-replica-exact; this re-earns driver-green rows).
     "event_time_windows",
     "dedup_exact",
-    "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
-    "dedup_cc_clusters",
     "dedup_embedding_cosine",
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
@@ -217,14 +214,18 @@ _GATE_PRIORITY = [
     "percentile_order_values",
     # r4-green anchors filling the remaining gate slots
     "flagship_pack_all",
-    "curation_pipeline",
-    "dedup_minhash_lsh_capped",
 ]
 
 
 def _ordered_names() -> list[str]:
-    pri = [n for n in _GATE_PRIORITY if n in _REGISTRY]
-    rest = [n for n in _REGISTRY if n not in set(pri)]
+    # dedupe defensively so rotation edits can't create phantom slot
+    # entries against the 50-slot gate window (ADVICE r7 #4)
+    seen: set[str] = set()
+    pri = [
+        n for n in _GATE_PRIORITY
+        if n in _REGISTRY and not (n in seen or seen.add(n))
+    ]
+    rest = [n for n in _REGISTRY if n not in seen]
     return pri + rest
 
 

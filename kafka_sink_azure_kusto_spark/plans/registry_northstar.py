@@ -7,6 +7,8 @@ DuckDB SQL (md5/ascii arithmetic, identical window/shingle indexing).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -386,6 +388,93 @@ def dedup_incremental_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFr
     return D.incremental_neardup_dedup(
         batch, store, num_hashes=16, num_bands=4, k=3,
         jaccard_threshold=0.5, history_band_member_cap=1,
+    )
+
+
+@register(
+    "dedup_store_compaction_lifecycle",
+    f"""
+    WITH {_SHINGLES_SQL},
+    mh AS (SELECT doc_id, hs.h AS h, MIN(md5(hs.h || ':' || s)) AS mv
+           FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS h) hs
+           GROUP BY doc_id, hs.h),
+    sig AS (SELECT doc_id, list(mv ORDER BY h) AS sig FROM mh GROUP BY doc_id),
+    banded AS (SELECT doc_id, sig, bs.b AS band_id,
+                      md5(array_to_string(sig[bs.b*4+1 : bs.b*4+4], '|')) AS band_hash
+               FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+    bb AS (SELECT * FROM banded WHERE doc_id % 3 = 0),
+    hb AS (SELECT * FROM banded WHERE doc_id % 3 != 0),
+    hist_hits AS (SELECT DISTINCT b.doc_id
+                  FROM bb b JOIN hb h
+                    ON b.band_id = h.band_id AND b.band_hash = h.band_hash
+                  WHERE len(list_intersect(b.sig, h.sig)) * 1.0 / 16 >= 0.5),
+    batch_hits AS (SELECT DISTINCT l.doc_id
+                   FROM bb l JOIN bb r
+                     ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+                    AND l.doc_id > r.doc_id
+                   WHERE len(list_intersect(l.sig, r.sig)) * 1.0 / 16 >= 0.5)
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id IN (SELECT doc_id FROM hist_hits)
+                     THEN 'neardup_of_history'
+                WHEN d.doc_id IN (SELECT doc_id FROM batch_hits)
+                     THEN 'neardup_in_batch'
+                ELSE 'unique' END AS status
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+    """,
+)
+def dedup_store_compaction_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full signature-store LIFECYCLE under the driver gate (r8,
+    VERDICT r7 #4): the history partition (% 3 != 0) arrives as THREE
+    ingests — an initial bucketed write plus two ``append_bucketed``
+    deltas (split by doc_id % 5: {0,1} / {2,3} / {4}) — the store is
+    then ``compact_bucketed_table``-rewritten to one file per bucket,
+    and the batch (% 3 = 0) is triaged against the COMPACTED store via
+    `incremental_neardup_dedup`. The oracle is deliberately the SAME
+    single-shot-history SQL as `dedup_incremental_neardup`: compaction
+    and the append lifecycle must be RESULT-INVARIANT — any row lost
+    or duplicated in the append→compact→swap path, or a bucket-spec
+    drift that mis-routes the probe join, breaks the value hash.
+    Store maintenance plumbing: `operators/bucketing.py`."""
+    from kafka_sink_azure_kusto_spark.operators.bucketing import (
+        append_bucketed,
+        compact_bucketed_table,
+        write_bucketed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    hist = docs.filter(F.col("doc_id") % 3 != 0)
+    tbl = "gate_sig_store_lifecycle"
+    # DROP TABLE IF EXISTS only clears the CATALOG entry; a crashed
+    # prior run (fresh in-memory catalog, surviving warehouse dir)
+    # leaves the physical location behind and the next CREATE fails
+    # with LOCATION_ALREADY_EXISTS — clear both.
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for suffix in ("", "__compact_staging", "__compact_old"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}{suffix}")
+        shutil.rmtree(os.path.join(wh, f"{tbl}{suffix}"), ignore_errors=True)
+    key = ["band_id", "band_hash"]
+
+    def sigs(part: DataFrame) -> DataFrame:
+        return D.banded_signatures(part, "text", "doc_id", 16, 4, 3)
+
+    write_bucketed(
+        sigs(hist.filter(F.col("doc_id") % 5 < 2)), tbl, key, num_buckets=8
+    )
+    append_bucketed(
+        sigs(hist.filter((F.col("doc_id") % 5).isin(2, 3))),
+        tbl, key, num_buckets=8,
+    )
+    append_bucketed(
+        sigs(hist.filter(F.col("doc_id") % 5 == 4)), tbl, key, num_buckets=8
+    )
+    compact_bucketed_table(spark, tbl, key, num_buckets=8)
+    return D.incremental_neardup_dedup(
+        batch, spark.table(tbl), num_hashes=16, num_bands=4, k=3,
+        jaccard_threshold=0.5,
     )
 
 
@@ -1430,3 +1519,79 @@ def multimodal_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> Data
     docs = load_table(spark, sf_dir, "documents")
     fps = M.media_audio_fingerprint(docs, media_id=F.col("doc_id") % 97)
     return M.audio_neardup_pairs(fps, max_hamming=4, num_blocks=2)
+
+
+@register(
+    "multimodal_video_dedup",
+    """
+    WITH vids AS (SELECT doc_id, doc_id % 97 AS mid FROM documents),
+    fr AS (SELECT doc_id, mid, CAST(f.fi AS BIGINT) AS frame_idx,
+                  3 * (mid * 64 + f.fi) AS fid
+           FROM vids
+           CROSS JOIN LATERAL (SELECT unnest(range(0, mid % 6 + 3, 2)) AS fi) f),
+    dims AS (SELECT doc_id, frame_idx, fid,
+                    4 + fid % 13 AS w, 3 + fid % 7 AS h FROM fr),
+    cells AS (SELECT doc_id, frame_idx, fid, gr.g AS gr, gc.c AS gc,
+                     ((gr.g * h) // 8) * w + ((gc.c * w) // 9) AS i
+              FROM dims
+              CROSS JOIN (SELECT unnest(range(0, 8)) AS g) gr
+              CROSS JOIN (SELECT unnest(range(0, 9)) AS c) gc),
+    lum AS (SELECT doc_id, frame_idx, gr, gc,
+                   299 * ((fid * 31 + i * 7) % 256)
+                 + 587 * ((fid * 37 + i * 11) % 256)
+                 + 114 * ((fid * 41 + i * 13) % 256) AS l
+            FROM cells),
+    bits AS (SELECT a.doc_id, a.frame_idx, a.gr, a.gc,
+                    CASE WHEN a.l < b.l THEN 1 ELSE 0 END AS bit
+             FROM lum a JOIN lum b
+               ON a.doc_id = b.doc_id AND a.frame_idx = b.frame_idx
+              AND a.gr = b.gr AND b.gc = a.gc + 1
+             WHERE a.gc < 8),
+    sig AS (SELECT doc_id, frame_idx,
+                   SUM(CASE WHEN gr * 8 + gc < 63
+                            THEN bit * (CAST(1 AS BIGINT) << (gr * 8 + gc))
+                            ELSE 0 END) AS dh
+            FROM bits GROUP BY doc_id, frame_idx),
+    blocks AS (SELECT doc_id, frame_idx, dh, bj.j AS j,
+                      (dh >> (16 * bj.j)) & 65535 AS bb
+               FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS j) bj),
+    cand AS (SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id,
+                             l.frame_idx AS frame_idx,
+                             l.dh AS ldh, r.dh AS rdh
+             FROM blocks l JOIN blocks r
+               ON l.frame_idx = r.frame_idx AND l.j = r.j AND l.bb = r.bb
+              AND l.doc_id < r.doc_id),
+    matched AS (SELECT left_id, right_id,
+                       COUNT(*) AS matched_frames
+                FROM cand WHERE bit_count(xor(ldh, rdh)) <= 10
+                GROUP BY left_id, right_id),
+    sampled AS (SELECT doc_id, COUNT(*) AS n_sampled FROM fr GROUP BY doc_id)
+    SELECT m.left_id, m.right_id,
+           CAST(m.matched_frames AS BIGINT) AS matched_frames,
+           CAST(least(sl.n_sampled, sr.n_sampled) AS BIGINT) AS min_sampled
+    FROM matched m
+    JOIN sampled sl ON sl.doc_id = m.left_id
+    JOIN sampled sr ON sr.doc_id = m.right_id
+    WHERE m.matched_frames * 2 >= least(sl.n_sampled, sr.n_sampled)
+    """,
+)
+def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup dedup for the VIDEO modality (r8, VERDICT r7
+    #7): frame SAMPLING first (JVM sequence+explode — the decode only
+    ever sees sampled frames, the non-negotiable ordering at 100 TB),
+    then ONE Arrow pass dHashes each sampled frame through the real BMP
+    codec (`functions/multimodal.video_frame_dhash`), aligned-frame
+    16-bit block-LSH + bit_count(xor) Hamming ≤ 10 per frame, and a
+    majority rule (≥ half the shorter video's sampled frames match) →
+    video pairs (`video_neardup_pairs`). Video identity ``doc_id % 97``
+    guarantees genuine duplicate clips (~5 docs per identity). The
+    frame-hash frame is localCheckpoint'ed before the self-join so the
+    per-frame decode executes exactly once (the r7 materialization
+    lesson applied from the start). The oracle replays the whole chain
+    closed-form from the fixture pixel spec — frame enumeration,
+    per-frame dims, 9×8 grid luma, gradient bits, blocks, majority.
+    Completes the image (`multimodal_dhash_dedup`) / audio
+    (`multimodal_audio_fingerprint_dedup`) / video modality matrix."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = M.video_frame_dhash(docs, media_id=F.col("doc_id") % 97, every_k=2)
+    return M.video_neardup_pairs(hashes, max_hamming=10, num_blocks=4)

@@ -296,3 +296,40 @@ def test_avro_codegen_decode_matches_python_codec(spark):
                 assert got[k] == expect[k] or abs(got[k] - expect[k]) <= 1e-6 * abs(expect[k]), (
                     k, expect[k], got[k]
                 )
+
+
+def test_avro_codegen_nulls_overlength_slice(spark):
+    """ADVICE r7 #1 (avro arm): a string/bytes length declaring more
+    bytes than the body holds must NULL the field and starve the walk —
+    substr's silent short slice would otherwise decode a truncated body
+    to a non-NULL prefix, diverging from decode_record's error→NULL
+    contract."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from kafka_sink_azure_kusto_spark.functions.avro_io import (
+        attach_avro_codegen_decode,
+        encode_record,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "T",
+        "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "l", "type": "long"},
+        ],
+    }
+    out_schema = StructType(
+        [StructField("s", StringType()), StructField("l", LongType())]
+    )
+    good = encode_record(schema, {"s": "hello", "l": 9})
+    truncated = good[:3]  # declares len 5, holds 'he'; 'l' gone too
+    df = spark.createDataFrame([(good,), (truncated,)], "value binary")
+    rows = attach_avro_codegen_decode(
+        df, F.col("value"), schema, out_schema
+    ).select("payload").collect()
+    assert rows[0]["payload"]["s"] == "hello"
+    assert rows[0]["payload"]["l"] == 9
+    assert rows[1]["payload"]["s"] is None  # NOT 'he'
+    assert rows[1]["payload"]["l"] is None  # starved walk

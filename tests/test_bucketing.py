@@ -146,3 +146,28 @@ def test_signature_store_compaction_defragments_and_keeps_buckets(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS sig_store_cpt")
         spark.sql("DROP TABLE IF EXISTS sig_store_cpt__compact_staging")
+
+
+def test_compact_swap_leaves_no_auxiliary_tables(spark):
+    """ADVICE r7 #5: the three-step rename swap must leave exactly the
+    live table — no staging, no __compact_old — and the live table
+    stays queryable with the full row count."""
+    from kafka_sink_azure_kusto_spark.operators.bucketing import (
+        compact_bucketed_table,
+        write_bucketed,
+    )
+
+    df = spark.range(100).selectExpr("id", "id % 7 AS k")
+    for suffix in ("", "__compact_staging", "__compact_old"):
+        spark.sql(f"DROP TABLE IF EXISTS swap_tbl{suffix}")
+    try:
+        write_bucketed(df, "swap_tbl", "k", num_buckets=4)
+        compact_bucketed_table(spark, "swap_tbl", "k", num_buckets=4)
+        tables = {r.tableName for r in spark.sql("SHOW TABLES").collect()}
+        assert "swap_tbl" in tables
+        assert "swap_tbl__compact_staging" not in tables
+        assert "swap_tbl__compact_old" not in tables
+        assert spark.table("swap_tbl").count() == 100
+    finally:
+        for suffix in ("", "__compact_staging", "__compact_old"):
+            spark.sql(f"DROP TABLE IF EXISTS swap_tbl{suffix}")

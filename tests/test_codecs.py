@@ -250,3 +250,70 @@ def test_dhash_pairs_find_exact_duplicates(spark):
         hashes, max_hamming=0, block_member_cap=1
     ).collect()
     assert len(capped) == 0  # every bucket is hot → all dropped
+
+
+def test_perceptual_pairs_decode_runs_once_in_plan(spark):
+    """VERDICT r7 #1: the (doc_id, dhash) frame is materialized before
+    the self-join, so the executed plan of the PAIRS query contains NO
+    MapInPandas — the Arrow decode ran exactly once, in the eager
+    checkpoint job, not once per join side."""
+    from pyspark.sql import functions as F
+
+    from kafka_sink_azure_kusto_spark.functions.multimodal import (
+        dhash_neardup_pairs,
+        media_dhash,
+        media_audio_fingerprint,
+        audio_neardup_pairs,
+    )
+
+    docs = spark.range(60).select(F.col("id").alias("doc_id"))
+    pairs = dhash_neardup_pairs(
+        media_dhash(docs, media_id=F.col("doc_id") % 7), max_hamming=10
+    )
+    pairs.collect()
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan, plan
+    apairs = audio_neardup_pairs(
+        media_audio_fingerprint(docs, media_id=F.col("doc_id") % 7 + 2)
+    )
+    apairs.collect()
+    aplan = apairs._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in aplan, aplan
+
+
+def test_video_frame_dhash_and_majority_pairs(spark):
+    """Video dedup semantics on a controlled corpus: same video
+    identity ⇒ every aligned sampled frame matches at hamming 0 ⇒ the
+    majority rule fires; distinct identities with different frame
+    pixels don't pair. Decode subtree must not appear in the pairs
+    plan (materialized before the self-join)."""
+    from pyspark.sql import functions as F
+
+    from kafka_sink_azure_kusto_spark.functions.multimodal import (
+        video_frame_dhash,
+        video_neardup_pairs,
+    )
+
+    # 3 copies of identity 5, 2 of identity 11
+    rows = [(0, 5), (1, 5), (2, 5), (3, 11), (4, 11)]
+    docs = spark.createDataFrame(rows, ["doc_id", "vid"])
+    hashes = video_frame_dhash(docs, media_id=F.col("vid"), every_k=2)
+    got = hashes.collect()
+    # identity 5 → 3+5%6=8 frames, sampled {0,2,4,6} → 4 rows per doc
+    per_doc = {}
+    for r in got:
+        per_doc.setdefault(r.doc_id, []).append((r.frame_idx, r.dhash))
+    assert len(per_doc[0]) == 4
+    assert sorted(per_doc[0]) == sorted(per_doc[1]) == sorted(per_doc[2])
+    pairs = video_neardup_pairs(hashes)
+    res = {(r.left_id, r.right_id): (r.matched_frames, r.min_sampled)
+           for r in pairs.collect()}
+    for (l, r) in [(0, 1), (0, 2), (1, 2), (3, 4)]:
+        assert (l, r) in res, res
+        m, s = res[(l, r)]
+        assert m == s  # identical videos: every sampled frame matches
+    assert not any(
+        (l, r) in res for l in (0, 1, 2) for r in (3, 4)
+    ), res
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan, plan

@@ -429,3 +429,66 @@ def test_ieee_reconstruction_bit_exact(spark):
             assert _struct.pack("<d", g) == _struct.pack("<d", expect), (
                 hex(p), g, expect
             )
+
+
+def test_codegen_decode_nulls_overlength_slice(spark):
+    """ADVICE r7 #1: a length-delimited field declaring MORE bytes than
+    the body holds must decode NULL (starving the walk), not a silently
+    truncated prefix — matching decode_message's ProtoDecodeError→NULL
+    contract so output does not depend on jar availability."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from kafka_sink_azure_kusto_spark.functions.protobuf_io import (
+        ProtoDecodeError,
+        attach_codegen_decode,
+        decode_message,
+        encode_message,
+    )
+
+    fs = {1: ("i", "int64"), 3: ("t", "string")}
+    schema = StructType(
+        [StructField("i", LongType()), StructField("t", StringType())]
+    )
+    good = encode_message([(3, "hello")])
+    truncated = good[:-3]  # declares len 5, body holds 2 ('he')
+    # field 1 BEFORE the truncated field still decodes per-field
+    prefixed = encode_message([(1, 42)]) + truncated
+    import pytest as _pytest
+
+    with _pytest.raises(ProtoDecodeError):
+        decode_message(truncated, fs)
+    df = spark.createDataFrame(
+        [(good,), (truncated,), (prefixed,)], "value binary"
+    )
+    rows = attach_codegen_decode(df, F.col("value"), fs, schema).select(
+        "payload"
+    ).collect()
+    assert rows[0]["payload"]["t"] == "hello"
+    assert rows[1]["payload"]["t"] is None  # NOT 'he'
+    assert rows[2]["payload"]["t"] is None
+    assert rows[2]["payload"]["i"] == 42  # per-field leniency, documented
+
+
+def test_varint_encode_expr_negative_yields_null(spark):
+    """ADVICE r7 #2: negative inputs must fall through to NULL as the
+    docstring promises — not a corrupt 1-byte frame from truncated
+    two's-complement hex."""
+    from pyspark.sql import functions as F
+
+    from kafka_sink_azure_kusto_spark.functions.protobuf_io import (
+        varint_encode_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(-1,), (-5,), (0,), (127,), (128,), (2**34,), (2**35,)], "x long"
+    )
+    got = df.select(
+        varint_encode_expr(F.col("x")).alias("v")
+    ).collect()
+    assert got[0]["v"] is None and got[1]["v"] is None
+    assert bytes(got[2]["v"]) == b"\x00"
+    assert bytes(got[3]["v"]) == b"\x7f"
+    assert bytes(got[4]["v"]) == b"\x80\x01"
+    assert got[5]["v"] is not None
+    assert got[6]["v"] is None  # beyond 5-group default bound

@@ -75,3 +75,13 @@ def test_partitioned_write_prune_pushes_partition_filters(spark):
     assert "PartitionFilters: [" in plan
     seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "event_type" in seg
+
+
+def test_gate_priority_has_no_duplicates():
+    """ADVICE r7 #4: duplicate names in _GATE_PRIORITY are phantom
+    entries against the 50-slot gate window."""
+    from kafka_sink_azure_kusto_spark.plans.registry import _GATE_PRIORITY
+
+    seen = set()
+    dups = [n for n in _GATE_PRIORITY if n in seen or seen.add(n)]
+    assert dups == [], f"duplicate gate entries: {dups}"
