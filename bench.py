@@ -127,9 +127,11 @@ HEADLINE = [
     "multimodal_dhash_dedup",
     "multimodal_audio_fingerprint_dedup",
     "dedup_incremental_neardup_capped",
-    # r8: video frame-sampling dedup, store append→compact lifecycle
+    # r8: video frame-sampling dedup, store append→compact lifecycle,
+    # hashed linear quality classifier
     "multimodal_video_dedup",
     "dedup_store_compaction_lifecycle",
+    "text_quality_classifier",
 ]
 
 

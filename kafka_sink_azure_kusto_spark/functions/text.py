@@ -130,3 +130,84 @@ def rolling_hashes(col: str | Column, k: int = 8) -> Column:
         idx,
         lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k))),
     )
+
+
+# ---------------------------------------------------------------- classifier
+
+#: hashed-feature table size for the linear quality classifier — 256
+#: buckets so the bucket id is EXACTLY the first two md5 hex digits
+#: (no modulo bias, and the oracle's per-digit arithmetic stays 2 terms)
+CLF_BUCKETS = 256
+
+#: deterministic stand-in for trained weights: per-bucket integer
+#: milli-weight w_b = ((1103515245·b + 12345) mod 2001) − 1000 ∈
+#: [−1000, 1000]. A real deployment swaps this formula for a broadcast
+#: lookup of fastText/fasttext-style trained weights; the formula keeps
+#: the gate oracle closed-form and both engines in exact integer math.
+CLF_WEIGHT_MULT = 1103515245
+CLF_WEIGHT_ADD = 12345
+CLF_WEIGHT_MOD = 2001
+
+
+def _clf_bucket(feature: Column) -> Column:
+    """Feature → bucket id 0..255: integer value of the first two md5
+    hex digits (conv is an exact 2-digit parse; identical to the
+    oracle's ascii-arithmetic per-digit form)."""
+    return F.conv(F.substring(F.md5(feature), 1, 2), 16, 10).cast("long")
+
+
+def _clf_milliweight(bucket: Column) -> Column:
+    """Bucket → integer milli-weight (see CLF_WEIGHT_*)."""
+    return (bucket * CLF_WEIGHT_MULT + CLF_WEIGHT_ADD) % CLF_WEIGHT_MOD - 1000
+
+
+def quality_classifier(
+    df: DataFrame, col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """fastText-style hashed bag-of-ngrams linear quality classifier:
+    unigram (``u:tok``) and bigram (``b:tok1 tok2``) features hash into
+    a 256-bucket weight table; the document logit is the MEAN feature
+    weight; score = sigmoid(logit), label = score ≥ 0.5.
+
+    Shape notes for 100 TB: zero shuffles and zero Python — the whole
+    computation is one codegen'd projection per document (split →
+    transform → integer aggregate → one exp()). Feature weights are
+    summed in exact INTEGER milli-units so the result is independent of
+    summation order (cross-engine and cross-partition deterministic);
+    the only floating-point steps are the final divide and sigmoid.
+    This is the scoring half of the classifier-filter family
+    (CCNet/fastText quality filters); training stays offline and ships
+    as the weight table."""
+    c = F.col(col)
+    toks = tokens(c)
+    n = F.size(toks)
+    uni_w = F.transform(
+        toks, lambda t: _clf_milliweight(_clf_bucket(F.concat(F.lit("u:"), t)))
+    )
+    bi_w = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(0))),
+        lambda i: _clf_milliweight(
+            _clf_bucket(
+                F.concat(
+                    F.lit("b:"),
+                    F.element_at(toks, i),
+                    F.lit(" "),
+                    F.element_at(toks, i + 1),
+                )
+            )
+        ),
+    )
+    zero = F.lit(0).cast("long")
+    milli_sum = F.aggregate(uni_w, zero, lambda a, x: a + x) + F.when(
+        n > 1, F.aggregate(bi_w, zero, lambda a, x: a + x)
+    ).otherwise(zero)
+    n_features = (n + F.greatest(n - 1, F.lit(0))).cast("long")
+    logit = milli_sum.cast("double") / 1000.0 / n_features
+    score = 1.0 / (1.0 + F.exp(-logit))
+    return df.select(
+        F.col(id_col),
+        n_features.alias("n_features"),
+        milli_sum.cast("long").alias("milliweight_sum"),
+        score.alias("clf_score"),
+        (score >= 0.5).alias("clf_keep"),
+    )

@@ -85,6 +85,8 @@ _GATE_PRIORITY = [
     # --- new in r8 ---
     "dedup_store_compaction_lifecycle",  # VERDICT r7 #4: append→compact
     "multimodal_video_dedup",            # VERDICT r7 #7: frame-sample dedup
+    "text_quality_classifier",           # hashed linear quality filter
+    "streaming_incremental_neardup_store",  # live probe→triage→admit loop
     # --- changed implementation in r8 ---
     "multimodal_dhash_dedup",         # VERDICT r7 #1: decode-once persist
     "multimodal_audio_fingerprint_dedup",  # same materialization fix

@@ -1595,3 +1595,59 @@ def multimodal_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     hashes = M.video_frame_dhash(docs, media_id=F.col("doc_id") % 97, every_k=2)
     return M.video_neardup_pairs(hashes, max_hamming=10, num_blocks=4)
+
+
+def _clf_bucket_sql(expr: str) -> str:
+    """Bucket 0..255 of a feature string: integer value of the first
+    TWO md5 hex digits — the generated per-digit mirror of
+    ``text._clf_bucket`` (conv-parse of the same two digits)."""
+    digits = []
+    for i in (1, 2):
+        d = f"ascii(substr(md5({expr}), {i}, 1))"
+        digits.append(f"(CASE WHEN {d} >= 97 THEN {d} - 87 ELSE {d} - 48 END)")
+    return f"({digits[0]} * 16 + {digits[1]})"
+
+
+_CLF_W = (
+    f"(CAST({{b}} AS BIGINT) * {T.CLF_WEIGHT_MULT} + {T.CLF_WEIGHT_ADD}) "
+    f"% {T.CLF_WEIGHT_MOD} - 1000"
+)
+
+
+@register(
+    "text_quality_classifier",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    uni AS (SELECT doc_id, 'u:' || unnest(ws) AS f FROM toks),
+    bi AS (SELECT doc_id, 'b:' || ws[g.i] || ' ' || ws[g.i + 1] AS f
+           FROM toks
+           CROSS JOIN LATERAL (SELECT unnest(range(1, len(ws))) AS i) g),
+    feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+    agg AS (SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_features,
+                   CAST(SUM({_CLF_W.format(b=_clf_bucket_sql('f'))})
+                        AS BIGINT) AS milliweight_sum
+            FROM feats GROUP BY doc_id)
+    SELECT doc_id, n_features, milliweight_sum,
+           1.0 / (1.0 + exp(-(milliweight_sum / 1000.0) / n_features))
+               AS clf_score,
+           (1.0 / (1.0 + exp(-(milliweight_sum / 1000.0) / n_features)))
+               >= 0.5 AS clf_keep
+    FROM agg
+    """,
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed bag-of-ngrams linear quality classifier
+    (r8): unigram+bigram features hash into a 256-bucket weight table
+    (bucket = first two md5 hex digits — exact in both engines), the
+    document logit is the MEAN feature weight summed in exact integer
+    milli-units (order-independent across partitions and engines), and
+    score = sigmoid(logit). The classifier-filter complement to the
+    heuristic `text_quality` family (CCNet/fastText-style filtering is
+    the standard second stage after heuristics). Zero shuffles, zero
+    Python: one codegen'd projection per document. Weight table here is
+    a deterministic formula standing in for trained weights — a real
+    deployment broadcasts the trained table; the plan shape is
+    identical. `functions/text.quality_classifier`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.quality_classifier(docs, "text", "doc_id")

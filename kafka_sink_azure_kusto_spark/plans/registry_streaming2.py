@@ -456,3 +456,134 @@ def streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_event_id",
         "r_ts",
     )
+
+
+from kafka_sink_azure_kusto_spark.plans.registry_northstar import (  # noqa: E402
+    _SHINGLES_SQL,
+)
+
+_INCR_STORE_ORACLE = f"""
+    WITH {_SHINGLES_SQL},
+    mh AS (SELECT doc_id, hs.h AS h, MIN(md5(hs.h || ':' || s)) AS mv
+           FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS h) hs
+           GROUP BY doc_id, hs.h),
+    sig AS (SELECT doc_id, list(mv ORDER BY h) AS sig FROM mh GROUP BY doc_id),
+    banded AS (SELECT doc_id, sig, bs.b AS band_id,
+                      md5(array_to_string(sig[bs.b*4+1 : bs.b*4+4], '|'))
+                          AS band_hash
+               FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+    tagged AS (SELECT *, doc_id % 3 AS chunk FROM banded),
+    hist_hits AS (SELECT DISTINCT l.doc_id
+                  FROM tagged l JOIN tagged r
+                    ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+                   AND r.chunk < l.chunk
+                  WHERE len(list_intersect(l.sig, r.sig)) * 1.0 / 16 >= 0.5),
+    batch_hits AS (SELECT DISTINCT l.doc_id
+                   FROM tagged l JOIN tagged r
+                     ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+                    AND r.chunk = l.chunk AND l.doc_id > r.doc_id
+                   WHERE len(list_intersect(l.sig, r.sig)) * 1.0 / 16 >= 0.5)
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id IN (SELECT doc_id FROM hist_hits)
+                     THEN 'neardup_of_history'
+                WHEN d.doc_id IN (SELECT doc_id FROM batch_hits)
+                     THEN 'neardup_in_batch'
+                ELSE 'unique' END AS status
+    FROM documents d
+"""
+
+
+@register("streaming_incremental_neardup_store", _INCR_STORE_ORACLE)
+def streaming_incremental_neardup_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONTINUOUS-INGEST near-dup triage with a LIVE signature store
+    (r8): each micro-batch (a) probes the persisted bucketed
+    banded-signature store with `incremental_neardup_dedup`, then (b)
+    `append_bucketed`s its own signatures so every LATER batch sees it
+    as history — the full production ingest loop (probe → triage →
+    admit) run through the real streaming engine, batch by batch. The
+    arrival order IS the semantics: a doc is 'neardup_of_history' iff
+    it matches a doc from an EARLIER micro-batch, 'neardup_in_batch'
+    iff its first match is a smaller-id doc in the SAME batch. The
+    oracle replays exactly that sequential semantics closed-form
+    (chunk = doc_id % 3 = arrival batch).
+
+    Materialization order is the correctness heart: the batch's triage
+    result is WRITTEN (forced) BEFORE its signatures are appended —
+    appending first would let the lazy probe see its own batch as
+    history. Scale shape: the store is bucketed on (band_id,
+    band_hash), so each probe exchanges only the small batch side;
+    appends are bucket-spec-preserving deltas; `compact_bucketed_table`
+    (gated separately in `dedup_store_compaction_lifecycle`) is the
+    maintenance companion. Composes `functions/dedup.py`,
+    `operators/bucketing.py`, Structured Streaming foreachBatch."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from kafka_sink_azure_kusto_spark.functions import dedup as D
+    from kafka_sink_azure_kusto_spark.operators.bucketing import (
+        append_bucketed,
+        write_bucketed,
+    )
+
+    work = _workdir("stream_incr_store_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = [
+        [
+            r[0]
+            for r in docs.filter(F.col("doc_id") % 3 == c)
+            .select(F.to_json(F.struct("doc_id", "text")))
+            .collect()
+        ]
+        for c in range(3)
+    ]
+    replay = os.path.join(work, "replay")
+    _stage_chunks(chunks, replay)
+
+    tbl = "stream_sig_store_live"
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+    key = ["band_id", "band_hash"]
+    empty = D.banded_signatures(docs.limit(0), "text", "doc_id", 16, 4, 3)
+    write_bucketed(empty, tbl, key, num_buckets=8)
+
+    results_dir = os.path.join(work, "results")
+
+    def triage_and_admit(batch_df, epoch_id: int) -> None:
+        batch = batch_df.select("doc_id", "text")
+        # Probe through the MICRO-BATCH session, with an explicit
+        # refresh: each session caches a table's file-list snapshot on
+        # first read, and appends made through the per-batch cloned
+        # session never invalidate the OUTER session's cache — probing
+        # via `spark.table` would silently join against the store as
+        # of batch 0 (empty) forever (found live: store_pre stayed 0
+        # across all batches while every append landed on disk).
+        mb = batch_df.sparkSession
+        mb.catalog.refreshTable(tbl)
+        res = D.incremental_neardup_dedup(
+            batch, mb.table(tbl), num_hashes=16, num_bands=4, k=3,
+            jaccard_threshold=0.5,
+        )
+        # force the probe BEFORE admitting this batch's signatures
+        res.write.mode("append").parquet(results_dir)
+        append_bucketed(
+            D.banded_signatures(batch, "text", "doc_id", 16, 4, 3),
+            tbl, key, num_buckets=8,
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(replay)
+    )
+    q = (
+        stream.writeStream.foreachBatch(triage_and_admit)
+        .option("checkpointLocation", os.path.join(work, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    return spark.read.parquet(results_dir).select("doc_id", "status")

@@ -123,3 +123,53 @@ def test_session_windows_streaming_matches_batch(spark, sf_dir):
         (r["user_id"], r["session_start"], r["n_events"]) for r in want.collect()
     }
     assert got_set == want_set
+
+
+def test_streaming_incremental_store_arrival_order_semantics(spark, tmp_path):
+    """r8 live probe→triage→admit loop: ARRIVAL ORDER is the
+    semantics. A doc duplicating an EARLIER chunk's doc is
+    'neardup_of_history'; duplicating only a LATER chunk's doc leaves
+    it 'unique' (the later copy gets the history status); same-chunk
+    duplicates resolve by the smaller-id-shadows rule. Chunk = doc_id
+    % 3. The synthetic corpus routes one duplicate pair through each
+    path."""
+    from pyspark.sql import functions as F
+
+    from kafka_sink_azure_kusto_spark.plans.registry_streaming2 import (
+        streaming_incremental_neardup_store,
+    )
+
+    a = "alpha beta gamma delta epsilon zeta"
+    b = "one two three four five six seven"
+    c = "red orange yellow green blue indigo"
+    d = "north south east west up down over"
+    rows = [
+        (0, a),   # chunk 0 — first copy of a
+        (4, a),   # chunk 1 — dup of EARLIER doc 0 → neardup_of_history
+        (3, d),   # chunk 0 — smaller-id copy of d
+        (6, d),   # chunk 0 — same-chunk dup → neardup_in_batch
+        (2, c),   # chunk 2 — first copy of c, but see doc 1:
+        (1, b),   # chunk 1 — unique (b has no other copy)
+        (5, c),   # chunk 2 — same-chunk dup of doc 2 → in_batch
+        (7, c),   # chunk 1 — EARLIER chunk than docs 2 & 5! they come
+                  #           later, so 7 is 'unique'; 2 & 5 then match
+                  #           history (doc 7's admitted signature)
+    ]
+    docs_dir = str(tmp_path / "sfdir")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        docs_dir + "/documents.parquet"
+    )
+    res = {
+        r.doc_id: r.status
+        for r in streaming_incremental_neardup_store(spark, docs_dir).collect()
+    }
+    assert res == {
+        0: "unique",
+        4: "neardup_of_history",
+        3: "unique",
+        6: "neardup_in_batch",
+        1: "unique",
+        7: "unique",
+        2: "neardup_of_history",
+        5: "neardup_of_history",
+    }, res

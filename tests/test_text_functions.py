@@ -109,3 +109,48 @@ def test_multimodal_frame_sample_every_k(spark):
     rows = M.frame_sample(M.with_media_blob(df), every_k=5).collect()
     # 13 bytes ⇒ n_frames = 14 ⇒ sampled indices 0,5,10
     assert [(r.n_frames, r.frame_idx) for r in rows] == [(14, 0), (14, 5), (14, 10)]
+
+
+def test_quality_classifier_matches_python_reference(spark):
+    """r8 hashed linear classifier: exact against a pure-Python replay
+    of the same feature hashing + milli-weight formula, including the
+    single-token (no-bigram) edge and the score/label boundary math."""
+    import hashlib
+    import math
+
+    from kafka_sink_azure_kusto_spark.functions import text as T
+
+    def bucket(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:2], 16)
+
+    def milliweight(b):
+        return (b * T.CLF_WEIGHT_MULT + T.CLF_WEIGHT_ADD) % T.CLF_WEIGHT_MOD - 1000
+
+    def expected(text):
+        toks = text.split(" ")
+        feats = [f"u:{t}" for t in toks] + [
+            f"b:{a} {b}" for a, b in zip(toks, toks[1:])
+        ]
+        ms = sum(milliweight(bucket(f)) for f in feats)
+        n = len(feats)
+        score = 1.0 / (1.0 + math.exp(-(ms / 1000.0) / n))
+        return n, ms, score
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "single"),
+        (3, "a a a a a"),
+        (4, "x y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in T.quality_classifier(df, "text", "doc_id").collect()
+    }
+    for doc_id, text in rows:
+        n, ms, score = expected(text)
+        r = got[doc_id]
+        assert r.n_features == n, (doc_id, r.n_features, n)
+        assert r.milliweight_sum == ms, (doc_id, r.milliweight_sum, ms)
+        assert abs(r.clf_score - score) < 1e-12
+        assert r.clf_keep == (score >= 0.5)
