@@ -132,6 +132,8 @@ HEADLINE = [
     "multimodal_video_dedup",
     "dedup_store_compaction_lifecycle",
     "text_quality_classifier",
+    "multimodal_clip_align_filter",
+    "domain_temperature_mix",
 ]
 
 

@@ -493,3 +493,52 @@ def bpe_encode_join(
     return joined.groupBy(id_col).agg(
         F.transform(ordered, lambda s: s["t"]).alias("token_ids")
     )
+
+
+def temperature_mix_rates(
+    df: DataFrame, group_col: str, alpha: float, total_keep: int
+) -> DataFrame:
+    """Per-domain keep rate for TEMPERATURE-based mixture sampling
+    (the multilingual/domain-balance standard: target share of domain
+    g is n_g^α / Σ_h n_h^α, α ∈ (0, 1] — α=1 keeps natural
+    proportions, α→0 approaches uniform over domains; mT5/XLM-R style
+    upweighting of small domains without a hand-written share table).
+
+    rate(g) = min(1, share(g) · total_keep / n_g). One tiny per-domain
+    aggregate; the normalizer joins back via a broadcast of a 1-row
+    frame (never a driver collect). Rates cap at 1 — this operator
+    never upsamples."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("cnt"))
+    w = counts.withColumn("wt", F.pow(F.col("cnt").cast("double"), alpha))
+    tot = w.agg(F.sum("wt").alias("tw"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            F.least(
+                F.lit(1.0),
+                (F.col("wt") / F.col("tw"))
+                * F.lit(float(total_keep))
+                / F.col("cnt"),
+            ).alias("keep_rate"),
+        )
+    )
+
+
+def temperature_mix_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    alpha: float,
+    total_keep: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic temperature-mixture downsampling: keep row ⇔
+    ``md5_unit(key, salt) < keep_rate(domain)`` with rates from
+    ``temperature_mix_rates``. Same engine-stable keep-set contract as
+    ``rebalance_sample``; the corpus is filtered in its scan stage
+    after a broadcast join of the ~|domains| rate rows."""
+    rates = temperature_mix_rates(df, group_col, alpha, total_keep)
+    return df.join(F.broadcast(rates), group_col).filter(
+        md5_unit_interval(F.col(key_col), salt) < F.col("keep_rate")
+    )

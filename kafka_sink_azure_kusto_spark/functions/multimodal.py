@@ -693,3 +693,93 @@ def audio_neardup_pairs(
     return cand.filter(ham <= max_hamming).select(
         "left_id", "right_id", ham.cast("bigint").alias("hamming")
     )
+
+
+# ----------------------------------------------------- image-text alignment
+
+#: projection-matrix formula for the pseudo image embedding:
+#: P(f, d) = ((f·31 + d·17) mod 7) − 3 ∈ [−3, 3] — a fixed deterministic
+#: stand-in for a trained vision tower's final projection. Shared
+#: verbatim with the gate oracle.
+CLIP_PROJ_MULT_F = 31
+CLIP_PROJ_MULT_D = 17
+CLIP_PROJ_MOD = 7
+
+
+def _clip_proj(f: int, d: int) -> int:
+    return (f * CLIP_PROJ_MULT_F + d * CLIP_PROJ_MULT_D) % CLIP_PROJ_MOD - 3
+
+
+def clip_align_scores(
+    features_long: DataFrame,
+    embeddings: DataFrame,
+    dim: int = 64,
+    n_features: int = N_FEATURES,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """CLIP-score-style image-text ALIGNMENT filter (LAION-style pair
+    curation): the decoded-media features (long form, from
+    ``feature_extract``) project into the text-embedding space via a
+    fixed integer matrix (stand-in for the trained vision projection —
+    swap ``_clip_proj`` for a broadcast weight table in production),
+    and each document scores cosine(text_embedding, image_embedding);
+    pairs below ``threshold`` are flagged for drop.
+
+    Exactness/scale shape: the image vector assembles in EXACT 64-bit
+    integer arithmetic (features wide-pivoted in one fixed-width
+    aggregate, then dim·n_features literal multiply-adds in a single
+    codegen'd projection — zero Python, no per-dim shuffle); its norm²
+    stays integer; only the final dot/normalize runs in double, with
+    the dot product folded IN ARRAY ORDER on both engines (zip_with +
+    ordered fold here, list_dot_product in the oracle) so the float
+    summation order can't drift. One equi-join with the embedding
+    table on the pair id; at 100 TB both sides are id-partitioned and
+    the join co-locates."""
+    wide = features_long.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("feat_idx") == i, F.col("feature"))).alias(
+                f"_f{i}"
+            )
+            for i in range(n_features)
+        ]
+    )
+    def img_component(d: int):
+        acc = None
+        for f in range(n_features):
+            term = F.col(f"_f{f}") * F.lit(_clip_proj(f, d))
+            acc = term if acc is None else acc + term
+        return acc
+
+    img = F.array(*[img_component(d) for d in range(dim)])
+    wide = wide.withColumn("_img", img)
+    # norm² folds in DOUBLE and in ARRAY ORDER (img_v² overflows long
+    # for WAV energy features); the oracle mirrors the exact fold order
+    # with list_dot_product(iv, iv)
+    inorm2 = F.aggregate(
+        F.col("_img").cast("array<double>"),
+        F.lit(0.0),
+        lambda a, x: a + x * x,
+    )
+    emb = embeddings.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("_emb"),
+    )
+    j = wide.join(emb, "doc_id")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("_emb"),
+            F.col("_img").cast("array<double>"),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    enorm2 = F.aggregate(
+        F.col("_emb"), F.lit(0.0), lambda a, x: a + x * x
+    )
+    score = dot / (F.sqrt(enorm2) * F.sqrt(inorm2))
+    return j.select(
+        "doc_id",
+        F.round(score, 6).alias("align_score"),
+        (score >= threshold).alias("keep"),
+    )

@@ -87,6 +87,8 @@ _GATE_PRIORITY = [
     "multimodal_video_dedup",            # VERDICT r7 #7: frame-sample dedup
     "text_quality_classifier",           # hashed linear quality filter
     "streaming_incremental_neardup_store",  # live probe→triage→admit loop
+    "multimodal_clip_align_filter",      # CLIP-style pair curation
+    "domain_temperature_mix",            # n^alpha domain sampling
     # --- changed implementation in r8 ---
     "multimodal_dhash_dedup",         # VERDICT r7 #1: decode-once persist
     "multimodal_audio_fingerprint_dedup",  # same materialization fix

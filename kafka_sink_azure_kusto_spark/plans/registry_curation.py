@@ -1129,3 +1129,37 @@ _REG["curation_pipeline"] = (
     FROM pre
     """,
 )
+
+
+_UTMIX = md5_unit_interval_sql("d.doc_id", salt="tmix")
+
+
+@register(
+    "domain_temperature_mix",
+    f"""
+    WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+    w AS (SELECT source, cnt, pow(CAST(cnt AS DOUBLE), 0.5) AS wt FROM c),
+    t AS (SELECT sum(wt) AS tw FROM w)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN w USING (source) CROSS JOIN t
+    WHERE {_UTMIX} < least(1.0, (wt / tw) * 250.0 / cnt)
+    """,
+)
+def domain_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixture (r8): target share of each
+    source is n^α / Σ n^α with α = 0.5 — the standard multilingual /
+    domain-balance sampler (upweights small domains smoothly, no
+    hand-written share table; `domain_mix_rebalance` is the explicit-
+    shares sibling). Keep-set is a pure function of (doc_id, salt,
+    per-domain counts): one tiny per-domain aggregate, a broadcast of
+    the rate rows, and the corpus filters in its scan stage — at 100 TB
+    the corpus is never shuffled. `corpus.temperature_mix_sample`."""
+    from kafka_sink_azure_kusto_spark.functions.corpus import (
+        temperature_mix_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mix_sample(
+        docs, group_col="source", key_col="doc_id",
+        alpha=0.5, total_keep=250, salt="tmix",
+    ).select("doc_id", "source")

@@ -1651,3 +1651,64 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical. `functions/text.quality_classifier`."""
     docs = load_table(spark, sf_dir, "documents")
     return T.quality_classifier(docs, "text", "doc_id")
+
+
+@register(
+    "multimodal_clip_align_filter",
+    f"""
+    WITH {_MEDIA_VALS_CTE},
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS f0,
+             CAST(SUM(v) AS BIGINT) AS f1,
+             CAST(MIN(v) AS BIGINT) AS f2,
+             CAST(MAX(v) AS BIGINT) AS f3,
+             CAST(SUM((j + 1) * v) AS BIGINT) AS f4,
+             CAST(SUM(v * v) AS BIGINT) AS f5,
+             CAST(MAX(CASE WHEN j = 0 THEN v END) AS BIGINT) AS f6,
+             CAST(MAX(CASE WHEN j = n_tot - 1 THEN v END) AS BIGINT) AS f7
+      FROM vals GROUP BY doc_id),
+    lf AS (
+      SELECT doc_id, CAST(0 AS BIGINT) AS fi, f0 AS feat FROM agg
+      UNION ALL SELECT doc_id, 1, f1 FROM agg
+      UNION ALL SELECT doc_id, 2, f2 FROM agg
+      UNION ALL SELECT doc_id, 3, f3 FROM agg
+      UNION ALL SELECT doc_id, 4, f4 FROM agg
+      UNION ALL SELECT doc_id, 5, f5 FROM agg
+      UNION ALL SELECT doc_id, 6, f6 FROM agg
+      UNION ALL SELECT doc_id, 7, f7 FROM agg),
+    img AS (
+      SELECT doc_id, dd.d AS d,
+             SUM(feat * ((fi * 31 + dd.d * 17) % 7 - 3)) AS img_v
+      FROM lf CROSS JOIN (SELECT unnest(range(0, 64)) AS d) dd
+      GROUP BY doc_id, dd.d),
+    imgl AS (SELECT doc_id, list(CAST(img_v AS DOUBLE) ORDER BY d) AS iv
+             FROM img GROUP BY doc_id),
+    sc AS (
+      SELECT i.doc_id,
+             list_dot_product(e.embedding::DOUBLE[], i.iv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                        e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(i.iv, i.iv))) AS s
+      FROM imgl i JOIN embeddings e ON e.vec_id = i.doc_id)
+    SELECT doc_id, round(s, 6) AS align_score, s >= 0.0 AS keep FROM sc
+    """,
+)
+def multimodal_clip_align_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-score-style image-text alignment filter (r8, LAION-style
+    pair curation): decoded-media features (real BMP/PPM/WAV codec
+    path) project into the 64-dim text-embedding space via a fixed
+    integer matrix (the trained vision projection's stand-in —
+    ``multimodal._clip_proj``), each document scores
+    cosine(text_embedding, image_embedding), and sub-threshold pairs
+    are flagged for drop. Image vector + its norm² assemble in EXACT
+    integer arithmetic; the only doubles are the final ordered-fold dot
+    product and normalize (list_dot_product mirrors zip_with's array
+    order, so float summation order can't drift between engines). The
+    oracle replays the whole chain — pixel spec → features → projection
+    → cosine — closed-form. `multimodal.clip_align_scores`."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return M.clip_align_scores(
+        M.synth_feature_extract(docs), emb, dim=64, threshold=0.0
+    )

@@ -317,3 +317,75 @@ def test_video_frame_dhash_and_majority_pairs(spark):
     ), res
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan, plan
+
+
+def test_clip_align_scores_match_python_reference(spark):
+    """r8 image-text alignment: exact against a numpy replay of the
+    feature→projection→cosine chain, and the plan stays one Arrow pass
+    (the feature extract) + one join — no per-dim shuffle."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from kafka_sink_azure_kusto_spark.functions import multimodal as M
+    from kafka_sink_azure_kusto_spark.functions.codecs import (
+        decode_media_bytes,
+    )
+
+    ids = [0, 1, 2, 5, 8, 11]
+    docs = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rng_emb = {
+        i: [float(((i * 13 + d * 7) % 19) - 9) / 10.0 for d in range(64)]
+        for i in ids
+    }
+    emb = spark.createDataFrame(
+        [(i, rng_emb[i]) for i in ids], "vec_id long, embedding array<float>"
+    )
+    got = {
+        r.doc_id: r
+        for r in M.clip_align_scores(
+            M.synth_feature_extract(docs), emb, dim=64, threshold=0.0
+        ).collect()
+    }
+    for i in ids:
+        feats = M.media_features(
+            decode_media_bytes(M.synth_media_payload(i))
+        )
+        img = np.array(
+            [
+                sum(feats[f] * M._clip_proj(f, d) for f in range(8))
+                for d in range(64)
+            ],
+            dtype=np.float64,
+        )
+        e = np.array(np.array(rng_emb[i], dtype=np.float32), dtype=np.float64)
+        want = float(e @ img / (np.sqrt(e @ e) * np.sqrt(img @ img)))
+        assert abs(got[i].align_score - round(want, 6)) <= 1e-6, (i, got[i], want)
+        assert got[i].keep == (want >= 0.0)
+
+
+def test_temperature_mix_rates_formula(spark):
+    """n^0.5 temperature rates: verified against the closed form, caps
+    at 1.0 for tiny domains."""
+    from kafka_sink_azure_kusto_spark.functions.corpus import (
+        temperature_mix_rates,
+    )
+
+    rows = [(i, "big") for i in range(90)] + [(90 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {
+        r.source: r.keep_rate
+        for r in temperature_mix_rates(df, "source", 0.5, 40).collect()
+    }
+    import math
+
+    tw = math.sqrt(90) + math.sqrt(10)
+    assert abs(rates["big"] - (math.sqrt(90) / tw) * 40 / 90) < 1e-12
+    assert abs(rates["small"] - (math.sqrt(10) / tw) * 40 / 10) < 1e-12
+    # tiny domain: rate caps at 1
+    rows2 = rows + [(200, "tiny")]
+    df2 = spark.createDataFrame(rows2, "doc_id long, source string")
+    r2 = {
+        r.source: r.keep_rate
+        for r in temperature_mix_rates(df2, "source", 0.5, 90).collect()
+    }
+    assert r2["tiny"] == 1.0
