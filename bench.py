@@ -134,6 +134,7 @@ HEADLINE = [
     "text_quality_classifier",
     "multimodal_clip_align_filter",
     "domain_temperature_mix",
+    "multimodal_video_dedup_capped",
 ]
 
 
@@ -165,6 +166,9 @@ def _scale10x_timings(spark, sf_dir: str) -> dict[str, float]:
     timed("dedup_exact_10x", D.dedup_exact(docs))
     timed("dedup_minhash_lsh_10x", D.minhash_lsh_pairs(docs, jaccard_threshold=0.5))
     timed("dedup_simhash_10x", D.simhash_pairs(docs, max_hamming=8))
+    from kafka_sink_azure_kusto_spark.functions.text import quality_classifier
+
+    timed("text_quality_classifier_10x", quality_classifier(docs, "text", "doc_id"))
     docs.unpersist()
 
     emb = synth_embeddings(spark, 5000).cache()

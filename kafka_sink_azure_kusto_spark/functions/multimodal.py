@@ -516,6 +516,7 @@ def video_neardup_pairs(
     frame_hashes: DataFrame,
     max_hamming: int = 10,
     num_blocks: int = 4,
+    block_member_cap: int | None = None,
 ) -> DataFrame:
     """Video near-dup pairs from (doc_id, frame_idx, dhash): ALIGNED
     frame matching — 16-bit block-LSH candidates restricted to the SAME
@@ -530,8 +531,17 @@ def video_neardup_pairs(
     per-frame decode subtree must execute exactly once (the r7
     multimodal materialization lesson, VERDICT r7 #1, applied from the
     start). All joins are equi-joins on (frame_idx, block, bits) —
-    frame alignment makes the join key stronger than image LSH, so
-    bucket skew is strictly lower than the dHash path's."""
+    frame alignment makes the join key stronger than image LSH — but
+    NOT degenerate-block-proof: smooth gradients make whole 16-bit
+    blocks collapse to 0x0000/0xFFFF across unrelated videos (measured
+    at 50k synth videos: one (frame, j, 0xFFFF) bucket held 10k
+    members; 280M candidate pairs total; 10× scale exponent 1.58).
+    ``block_member_cap`` is the same candidate-generation guard as the
+    image/minhash caps: (frame_idx, j, bb) buckets above the cap are
+    dropped from candidate generation — a true near-dup still meets in
+    a NON-degenerate block (agreement on a degenerate block is weak
+    evidence anyway), and the probe re-run with cap=256 restores a
+    ~linear exponent. Uncapped stays the oracle twin."""
     frame_hashes = frame_hashes.localCheckpoint(eager=True)
     sampled = frame_hashes.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_sampled")
@@ -545,6 +555,15 @@ def video_neardup_pairs(
         "bb",
         F.expr("shiftrightunsigned(dhash, j * 16)").bitwiseAND(F.lit(0xFFFF)),
     )
+    if block_member_cap is not None:
+        from pyspark.sql import Window
+
+        wb = Window.partitionBy("frame_idx", "j", "bb")
+        blocks = (
+            blocks.withColumn("_n", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_n") <= block_member_cap)
+            .drop("_n")
+        )
     left = blocks.select(
         "frame_idx", "j", "bb",
         F.col("doc_id").alias("left_id"), F.col("dhash").alias("ldh"),

@@ -89,6 +89,7 @@ _GATE_PRIORITY = [
     "streaming_incremental_neardup_store",  # live probe→triage→admit loop
     "multimodal_clip_align_filter",      # CLIP-style pair curation
     "domain_temperature_mix",            # n^alpha domain sampling
+    "multimodal_video_dedup_capped",     # degenerate-block guard, exact
     # --- changed implementation in r8 ---
     "multimodal_dhash_dedup",         # VERDICT r7 #1: decode-once persist
     "multimodal_audio_fingerprint_dedup",  # same materialization fix

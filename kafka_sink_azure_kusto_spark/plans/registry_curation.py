@@ -1153,7 +1153,11 @@ def domain_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares sibling). Keep-set is a pure function of (doc_id, salt,
     per-domain counts): one tiny per-domain aggregate, a broadcast of
     the rate rows, and the corpus filters in its scan stage — at 100 TB
-    the corpus is never shuffled. `corpus.temperature_mix_sample`."""
+    the corpus is never shuffled. Plan note: the normalizer Σ n^α is a
+    1-row broadcast cross join (the scalar-subquery shape, constant
+    cost — same as q22/events_linear_trend) and its SinglePartition
+    agg runs over |domains| rows, not the corpus.
+    `corpus.temperature_mix_sample`."""
     from kafka_sink_azure_kusto_spark.functions.corpus import (
         temperature_mix_sample,
     )

@@ -1712,3 +1712,78 @@ def multimodal_clip_align_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.clip_align_scores(
         M.synth_feature_extract(docs), emb, dim=64, threshold=0.0
     )
+
+
+@register(
+    "multimodal_video_dedup_capped",
+    """
+    WITH vids AS (SELECT doc_id, doc_id % 97 AS mid FROM documents),
+    fr AS (SELECT doc_id, mid, CAST(f.fi AS BIGINT) AS frame_idx,
+                  3 * (mid * 64 + f.fi) AS fid
+           FROM vids
+           CROSS JOIN LATERAL (SELECT unnest(range(0, mid % 6 + 3, 2)) AS fi) f),
+    dims AS (SELECT doc_id, frame_idx, fid,
+                    4 + fid % 13 AS w, 3 + fid % 7 AS h FROM fr),
+    cells AS (SELECT doc_id, frame_idx, fid, gr.g AS gr, gc.c AS gc,
+                     ((gr.g * h) // 8) * w + ((gc.c * w) // 9) AS i
+              FROM dims
+              CROSS JOIN (SELECT unnest(range(0, 8)) AS g) gr
+              CROSS JOIN (SELECT unnest(range(0, 9)) AS c) gc),
+    lum AS (SELECT doc_id, frame_idx, gr, gc,
+                   299 * ((fid * 31 + i * 7) % 256)
+                 + 587 * ((fid * 37 + i * 11) % 256)
+                 + 114 * ((fid * 41 + i * 13) % 256) AS l
+            FROM cells),
+    bits AS (SELECT a.doc_id, a.frame_idx, a.gr, a.gc,
+                    CASE WHEN a.l < b.l THEN 1 ELSE 0 END AS bit
+             FROM lum a JOIN lum b
+               ON a.doc_id = b.doc_id AND a.frame_idx = b.frame_idx
+              AND a.gr = b.gr AND b.gc = a.gc + 1
+             WHERE a.gc < 8),
+    sig AS (SELECT doc_id, frame_idx,
+                   SUM(CASE WHEN gr * 8 + gc < 63
+                            THEN bit * (CAST(1 AS BIGINT) << (gr * 8 + gc))
+                            ELSE 0 END) AS dh
+            FROM bits GROUP BY doc_id, frame_idx),
+    blocks AS (SELECT doc_id, frame_idx, dh, bj.j AS j,
+                      (dh >> (16 * bj.j)) & 65535 AS bb
+               FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS j) bj),
+    capped AS (SELECT * FROM (
+               SELECT *, COUNT(*) OVER (PARTITION BY frame_idx, j, bb) AS bn
+               FROM blocks) WHERE bn <= 16),
+    cand AS (SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id,
+                             l.frame_idx AS frame_idx,
+                             l.dh AS ldh, r.dh AS rdh
+             FROM capped l JOIN capped r
+               ON l.frame_idx = r.frame_idx AND l.j = r.j AND l.bb = r.bb
+              AND l.doc_id < r.doc_id),
+    matched AS (SELECT left_id, right_id,
+                       COUNT(*) AS matched_frames
+                FROM cand WHERE bit_count(xor(ldh, rdh)) <= 10
+                GROUP BY left_id, right_id),
+    sampled AS (SELECT doc_id, COUNT(*) AS n_sampled FROM fr GROUP BY doc_id)
+    SELECT m.left_id, m.right_id,
+           CAST(m.matched_frames AS BIGINT) AS matched_frames,
+           CAST(least(sl.n_sampled, sr.n_sampled) AS BIGINT) AS min_sampled
+    FROM matched m
+    JOIN sampled sl ON sl.doc_id = m.left_id
+    JOIN sampled sr ON sr.doc_id = m.right_id
+    WHERE m.matched_frames * 2 >= least(sl.n_sampled, sr.n_sampled)
+    """,
+)
+def multimodal_video_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE PATH of `multimodal_video_dedup` (r8): degenerate
+    16-bit blocks (smooth gradients collapse whole blocks to
+    0x0000/0xFFFF across unrelated videos) turn the aligned-block join
+    quadratic — measured 280M candidate pairs / 10× exponent 1.58 at
+    50k synth videos; with the cap the exponent returns to ~linear
+    (PERF.md r8). (frame_idx, j, bb) buckets above the cap are dropped
+    from candidate generation, the same guard as the image-dHash /
+    minhash / history-store caps; the oracle mirrors the window-count
+    filter literally, so the cap's exact semantics — not just its
+    speed — are gated."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = M.video_frame_dhash(docs, media_id=F.col("doc_id") % 97, every_k=2)
+    return M.video_neardup_pairs(
+        hashes, max_hamming=10, num_blocks=4, block_member_cap=16
+    )

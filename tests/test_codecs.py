@@ -389,3 +389,25 @@ def test_temperature_mix_rates_formula(spark):
         for r in temperature_mix_rates(df2, "source", 0.5, 90).collect()
     }
     assert r2["tiny"] == 1.0
+
+
+def test_video_block_member_cap_drops_hot_buckets(spark):
+    """r8 degenerate-block guard: identical videos fill every aligned
+    block bucket — cap=1 drops all candidate generation (template mass
+    belongs to exact dedup), a generous cap keeps the pairs."""
+    from pyspark.sql import functions as F
+
+    from kafka_sink_azure_kusto_spark.functions.multimodal import (
+        video_frame_dhash,
+        video_neardup_pairs,
+    )
+
+    rows = [(i, 5) for i in range(4)]  # 4 copies of identity 5
+    docs = spark.createDataFrame(rows, ["doc_id", "vid"])
+    hashes = video_frame_dhash(docs, media_id=F.col("vid"), every_k=2)
+    open_pairs = video_neardup_pairs(hashes).collect()
+    assert len(open_pairs) == 6  # C(4,2), every pair matches fully
+    capped = video_neardup_pairs(hashes, block_member_cap=1).collect()
+    assert capped == []  # all buckets hot -> dropped
+    generous = video_neardup_pairs(hashes, block_member_cap=16).collect()
+    assert len(generous) == 6
