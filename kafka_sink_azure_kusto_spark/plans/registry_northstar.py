@@ -16,7 +16,7 @@ from kafka_sink_azure_kusto_spark.functions import dedup as D
 from kafka_sink_azure_kusto_spark.functions import similarity as S
 from kafka_sink_azure_kusto_spark.functions import text as T
 from kafka_sink_azure_kusto_spark.functions import multimodal as M
-from kafka_sink_azure_kusto_spark.plans.registry import register
+from kafka_sink_azure_kusto_spark.plans.registry import _workdir, register
 from kafka_sink_azure_kusto_spark.sources.tables import load_table
 
 # Shared SQL fragments -------------------------------------------------------
@@ -1786,4 +1786,63 @@ def multimodal_video_dedup_capped(spark: SparkSession, sf_dir: str) -> DataFrame
     hashes = M.video_frame_dhash(docs, media_id=F.col("doc_id") % 97, every_k=2)
     return M.video_neardup_pairs(
         hashes, max_hamming=10, num_blocks=4, block_member_cap=16
+    )
+
+
+@register(
+    "similarity_index_lifecycle",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e WHERE vec_id < 5),
+    scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+                      list_dot_product(qv, c.v) /
+                      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v)))
+                      AS score
+               FROM e c JOIN q ON c.label = qlabel WHERE c.vec_id <> query_id)
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           round(score, 6) AS score
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, neighbor_id ASC) AS rank
+          FROM scored)
+    WHERE rank <= 10
+    """,
+)
+def similarity_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-INDEX lifecycle for ANN (r8) — the similarity-side
+    sibling of `dedup_store_compaction_lifecycle`: the IVF index is
+    built as a CELL-PARTITIONED parquet layout (initial write = vectors
+    with vec_id % 3 != 2), a later ingest appends the remaining delta
+    into the same layout, and the probe reads the index OFF DISK — the
+    broadcast-hash join on the partition column lets Spark prune index
+    partitions at runtime (cell = the coarse-quantizer id; at 100 TB a
+    probe touches n_probe cells of parquet, never the corpus — the
+    claim `similarity_topk_ivf` documents, here actually exercised
+    through the storage layout). The oracle is deliberately the SAME
+    whole-corpus SQL as `similarity_topk_ivf`: build → append → probe
+    must be RESULT-INVARIANT (a vector lost or duplicated by the
+    append, a cell mis-partitioned, or a float mangled by the parquet
+    round-trip breaks the value hash)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    work = _workdir("ivf_index_")
+    idx_dir = os.path.join(work, "ivf_index")
+    base = emb.filter(F.col("vec_id") % 3 != 2).withColumnRenamed(
+        "label", "cell"
+    )
+    base.write.partitionBy("cell").parquet(idx_dir)
+    delta = emb.filter(F.col("vec_id") % 3 == 2).withColumnRenamed(
+        "label", "cell"
+    )
+    delta.write.mode("append").partitionBy("cell").parquet(idx_dir)
+    index = spark.read.parquet(idx_dir)
+    out = S.ivf_topk(
+        index,
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        cell_col="cell",
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.round("score", 6).alias("score"),
     )

@@ -85,3 +85,28 @@ def test_gate_priority_has_no_duplicates():
     seen = set()
     dups = [n for n in _GATE_PRIORITY if n in seen or seen.add(n)]
     assert dups == [], f"duplicate gate entries: {dups}"
+
+
+def test_ivf_index_probe_uses_dynamic_partition_pruning(spark, tmp_path):
+    """r8 persisted-index lifecycle: the probe joins the broadcast
+    query side on the index's PARTITION column, so Spark plans runtime
+    (dynamic) partition pruning — a probe reads n_probe cells of
+    parquet, never the whole index."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_sink_azure_kusto_spark.functions import similarity as S
+    from kafka_sink_azure_kusto_spark.sources.tables import load_table
+
+    emb = load_table(spark, str(os.environ.get(
+        "SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")), "embeddings")
+    idx = str(tmp_path / "idx")
+    emb.withColumnRenamed("label", "cell").write.partitionBy("cell").parquet(idx)
+    out = S.ivf_topk(
+        spark.read.parquet(idx), emb.filter(F.col("vec_id") < 5),
+        k=10, cell_col="cell",
+    )
+    out.write.format("noop").mode("overwrite").save()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
