@@ -136,6 +136,7 @@ HEADLINE = [
     "domain_temperature_mix",
     "multimodal_video_dedup_capped",
     "similarity_index_lifecycle",
+    "multimodal_resize",
 ]
 
 

@@ -217,9 +217,10 @@ def decode_media(df: DataFrame) -> DataFrame:
 
 
 def resize_stub(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
-    """Resize plumbing: computes output dims/scale entirely in JVM
-    expressions; the pixel transform itself would live in the same
-    mapInPandas body as decode (unavailable here — stub)."""
+    """Scale-metadata plumbing (kept for metadata-only callers). The
+    REAL pixel resize is ``resize_nearest`` / ``synth_resize_stats``
+    (r8 — integer nearest-neighbor gather through the real codec
+    path, gated as ``multimodal_resize``)."""
     return df.withColumn(
         "scale_x", F.col("width") / F.lit(float(target_w))
     ).withColumn("scale_y", F.col("height") / F.lit(float(target_h)))
@@ -802,3 +803,72 @@ def clip_align_scores(
         F.round(score, 6).alias("align_score"),
         (score >= threshold).alias("keep"),
     )
+
+
+# ------------------------------------------------------------------ resize
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("out_w", LongType(), False),
+        StructField("out_h", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("sample_sum", LongType(), False),
+        StructField("checksum", LongType(), False),
+    ]
+)
+
+
+def resize_nearest(m: DecodedMedia, target_w: int, target_h: int) -> np.ndarray:
+    """REAL nearest-neighbor resize over the decoded raster (retires
+    the r2 ``resize_stub``): output pixel (r, c) samples input pixel
+    (r·h_in // h_out, c·w_in // w_out) — all-integer index math, no
+    float kernels, so the result is bit-exact and closed-form
+    replayable by the oracle. Vectorized numpy fancy-indexing (two 1-D
+    index arrays, one gather); channels stay interleaved RGB
+    row-major, the same layout the codecs emit."""
+    if m.width <= 0 or m.height <= 0:
+        raise MediaDecodeError("resize needs a raster (image media)")
+    s = np.asarray(m.samples, dtype=np.int64).reshape(m.height, m.width, 3)
+    rows = (np.arange(target_h, dtype=np.int64) * m.height) // target_h
+    cols = (np.arange(target_w, dtype=np.int64) * m.width) // target_w
+    return s[rows][:, cols].reshape(-1)
+
+
+def synth_resize_stats(
+    df: DataFrame,
+    target_w: int = 8,
+    target_h: int = 6,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fused fixture path for resize: images only (the WAV kind is
+    filtered JVM-side BEFORE the Arrow pass — the non-negotiable
+    cheap-filter-before-expensive-decode ordering), then ONE
+    mapInPandas synthesizes + decodes + resizes and emits integer
+    stats over the RESIZED raster (position-weighted checksum asserts
+    pixel ORDER, so a transposed/flipped gather breaks the oracle)."""
+    imgs = df.select(F.col(id_col).alias("doc_id")).filter(
+        F.col("doc_id") % 3 != 2
+    )
+
+    def body(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                doc = int(d)
+                m = decode_media_bytes(synth_media_payload(doc))
+                r = resize_nearest(m, target_w, target_h)
+                checksum = int(
+                    np.dot(np.arange(1, r.size + 1, dtype=np.int64), r)
+                )
+                rows.append(
+                    (doc, target_w, target_h, int(r.size), int(r.sum()), checksum)
+                )
+            out = pd.DataFrame(
+                rows, columns=[f.name for f in RESIZE_SCHEMA.fields]
+            )
+            for c in out.columns:
+                out[c] = out[c].astype("int64")
+            yield out
+
+    return imgs.mapInPandas(body, schema=RESIZE_SCHEMA)

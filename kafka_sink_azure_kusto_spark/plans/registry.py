@@ -91,6 +91,7 @@ _GATE_PRIORITY = [
     "domain_temperature_mix",            # n^alpha domain sampling
     "multimodal_video_dedup_capped",     # degenerate-block guard, exact
     "similarity_index_lifecycle",        # partitioned IVF build→append→probe
+    "multimodal_resize",                 # real NN resize, stub retired
     # --- changed implementation in r8 ---
     "multimodal_dhash_dedup",         # VERDICT r7 #1: decode-once persist
     "multimodal_audio_fingerprint_dedup",  # same materialization fix

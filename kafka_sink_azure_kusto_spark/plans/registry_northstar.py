@@ -1846,3 +1846,38 @@ def similarity_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("bigint").alias("rank"),
         F.round("score", 6).alias("score"),
     )
+
+
+@register(
+    "multimodal_resize",
+    """
+    WITH imgs AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+                  FROM documents WHERE doc_id % 3 != 2),
+    out_idx AS (SELECT doc_id, w, h, unnest(range(0, 144)) AS j FROM imgs),
+    src AS (SELECT doc_id, w, h, j, j % 3 AS ch,
+                   (((j // 3) // 8) * h // 6) * w + (((j // 3) % 8) * w // 8) AS i
+            FROM out_idx),
+    vals AS (SELECT doc_id, j,
+                    CASE ch WHEN 0 THEN (doc_id * 31 + i * 7) % 256
+                            WHEN 1 THEN (doc_id * 37 + i * 11) % 256
+                            ELSE (doc_id * 41 + i * 13) % 256 END AS v
+             FROM src)
+    SELECT doc_id, CAST(8 AS BIGINT) AS out_w, CAST(6 AS BIGINT) AS out_h,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS sample_sum,
+           CAST(SUM((j + 1) * v) AS BIGINT) AS checksum
+    FROM vals GROUP BY doc_id
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor image resize to 8×6 through the real
+    BMP/PPM codec path (r8 — retires the last multimodal stub,
+    ``resize_stub``): WAV rows filter out JVM-side before the Arrow
+    pass, one fused mapInPandas decodes + gathers (integer index math,
+    no float kernels), and the gate hashes integer stats over the
+    RESIZED raster with a position-weighted checksum — a transposed,
+    flipped, or off-by-one gather breaks the value hash. The oracle
+    replays decode + resize closed-form from the pixel spec.
+    `multimodal.resize_nearest` / `synth_resize_stats`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.synth_resize_stats(docs, target_w=8, target_h=6)

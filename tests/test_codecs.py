@@ -411,3 +411,31 @@ def test_video_block_member_cap_drops_hot_buckets(spark):
     assert capped == []  # all buckets hot -> dropped
     generous = video_neardup_pairs(hashes, block_member_cap=16).collect()
     assert len(generous) == 6
+
+
+def test_resize_nearest_identity_and_known_case():
+    """Real resize: identity at source dims; a 2x downscale of a known
+    4x2 raster gathers exactly the expected pixels (top-left rule of
+    the integer floor map)."""
+    import numpy as np
+
+    from kafka_sink_azure_kusto_spark.functions.codecs import DecodedMedia
+    from kafka_sink_azure_kusto_spark.functions.multimodal import (
+        resize_nearest,
+    )
+
+    # 4 wide x 2 high, RGB interleaved row-major: pixel p has channels
+    # (10p, 10p+1, 10p+2)
+    samples = np.array(
+        [v for p in range(8) for v in (10 * p, 10 * p + 1, 10 * p + 2)],
+        dtype=np.int64,
+    )
+    m = DecodedMedia(
+        media_type="bmp", width=4, height=2, sample_rate=0, samples=samples
+    )
+    ident = resize_nearest(m, 4, 2)
+    assert (ident == samples).all()
+    half = resize_nearest(m, 2, 1)  # rows->row 0, cols->{0,2}
+    assert half.tolist() == [0, 1, 2, 20, 21, 22]
+    up = resize_nearest(m, 8, 2)  # upscale duplicates columns
+    assert up[:6].tolist() == [0, 1, 2, 0, 1, 2]
