@@ -137,6 +137,7 @@ HEADLINE = [
     "multimodal_video_dedup_capped",
     "similarity_index_lifecycle",
     "multimodal_resize",
+    "multimodal_audio_resample",
 ]
 
 

@@ -872,3 +872,66 @@ def synth_resize_stats(
             yield out
 
     return imgs.mapInPandas(body, schema=RESIZE_SCHEMA)
+
+
+RESAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("rate_in", LongType(), False),
+        StructField("rate_out", LongType(), False),
+        StructField("n_out", LongType(), False),
+        StructField("sample_sum", LongType(), False),
+        StructField("checksum", LongType(), False),
+    ]
+)
+
+
+def resample_nearest(m: DecodedMedia, target_rate: int) -> np.ndarray:
+    """Audio rate conversion by nearest-sample gather — the WAV
+    sibling of ``resize_nearest`` (same all-integer index map, same
+    closed-form-oracle property; a production pipeline swaps in a
+    windowed-sinc kernel inside the same Arrow batch shape):
+    n_out = n_in·target // rate_in, out[j] = in[j·n_in // n_out]."""
+    if m.sample_rate <= 0:
+        raise MediaDecodeError("resample needs audio media")
+    n_in = int(m.samples.size)
+    n_out = (n_in * target_rate) // m.sample_rate
+    if n_out <= 0:
+        raise MediaDecodeError("resample target too low for clip length")
+    j = np.arange(n_out, dtype=np.int64)
+    return np.asarray(m.samples, dtype=np.int64)[(j * n_in) // n_out]
+
+
+def synth_audio_resample_stats(
+    df: DataFrame, target_rate: int = 4000, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fused fixture path for audio resampling: WAV rows only (image
+    kinds filter JVM-side before the Arrow pass), one mapInPandas
+    decodes + gathers, integer stats over the RESAMPLED signal with a
+    position-weighted checksum (asserts sample order)."""
+    wavs = df.select(F.col(id_col).alias("doc_id")).filter(
+        F.col("doc_id") % 3 == 2
+    )
+
+    def body(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                doc = int(d)
+                m = decode_media_bytes(synth_media_payload(doc))
+                r = resample_nearest(m, target_rate)
+                checksum = int(
+                    np.dot(np.arange(1, r.size + 1, dtype=np.int64), r)
+                )
+                rows.append(
+                    (doc, m.sample_rate, target_rate, int(r.size),
+                     int(r.sum()), checksum)
+                )
+            out = pd.DataFrame(
+                rows, columns=[f.name for f in RESAMPLE_SCHEMA.fields]
+            )
+            for c in out.columns:
+                out[c] = out[c].astype("int64")
+            yield out
+
+    return wavs.mapInPandas(body, schema=RESAMPLE_SCHEMA)

@@ -1881,3 +1881,41 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     `multimodal.resize_nearest` / `synth_resize_stats`."""
     docs = load_table(spark, sf_dir, "documents")
     return M.synth_resize_stats(docs, target_w=8, target_h=6)
+
+
+@register(
+    "multimodal_audio_resample",
+    """
+    WITH wavs AS (SELECT doc_id,
+                         50 + doc_id % 100 AS n_in,
+                         8000 + (doc_id % 5) * 1000 AS rate_in
+                  FROM documents WHERE doc_id % 3 = 2),
+    dims AS (SELECT doc_id, n_in, rate_in,
+                    (n_in * 4000) // rate_in AS n_out FROM wavs),
+    idx AS (SELECT doc_id, n_in, rate_in, n_out,
+                   unnest(range(0, n_out)) AS j FROM dims),
+    vals AS (SELECT doc_id, rate_in, n_out, j,
+                    ((doc_id * 131 + ((j * n_in) // n_out) * 17) % 65536)
+                        - 32768 AS v
+             FROM idx)
+    SELECT doc_id,
+           CAST(any_value(rate_in) AS BIGINT) AS rate_in,
+           CAST(4000 AS BIGINT) AS rate_out,
+           CAST(COUNT(*) AS BIGINT) AS n_out,
+           CAST(SUM(v) AS BIGINT) AS sample_sum,
+           CAST(SUM((j + 1) * v) AS BIGINT) AS checksum
+    FROM vals GROUP BY doc_id
+    """,
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio rate conversion to 4 kHz through the real WAV codec path
+    (r8 — the audio sibling of `multimodal_resize`): image rows filter
+    JVM-side before the Arrow pass, one fused mapInPandas decodes +
+    nearest-gathers (n_out = n·4000 // rate_in, all-integer index
+    map), and the gate hashes integer stats over the RESAMPLED signal
+    with a position-weighted checksum. The oracle replays decode +
+    resample closed-form from the sample spec. A production pipeline
+    swaps the gather for a windowed-sinc kernel in the same batch
+    shape. `multimodal.resample_nearest`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.synth_audio_resample_stats(docs, target_rate=4000)

@@ -439,3 +439,24 @@ def test_resize_nearest_identity_and_known_case():
     assert half.tolist() == [0, 1, 2, 20, 21, 22]
     up = resize_nearest(m, 8, 2)  # upscale duplicates columns
     assert up[:6].tolist() == [0, 1, 2, 0, 1, 2]
+
+
+def test_resample_nearest_known_case():
+    """Audio resample gather: n_out = n*target//rate; a 8->4 kHz
+    half-rate conversion of a known ramp takes every 2nd sample
+    (floor map)."""
+    import numpy as np
+
+    from kafka_sink_azure_kusto_spark.functions.codecs import DecodedMedia
+    from kafka_sink_azure_kusto_spark.functions.multimodal import (
+        resample_nearest,
+    )
+
+    m = DecodedMedia(
+        media_type="wav", width=0, height=0, sample_rate=8000,
+        samples=np.arange(10, dtype=np.int64) * 3,
+    )
+    half = resample_nearest(m, 4000)
+    assert half.tolist() == [0, 6, 12, 18, 24]  # every 2nd of the ramp
+    same = resample_nearest(m, 8000)
+    assert same.tolist() == (np.arange(10) * 3).tolist()
