@@ -138,6 +138,7 @@ HEADLINE = [
     "similarity_index_lifecycle",
     "multimodal_resize",
     "multimodal_audio_resample",
+    "distinct_hll_estimate",
 ]
 
 

@@ -195,3 +195,117 @@ def kmv_distinct_sql(
            LEAST(n_distinct_seen, {k}) AS n_hashes
     FROM per_group
     """
+
+
+# ------------------------------------------------------------ HyperLogLog
+
+#: HLL geometry: 256 registers (top 8 bits of the 32-bit md5 value),
+#: rank over the low 24 bits (rho ∈ 1..25; 25 = the 24-bit field is 0).
+HLL_M = 256
+HLL_REST_BITS = 24
+#: bias constant alpha_m = 0.7213 / (1 + 1.079/m) — the published HLL
+#: constant for m ≥ 128; written as the formula (not a rounded float)
+#: so both engines constant-fold the identical double.
+HLL_ALPHA_EXPR = f"(0.7213 / (1.0 + 1.079 / {HLL_M}))"
+
+
+def _hll_rho(rest: Column) -> Column:
+    """rho = leading zeros of the 24-bit field + 1 (1..25), as a pure
+    integer comparison chain — no float log2, so the value is exact in
+    any engine. Generated from the same loop as ``_hll_rho_sql``."""
+    chain = F.when(rest >= (1 << (HLL_REST_BITS - 1)), 1)
+    for r in range(2, HLL_REST_BITS + 1):
+        chain = chain.when(rest >= (1 << (HLL_REST_BITS - r)), r)
+    return chain.otherwise(HLL_REST_BITS + 1)
+
+
+def _hll_rho_sql(rest_expr: str) -> str:
+    parts = [
+        f"WHEN {rest_expr} >= {1 << (HLL_REST_BITS - r)} THEN {r}"
+        for r in range(1, HLL_REST_BITS + 1)
+    ]
+    return "CASE " + " ".join(parts) + f" ELSE {HLL_REST_BITS + 1} END"
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate of ``key_col`` per group →
+    ``(group_cols..., est_distinct, registers_used)`` — the
+    fixed-state sibling of ``kmv_distinct`` (KMV state grows with k;
+    HLL state is exactly m=256 six-bit registers per group, mergeable
+    by element-wise MAX — the production shape for billions of groups
+    at 100 TB).
+
+    Determinism is total, not statistical-only: the register harmonic
+    sum Σ_j 2^(−M_j) is computed as the EXACT integer
+    Σ_j 2^(25 − M_j) (each term ≤ 2^24, total < 2^33 — exact in a
+    long AND in a double), so summation order cannot drift between
+    engines; the only floats are the final α·m²·2^25 / S divide and
+    the small-range linear-counting branch m·ln(m/V) (identical
+    formulas both sides). NULL keys drop before hashing (COUNT
+    DISTINCT semantics, same as KMV)."""
+    v = md5_hex8_long(F.col(key_col), salt="hll:")
+    idx = F.shiftrightunsigned(v, HLL_REST_BITS)
+    rest = v.bitwiseAND(F.lit((1 << HLL_REST_BITS) - 1))
+    regs = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(*group_cols, idx.alias("hll_idx"), _hll_rho(rest).alias("rho"))
+        .groupBy(*group_cols, "hll_idx")
+        .agg(F.max("rho").alias("r"))
+    )
+    per_group = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("used"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_REST_BITS + 1} - r)")
+        ).alias("s_seen"),
+    )
+    m = HLL_M
+    zeros = F.lit(m) - F.col("used")
+    s_total = F.col("s_seen") + zeros * F.lit(1 << (HLL_REST_BITS + 1))
+    alpha = F.expr(HLL_ALPHA_EXPR)
+    raw = alpha * m * m * float(1 << (HLL_REST_BITS + 1)) / s_total
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return per_group.select(
+        *group_cols,
+        F.round(est, 6).alias("est_distinct"),
+        F.col("used").cast("long").alias("registers_used"),
+    )
+
+
+def hll_distinct_sql(
+    table: str, group_expr: str, group_alias: str, key_expr: str
+) -> str:
+    """DuckDB oracle for ``hll_distinct`` — generated from the same
+    geometry constants so the engines cannot drift."""
+    m = HLL_M
+    rb = HLL_REST_BITS
+    v = md5_hex8_long_sql(key_expr, salt="hll:")
+    return f"""
+    WITH hv AS (SELECT {group_expr} AS {group_alias},
+                       ({v}) // {1 << rb} AS hll_idx,
+                       ({v}) % {1 << rb} AS rest
+                FROM {table} WHERE {key_expr} IS NOT NULL),
+    regs AS (SELECT {group_alias}, hll_idx,
+                    MAX({_hll_rho_sql("rest")}) AS r
+             FROM hv GROUP BY {group_alias}, hll_idx),
+    pg AS (SELECT {group_alias},
+                  COUNT(*) AS used,
+                  SUM(CAST(1 AS BIGINT) << ({rb + 1} - r)) AS s_seen
+           FROM regs GROUP BY {group_alias}),
+    est AS (SELECT {group_alias}, used,
+                   {HLL_ALPHA_EXPR} * {m} * {m} * {float(1 << (rb + 1))}
+                     / (s_seen + ({m} - used) * {1 << (rb + 1)}) AS raw
+            FROM pg)
+    SELECT {group_alias},
+           round(CASE WHEN raw <= {2.5 * m} AND used < {m}
+                      THEN {float(m)} * ln({float(m)} / ({m} - used))
+                      ELSE raw END, 6) AS est_distinct,
+           CAST(used AS BIGINT) AS registers_used
+    FROM est
+    """

@@ -93,6 +93,7 @@ _GATE_PRIORITY = [
     "similarity_index_lifecycle",        # partitioned IVF build→append→probe
     "multimodal_resize",                 # real NN resize, stub retired
     "multimodal_audio_resample",         # 4 kHz rate conversion, real codec
+    "distinct_hll_estimate",             # HLL, exact integer register sum
     # --- changed implementation in r8 ---
     "multimodal_dhash_dedup",         # VERDICT r7 #1: decode-once persist
     "multimodal_audio_fingerprint_dedup",  # same materialization fix

@@ -345,3 +345,33 @@ def test_weighted_wor_prefers_heavy_docs(spark, sf_dir):
     # exactly 20 per source (or the stratum size if smaller)
     per = sample.groupBy("source").count().collect()
     assert all(r["count"] <= 20 for r in per)
+
+
+def test_hll_estimate_accuracy_and_small_range(spark):
+    """r8 HyperLogLog: standard error for m=256 is 1.04/sqrt(256) =
+    6.5% — assert the estimate lands within 4 sigma on a 20k-distinct
+    corpus, and that the small-range linear-counting branch activates
+    for a 50-distinct group (where raw HLL would bias high)."""
+    from pyspark.sql import functions as F
+
+    from kafka_sink_azure_kusto_spark.functions.sketches import hll_distinct
+
+    big = spark.range(20_000).select(
+        F.lit("big").alias("g"), F.col("id").alias("k")
+    )
+    small = spark.range(50).select(
+        F.lit("small").alias("g"), F.col("id").alias("k")
+    )
+    est = {
+        r.g: (r.est_distinct, r.registers_used)
+        for r in hll_distinct(big.unionByName(small), ["g"], "k").collect()
+    }
+    e_big, used_big = est["big"]
+    assert abs(e_big - 20_000) / 20_000 < 0.26, e_big  # 4 sigma
+    e_small, used_small = est["small"]
+    assert used_small < 256  # linear-counting branch territory
+    assert abs(e_small - 50) / 50 < 0.2, e_small
+    # duplicates must not move the estimate (cardinality, not count)
+    dup = big.unionByName(big)
+    e_dup = hll_distinct(dup, ["g"], "k").collect()[0].est_distinct
+    assert e_dup == e_big
