@@ -139,6 +139,7 @@ HEADLINE = [
     "multimodal_resize",
     "multimodal_audio_resample",
     "distinct_hll_estimate",
+    "sketch_merge_lifecycle",
 ]
 
 

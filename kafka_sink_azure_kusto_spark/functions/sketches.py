@@ -309,3 +309,52 @@ def hll_distinct_sql(
            CAST(used AS BIGINT) AS registers_used
     FROM est
     """
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], key_col: str
+) -> DataFrame:
+    """The PERSISTABLE HLL state: (group_cols..., hll_idx, r) register
+    rows — what a daily job writes. Sketches merge by element-wise MAX
+    over (group, register): ``hll_merge_estimate`` of N days equals
+    the single-shot ``hll_distinct`` of the union, exactly (MAX is
+    associative/commutative/idempotent — re-ingest is harmless)."""
+    v = md5_hex8_long(F.col(key_col), salt="hll:")
+    idx = F.shiftrightunsigned(v, HLL_REST_BITS)
+    rest = v.bitwiseAND(F.lit((1 << HLL_REST_BITS) - 1))
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(*group_cols, idx.alias("hll_idx"), _hll_rho(rest).alias("rho"))
+        .groupBy(*group_cols, "hll_idx")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_merge_estimate(
+    registers: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Merge persisted register frames (pre-unioned) and estimate —
+    identical math to ``hll_distinct`` from the merged registers."""
+    regs = registers.groupBy(*group_cols, "hll_idx").agg(
+        F.max("r").alias("r")
+    )
+    per_group = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("used"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_REST_BITS + 1} - r)")
+        ).alias("s_seen"),
+    )
+    m = HLL_M
+    zeros = F.lit(m) - F.col("used")
+    s_total = F.col("s_seen") + zeros * F.lit(1 << (HLL_REST_BITS + 1))
+    alpha = F.expr(HLL_ALPHA_EXPR)
+    raw = alpha * m * m * float(1 << (HLL_REST_BITS + 1)) / s_total
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(raw)
+    return per_group.select(
+        *group_cols,
+        F.round(est, 6).alias("est_distinct"),
+        F.col("used").cast("long").alias("registers_used"),
+    )

@@ -94,6 +94,7 @@ _GATE_PRIORITY = [
     "multimodal_resize",                 # real NN resize, stub retired
     "multimodal_audio_resample",         # 4 kHz rate conversion, real codec
     "distinct_hll_estimate",             # HLL, exact integer register sum
+    "sketch_merge_lifecycle",            # daily registers → MAX-merge proof
     # --- changed implementation in r8 ---
     "multimodal_dhash_dedup",         # VERDICT r7 #1: decode-once persist
     "multimodal_audio_fingerprint_dedup",  # same materialization fix

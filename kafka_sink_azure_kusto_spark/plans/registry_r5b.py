@@ -1026,6 +1026,8 @@ def bpe_encode_corpus_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 from kafka_sink_azure_kusto_spark.functions.sketches import (  # noqa: E402
     hll_distinct,
     hll_distinct_sql,
+    hll_merge_estimate,
+    hll_registers,
 )
 
 
@@ -1052,6 +1054,43 @@ def distinct_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     `functions/sketches.hll_distinct`."""
     ev = load_table(spark, sf_dir, "events")
     est = hll_distinct(ev, ["event_type"], "user_id")
+    true_d = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("true_distinct")
+    )
+    return est.join(true_d, "event_type").select(
+        "event_type", "est_distinct", "registers_used", "true_distinct"
+    )
+
+
+@register(
+    "sketch_merge_lifecycle",
+    f"""
+    SELECT h.event_type, h.est_distinct, h.registers_used, t.true_distinct
+    FROM ({hll_distinct_sql("events", "event_type", "event_type", "user_id")}) h
+    JOIN (SELECT event_type, COUNT(DISTINCT user_id) AS true_distinct
+          FROM events GROUP BY event_type) t
+      ON h.event_type = t.event_type
+    """,
+)
+def sketch_merge_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGEABILITY proof for the HLL sketch (r8): events split
+    into three "daily" ingests (event_id % 3), each day builds its own
+    register frame (`sketches.hll_registers` — the persistable state a
+    production job writes to parquet), the three frames merge by
+    element-wise MAX (`hll_merge_estimate`), and the oracle is
+    deliberately the SINGLE-SHOT whole-corpus HLL SQL: merged-of-parts
+    must equal computed-once EXACTLY (MAX is associative, commutative,
+    idempotent — so re-ingested days are harmless too, which the unit
+    test pins). This is the property that lets 100 TB dashboards keep
+    per-day sketch rows instead of raw keys."""
+    ev = load_table(spark, sf_dir, "events")
+    days = [
+        hll_registers(ev.filter(F.col("event_id") % 3 == d),
+                      ["event_type"], "user_id")
+        for d in range(3)
+    ]
+    merged = days[0].unionByName(days[1]).unionByName(days[2])
+    est = hll_merge_estimate(merged, ["event_type"])
     true_d = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("true_distinct")
     )

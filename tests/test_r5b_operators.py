@@ -375,3 +375,34 @@ def test_hll_estimate_accuracy_and_small_range(spark):
     dup = big.unionByName(big)
     e_dup = hll_distinct(dup, ["g"], "k").collect()[0].est_distinct
     assert e_dup == e_big
+
+
+def test_hll_merge_equals_single_shot_and_reingest_safe(spark):
+    """Merged-of-parts == computed-once, and re-ingesting a day
+    (duplicate register frame) changes nothing (MAX idempotence)."""
+    from pyspark.sql import functions as F
+
+    from kafka_sink_azure_kusto_spark.functions.sketches import (
+        hll_distinct,
+        hll_merge_estimate,
+        hll_registers,
+    )
+
+    df = spark.range(5_000).select(
+        (F.col("id") % 3).cast("string").alias("g"), F.col("id").alias("k")
+    )
+    single = {r.g: r.est_distinct for r in hll_distinct(df, ["g"], "k").collect()}
+    days = [
+        hll_registers(df.filter(F.col("k") % 4 == d), ["g"], "k")
+        for d in range(4)
+    ]
+    merged = days[0]
+    for d in days[1:]:
+        merged = merged.unionByName(d)
+    got = {r.g: r.est_distinct
+           for r in hll_merge_estimate(merged, ["g"]).collect()}
+    assert got == single
+    # re-ingest day 2: idempotent
+    got2 = {r.g: r.est_distinct
+            for r in hll_merge_estimate(merged.unionByName(days[2]), ["g"]).collect()}
+    assert got2 == single
