@@ -507,10 +507,30 @@ def temperature_mix_rates(
     rate(g) = min(1, share(g) · total_keep / n_g). One tiny per-domain
     aggregate; the normalizer joins back via a broadcast of a 1-row
     frame (never a driver collect). Rates cap at 1 — this operator
-    never upsamples."""
+    never upsamples.
+
+    The normalizer Σ n^α is a float sum, so its value would depend on
+    summation order if computed as a plain ``sum()`` aggregate; since
+    a last-ulp drift in ``tw`` can flip an md5-unit boundary row of
+    the keep-set, it is instead computed as a LEFT FOLD over the
+    per-domain weights sorted by domain key (``array_sort`` of the
+    collected (domain, wt) structs + ``F.aggregate`` — |domains| rows,
+    bounded) — one fixed association order, reproducible across
+    partitionings, engines, and reruns (round-9 advice). The DuckDB
+    twin folds the same sorted list with ``list_reduce``."""
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("cnt"))
     w = counts.withColumn("wt", F.pow(F.col("cnt").cast("double"), alpha))
-    tot = w.agg(F.sum("wt").alias("tw"))
+    tot = w.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(group_col).alias("g"), F.col("wt").alias("w"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["w"],
+        ).alias("tw")
+    )
     return (
         w.crossJoin(F.broadcast(tot))
         .select(

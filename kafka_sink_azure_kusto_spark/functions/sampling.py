@@ -44,6 +44,18 @@ def md5_hex8_long(key: Column, salt: str = "") -> Column:
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
 
 
+def md5_hex15_long(key: Column, salt: str = "") -> Column:
+    """Value of the first 15 md5 hex digits of ``key || salt`` as a
+    long (uniform over [0, 2^60) — the widest prefix that fits a
+    signed 64-bit integer). The wide sibling of ``md5_hex8_long`` for
+    sketches whose accuracy ceiling depends on hash width (HLL rank
+    fields, band hashes): 2^32 saturates near ~4e9 distinct values,
+    2^60 does not at any realistic corpus size. SQL mirror:
+    ``md5_hex_prefix_long_sql(key_expr, 15, salt)``."""
+    h = F.md5(F.concat(key.cast("string"), F.lit(salt)))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+
+
 def md5_hex8_long_sql(key_expr: str, salt: str = "") -> str:
     """ANSI-SQL mirror of ``md5_hex8_long`` (DuckDB-runnable) —
     generated per-digit since DuckDB lacks ``conv``; bit-identical on

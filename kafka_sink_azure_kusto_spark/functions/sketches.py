@@ -33,6 +33,8 @@ from pyspark.sql import functions as F
 from kafka_sink_azure_kusto_spark.functions.sampling import (
     md5_hex8_long,
     md5_hex8_long_sql,
+    md5_hex15_long,
+    md5_hex_prefix_long_sql,
     md5_unit_interval,
     md5_unit_interval_sql,
 )
@@ -199,10 +201,15 @@ def kmv_distinct_sql(
 
 # ------------------------------------------------------------ HyperLogLog
 
-#: HLL geometry: 256 registers (top 8 bits of the 32-bit md5 value),
-#: rank over the low 24 bits (rho ∈ 1..25; 25 = the 24-bit field is 0).
+#: HLL geometry: 256 registers (top 8 bits of the 60-bit md5-prefix
+#: value), rank over the low 52 bits (rho ∈ 1..53; 53 = the 52-bit
+#: field is 0). A 52-bit rank field keeps the estimator unbiased far
+#: past the ~4·10^9 ceiling a 32-bit hash imposes (standard HLL uses a
+#: 64-bit hash; 60 is the widest md5 prefix that fits a signed long in
+#: BOTH engines) — the "billions of distinct keys per group at 100 TB"
+#: claim needs this width.
 HLL_M = 256
-HLL_REST_BITS = 24
+HLL_REST_BITS = 52
 #: bias constant alpha_m = 0.7213 / (1 + 1.079/m) — the published HLL
 #: constant for m ≥ 128; written as the formula (not a rounded float)
 #: so both engines constant-fold the identical double.
@@ -241,13 +248,16 @@ def hll_distinct(
 
     Determinism is total, not statistical-only: the register harmonic
     sum Σ_j 2^(−M_j) is computed as the EXACT integer
-    Σ_j 2^(25 − M_j) (each term ≤ 2^24, total < 2^33 — exact in a
-    long AND in a double), so summation order cannot drift between
-    engines; the only floats are the final α·m²·2^25 / S divide and
-    the small-range linear-counting branch m·ln(m/V) (identical
-    formulas both sides). NULL keys drop before hashing (COUNT
-    DISTINCT semantics, same as KMV)."""
-    v = md5_hex8_long(F.col(key_col), salt="hll:")
+    Σ_j 2^(53 − M_j) (each term ≤ 2^52, total ≤ 2^60 — exact in a
+    signed long in both engines), so summation order cannot drift;
+    the int64→double conversion before the final divide is the same
+    IEEE round-to-nearest in both engines, so the only floats are the
+    final α·m²·2^53 / S divide and the small-range linear-counting
+    branch m·ln(m/V) (identical formulas both sides). The hash is the
+    60-bit md5 prefix (8-bit register index + 52-bit rank field), so
+    there is no ~4e9 saturation ceiling. NULL keys drop before
+    hashing (COUNT DISTINCT semantics, same as KMV)."""
+    v = md5_hex15_long(F.col(key_col), salt="hll:")
     idx = F.shiftrightunsigned(v, HLL_REST_BITS)
     rest = v.bitwiseAND(F.lit((1 << HLL_REST_BITS) - 1))
     regs = (
@@ -285,7 +295,7 @@ def hll_distinct_sql(
     geometry constants so the engines cannot drift."""
     m = HLL_M
     rb = HLL_REST_BITS
-    v = md5_hex8_long_sql(key_expr, salt="hll:")
+    v = md5_hex_prefix_long_sql(key_expr, 15, salt="hll:")
     return f"""
     WITH hv AS (SELECT {group_expr} AS {group_alias},
                        ({v}) // {1 << rb} AS hll_idx,
@@ -319,7 +329,7 @@ def hll_registers(
     over (group, register): ``hll_merge_estimate`` of N days equals
     the single-shot ``hll_distinct`` of the union, exactly (MAX is
     associative/commutative/idempotent — re-ingest is harmless)."""
-    v = md5_hex8_long(F.col(key_col), salt="hll:")
+    v = md5_hex15_long(F.col(key_col), salt="hll:")
     idx = F.shiftrightunsigned(v, HLL_REST_BITS)
     rest = v.bitwiseAND(F.lit((1 << HLL_REST_BITS) - 1))
     return (

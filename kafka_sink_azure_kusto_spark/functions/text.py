@@ -177,7 +177,14 @@ def quality_classifier(
     the only floating-point steps are the final divide and sigmoid.
     This is the scoring half of the classifier-filter family
     (CCNet/fastText quality filters); training stays offline and ships
-    as the weight table."""
+    as the weight table.
+
+    NULL-text documents are dropped (no tokens ⇒ no features ⇒ no
+    score — same row-membership rule as the DuckDB oracle's
+    unnest + GROUP BY, which never emits a group for a NULL token
+    array; round-9 advice closed the latent divergence where the Spark
+    side used to emit a NULL-scored row)."""
+    df = df.filter(F.col(col).isNotNull())
     c = F.col(col)
     toks = tokens(c)
     n = F.size(toks)

@@ -1139,7 +1139,8 @@ _UTMIX = md5_unit_interval_sql("d.doc_id", salt="tmix")
     f"""
     WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
     w AS (SELECT source, cnt, pow(CAST(cnt AS DOUBLE), 0.5) AS wt FROM c),
-    t AS (SELECT sum(wt) AS tw FROM w)
+    t AS (SELECT list_reduce(list(wt ORDER BY source), (x, y) -> x + y) AS tw
+          FROM w)
     SELECT d.doc_id, d.source
     FROM documents d JOIN w USING (source) CROSS JOIN t
     WHERE {_UTMIX} < least(1.0, (wt / tw) * 250.0 / cnt)

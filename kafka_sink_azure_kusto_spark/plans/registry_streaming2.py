@@ -566,8 +566,20 @@ def streaming_incremental_neardup_store(
             batch, mb.table(tbl), num_hashes=16, num_bands=4, k=3,
             jaccard_threshold=0.5,
         )
-        # force the probe BEFORE admitting this batch's signatures
-        res.write.mode("append").parquet(results_dir)
+        # Force the probe BEFORE admitting this batch's signatures.
+        # The write is epoch-keyed + overwrite (the standard
+        # foreachBatch exactly-once recipe): a micro-batch RETRY
+        # rewrites the same epoch directory instead of appending a
+        # duplicate copy of the batch's result rows (round-9 advice).
+        # The store append below stays append-mode — a retry would
+        # duplicate signature ROWS, but triage labels depend only on
+        # match EXISTENCE (semi-join + DISTINCT inside
+        # incremental_neardup_dedup), so duplicated history signatures
+        # cannot change any later batch's labels; compaction folds
+        # them away.
+        res.write.mode("overwrite").parquet(
+            os.path.join(results_dir, f"epoch={int(epoch_id)}")
+        )
         append_bucketed(
             D.banded_signatures(batch, "text", "doc_id", 16, 4, 3),
             tbl, key, num_buckets=8,
