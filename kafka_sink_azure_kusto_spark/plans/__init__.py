@@ -7,3 +7,4 @@ import kafka_sink_azure_kusto_spark.plans.registry_r5b  # noqa: E402,F401 — TP
 import kafka_sink_azure_kusto_spark.plans.registry_streaming2  # noqa: E402,F401 — session windows/stream-static/watermark dedup
 import kafka_sink_azure_kusto_spark.plans.registry_windows  # noqa: E402,F401 — RANGE frames/ntile bins/shares/lead-lag gaps
 import kafka_sink_azure_kusto_spark.plans.registry_attribution  # noqa: E402,F401 — last-touch attribution/survivorship/co-purchase
+import kafka_sink_azure_kusto_spark.plans.registry_r9  # noqa: E402,F401 — substring-span dedup/production multimodal kernels

@@ -80,21 +80,25 @@ def _workdir(prefix: str) -> str:
 # FIRST so every registry query earns a driver-green row across rounds;
 # previously-green anchors fill the remaining gate slots.
 _GATE_PRIORITY = [
-    # r8 rotation rule (VERDICT r6 #1): any query whose implementation
+    # rotation rule (VERDICT r6 #1): any query whose implementation
     # OR shared helper changed this round leads the 50-slot gate.
-    # --- new in r8 ---
+    # --- new in r9 ---
+    "dedup_substring_spans",             # VERDICT r8 #5: anchor-gram span dedup
+    # --- changed implementation in r9 (round-9 advice fixes) ---
+    "distinct_hll_estimate",             # 60-bit hash (advice #2)
+    "sketch_merge_lifecycle",            # same geometry change
+    "domain_temperature_mix",            # deterministic normalizer (advice #4)
+    "text_quality_classifier",           # NULL-text membership (advice #5)
+    "streaming_incremental_neardup_store",  # epoch-keyed results (advice #3)
+    # --- r8 head retained while still fresh ---
+    "dedup_store_compaction_lifecycle",  # VERDICT r7 #4: append→compact
     "dedup_store_compaction_lifecycle",  # VERDICT r7 #4: append→compact
     "multimodal_video_dedup",            # VERDICT r7 #7: frame-sample dedup
-    "text_quality_classifier",           # hashed linear quality filter
-    "streaming_incremental_neardup_store",  # live probe→triage→admit loop
     "multimodal_clip_align_filter",      # CLIP-style pair curation
-    "domain_temperature_mix",            # n^alpha domain sampling
     "multimodal_video_dedup_capped",     # degenerate-block guard, exact
     "similarity_index_lifecycle",        # partitioned IVF build→append→probe
     "multimodal_resize",                 # real NN resize, stub retired
     "multimodal_audio_resample",         # 4 kHz rate conversion, real codec
-    "distinct_hll_estimate",             # HLL, exact integer register sum
-    "sketch_merge_lifecycle",            # daily registers → MAX-merge proof
     # --- changed implementation in r8 ---
     "multimodal_dhash_dedup",         # VERDICT r7 #1: decode-once persist
     "multimodal_audio_fingerprint_dedup",  # same materialization fix

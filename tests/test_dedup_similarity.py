@@ -454,3 +454,92 @@ def test_compact_minhash_matches_python_reference(spark):
     ]
     assert list(row["sig"]) == expected
     assert all(0 <= v < COMPACT_MERSENNE for v in row["sig"])
+
+
+# ------------------------------------------------- substring-span dedup
+
+
+def test_substring_span_dedup_closed_form(spark):
+    """Known shared spans: doc 1/2 share an 8-token verbatim span
+    (span=8, trim for the long doc, drop for the doc it covers half
+    of), doc 3 is unrelated (keep), doc 4 has NULL text (keep, NULL
+    n_tokens), docs 5/6 are identical 6-token docs (span=6 = whole
+    doc, drop both)."""
+    from kafka_sink_azure_kusto_spark.functions.dedup import (
+        substring_span_dedup,
+    )
+
+    span8 = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    rows = [
+        (1, span8 + " x1 y1 z1 w1 v1 u1 t1 s1"),   # 16 tokens, span 8 -> drop (8*2>=16)
+        (2, "p1 p2 p3 p4 p5 p6 p7 p8 p9 " + span8),  # 17 tokens, span 8 -> trim
+        (3, "one two three four five six seven eight nine ten"),
+        (4, None),
+        (5, "same same2 same3 same4 same5 same6"),
+        (6, "same same2 same3 same4 same5 same6"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in substring_span_dedup(df, "text", "doc_id", k=6).collect()
+    }
+    assert len(out) == 6
+    assert out[1].span_tokens == 8 and out[1].partner_id == 2
+    assert out[1].action == "drop"  # 8*2 >= 16
+    assert out[2].span_tokens == 8 and out[2].partner_id == 1
+    assert out[2].action == "trim"  # 8*2 < 17
+    assert out[3].action == "keep" and out[3].span_tokens == 0
+    assert out[3].partner_id is None
+    assert out[4].action == "keep" and out[4].n_tokens is None
+    assert out[5].action == "drop" and out[5].span_tokens == 6
+    assert out[5].partner_id == 6 and out[6].partner_id == 5
+
+
+def test_substring_span_dedup_cap_bounds_pairs(spark):
+    """A boilerplate k-gram shared by MANY docs: with bucket_cap=c only
+    the first c docs (by doc_id order) can pair on it — the others
+    keep. This is the member-cap guard that bounds worst-case join
+    fan-out at cap² regardless of how hot the anchor is."""
+    from kafka_sink_azure_kusto_spark.functions.dedup import (
+        substring_span_dedup,
+    )
+
+    boiler = "terms of service apply to everyone"  # exactly 6 tokens
+    rows = [
+        (i, f"u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g " + boiler)
+        for i in range(30)
+    ]  # 13 tokens: span 6 covers < half -> trim for the capped docs
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in substring_span_dedup(
+            df, "text", "doc_id", k=6, bucket_cap=5
+        ).collect()
+    }
+    flagged = [i for i in range(30) if out[i].action != "keep"]
+    # docs 0..4 hold the 5 capped bucket slots; no one else pairs
+    assert flagged == [0, 1, 2, 3, 4]
+    for i in flagged:
+        assert out[i].span_tokens == 6 and out[i].action == "trim"
+
+
+def test_substring_span_dedup_diagonal_runs_merge(spark):
+    """Two shared spans in ONE doc pair at different offsets must NOT
+    merge across diagonals: spans of 7 and 6 tokens yield longest 7."""
+    from kafka_sink_azure_kusto_spark.functions.dedup import (
+        substring_span_dedup,
+    )
+
+    s7 = "m1 m2 m3 m4 m5 m6 m7"
+    s6 = "n1 n2 n3 n4 n5 n6"
+    rows = [
+        (1, s7 + " gapA gapB " + s6 + " tail1 tail2 tail3 tail4 tail5 tail6"),
+        (2, s6 + " other1 other2 other3 " + s7 + " other4 other5 other6 other7"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in substring_span_dedup(df, "text", "doc_id", k=6).collect()
+    }
+    assert out[1].span_tokens == 7
+    assert out[2].span_tokens == 7
