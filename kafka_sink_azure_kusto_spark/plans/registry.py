@@ -84,6 +84,8 @@ _GATE_PRIORITY = [
     # OR shared helper changed this round leads the 50-slot gate.
     # --- new in r9 ---
     "dedup_substring_spans",             # VERDICT r8 #5: anchor-gram span dedup
+    "multimodal_resize_bilinear",        # VERDICT r8 #8: Q16 bilinear kernel
+    "multimodal_resample_sinc",          # VERDICT r8 #8: Q12 polyphase sinc
     # --- changed implementation in r9 (round-9 advice fixes) ---
     "distinct_hll_estimate",             # 60-bit hash (advice #2)
     "sketch_merge_lifecycle",            # same geometry change

@@ -90,3 +90,120 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", k=_SPAN_K, bucket_cap=_SPAN_CAP,
         drop_num=1, drop_den=2,
     )
+
+
+# ---------------------------------------------- production kernels (r9)
+
+from kafka_sink_azure_kusto_spark.functions import multimodal as M  # noqa: E402
+from kafka_sink_azure_kusto_spark.functions.multimodal import (  # noqa: E402
+    SINC_PHASES,
+    SINC_TABLE,
+    SINC_TAPS,
+)
+
+_BILINEAR_ORACLE = """
+    WITH imgs AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+                  FROM documents WHERE doc_id % 3 != 2),
+    out_idx AS (SELECT doc_id, w, h, unnest(range(0, 144)) AS j FROM imgs),
+    phase AS (SELECT doc_id, w, h, j, j % 3 AS ch,
+                     (((j // 3) // 8) * (h - 1) * 256) // 5 AS fy,
+                     (((j // 3) % 8) * (w - 1) * 256) // 7 AS fx
+              FROM out_idx),
+    corners AS (SELECT doc_id, w, h, j, ch,
+                       fy // 256 AS y0, fy % 256 AS wy,
+                       fx // 256 AS x0, fx % 256 AS wx,
+                       least(fy // 256 + 1, h - 1) AS y1,
+                       least(fx // 256 + 1, w - 1) AS x1
+                FROM phase),
+    vals AS (SELECT doc_id, j,
+        ((256 - wy) * ((256 - wx) * (CASE ch
+                WHEN 0 THEN (doc_id * 31 + (y0 * w + x0) * 7) % 256
+                WHEN 1 THEN (doc_id * 37 + (y0 * w + x0) * 11) % 256
+                ELSE (doc_id * 41 + (y0 * w + x0) * 13) % 256 END)
+            + wx * (CASE ch
+                WHEN 0 THEN (doc_id * 31 + (y0 * w + x1) * 7) % 256
+                WHEN 1 THEN (doc_id * 37 + (y0 * w + x1) * 11) % 256
+                ELSE (doc_id * 41 + (y0 * w + x1) * 13) % 256 END))
+         + wy * ((256 - wx) * (CASE ch
+                WHEN 0 THEN (doc_id * 31 + (y1 * w + x0) * 7) % 256
+                WHEN 1 THEN (doc_id * 37 + (y1 * w + x0) * 11) % 256
+                ELSE (doc_id * 41 + (y1 * w + x0) * 13) % 256 END)
+            + wx * (CASE ch
+                WHEN 0 THEN (doc_id * 31 + (y1 * w + x1) * 7) % 256
+                WHEN 1 THEN (doc_id * 37 + (y1 * w + x1) * 11) % 256
+                ELSE (doc_id * 41 + (y1 * w + x1) * 13) % 256 END)))
+        // 65536 AS v
+             FROM corners)
+    SELECT doc_id, CAST(8 AS BIGINT) AS out_w, CAST(6 AS BIGINT) AS out_h,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS sample_sum,
+           CAST(SUM((j + 1) * v) AS BIGINT) AS checksum
+    FROM vals GROUP BY doc_id
+"""
+
+
+@register("multimodal_resize_bilinear", _BILINEAR_ORACLE)
+def multimodal_resize_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear image resize to 8×6 through the real codec path (r9 —
+    the production kernel VERDICT r8 #8 asked for, upgrading
+    `multimodal_resize`'s nearest gather): Q8 align-corners phase
+    weights, Q16 integer accumulation, >>16 de-scale — non-negative
+    end to end, so both engines floor identically and the oracle
+    replays decode + interpolation closed-form from the pixel spec.
+    Same plan as the nearest sibling: WAV rows filter JVM-side, ONE
+    MapInPandas, position-weighted checksum asserting pixel order.
+    `multimodal.resize_bilinear`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.synth_resize_bilinear_stats(docs, target_w=8, target_h=6)
+
+
+def _sinc_flat_sql() -> str:
+    flat = [c for row in SINC_TABLE for c in row]
+    return "[" + ", ".join(str(c) for c in flat) + "]"
+
+
+_SINC_ORACLE = f"""
+    WITH wavs AS (SELECT doc_id,
+                         50 + doc_id % 100 AS n_in,
+                         8000 + (doc_id % 5) * 1000 AS rate_in
+                  FROM documents WHERE doc_id % 3 = 2),
+    dims AS (SELECT doc_id, n_in, rate_in,
+                    (n_in * 4000) // rate_in AS n_out FROM wavs),
+    idx AS (SELECT doc_id, n_in, rate_in, n_out,
+                   unnest(range(0, n_out)) AS j FROM dims),
+    taps AS (SELECT doc_id, n_in, rate_in, n_out, j, t.t AS t,
+                    (j * n_in) // n_out AS base,
+                    ((j * n_in) % n_out) * {SINC_PHASES} // n_out AS ph
+             FROM idx CROSS JOIN (SELECT unnest(range(0, {SINC_TAPS})) AS t) t),
+    terms AS (SELECT doc_id, rate_in, n_out, j,
+                     ({_sinc_flat_sql()})[ph * {SINC_TAPS} + t + 1]
+                     * (((doc_id * 131
+                          + least(greatest(base + t - 3, 0), n_in - 1) * 17)
+                         % 65536) - 32768) AS term
+              FROM taps),
+    outq AS (SELECT doc_id, rate_in, n_out, j, SUM(term) AS v
+             FROM terms GROUP BY doc_id, rate_in, n_out, j)
+    SELECT doc_id,
+           CAST(any_value(rate_in) AS BIGINT) AS rate_in,
+           CAST(4000 AS BIGINT) AS rate_out,
+           CAST(COUNT(*) AS BIGINT) AS n_out,
+           CAST(SUM(v) AS BIGINT) AS q12_sum,
+           CAST(SUM((j + 1) * v) AS BIGINT) AS q12_checksum
+    FROM outq GROUP BY doc_id
+"""
+
+
+@register("multimodal_resample_sinc", _SINC_ORACLE)
+def multimodal_resample_sinc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polyphase windowed-sinc audio resampling to 4 kHz (r9 — the
+    production kernel VERDICT r8 #8 asked for, upgrading
+    `multimodal_audio_resample`'s nearest gather): 32-phase Q12 tap
+    table generated once driver-side and embedded as integer literals
+    in BOTH the kernel and this oracle — no engine evaluates trig.
+    Output stays raw Q12 (a signed de-scale is the one step whose
+    floor/truncate semantics differ between numpy and DuckDB). Same
+    plan as the nearest sibling: image rows filter JVM-side, ONE
+    MapInPandas, position-weighted checksum.
+    `multimodal.resample_sinc`."""
+    docs = load_table(spark, sf_dir, "documents")
+    return M.synth_audio_resample_sinc_stats(docs, target_rate=4000)

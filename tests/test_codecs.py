@@ -460,3 +460,100 @@ def test_resample_nearest_known_case():
     assert half.tolist() == [0, 6, 12, 18, 24]  # every 2nd of the ramp
     same = resample_nearest(m, 8000)
     assert same.tolist() == (np.arange(10) * 3).tolist()
+
+
+def test_resize_bilinear_identity_midpoint_and_reference():
+    """Bilinear (Q8/Q16 integer): identity when out dims == in dims
+    (phases all land on integer coordinates, weights 0); a 2-pixel-row
+    interpolation at the midpoint averages exactly; and a brute-force
+    scalar reimplementation of the documented formula agrees on a
+    random raster."""
+    import numpy as np
+
+    from kafka_sink_azure_kusto_spark.functions.codecs import DecodedMedia
+    from kafka_sink_azure_kusto_spark.functions.multimodal import (
+        resize_bilinear,
+    )
+
+    samples = np.array(
+        [v for p in range(8) for v in (10 * p, 10 * p + 1, 10 * p + 2)],
+        dtype=np.int64,
+    )
+    m = DecodedMedia(
+        media_type="bmp", width=4, height=2, sample_rate=0, samples=samples
+    )
+    ident = resize_bilinear(m, 4, 2)
+    assert (ident == samples).all()
+
+    # 1x2 column of pixels 0 and 100 -> 1x3 align-corners: midpoint
+    # phase fy = 1*1*256//2 = 128 -> (128*0 + 128*100*256)>>16 = 50
+    col = DecodedMedia(
+        media_type="bmp", width=1, height=2, sample_rate=0,
+        samples=np.array([0, 0, 0, 100, 100, 100], dtype=np.int64),
+    )
+    out = resize_bilinear(col, 1, 3)
+    assert out.reshape(3, 3)[:, 0].tolist() == [0, 50, 100]
+
+    # scalar reference on a pseudo-random 5x4 raster -> 8x6
+    rng = np.random.RandomState(3)
+    raster = rng.randint(0, 256, size=4 * 5 * 3).astype(np.int64)
+    mm = DecodedMedia(
+        media_type="bmp", width=5, height=4, sample_rate=0, samples=raster
+    )
+    got = resize_bilinear(mm, 8, 6).reshape(6, 8, 3)
+    s = raster.reshape(4, 5, 3)
+    for r in range(6):
+        for c in range(8):
+            fy = (r * 3 * 256) // 5
+            fx = (c * 4 * 256) // 7
+            y0, wy = fy >> 8, fy & 255
+            x0, wx = fx >> 8, fx & 255
+            y1, x1 = min(y0 + 1, 3), min(x0 + 1, 4)
+            for ch in range(3):
+                exp = (
+                    (256 - wy) * ((256 - wx) * s[y0, x0, ch] + wx * s[y0, x1, ch])
+                    + wy * ((256 - wx) * s[y1, x0, ch] + wx * s[y1, x1, ch])
+                ) >> 16
+                assert got[r, c, ch] == exp
+
+
+def test_resample_sinc_table_and_dc_gain():
+    """Q12 sinc table sanity: phase 0 is a unit impulse (passthrough
+    at integer positions — center tap 4096, all others 0 because sinc
+    hits integer zeros), so same-rate 'conversion' reproduces the
+    input ×4096; every phase's DC gain stays within 2% of 4096 (window
+    normalization)."""
+    import numpy as np
+
+    from kafka_sink_azure_kusto_spark.functions.codecs import DecodedMedia
+    from kafka_sink_azure_kusto_spark.functions.multimodal import (
+        SINC_Q,
+        SINC_TABLE,
+        resample_sinc,
+    )
+
+    assert SINC_TABLE[0][3] == SINC_Q
+    assert all(SINC_TABLE[0][t] == 0 for t in range(8) if t != 3)
+    for row in SINC_TABLE:
+        assert abs(sum(row) - SINC_Q) <= SINC_Q * 0.02
+
+    sig = np.arange(20, dtype=np.int64) * 5 - 30
+    m = DecodedMedia(
+        media_type="wav", width=0, height=0, sample_rate=8000, samples=sig
+    )
+    same = resample_sinc(m, 8000)
+    assert same.tolist() == (sig * SINC_Q).tolist()
+
+
+def test_bilinear_and_sinc_plans_single_mapinpandas(spark):
+    """Both production kernels keep the decode-once single-Arrow-pass
+    plan: exactly 1 MapInPandas, JVM-side kind filter below it."""
+    from kafka_sink_azure_kusto_spark.functions.multimodal import (
+        synth_audio_resample_sinc_stats,
+        synth_resize_bilinear_stats,
+    )
+
+    df = spark.range(0, 60).withColumnRenamed("id", "doc_id")
+    for fn in (synth_resize_bilinear_stats, synth_audio_resample_sinc_stats):
+        plan = fn(df)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("MapInPandas") == 1, plan
