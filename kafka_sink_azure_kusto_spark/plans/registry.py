@@ -86,6 +86,7 @@ _GATE_PRIORITY = [
     "dedup_substring_spans",             # VERDICT r8 #5: anchor-gram span dedup
     "multimodal_resize_bilinear",        # VERDICT r8 #8: Q16 bilinear kernel
     "multimodal_resample_sinc",          # VERDICT r8 #8: Q12 polyphase sinc
+    "streaming_neardup_store_live_compaction",  # VERDICT r8 #6: mid-stream compact
     # --- changed implementation in r9 (round-9 advice fixes) ---
     "distinct_hll_estimate",             # 60-bit hash (advice #2)
     "sketch_merge_lifecycle",            # same geometry change

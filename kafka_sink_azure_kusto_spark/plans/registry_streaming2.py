@@ -493,37 +493,26 @@ _INCR_STORE_ORACLE = f"""
 """
 
 
-@register("streaming_incremental_neardup_store", _INCR_STORE_ORACLE)
-def streaming_incremental_neardup_store(
-    spark: SparkSession, sf_dir: str
+def _run_incr_store_loop(
+    spark: SparkSession,
+    sf_dir: str,
+    tbl: str,
+    compact_after_epoch: int | None = None,
+    file_counts: dict | None = None,
 ) -> DataFrame:
-    """CONTINUOUS-INGEST near-dup triage with a LIVE signature store
-    (r8): each micro-batch (a) probes the persisted bucketed
-    banded-signature store with `incremental_neardup_dedup`, then (b)
-    `append_bucketed`s its own signatures so every LATER batch sees it
-    as history — the full production ingest loop (probe → triage →
-    admit) run through the real streaming engine, batch by batch. The
-    arrival order IS the semantics: a doc is 'neardup_of_history' iff
-    it matches a doc from an EARLIER micro-batch, 'neardup_in_batch'
-    iff its first match is a smaller-id doc in the SAME batch. The
-    oracle replays exactly that sequential semantics closed-form
-    (chunk = doc_id % 3 = arrival batch).
-
-    Materialization order is the correctness heart: the batch's triage
-    result is WRITTEN (forced) BEFORE its signatures are appended —
-    appending first would let the lazy probe see its own batch as
-    history. Scale shape: the store is bucketed on (band_id,
-    band_hash), so each probe exchanges only the small batch side;
-    appends are bucket-spec-preserving deltas; `compact_bucketed_table`
-    (gated separately in `dedup_store_compaction_lifecycle`) is the
-    maintenance companion. Composes `functions/dedup.py`,
-    `operators/bucketing.py`, Structured Streaming foreachBatch."""
+    """Shared engine of the two live-store streaming queries: probe →
+    triage → admit per micro-batch; optionally run
+    ``compact_bucketed_table`` MID-STREAM after the given epoch's
+    admit (the production maintenance story — VERDICT r8 #6), with
+    before/after data-file counts recorded into ``file_counts``."""
     import shutil
     from urllib.parse import urlparse
 
     from kafka_sink_azure_kusto_spark.functions import dedup as D
     from kafka_sink_azure_kusto_spark.operators.bucketing import (
         append_bucketed,
+        compact_bucketed_table,
+        table_file_count,
         write_bucketed,
     )
 
@@ -541,7 +530,6 @@ def streaming_incremental_neardup_store(
     replay = os.path.join(work, "replay")
     _stage_chunks(chunks, replay)
 
-    tbl = "stream_sig_store_live"
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
@@ -584,6 +572,18 @@ def streaming_incremental_neardup_store(
             D.banded_signatures(batch, "text", "doc_id", 16, 4, 3),
             tbl, key, num_buckets=8,
         )
+        if compact_after_epoch is not None and int(epoch_id) == compact_after_epoch:
+            # MID-STREAM maintenance: compact the store between this
+            # batch's admit and the next batch's probe. Labels of every
+            # later batch must be unchanged (compaction is
+            # result-invariant — same rows, one file per bucket) and
+            # the delta-per-batch file growth resets to num_buckets.
+            mb.catalog.refreshTable(tbl)
+            if file_counts is not None:
+                file_counts["pre_compact"] = table_file_count(mb, tbl)
+            n = compact_bucketed_table(mb, tbl, key, num_buckets=8)
+            if file_counts is not None:
+                file_counts["post_compact"] = n
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
@@ -599,3 +599,51 @@ def streaming_incremental_neardup_store(
     q.awaitTermination(180)
     q.stop()
     return spark.read.parquet(results_dir).select("doc_id", "status")
+
+
+@register("streaming_incremental_neardup_store", _INCR_STORE_ORACLE)
+def streaming_incremental_neardup_store(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONTINUOUS-INGEST near-dup triage with a LIVE signature store
+    (r8): each micro-batch (a) probes the persisted bucketed
+    banded-signature store with `incremental_neardup_dedup`, then (b)
+    `append_bucketed`s its own signatures so every LATER batch sees it
+    as history — the full production ingest loop (probe → triage →
+    admit) run through the real streaming engine, batch by batch. The
+    arrival order IS the semantics: a doc is 'neardup_of_history' iff
+    it matches a doc from an EARLIER micro-batch, 'neardup_in_batch'
+    iff its first match is a smaller-id doc in the SAME batch. The
+    oracle replays exactly that sequential semantics closed-form
+    (chunk = doc_id % 3 = arrival batch).
+
+    Materialization order is the correctness heart: the batch's triage
+    result is WRITTEN (forced) BEFORE its signatures are appended —
+    appending first would let the lazy probe see its own batch as
+    history. Scale shape: the store is bucketed on (band_id,
+    band_hash), so each probe exchanges only the small batch side;
+    appends are bucket-spec-preserving deltas; `compact_bucketed_table`
+    (gated separately in `dedup_store_compaction_lifecycle` and LIVE
+    in `streaming_neardup_store_live_compaction`) is the maintenance
+    companion. Composes `functions/dedup.py`, `operators/bucketing.py`,
+    Structured Streaming foreachBatch."""
+    return _run_incr_store_loop(spark, sf_dir, "stream_sig_store_live")
+
+
+@register("streaming_neardup_store_live_compaction", _INCR_STORE_ORACLE)
+def streaming_neardup_store_live_compaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The live loop WITH mid-stream store maintenance (r9 — VERDICT
+    r8 #6): identical probe → triage → admit stream, but
+    `compact_bucketed_table` runs BETWEEN micro-batches (after batch
+    1's admit, before batch 2's probe) — the real production story,
+    where the store otherwise grows one delta per batch forever. The
+    oracle is DELIBERATELY the same sequential-semantics SQL as
+    `streaming_incremental_neardup_store`: a signature row lost,
+    duplicated, or mis-bucketed by the live compaction flips a batch-2
+    label and breaks the value hash. File-count reset to num_buckets
+    is asserted in tests/test_streaming_batch2.py."""
+    return _run_incr_store_loop(
+        spark, sf_dir, "stream_sig_store_live_cmp", compact_after_epoch=1
+    )
