@@ -140,6 +140,10 @@ HEADLINE = [
     "multimodal_audio_resample",
     "distinct_hll_estimate",
     "sketch_merge_lifecycle",
+    # r9: substring-span dedup, production interpolation kernels
+    "dedup_substring_spans",
+    "multimodal_resize_bilinear",
+    "multimodal_resample_sinc",
 ]
 
 
@@ -301,6 +305,176 @@ def _scale100x_timings(spark, sf_dir: str) -> dict:
     out["segment_dedup"] = {
         "sec_10x": seg[5_000], "sec_100x": seg[50_000],
         "scaling_exponent": exponent(seg),  # ~1.0 = linear (no pair blowup)
+    }
+
+    # --- r9 (VERDICT r8 #4): the two write-heavy lifecycle queries ---
+    # Their r8 gate rows prove correctness; their CLAIMS ("compaction
+    # is the amortized shuffle", "a probe touches n_probe cells, never
+    # the corpus") are scale claims — measured here at 10×/100× with
+    # the compaction observables (files before/after, probe wall
+    # against fragmented vs compacted store) and the probe pruning
+    # observables (bytes/files in probed cells vs the whole index).
+    import shutil
+    import tempfile
+    from urllib.parse import urlparse
+
+    from kafka_sink_azure_kusto_spark.operators.bucketing import (
+        append_bucketed,
+        compact_bucketed_table,
+        table_file_count,
+        write_bucketed,
+    )
+
+    def store_lifecycle(n: int) -> dict:
+        docs = synth_docs(spark, base_docs, n).cache()
+        docs.count()
+        batch = docs.filter(F.col("doc_id") % 3 == 0)
+        hist = docs.filter(F.col("doc_id") % 3 != 0)
+        tbl = f"scale_sig_store_{n}"
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for sfx in ("", "__compact_staging", "__compact_old"):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}{sfx}")
+            shutil.rmtree(os.path.join(wh, f"{tbl}{sfx}"), ignore_errors=True)
+        key = ["band_id", "band_hash"]
+
+        def sigs(part):
+            return D.banded_signatures(part, "text", "doc_id", 16, 4, 3)
+
+        t0 = time.perf_counter()
+        write_bucketed(sigs(hist.filter(F.col("doc_id") % 5 < 2)), tbl, key,
+                       num_buckets=8)
+        append_bucketed(sigs(hist.filter((F.col("doc_id") % 5).isin(2, 3))),
+                        tbl, key, num_buckets=8)
+        append_bucketed(sigs(hist.filter(F.col("doc_id") % 5 == 4)), tbl, key,
+                        num_buckets=8)
+        t_build = time.perf_counter() - t0
+        files_pre = table_file_count(spark, tbl)
+        spark.catalog.refreshTable(tbl)
+        t_probe_frag = timed(D.incremental_neardup_dedup(
+            batch, spark.table(tbl), num_hashes=16, num_bands=4, k=3,
+            jaccard_threshold=0.5))
+        t0 = time.perf_counter()
+        files_post = compact_bucketed_table(spark, tbl, key, num_buckets=8)
+        t_compact = time.perf_counter() - t0
+        spark.catalog.refreshTable(tbl)
+        t_probe_comp = timed(D.incremental_neardup_dedup(
+            batch, spark.table(tbl), num_hashes=16, num_bands=4, k=3,
+            jaccard_threshold=0.5))
+        docs.unpersist()
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        return {
+            "build_appends_sec": round(t_build, 3),
+            "compact_sec": round(t_compact, 3),
+            "probe_fragmented_sec": t_probe_frag,
+            "probe_compacted_sec": t_probe_comp,
+            "files_pre_compact": files_pre,
+            "files_post_compact": files_post,
+            "total_sec": round(t_build + t_compact + t_probe_comp, 3),
+        }
+
+    store = {n: store_lifecycle(n) for n in (5_000, 50_000)}
+    out["dedup_store_compaction_lifecycle"] = {
+        "sec_10x": store[5_000]["total_sec"],
+        "sec_100x": store[50_000]["total_sec"],
+        "scaling_exponent": exponent(
+            {k: v["total_sec"] for k, v in store.items()}
+        ),
+        "detail_10x": store[5_000],
+        "detail_100x": store[50_000],
+    }
+
+    def index_lifecycle(n: int) -> dict:
+        emb = synth_embeddings(spark, n).cache()
+        emb.count()
+        work = tempfile.mkdtemp(prefix=f"scale_ivf_idx_{n}_")
+        idx_dir = os.path.join(work, "index")
+        try:
+            t0 = time.perf_counter()
+            emb.filter(F.col("vec_id") % 3 != 2).withColumnRenamed(
+                "label", "cell"
+            ).write.partitionBy("cell").parquet(idx_dir)
+            emb.filter(F.col("vec_id") % 3 == 2).withColumnRenamed(
+                "label", "cell"
+            ).write.mode("append").partitionBy("cell").parquet(idx_dir)
+            t_build = time.perf_counter() - t0
+            index = spark.read.parquet(idx_dir)
+            q = emb.filter(F.col("vec_id") < 5)
+            t_probe = timed(S.ivf_topk(index, q, k=10, cell_col="cell"))
+            # pruning observables: the 5 query vectors land in cells
+            # 0..4 (label = vec_id % 32) — a pruned probe reads those
+            # cell directories only, never the whole index
+            probed_cells = {r[0] for r in q.select("label").distinct().collect()}
+            total_b = probed_b = 0
+            total_f = probed_f = 0
+            for root, _dirs, names in os.walk(idx_dir):
+                in_probed = os.path.basename(root) in {
+                    f"cell={c}" for c in probed_cells
+                }
+                for fn in names:
+                    if not fn.endswith(".parquet"):
+                        continue
+                    sz = os.path.getsize(os.path.join(root, fn))
+                    total_b += sz
+                    total_f += 1
+                    if in_probed:
+                        probed_b += sz
+                        probed_f += 1
+            emb.unpersist()
+            return {
+                "build_append_sec": round(t_build, 3),
+                "probe_sec": t_probe,
+                "index_files": total_f,
+                "index_bytes": total_b,
+                "probed_files": probed_f,
+                "probed_bytes": probed_b,
+                "probed_fraction": round(probed_b / max(total_b, 1), 4),
+            }
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    # --- r9 (VERDICT r8 #5): substring-span dedup member-cap probe ---
+    # Adversarial corpus: a 6-token boilerplate suffix on EVERY doc, so
+    # one anchor bucket holds the whole corpus. Uncapped, that bucket
+    # alone yields n²/2 candidate pairs (measured at 10× only — 100×
+    # would be 1.25e9 pairs); with the default cap the bucket
+    # contributes ≤ cap² pairs and the operator scales ~linearly.
+    span_capped: dict[int, float] = {}
+    span_uncapped_10x = None
+    boiler = " bz1 bz2 bz3 bz4 bz5 bz6"
+    for n in (5_000, 50_000):
+        docs = (
+            synth_docs(spark, base_docs, n)
+            .withColumn("text", F.concat(F.col("text"), F.lit(boiler)))
+            .cache()
+        )
+        docs.count()
+        span_capped[n] = timed(
+            D.substring_span_dedup(docs, "text", "doc_id", k=6, bucket_cap=20)
+        )
+        if n == 5_000:
+            span_uncapped_10x = timed(
+                D.substring_span_dedup(
+                    docs, "text", "doc_id", k=6, bucket_cap=1 << 30
+                )
+            )
+        docs.unpersist()
+    out["dedup_substring_spans"] = {
+        "sec_10x": span_capped[5_000], "sec_100x": span_capped[50_000],
+        "scaling_exponent": exponent(span_capped),
+        "uncapped_sec_10x": span_uncapped_10x,
+        "note": "every doc shares one boilerplate 6-gram; cap=20 bounds "
+                "the hot bucket at cap^2 pairs",
+    }
+
+    idx = {n: index_lifecycle(n) for n in (5_000, 50_000)}
+    out["similarity_index_lifecycle"] = {
+        "sec_10x": idx[5_000]["probe_sec"],
+        "sec_100x": idx[50_000]["probe_sec"],
+        "scaling_exponent": exponent(
+            {k: v["probe_sec"] for k, v in idx.items()}
+        ),
+        "detail_10x": idx[5_000],
+        "detail_100x": idx[50_000],
     }
     return out
 

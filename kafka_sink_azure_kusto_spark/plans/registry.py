@@ -95,7 +95,6 @@ _GATE_PRIORITY = [
     "streaming_incremental_neardup_store",  # epoch-keyed results (advice #3)
     # --- r8 head retained while still fresh ---
     "dedup_store_compaction_lifecycle",  # VERDICT r7 #4: append→compact
-    "dedup_store_compaction_lifecycle",  # VERDICT r7 #4: append→compact
     "multimodal_video_dedup",            # VERDICT r7 #7: frame-sample dedup
     "multimodal_clip_align_filter",      # CLIP-style pair curation
     "multimodal_video_dedup_capped",     # degenerate-block guard, exact
