@@ -447,9 +447,19 @@ def _avro_field_step(v, p, bts, typ):
     # returns a short slice for an over-length declaration, which would
     # decode a truncated body to a non-NULL prefix instead of NULLing
     # the field and starving the walk (the decode_records contract).
+    # The length feeding substr is CLAMPED to [-1, len+1] before the
+    # int cast: a mutated varint can zigzag-decode far outside int32
+    # range, and under ANSI mode the bare cast THROWS — a poisoned
+    # record would kill the job instead of NULLing (found by the r9
+    # mutated-body property test; the clamp never changes a value the
+    # `fits` guard allows through).
     dstart = p + vlen
     fits = vlen.isNotNull() & (zz >= 0) & (dstart + zz - 1 <= F.length(v))
-    sval = v.substr(dstart.cast("int"), zz.cast("int"))
+    zz_clamped = F.greatest(
+        F.lit(-1).cast("long"),
+        F.least(zz, F.length(v).cast("long") + 1),
+    )
+    sval = v.substr(dstart.cast("int"), zz_clamped.cast("int"))
     val = sval.cast("string") if typ == "string" else sval
     return F.struct(
         F.when(fits, val).alias("val"),
@@ -513,8 +523,14 @@ def attach_avro_codegen_decode(
         if step is None:
             fields.append(F.lit(None).cast(sf.dataType).alias(sf.name))
         else:
+            # try_cast, not cast: a malformed varint can decode a value
+            # outside the declared Spark type's range (e.g. a 5-byte
+            # long into an avro "int" field), and under ANSI mode a
+            # bare cast would throw and kill the job — out-of-range
+            # decodes to NULL instead (DLQ semantics; found by the r9
+            # mutated-body property test).
             fields.append(
-                F.col(f"{step}.val").cast(sf.dataType).alias(sf.name)
+                F.col(f"{step}.val").try_cast(sf.dataType).alias(sf.name)
             )
     df = df.withColumn(
         out_col, F.when(F.col(bname).isNotNull(), F.struct(*fields))
