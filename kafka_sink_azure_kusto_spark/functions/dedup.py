@@ -1163,3 +1163,97 @@ def substring_span_dedup(
         "partner_id",
         action.alias("action"),
     )
+
+
+def substring_span_trim(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 6,
+) -> DataFrame:
+    """The TRANSFORMER sibling of ``substring_span_dedup``: remove the
+    duplicated spans instead of just flagging them → (id, n_tokens,
+    dup_tokens, n_spans, trimmed_text).
+
+    A token position is DUPLICATED iff it lies inside some k-gram whose
+    anchor hash occurs in at least one OTHER document (cross-document
+    share only — internal repetition within one doc does not trim).
+    ``dup_tokens`` is the exact size of the union of those intervals,
+    computed with the winnowing sweep (first shared anchor contributes
+    k, each next one min(k, gap)) — a window lag over (doc, position),
+    one shuffle on the doc key, no interval explosion. ``n_spans``
+    counts maximal covered runs (gap > k starts a new span).
+    ``trimmed_text`` keeps the uncovered tokens in order.
+
+    Scale: the shared-anchor flag is ONE aggregate on the anchor hash
+    (count of distinct docs ≥ 2) — no pair join exists in this
+    operator at all, so no member cap is needed; work is linear in
+    corpus size. The per-token coverage test folds over the doc's own
+    shared-anchor array (O(n_tokens · |shared starts|) per doc —
+    bounded by document length squared, independent of corpus size).
+    Documents with NULL text pass through with NULL n_tokens and empty
+    coverage."""
+    grams = substring_span_grams(df, text_col, id_col, k)
+    shared_h = (
+        grams.groupBy("h")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("h")
+    )
+    starts = grams.join(shared_h, "h").select(id_col, "p")
+    wlag = Window.partitionBy(id_col).orderBy("p")
+    prev = F.lag("p").over(wlag)
+    contrib = F.when(prev.isNull(), F.lit(k)).otherwise(
+        F.least(F.lit(k), F.col("p") - prev)
+    )
+    new_span = F.when(prev.isNull() | (F.col("p") - prev > k), 1).otherwise(0)
+    cov = (
+        starts.select(
+            id_col,
+            "p",
+            contrib.alias("_contrib"),
+            new_span.alias("_new_span"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("_contrib").cast("long").alias("dup_tokens"),
+            F.sum("_new_span").cast("long").alias("n_spans"),
+            F.sort_array(F.collect_list("p")).alias("_starts"),
+        )
+    )
+    c = F.col(text_col)
+    toks = tokens(c)
+    out = df.select(
+        F.col(id_col),
+        F.when(c.isNotNull(), F.size(toks)).cast("long").alias("n_tokens"),
+        toks.alias("_toks"),
+    ).join(cov, id_col, "left")
+    starts_arr = F.coalesce(
+        F.col("_starts"), F.array().cast("array<int>")
+    )
+    # keep token i (1-indexed) iff no shared anchor start s covers it
+    # (s <= i <= s + k - 1)
+    idx = F.when(
+        F.col("_toks").isNotNull(),
+        F.sequence(F.lit(1), F.greatest(F.size("_toks"), F.lit(1))),
+    )
+    kept = F.filter(
+        idx,
+        lambda i: (i <= F.size("_toks"))
+        & ~F.exists(
+            starts_arr, lambda s: (s <= i) & (i <= s + F.lit(k - 1))
+        ),
+    )
+    trimmed = F.when(
+        F.col("_toks").isNotNull(),
+        F.concat_ws(
+            " ", F.transform(kept, lambda i: F.element_at("_toks", i))
+        ),
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        trimmed.alias("trimmed_text"),
+    )

@@ -84,6 +84,7 @@ _GATE_PRIORITY = [
     # OR shared helper changed this round leads the 50-slot gate.
     # --- new in r9 ---
     "dedup_substring_spans",             # VERDICT r8 #5: anchor-gram span dedup
+    "dedup_substring_trim",              # r9: span removal + trimmed text
     "multimodal_resize_bilinear",        # VERDICT r8 #8: Q16 bilinear kernel
     "multimodal_resample_sinc",          # VERDICT r8 #8: Q12 polyphase sinc
     "streaming_neardup_store_live_compaction",  # VERDICT r8 #6: mid-stream compact

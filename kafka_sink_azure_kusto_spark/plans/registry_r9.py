@@ -207,3 +207,66 @@ def multimodal_resample_sinc(spark: SparkSession, sf_dir: str) -> DataFrame:
     `multimodal.resample_sinc`."""
     docs = load_table(spark, sf_dir, "documents")
     return M.synth_audio_resample_sinc_stats(docs, target_rate=4000)
+
+
+_TRIM_ORACLE = f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+    g AS (SELECT doc_id, t.i AS p,
+                 md5(array_to_string(ws[t.i:t.i+{_SPAN_K - 1}], ' ')) AS h
+          FROM words,
+               unnest(range(1, greatest(len(ws) - {_SPAN_K - 2}, 1))) AS t(i)),
+    shared AS (SELECT h FROM g GROUP BY h
+               HAVING COUNT(DISTINCT doc_id) >= 2),
+    starts AS (SELECT doc_id, p FROM g JOIN shared USING (h)),
+    sweep AS (SELECT doc_id, p,
+                     CASE WHEN lag(p) OVER w IS NULL THEN {_SPAN_K}
+                          ELSE least({_SPAN_K}, p - lag(p) OVER w) END
+                         AS contrib,
+                     CASE WHEN lag(p) OVER w IS NULL
+                               OR p - lag(p) OVER w > {_SPAN_K}
+                          THEN 1 ELSE 0 END AS new_span
+              FROM starts
+              WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+    cov AS (SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS dup_tokens,
+                   CAST(SUM(new_span) AS BIGINT) AS n_spans,
+                   list(p ORDER BY p) AS starts
+            FROM sweep GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           COALESCE(c.dup_tokens, 0) AS dup_tokens,
+           COALESCE(c.n_spans, 0) AS n_spans,
+           CASE WHEN d.text IS NULL THEN NULL
+                -- array_to_string([]) is NULL in DuckDB but Spark's
+                -- concat_ws over an empty array is '' — a fully
+                -- covered doc trims to the empty string in both
+                ELSE COALESCE(array_to_string(
+                  list_transform(
+                    list_filter(
+                      range(1, len(string_split(d.text, ' ')) + 1),
+                      i -> len(list_filter(
+                              COALESCE(c.starts, CAST([] AS BIGINT[])),
+                              s -> s <= i AND i <= s + {_SPAN_K - 1})) = 0),
+                    i -> string_split(d.text, ' ')[i]), ' '), '')
+           END AS trimmed_text
+    FROM documents d LEFT JOIN cov c USING (doc_id)
+"""
+
+
+@register("dedup_substring_trim", _TRIM_ORACLE)
+def dedup_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transformer half of substring dedup (r9): REMOVE the
+    cross-document duplicated spans and emit the trimmed text, plus the
+    exact union size of the covered intervals (winnowing sweep: first
+    shared anchor contributes k, each next min(k, gap) — one window lag
+    per doc, no interval explosion) and the maximal-run count. Unlike
+    `dedup_substring_spans` there is NO pair join anywhere — the shared
+    flag is one count-distinct aggregate on the anchor hash — so no
+    member cap is needed and work is linear in corpus size.
+    `functions/dedup.substring_span_trim`."""
+    from kafka_sink_azure_kusto_spark.functions.dedup import (
+        substring_span_trim,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_span_trim(docs, "text", "doc_id", k=_SPAN_K)

@@ -543,3 +543,65 @@ def test_substring_span_dedup_diagonal_runs_merge(spark):
     }
     assert out[1].span_tokens == 7
     assert out[2].span_tokens == 7
+
+
+def test_substring_span_trim_closed_form(spark):
+    """Trim semantics: doc 1/2 share an 8-token span; both lose exactly
+    those 8 tokens and keep the rest in order. Doc 3 untouched. Doc 4
+    NULL text passes through. Docs 5/6 identical -> trimmed to empty
+    string, dup_tokens == n_tokens, one span. Internal repetition
+    within a single doc (doc 7) does NOT trim."""
+    from kafka_sink_azure_kusto_spark.functions.dedup import (
+        substring_span_trim,
+    )
+
+    span8 = "alpha bravo charlie delta echo foxtrot golf hotel"
+    rep6 = "r1 r2 r3 r4 r5 r6"
+    rows = [
+        (1, span8 + " x1 y1 z1"),
+        (2, "p1 p2 p3 " + span8),
+        (3, "one two three four five six seven eight"),
+        (4, None),
+        (5, "same same2 same3 same4 same5 same6"),
+        (6, "same same2 same3 same4 same5 same6"),
+        (7, rep6 + " gap1 gap2 " + rep6),  # internal repeat only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in substring_span_trim(df, "text", "doc_id", k=6).collect()
+    }
+    assert out[1].dup_tokens == 8 and out[1].n_spans == 1
+    assert out[1].trimmed_text == "x1 y1 z1"
+    assert out[2].dup_tokens == 8 and out[2].trimmed_text == "p1 p2 p3"
+    assert out[3].dup_tokens == 0 and out[3].trimmed_text == out[3].trimmed_text
+    assert out[3].trimmed_text == "one two three four five six seven eight"
+    assert out[4].n_tokens is None and out[4].trimmed_text is None
+    assert out[5].dup_tokens == 6 == out[5].n_tokens
+    assert out[5].trimmed_text == "" and out[5].n_spans == 1
+    assert out[7].dup_tokens == 0  # cross-document shares only
+    assert out[7].trimmed_text == rep6 + " gap1 gap2 " + rep6
+
+
+def test_substring_span_trim_two_spans(spark):
+    """Two disjoint shared spans in one doc: union size is exact and
+    n_spans counts both; overlapping shared grams merge into one."""
+    from kafka_sink_azure_kusto_spark.functions.dedup import (
+        substring_span_trim,
+    )
+
+    s1 = "a1 a2 a3 a4 a5 a6"
+    s2 = "b1 b2 b3 b4 b5 b6 b7"  # 7 tokens: two overlapping 6-grams
+    rows = [
+        (1, s1 + " mid1 mid2 mid3 " + s2 + " tail1"),
+        (2, s1 + " zzz " + s2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in substring_span_trim(df, "text", "doc_id", k=6).collect()
+    }
+    assert out[1].dup_tokens == 13 and out[1].n_spans == 2
+    assert out[1].trimmed_text == "mid1 mid2 mid3 tail1"
+    assert out[2].dup_tokens == 13 and out[2].n_spans == 2
+    assert out[2].trimmed_text == "zzz"
