@@ -142,6 +142,7 @@ HEADLINE = [
     "sketch_merge_lifecycle",
     # r9: substring-span dedup, production interpolation kernels
     "dedup_substring_spans",
+    "dedup_substring_trim",
     "multimodal_resize_bilinear",
     "multimodal_resample_sinc",
 ]
