@@ -179,6 +179,16 @@ def _scale10x_timings(spark, sf_dir: str) -> dict[str, float]:
     from kafka_sink_azure_kusto_spark.functions.text import quality_classifier
 
     timed("text_quality_classifier_10x", quality_classifier(docs, "text", "doc_id"))
+    # r9: substring-span family on the natural 10x corpus (the
+    # adversarial hot-gram variant runs in scale100x with the cap probe)
+    timed(
+        "dedup_substring_spans_10x",
+        D.substring_span_dedup(docs, "text", "doc_id", k=6, bucket_cap=20),
+    )
+    timed(
+        "dedup_substring_trim_10x",
+        D.substring_span_trim(docs, "text", "doc_id", k=6),
+    )
     docs.unpersist()
 
     emb = synth_embeddings(spark, 5000).cache()
@@ -515,7 +525,10 @@ def _streaming_latency(spark, sf_dir: str) -> dict:
     def run(name: str, cfg_kw: dict, trigger_ms: int, streaming: bool) -> dict:
         work = tempfile.mkdtemp(prefix=f"bench_lat_{name}_")
         try:
-            ev = load_table(spark, sf_dir, "events").limit(3000)
+            # 24 micro-batches: p95 over ~22 steady batches is far
+            # stabler than over 10 (r9: the 12-chunk version showed a
+            # 567-1578 ms p95 band across equally-quiet runs)
+            ev = load_table(spark, sf_dir, "events").limit(6000)
             records = ev.select(
                 F.col("event_id").cast("string").alias("key"),
                 F.to_json(F.struct("event_id", "user_id", "value")).alias("value"),
@@ -523,7 +536,7 @@ def _streaming_latency(spark, sf_dir: str) -> dict:
                 (F.col("event_id") % 4).cast("long").alias("partition"),
                 F.col("event_id").cast("long").alias("offset"),
             )
-            stage_replay_dir(records, f"{work}/replay", chunks=12)
+            stage_replay_dir(records, f"{work}/replay", chunks=24)
             cfg = pks.KustoSinkConfig(
                 ingest_url="https://ingest.example.kusto.windows.net",
                 mappings=[pks.TopicToTableMapping(
@@ -543,7 +556,7 @@ def _streaming_latency(spark, sf_dir: str) -> dict:
                     e["records"] for e in
                     LocalEmulatorBackend(f"{work}/kusto").ingest_log()
                 )
-                if done >= 3000:
+                if done >= 6000:
                     break
                 time.sleep(0.5)
             batches = [
@@ -630,7 +643,7 @@ def _sink_throughput(spark, sf_dir: str) -> dict:
         # advice #1): cold for the honest first-batch story, steady
         # (min-of-3) for what projects to a long-running job.
         runs = []
-        for i in range(3):
+        for i in range(5):
             t0 = time.perf_counter()
             sink.process_batch(records, epoch_id=i)
             runs.append(time.perf_counter() - t0)
@@ -643,7 +656,7 @@ def _sink_throughput(spark, sf_dir: str) -> dict:
             "sec_steady": round(best, 3),
             "records_per_sec_cold": round(n / cold),
             "records_per_sec": round(n / best),
-            "timing": "fresh_jvm; run1=cold, steady=min_of_3",
+            "timing": "fresh_jvm; run1=cold, steady=min_of_5",
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -703,6 +716,11 @@ def _section_main(section: str) -> int:
     tail of a ~100-query-old JVM."""
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # settle guard: when main() chains the sections right after the
+    # headline JVM stops, its GC/page-cache teardown still loads the
+    # box for a few seconds — wait it out so the cold-JVM numbers
+    # measure the engine, not the previous JVM's exit
+    _wait_for_quiet(max_wait_s=60.0, per_core_load=0.25)
     spark = _build_session(cpus)
     if section == "sink":
         out = _sink_throughput(spark, sf_dir)
