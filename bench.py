@@ -145,6 +145,7 @@ HEADLINE = [
     "dedup_substring_trim",
     "multimodal_resize_bilinear",
     "multimodal_resample_sinc",
+    "bucketed_colocation_join",
 ]
 
 
@@ -769,6 +770,16 @@ def main() -> int:
 
     env = _wait_for_quiet()
 
+    # Fresh-JVM isolation for the two steady-state claims (VERDICT r8
+    # #2): measure sink throughput and streaming latency FIRST, each in
+    # its own cold subprocess JVM, BEFORE the headline session exists —
+    # chaining them after the ~20-minute headline JVM read 25-35%
+    # slower (sink 82k vs 125k rec/s, queued p95 1062 vs 694 ms) even
+    # with spark.stop() + a load-settle guard; the stopped JVM's
+    # resident heap and allocator state outlive the session.
+    sink_tp = _fresh_jvm_section("sink")
+    latency = _fresh_jvm_section("latency")
+
     from pyspark.sql import SparkSession
 
     spark = (
@@ -811,14 +822,7 @@ def main() -> int:
     total = round(sum(timings.values()), 3)
     scale10x = _scale10x_timings(spark, sf_dir)
     scale100x = _scale100x_timings(spark, sf_dir)
-    # Fresh-JVM isolation for the two steady-state claims (VERDICT r8
-    # #2): stop the (by now ~100-query-old) headline JVM first, then
-    # measure sink throughput and streaming latency each in their own
-    # cold subprocess JVM — the committed artifact and the docs now
-    # quote the same methodology.
     spark.stop()
-    sink_tp = _fresh_jvm_section("sink")
-    latency = _fresh_jvm_section("latency")
     full = {
         "metric": "headline_queries_total_wall",
         "value": total,

@@ -1257,3 +1257,60 @@ def substring_span_trim(
         F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
         trimmed.alias("trimmed_text"),
     )
+
+
+def incremental_substring_dedup(
+    batch: DataFrame,
+    anchor_store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 6,
+) -> DataFrame:
+    """Continuous-ingest triage for the substring-span family: label
+    each batch document against a persisted ANCHOR STORE (the (h)
+    k-gram hashes of all previously admitted documents) →
+    (id, status) with status ∈ dup_of_history | dup_in_batch | unique:
+
+    - ``dup_of_history``: shares ≥ one k-gram anchor with an earlier
+      ingest's document (the store);
+    - ``dup_in_batch``: first match is a SMALLER-id document in the
+      same batch (the deterministic shadow rule shared with
+      ``incremental_neardup_dedup``);
+    - ``unique`` otherwise.
+
+    Both membership tests are LEFT-SEMI joins on the anchor hash —
+    existence only, so a boilerplate anchor shared by millions of
+    store rows cannot fan out the probe (semi-join never multiplies
+    rows; no member cap needed, unlike the pair-emitting
+    ``substring_span_dedup``). With the store bucketed on ``h`` only
+    the small batch side exchanges. Documents shorter than k tokens
+    have no anchors and label 'unique'."""
+    grams = substring_span_grams(batch, text_col, id_col, k)
+    store_h = anchor_store.select("h")
+    hist_docs = (
+        grams.join(store_h, "h", "left_semi").select(id_col).distinct()
+    )
+    peers = grams.select(F.col(id_col).alias("_r_id"), "h")
+    batch_docs = (
+        grams.alias("l")
+        .join(
+            peers,
+            (F.col("l.h") == peers["h"])
+            & (F.col(f"l.{id_col}") > F.col("_r_id")),
+            "left_semi",
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return (
+        batch.select(id_col)
+        .join(hist_docs.withColumn("_hist", F.lit(1)), id_col, "left")
+        .join(batch_docs.withColumn("_batch", F.lit(1)), id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("_hist") == 1, F.lit("dup_of_history"))
+            .when(F.col("_batch") == 1, F.lit("dup_in_batch"))
+            .otherwise(F.lit("unique"))
+            .alias("status"),
+        )
+    )

@@ -88,6 +88,8 @@ _GATE_PRIORITY = [
     "multimodal_resize_bilinear",        # VERDICT r8 #8: Q16 bilinear kernel
     "multimodal_resample_sinc",          # VERDICT r8 #8: Q12 polyphase sinc
     "streaming_neardup_store_live_compaction",  # VERDICT r8 #6: mid-stream compact
+    "streaming_substring_store",         # r9: live anchor-store loop
+    "bucketed_colocation_join",          # r9: exchange-free co-located join
     # --- changed implementation in r9 (round-9 advice fixes) ---
     "distinct_hll_estimate",             # 60-bit hash (advice #2)
     "sketch_merge_lifecycle",            # same geometry change

@@ -270,3 +270,167 @@ def dedup_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return substring_span_trim(docs, "text", "doc_id", k=_SPAN_K)
+
+
+# ------------------------------------------ streaming substring dedup
+
+import os  # noqa: E402
+
+from kafka_sink_azure_kusto_spark.plans.registry import _workdir  # noqa: E402
+
+_STREAM_SUBSTR_ORACLE = f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+    g AS (SELECT doc_id, t.i AS p,
+                 md5(array_to_string(ws[t.i:t.i+{_SPAN_K - 1}], ' ')) AS h
+          FROM words,
+               unnest(range(1, greatest(len(ws) - {_SPAN_K - 2}, 1))) AS t(i)),
+    tagged AS (SELECT doc_id, h, doc_id % 3 AS chunk FROM g),
+    hist AS (SELECT DISTINCT l.doc_id FROM tagged l JOIN tagged r
+               ON l.h = r.h AND r.chunk < l.chunk),
+    batch AS (SELECT DISTINCT l.doc_id FROM tagged l JOIN tagged r
+                ON l.h = r.h AND r.chunk = l.chunk AND l.doc_id > r.doc_id)
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id IN (SELECT doc_id FROM hist)
+                     THEN 'dup_of_history'
+                WHEN d.doc_id IN (SELECT doc_id FROM batch)
+                     THEN 'dup_in_batch'
+                ELSE 'unique' END AS status
+    FROM documents d
+"""
+
+
+@register("streaming_substring_store", _STREAM_SUBSTR_ORACLE)
+def streaming_substring_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE loop for the substring-span family (r9): each
+    micro-batch probes the persisted bucketed ANCHOR STORE with
+    `incremental_substring_dedup` (two left-semi joins — existence
+    only, no pair fan-out, no cap needed), writes its epoch-keyed
+    triage result, then admits its own anchors so every later batch
+    sees them as history — the same probe→triage→admit production
+    shape as `streaming_incremental_neardup_store`, on exact-substring
+    instead of MinHash semantics. Arrival order IS the semantics
+    (chunk = doc_id % 3); the oracle replays it closed-form. The store
+    is bucketed on the anchor hash, so each probe exchanges only the
+    small batch side. `functions/dedup.incremental_substring_dedup`,
+    `operators/bucketing.py`."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from kafka_sink_azure_kusto_spark.functions.dedup import (
+        incremental_substring_dedup,
+        substring_span_grams,
+    )
+    from kafka_sink_azure_kusto_spark.operators.bucketing import (
+        append_bucketed,
+        write_bucketed,
+    )
+    from kafka_sink_azure_kusto_spark.plans.registry_streaming2 import (
+        _stage_chunks,
+    )
+
+    work = _workdir("stream_substr_store_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = [
+        [
+            r[0]
+            for r in docs.filter(F.col("doc_id") % 3 == c)
+            .select(F.to_json(F.struct("doc_id", "text")))
+            .collect()
+        ]
+        for c in range(3)
+    ]
+    replay = os.path.join(work, "replay")
+    _stage_chunks(chunks, replay)
+
+    tbl = "stream_anchor_store_live"
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+    empty = substring_span_grams(docs.limit(0), "text", "doc_id", _SPAN_K)
+    write_bucketed(empty, tbl, ["h"], num_buckets=8)
+
+    results_dir = os.path.join(work, "results")
+
+    def triage_and_admit(batch_df, epoch_id: int) -> None:
+        batch = batch_df.select("doc_id", "text")
+        mb = batch_df.sparkSession
+        # same cross-session relation-cache trap as the neardup loop:
+        # refresh before every probe or the store reads as of batch 0
+        mb.catalog.refreshTable(tbl)
+        res = incremental_substring_dedup(
+            batch, mb.table(tbl), "text", "doc_id", k=_SPAN_K
+        )
+        res.write.mode("overwrite").parquet(
+            os.path.join(results_dir, f"epoch={int(epoch_id)}")
+        )
+        append_bucketed(
+            substring_span_grams(batch, "text", "doc_id", _SPAN_K),
+            tbl, ["h"], num_buckets=8,
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(replay)
+    )
+    q = (
+        stream.writeStream.foreachBatch(triage_and_admit)
+        .option("checkpointLocation", os.path.join(work, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    return spark.read.parquet(results_dir).select("doc_id", "status")
+
+
+@register(
+    "bucketed_colocation_join",
+    """
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def bucketed_colocation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free co-located fact-fact join through the BUCKETED
+    storage layout (r9): lineitem and orders are written bucketed on
+    the order key with the same bucket count, so Catalyst plans the
+    join with NO Exchange under either side — at 100 TB this is the
+    difference between shuffling both fact tables per join and
+    shuffling neither (bucketing amortizes the shuffle into the one-
+    time write; `test_bucketing.py::test_bucketed_join_has_no_exchange`
+    plan-asserts the zero-exchange property). The oracle is the plain
+    join — the bucketed layout must lose/duplicate nothing.
+    `operators/bucketing.write_bucketed` / `bucketed_join`."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from kafka_sink_azure_kusto_spark.operators.bucketing import (
+        bucketed_join,
+        write_bucketed,
+    )
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for tbl in ("li_colo", "o_colo"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(os.path.join(wh, tbl), ignore_errors=True)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderstatus"
+    )
+    write_bucketed(li, "li_colo", "okey", num_buckets=8)
+    write_bucketed(orders, "o_colo", "okey", num_buckets=8)
+    joined = bucketed_join(spark, "li_colo", "o_colo", on="okey")
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

@@ -224,3 +224,43 @@ def test_live_compaction_preserves_labels_and_resets_files(spark, tmp_path):
     assert counts["pre_compact"] > 8
     assert 0 < counts["post_compact"] <= 8
     assert counts["post_compact"] < counts["pre_compact"]
+
+
+def test_streaming_substring_store_arrival_order(spark, tmp_path):
+    """r9 live anchor-store loop: a doc sharing a >= k-token span with
+    an EARLIER chunk's doc is 'dup_of_history'; sharing only with a
+    later chunk leaves it 'unique' (the later copy gets the history
+    label); same-chunk shares resolve by the smaller-id-shadows rule.
+    Chunk = doc_id % 3."""
+    from kafka_sink_azure_kusto_spark.plans.registry_r9 import (
+        streaming_substring_store,
+    )
+
+    span = "w1 w2 w3 w4 w5 w6"  # exactly k=6 tokens
+    rows = [
+        (0, span + " tail0a tail0b"),      # chunk 0 — first holder
+        (4, span + " other4a other4b"),    # chunk 1 — history dup of 0
+        (1, "u1a u1b u1c u1d u1e u1f u1g"),  # chunk 1 — unique
+        (3, "s1 s2 s3 s4 s5 s6 x3"),       # chunk 0 — smaller id
+        (6, "s1 s2 s3 s4 s5 s6 x6"),       # chunk 0 — in-batch dup of 3
+        (8, "t1 t2 t3 t4 t5 t6 y8"),       # chunk 2 — later chunk holder
+        (2, "t1 t2 t3 t4 t5 t6 y2"),       # chunk 2 — same chunk, id 2 < 8
+                                           #   → 8 is in-batch dup, 2 unique
+    ]
+    docs_dir = str(tmp_path / "sfdir")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        docs_dir + "/documents.parquet"
+    )
+    res = {
+        r.doc_id: r.status
+        for r in streaming_substring_store(spark, docs_dir).collect()
+    }
+    assert res == {
+        0: "unique",
+        4: "dup_of_history",
+        1: "unique",
+        3: "unique",
+        6: "dup_in_batch",
+        2: "unique",
+        8: "dup_in_batch",
+    }, res
