@@ -368,3 +368,262 @@ def hll_merge_estimate(
         F.round(est, 6).alias("est_distinct"),
         F.col("used").cast("long").alias("registers_used"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile histogram (fixed-grid) — the quantile member of the
+# sketch family (HLL = distinct, count-min = frequency, KMV = theta,
+# this = quantiles). State per group is at most ``nbins`` exact integer
+# counts; frames from different days/partitions merge by plain SUM over
+# (group, bin) — associative and commutative, so merged-of-parts equals
+# computed-once EXACTLY, which is what the lifecycle gate pins. At
+# 100 TB the raw values never leave their scan stage: the shuffle
+# carries ≤ nbins longs per group, and a global quantile needs no sort.
+# Estimates interpolate rank-within-bin from the integer cumulative
+# counts; the only floats are the final closed-form ``lo + width*(bin +
+# frac)`` evaluated with the same operand order in both engines.
+# ---------------------------------------------------------------------------
+
+
+def quantile_histogram_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> DataFrame:
+    """The PERSISTABLE quantile-sketch state: (group_cols..., qh_bin,
+    cnt) — what a daily job writes to parquet. Values clamp into the
+    fixed grid (out-of-range values land in the edge bins, so the
+    sketch never drops rows); NULLs drop (aggregate semantics)."""
+    width = (hi - lo) / nbins
+    bin_c = F.least(
+        F.lit(nbins - 1),
+        F.greatest(F.lit(0), F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int")),
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, bin_c.alias("qh_bin"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+# (label, numerator, denominator) — ranks are computed as the exact
+# integer ceil(q*n) = (n*num + den - 1) div den, never a float multiply.
+QUANTILE_QS: list[tuple[str, int, int]] = [
+    ("p50", 1, 2),
+    ("p90", 9, 10),
+    ("p99", 99, 100),
+]
+
+
+def quantile_merge_estimate(
+    registers: DataFrame,
+    group_cols: list[str],
+    lo: float,
+    hi: float,
+    nbins: int,
+    qs: list[tuple[str, int, int]] = QUANTILE_QS,
+) -> DataFrame:
+    """Merge persisted register frames (pre-unioned) by SUM over
+    (group, bin) and estimate each quantile in ``qs`` →
+    (group_cols..., q, est_value, n_values). The target rank r =
+    ceil(q·n) is exact integer arithmetic; the picked bin is the unique
+    one with cum_before < r ≤ cum; the estimate interpolates the rank
+    inside the bin."""
+    width = (hi - lo) / nbins
+    merged = registers.groupBy(*group_cols, "qh_bin").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    wcum = Window.partitionBy(*group_cols).orderBy("qh_bin")
+    wall = Window.partitionBy(*group_cols)
+    c = merged.select(
+        *group_cols,
+        "qh_bin",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("total"),
+    )
+    parts = []
+    for label, num, den in qs:
+        r = F.expr(f"CAST((total * {num} + {den - 1}) DIV {den} AS BIGINT)")
+        picked = c.withColumn("qh_r", r).filter(
+            (F.col("cum") >= F.col("qh_r"))
+            & ((F.col("cum") - F.col("cnt")) < F.col("qh_r"))
+        )
+        est = F.lit(lo) + F.lit(width) * (
+            F.col("qh_bin")
+            + (F.col("qh_r") - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+        )
+        parts.append(
+            picked.select(
+                *group_cols,
+                F.lit(label).alias("q"),
+                F.round(est, 6).alias("est_value"),
+                F.col("total").alias("n_values"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def quantile_estimate_sql(
+    table: str,
+    group_expr: str,
+    group_alias: str,
+    value_expr: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+    qs: list[tuple[str, int, int]] = QUANTILE_QS,
+) -> str:
+    """DuckDB oracle for the single-shot quantile-histogram estimate —
+    generated from the same grid constants and rank arithmetic so the
+    engines cannot drift. Also emits the TRUE rank-r value (the exact
+    percentile_disc the sketch approximates) from a per-group sort —
+    affordable in the oracle, the very thing the sketch avoids at
+    scale."""
+    width = (hi - lo) / nbins
+    q_rows = ", ".join(f"('{l}', {n}, {d})" for l, n, d in qs)
+    return f"""
+    WITH vals AS (SELECT {group_expr} AS {group_alias}, {value_expr} AS v
+                  FROM {table} WHERE {value_expr} IS NOT NULL),
+    hist AS (SELECT {group_alias},
+                    CAST(LEAST({nbins - 1}, GREATEST(0,
+                         FLOOR((v - {lo}) / {width}))) AS INT) AS qh_bin,
+                    CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM vals GROUP BY 1, 2),
+    c AS (SELECT {group_alias}, qh_bin, cnt,
+                 SUM(cnt) OVER (PARTITION BY {group_alias}
+                                ORDER BY qh_bin) AS cum,
+                 SUM(cnt) OVER (PARTITION BY {group_alias}) AS total
+          FROM hist),
+    qs(q, qnum, qden) AS (VALUES {q_rows}),
+    est AS (SELECT {group_alias}, q,
+                   round({lo} + {width} * (qh_bin +
+                         (qh_r - (cum - cnt)) / cnt), 6) AS est_value,
+                   CAST(total AS BIGINT) AS n_values
+            FROM (SELECT c.*, q,
+                         (total * qnum + qden - 1) // qden AS qh_r
+                  FROM c CROSS JOIN qs)
+            WHERE cum >= qh_r AND cum - cnt < qh_r),
+    ranked AS (SELECT {group_alias}, v,
+                      ROW_NUMBER() OVER (PARTITION BY {group_alias}
+                                         ORDER BY v) AS rn,
+                      COUNT(*) OVER (PARTITION BY {group_alias}) AS n
+               FROM vals),
+    truth AS (SELECT {group_alias}, q, v AS true_value
+              FROM ranked JOIN qs
+                ON rn = (n * qnum + qden - 1) // qden)
+    SELECT e.{group_alias}, e.q, e.est_value, t.true_value, e.n_values
+    FROM est e JOIN truth t USING ({group_alias}, q)
+    """
+
+
+# ---------------------------------------------------------------------------
+# Group-level mergeable minhash signature — the set-similarity member of
+# the sketch family. Per group the state is exactly MHG_HASHES 60-bit
+# longs (component h = MIN over the group's tokens of a salted md5);
+# daily frames merge by element-wise MIN over (group, h), which is
+# associative, commutative, and idempotent — merged-of-parts equals
+# computed-once exactly, and re-ingested days are harmless. Pairwise
+# Jaccard between two groups is estimated as the fraction of matching
+# components — computed from two fixed-size signature frames, never by
+# touching the corpora again. This is how a 100 TB pipeline keeps a
+# domain-affinity matrix fresh: per-day signature rows, not raw tokens.
+# ---------------------------------------------------------------------------
+
+MHG_HASHES = 16
+
+
+def group_minhash_registers(
+    df: DataFrame, group_cols: list[str], text_col: str = "text"
+) -> DataFrame:
+    """The PERSISTABLE group-minhash state: (group_cols..., mh_h, minv)
+    with MHG_HASHES rows per group. One explode + one shuffle: the 16
+    salted hashes are computed per token in the scan stage and min-agg
+    in a single groupBy (duplicate tokens cannot affect a MIN, so no
+    distinct is needed)."""
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            *group_cols,
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    agg = toks.groupBy(*group_cols).agg(
+        *[
+            F.min(md5_hex15_long(F.col("tok"), salt=f"mhg{h}:")).alias(f"v{h}")
+            for h in range(MHG_HASHES)
+        ]
+    )
+    stack = ", ".join(f"{h}, v{h}" for h in range(MHG_HASHES))
+    return agg.select(
+        *group_cols,
+        F.expr(f"stack({MHG_HASHES}, {stack}) AS (mh_h, minv)"),
+    ).select(*group_cols, F.col("mh_h").cast("int").alias("mh_h"), "minv")
+
+
+def group_minhash_merge(
+    registers: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Merge persisted signature frames (pre-unioned) by element-wise
+    MIN over (group, component)."""
+    return registers.groupBy(*group_cols, "mh_h").agg(
+        F.min("minv").alias("minv")
+    )
+
+
+def group_minhash_pair_estimates(
+    signatures: DataFrame, group_col: str
+) -> DataFrame:
+    """Pairwise Jaccard estimates from merged signatures →
+    (group_a, group_b, est_jaccard, n_components) for every unordered
+    group pair. The join is signature-frame sized (|groups| × 16 rows),
+    never corpus-sized."""
+    a = signatures.select(
+        F.col(group_col).alias("group_a"), "mh_h", F.col("minv").alias("va")
+    )
+    b = signatures.select(
+        F.col(group_col).alias("group_b"), "mh_h", F.col("minv").alias("vb")
+    )
+    return (
+        a.join(b, "mh_h")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(
+            (
+                F.sum(F.when(F.col("va") == F.col("vb"), 1).otherwise(0))
+                / F.lit(MHG_HASHES)
+            ).alias("est_jaccard"),
+            F.count(F.lit(1)).cast("bigint").alias("n_components"),
+        )
+    )
+
+
+def group_minhash_sql(
+    table: str, group_expr: str, group_alias: str, text_expr: str
+) -> str:
+    """DuckDB single-shot twin of ``group_minhash_registers`` +
+    ``group_minhash_merge`` (long-format signature rows) — generated
+    from the same salt layout."""
+    mins = ", ".join(
+        f"MIN({md5_hex_prefix_long_sql('tok', 15, salt=f'mhg{h}:')}) AS v{h}"
+        for h in range(MHG_HASHES)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT {group_alias}, {h} AS mh_h, v{h} AS minv FROM sig"
+        for h in range(MHG_HASHES)
+    )
+    return f"""
+    WITH toks AS (SELECT {group_expr} AS {group_alias}, t.tok
+                  FROM {table},
+                       unnest(string_split({text_expr}, ' ')) AS t(tok)
+                  WHERE {text_expr} IS NOT NULL AND t.tok <> ''),
+    sig AS (SELECT {group_alias}, {mins} FROM toks GROUP BY {group_alias})
+    SELECT * FROM ({unions})
+    """

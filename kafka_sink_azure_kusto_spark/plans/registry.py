@@ -83,6 +83,9 @@ _GATE_PRIORITY = [
     # rotation rule (VERDICT r6 #1): any query whose implementation
     # OR shared helper changed this round leads the 50-slot gate.
     # --- new in r9 ---
+    "quantile_sketch_estimate",          # r9: mergeable quantile histogram
+    "quantile_sketch_merge_lifecycle",   # r9: SUM-merge == single-shot proof
+    "minhash_merge_lifecycle",           # r9: MIN-merge source-affinity matrix
     "dedup_substring_spans",             # VERDICT r8 #5: anchor-gram span dedup
     "dedup_substring_trim",              # r9: span removal + trimmed text
     "multimodal_resize_bilinear",        # VERDICT r8 #8: Q16 bilinear kernel

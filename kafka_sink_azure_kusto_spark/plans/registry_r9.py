@@ -434,3 +434,206 @@ def bucketed_colocation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+from pyspark.sql import Window  # noqa: E402
+
+from kafka_sink_azure_kusto_spark.functions.sketches import (  # noqa: E402
+    MHG_HASHES,
+    QUANTILE_QS,
+    group_minhash_merge,
+    group_minhash_pair_estimates,
+    group_minhash_registers,
+    group_minhash_sql,
+    quantile_estimate_sql,
+    quantile_histogram_registers,
+    quantile_merge_estimate,
+)
+
+_QH_LO, _QH_HI, _QH_BINS = 0.0, 500000.0, 64
+
+_QH_ORACLE = quantile_estimate_sql(
+    "orders", "o_orderpriority", "o_orderpriority", "o_totalprice",
+    _QH_LO, _QH_HI, _QH_BINS,
+)
+
+
+def _order_value_truth(orders: DataFrame) -> DataFrame:
+    """True rank-r (percentile_disc) values per priority and quantile —
+    the exact per-group sort the sketch exists to avoid at scale; kept
+    as the accuracy column, like true_distinct in the HLL gates."""
+    vals = orders.filter(F.col("o_totalprice").isNotNull()).select(
+        "o_orderpriority", F.col("o_totalprice").alias("v")
+    )
+    ranked = vals.select(
+        "o_orderpriority",
+        "v",
+        F.row_number()
+        .over(Window.partitionBy("o_orderpriority").orderBy("v"))
+        .alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("o_orderpriority"))
+        .alias("n"),
+    )
+    parts = []
+    for label, num, den in QUANTILE_QS:
+        parts.append(
+            ranked.filter(
+                F.col("rn")
+                == F.expr(f"CAST((n * {num} + {den - 1}) DIV {den} AS BIGINT)")
+            ).select(
+                "o_orderpriority",
+                F.lit(label).alias("q"),
+                F.col("v").alias("true_value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register("quantile_sketch_estimate", _QH_ORACLE)
+def quantile_sketch_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-grid mergeable quantile histogram (r9) — the quantile
+    member of the sketch family (HLL = distinct, count-min = frequency,
+    KMV = theta). p50/p90/p99 of o_totalprice per order priority from
+    ≤64 exact integer bin counts per group: the raw values never leave
+    the scan stage, the shuffle carries the bin counts, and no sort
+    happens anywhere — the 100 TB shape for percentile dashboards.
+    Target ranks are exact integers (ceil(q·n) via DIV), so the gate
+    hash is deterministic; the true rank-r value rides along as the
+    accuracy column. `functions/sketches.quantile_histogram_registers`."""
+    orders = load_table(spark, sf_dir, "orders")
+    regs = quantile_histogram_registers(
+        orders, ["o_orderpriority"], "o_totalprice", _QH_LO, _QH_HI, _QH_BINS
+    )
+    est = quantile_merge_estimate(
+        regs, ["o_orderpriority"], _QH_LO, _QH_HI, _QH_BINS
+    )
+    truth = _order_value_truth(orders)
+    return est.join(truth, ["o_orderpriority", "q"]).select(
+        "o_orderpriority", "q", "est_value", "true_value", "n_values"
+    )
+
+
+@register("quantile_sketch_merge_lifecycle", _QH_ORACLE)
+def quantile_sketch_merge_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The MERGEABILITY proof for the quantile histogram (r9): orders
+    split into three "daily" ingests (o_orderkey % 3), each day builds
+    its own register frame (the persistable state a production job
+    writes to parquet), the three frames merge by SUM over (group,
+    bin), and the oracle is deliberately the SINGLE-SHOT whole-corpus
+    SQL: merged-of-parts must equal computed-once EXACTLY (integer SUM
+    is associative and commutative — no float drift possible). The
+    same property that lets per-day HLL rows serve distinct-count
+    dashboards lets per-day bin counts serve latency/price percentile
+    dashboards at 100 TB. `functions/sketches.quantile_merge_estimate`."""
+    orders = load_table(spark, sf_dir, "orders")
+    days = [
+        quantile_histogram_registers(
+            orders.filter(F.col("o_orderkey") % 3 == d),
+            ["o_orderpriority"], "o_totalprice", _QH_LO, _QH_HI, _QH_BINS,
+        )
+        for d in range(3)
+    ]
+    merged = days[0].unionByName(days[1]).unionByName(days[2])
+    est = quantile_merge_estimate(
+        merged, ["o_orderpriority"], _QH_LO, _QH_HI, _QH_BINS
+    )
+    truth = _order_value_truth(orders)
+    return est.join(truth, ["o_orderpriority", "q"]).select(
+        "o_orderpriority", "q", "est_value", "true_value", "n_values"
+    )
+
+
+_MHG_ORACLE = f"""
+    WITH sig AS ({group_minhash_sql("documents", "source", "source", "text")}),
+    a AS (SELECT source AS group_a, mh_h, minv FROM sig),
+    b AS (SELECT source AS group_b, mh_h, minv FROM sig),
+    est AS (SELECT group_a, group_b,
+                   CAST(SUM(CASE WHEN a.minv = b.minv THEN 1 ELSE 0 END)
+                        / {MHG_HASHES} AS DOUBLE) AS est_jaccard,
+                   CAST(COUNT(*) AS BIGINT) AS n_components
+            FROM a JOIN b USING (mh_h)
+            WHERE group_a < group_b GROUP BY group_a, group_b),
+    dt AS (SELECT DISTINCT source AS g, t.tok
+           FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+           WHERE text IS NOT NULL AND t.tok <> ''),
+    sizes AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS sz FROM dt GROUP BY g),
+    inter AS (SELECT x.g AS group_a, y.g AS group_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_inter
+              FROM dt x JOIN dt y USING (tok)
+              WHERE x.g < y.g GROUP BY 1, 2)
+    SELECT e.group_a, e.group_b, e.est_jaccard, e.n_components,
+           CAST(COALESCE(i.n_inter, 0)
+                / (sa.sz + sb.sz - COALESCE(i.n_inter, 0)) AS DOUBLE)
+               AS true_jaccard
+    FROM est e
+    LEFT JOIN inter i ON e.group_a = i.group_a AND e.group_b = i.group_b
+    JOIN sizes sa ON sa.g = e.group_a
+    JOIN sizes sb ON sb.g = e.group_b
+    """
+
+
+@register("minhash_merge_lifecycle", _MHG_ORACLE)
+def minhash_merge_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGEABILITY proof for group-level minhash signatures (r9):
+    documents split into three "daily" ingests (doc_id % 3), each day
+    builds its own 16-component signature frame per source (the
+    persistable state), the frames merge by element-wise MIN over
+    (source, component), and the 20×20 source-affinity Jaccard matrix
+    is estimated from the merged signatures ALONE — the corpora are
+    never rescanned. The oracle is the single-shot whole-corpus SQL
+    (MIN is associative/commutative/idempotent, so merged-of-parts
+    equals computed-once exactly and re-ingest is harmless). True
+    Jaccard from exact distinct-token sets rides along as the accuracy
+    column — the very join the signatures avoid at 100 TB.
+    `functions/sketches.group_minhash_registers`."""
+    docs = load_table(spark, sf_dir, "documents")
+    days = [
+        group_minhash_registers(
+            docs.filter(F.col("doc_id") % 3 == d), ["source"], "text"
+        )
+        for d in range(3)
+    ]
+    merged = group_minhash_merge(
+        days[0].unionByName(days[1]).unionByName(days[2]), ["source"]
+    )
+    est = group_minhash_pair_estimates(merged, "source")
+    dt = (
+        docs.filter(F.col("text").isNotNull())
+        .select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = dt.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    inter = (
+        dt.alias("x")
+        .join(dt.alias("y"), "tok")
+        .filter(F.col("x.source") < F.col("y.source"))
+        .groupBy(
+            F.col("x.source").alias("group_a"),
+            F.col("y.source").alias("group_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("group_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("source").alias("group_b"), F.col("sz").alias("szb"))
+    ni = F.coalesce(F.col("n_inter"), F.lit(0).cast("bigint"))
+    return (
+        est.join(inter, ["group_a", "group_b"], "left")
+        .join(sa, "group_a")
+        .join(sb, "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            F.col("est_jaccard").cast("double").alias("est_jaccard"),
+            "n_components",
+            (ni / (F.col("sza") + F.col("szb") - ni))
+            .cast("double")
+            .alias("true_jaccard"),
+        )
+    )
