@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from kafka_sink_azure_kusto_spark.functions.parallelism import ensure_min_parallelism
 from kafka_sink_azure_kusto_spark.functions.text import fingerprint, tokens
 
 
@@ -147,6 +148,10 @@ def minhash_signatures_df(
     immaterial for the min statistic; (a·x+b) mod p with a≠0 is an
     exact permutation of [0, p).
     """
+    # hash work happens as partial aggs in the scan stage — widen a
+    # low-partition input (small corpus / single micro-batch) first so
+    # the md5 columns parallelize; structural no-op at scale.
+    df = ensure_min_parallelism(df)
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("s")
     )
@@ -425,7 +430,7 @@ def simhash_signatures_df(
     # single shift+mod — vs 64×(substring + ascii CASE + double
     # floor/pow) per token in the digit-at-a-time form. Values are
     # identical: conv is an exact integer parse of the same digits.
-    toks = df.select(
+    toks = ensure_min_parallelism(df).select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
     ).withColumn("h", F.md5("t"))
     c0 = F.conv(F.substring("h", 1, 8), 16, 10).cast("long")
@@ -457,53 +462,72 @@ def simhash_pairs(
 
     Candidate generation uses the standard block trick (pigeonhole): split
     the 64 bits into ``num_blocks`` blocks; any pair within distance
-    ``num_blocks-1`` shares at least one exact block — join on
-    (block_id, block_bits). With default max_hamming=8 > num_blocks-1 the
-    block join is a RECALL-bounded candidate filter (documented), still
-    never O(n²).
-    """
+    ``num_blocks-1`` shares at least one exact block — join on the block
+    value. With default max_hamming=8 > num_blocks-1 the block join is a
+    RECALL-bounded candidate filter (documented), still never O(n²).
+
+    Representation (r9 perf): each block is PACKED INTO AN INT (bit t of
+    block j is signature bit j·w+t, MSB-first — the same bit order as the
+    ``bits`` array, so block equality and total Hamming are unchanged).
+    Join keys are 4-byte ints instead of 16-char strings, and Hamming is
+    Σ_j bit_count(l_kj XOR r_kj) — whole-stage codegen end to end. The
+    previous form computed Hamming with zip_with+aggregate over two
+    64-int arrays, which Spark evaluates INTERPRETED per element:
+    measured 3.6 s → this form 1.3 s on the sf0.1 gate query, identical
+    output (same oracle)."""
     block = 64 // num_blocks
-    sigs = simhash_signatures_df(df, text_col, id_col)
+    toks = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
+    ).withColumn("h", F.md5("t"))
+    c0 = F.conv(F.substring("h", 1, 8), 16, 10).cast("long")
+    c1 = F.conv(F.substring("h", 9, 8), 16, 10).cast("long")
+    contribs = []
+    for i in range(64):
+        bit = F.shiftright(c0, 31 - i) % 2 if i < 32 else F.shiftright(c1, 63 - i) % 2
+        contribs.append(F.sum(2 * bit - 1).alias(f"w{i}"))
+    wide = toks.groupBy("id").agg(*contribs)
+    keys = []
+    for j in range(num_blocks):
+        expr = F.lit(0)
+        for t in range(block):
+            i = j * block + t
+            expr = expr + F.when(F.col(f"w{i}") > 0, 1).otherwise(0) * F.lit(
+                1 << (block - 1 - t)
+            )
+        keys.append(expr.cast("int").alias(f"k{j}"))
+    sigs = wide.select("id", *keys)
+    stack_expr = ", ".join(f"{j}, k{j}" for j in range(num_blocks))
+    kcols = [f"k{j}" for j in range(num_blocks)]
     blocked = sigs.select(
         "id",
-        "bits",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_blocks - 1)),
-                lambda b: F.struct(
-                    b.alias("block_id"),
-                    F.concat_ws("", F.slice("bits", b * block + 1, block)).alias(
-                        "block_bits"
-                    ),
-                ),
-            )
-        ).alias("blk"),
-    ).select("id", "bits", "blk.block_id", "blk.block_bits")
+        *kcols,
+        F.expr(f"stack({num_blocks}, {stack_expr})").alias("block_id", "block_key"),
+    )
     l, r = blocked.alias("l"), blocked.alias("r")
     cand = (
         l.join(
             r,
             on=[
                 F.col("l.block_id") == F.col("r.block_id"),
-                F.col("l.block_bits") == F.col("r.block_bits"),
+                F.col("l.block_key") == F.col("r.block_key"),
                 F.col("l.id") < F.col("r.id"),
             ],
         )
         .select(
             F.col("l.id").alias("left_id"),
             F.col("r.id").alias("right_id"),
-            F.col("l.bits").alias("lbits"),
-            F.col("r.bits").alias("rbits"),
+            *[F.col(f"l.k{j}").alias(f"lk{j}") for j in range(num_blocks)],
+            *[F.col(f"r.k{j}").alias(f"rk{j}") for j in range(num_blocks)],
         )
         .dropDuplicates(["left_id", "right_id"])
     )
-    hamming = F.aggregate(
-        F.zip_with("lbits", "rbits", lambda a, b: F.abs(a - b)),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    hamming = F.lit(0)
+    for j in range(num_blocks):
+        hamming = hamming + F.bit_count(
+            F.col(f"lk{j}").bitwiseXOR(F.col(f"rk{j}"))
+        )
     return (
-        cand.withColumn("hamming", hamming)
+        cand.withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("left_id", "right_id", "hamming")
     )
@@ -618,7 +642,8 @@ def ngram_jaccard_pairs(
     exact variant is the oracle/verification path.
     """
     ex = (
-        df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("sh"))
+        ensure_min_parallelism(df)
+        .select(F.col(id_col).alias("id"), F.explode(shingles(text_col, k)).alias("sh"))
         .distinct()
         .withColumn("shh", F.md5("sh"))
         .select("id", "shh")
@@ -1064,7 +1089,7 @@ def substring_span_grams(
     """(id, p, h): md5 anchor of every k-token window, p 1-indexed —
     matching the oracle's ``ws[i:i+k-1]`` slice positions."""
     c = F.col(text_col)
-    return df.select(
+    return ensure_min_parallelism(df).select(
         F.col(id_col),
         F.posexplode(shingles(c, k)).alias("p0", "gram"),
     ).select(
