@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from kafka_sink_azure_kusto_spark.functions.dedup import shingles
+from kafka_sink_azure_kusto_spark.functions.parallelism import ensure_min_parallelism
 from kafka_sink_azure_kusto_spark.functions.sampling import md5_unit_interval
 
 
@@ -50,6 +51,9 @@ def contamination_overlap(
     # array_distinct BEFORE explode: per-document n-gram dedup is row-local,
     # so the corpus side reaches the probe join without any shuffle (a
     # .distinct() after explode would exchange every exploded n-gram).
+    # Widen a low-partition corpus first: the shingle+probe work runs in
+    # the scan stage, so a one-file corpus would hash on one core.
+    docs = ensure_min_parallelism(docs)
     doc_ng = docs.select(
         F.col(id_col).alias(id_col),
         F.explode(F.array_distinct(shingles(text_col, n))).alias("ng"),

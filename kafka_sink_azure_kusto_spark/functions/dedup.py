@@ -576,6 +576,19 @@ def connected_components(
     ).distinct()
     e = e.localCheckpoint(eager=True)
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("label"))
+
+    # Convergence detector: every update takes least(old, ...), so labels
+    # are monotonically non-increasing per node — the label sum strictly
+    # decreases until the fixpoint. Comparing one exact decimal(38,0)
+    # aggregate per round replaces the old->new equi-join + count (one
+    # agg job on the just-checkpointed frame vs a join of two full label
+    # frames — cheaper at any scale, same decision).
+    def _label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     converged = False
     rounds = 0
     for _ in range(max_iter):
@@ -603,18 +616,16 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: the convergence-sum job below is what materializes
+            # the checkpoint — one job per round instead of two
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        cur_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             converged = True
             break
+        prev_sum = cur_sum
     if rounds_out is not None:
         rounds_out.append(rounds)
     if not converged:

@@ -570,7 +570,16 @@ def registry_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     }
 
-    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    from kafka_sink_azure_kusto_spark.functions.parallelism import (
+        ensure_min_parallelism,
+    )
+
+    # widen BEFORE synthesis too: the varint/frame-build codegen would
+    # otherwise run inside the one-task scan of the single-file fixture
+    # (the repartition below only spreads the PARSE side)
+    ev = ensure_min_parallelism(
+        load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    )
     eid, uid = F.col("event_id"), F.col("user_id")
     jbody = F.concat(
         F.lit('{"eid":'), eid.cast("string"),

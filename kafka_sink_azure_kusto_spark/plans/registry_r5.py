@@ -681,8 +681,11 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is doc_id-keyed. Docs shorter than 2 tokens drop (no
     bigrams) — same in the oracle."""
     from kafka_sink_azure_kusto_spark.functions.dedup import shingles
+    from kafka_sink_azure_kusto_spark.functions.parallelism import (
+        ensure_min_parallelism,
+    )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     g2 = docs.select("doc_id", F.explode(shingles("text", 2)).alias("ng"))
     c2 = g2.groupBy("ng").agg(F.count(F.lit(1)).alias("n2"))
     c1 = (
