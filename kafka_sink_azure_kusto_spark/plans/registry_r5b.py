@@ -794,7 +794,11 @@ def bpe_iterative_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-to-right non-overlapping (``A B A B`` merges once) —
     byte-identical in Spark and DuckDB, which the fingerprint checks.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    from kafka_sink_azure_kusto_spark.functions.parallelism import (
+        ensure_min_parallelism,
+    )
+
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     cur = docs.select(
         "doc_id", F.concat(F.lit(" "), F.col("text"), F.lit(" ")).alias("txt")
     )
@@ -934,9 +938,12 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_apply_merges,
         bpe_encode,
     )
+    from kafka_sink_azure_kusto_spark.functions.parallelism import (
+        ensure_min_parallelism,
+    )
     from kafka_sink_azure_kusto_spark.operators.packing import pack_sequences
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     merges = _train_bpe_merges(docs)
     merged_toks = F.split(F.trim(bpe_apply_merges("text", merges)), " ")
     vocab_rows = (
@@ -984,9 +991,12 @@ def bpe_encode_corpus_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_apply_merges,
         bpe_encode_join,
     )
+    from kafka_sink_azure_kusto_spark.functions.parallelism import (
+        ensure_min_parallelism,
+    )
     from kafka_sink_azure_kusto_spark.operators.packing import pack_sequences
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
     merges = _train_bpe_merges(docs)
     merged_toks = F.split(F.trim(bpe_apply_merges("text", merges)), " ")
     vocab_df = (
