@@ -34,6 +34,9 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from kafka_sink_azure_kusto_spark.functions.parallelism import (
+    ensure_min_parallelism,
+)
 from kafka_sink_azure_kusto_spark.functions.codecs import (
     DecodedMedia,
     MediaDecodeError,
@@ -173,9 +176,11 @@ def synth_decode_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     out[c] = out[c].astype("int64")
             yield out
 
-    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
-        body, schema=DECODE_SCHEMA
-    )
+    # one partition = one serial Python worker pass: widen a
+    # low-partition input so the Arrow decode batches parallelize
+    return ensure_min_parallelism(
+        df.select(F.col(id_col).alias("doc_id"))
+    ).mapInPandas(body, schema=DECODE_SCHEMA)
 
 
 def synth_feature_extract(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -200,9 +205,9 @@ def synth_feature_extract(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 }
             )
 
-    return df.select(F.col(id_col).alias("doc_id")).mapInPandas(
-        body, schema=FEATURE_SCHEMA
-    )
+    return ensure_min_parallelism(
+        df.select(F.col(id_col).alias("doc_id"))
+    ).mapInPandas(body, schema=FEATURE_SCHEMA)
 
 
 def decode_media(df: DataFrame) -> DataFrame:
@@ -371,7 +376,7 @@ def media_dhash(df: DataFrame, id_col: str = "doc_id", media_id=None) -> DataFra
                 }
             )
 
-    return base.mapInPandas(body, schema=DHASH_SCHEMA)
+    return ensure_min_parallelism(base).mapInPandas(body, schema=DHASH_SCHEMA)
 
 
 def dhash_neardup_pairs(
@@ -508,9 +513,11 @@ def video_frame_dhash(
                 }
             )
 
-    return frames.select("doc_id", "frame_idx", "fid").mapInPandas(
-        body, schema=VIDEO_DHASH_SCHEMA
-    )
+    # widen the (cheap) exploded frame rows so the per-frame decode
+    # Arrow pass runs on every core even for a one-file fixture input
+    return ensure_min_parallelism(
+        frames.select("doc_id", "frame_idx", "fid")
+    ).mapInPandas(body, schema=VIDEO_DHASH_SCHEMA)
 
 
 def video_neardup_pairs(
@@ -668,7 +675,7 @@ def media_audio_fingerprint(
                 }
             )
 
-    return base.mapInPandas(body, schema=AUDIO_FP_SCHEMA)
+    return ensure_min_parallelism(base).mapInPandas(body, schema=AUDIO_FP_SCHEMA)
 
 
 def audio_neardup_pairs(
@@ -763,40 +770,35 @@ def clip_align_scores(
             for i in range(n_features)
         ]
     )
-    def img_component(d: int):
-        acc = None
-        for f in range(n_features):
-            term = F.col(f"_f{f}") * F.lit(_clip_proj(f, d))
-            acc = term if acc is None else acc + term
-        return acc
-
-    img = F.array(*[img_component(d) for d in range(dim)])
-    wide = wide.withColumn("_img", img)
+    # The projection is dim × n_features literal multiply-adds. Built as
+    # ONE SQL expression string (single parse) instead of Python Column
+    # algebra: the 512+ Column constructions cost a Py4J JVM round trip
+    # EACH — measured 3.7 s of driver time per plan build at dim=64.
+    # Same arithmetic, same types (long * int literal stays long).
+    proj_terms = ", ".join(
+        "(" + " + ".join(
+            f"_f{f} * {_clip_proj(f, d)}" for f in range(n_features)
+        ) + ")"
+        for d in range(dim)
+    )
+    wide = wide.withColumn("_img", F.expr(f"array({proj_terms})"))
     # norm² folds in DOUBLE and in ARRAY ORDER (img_v² overflows long
     # for WAV energy features); the oracle mirrors the exact fold order
-    # with list_dot_product(iv, iv)
-    inorm2 = F.aggregate(
-        F.col("_img").cast("array<double>"),
-        F.lit(0.0),
-        lambda a, x: a + x * x,
+    # with list_dot_product(iv, iv). 0.0D: the SQL double literal —
+    # bare 0.0 would parse as DECIMAL and change the fold type.
+    inorm2 = F.expr(
+        "aggregate(cast(_img as array<double>), 0.0D, (a, x) -> a + x * x)"
     )
     emb = embeddings.select(
         F.col("vec_id").alias("doc_id"),
         F.col("embedding").cast("array<double>").alias("_emb"),
     )
     j = wide.join(emb, "doc_id")
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("_emb"),
-            F.col("_img").cast("array<double>"),
-            lambda a, b: a * b,
-        ),
-        F.lit(0.0),
-        lambda a, x: a + x,
+    dot = F.expr(
+        "aggregate(zip_with(_emb, cast(_img as array<double>),"
+        " (a, b) -> a * b), 0.0D, (a, x) -> a + x)"
     )
-    enorm2 = F.aggregate(
-        F.col("_emb"), F.lit(0.0), lambda a, x: a + x * x
-    )
+    enorm2 = F.expr("aggregate(_emb, 0.0D, (a, x) -> a + x * x)")
     score = dot / (F.sqrt(enorm2) * F.sqrt(inorm2))
     return j.select(
         "doc_id",
@@ -871,7 +873,7 @@ def synth_resize_stats(
                 out[c] = out[c].astype("int64")
             yield out
 
-    return imgs.mapInPandas(body, schema=RESIZE_SCHEMA)
+    return ensure_min_parallelism(imgs).mapInPandas(body, schema=RESIZE_SCHEMA)
 
 
 RESAMPLE_SCHEMA = StructType(
@@ -934,7 +936,7 @@ def synth_audio_resample_stats(
                 out[c] = out[c].astype("int64")
             yield out
 
-    return wavs.mapInPandas(body, schema=RESAMPLE_SCHEMA)
+    return ensure_min_parallelism(wavs).mapInPandas(body, schema=RESAMPLE_SCHEMA)
 
 
 # ------------------------------------------- production kernels (r9)
@@ -1028,7 +1030,7 @@ def synth_resize_bilinear_stats(
                 out[c] = out[c].astype("int64")
             yield out
 
-    return imgs.mapInPandas(body, schema=RESIZE_SCHEMA)
+    return ensure_min_parallelism(imgs).mapInPandas(body, schema=RESIZE_SCHEMA)
 
 
 #: polyphase windowed-sinc geometry: 32 phases × 8 taps, Q12
@@ -1130,4 +1132,4 @@ def synth_audio_resample_sinc_stats(
                 out[c] = out[c].astype("int64")
             yield out
 
-    return wavs.mapInPandas(body, schema=SINC_SCHEMA)
+    return ensure_min_parallelism(wavs).mapInPandas(body, schema=SINC_SCHEMA)
