@@ -1237,6 +1237,50 @@ def substring_span_trim(
         .select("h")
     )
     starts = grams.join(shared_h, "h").select(id_col, "p")
+    return _trim_with_anchor_starts(df, starts, text_col, id_col, k)
+
+
+def substring_span_trim_cross(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 6,
+) -> DataFrame:
+    """Benchmark-span DECONTAMINATION transformer (r9): remove from
+    each training document every span of ≥ ``k`` tokens that appears
+    VERBATIM in the benchmark corpus → same output shape as
+    ``substring_span_trim``. This is the surgical upgrade of
+    drop-the-whole-document decontamination (``contamination_ngram_
+    overlap`` flags; this trims just the leaked text and keeps the
+    rest of the document).
+
+    Scale shape: the benchmark anchor-hash set is DISTINCT'd and
+    broadcast (eval suites are MBs against a 100 TB corpus), so the
+    training side never shuffles for the probe — the start positions
+    fall out of the scan-stage broadcast join, and the winnowing sweep
+    is the same one window lag per document as the self-trim. No pair
+    join, no cap needed, linear in corpus size."""
+    grams = substring_span_grams(df, text_col, id_col, k)
+    bench_h = (
+        substring_span_grams(benchmark, text_col, id_col, k)
+        .select("h")
+        .distinct()
+    )
+    starts = grams.join(F.broadcast(bench_h), "h").select(id_col, "p")
+    return _trim_with_anchor_starts(df, starts, text_col, id_col, k)
+
+
+def _trim_with_anchor_starts(
+    df: DataFrame,
+    starts: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+) -> DataFrame:
+    """Shared winnowing sweep + trim: given (id, p) anchor-start rows,
+    compute the exact covered-interval union size, maximal-run count,
+    and the text with covered tokens removed (see callers)."""
     wlag = Window.partitionBy(id_col).orderBy("p")
     prev = F.lag("p").over(wlag)
     contrib = F.when(prev.isNull(), F.lit(k)).otherwise(

@@ -83,6 +83,7 @@ _GATE_PRIORITY = [
     # rotation rule (VERDICT r6 #1): any query whose implementation
     # OR shared helper changed this round leads the 50-slot gate.
     # --- new in r9 ---
+    "contamination_substring_trim",      # r9: benchmark-span decontamination
     "quantile_sketch_estimate",          # r9: mergeable quantile histogram
     "quantile_sketch_merge_lifecycle",   # r9: SUM-merge == single-shot proof
     "minhash_merge_lifecycle",           # r9: MIN-merge source-affinity matrix

@@ -637,3 +637,74 @@ def minhash_merge_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("true_jaccard"),
         )
     )
+
+
+_TRIM_CROSS_ORACLE = f"""
+    WITH train AS (SELECT doc_id, text FROM documents
+                   WHERE doc_id % 25 <> 0),
+    words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM train),
+    g AS (SELECT doc_id, t.i AS p,
+                 md5(array_to_string(ws[t.i:t.i+{_SPAN_K - 1}], ' ')) AS h
+          FROM words,
+               unnest(range(1, greatest(len(ws) - {_SPAN_K - 2}, 1))) AS t(i)),
+    bwords AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+               WHERE doc_id % 25 = 0),
+    bench_h AS (SELECT DISTINCT
+                    md5(array_to_string(ws[t.i:t.i+{_SPAN_K - 1}], ' ')) AS h
+                FROM bwords,
+                     unnest(range(1, greatest(len(ws) - {_SPAN_K - 2}, 1)))
+                         AS t(i)),
+    starts AS (SELECT doc_id, p FROM g JOIN bench_h USING (h)),
+    sweep AS (SELECT doc_id, p,
+                     CASE WHEN lag(p) OVER w IS NULL THEN {_SPAN_K}
+                          ELSE least({_SPAN_K}, p - lag(p) OVER w) END
+                         AS contrib,
+                     CASE WHEN lag(p) OVER w IS NULL
+                               OR p - lag(p) OVER w > {_SPAN_K}
+                          THEN 1 ELSE 0 END AS new_span
+              FROM starts
+              WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+    cov AS (SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS dup_tokens,
+                   CAST(SUM(new_span) AS BIGINT) AS n_spans,
+                   list(p ORDER BY p) AS starts
+            FROM sweep GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+           COALESCE(c.dup_tokens, 0) AS dup_tokens,
+           COALESCE(c.n_spans, 0) AS n_spans,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE COALESCE(array_to_string(
+                  list_transform(
+                    list_filter(
+                      range(1, len(string_split(d.text, ' ')) + 1),
+                      i -> len(list_filter(
+                              COALESCE(c.starts, CAST([] AS BIGINT[])),
+                              s -> s <= i AND i <= s + {_SPAN_K - 1})) = 0),
+                    i -> string_split(d.text, ' ')[i]), ' '), '')
+           END AS trimmed_text
+    FROM train d LEFT JOIN cov c USING (doc_id)
+"""
+
+
+@register("contamination_substring_trim", _TRIM_CROSS_ORACLE)
+def contamination_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-span decontamination (r9) — the surgical upgrade of
+    drop-the-document decontamination: every ≥6-token span that appears
+    VERBATIM in the benchmark set (every 25th doc stands in for the
+    eval suite) is REMOVED from the training documents, and the rest of
+    the document is kept — what production pipelines do when a crawl
+    embeds benchmark passages inside otherwise-good pages. The
+    benchmark anchor set is broadcast (eval suites are MBs against a
+    100 TB corpus) so the training side never shuffles for the probe;
+    the covered-interval union and trimmed text come from the same
+    winnowing sweep as `dedup_substring_trim` (one window lag per doc,
+    no pair join, no cap, linear in corpus size).
+    `functions/dedup.substring_span_trim_cross`."""
+    from kafka_sink_azure_kusto_spark.functions.dedup import (
+        substring_span_trim_cross,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 25 != 0)
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    return substring_span_trim_cross(train, bench, "text", "doc_id", k=_SPAN_K)

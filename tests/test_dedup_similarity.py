@@ -605,3 +605,39 @@ def test_substring_span_trim_two_spans(spark):
     assert out[1].trimmed_text == "mid1 mid2 mid3 tail1"
     assert out[2].dup_tokens == 13 and out[2].n_spans == 2
     assert out[2].trimmed_text == "zzz"
+
+
+def test_substring_trim_cross_closed_form(spark):
+    """Benchmark-span decontamination: only spans shared WITH THE
+    BENCHMARK trim (training-side internal duplication does not), the
+    covered union is exact, and clean docs pass through untouched."""
+    from kafka_sink_azure_kusto_spark.functions.dedup import (
+        substring_span_trim_cross,
+    )
+
+    leak = "alpha bravo charlie delta echo foxtrot"  # 6 tokens = one anchor
+    train = spark.createDataFrame(
+        [
+            # doc 1: benchmark span embedded mid-document
+            (1, f"keep1 keep2 {leak} keep3 keep4"),
+            # doc 2: clean, but duplicates doc 3 verbatim (train-internal
+            # share — must NOT trim in the cross operator)
+            (2, "same same2 same3 same4 same5 same6 same7"),
+            (3, "same same2 same3 same4 same5 same6 same7"),
+            # doc 4: exactly the benchmark text -> trims to empty
+            (4, leak),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, leak)], ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in substring_span_trim_cross(
+            train, bench, "text", "doc_id", k=6
+        ).collect()
+    }
+    assert out[1].trimmed_text == "keep1 keep2 keep3 keep4"
+    assert out[1].dup_tokens == 6 and out[1].n_spans == 1
+    assert out[2].trimmed_text == out[2].trimmed_text == train.collect()[1].text
+    assert out[2].dup_tokens == 0 and out[3].dup_tokens == 0
+    assert out[4].trimmed_text == "" and out[4].dup_tokens == 6
