@@ -146,6 +146,11 @@ HEADLINE = [
     "multimodal_resize_bilinear",
     "multimodal_resample_sinc",
     "bucketed_colocation_join",
+    # r9: mergeable quantile/minhash sketches, benchmark-span trim
+    "quantile_sketch_estimate",
+    "quantile_sketch_merge_lifecycle",
+    "minhash_merge_lifecycle",
+    "contamination_substring_trim",
 ]
 
 
@@ -190,6 +195,23 @@ def _scale10x_timings(spark, sf_dir: str) -> dict[str, float]:
         "dedup_substring_trim_10x",
         D.substring_span_trim(docs, "text", "doc_id", k=6),
     )
+    # r9: group-minhash signatures per derived domain (20 sources) —
+    # the affinity-matrix sketch; state is 20×16 longs however big the
+    # corpus gets
+    from kafka_sink_azure_kusto_spark.functions.sketches import (
+        group_minhash_pair_estimates,
+        group_minhash_registers,
+    )
+
+    docs_src = docs.withColumn(
+        "source", F.concat(F.lit("s"), (F.col("doc_id") % 20).cast("string"))
+    )
+    timed(
+        "group_minhash_10x",
+        group_minhash_pair_estimates(
+            group_minhash_registers(docs_src, ["source"], "text"), "source"
+        ),
+    )
     docs.unpersist()
 
     emb = synth_embeddings(spark, 5000).cache()
@@ -222,6 +244,22 @@ def _scale10x_timings(spark, sf_dir: str) -> dict[str, float]:
     timed(
         "distinct_users_10x",
         ev10.groupBy("event_type").agg(F.countDistinct("user_id").alias("u")),
+    )
+    # r9: mergeable quantile histogram — the shuffle carries ≤64 longs
+    # per group however many events there are
+    from kafka_sink_azure_kusto_spark.functions.sketches import (
+        quantile_histogram_registers,
+        quantile_merge_estimate,
+    )
+
+    timed(
+        "quantile_sketch_10x",
+        quantile_merge_estimate(
+            quantile_histogram_registers(
+                ev10, ["event_type"], "value", 0.0, 1000.0, 64
+            ),
+            ["event_type"], 0.0, 1000.0, 64,
+        ),
     )
     # r5 window/feature family at 10×: carry-forward attribution and the
     # EWMA frame fold both shuffle once on the (10×-cardinality) user key

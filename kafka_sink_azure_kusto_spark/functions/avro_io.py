@@ -109,6 +109,7 @@ def _zigzag_encode(n: int) -> bytes:
 def _zigzag_decode(buf: BinaryIO) -> int:
     shift = 0
     acc = 0
+    nbytes = 0
     while True:
         byte = buf.read(1)
         if not byte:
@@ -118,6 +119,15 @@ def _zigzag_decode(buf: BinaryIO) -> int:
         if not b & 0x80:
             break
         shift += 7
+        nbytes += 1
+        if nbytes >= 10:  # Avro longs are ≤10 bytes (Java: "Invalid
+            raise ValueError("varint too long")  # long encoding")
+    # Java's BinaryDecoder accumulates in a 64-bit long, so bits above
+    # 63 overflow away. A mutated 10-byte varint whose last byte sets
+    # more than bit 63 must wrap identically here, or this codec twin
+    # diverges from the jar/codegen decode paths on malformed frames
+    # (found by the r9 mutated-body property test).
+    acc &= (1 << 64) - 1
     return (acc >> 1) ^ -(acc & 1)
 
 

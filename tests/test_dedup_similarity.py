@@ -638,6 +638,7 @@ def test_substring_trim_cross_closed_form(spark):
     }
     assert out[1].trimmed_text == "keep1 keep2 keep3 keep4"
     assert out[1].dup_tokens == 6 and out[1].n_spans == 1
-    assert out[2].trimmed_text == out[2].trimmed_text == train.collect()[1].text
+    assert out[2].trimmed_text == "same same2 same3 same4 same5 same6 same7"
+    assert out[3].trimmed_text == out[2].trimmed_text
     assert out[2].dup_tokens == 0 and out[3].dup_tokens == 0
     assert out[4].trimmed_text == "" and out[4].dup_tokens == 6
