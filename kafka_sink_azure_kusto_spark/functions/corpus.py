@@ -24,7 +24,7 @@ pure function of (key, salt) and travels with the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kafka_sink_azure_kusto_spark.functions.dedup import shingles
@@ -566,3 +566,184 @@ def temperature_mix_sample(
     return df.join(F.broadcast(rates), group_col).filter(
         md5_unit_interval(F.col(key_col), salt) < F.col("keep_rate")
     )
+
+
+def within_doc_segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 8,
+) -> DataFrame:
+    """WITHIN-document repeated-segment removal (the C4 "discard
+    duplicate lines within a page" rule, tumbling ``seg_tokens``-token
+    segments standing in for lines): each document keeps only the FIRST
+    occurrence of every distinct segment, reassembled in original order
+    → (id, clean_text, n_segments, n_dropped, dup_ratio).
+
+    Complements ``segment_dedup`` (corpus-wide boilerplate removal):
+    this one never looks across documents, so the whole operator is a
+    NARROW projection — split → segment via transform(sequence) →
+    keep-first via filter((s, i) -> array_position = i + 1) — zero
+    exchanges, zero Python, pure whole-stage codegen. At 100 TB it
+    runs inside the scan stage of whatever pipeline embeds it.
+    array_position is O(n²) in the per-doc segment count, bounded by
+    (doc_tokens / seg_tokens)² — trivially small per row.
+    """
+    n = F.size(F.split(F.col(text_col), " "))
+    nseg = F.ceil(n / F.lit(float(seg_tokens))).cast("int")
+    segs = F.expr(
+        f"transform(sequence(0, int(ceil(size(split({text_col}, ' ')) "
+        f"/ {float(seg_tokens)})) - 1), "
+        f"i -> concat_ws(' ', slice(split({text_col}, ' '), "
+        f"i * {seg_tokens} + 1, {seg_tokens})))"
+    )
+    kept = F.expr("filter(_segs, (s, i) -> array_position(_segs, s) = i + 1)")
+    return (
+        df.select(F.col(id_col), segs.alias("_segs"), nseg.alias("_nseg"))
+        .select(
+            id_col,
+            F.array_join(kept, " ").alias("clean_text"),
+            F.col("_nseg").cast("long").alias("n_segments"),
+            (F.col("_nseg") - F.size(kept)).cast("long").alias("n_dropped"),
+            F.round(
+                (F.col("_nseg") - F.size(kept)) / F.col("_nseg"), 6
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+def within_doc_segment_dedup_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 8,
+) -> str:
+    """DuckDB oracle twin of ``within_doc_segment_dedup`` — segments
+    via unnest(range) with position, keep-first via MIN(position) per
+    (doc, segment), ordered string_agg reassembly. Same segmentation,
+    same keep-first rule, different (but exact) relational rendition."""
+    return f"""
+    WITH words AS (SELECT {id_col}, string_split({text_col}, ' ') AS ws,
+                          CAST(ceil(len(string_split({text_col}, ' '))
+                               / {float(seg_tokens)}) AS INT) AS nseg
+                   FROM {table}),
+    segs AS (SELECT {id_col}, nseg, t.i AS p,
+                    array_to_string(
+                        ws[t.i * {seg_tokens} + 1 : (t.i + 1) * {seg_tokens}],
+                        ' ') AS seg
+             FROM words, unnest(range(0, nseg)) AS t(i)),
+    firsts AS (SELECT {id_col}, nseg, seg, MIN(p) AS p
+               FROM segs GROUP BY {id_col}, nseg, seg)
+    SELECT {id_col},
+           string_agg(seg, ' ' ORDER BY p) AS clean_text,
+           CAST(nseg AS BIGINT) AS n_segments,
+           CAST(nseg - COUNT(*) AS BIGINT) AS n_dropped,
+           ROUND((nseg - COUNT(*)) / CAST(nseg AS DOUBLE), 6) AS dup_ratio
+    FROM firsts GROUP BY {id_col}, nseg
+    """
+
+
+def vocab_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    thresholds: tuple[int, ...] = (50, 90, 95, 99),
+) -> DataFrame:
+    """Vocabulary coverage curve WITHOUT a global vocabulary sort:
+    for each coverage threshold t%, the minimal vocabulary size (top
+    tokens by frequency, count-desc) whose summed occurrences cover
+    ≥ t% of the corpus token mass → (threshold_pct, vocab_size,
+    covered_tokens, coverage).
+
+    Scale shape (100 TB): the naive rendition ranks the full vocabulary
+    by count and prefix-sums it — a global sort of potentially billions
+    of distinct tokens. This one aggregates the COUNT-OF-COUNTS
+    histogram instead: (count c, #tokens with count c, mass c·n) — at
+    most a few thousand distinct count values at ANY corpus size (count
+    values are heavy-tail collapsed), so the prefix sum runs over a
+    bounded table. Inside a count-class the threshold is interpolated
+    exactly: vocab = n_above + ceil((need − mass_above) / c*). The only
+    corpus-sized exchange is the token-frequency groupBy (map-side
+    combined); everything after is bounded state.
+
+    Tokens within one count-class are interchangeable for coverage
+    (each contributes exactly c occurrences), so the result is
+    deterministic with NO tie-break ordering at all — the property
+    that makes the count-of-counts rendition exact, not approximate.
+    """
+    toks = df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    coc = freq.groupBy("c").agg(F.count(F.lit(1)).alias("n_tokens"))
+    w = Window.orderBy(F.col("c").desc())
+    cum = coc.select(
+        "c",
+        "n_tokens",
+        (F.sum(F.col("c") * F.col("n_tokens")).over(w)
+         - F.col("c") * F.col("n_tokens")).alias("mass_above"),
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("n_above"),
+        F.sum(F.col("c") * F.col("n_tokens")).over(
+            Window.partitionBy()
+        ).alias("total_mass"),
+    )
+    rows = []
+    for t in thresholds:
+        need = F.ceil(F.col("total_mass") * F.lit(t) / F.lit(100.0))
+        take = F.ceil((need - F.col("mass_above")) / F.col("c")).cast("long")
+        cand = cum.filter(
+            (F.col("mass_above") < need)
+            & (F.col("mass_above") + F.col("c") * F.col("n_tokens") >= need)
+        ).select(
+            F.lit(t).cast("int").alias("threshold_pct"),
+            (F.col("n_above") + take).alias("vocab_size"),
+            (F.col("mass_above") + take * F.col("c")).alias("covered_tokens"),
+            F.round(
+                (F.col("mass_above") + take * F.col("c"))
+                / F.col("total_mass"),
+                6,
+            ).alias("coverage"),
+        )
+        rows.append(cand)
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def vocab_coverage_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    thresholds: tuple[int, ...] = (50, 90, 95, 99),
+) -> str:
+    """DuckDB oracle twin of ``vocab_coverage`` — identical
+    count-of-counts construction and in-class interpolation."""
+    arms = "\nUNION ALL\n".join(
+        f"""
+    SELECT CAST({t} AS INT) AS threshold_pct,
+           n_above + CAST(ceil((need - mass_above) / c) AS BIGINT)
+               AS vocab_size,
+           mass_above + CAST(ceil((need - mass_above) / c) AS BIGINT) * c
+               AS covered_tokens,
+           ROUND((mass_above + CAST(ceil((need - mass_above) / c) AS BIGINT)
+                  * c) / CAST(total_mass AS DOUBLE), 6) AS coverage
+    FROM (SELECT *, CAST(ceil(total_mass * {t} / 100.0) AS BIGINT) AS need
+          FROM cum)
+    WHERE mass_above < need AND mass_above + c * n_tokens >= need
+        """
+        for t in thresholds
+    )
+    return f"""
+    WITH toks AS (SELECT t.tok FROM {table},
+                       unnest(string_split({text_col}, ' ')) AS t(tok)
+                  WHERE t.tok <> ''),
+    freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    coc AS (SELECT c, COUNT(*) AS n_tokens FROM freq GROUP BY c),
+    cum AS (SELECT c, n_tokens,
+                   CAST(SUM(c * n_tokens) OVER (ORDER BY c DESC)
+                        - c * n_tokens AS BIGINT) AS mass_above,
+                   CAST(SUM(n_tokens) OVER (ORDER BY c DESC)
+                        - n_tokens AS BIGINT) AS n_above,
+                   CAST(SUM(c * n_tokens) OVER () AS BIGINT) AS total_mass
+            FROM coc)
+    {arms}
+    """

@@ -912,3 +912,81 @@ def kmeans_train(
         by_cell.setdefault(row["cell"], []).append((row["dim"], row["mean_x"]))
     out = [(cell, [x for _, x in sorted(dims)]) for cell, dims in by_cell.items()]
     return spark.createDataFrame(out, ["cell", "centroid"])
+
+
+def knn_graph_mutual(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 6,
+    k: int = 3,
+    bucket_cap: int = 256,
+) -> DataFrame:
+    """Mutual k-NN GRAPH construction over an embedding corpus — the
+    building block for NN-descent refinement, graph clustering, and
+    SemDeDup-style cluster seeding: every vector finds its top-``k``
+    cosine neighbors among its LSH-bucket candidates, and an edge
+    survives only when BOTH endpoints rank each other (mutual-kNN, the
+    standard noise filter) → (src, dst, score, rank_src, rank_dst)
+    with src < dst.
+
+    Differs from ``ivf_topk`` in join shape: there the query set is
+    small and broadcasts; here EVERY vector is a query, so the
+    candidate stage is a plain bucket equi-JOIN of the corpus with
+    itself — both sides shuffle once on the bucket key, per-bucket
+    fan-out is bounded by ``bucket_cap`` (deterministic membership by
+    md5 rank, the repo's standard degenerate-bucket guard), and the
+    mutual filter is an equi-join of two top-k relations on the
+    reversed edge key. Nothing broadcasts the corpus; nothing is
+    quadratic beyond cap² per bucket. 100 TB shape: buckets ≈ 2^planes
+    partitions the corpus; raise ``num_planes`` with corpus size.
+    """
+    from kafka_sink_azure_kusto_spark.functions.sampling import (
+        md5_unit_interval,
+    )
+
+    buckets = hyperplane_lsh_buckets(
+        df, num_planes=num_planes, id_col=id_col, vec_col=vec_col
+    )
+    base = (
+        df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("v"))
+        .join(buckets.withColumnRenamed("id", "nid"), "nid")
+    )
+    capw = Window.partitionBy("bucket").orderBy(
+        md5_unit_interval(F.col("nid"), salt="knncap:"), F.col("nid")
+    )
+    base = (
+        base.withColumn("_cr", F.row_number().over(capw))
+        .filter(F.col("_cr") <= bucket_cap)
+        .drop("_cr")
+    )
+    left = base.select(
+        F.col("nid").alias("src"), F.col("v").alias("sv"), "bucket"
+    )
+    right = base.select(
+        F.col("nid").alias("dst"), F.col("v").alias("dv"), "bucket"
+    )
+    scored = (
+        left.join(right, "bucket")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", cosine(F.col("sv"), F.col("dv")).alias("score"))
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("score").desc(), F.col("dst").asc()
+    )
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    x, y = topk.alias("x"), topk.alias("y")
+    mutual = x.join(
+        y,
+        (F.col("x.src") == F.col("y.dst")) & (F.col("x.dst") == F.col("y.src")),
+    ).filter(F.col("x.src") < F.col("x.dst"))
+    return mutual.select(
+        F.col("x.src").alias("src"),
+        F.col("x.dst").alias("dst"),
+        F.round(F.col("x.score"), 6).alias("score"),
+        F.col("x.rank").cast("long").alias("rank_src"),
+        F.col("y.rank").cast("long").alias("rank_dst"),
+    )

@@ -627,3 +627,195 @@ def group_minhash_sql(
     sig AS (SELECT {group_alias}, {mins} FROM toks GROUP BY {group_alias})
     SELECT * FROM ({unions})
     """
+
+
+# ------------------------------------------------- theta set operations
+
+def theta_sketch_rows(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group theta sketch as ROWS: the k smallest md5 unit-interval
+    hashes of the distinct keys → (group, kmv_u, theta, n_distinct_seen).
+
+    ``theta`` is the sketch's inclusion threshold — u_k when the group
+    saw ≥ k distinct keys, else 1.0 (the sketch is exhaustive). Every
+    retained hash satisfies kmv_u < theta EXCEPT u_k itself, which is
+    excluded by the strict-< rule during set operations (the standard
+    theta-sketch convention: the k-th value defines the threshold and
+    does not count toward estimates).
+
+    Scale: identical shuffle shape to ``kmv_distinct`` (distinct-reduce
+    then per-group rank); output is ≤ k rows per group — the tiny
+    relation that set operations join, never the raw data.
+    """
+    if k < 2:
+        raise ValueError("theta_sketch_rows needs k >= 2")
+    u = md5_unit_interval(F.col(key_col), salt="kmv:")
+    pairs = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(group_col, key_col)
+        .distinct()
+        .withColumn("kmv_u", u)
+    )
+    w = Window.partitionBy(group_col).orderBy("kmv_u", key_col)
+    ranked = pairs.withColumn("kmv_rank", F.row_number().over(w)).filter(
+        F.col("kmv_rank") <= k
+    )
+    stats = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_distinct_seen"),
+        F.max(F.when(F.col("kmv_rank") == k, F.col("kmv_u"))).alias("u_k"),
+    )
+    theta = F.coalesce(F.col("u_k"), F.lit(1.0))
+    return ranked.select(group_col, "kmv_u").join(
+        stats.select(group_col, theta.alias("theta"), "n_distinct_seen"),
+        group_col,
+    )
+
+
+def theta_setops_pairs(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Theta-sketch SET OPERATIONS over every unordered pair of groups:
+    distinct-count estimates for A, B, A∪B, A∩B and the Jaccard
+    estimate → (group_a, group_b, est_a, est_b, est_union,
+    est_intersect, est_jaccard), all deterministic (md5 hashing), all
+    derived from the ≤ k-row sketches — the raw data is scanned ONCE
+    to build the sketches and never touched again.
+
+    The standard estimator: theta_ab = min(theta_a, theta_b); every
+    retained hash strictly below theta_ab is an inclusion sample, so
+    |samples| / theta_ab estimates the distinct count of the union
+    (distinct hashes from either sketch) and of the intersection
+    (hashes present in both). When both groups are exhaustive
+    (theta = 1.0) the estimates are EXACT counts — which is what makes
+    a closed-form oracle possible at any test SF while the same code
+    estimates at 100 TB.
+
+    Scale: sketches are ≤ k rows per group; the pair join is
+    (groups·k)² at worst — groups are enumerable dimensions (event
+    types, sources, days), so this broadcasts. Mergeability: sketch
+    rows from shards union and re-rank (keep k smallest) losslessly.
+    """
+    sk = theta_sketch_rows(df, group_col, key_col, k=k).cache()
+    stats = sk.select(
+        group_col, "theta", "n_distinct_seen"
+    ).distinct()
+    gp = (
+        stats.select(
+            F.col(group_col).alias("group_a"),
+            F.col("theta").alias("theta_a"),
+            F.col("n_distinct_seen").alias("n_a"),
+        )
+        .crossJoin(
+            stats.select(
+                F.col(group_col).alias("group_b"),
+                F.col("theta").alias("theta_b"),
+                F.col("n_distinct_seen").alias("n_b"),
+            )
+        )
+        .filter(F.col("group_a") < F.col("group_b"))
+        .withColumn("theta_ab", F.least("theta_a", "theta_b"))
+    )
+    ha = gp.join(
+        sk.select(F.col(group_col).alias("group_a"), F.col("kmv_u").alias("u")),
+        "group_a",
+    ).filter(F.col("u") < F.col("theta_ab")).withColumn(
+        "in_a", F.lit(1)
+    ).withColumn("in_b", F.lit(0))
+    hb = gp.join(
+        sk.select(F.col(group_col).alias("group_b"), F.col("kmv_u").alias("u")),
+        "group_b",
+    ).filter(F.col("u") < F.col("theta_ab")).withColumn(
+        "in_a", F.lit(0)
+    ).withColumn("in_b", F.lit(1))
+    per_hash = ha.unionByName(hb).groupBy(
+        "group_a", "group_b", "theta_ab", "theta_a", "theta_b",
+        "n_a", "n_b", "u",
+    ).agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    agg = per_hash.groupBy(
+        "group_a", "group_b", "theta_ab", "theta_a", "theta_b", "n_a", "n_b"
+    ).agg(
+        F.count(F.lit(1)).alias("n_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_inter"),
+    )
+    est_a = F.when(F.col("theta_a") == 1.0, F.col("n_a").cast("double")).otherwise(
+        F.lit(float(k - 1)) / F.col("theta_a")
+    )
+    est_b = F.when(F.col("theta_b") == 1.0, F.col("n_b").cast("double")).otherwise(
+        F.lit(float(k - 1)) / F.col("theta_b")
+    )
+    return agg.select(
+        "group_a",
+        "group_b",
+        F.round(est_a, 6).alias("est_a"),
+        F.round(est_b, 6).alias("est_b"),
+        F.round(F.col("n_union") / F.col("theta_ab"), 6).alias("est_union"),
+        F.round(F.col("n_inter") / F.col("theta_ab"), 6).alias("est_intersect"),
+        F.round(F.col("n_inter") / F.col("n_union"), 6).alias("est_jaccard"),
+    )
+
+
+def theta_setops_sql(
+    table: str,
+    group_expr: str,
+    key_expr: str,
+    k: int = 64,
+) -> str:
+    """DuckDB oracle twin of ``theta_setops_pairs`` — same hash, same
+    strict-< threshold convention, same estimators."""
+    u_sql = md5_unit_interval_sql("kmv_key", salt="kmv:")
+    return f"""
+    WITH pairs0 AS (SELECT DISTINCT {group_expr} AS grp,
+                           {key_expr} AS kmv_key FROM {table}
+                    WHERE {key_expr} IS NOT NULL),
+    hashed AS (SELECT grp, kmv_key, {u_sql} AS kmv_u FROM pairs0),
+    ranked AS (SELECT grp, kmv_u,
+                      ROW_NUMBER() OVER (PARTITION BY grp
+                                         ORDER BY kmv_u, kmv_key) AS r
+               FROM hashed),
+    kept AS (SELECT grp, kmv_u FROM ranked WHERE r <= {k}),
+    stats AS (SELECT grp, COUNT(*) AS n_seen,
+                     COALESCE(MAX(CASE WHEN r = {k} THEN kmv_u END), 1.0)
+                         AS theta
+              FROM ranked WHERE r <= {k} GROUP BY grp),
+    gp AS (SELECT a.grp AS group_a, b.grp AS group_b,
+                  a.theta AS theta_a, b.theta AS theta_b,
+                  a.n_seen AS n_a, b.n_seen AS n_b,
+                  LEAST(a.theta, b.theta) AS theta_ab
+           FROM stats a JOIN stats b ON a.grp < b.grp),
+    sides AS (SELECT gp.*, kept.kmv_u AS u, 1 AS in_a, 0 AS in_b
+              FROM gp JOIN kept ON kept.grp = gp.group_a
+              WHERE kept.kmv_u < theta_ab
+              UNION ALL
+              SELECT gp.*, kept.kmv_u AS u, 0 AS in_a, 1 AS in_b
+              FROM gp JOIN kept ON kept.grp = gp.group_b
+              WHERE kept.kmv_u < theta_ab),
+    per_hash AS (SELECT group_a, group_b, theta_ab, theta_a, theta_b,
+                        n_a, n_b, u,
+                        MAX(in_a) AS in_a, MAX(in_b) AS in_b
+                 FROM sides
+                 GROUP BY group_a, group_b, theta_ab, theta_a, theta_b,
+                          n_a, n_b, u),
+    agg AS (SELECT group_a, group_b, theta_ab, theta_a, theta_b, n_a, n_b,
+                   COUNT(*) AS n_union, SUM(in_a * in_b) AS n_inter
+            FROM per_hash
+            GROUP BY group_a, group_b, theta_ab, theta_a, theta_b,
+                     n_a, n_b)
+    SELECT group_a, group_b,
+           ROUND(CASE WHEN theta_a = 1.0 THEN CAST(n_a AS DOUBLE)
+                      ELSE {float(k - 1)} / theta_a END, 6) AS est_a,
+           ROUND(CASE WHEN theta_b = 1.0 THEN CAST(n_b AS DOUBLE)
+                      ELSE {float(k - 1)} / theta_b END, 6) AS est_b,
+           ROUND(n_union / theta_ab, 6) AS est_union,
+           ROUND(n_inter / theta_ab, 6) AS est_intersect,
+           ROUND(n_inter / CAST(n_union AS DOUBLE), 6) AS est_jaccard
+    FROM agg
+    """

@@ -8,3 +8,4 @@ import kafka_sink_azure_kusto_spark.plans.registry_streaming2  # noqa: E402,F401
 import kafka_sink_azure_kusto_spark.plans.registry_windows  # noqa: E402,F401 — RANGE frames/ntile bins/shares/lead-lag gaps
 import kafka_sink_azure_kusto_spark.plans.registry_attribution  # noqa: E402,F401 — last-touch attribution/survivorship/co-purchase
 import kafka_sink_azure_kusto_spark.plans.registry_r9  # noqa: E402,F401 — substring-span dedup/production multimodal kernels
+import kafka_sink_azure_kusto_spark.plans.registry_r9b  # noqa: E402,F401 — within-doc dedup/vocab coverage/theta set-ops/knn graph

@@ -83,6 +83,10 @@ _GATE_PRIORITY = [
     # rotation rule (VERDICT r6 #1): any query whose implementation
     # OR shared helper changed this round leads the 50-slot gate.
     # --- new in r9 ---
+    "text_within_doc_dedup",             # r9b: C4 duplicate-line rule
+    "vocab_coverage_curve",              # r9b: count-of-counts coverage
+    "theta_sketch_setops",               # r9b: sketch union/intersection
+    "knn_graph_mutual",                  # r9b: mutual kNN graph
     "contamination_substring_trim",      # r9: benchmark-span decontamination
     "quantile_sketch_estimate",          # r9: mergeable quantile histogram
     "quantile_sketch_merge_lifecycle",   # r9: SUM-merge == single-shot proof

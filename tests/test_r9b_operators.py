@@ -1,0 +1,198 @@
+"""Unit tests for the r9b operator batch: within-document segment
+dedup (C4 duplicate-line rule), the count-of-counts vocabulary
+coverage curve, theta-sketch set operations, and the mutual k-NN
+graph.
+
+Load-bearing properties:
+- within-doc dedup keeps FIRST occurrences in original order and never
+  looks across documents;
+- vocab coverage matches the naive rank-and-prefix-sum definition on a
+  closed-form corpus (the count-of-counts rendition is exact, not
+  approximate);
+- theta set-ops are EXACT when every group is exhaustive (theta = 1)
+  and the estimator stays consistent under sharding (sketch
+  mergeability: union-then-rerank == single-shot);
+- mutual-kNN keeps an edge iff BOTH endpoints rank each other, and the
+  bucket cap binds deterministically.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from kafka_sink_azure_kusto_spark.functions.corpus import (
+    vocab_coverage,
+    within_doc_segment_dedup,
+)
+from kafka_sink_azure_kusto_spark.functions.sketches import (
+    theta_setops_pairs,
+    theta_sketch_rows,
+)
+
+
+# ------------------------------------------------- within-doc dedup
+
+def test_within_doc_dedup_keeps_first_in_order(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b c d a b"),   # segs(2): "a b","a b","c d","a b"
+            (2, "x y z w"),            # no dupes
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in within_doc_segment_dedup(df, "text", "doc_id", 2).collect()
+    }
+    assert out[1].clean_text == "a b c d"
+    assert out[1].n_segments == 4 and out[1].n_dropped == 2
+    assert out[1].dup_ratio == 0.5
+    assert out[2].clean_text == "x y z w"
+    assert out[2].n_dropped == 0
+
+
+def test_within_doc_dedup_is_per_document(spark):
+    # the same segment in two docs is kept in BOTH (no corpus effect)
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], ["doc_id", "text"]
+    )
+    rows = within_doc_segment_dedup(df, "text", "doc_id", 2).collect()
+    assert all(r.clean_text == "a b c d" and r.n_dropped == 0 for r in rows)
+
+
+def test_within_doc_dedup_ragged_tail_segment(spark):
+    # 5 tokens / seg 2 -> 3 segments, last is the single token "e"
+    df = spark.createDataFrame([(1, "a b a b e")], ["doc_id", "text"])
+    r = within_doc_segment_dedup(df, "text", "doc_id", 2).collect()[0]
+    assert r.clean_text == "a b e"
+    assert r.n_segments == 3 and r.n_dropped == 1
+
+
+# ------------------------------------------------- vocab coverage
+
+def test_vocab_coverage_matches_naive_definition(spark):
+    # corpus: "a"x6, "b"x3, "c"x1 -> total 10
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a a a b")], ["doc_id", "text"]
+    )
+    out = {
+        r.threshold_pct: r
+        for r in vocab_coverage(df, "text", thresholds=(50, 90, 95, 99))
+        .collect()
+    }
+    # 50%: need 5 -> "a" alone (6) covers
+    assert out[50].vocab_size == 1 and out[50].covered_tokens == 6
+    # 90%: need 9 -> a+b = 9 exactly
+    assert out[90].vocab_size == 2 and out[90].covered_tokens == 9
+    # 95%: need ceil(9.5)=10 -> a+b+c
+    assert out[95].vocab_size == 3 and out[95].covered_tokens == 10
+    assert out[99].vocab_size == 3
+    assert out[50].coverage == 0.6
+
+
+def test_vocab_coverage_ties_within_count_class(spark):
+    # 4 tokens each count 1: 50% threshold needs 2 of the class of 4
+    df = spark.createDataFrame([(1, "p q r s")], ["doc_id", "text"])
+    out = {
+        r.threshold_pct: r
+        for r in vocab_coverage(df, "text", thresholds=(50, 99)).collect()
+    }
+    assert out[50].vocab_size == 2 and out[50].covered_tokens == 2
+    assert out[99].vocab_size == 4
+
+
+# ------------------------------------------------- theta set-ops
+
+def test_theta_setops_exact_when_exhaustive(spark):
+    # A = {1..10}, B = {6..15}: inter 5, union 15; k=64 >> sizes
+    rows = [("A", i) for i in range(1, 11)] + [("B", i) for i in range(6, 16)]
+    df = spark.createDataFrame(rows, ["g", "u"])
+    r = theta_setops_pairs(df, "g", "u", k=64).collect()[0]
+    assert (r.group_a, r.group_b) == ("A", "B")
+    assert r.est_a == 10.0 and r.est_b == 10.0
+    assert r.est_union == 15.0 and r.est_intersect == 5.0
+    assert abs(r.est_jaccard - 5.0 / 15.0) < 1e-6
+
+
+def test_theta_setops_estimates_track_truth(spark):
+    # 600 vs 400 distinct with 200 shared; k=64 forces estimation
+    rows = [("A", i) for i in range(600)] + [("B", i) for i in range(400, 800)]
+    df = spark.createDataFrame(rows, ["g", "u"])
+    r = theta_setops_pairs(df, "g", "u", k=64).collect()[0]
+    assert abs(r.est_a - 600) / 600 < 0.4
+    assert abs(r.est_union - 800) / 800 < 0.4
+    assert 0 < r.est_intersect < 2.5 * 200
+
+
+def test_theta_sketch_rows_merge_equals_single_shot(spark):
+    rows = [("A", i) for i in range(500)]
+    df = spark.createDataFrame(rows, ["g", "u"])
+    single = theta_sketch_rows(df, "g", "u", k=32)
+    # shard, sketch each shard, union, re-rank keep-k — the merge rule
+    parts = [
+        theta_sketch_rows(df.filter(F.col("u") % 3 == m), "g", "u", k=32)
+        .select("g", "kmv_u")
+        for m in range(3)
+    ]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy("kmv_u")
+    remerged = (
+        merged.distinct()
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 32)
+    )
+    a = sorted(r.kmv_u for r in single.select("kmv_u").collect())
+    b = sorted(r.kmv_u for r in remerged.select("kmv_u").collect())
+    assert a == b
+
+
+# ------------------------------------------------- mutual kNN graph
+
+def _toy_vectors(spark):
+    # two tight clusters on orthogonal axes (64-dim, first two coords)
+    def vec(x, y):
+        v = [0.0] * 64
+        v[0], v[1] = x, y
+        return v
+
+    rows = [
+        (0, vec(1.0, 0.00)),
+        (1, vec(1.0, 0.01)),
+        (2, vec(1.0, 0.02)),
+        (3, vec(0.00, 1.0)),
+        (4, vec(0.01, 1.0)),
+        (5, vec(0.02, 1.0)),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_knn_graph_mutual_edges_symmetric_and_ranked(spark):
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        knn_graph_mutual,
+    )
+
+    df = _toy_vectors(spark)
+    edges = knn_graph_mutual(df, num_planes=2, k=2, bucket_cap=256).collect()
+    assert edges, "clustered vectors must produce mutual edges"
+    for e in edges:
+        assert e.src < e.dst
+        assert 1 <= e.rank_src <= 2 and 1 <= e.rank_dst <= 2
+        assert -1.0 <= e.score <= 1.0 + 1e-9
+    # no cross-cluster edge can outrank within-cluster neighbours
+    cluster = lambda i: 0 if i <= 2 else 1  # noqa: E731
+    assert all(cluster(e.src) == cluster(e.dst) for e in edges)
+
+
+def test_knn_graph_bucket_cap_binds(spark):
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        knn_graph_mutual,
+    )
+
+    df = _toy_vectors(spark)
+    # cap 1: every bucket keeps a single member -> no candidate pairs
+    edges = knn_graph_mutual(df, num_planes=2, k=2, bucket_cap=1).collect()
+    assert edges == []
