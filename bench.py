@@ -151,6 +151,11 @@ HEADLINE = [
     "quantile_sketch_merge_lifecycle",
     "minhash_merge_lifecycle",
     "contamination_substring_trim",
+    # r9b: within-doc dedup, vocab coverage, theta set-ops, kNN graph
+    "text_within_doc_dedup",
+    "vocab_coverage_curve",
+    "theta_sketch_setops",
+    "knn_graph_mutual",
 ]
 
 

@@ -686,15 +686,23 @@ def vocab_coverage(
             Window.partitionBy()
         ).alias("total_mass"),
     )
-    rows = []
-    for t in thresholds:
-        need = F.ceil(F.col("total_mass") * F.lit(t) / F.lit(100.0))
-        take = F.ceil((need - F.col("mass_above")) / F.col("c")).cast("long")
-        cand = cum.filter(
+    # one pass for ALL thresholds: explode the literal threshold list
+    # against the bounded histogram and keep each threshold's
+    # bracketing count-class — no per-threshold re-derivation, no union
+    # of arms (the first rendition cost 3 subtree replays per run).
+    th = F.explode(
+        F.array(*[F.lit(int(t)) for t in thresholds])
+    ).alias("threshold_pct")
+    need = F.ceil(F.col("total_mass") * F.col("threshold_pct") / F.lit(100.0))
+    take = F.ceil((need - F.col("mass_above")) / F.col("c")).cast("long")
+    return (
+        cum.select("*", th)
+        .filter(
             (F.col("mass_above") < need)
             & (F.col("mass_above") + F.col("c") * F.col("n_tokens") >= need)
-        ).select(
-            F.lit(t).cast("int").alias("threshold_pct"),
+        )
+        .select(
+            F.col("threshold_pct").cast("int").alias("threshold_pct"),
             (F.col("n_above") + take).alias("vocab_size"),
             (F.col("mass_above") + take * F.col("c")).alias("covered_tokens"),
             F.round(
@@ -703,11 +711,7 @@ def vocab_coverage(
                 6,
             ).alias("coverage"),
         )
-        rows.append(cand)
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    )
 
 
 def vocab_coverage_sql(

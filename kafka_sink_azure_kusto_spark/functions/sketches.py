@@ -701,8 +701,18 @@ def theta_setops_pairs(
     (groups·k)² at worst — groups are enumerable dimensions (event
     types, sources, days), so this broadcasts. Mergeability: sketch
     rows from shards union and re-rank (keep k smallest) losslessly.
+
+    Plan note: the group-pair enumeration is a |groups|² inequality
+    join over the ≤|groups|-row stats relation — it executes as a
+    BroadcastNestedLoopJoin over BOUNDED input by construction (same
+    class as domain_temperature_mix's documented 1-row normalizer
+    broadcast), not a corpus-sized nested loop.
     """
-    sk = theta_sketch_rows(df, group_col, key_col, k=k).cache()
+    # ≤ k rows per group — materialize ONCE (eager localCheckpoint, the
+    # repo's standard cut before self-join fan-out) so the three
+    # downstream branches (stats, side A, side B) scan 320-ish rows
+    # instead of re-deriving the corpus distinct+rank subtree each.
+    sk = theta_sketch_rows(df, group_col, key_col, k=k).localCheckpoint()
     stats = sk.select(
         group_col, "theta", "n_distinct_seen"
     ).distinct()
