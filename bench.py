@@ -156,6 +156,7 @@ HEADLINE = [
     "vocab_coverage_curve",
     "theta_sketch_setops",
     "knn_graph_mutual",
+    "knn_graph_nn_descent",
 ]
 
 

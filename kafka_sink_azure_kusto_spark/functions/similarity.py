@@ -914,7 +914,7 @@ def kmeans_train(
     return spark.createDataFrame(out, ["cell", "centroid"])
 
 
-def knn_graph_mutual(
+def lsh_topk_directed(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -922,24 +922,15 @@ def knn_graph_mutual(
     k: int = 3,
     bucket_cap: int = 256,
 ) -> DataFrame:
-    """Mutual k-NN GRAPH construction over an embedding corpus — the
-    building block for NN-descent refinement, graph clustering, and
-    SemDeDup-style cluster seeding: every vector finds its top-``k``
-    cosine neighbors among its LSH-bucket candidates, and an edge
-    survives only when BOTH endpoints rank each other (mutual-kNN, the
-    standard noise filter) → (src, dst, score, rank_src, rank_dst)
-    with src < dst.
+    """DIRECTED per-node top-``k`` neighbor lists from one LSH round:
+    every vector scores its bucket co-members (exact cosine) and keeps
+    its ``k`` best → (src, dst, score, rank). The seed stage shared by
+    ``knn_graph_mutual`` (mutual filter on top) and
+    ``nn_descent_refine`` (neighbor-of-neighbor expansion on top).
 
-    Differs from ``ivf_topk`` in join shape: there the query set is
-    small and broadcasts; here EVERY vector is a query, so the
-    candidate stage is a plain bucket equi-JOIN of the corpus with
-    itself — both sides shuffle once on the bucket key, per-bucket
-    fan-out is bounded by ``bucket_cap`` (deterministic membership by
-    md5 rank, the repo's standard degenerate-bucket guard), and the
-    mutual filter is an equi-join of two top-k relations on the
-    reversed edge key. Nothing broadcasts the corpus; nothing is
-    quadratic beyond cap² per bucket. 100 TB shape: buckets ≈ 2^planes
-    partitions the corpus; raise ``num_planes`` with corpus size.
+    Candidate generation is a bucket equi-JOIN of the corpus with
+    itself — no corpus broadcast; per-bucket membership is capped at
+    ``bucket_cap`` by deterministic md5 rank (degenerate-bucket guard).
     """
     from kafka_sink_azure_kusto_spark.functions.sampling import (
         md5_unit_interval,
@@ -974,9 +965,125 @@ def knn_graph_mutual(
     w = Window.partitionBy("src").orderBy(
         F.col("score").desc(), F.col("dst").asc()
     )
-    topk = (
+    return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def nn_descent_refine(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 6,
+    k: int = 3,
+    bucket_cap: int = 256,
+) -> DataFrame:
+    """ONE NN-descent refinement round over the LSH-seeded k-NN lists
+    (Dong et al.'s "a neighbor of a neighbor is likely a neighbor"):
+    candidates = current top-k ∪ two-hop expansion through the
+    UNDIRECTED neighbor sets (forward lists ∪ reverse lists, reverse
+    in-degree capped at ``k`` by score rank — the bounded-fan-out
+    guard NN-descent implementations call reverse sampling), re-scored
+    with exact cosine and re-ranked → (src, dst, score, rank,
+    improved) where ``improved`` flags nodes whose k-th neighbor got
+    strictly better than the seed round's.
+
+    Scale shape: everything is an equi-join on node ids. Per node the
+    undirected neighbor set is ≤ 2k, so the two-hop expansion fans out
+    ≤ 4k² candidate rows per node — independent of corpus size; the
+    exact-score stage joins the (node-keyed) candidate list back to
+    the vector table twice, shuffling on ids both times. Iterating
+    this function converges the graph; one round is the gated unit
+    (same policy as kmeans_lloyd_step: the STEP is the operator).
+    """
+    seed = lsh_topk_directed(
+        df, id_col=id_col, vec_col=vec_col,
+        num_planes=num_planes, k=k, bucket_cap=bucket_cap,
+    ).localCheckpoint()  # reused by 4 branches; ≤ k rows per node
+    fwd = seed.select("src", "dst")
+    revw = Window.partitionBy("dst").orderBy(
+        F.col("score").desc(), F.col("src").asc()
+    )
+    rev = (
+        seed.withColumn("_rr", F.row_number().over(revw))
+        .filter(F.col("_rr") <= k)
+        .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nbrs = fwd.unionByName(rev).distinct()
+    hop2 = (
+        nbrs.alias("a")
+        .join(
+            nbrs.select(
+                F.col("src").alias("mid"), F.col("dst").alias("dst2")
+            ).alias("b"),
+            F.col("a.dst") == F.col("b.mid"),
+        )
+        .filter(F.col("a.src") != F.col("b.dst2"))
+        .select(F.col("a.src").alias("src"), F.col("b.dst2").alias("dst"))
+    )
+    cand = fwd.unionByName(hop2).distinct()
+    vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    scored = (
+        cand.join(vecs.withColumnRenamed("_vid", "src")
+                      .withColumnRenamed("_v", "sv"), "src")
+        .join(vecs.withColumnRenamed("_vid", "dst")
+                  .withColumnRenamed("_v", "dv"), "dst")
+        .select("src", "dst", cosine(F.col("sv"), F.col("dv")).alias("score"))
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("score").desc(), F.col("dst").asc()
+    )
+    refined = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    seed_kth = seed.groupBy("src").agg(F.min("score").alias("seed_kth"))
+    return (
+        refined.join(seed_kth, "src", "left")
+        .select(
+            "src",
+            "dst",
+            F.round("score", 6).alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+            (
+                (F.col("rank") == k) & (F.col("score") > F.col("seed_kth"))
+            ).alias("improved"),
+        )
+        .withColumn("improved", F.coalesce("improved", F.lit(False)))
+    )
+
+
+def knn_graph_mutual(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 6,
+    k: int = 3,
+    bucket_cap: int = 256,
+) -> DataFrame:
+    """Mutual k-NN GRAPH construction over an embedding corpus — the
+    building block for NN-descent refinement, graph clustering, and
+    SemDeDup-style cluster seeding: every vector finds its top-``k``
+    cosine neighbors among its LSH-bucket candidates, and an edge
+    survives only when BOTH endpoints rank each other (mutual-kNN, the
+    standard noise filter) → (src, dst, score, rank_src, rank_dst)
+    with src < dst.
+
+    Differs from ``ivf_topk`` in join shape: there the query set is
+    small and broadcasts; here EVERY vector is a query, so the
+    candidate stage is a plain bucket equi-JOIN of the corpus with
+    itself — both sides shuffle once on the bucket key, per-bucket
+    fan-out is bounded by ``bucket_cap`` (deterministic membership by
+    md5 rank, the repo's standard degenerate-bucket guard), and the
+    mutual filter is an equi-join of two top-k relations on the
+    reversed edge key. Nothing broadcasts the corpus; nothing is
+    quadratic beyond cap² per bucket. 100 TB shape: buckets ≈ 2^planes
+    partitions the corpus; raise ``num_planes`` with corpus size.
+    """
+    topk = lsh_topk_directed(
+        df, id_col=id_col, vec_col=vec_col,
+        num_planes=num_planes, k=k, bucket_cap=bucket_cap,
     )
     x, y = topk.alias("x"), topk.alias("y")
     mutual = x.join(

@@ -87,6 +87,7 @@ _GATE_PRIORITY = [
     "vocab_coverage_curve",              # r9b: count-of-counts coverage
     "theta_sketch_setops",               # r9b: sketch union/intersection
     "knn_graph_mutual",                  # r9b: mutual kNN graph
+    "knn_graph_nn_descent",              # r9b: NN-descent refinement round
     "contamination_substring_trim",      # r9: benchmark-span decontamination
     "quantile_sketch_estimate",          # r9: mergeable quantile histogram
     "quantile_sketch_merge_lifecycle",   # r9: SUM-merge == single-shot proof

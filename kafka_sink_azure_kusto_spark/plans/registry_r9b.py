@@ -166,3 +166,83 @@ def knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding",
         num_planes=_KNN_PLANES, k=_KNN_K, bucket_cap=_KNN_CAP,
     )
+
+
+_NND_SEED_SQL = f"""
+    e AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS v
+          FROM embeddings),
+    b AS (SELECT nid, v, {_KNN_BUCKET_SQL} AS bucket FROM e),
+    capped AS (SELECT nid, v, bucket FROM (
+        SELECT nid, v, bucket,
+               ROW_NUMBER() OVER (
+                   PARTITION BY bucket
+                   ORDER BY {md5_unit_interval_sql("nid", salt="knncap:")},
+                            nid) AS cr
+        FROM b) WHERE cr <= {_KNN_CAP}),
+    scored0 AS (SELECT l.nid AS src, r.nid AS dst,
+                       list_dot_product(l.v, r.v) /
+                       (sqrt(list_dot_product(l.v, l.v)) *
+                        sqrt(list_dot_product(r.v, r.v))) AS score
+                FROM capped l JOIN capped r USING (bucket)
+                WHERE l.nid <> r.nid),
+    seed AS (SELECT src, dst, score, rnk FROM (
+        SELECT src, dst, score,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY score DESC, dst ASC) AS rnk
+        FROM scored0) WHERE rnk <= {_KNN_K})
+"""
+
+
+@register(
+    "knn_graph_nn_descent",
+    f"""
+    WITH {_NND_SEED_SQL},
+    fwd AS (SELECT src, dst FROM seed),
+    rev AS (SELECT dst AS src, src AS dst FROM (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY dst
+                                  ORDER BY score DESC, src ASC) AS rr
+        FROM seed) WHERE rr <= {_KNN_K}),
+    nbrs AS (SELECT DISTINCT src, dst FROM
+             (SELECT * FROM fwd UNION ALL SELECT * FROM rev)),
+    hop2 AS (SELECT a.src AS src, bb.dst AS dst
+             FROM nbrs a JOIN nbrs bb ON a.dst = bb.src
+             WHERE a.src <> bb.dst),
+    cand AS (SELECT DISTINCT src, dst FROM
+             (SELECT * FROM fwd UNION ALL SELECT * FROM hop2)),
+    sc AS (SELECT cand.src, cand.dst,
+                  list_dot_product(es.v, ed.v) /
+                  (sqrt(list_dot_product(es.v, es.v)) *
+                   sqrt(list_dot_product(ed.v, ed.v))) AS score
+           FROM cand JOIN e es ON cand.src = es.nid
+                     JOIN e ed ON cand.dst = ed.nid),
+    ref AS (SELECT src, dst, score, rnk FROM (
+        SELECT src, dst, score,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY score DESC, dst ASC) AS rnk
+        FROM sc) WHERE rnk <= {_KNN_K}),
+    kth AS (SELECT src, MIN(score) AS seed_kth FROM seed GROUP BY src)
+    SELECT ref.src, ref.dst, ROUND(ref.score, 6) AS score,
+           CAST(ref.rnk AS BIGINT) AS rank,
+           COALESCE(ref.rnk = {_KNN_K} AND ref.score > kth.seed_kth,
+                    FALSE) AS improved
+    FROM ref LEFT JOIN kth USING (src)
+    """,
+)
+def knn_graph_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One NN-descent refinement round over the LSH-seeded k-NN lists:
+    candidates = seed top-3 ∪ two-hop expansion through the undirected
+    (forward ∪ reverse-capped) neighbor sets, re-scored exactly and
+    re-ranked; ``improved`` marks nodes whose 3rd-best strictly beat
+    the seed round. Per-node fan-out ≤ 4k² regardless of corpus size;
+    every stage an equi-join — the iterate-to-converge kNN-graph
+    builder at 100 TB (`functions/similarity.nn_descent_refine`)."""
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        nn_descent_refine,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return nn_descent_refine(
+        emb, "vec_id", "embedding",
+        num_planes=_KNN_PLANES, k=_KNN_K, bucket_cap=_KNN_CAP,
+    )

@@ -196,3 +196,41 @@ def test_knn_graph_bucket_cap_binds(spark):
     # cap 1: every bucket keeps a single member -> no candidate pairs
     edges = knn_graph_mutual(df, num_planes=2, k=2, bucket_cap=1).collect()
     assert edges == []
+
+
+def test_nn_descent_round_never_worsens_and_can_improve(spark):
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        lsh_topk_directed,
+        nn_descent_refine,
+    )
+
+    # chain a-b-c where a and c land in different LSH buckets but share
+    # neighbor b: the 2-hop expansion must let a and c discover each
+    # other. Use 3 clusters of the toy grid to guarantee bucket splits.
+    def vec(x, y):
+        v = [0.0] * 64
+        v[0], v[1] = x, y
+        return v
+
+    rows = [(i, vec(1.0, 0.002 * i)) for i in range(8)] + [
+        (100 + i, vec(0.002 * i, 1.0)) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    seed = lsh_topk_directed(df, num_planes=4, k=2, bucket_cap=256)
+    refined = nn_descent_refine(df, num_planes=4, k=2, bucket_cap=256)
+    seed_kth = {
+        r.src: r.score for r in seed.collect() if r.rank == 2
+    }
+    ref_rows = refined.collect()
+    ref_kth = {r.src: r.score for r in ref_rows if r.rank == 2}
+    # refinement never worsens any node's kth-best score (the refined
+    # output is rounded to 6 decimals; compare at that resolution)
+    for node, s in seed_kth.items():
+        assert node in ref_kth and ref_kth[node] >= round(s, 6) - 1e-9
+    # per-node list sizes still <= k and ranks well-formed
+    from collections import Counter
+
+    per = Counter(r.src for r in ref_rows)
+    assert all(c <= 2 for c in per.values())
+    # the improved flag appears only on rank-k rows
+    assert all(r.rank == 2 for r in ref_rows if r.improved)
