@@ -157,6 +157,8 @@ HEADLINE = [
     "theta_sketch_setops",
     "knn_graph_mutual",
     "knn_graph_nn_descent",
+    "knn_recall_audit",
+    "theta_sketch_merge_lifecycle",
 ]
 
 

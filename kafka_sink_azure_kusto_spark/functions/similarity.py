@@ -783,6 +783,7 @@ def hyperplane_lsh_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    plane_offset: int = 0,
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector (sign-of-dot-product
     sketch). Hyperplane components are deterministic pseudo-randoms
@@ -807,16 +808,21 @@ def hyperplane_lsh_buckets(
         F.col(id_col).alias("id"),
         F.posexplode(F.col(vec_col)).alias("d", "x"),
     ).filter(F.col("d") < dim)
+    # plane_offset selects an independent BAND: band b's planes are ids
+    # [offset, offset + num_planes) in the same md5-derived family, so
+    # multi-band callers (OR-amplified LSH, NN-descent seeding) get
+    # statistically independent bucketings with zero new machinery.
     contribs = [
         (F.col("x").cast("double") * hyperplane_component(p, F.col("d"))).alias(f"c{p}")
-        for p in range(num_planes)
+        for p in range(plane_offset, plane_offset + num_planes)
     ]
+    planes = range(plane_offset, plane_offset + num_planes)
     sums = base.select("id", *contribs).groupBy("id").agg(
-        *[F.sum(f"c{p}").alias(f"s{p}") for p in range(num_planes)]
+        *[F.sum(f"c{p}").alias(f"s{p}") for p in planes]
     )
     bits = [
         F.when(F.col(f"s{p}") >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for p in range(num_planes)
+        for p in planes
     ]
     return sums.select("id", F.concat(*bits).alias("bucket"))
 
@@ -921,45 +927,62 @@ def lsh_topk_directed(
     num_planes: int = 6,
     k: int = 3,
     bucket_cap: int = 256,
+    bands: int = 1,
 ) -> DataFrame:
-    """DIRECTED per-node top-``k`` neighbor lists from one LSH round:
-    every vector scores its bucket co-members (exact cosine) and keeps
-    its ``k`` best → (src, dst, score, rank). The seed stage shared by
-    ``knn_graph_mutual`` (mutual filter on top) and
-    ``nn_descent_refine`` (neighbor-of-neighbor expansion on top).
+    """DIRECTED per-node top-``k`` neighbor lists from ``bands``
+    independent LSH rounds (OR-amplification): each band buckets the
+    corpus with its own ``num_planes`` hyperplanes (band b = plane ids
+    [b·num_planes, (b+1)·num_planes)), candidate pairs are the union
+    of the bands' within-bucket pairs, and exact cosine keeps each
+    node's ``k`` best → (src, dst, score, rank). The seed stage shared
+    by ``knn_graph_mutual`` (mutual filter on top) and
+    ``nn_descent_refine`` (neighbor-of-neighbor expansion on top —
+    which NEEDS ≥ 2 bands: with one band every seed edge stays inside
+    one bucket, so the two-hop expansion can never propose a candidate
+    the seed round didn't already score).
 
-    Candidate generation is a bucket equi-JOIN of the corpus with
-    itself — no corpus broadcast; per-bucket membership is capped at
-    ``bucket_cap`` by deterministic md5 rank (degenerate-bucket guard).
+    Candidate generation is a bucket equi-JOIN of id/bucket pairs per
+    band — no corpus broadcast, vectors join in once for scoring;
+    per-bucket membership is capped at ``bucket_cap`` by deterministic
+    md5 rank (degenerate-bucket guard).
     """
     from kafka_sink_azure_kusto_spark.functions.sampling import (
         md5_unit_interval,
     )
 
-    buckets = hyperplane_lsh_buckets(
-        df, num_planes=num_planes, id_col=id_col, vec_col=vec_col
-    )
-    base = (
-        df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("v"))
-        .join(buckets.withColumnRenamed("id", "nid"), "nid")
-    )
-    capw = Window.partitionBy("bucket").orderBy(
-        md5_unit_interval(F.col("nid"), salt="knncap:"), F.col("nid")
-    )
-    base = (
-        base.withColumn("_cr", F.row_number().over(capw))
-        .filter(F.col("_cr") <= bucket_cap)
-        .drop("_cr")
-    )
-    left = base.select(
-        F.col("nid").alias("src"), F.col("v").alias("sv"), "bucket"
-    )
-    right = base.select(
-        F.col("nid").alias("dst"), F.col("v").alias("dv"), "bucket"
-    )
+    vecs = df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("v"))
+    pair_parts = []
+    for b in range(bands):
+        buckets = hyperplane_lsh_buckets(
+            df, num_planes=num_planes, id_col=id_col, vec_col=vec_col,
+            plane_offset=b * num_planes,
+        ).withColumnRenamed("id", "nid")
+        capw = Window.partitionBy("bucket").orderBy(
+            md5_unit_interval(F.col("nid"), salt="knncap:"), F.col("nid")
+        )
+        capped = (
+            buckets.withColumn("_cr", F.row_number().over(capw))
+            .filter(F.col("_cr") <= bucket_cap)
+            .select("nid", "bucket")
+        )
+        pair_parts.append(
+            capped.select(F.col("nid").alias("src"), "bucket")
+            .join(
+                capped.select(F.col("nid").alias("dst"), "bucket"), "bucket"
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .select("src", "dst")
+        )
+    pairs = pair_parts[0]
+    for p in pair_parts[1:]:
+        pairs = pairs.unionByName(p)
+    if bands > 1:
+        pairs = pairs.distinct()
     scored = (
-        left.join(right, "bucket")
-        .filter(F.col("src") != F.col("dst"))
+        pairs.join(vecs.withColumnRenamed("nid", "src")
+                       .withColumnRenamed("v", "sv"), "src")
+        .join(vecs.withColumnRenamed("nid", "dst")
+                  .withColumnRenamed("v", "dv"), "dst")
         .select("src", "dst", cosine(F.col("sv"), F.col("dv")).alias("score"))
     )
     w = Window.partitionBy("src").orderBy(
@@ -978,6 +1001,7 @@ def nn_descent_refine(
     num_planes: int = 6,
     k: int = 3,
     bucket_cap: int = 256,
+    bands: int = 2,
 ) -> DataFrame:
     """ONE NN-descent refinement round over the LSH-seeded k-NN lists
     (Dong et al.'s "a neighbor of a neighbor is likely a neighbor"):
@@ -999,7 +1023,7 @@ def nn_descent_refine(
     """
     seed = lsh_topk_directed(
         df, id_col=id_col, vec_col=vec_col,
-        num_planes=num_planes, k=k, bucket_cap=bucket_cap,
+        num_planes=num_planes, k=k, bucket_cap=bucket_cap, bands=bands,
     ).localCheckpoint()  # reused by 4 branches; ≤ k rows per node
     fwd = seed.select("src", "dst")
     revw = Window.partitionBy("dst").orderBy(

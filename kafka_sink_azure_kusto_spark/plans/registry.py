@@ -88,6 +88,8 @@ _GATE_PRIORITY = [
     "theta_sketch_setops",               # r9b: sketch union/intersection
     "knn_graph_mutual",                  # r9b: mutual kNN graph
     "knn_graph_nn_descent",              # r9b: NN-descent refinement round
+    "knn_recall_audit",                  # r9b: recall vs brute-force truth
+    "theta_sketch_merge_lifecycle",      # r9b: lossless KMV merge proof
     "contamination_substring_trim",      # r9: benchmark-span decontamination
     "quantile_sketch_estimate",          # r9: mergeable quantile histogram
     "quantile_sketch_merge_lifecycle",   # r9: SUM-merge == single-shot proof

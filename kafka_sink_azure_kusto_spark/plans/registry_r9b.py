@@ -111,11 +111,15 @@ def _knn_comp_sql(p: int) -> str:
     )
 
 
-_KNN_BUCKET_SQL = " || ".join(
-    f"(CASE WHEN list_dot_product(v, {_knn_comp_sql(p)}) >= 0 "
-    f"THEN '1' ELSE '0' END)"
-    for p in range(_KNN_PLANES)
-)
+def _knn_bucket_sql(plane_offset: int = 0) -> str:
+    return " || ".join(
+        f"(CASE WHEN list_dot_product(v, {_knn_comp_sql(p)}) >= 0 "
+        f"THEN '1' ELSE '0' END)"
+        for p in range(plane_offset, plane_offset + _KNN_PLANES)
+    )
+
+
+_KNN_BUCKET_SQL = _knn_bucket_sql(0)
 
 
 @register(
@@ -168,23 +172,40 @@ def knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# two-band seed (OR-amplified LSH): band b = plane ids [6b, 6b+6).
+# One band would make NN-descent a no-op — every seed edge stays
+# within one bucket, so two-hop candidates were already scored.
 _NND_SEED_SQL = f"""
     e AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS v
           FROM embeddings),
-    b AS (SELECT nid, v, {_KNN_BUCKET_SQL} AS bucket FROM e),
-    capped AS (SELECT nid, v, bucket FROM (
-        SELECT nid, v, bucket,
+    b0 AS (SELECT nid, {_knn_bucket_sql(0)} AS bucket FROM e),
+    c0 AS (SELECT nid, bucket FROM (
+        SELECT nid, bucket,
                ROW_NUMBER() OVER (
                    PARTITION BY bucket
                    ORDER BY {md5_unit_interval_sql("nid", salt="knncap:")},
                             nid) AS cr
-        FROM b) WHERE cr <= {_KNN_CAP}),
-    scored0 AS (SELECT l.nid AS src, r.nid AS dst,
-                       list_dot_product(l.v, r.v) /
-                       (sqrt(list_dot_product(l.v, l.v)) *
-                        sqrt(list_dot_product(r.v, r.v))) AS score
-                FROM capped l JOIN capped r USING (bucket)
-                WHERE l.nid <> r.nid),
+        FROM b0) WHERE cr <= {_KNN_CAP}),
+    b1 AS (SELECT nid, {_knn_bucket_sql(_KNN_PLANES)} AS bucket FROM e),
+    c1 AS (SELECT nid, bucket FROM (
+        SELECT nid, bucket,
+               ROW_NUMBER() OVER (
+                   PARTITION BY bucket
+                   ORDER BY {md5_unit_interval_sql("nid", salt="knncap:")},
+                            nid) AS cr
+        FROM b1) WHERE cr <= {_KNN_CAP}),
+    prs AS (SELECT DISTINCT src, dst FROM (
+        SELECT l.nid AS src, r.nid AS dst
+        FROM c0 l JOIN c0 r USING (bucket) WHERE l.nid <> r.nid
+        UNION ALL
+        SELECT l.nid AS src, r.nid AS dst
+        FROM c1 l JOIN c1 r USING (bucket) WHERE l.nid <> r.nid)),
+    scored0 AS (SELECT prs.src, prs.dst,
+                       list_dot_product(es.v, ed.v) /
+                       (sqrt(list_dot_product(es.v, es.v)) *
+                        sqrt(list_dot_product(ed.v, ed.v))) AS score
+                FROM prs JOIN e es ON prs.src = es.nid
+                         JOIN e ed ON prs.dst = ed.nid),
     seed AS (SELECT src, dst, score, rnk FROM (
         SELECT src, dst, score,
                ROW_NUMBER() OVER (PARTITION BY src
@@ -193,10 +214,7 @@ _NND_SEED_SQL = f"""
 """
 
 
-@register(
-    "knn_graph_nn_descent",
-    f"""
-    WITH {_NND_SEED_SQL},
+_NND_REFINE_SQL = f"""
     fwd AS (SELECT src, dst FROM seed),
     rev AS (SELECT dst AS src, src AS dst FROM (
         SELECT src, dst,
@@ -220,7 +238,15 @@ _NND_SEED_SQL = f"""
         SELECT src, dst, score,
                ROW_NUMBER() OVER (PARTITION BY src
                                   ORDER BY score DESC, dst ASC) AS rnk
-        FROM sc) WHERE rnk <= {_KNN_K}),
+        FROM sc) WHERE rnk <= {_KNN_K})
+"""
+
+
+@register(
+    "knn_graph_nn_descent",
+    f"""
+    WITH {_NND_SEED_SQL},
+    {_NND_REFINE_SQL},
     kth AS (SELECT src, MIN(score) AS seed_kth FROM seed GROUP BY src)
     SELECT ref.src, ref.dst, ROUND(ref.score, 6) AS score,
            CAST(ref.rnk AS BIGINT) AS rank,
@@ -230,7 +256,10 @@ _NND_SEED_SQL = f"""
     """,
 )
 def knn_graph_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One NN-descent refinement round over the LSH-seeded k-NN lists:
+    """One NN-descent refinement round over the TWO-BAND LSH-seeded
+    k-NN lists (one band is a provable no-op: every seed edge stays
+    within a bucket, so two-hop candidates were already scored and
+    rejected — found by the zero-new-edges probe in this round):
     candidates = seed top-3 ∪ two-hop expansion through the undirected
     (forward ∪ reverse-capped) neighbor sets, re-scored exactly and
     re-ranked; ``improved`` marks nodes whose 3rd-best strictly beat
@@ -245,4 +274,214 @@ def knn_graph_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nn_descent_refine(
         emb, "vec_id", "embedding",
         num_planes=_KNN_PLANES, k=_KNN_K, bucket_cap=_KNN_CAP,
+    )
+
+
+@register(
+    "knn_recall_audit",
+    f"""
+    WITH {_NND_SEED_SQL},
+    {_NND_REFINE_SQL},
+    gt AS (SELECT src, dst FROM (
+        SELECT l.nid AS src, r.nid AS dst,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l.nid
+                   ORDER BY list_dot_product(l.v, r.v) /
+                            (sqrt(list_dot_product(l.v, l.v)) *
+                             sqrt(list_dot_product(r.v, r.v))) DESC,
+                            r.nid ASC) AS rnk
+        FROM e l JOIN e r ON l.nid <> r.nid) WHERE rnk <= {_KNN_K}),
+    tot AS (SELECT COUNT(*) AS n_possible FROM gt),
+    h1 AS (SELECT COUNT(*) AS n_hits FROM gt
+           WHERE EXISTS (SELECT 1 FROM seed s
+                         WHERE s.src = gt.src AND s.dst = gt.dst)),
+    h2 AS (SELECT COUNT(*) AS n_hits FROM gt
+           WHERE EXISTS (SELECT 1 FROM ref r
+                         WHERE r.src = gt.src AND r.dst = gt.dst))
+    SELECT 'lsh_seed' AS method, h1.n_hits, tot.n_possible,
+           ROUND(h1.n_hits / CAST(tot.n_possible AS DOUBLE), 6) AS recall
+    FROM h1, tot
+    UNION ALL
+    SELECT 'nn_descent_1round' AS method, h2.n_hits, tot.n_possible,
+           ROUND(h2.n_hits / CAST(tot.n_possible AS DOUBLE), 6) AS recall
+    FROM h2, tot
+    """,
+)
+def knn_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall AUDIT of the approximate kNN-graph builders against
+    exact brute-force ground truth: for the LSH seed round and the
+    one-round NN-descent refinement, the fraction of true top-3 edges
+    each recovers → (method, n_hits, n_possible, recall). Hit counts
+    are exact integers and the ratio is a single division, so the
+    result is order-independent (no float mean over queries).
+
+    Scale framing: ground truth is a brute-force pass — at 100 TB this
+    audit runs on a deterministic SAMPLE of queries (the
+    max_broadcast_queries guard in brute_force_topk enforces the
+    bound); the audited builders themselves stay all-equi-join. The
+    measured numbers are the recall knob's feedback loop: raise
+    num_planes / add NN-descent rounds until the audit clears target
+    (`functions/similarity.nn_descent_refine`)."""
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        brute_force_topk,
+        lsh_topk_directed,
+        nn_descent_refine,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    gt = brute_force_topk(emb, emb, k=_KNN_K).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    ).localCheckpoint()
+    seed = lsh_topk_directed(
+        emb, num_planes=_KNN_PLANES, k=_KNN_K, bucket_cap=_KNN_CAP, bands=2
+    ).select("src", "dst")
+    refined = nn_descent_refine(
+        emb, num_planes=_KNN_PLANES, k=_KNN_K, bucket_cap=_KNN_CAP, bands=2
+    ).select("src", "dst")
+    tot = gt.agg(F.count(F.lit(1)).alias("n_possible"))
+
+    def arm(name: str, edges: DataFrame) -> DataFrame:
+        hits = gt.join(edges, ["src", "dst"], "left_semi").agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+        return (
+            hits.crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(name).alias("method"),
+                "n_hits",
+                "n_possible",
+                F.round(
+                    F.col("n_hits") / F.col("n_possible"), 6
+                ).alias("recall"),
+            )
+        )
+
+    return arm("lsh_seed", seed).unionByName(
+        arm("nn_descent_1round", refined)
+    )
+
+
+_THETA_DAYS = 3
+
+
+@register(
+    "theta_sketch_merge_lifecycle",
+    f"""
+    WITH pairs0 AS (SELECT DISTINCT event_type AS grp, user_id AS kmv_key,
+                           event_id % {_THETA_DAYS} AS day
+                    FROM events WHERE user_id IS NOT NULL),
+    hashed AS (SELECT grp, day, kmv_key,
+                      {md5_unit_interval_sql("kmv_key", salt="kmv:")} AS u
+               FROM pairs0),
+    daily AS (SELECT grp, day, u FROM (
+        SELECT grp, day, u,
+               ROW_NUMBER() OVER (PARTITION BY grp, day
+                                  ORDER BY u, kmv_key) AS r
+        FROM hashed) WHERE r <= {_THETA_K}),
+    merged AS (SELECT grp, u FROM (
+        SELECT grp, u,
+               ROW_NUMBER() OVER (PARTITION BY grp ORDER BY u) AS r
+        FROM (SELECT DISTINCT grp, u FROM daily)) WHERE r <= {_THETA_K}),
+    m_est AS (SELECT grp, COUNT(*) AS n_seen,
+                     MAX(CASE WHEN rr = {_THETA_K} THEN u END) AS u_k
+              FROM (SELECT grp, u,
+                           ROW_NUMBER() OVER (PARTITION BY grp ORDER BY u)
+                               AS rr FROM merged)
+              GROUP BY grp),
+    single AS (SELECT grp, COUNT(*) AS n_seen,
+                      MAX(CASE WHEN r = {_THETA_K} THEN u END) AS u_k
+               FROM (SELECT grp, u,
+                            ROW_NUMBER() OVER (PARTITION BY grp
+                                               ORDER BY u, kmv_key) AS r
+                     FROM (SELECT DISTINCT grp, kmv_key, u FROM hashed))
+               WHERE r <= {_THETA_K}
+               GROUP BY grp)
+    SELECT m.grp AS event_type,
+           ROUND(CASE WHEN m.n_seen < {_THETA_K}
+                      THEN CAST(m.n_seen AS DOUBLE)
+                      ELSE {float(_THETA_K - 1)} / m.u_k END, 6)
+               AS est_merged,
+           ROUND(CASE WHEN s.n_seen < {_THETA_K}
+                      THEN CAST(s.n_seen AS DOUBLE)
+                      ELSE {float(_THETA_K - 1)} / s.u_k END, 6)
+               AS est_single,
+           (CASE WHEN m.n_seen < {_THETA_K}
+                 THEN CAST(m.n_seen AS DOUBLE)
+                 ELSE {float(_THETA_K - 1)} / m.u_k END =
+            CASE WHEN s.n_seen < {_THETA_K}
+                 THEN CAST(s.n_seen AS DOUBLE)
+                 ELSE {float(_THETA_K - 1)} / s.u_k END) AS merge_exact
+    FROM m_est m JOIN single s USING (grp)
+    """,
+)
+def theta_sketch_merge_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch MERGEABILITY lifecycle (completes the sketch-merge
+    family beside the HLL/quantile/minhash lifecycles): events split
+    into 3 synthetic days, each day sketched independently,
+    the daily sketch ROWS unioned and re-ranked keep-k-smallest — the
+    merged estimate must EQUAL the single-shot estimate per event type
+    (KMV merge is lossless below k: the k smallest of a union are a
+    subset of the per-part k smallest). This is what lets a 100 TB
+    deployment keep per-day sketch rows and answer any date-range
+    distinct query by merge, never rescanning
+    (`functions/sketches.theta_sketch_rows`)."""
+    from kafka_sink_azure_kusto_spark.functions.sampling import (
+        md5_unit_interval,
+    )
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    pairs = ev.select(
+        F.col("event_type").alias("grp"),
+        F.col("user_id").alias("kmv_key"),
+        (F.col("event_id") % _THETA_DAYS).alias("day"),
+    ).distinct()
+    hashed = pairs.withColumn(
+        "u", md5_unit_interval(F.col("kmv_key"), salt="kmv:")
+    )
+    wd = Window.partitionBy("grp", "day").orderBy("u", "kmv_key")
+    daily = (
+        hashed.withColumn("r", F.row_number().over(wd))
+        .filter(F.col("r") <= _THETA_K)
+        .select("grp", "u")
+    )
+    wm = Window.partitionBy("grp").orderBy("u")
+    merged = (
+        daily.distinct()
+        .withColumn("r", F.row_number().over(wm))
+        .filter(F.col("r") <= _THETA_K)
+    )
+
+    def estimate(ranked: DataFrame) -> DataFrame:
+        per = ranked.groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n_seen"),
+            F.max(
+                F.when(F.col("r") == _THETA_K, F.col("u"))
+            ).alias("u_k"),
+        )
+        est = F.when(
+            F.col("n_seen") < _THETA_K, F.col("n_seen").cast("double")
+        ).otherwise(F.lit(float(_THETA_K - 1)) / F.col("u_k"))
+        return per.select("grp", est.alias("est"))
+
+    # the single-shot path must rank DISTINCT (group, user) hashes —
+    # ``hashed`` carries one row per (group, user, day), and ranking
+    # the day-duplicated multiset would pull u_k in by ~days× (the
+    # merged path dedups naturally via union-distinct)
+    ws = Window.partitionBy("grp").orderBy("u", "kmv_key")
+    single_ranked = (
+        hashed.select("grp", "kmv_key", "u")
+        .distinct()
+        .withColumn("r", F.row_number().over(ws))
+        .filter(F.col("r") <= _THETA_K)
+    )
+    m = estimate(merged).withColumnRenamed("est", "est_m")
+    s = estimate(single_ranked).withColumnRenamed("est", "est_s")
+    return m.join(s, "grp").select(
+        F.col("grp").alias("event_type"),
+        F.round("est_m", 6).alias("est_merged"),
+        F.round("est_s", 6).alias("est_single"),
+        (F.col("est_m") == F.col("est_s")).alias("merge_exact"),
     )

@@ -234,3 +234,49 @@ def test_nn_descent_round_never_worsens_and_can_improve(spark):
     assert all(c <= 2 for c in per.values())
     # the improved flag appears only on rank-k rows
     assert all(r.rank == 2 for r in ref_rows if r.improved)
+
+
+def test_nn_descent_single_band_is_noop_two_bands_expand(spark):
+    """Structural property found by this round's probe: with ONE band
+    every seed edge is within-bucket, so 2-hop expansion proposes only
+    already-scored candidates — refined == seed. With TWO bands the
+    expansion crosses band buckets and must be able to add edges."""
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        lsh_topk_directed,
+        nn_descent_refine,
+    )
+    from kafka_sink_azure_kusto_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    one_seed = lsh_topk_directed(
+        emb, num_planes=6, k=3, bucket_cap=256, bands=1
+    ).select("src", "dst")
+    one_ref = nn_descent_refine(
+        emb, num_planes=6, k=3, bucket_cap=256, bands=1
+    ).select("src", "dst")
+    assert one_ref.subtract(one_seed).count() == 0
+
+    two_seed = lsh_topk_directed(
+        emb, num_planes=6, k=3, bucket_cap=256, bands=2
+    ).select("src", "dst")
+    two_ref = nn_descent_refine(
+        emb, num_planes=6, k=3, bucket_cap=256, bands=2
+    ).select("src", "dst")
+    assert two_ref.subtract(two_seed).count() > 0
+
+
+def test_lsh_bands_are_independent_bucketings(spark):
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        hyperplane_lsh_buckets,
+    )
+    from kafka_sink_azure_kusto_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    b0 = {r.id: r.bucket for r in hyperplane_lsh_buckets(
+        emb, num_planes=6, plane_offset=0).collect()}
+    b1 = {r.id: r.bucket for r in hyperplane_lsh_buckets(
+        emb, num_planes=6, plane_offset=6).collect()}
+    assert set(b0) == set(b1)
+    # the two bandings must differ for a meaningful fraction of vectors
+    diff = sum(1 for i in b0 if b0[i] != b1[i])
+    assert diff > len(b0) * 0.5
