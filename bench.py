@@ -220,6 +220,18 @@ def _scale10x_timings(spark, sf_dir: str) -> dict[str, float]:
             group_minhash_registers(docs_src, ["source"], "text"), "source"
         ),
     )
+    # r9b: within-doc dedup (zero-exchange narrow) and the
+    # count-of-counts coverage curve at 10×
+    from kafka_sink_azure_kusto_spark.functions.corpus import (
+        vocab_coverage,
+        within_doc_segment_dedup,
+    )
+
+    timed(
+        "text_within_doc_dedup_10x",
+        within_doc_segment_dedup(docs, "text", "doc_id", seg_tokens=2),
+    )
+    timed("vocab_coverage_10x", vocab_coverage(docs, "text"))
     docs.unpersist()
 
     emb = synth_embeddings(spark, 5000).cache()
@@ -227,6 +239,20 @@ def _scale10x_timings(spark, sf_dir: str) -> dict[str, float]:
     q = emb.filter(F.col("vec_id") < 50)
     timed("similarity_topk_bruteforce_10x", S.brute_force_topk(emb, q, k=10))
     timed("similarity_topk_ivf_10x", S.ivf_topk(emb, q, k=10))
+    # r9b: kNN-graph builders at 10× (8 planes = 256 buckets keeps
+    # per-bucket membership under the 256 cap at 5k vectors). Built
+    # INSIDE the timer: both operators materialize eagerly at plan
+    # build (localCheckpoint), so pre-building would hide the seed cost
+    t0 = time.perf_counter()
+    S.knn_graph_mutual(emb, num_planes=8, k=3, bucket_cap=256).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    timings["knn_graph_mutual_10x"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    S.nn_descent_refine(
+        emb, num_planes=8, k=3, bucket_cap=256, bands=2
+    ).write.format("noop").mode("overwrite").save()
+    timings["knn_graph_nn_descent_10x"] = round(time.perf_counter() - t0, 3)
     emb.unpersist()
 
     # 10× replicated events: shifted ids keep key cardinality realistic.
@@ -342,11 +368,20 @@ def _scale100x_timings(spark, sf_dir: str) -> dict:
         seg[n] = timed(C.segment_dedup(docs))
         docs.unpersist()
     ivf: dict[int, float] = {}
+    nnd: dict[int, float] = {}
     for n in (5_000, 50_000):
         emb = synth_embeddings(spark, n).cache()
         emb.count()
         q = emb.filter(F.col("vec_id") < 50)
         ivf[n] = timed(S.ivf_topk(emb, q, k=10))
+        # r9b: NN-descent graph build — per-bucket pair cost is bounded
+        # by cap², per-node expansion by 4k². Built inside the timer
+        # (eager localCheckpoint at plan build would escape it).
+        t0 = time.perf_counter()
+        S.nn_descent_refine(
+            emb, num_planes=8, k=3, bucket_cap=256, bands=2
+        ).write.format("noop").mode("overwrite").save()
+        nnd[n] = round(time.perf_counter() - t0, 3)
         emb.unpersist()
 
     def exponent(t: dict[int, float]) -> float:
@@ -363,6 +398,10 @@ def _scale100x_timings(spark, sf_dir: str) -> dict:
     out["segment_dedup"] = {
         "sec_10x": seg[5_000], "sec_100x": seg[50_000],
         "scaling_exponent": exponent(seg),  # ~1.0 = linear (no pair blowup)
+    }
+    out["knn_graph_nn_descent"] = {
+        "sec_10x": nnd[5_000], "sec_100x": nnd[50_000],
+        "scaling_exponent": exponent(nnd),  # bucket cap + 4k^2 bound
     }
 
     # --- r9 (VERDICT r8 #4): the two write-heavy lifecycle queries ---

