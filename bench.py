@@ -159,6 +159,8 @@ HEADLINE = [
     "knn_graph_nn_descent",
     "knn_recall_audit",
     "theta_sketch_merge_lifecycle",
+    "dedup_containment_subset",
+    "corpus_snapshot_diff",
 ]
 
 

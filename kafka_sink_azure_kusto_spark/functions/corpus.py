@@ -751,3 +751,40 @@ def vocab_coverage_sql(
             FROM coc)
     {arms}
     """
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus SNAPSHOT DIFF — the incremental-ingest primitive: given
+    yesterday's and today's corpus snapshots, classify every document
+    id as ``added`` / ``removed`` / ``changed`` / ``unchanged`` by
+    content fingerprint → (id, status, old_fp, new_fp). Downstream
+    stages (dedup stores, ANN indexes, statistics) then process ONLY
+    the added/changed/removed rows instead of rescanning the corpus —
+    the operation that turns every full-corpus pipeline in this repo
+    into an incremental one.
+
+    Scale shape: fingerprints (md5) are computed in each snapshot's
+    scan stage; the diff is ONE full-outer hash join on the id — the
+    minimum possible data movement for a diff (each snapshot shuffles
+    once on its id). No text leaves the scan stage; the join carries
+    (id, 32-char fp).
+    """
+    o = old.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("old_fp")
+    )
+    n = new.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("new_fp")
+    )
+    j = o.join(n, "id", "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select("id", status.alias("status"), "old_fp", "new_fp")

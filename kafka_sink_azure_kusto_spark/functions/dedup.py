@@ -1394,3 +1394,111 @@ def incremental_substring_dedup(
             .alias("status"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int = 1000,
+) -> DataFrame:
+    """ASYMMETRIC containment pairs — the subset/quote detector that
+    symmetric Jaccard misses: containment(S→L) = |S∩L| / |S| is high
+    when the smaller document's shingles are (mostly) embedded in the
+    larger one even though Jaccard is low (a tweet quoted inside an
+    article scores jaccard ≈ |tweet|/|article| but containment ≈ 1).
+    Emits (small_id, big_id, containment, jaccard, n_small, n_big) for
+    pairs with containment ≥ ``threshold``, smaller-by-shingle-count
+    document first (ties by id) — the standard "drop the contained
+    duplicate, keep the superset" decision input.
+
+    Scale shape: same equi-join-on-shingle skeleton as
+    ``ngram_jaccard_pairs``; the Jaccard length-ratio prefilter does
+    NOT apply (containment deliberately pairs unequal sizes), so the
+    hot-shingle guard is ``max_shingle_freq``: shingles appearing in
+    more than that many documents are dropped from the candidate join
+    (boilerplate shingles pair everything with everything — the same
+    stop-shingle pruning published MinHash pipelines apply). The
+    filter is mirrored in the oracle, so gated results stay exact.
+    """
+    ex = (
+        ensure_min_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(shingles(text_col, k)).alias("sh"),
+        )
+        .distinct()
+        .withColumn("shh", F.md5("sh"))
+        .select("id", "shh")
+    )
+    hot = (
+        ex.groupBy("shh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > max_shingle_freq)
+        .select("shh")
+    )
+    probe = ex.join(F.broadcast(hot), "shh", "left_anti")
+    # sizes over the SAME pruned shingle set as the intersection, so
+    # containment is a consistent measure on non-boilerplate shingles
+    sizes = probe.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    l, r = probe.alias("l"), probe.alias("r")
+    inter = (
+        l.join(
+            r,
+            on=[
+                F.col("l.shh") == F.col("r.shh"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    both = (
+        inter.join(sa, F.col("a") == F.col("sa.id"))
+        .join(sb, F.col("b") == F.col("sb.id"))
+        .select(
+            "a", "b", "n_inter",
+            F.col("sa.n_sh").alias("n_a"),
+            F.col("sb.n_sh").alias("n_b"),
+        )
+    )
+    small_first = both.select(
+        F.when(
+            (F.col("n_a") < F.col("n_b"))
+            | ((F.col("n_a") == F.col("n_b")) & (F.col("a") < F.col("b"))),
+            F.col("a"),
+        ).otherwise(F.col("b")).alias("small_id"),
+        F.when(
+            (F.col("n_a") < F.col("n_b"))
+            | ((F.col("n_a") == F.col("n_b")) & (F.col("a") < F.col("b"))),
+            F.col("b"),
+        ).otherwise(F.col("a")).alias("big_id"),
+        "n_inter",
+        F.least("n_a", "n_b").alias("n_small"),
+        F.greatest("n_a", "n_b").alias("n_big"),
+    )
+    return (
+        small_first.withColumn(
+            "containment",
+            F.round(
+                F.col("n_inter") / F.col("n_small").cast("double"), 6
+            ),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_small") + F.col("n_big") - F.col("n_inter"))
+                .cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "small_id", "big_id", "containment", "jaccard",
+            "n_small", "n_big",
+        )
+    )

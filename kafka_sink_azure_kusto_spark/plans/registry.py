@@ -90,6 +90,8 @@ _GATE_PRIORITY = [
     "knn_graph_nn_descent",              # r9b: NN-descent refinement round
     "knn_recall_audit",                  # r9b: recall vs brute-force truth
     "theta_sketch_merge_lifecycle",      # r9b: lossless KMV merge proof
+    "dedup_containment_subset",          # r9b: asymmetric quote detector
+    "corpus_snapshot_diff",              # r9b: incremental-ingest diff
     "contamination_substring_trim",      # r9: benchmark-span decontamination
     "quantile_sketch_estimate",          # r9: mergeable quantile histogram
     "quantile_sketch_merge_lifecycle",   # r9: SUM-merge == single-shot proof

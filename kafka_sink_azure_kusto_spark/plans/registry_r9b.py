@@ -485,3 +485,107 @@ def theta_sketch_merge_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("est_s", 6).alias("est_single"),
         (F.col("est_m") == F.col("est_s")).alias("merge_exact"),
     )
+
+
+_CONT_K = 3
+_CONT_T = 0.8
+_CONT_MAXDF = 1000
+
+
+@register(
+    "dedup_containment_subset",
+    f"""
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents),
+    g AS (SELECT doc_id,
+                 unnest(list_transform(
+                     range(1, greatest(len(ws) - {_CONT_K - 2}, 1)),
+                     i -> array_to_string(ws[i:i+{_CONT_K - 1}], ' '))) AS ng
+          FROM words),
+    d AS (SELECT DISTINCT doc_id AS id, md5(ng) AS shh FROM g),
+    hot AS (SELECT shh FROM d GROUP BY shh
+            HAVING COUNT(*) > {_CONT_MAXDF}),
+    probe AS (SELECT id, shh FROM d
+              WHERE shh NOT IN (SELECT shh FROM hot)),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM probe GROUP BY id),
+    inter AS (SELECT l.id AS a, r.id AS b, COUNT(*) AS n_inter
+              FROM probe l JOIN probe r
+                ON l.shh = r.shh AND l.id < r.id
+              GROUP BY l.id, r.id),
+    pairsz AS (SELECT a, b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b
+               FROM inter JOIN sizes sa ON a = sa.id
+                          JOIN sizes sb ON b = sb.id),
+    sf AS (SELECT CASE WHEN n_a < n_b OR (n_a = n_b AND a < b)
+                       THEN a ELSE b END AS small_id,
+                  CASE WHEN n_a < n_b OR (n_a = n_b AND a < b)
+                       THEN b ELSE a END AS big_id,
+                  n_inter,
+                  LEAST(n_a, n_b) AS n_small,
+                  GREATEST(n_a, n_b) AS n_big
+           FROM pairsz)
+    SELECT small_id, big_id,
+           ROUND(n_inter / CAST(n_small AS DOUBLE), 6) AS containment,
+           ROUND(n_inter / CAST(n_small + n_big - n_inter AS DOUBLE), 6)
+               AS jaccard,
+           n_small, n_big
+    FROM sf
+    WHERE n_inter / CAST(n_small AS DOUBLE) >= {_CONT_T}
+    """,
+)
+def dedup_containment_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT pairs — the subset/quote detector that
+    symmetric Jaccard misses (a short document embedded verbatim in a
+    long one scores jaccard ≈ |short|/|long| but containment ≈ 1):
+    shingle equi-join, per-pair intersection over boilerplate-pruned
+    shingles, smaller document first, pairs with containment ≥ 0.8.
+    The "drop the contained duplicate, keep the superset" decision
+    input (`functions/dedup.containment_pairs`)."""
+    from kafka_sink_azure_kusto_spark.functions.dedup import (
+        containment_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs, "text", "doc_id",
+        k=_CONT_K, threshold=_CONT_T, max_shingle_freq=_CONT_MAXDF,
+    )
+
+
+@register(
+    "corpus_snapshot_diff",
+    """
+    WITH old AS (SELECT doc_id AS id, md5(text) AS old_fp FROM documents
+                 WHERE doc_id % 7 <> 0),
+    new AS (SELECT doc_id AS id,
+                   md5(CASE WHEN doc_id % 11 = 0
+                            THEN text || ' rev2' ELSE text END) AS new_fp
+            FROM documents WHERE doc_id % 5 <> 0)
+    SELECT COALESCE(old.id, new.id) AS id,
+           CASE WHEN old_fp IS NULL THEN 'added'
+                WHEN new_fp IS NULL THEN 'removed'
+                WHEN old_fp = new_fp THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           old_fp, new_fp
+    FROM old FULL OUTER JOIN new ON old.id = new.id
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — classify every doc id across two corpus
+    snapshots (synthesized deterministically from the fixture: old
+    drops id%7==0, new drops id%5==0 and revises id%11==0) as
+    added/removed/changed/unchanged via content fingerprints. ONE
+    full-outer hash join on the id, fingerprints computed in the scan
+    stage — the incremental-ingest primitive that lets dedup stores,
+    ANN indexes and statistics process only the delta
+    (`functions/corpus.snapshot_diff`)."""
+    from kafka_sink_azure_kusto_spark.functions.corpus import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new, "doc_id", "text")

@@ -280,3 +280,52 @@ def test_lsh_bands_are_independent_bucketings(spark):
     # the two bandings must differ for a meaningful fraction of vectors
     diff = sum(1 for i in b0 if b0[i] != b1[i])
     assert diff > len(b0) * 0.5
+
+
+# --------------------------------------------- containment / snapshot diff
+
+def test_containment_detects_subset_that_jaccard_misses(spark):
+    from kafka_sink_azure_kusto_spark.functions.dedup import (
+        containment_pairs,
+    )
+
+    long_text = " ".join(f"w{i}" for i in range(40))
+    short_text = " ".join(f"w{i}" for i in range(10, 20))  # embedded span
+    df = spark.createDataFrame(
+        [(1, long_text), (2, short_text), (3, "x y z q r s t u v")],
+        ["doc_id", "text"],
+    )
+    rows = containment_pairs(df, k=3, threshold=0.9).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.small_id, r.big_id) == (2, 1)
+    assert r.containment == 1.0
+    # jaccard is LOW for the same pair — the property containment adds
+    assert r.jaccard < 0.25
+
+
+def test_containment_hot_shingle_guard(spark):
+    from kafka_sink_azure_kusto_spark.functions.dedup import (
+        containment_pairs,
+    )
+
+    # every doc shares the same boilerplate trigram; with the guard at
+    # max_shingle_freq=2 the boilerplate can't pair everything
+    rows = [(i, f"common boiler plate unique{i} tail{i} end{i}")
+            for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = containment_pairs(df, k=3, threshold=0.5, max_shingle_freq=2)
+    assert out.count() == 0
+
+
+def test_snapshot_diff_statuses(spark):
+    from kafka_sink_azure_kusto_spark.functions.corpus import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c2"), (4, "d")], ["doc_id", "text"]
+    )
+    out = {r.id: r.status for r in snapshot_diff(old, new).collect()}
+    assert out == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
