@@ -161,6 +161,7 @@ HEADLINE = [
     "theta_sketch_merge_lifecycle",
     "dedup_containment_subset",
     "corpus_snapshot_diff",
+    "contrastive_hard_negatives",
 ]
 
 

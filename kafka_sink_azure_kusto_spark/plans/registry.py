@@ -92,6 +92,7 @@ _GATE_PRIORITY = [
     "theta_sketch_merge_lifecycle",      # r9b: lossless KMV merge proof
     "dedup_containment_subset",          # r9b: asymmetric quote detector
     "corpus_snapshot_diff",              # r9b: incremental-ingest diff
+    "contrastive_hard_negatives",        # r9b: cross-label ANN mining
     "contamination_substring_trim",      # r9: benchmark-span decontamination
     "quantile_sketch_estimate",          # r9: mergeable quantile histogram
     "quantile_sketch_merge_lifecycle",   # r9: SUM-merge == single-shot proof

@@ -589,3 +589,130 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return snapshot_diff(old, new, "doc_id", "text")
+
+
+_HN_K = 3
+
+
+@register(
+    "contrastive_hard_negatives",
+    f"""
+    WITH e AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS v, label
+               FROM embeddings),
+    b0 AS (SELECT nid, {_knn_bucket_sql(0)} AS bucket FROM e),
+    c0 AS (SELECT nid, bucket FROM (
+        SELECT nid, bucket,
+               ROW_NUMBER() OVER (
+                   PARTITION BY bucket
+                   ORDER BY {md5_unit_interval_sql("nid", salt="knncap:")},
+                            nid) AS cr
+        FROM b0) WHERE cr <= {_KNN_CAP}),
+    b1 AS (SELECT nid, {_knn_bucket_sql(_KNN_PLANES)} AS bucket FROM e),
+    c1 AS (SELECT nid, bucket FROM (
+        SELECT nid, bucket,
+               ROW_NUMBER() OVER (
+                   PARTITION BY bucket
+                   ORDER BY {md5_unit_interval_sql("nid", salt="knncap:")},
+                            nid) AS cr
+        FROM b1) WHERE cr <= {_KNN_CAP}),
+    prs AS (SELECT DISTINCT src, dst FROM (
+        SELECT l.nid AS src, r.nid AS dst
+        FROM c0 l JOIN c0 r USING (bucket) WHERE l.nid <> r.nid
+        UNION ALL
+        SELECT l.nid AS src, r.nid AS dst
+        FROM c1 l JOIN c1 r USING (bucket) WHERE l.nid <> r.nid)),
+    sc AS (SELECT prs.src, prs.dst, es.label AS src_label,
+                  ed.label AS dst_label,
+                  list_dot_product(es.v, ed.v) /
+                  (sqrt(list_dot_product(es.v, es.v)) *
+                   sqrt(list_dot_product(ed.v, ed.v))) AS score
+           FROM prs JOIN e es ON prs.src = es.nid
+                    JOIN e ed ON prs.dst = ed.nid
+           WHERE es.label <> ed.label)
+    SELECT src AS anchor_id, dst AS negative_id, src_label, dst_label,
+           ROUND(score, 6) AS score, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                       ORDER BY score DESC, dst ASC) AS rnk
+          FROM sc)
+    WHERE rnk <= {_HN_K}
+    """,
+)
+def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive/embedding training: per
+    anchor vector, the top-3 most-similar vectors with a DIFFERENT
+    label among its two-band LSH candidates — high-similarity
+    cross-label pairs are exactly the negatives that tighten a
+    contrastive margin (random negatives are trivially separable).
+    Same no-corpus-broadcast candidate shape as the kNN graph; the
+    label-mismatch filter applies before ranking. At 100 TB the label
+    is any supervision signal: source, dedup cluster, language
+    (`functions/similarity.lsh_topk_directed` + label filter)."""
+    from pyspark.sql import Window
+    from kafka_sink_azure_kusto_spark.functions.sampling import (
+        md5_unit_interval,
+    )
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        dot,
+        hyperplane_lsh_buckets,
+        l2_norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("v"),
+        "label",
+    ).withColumn("vn", l2_norm(F.col("v")))
+    scored_parts = []
+    for band in range(2):
+        buckets = hyperplane_lsh_buckets(
+            emb, num_planes=_KNN_PLANES, plane_offset=band * _KNN_PLANES
+        ).withColumnRenamed("id", "nid")
+        capw = Window.partitionBy("bucket").orderBy(
+            md5_unit_interval(F.col("nid"), salt="knncap:"), F.col("nid")
+        )
+        capped = (
+            vecs.join(buckets, "nid")
+            .withColumn("_cr", F.row_number().over(capw))
+            .filter(F.col("_cr") <= _KNN_CAP)
+            .select("nid", "v", "vn", "label", "bucket")
+        )
+        scored_parts.append(
+            capped.select(
+                F.col("nid").alias("src"), F.col("v").alias("sv"),
+                F.col("vn").alias("sn"),
+                F.col("label").alias("src_label"), "bucket",
+            )
+            .join(
+                capped.select(
+                    F.col("nid").alias("dst"), F.col("v").alias("dv"),
+                    F.col("vn").alias("dn"),
+                    F.col("label").alias("dst_label"), "bucket",
+                ),
+                "bucket",
+            )
+            .filter(
+                (F.col("src") != F.col("dst"))
+                & (F.col("src_label") != F.col("dst_label"))
+            )
+            .select(
+                "src", "dst", "src_label", "dst_label",
+                (dot(F.col("sv"), F.col("dv")) / (F.col("sn") * F.col("dn")))
+                .alias("score"),
+            )
+        )
+    scored = scored_parts[0].unionByName(scored_parts[1]).distinct()
+    w = Window.partitionBy("src").orderBy(
+        F.col("score").desc(), F.col("dst").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HN_K)
+        .select(
+            F.col("src").alias("anchor_id"),
+            F.col("dst").alias("negative_id"),
+            "src_label", "dst_label",
+            F.round("score", 6).alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -329,3 +329,18 @@ def test_snapshot_diff_statuses(spark):
     )
     out = {r.id: r.status for r in snapshot_diff(old, new).collect()}
     assert out == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_hard_negatives_cross_label_only(spark):
+    import __spark_entry__ as e
+
+    out = e.queries()["contrastive_hard_negatives"](
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = out.collect()
+    assert rows
+    assert all(r.src_label != r.dst_label for r in rows)
+    from collections import Counter
+
+    per = Counter(r.anchor_id for r in rows)
+    assert all(c <= 3 for c in per.values())
