@@ -364,11 +364,18 @@ def _scale100x_timings(spark, sf_dir: str) -> dict:
     base_docs = load_table(spark, sf_dir, "documents")
     minhash: dict[int, float] = {}
     seg: dict[int, float] = {}
+    cont: dict[int, float] = {}
     for n in (5_000, 50_000):
         docs = synth_docs(spark, base_docs, n).cache()
         docs.count()
         minhash[n] = timed(D.minhash_lsh_pairs(docs, jaccard_threshold=0.5))
         seg[n] = timed(C.segment_dedup(docs))
+        # r9b: asymmetric containment — no jaccard length-ratio pruning
+        # applies, so the hot-shingle guard is the only quadratic bound
+        cont[n] = timed(
+            D.containment_pairs(docs, k=3, threshold=0.8,
+                                max_shingle_freq=1000)
+        )
         docs.unpersist()
     ivf: dict[int, float] = {}
     nnd: dict[int, float] = {}
@@ -405,6 +412,10 @@ def _scale100x_timings(spark, sf_dir: str) -> dict:
     out["knn_graph_nn_descent"] = {
         "sec_10x": nnd[5_000], "sec_100x": nnd[50_000],
         "scaling_exponent": exponent(nnd),  # bucket cap + 4k^2 bound
+    }
+    out["dedup_containment_subset"] = {
+        "sec_10x": cont[5_000], "sec_100x": cont[50_000],
+        "scaling_exponent": exponent(cont),  # hot-shingle guard bound
     }
 
     # --- r9 (VERDICT r8 #4): the two write-heavy lifecycle queries ---
