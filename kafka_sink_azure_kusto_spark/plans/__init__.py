@@ -9,3 +9,4 @@ import kafka_sink_azure_kusto_spark.plans.registry_windows  # noqa: E402,F401 â€
 import kafka_sink_azure_kusto_spark.plans.registry_attribution  # noqa: E402,F401 â€” last-touch attribution/survivorship/co-purchase
 import kafka_sink_azure_kusto_spark.plans.registry_r9  # noqa: E402,F401 â€” substring-span dedup/production multimodal kernels
 import kafka_sink_azure_kusto_spark.plans.registry_r9b  # noqa: E402,F401 â€” within-doc dedup/vocab coverage/theta set-ops/knn graph
+import kafka_sink_azure_kusto_spark.plans.registry_tpch2  # noqa: E402,F401 â€” TPC-H analogs q12/q13/q14/q16

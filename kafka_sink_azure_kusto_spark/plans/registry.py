@@ -93,6 +93,10 @@ _GATE_PRIORITY = [
     "dedup_containment_subset",          # r9b: asymmetric quote detector
     "corpus_snapshot_diff",              # r9b: incremental-ingest diff
     "contrastive_hard_negatives",        # r9b: cross-label ANN mining
+    "q12_linestatus_priority",           # r9b: TPC-H Q12 analog
+    "q13_order_count_distribution",      # r9b: TPC-H Q13 analog
+    "q14_promo_revenue",                 # r9b: TPC-H Q14 analog
+    "q16_supplier_brand_count",          # r9b: TPC-H Q16 analog
     "contamination_substring_trim",      # r9: benchmark-span decontamination
     "quantile_sketch_estimate",          # r9: mergeable quantile histogram
     "quantile_sketch_merge_lifecycle",   # r9: SUM-merge == single-shot proof

@@ -1,0 +1,183 @@
+"""Second TPC-H analog batch (r9b): Q12/Q13/Q14/Q16 shapes adapted to
+the driver's schema (no partsupp / l_shipmode / p_container columns —
+``l_linestatus`` stands in for shipmode in Q12 and the Q16 supplier
+count runs over lineitem's supplier keys). Same decimal discipline as
+``registry_r5b``: DECIMAL(18,2) partials so sums are exact and
+order-independent, cast to double only at the output boundary.
+
+No reference citations: analytics breadth additions (SURVEY §7.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_sink_azure_kusto_spark.plans.registry import register
+from kafka_sink_azure_kusto_spark.sources.tables import load_table
+
+
+def _dec(col: str) -> Column:
+    return F.col(col).cast("decimal(18,2)")
+
+
+_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+
+@register(
+    "q12_linestatus_priority",
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def q12_linestatus_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (l_linestatus standing in for l_shipmode):
+    per line status, how many 1996-shipped lines belong to urgent/high
+    vs lower-priority orders. The shipdate filter pushes to the
+    lineitem scan; orders joins on the orderkey; the pivot is two
+    conditional sums — one exchange on the tiny group key."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1997-01-01")))
+    ).select("l_orderkey", "l_linestatus")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q13_order_count_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey)
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           COUNT(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the customer order-count DISTRIBUTION —
+    zero-order customers included via the left join (COUNT of the
+    right-side key, not COUNT(*)). Two exchanges: custkey for the
+    per-customer count, then the tiny c_count key. The classic
+    histogram-of-activity query for retention dashboards."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey"
+    )
+    per = (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    ).select(F.col("c_count").cast("bigint").alias("c_count"), "custdist")
+
+
+@register(
+    "q14_promo_revenue",
+    f"""
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV} ELSE 0 END)
+                AS DOUBLE) AS promo_revenue,
+           CAST(SUM({_REV}) AS DOUBLE) AS total_revenue,
+           ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                                       THEN {_REV} ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM({_REV}) AS DOUBLE), 6) AS promo_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-07-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion revenue share for a shipdate window.
+    The part dimension broadcasts; both revenue sums are exact
+    DECIMAL(18,2) partials (order-independent), divided as doubles
+    only at the output — the ratio is bit-stable across partitionings."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("l_shipdate") < F.to_timestamp(F.lit("1996-07-01")))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    agg = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.sum(promo).cast("double").alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 6
+        ).alias("promo_pct"),
+    )
+
+
+@register(
+    "q16_supplier_brand_count",
+    """
+    SELECT p_brand, CAST(p_size AS INT) AS p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+         JOIN part ON p_partkey = l_partkey
+         JOIN supplier ON s_suppkey = l_suppkey
+    WHERE p_brand <> 'Brand#9'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND s_acctbal >= 0
+    GROUP BY p_brand, p_size
+    """,
+)
+def q16_supplier_brand_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier variety per part attribute, partsupp
+    stood in by lineitem's supplier keys): distinct suppliers per
+    (brand, size) excluding one brand, a size IN-list, and
+    negative-balance suppliers (the complaint-supplier exclusion
+    analog). Both dimensions broadcast; the COUNT DISTINCT is the one
+    wide operation, keyed on the small (brand, size) space."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    ).filter(
+        (F.col("p_brand") != "Brand#9")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_acctbal"
+    ).filter(F.col("s_acctbal") >= 0)
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .select(
+            "p_brand", F.col("p_size").cast("int").alias("p_size"),
+            "supplier_cnt",
+        )
+    )
