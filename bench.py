@@ -162,6 +162,12 @@ HEADLINE = [
     "dedup_containment_subset",
     "corpus_snapshot_diff",
     "contrastive_hard_negatives",
+    # r9b: TPC-H analog batch 2
+    "q12_linestatus_priority",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q16_supplier_brand_count",
+    "q8_market_share",
 ]
 
 

@@ -97,6 +97,7 @@ _GATE_PRIORITY = [
     "q13_order_count_distribution",      # r9b: TPC-H Q13 analog
     "q14_promo_revenue",                 # r9b: TPC-H Q14 analog
     "q16_supplier_brand_count",          # r9b: TPC-H Q16 analog
+    "q8_market_share",                   # r9b: TPC-H Q8 analog
     "contamination_substring_trim",      # r9: benchmark-span decontamination
     "quantile_sketch_estimate",          # r9: mergeable quantile histogram
     "quantile_sketch_merge_lifecycle",   # r9: SUM-merge == single-shot proof

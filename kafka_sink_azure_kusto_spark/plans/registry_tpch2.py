@@ -181,3 +181,100 @@ def q16_supplier_brand_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supplier_cnt",
         )
     )
+
+
+@register(
+    "q8_market_share",
+    f"""
+    WITH flat AS (
+      SELECT EXTRACT(YEAR FROM o_orderdate) AS o_year,
+             {_REV} AS rev,
+             ns.n_name AS supp_nation
+      FROM lineitem
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN part ON p_partkey = l_partkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN nation ns ON ns.n_nationkey = s_nationkey
+           JOIN customer ON c_custkey = o_custkey
+           JOIN nation nc ON nc.n_nationkey = c_nationkey
+           JOIN region ON r_regionkey = nc.n_regionkey
+      WHERE r_name = 'EUROPE' AND p_type = 'STANDARD'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01')
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev
+                         ELSE 0 END) AS DOUBLE) AS nation_revenue,
+           CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev
+                               ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(rev) AS DOUBLE), 6) AS mkt_share
+    FROM flat GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): of the STANDARD-part
+    revenue sold into EUROPE-region customers per order year, the
+    share supplied by one nation. Seven-table star join — every
+    dimension (part, supplier, customer, nation×2, region) broadcasts;
+    lineitem and orders are the only fact-sized sides and join on the
+    orderkey. Revenue partials are exact DECIMAL(18,2); the share
+    divides doubles at the output boundary."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount",
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.to_timestamp(F.lit("1996-01-01")))
+        & (F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01")))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    ).select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    ns = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    flat = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(ns), F.col("sn_key") == F.col("s_nationkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nc), F.col("cn_key") == F.col("c_nationkey"))
+        .join(
+            F.broadcast(region), F.col("r_regionkey") == F.col("cn_region")
+        )
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            rev.alias("rev"),
+            "supp_nation",
+        )
+    )
+    target = F.when(
+        F.col("supp_nation") == "NATION_3", F.col("rev")
+    ).otherwise(F.lit(0))
+    agg = flat.groupBy("o_year").agg(
+        F.sum(target).cast("double").alias("nation_revenue"),
+        F.sum("rev").cast("double").alias("total_revenue"),
+    )
+    return agg.select(
+        F.col("o_year").cast("bigint").alias("o_year"),
+        "nation_revenue",
+        "total_revenue",
+        F.round(
+            F.col("nation_revenue") / F.col("total_revenue"), 6
+        ).alias("mkt_share"),
+    )
