@@ -168,6 +168,8 @@ HEADLINE = [
     "q14_promo_revenue",
     "q16_supplier_brand_count",
     "q8_market_share",
+    "k_anonymity_audit",
+    "rfm_segmentation",
 ]
 
 

@@ -98,6 +98,8 @@ _GATE_PRIORITY = [
     "q14_promo_revenue",                 # r9b: TPC-H Q14 analog
     "q16_supplier_brand_count",          # r9b: TPC-H Q16 analog
     "q8_market_share",                   # r9b: TPC-H Q8 analog
+    "k_anonymity_audit",                 # r9b: governance gate
+    "rfm_segmentation",                  # r9b: RFM quartile segments
     "contamination_substring_trim",      # r9: benchmark-span decontamination
     "quantile_sketch_estimate",          # r9: mergeable quantile histogram
     "quantile_sketch_merge_lifecycle",   # r9: SUM-merge == single-shot proof

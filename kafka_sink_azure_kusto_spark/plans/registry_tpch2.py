@@ -278,3 +278,131 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nation_revenue") / F.col("total_revenue"), 6
         ).alias("mkt_share"),
     )
+
+
+@register(
+    "k_anonymity_audit",
+    """
+    WITH cells AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             COUNT(*) AS cell_size
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT))
+    SELECT c_nationkey, c_mktsegment, bal_band,
+           CAST(cell_size AS BIGINT) AS cell_size,
+           CAST(cell_size < 5 AS INT) AS suppress
+    FROM cells
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-ANONYMITY audit over quasi-identifiers (nation, market
+    segment, banded account balance): every equivalence-class cell
+    with its size and a suppress flag for cells below k=5 — the
+    data-governance gate run before releasing joined training data.
+    One map-side-combined groupBy on the quasi-identifier tuple;
+    banding (floor to 1000s) is the generalization step. At 100 TB the
+    cell table is |quasi-value-space| rows — the suppression list
+    broadcasts back into the release filter."""
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint")
+    cells = (
+        cust.groupBy(
+            "c_nationkey", "c_mktsegment", band.alias("bal_band")
+        )
+        .agg(F.count(F.lit(1)).alias("cell_size"))
+    )
+    return cells.select(
+        "c_nationkey", "c_mktsegment", "bal_band",
+        F.col("cell_size").cast("bigint").alias("cell_size"),
+        (F.col("cell_size") < 5).cast("int").alias("suppress"),
+    )
+
+
+@register(
+    "rfm_segmentation",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(date_diff('day', MAX(ts),
+                            (SELECT MAX(ts) FROM events)) AS BIGINT)
+                 AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                 AS monetary_cents
+      FROM events GROUP BY user_id),
+    scored AS (
+      SELECT user_id, recency_days, frequency, monetary_cents,
+             NTILE(4) OVER (ORDER BY recency_days ASC, user_id)
+                 AS r_score,
+             NTILE(4) OVER (ORDER BY frequency DESC, user_id)
+                 AS f_score,
+             NTILE(4) OVER (ORDER BY monetary_cents DESC, user_id)
+                 AS m_score
+      FROM per_user)
+    SELECT user_id, recency_days, frequency, monetary_cents,
+           CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CASE WHEN r_score = 1 AND f_score = 1 THEN 'champion'
+                WHEN r_score >= 3 AND f_score >= 3 THEN 'at_risk'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) user segmentation: per-user
+    aggregates in one exchange, quartile scores via NTILE over total
+    orders (deterministic user_id tie-break — exactly reproducible),
+    champion/at-risk/regular labels. Monetary is exact integer cents
+    (value·100 per event, summed as BIGINT) so the quartile boundaries
+    can't drift on float summation order. The NTILE is a global sort
+    of per-USER rows — |users| ≪ |events| at any scale (the same
+    post-aggregation-window pattern as nation_revenue_share)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts").alias("_gmax"))
+    per = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("_umax"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(max_ts))
+        .select(
+            "user_id",
+            F.datediff(F.to_date("_gmax"), F.to_date("_umax"))
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    r = F.ntile(4).over(
+        Window.orderBy(F.col("recency_days").asc(), F.col("user_id"))
+    )
+    f = F.ntile(4).over(
+        Window.orderBy(F.col("frequency").desc(), F.col("user_id"))
+    )
+    m = F.ntile(4).over(
+        Window.orderBy(F.col("monetary_cents").desc(), F.col("user_id"))
+    )
+    scored = per.select(
+        "user_id", "recency_days", "frequency", "monetary_cents",
+        r.cast("int").alias("r_score"),
+        f.cast("int").alias("f_score"),
+        m.cast("int").alias("m_score"),
+    )
+    seg = (
+        F.when((F.col("r_score") == 1) & (F.col("f_score") == 1),
+               F.lit("champion"))
+        .when((F.col("r_score") >= 3) & (F.col("f_score") >= 3),
+              F.lit("at_risk"))
+        .otherwise(F.lit("regular"))
+    )
+    return scored.withColumn("segment", seg)
