@@ -170,6 +170,8 @@ HEADLINE = [
     "q8_market_share",
     "k_anonymity_audit",
     "rfm_segmentation",
+    "corpus_data_card",
+    "matryoshka_recall_audit",
 ]
 
 

@@ -100,6 +100,8 @@ _GATE_PRIORITY = [
     "q8_market_share",                   # r9b: TPC-H Q8 analog
     "k_anonymity_audit",                 # r9b: governance gate
     "rfm_segmentation",                  # r9b: RFM quartile segments
+    "corpus_data_card",                  # r9b: per-source release card
+    "matryoshka_recall_audit",           # r9b: truncation recall audit
     "contamination_substring_trim",      # r9: benchmark-span decontamination
     "quantile_sketch_estimate",          # r9: mergeable quantile histogram
     "quantile_sketch_merge_lifecycle",   # r9: SUM-merge == single-shot proof

@@ -716,3 +716,142 @@ def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+@register(
+    "corpus_data_card",
+    """
+    WITH per_doc AS (
+      SELECT source, doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             md5(text) AS fp
+      FROM documents),
+    dups AS (SELECT source, COUNT(*) - COUNT(DISTINCT fp) AS n_dup_docs
+             FROM per_doc GROUP BY source),
+    langs AS (SELECT source, COUNT(DISTINCT lang) AS n_langs
+              FROM documents GROUP BY source)
+    SELECT p.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           ROUND(SUM(n_tokens) / CAST(COUNT(*) AS DOUBLE), 6)
+               AS mean_tokens,
+           MAX(d.n_dup_docs) AS n_dup_docs,
+           CAST(MAX(l.n_langs) AS BIGINT) AS n_langs
+    FROM per_doc p JOIN dups d USING (source)
+                   JOIN langs l USING (source)
+    GROUP BY p.source
+    """,
+)
+def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus DATA CARD — the one-stop release summary a
+    training-data pipeline publishes with every corpus drop: document
+    and token counts, token-length range/mean, exact-duplicate count
+    (fingerprint groupBy), language variety. One pass computes per-doc
+    facts in the scan stage; everything aggregates on the enumerable
+    source key. The 100 TB story is the same plan — the card is
+    |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "source",
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.md5("text").alias("fp"),
+    )
+    dups = per.groupBy("source").agg(
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_dup_docs")
+    )
+    langs = per.groupBy("source").agg(
+        F.countDistinct("lang").cast("bigint").alias("n_langs")
+    )
+    card = per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("n_tokens").cast("bigint").alias("min_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        F.round(
+            F.sum("n_tokens") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_tokens"),
+    )
+    return card.join(dups, "source").join(langs, "source").select(
+        "source", "n_docs", "total_tokens", "min_tokens", "max_tokens",
+        "mean_tokens", "n_dup_docs", "n_langs",
+    )
+
+
+_MAT_DIM = 16
+_MAT_K = 3
+
+
+@register(
+    "matryoshka_recall_audit",
+    f"""
+    WITH e AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    t AS (SELECT nid, v[1:{_MAT_DIM}] AS tv FROM e),
+    gt AS (SELECT src, dst FROM (
+        SELECT l.nid AS src, r.nid AS dst,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l.nid
+                   ORDER BY list_dot_product(l.v, r.v) /
+                            (sqrt(list_dot_product(l.v, l.v)) *
+                             sqrt(list_dot_product(r.v, r.v))) DESC,
+                            r.nid ASC) AS rnk
+        FROM e l JOIN e r ON l.nid <> r.nid) WHERE rnk <= {_MAT_K}),
+    tr AS (SELECT src, dst FROM (
+        SELECT l.nid AS src, r.nid AS dst,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l.nid
+                   ORDER BY list_dot_product(l.tv, r.tv) /
+                            (sqrt(list_dot_product(l.tv, l.tv)) *
+                             sqrt(list_dot_product(r.tv, r.tv))) DESC,
+                            r.nid ASC) AS rnk
+        FROM t l JOIN t r ON l.nid <> r.nid) WHERE rnk <= {_MAT_K}),
+    tot AS (SELECT COUNT(*) AS n_possible FROM gt),
+    hit AS (SELECT COUNT(*) AS n_hits FROM gt
+            WHERE EXISTS (SELECT 1 FROM tr
+                          WHERE tr.src = gt.src AND tr.dst = gt.dst))
+    SELECT CAST({_MAT_DIM} AS INT) AS truncated_dim,
+           hit.n_hits, tot.n_possible,
+           ROUND(hit.n_hits / CAST(tot.n_possible AS DOUBLE), 6) AS recall
+    FROM hit, tot
+    """,
+)
+def matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA truncation audit: how much top-3 neighbor recall
+    survives when embeddings are truncated to their first 16 of 64
+    dims (the MRL deployment question — truncated vectors are 4× 
+    cheaper to store, scan and shuffle; this measures what that buys
+    away). Exact integer hit counts against full-dimension ground
+    truth — same order-independent-recall discipline as
+    knn_recall_audit. At 100 TB the audit runs on a sampled query set
+    and the truncated index serves the fleet."""
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        brute_force_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    gt = brute_force_topk(emb, emb, k=_MAT_K).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    ).localCheckpoint()
+    trunc = emb.select(
+        "vec_id", F.slice("embedding", 1, _MAT_DIM).alias("embedding")
+    )
+    tr = brute_force_topk(trunc, trunc, k=_MAT_K).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    )
+    tot = gt.agg(F.count(F.lit(1)).alias("n_possible"))
+    hits = gt.join(tr, ["src", "dst"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        hits.crossJoin(F.broadcast(tot))
+        .select(
+            F.lit(_MAT_DIM).cast("int").alias("truncated_dim"),
+            "n_hits",
+            "n_possible",
+            F.round(F.col("n_hits") / F.col("n_possible"), 6).alias("recall"),
+        )
+    )
