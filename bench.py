@@ -172,6 +172,7 @@ HEADLINE = [
     "rfm_segmentation",
     "corpus_data_card",
     "matryoshka_recall_audit",
+    "streaming_countmin_maintenance",
 ]
 
 

@@ -102,6 +102,7 @@ _GATE_PRIORITY = [
     "rfm_segmentation",                  # r9b: RFM quartile segments
     "corpus_data_card",                  # r9b: per-source release card
     "matryoshka_recall_audit",           # r9b: truncation recall audit
+    "streaming_countmin_maintenance",    # r9b: additive sketch stream
     "contamination_substring_trim",      # r9: benchmark-span decontamination
     "quantile_sketch_estimate",          # r9: mergeable quantile histogram
     "quantile_sketch_merge_lifecycle",   # r9: SUM-merge == single-shot proof

@@ -34,6 +34,9 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_sink_azure_kusto_spark.functions.sketches import (
+    countmin_estimates_sql,
+)
 from kafka_sink_azure_kusto_spark.plans.registry import _workdir, register
 from kafka_sink_azure_kusto_spark.sources.tables import load_table
 
@@ -646,4 +649,90 @@ def streaming_neardup_store_live_compaction(
     is asserted in tests/test_streaming_batch2.py."""
     return _run_incr_store_loop(
         spark, sf_dir, "stream_sig_store_live_cmp", compact_after_epoch=1
+    )
+
+
+@register(
+    "streaming_countmin_maintenance",
+    countmin_estimates_sql("events", "user_id", "user_id", 4, 64),
+)
+def streaming_countmin_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING count-min maintenance — the additive-sketch analog of
+    the theta/HLL/quantile merge lifecycles, run through the real
+    engine: each micro-batch aggregates its own depth×width register
+    cells and writes them epoch-keyed (overwrite — the foreachBatch
+    exactly-once recipe); after the stream, the per-epoch registers
+    SUM-merge and the merged sketch must answer every frequency probe
+    EXACTLY like the single-shot batch sketch (count-min is additive,
+    so merge is lossless — the property that lets a 100 TB deployment
+    keep per-batch register rows and serve heavy-hitter queries
+    without rescanning). Oracle: the single-shot count-min SQL over
+    the full table — any register row lost, duplicated, or mis-merged
+    breaks the value hash."""
+    from kafka_sink_azure_kusto_spark.functions.sketches import cm_bucket
+
+    depth, width = 4, 64
+    work = _workdir("stream_cm_")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    chunks = [
+        [
+            r[0]
+            for r in ev.filter(F.col("event_id") % 3 == c)
+            .select(F.to_json(F.struct("event_id", "user_id")))
+            .collect()
+        ]
+        for c in range(3)
+    ]
+    replay = os.path.join(work, "replay")
+    _stage_chunks(chunks, replay)
+    reg_dir = os.path.join(work, "registers")
+
+    def update_registers(batch_df, epoch_id: int) -> None:
+        key = F.col("user_id")
+        cells = batch_df.select(
+            F.posexplode(
+                F.array(*[cm_bucket(key, r, width) for r in range(depth)])
+            ).alias("cm_row", "cm_bucket")
+        )
+        sk = cells.groupBy("cm_row", "cm_bucket").agg(
+            F.count(F.lit(1)).alias("cm_count")
+        )
+        sk.write.mode("overwrite").parquet(
+            os.path.join(reg_dir, f"epoch={int(epoch_id)}")
+        )
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .json(replay)
+    )
+    q = (
+        stream.writeStream.foreachBatch(update_registers)
+        .option("checkpointLocation", os.path.join(work, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    merged = (
+        spark.read.parquet(reg_dir)
+        .groupBy("cm_row", "cm_bucket")
+        .agg(F.sum("cm_count").alias("cm_count"))
+    )
+    key = F.col("user_id")
+    probes = ev.select("user_id").distinct()
+    probe_cells = probes.select(
+        key,
+        F.posexplode(
+            F.array(*[cm_bucket(key, r, width) for r in range(depth)])
+        ).alias("cm_row", "cm_bucket"),
+    )
+    joined = probe_cells.join(
+        F.broadcast(merged), ["cm_row", "cm_bucket"], "left"
+    )
+    return joined.groupBy("user_id").agg(
+        F.min(F.coalesce(F.col("cm_count"), F.lit(0))).alias("est")
     )
