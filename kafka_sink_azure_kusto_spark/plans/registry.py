@@ -103,6 +103,9 @@ _GATE_PRIORITY = [
     "corpus_data_card",                  # r9b: per-source release card
     "matryoshka_recall_audit",           # r9b: truncation recall audit
     "streaming_countmin_maintenance",    # r9b: additive sketch stream
+    # --- changed shared helper in r9b: hyperplane_lsh_buckets now
+    # bakes plan-time literal components (bit-identical buckets) ---
+    "similarity_lsh_bucketed",
     "contamination_substring_trim",      # r9: benchmark-span decontamination
     "quantile_sketch_estimate",          # r9: mergeable quantile histogram
     "quantile_sketch_merge_lifecycle",   # r9: SUM-merge == single-shot proof
