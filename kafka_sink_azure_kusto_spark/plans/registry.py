@@ -234,7 +234,6 @@ _GATE_PRIORITY = [
     "dedup_embedding_cosine",
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
-    "similarity_lsh_bucketed",
     "text_fingerprint",
     "text_token_counts",
     "text_language_id",
