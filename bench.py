@@ -385,7 +385,7 @@ def _scale100x_timings(spark, sf_dir: str) -> dict:
         # applies, so the hot-shingle guard is the only quadratic bound
         cont[n] = timed(
             D.containment_pairs(docs, k=3, threshold=0.8,
-                                max_shingle_freq=1000)
+                                max_shingle_freq=200)
         )
         docs.unpersist()
     ivf: dict[int, float] = {}

@@ -1042,6 +1042,7 @@ def nn_descent_refine(
     k: int = 3,
     bucket_cap: int = 256,
     bands: int = 2,
+    seed: DataFrame | None = None,
 ) -> DataFrame:
     """ONE NN-descent refinement round over the LSH-seeded k-NN lists
     (Dong et al.'s "a neighbor of a neighbor is likely a neighbor"):
@@ -1061,10 +1062,14 @@ def nn_descent_refine(
     this function converges the graph; one round is the gated unit
     (same policy as kmeans_lloyd_step: the STEP is the operator).
     """
-    seed = lsh_topk_directed(
-        df, id_col=id_col, vec_col=vec_col,
-        num_planes=num_planes, k=k, bucket_cap=bucket_cap, bands=bands,
-    ).localCheckpoint()  # reused by 4 branches; ≤ k rows per node
+    if seed is None:
+        # reused by 4 branches; ≤ k rows per node. Callers that already
+        # built the (materialized) seed — e.g. the recall audit, which
+        # grades it separately — pass it in instead of rebuilding.
+        seed = lsh_topk_directed(
+            df, id_col=id_col, vec_col=vec_col,
+            num_planes=num_planes, k=k, bucket_cap=bucket_cap, bands=bands,
+        ).localCheckpoint()
     fwd = seed.select("src", "dst")
     revw = Window.partitionBy("dst").orderBy(
         F.col("score").desc(), F.col("src").asc()

@@ -290,7 +290,8 @@ def knn_graph_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
                             (sqrt(list_dot_product(l.v, l.v)) *
                              sqrt(list_dot_product(r.v, r.v))) DESC,
                             r.nid ASC) AS rnk
-        FROM e l JOIN e r ON l.nid <> r.nid) WHERE rnk <= {_KNN_K}),
+        FROM e l JOIN e r ON l.nid <> r.nid
+        WHERE l.nid % 20 = 0) WHERE rnk <= {_KNN_K}),
     tot AS (SELECT COUNT(*) AS n_possible FROM gt),
     h1 AS (SELECT COUNT(*) AS n_hits FROM gt
            WHERE EXISTS (SELECT 1 FROM seed s
@@ -329,14 +330,21 @@ def knn_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    gt = brute_force_topk(emb, emb, k=_KNN_K).select(
+    # ground truth over a DETERMINISTIC 1-in-20 query sample — the
+    # audit's cost is the brute-force pass, and a sample estimates
+    # recall just as well (the audited builders still run in full);
+    # unsampled, the two brute passes were 85 s at sf0.1 (5000^2 pairs)
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    gt = brute_force_topk(emb, queries, k=_KNN_K).select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     ).localCheckpoint()
-    seed = lsh_topk_directed(
+    seed_full = lsh_topk_directed(
         emb, num_planes=_KNN_PLANES, k=_KNN_K, bucket_cap=_KNN_CAP, bands=2
-    ).select("src", "dst")
+    ).localCheckpoint()  # graded directly AND reused as the refine seed
+    seed = seed_full.select("src", "dst")
     refined = nn_descent_refine(
-        emb, num_planes=_KNN_PLANES, k=_KNN_K, bucket_cap=_KNN_CAP, bands=2
+        emb, num_planes=_KNN_PLANES, k=_KNN_K, bucket_cap=_KNN_CAP, bands=2,
+        seed=seed_full,
     ).select("src", "dst")
     tot = gt.agg(F.count(F.lit(1)).alias("n_possible"))
 
@@ -489,7 +497,7 @@ def theta_sketch_merge_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CONT_K = 3
 _CONT_T = 0.8
-_CONT_MAXDF = 1000
+_CONT_MAXDF = 200
 
 
 @register(
@@ -799,7 +807,8 @@ _MAT_K = 3
                             (sqrt(list_dot_product(l.v, l.v)) *
                              sqrt(list_dot_product(r.v, r.v))) DESC,
                             r.nid ASC) AS rnk
-        FROM e l JOIN e r ON l.nid <> r.nid) WHERE rnk <= {_MAT_K}),
+        FROM e l JOIN e r ON l.nid <> r.nid
+        WHERE l.nid % 20 = 0) WHERE rnk <= {_MAT_K}),
     tr AS (SELECT src, dst FROM (
         SELECT l.nid AS src, r.nid AS dst,
                ROW_NUMBER() OVER (
@@ -808,7 +817,8 @@ _MAT_K = 3
                             (sqrt(list_dot_product(l.tv, l.tv)) *
                              sqrt(list_dot_product(r.tv, r.tv))) DESC,
                             r.nid ASC) AS rnk
-        FROM t l JOIN t r ON l.nid <> r.nid) WHERE rnk <= {_MAT_K}),
+        FROM t l JOIN t r ON l.nid <> r.nid
+        WHERE l.nid % 20 = 0) WHERE rnk <= {_MAT_K}),
     tot AS (SELECT COUNT(*) AS n_possible FROM gt),
     hit AS (SELECT COUNT(*) AS n_hits FROM gt
             WHERE EXISTS (SELECT 1 FROM tr
@@ -833,13 +843,19 @@ def matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    gt = brute_force_topk(emb, emb, k=_MAT_K).select(
+    # same deterministic 1-in-20 query sample as knn_recall_audit —
+    # both brute-force arms are quadratic in the query-side size
+    queries = emb.filter(F.col("vec_id") % 20 == 0)
+    gt = brute_force_topk(emb, queries, k=_MAT_K).select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     ).localCheckpoint()
     trunc = emb.select(
         "vec_id", F.slice("embedding", 1, _MAT_DIM).alias("embedding")
     )
-    tr = brute_force_topk(trunc, trunc, k=_MAT_K).select(
+    tq = queries.select(
+        "vec_id", F.slice("embedding", 1, _MAT_DIM).alias("embedding")
+    )
+    tr = brute_force_topk(trunc, tq, k=_MAT_K).select(
         F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
     )
     tot = gt.agg(F.count(F.lit(1)).alias("n_possible"))
