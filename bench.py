@@ -195,9 +195,16 @@ def _scale10x_timings(spark, sf_dir: str) -> dict[str, float]:
     timings: dict[str, float] = {}
 
     def timed(name, df):
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # min-of-2: these sections run in a FRESH JVM (see main), so a
+        # single shot would charge whole-stage codegen compilation to
+        # whichever query runs first — the r9 fresh-JVM dry run read
+        # similarity_topk_ivf at 7.3 s cold vs 0.64 s warm.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     docs = synth_docs(spark, load_table(spark, sf_dir, "documents"), 5000).cache()
     docs.count()
@@ -257,16 +264,22 @@ def _scale10x_timings(spark, sf_dir: str) -> dict[str, float]:
     # per-bucket membership under the 256 cap at 5k vectors). Built
     # INSIDE the timer: both operators materialize eagerly at plan
     # build (localCheckpoint), so pre-building would hide the seed cost
-    t0 = time.perf_counter()
-    S.knn_graph_mutual(emb, num_planes=8, k=3, bucket_cap=256).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    timings["knn_graph_mutual_10x"] = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    S.nn_descent_refine(
-        emb, num_planes=8, k=3, bucket_cap=256, bands=2
-    ).write.format("noop").mode("overwrite").save()
-    timings["knn_graph_nn_descent_10x"] = round(time.perf_counter() - t0, 3)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        S.knn_graph_mutual(
+            emb, num_planes=8, k=3, bucket_cap=256
+        ).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    timings["knn_graph_mutual_10x"] = round(best, 3)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        S.nn_descent_refine(
+            emb, num_planes=8, k=3, bucket_cap=256, bands=2
+        ).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    timings["knn_graph_nn_descent_10x"] = round(best, 3)
     emb.unpersist()
 
     # 10× replicated events: shifted ids keep key cardinality realistic.
@@ -366,9 +379,13 @@ def _scale100x_timings(spark, sf_dir: str) -> dict:
     out: dict = {}
 
     def timed(df) -> float:
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        return round(time.perf_counter() - t0, 3)
+        # min-of-2 (fresh-JVM codegen warmup; see _scale10x_timings)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
 
     from kafka_sink_azure_kusto_spark.functions import corpus as C
 
@@ -398,11 +415,14 @@ def _scale100x_timings(spark, sf_dir: str) -> dict:
         # r9b: NN-descent graph build — per-bucket pair cost is bounded
         # by cap², per-node expansion by 4k². Built inside the timer
         # (eager localCheckpoint at plan build would escape it).
-        t0 = time.perf_counter()
-        S.nn_descent_refine(
-            emb, num_planes=8, k=3, bucket_cap=256, bands=2
-        ).write.format("noop").mode("overwrite").save()
-        nnd[n] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            S.nn_descent_refine(
+                emb, num_planes=8, k=3, bucket_cap=256, bands=2
+            ).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        nnd[n] = round(best, 3)
         emb.unpersist()
 
     def exponent(t: dict[int, float]) -> float:
@@ -837,6 +857,10 @@ def _section_main(section: str) -> int:
         out = _sink_throughput(spark, sf_dir)
     elif section == "latency":
         out = _streaming_latency(spark, sf_dir)
+    elif section == "scale10x":
+        out = {"queries": _scale10x_timings(spark, sf_dir)}
+    elif section == "scale100x":
+        out = {"queries": _scale100x_timings(spark, sf_dir)}
     else:
         print(json.dumps({"error": f"unknown section {section}"}))
         return 2
@@ -856,7 +880,7 @@ def _fresh_jvm_section(section: str) -> dict:
         [sys.executable, os.path.abspath(__file__), "--section", section],
         capture_output=True,
         text=True,
-        timeout=1200,
+        timeout=1800,
     )
     for line in reversed(p.stdout.strip().splitlines()):
         line = line.strip()
@@ -930,9 +954,15 @@ def main() -> int:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    scale10x = _scale10x_timings(spark, sf_dir)
-    scale100x = _scale100x_timings(spark, sf_dir)
     spark.stop()
+    # Scale sections in fresh subprocess JVMs too (same methodology as
+    # sink/latency, extended this round): run at the tail of the
+    # ~25-minute headline JVM, the 10×/100× walls were unstable to the
+    # point of nonsense exponents (NN-descent measured 38 s at 10× vs
+    # 29 s at 100× in one run; 7.8 s at 10× in the next) — accumulated
+    # GC/allocator state, not engine cost.
+    scale10x = _fresh_jvm_section("scale10x").get("queries", {})
+    scale100x = _fresh_jvm_section("scale100x").get("queries", {})
     full = {
         "metric": "headline_queries_total_wall",
         "value": total,
