@@ -173,6 +173,7 @@ HEADLINE = [
     "corpus_data_card",
     "matryoshka_recall_audit",
     "streaming_countmin_maintenance",
+    "multimodal_center_crop",
 ]
 
 

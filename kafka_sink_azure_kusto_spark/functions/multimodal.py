@@ -1133,3 +1133,61 @@ def synth_audio_resample_sinc_stats(
             yield out
 
     return ensure_min_parallelism(wavs).mapInPandas(body, schema=SINC_SCHEMA)
+
+
+def crop_center(m: DecodedMedia, crop_w: int, crop_h: int) -> np.ndarray:
+    """REAL center crop over the decoded raster — the augmentation
+    sibling of ``resize_nearest`` (same all-integer geometry, same
+    closed-form-oracle property): top-left corner ((h−ch)//2,
+    (w−cw)//2), interleaved-RGB flattening preserved. Raises when the
+    crop exceeds the raster (callers pick crop dims ≤ the fixture's
+    minimum image size, as any production pipeline validates against
+    its min resolution)."""
+    if m.width <= 0 or m.height <= 0:
+        raise MediaDecodeError("crop needs a raster (image media)")
+    if m.width < crop_w or m.height < crop_h:
+        raise MediaDecodeError(
+            f"crop {crop_w}x{crop_h} exceeds raster {m.width}x{m.height}"
+        )
+    s = np.asarray(m.samples, dtype=np.int64).reshape(m.height, m.width, 3)
+    y0 = (m.height - crop_h) // 2
+    x0 = (m.width - crop_w) // 2
+    return s[y0:y0 + crop_h, x0:x0 + crop_w, :].reshape(-1)
+
+
+def synth_crop_stats(
+    df: DataFrame,
+    crop_w: int = 4,
+    crop_h: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fused fixture path for center crop (plan shape identical to
+    ``synth_resize_stats``: WAV rows filtered JVM-side before the
+    Arrow pass, ONE mapInPandas decodes + crops + emits integer stats
+    with a position-weighted checksum so a mis-centered, transposed or
+    channel-swapped crop breaks the oracle)."""
+    imgs = df.select(F.col(id_col).alias("doc_id")).filter(
+        F.col("doc_id") % 3 != 2
+    )
+
+    def body(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                doc = int(d)
+                m = decode_media_bytes(synth_media_payload(doc))
+                r = crop_center(m, crop_w, crop_h)
+                checksum = int(
+                    np.dot(np.arange(1, r.size + 1, dtype=np.int64), r)
+                )
+                rows.append(
+                    (doc, crop_w, crop_h, int(r.size), int(r.sum()), checksum)
+                )
+            out = pd.DataFrame(
+                rows, columns=[f.name for f in RESIZE_SCHEMA.fields]
+            )
+            for c in out.columns:
+                out[c] = out[c].astype("int64")
+            yield out
+
+    return ensure_min_parallelism(imgs).mapInPandas(body, schema=RESIZE_SCHEMA)

@@ -871,3 +871,40 @@ def matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hits") / F.col("n_possible"), 6).alias("recall"),
         )
     )
+
+
+@register(
+    "multimodal_center_crop",
+    """
+    WITH imgs AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h
+                  FROM documents WHERE doc_id % 3 != 2),
+    out_idx AS (SELECT doc_id, w, h, unnest(range(0, 36)) AS j FROM imgs),
+    src AS (SELECT doc_id, w, h, j, j % 3 AS ch,
+                   ((h - 3) // 2 + (j // 3) // 4) * w
+                       + ((w - 4) // 2 + (j // 3) % 4) AS i
+            FROM out_idx),
+    vals AS (SELECT doc_id, j,
+                    CASE ch WHEN 0 THEN (doc_id * 31 + i * 7) % 256
+                            WHEN 1 THEN (doc_id * 37 + i * 11) % 256
+                            ELSE (doc_id * 41 + i * 13) % 256 END AS v
+             FROM src)
+    SELECT doc_id, CAST(4 AS BIGINT) AS out_w, CAST(3 AS BIGINT) AS out_h,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS sample_sum,
+           CAST(SUM((j + 1) * v) AS BIGINT) AS checksum
+    FROM vals GROUP BY doc_id
+    """,
+)
+def multimodal_center_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL center crop to 4×3 through the BMP/PPM codec path — the
+    augmentation sibling of `multimodal_resize` (same decode-once
+    single-MapInPandas plan, same integer-stat gate): top-left corner
+    ((h−3)//2, (w−4)//2), position-weighted checksum over the cropped
+    interleaved raster so a mis-centered, transposed or
+    channel-swapped crop breaks the value hash. The oracle replays
+    decode + crop closed-form from the pixel spec
+    (`functions/multimodal.crop_center`)."""
+    from kafka_sink_azure_kusto_spark.functions import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    return M.synth_crop_stats(docs, crop_w=4, crop_h=3)

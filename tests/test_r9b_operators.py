@@ -344,3 +344,34 @@ def test_hard_negatives_cross_label_only(spark):
 
     per = Counter(r.anchor_id for r in rows)
     assert all(c <= 3 for c in per.values())
+
+
+def test_center_crop_geometry_and_bounds(spark):
+    import numpy as np
+
+    from kafka_sink_azure_kusto_spark.functions.multimodal import (
+        DecodedMedia,
+        MediaDecodeError,
+        crop_center,
+    )
+
+    # 5x4 raster with v = row*100 + col*10 + channel
+    h, w = 4, 5
+    s = np.array(
+        [r * 100 + c * 10 + ch for r in range(h) for c in range(w)
+         for ch in range(3)],
+        dtype=np.int64,
+    )
+    m = DecodedMedia("bmp", w, h, 0, s)
+    out = crop_center(m, 3, 2)
+    # center 3x2: rows 1..2, cols 1..3
+    expect = np.array(
+        [r * 100 + c * 10 + ch for r in (1, 2) for c in (1, 2, 3)
+         for ch in range(3)],
+        dtype=np.int64,
+    )
+    assert (out == expect).all()
+    import pytest
+
+    with pytest.raises(MediaDecodeError):
+        crop_center(m, 6, 2)  # wider than raster
