@@ -174,6 +174,7 @@ HEADLINE = [
     "matryoshka_recall_audit",
     "streaming_countmin_maintenance",
     "multimodal_center_crop",
+    "similarity_index_incremental_update",
 ]
 
 

@@ -104,6 +104,7 @@ _GATE_PRIORITY = [
     "matryoshka_recall_audit",           # r9b: truncation recall audit
     "streaming_countmin_maintenance",    # r9b: additive sketch stream
     "multimodal_center_crop",            # r9b: augmentation kernel
+    "similarity_index_incremental_update",  # r9b: diff-driven cell rewrite
     # --- changed shared helper in r9b: hyperplane_lsh_buckets now
     # bakes plan-time literal components (bit-identical buckets) ---
     "similarity_lsh_bucketed",

@@ -908,3 +908,120 @@ def multimodal_center_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return M.synth_crop_stats(docs, crop_w=4, crop_h=3)
+
+
+@register(
+    "similarity_index_incremental_update",
+    """
+    WITH newsnap AS (SELECT vec_id, label,
+        CASE WHEN vec_id % 11 = 0
+             THEN list_transform(embedding::DOUBLE[], x -> x + 1.0)
+             ELSE embedding::DOUBLE[] END AS v
+        FROM embeddings WHERE vec_id % 5 <> 0),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+          FROM newsnap WHERE vec_id < 8),
+    scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+                      list_dot_product(qv, c.v) /
+                      (sqrt(list_dot_product(qv, qv)) *
+                       sqrt(list_dot_product(c.v, c.v))) AS score
+               FROM newsnap c JOIN q ON c.label = qlabel
+               WHERE c.vec_id <> query_id)
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           ROUND(score, 6) AS score
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC,
+                                                neighbor_id ASC) AS rank
+          FROM scored)
+    WHERE rank <= 10
+    """,
+)
+def similarity_index_incremental_update(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL maintenance of the persisted IVF index, driven by a
+    snapshot diff — `corpus_snapshot_diff`'s promise made real for the
+    ANN store: the index is built from the OLD corpus snapshot
+    (vec_id % 7 != 0), the NEW snapshot (vec_id % 5 != 0, vectors with
+    vec_id % 11 == 0 modified by +1.0 per dim — a non-scale-invariant
+    change, so a missed rewrite actually flips cosines) is DIFFED by
+    fingerprint, and ONLY the cells containing added/changed/removed
+    vectors are rewritten via dynamic partition overwrite; cells whose
+    vectors all vanished are deleted explicitly (dynamic overwrite
+    only touches partitions present in the written frame — the
+    empty-cell hole every incremental-index implementation must
+    plug). The probe then reads the updated index OFF DISK.
+
+    The oracle is the whole-NEW-snapshot probe SQL (invariance): a
+    stale unrewritten cell, a missed delete, a double-written vector,
+    or diff misclassification breaks the value hash. At 100 TB the
+    rewrite cost is |affected cells|, not |corpus| — the measured
+    observables (cells rewritten vs total) are asserted in tests."""
+    import os
+    import shutil
+
+    from kafka_sink_azure_kusto_spark.functions import similarity as S
+    from kafka_sink_azure_kusto_spark.plans.registry import _workdir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = emb.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    old = dbl.filter(F.col("vec_id") % 7 != 0)
+    new = dbl.filter(F.col("vec_id") % 5 != 0).withColumn(
+        "v",
+        F.when(
+            F.col("vec_id") % 11 == 0,
+            F.expr("transform(v, x -> x + CAST(1.0 AS DOUBLE))"),
+        ).otherwise(F.col("v")),
+    )
+    work = _workdir("ivf_incr_")
+    idx_dir = os.path.join(work, "idx")
+    old.withColumnRenamed("label", "cell").write.partitionBy(
+        "cell"
+    ).parquet(idx_dir)
+
+    fp = F.md5(F.concat_ws(",", F.transform("v", lambda x: x.cast("string"))))
+    o = old.select("vec_id", F.col("label").alias("olabel"), fp.alias("ofp"))
+    n = new.select("vec_id", F.col("label").alias("nlabel"), fp.alias("nfp"))
+    diff = o.join(n, "vec_id", "full_outer").filter(
+        F.col("ofp").isNull()          # added
+        | F.col("nfp").isNull()        # removed
+        | (F.col("ofp") != F.col("nfp"))  # changed
+    )
+    affected = (
+        diff.select(F.coalesce("nlabel", "olabel").alias("cell"))
+        .distinct()
+        .localCheckpoint()  # |cells| rows — consumed twice below
+    )
+    rewrite = new.join(
+        F.broadcast(affected), new["label"] == affected["cell"]
+    ).select("vec_id", "v", "cell")
+    rewrite.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("cell").parquet(idx_dir)
+    # cells whose vectors ALL vanished: dynamic overwrite never saw
+    # them — drop their directories (bounded: cells are enumerable)
+    empty = affected.join(
+        rewrite.select("cell").distinct(), "cell", "left_anti"
+    ).collect()
+    for r in empty:
+        shutil.rmtree(
+            os.path.join(idx_dir, f"cell={r['cell']}"), ignore_errors=True
+        )
+
+    index = spark.read.parquet(idx_dir).withColumnRenamed("v", "embedding")
+    queries = new.filter(F.col("vec_id") < 8).withColumnRenamed(
+        "v", "embedding"
+    )
+    out = S.ivf_topk(
+        index, queries, k=10, cell_col="cell",
+        query_cell_col="label",
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.round("score", 6).alias("score"),
+    )

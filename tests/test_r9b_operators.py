@@ -375,3 +375,74 @@ def test_center_crop_geometry_and_bounds(spark):
 
     with pytest.raises(MediaDecodeError):
         crop_center(m, 6, 2)  # wider than raster
+
+
+def test_incremental_index_rewrites_only_affected_cells(spark, tmp_path):
+    """The incrementality observable behind
+    similarity_index_incremental_update: with a 3-cell index where only
+    cell B changed and cell C vanished, the update must leave cell A's
+    files untouched, rewrite B, and delete C."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    def vec(seed):
+        return [float(seed + i) for i in range(4)]
+
+    old_rows = [
+        (1, "A", vec(1)), (2, "A", vec(2)),
+        (3, "B", vec(3)), (4, "B", vec(4)),
+        (5, "C", vec(5)),
+    ]
+    new_rows = [
+        (1, "A", vec(1)), (2, "A", vec(2)),      # unchanged
+        (3, "B", vec(30)), (4, "B", vec(4)),     # 3 changed
+        # 5 removed; cell C now empty
+    ]
+    old = spark.createDataFrame(old_rows, ["vec_id", "cell", "v"])
+    new = spark.createDataFrame(new_rows, ["vec_id", "cell", "v"])
+    idx = str(tmp_path / "idx")
+    old.write.partitionBy("cell").parquet(idx)
+    a_files = sorted(os.listdir(os.path.join(idx, "cell=A")))
+    a_mtimes = {
+        f: os.path.getmtime(os.path.join(idx, "cell=A", f)) for f in a_files
+    }
+
+    fp = F.md5(F.concat_ws(",", F.transform("v", lambda x: x.cast("string"))))
+    o = old.select("vec_id", F.col("cell").alias("oc"), fp.alias("ofp"))
+    n = new.select("vec_id", F.col("cell").alias("nc"), fp.alias("nfp"))
+    diff = o.join(n, "vec_id", "full_outer").filter(
+        F.col("ofp").isNull() | F.col("nfp").isNull()
+        | (F.col("ofp") != F.col("nfp"))
+    )
+    affected = diff.select(
+        F.coalesce("nc", "oc").alias("cell")
+    ).distinct().localCheckpoint()
+    assert {r.cell for r in affected.collect()} == {"B", "C"}
+
+    rewrite = new.join(F.broadcast(affected), "cell").select(
+        "vec_id", "v", "cell"
+    )
+    rewrite.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("cell").parquet(idx)
+    import shutil
+
+    empty = affected.join(
+        rewrite.select("cell").distinct(), "cell", "left_anti"
+    ).collect()
+    for r in empty:
+        shutil.rmtree(os.path.join(idx, f"cell={r['cell']}"),
+                      ignore_errors=True)
+
+    # A untouched (same files, same mtimes), C gone, index == new
+    assert sorted(os.listdir(os.path.join(idx, "cell=A"))) == a_files
+    for f, m in a_mtimes.items():
+        assert os.path.getmtime(os.path.join(idx, "cell=A", f)) == m
+    assert not os.path.exists(os.path.join(idx, "cell=C"))
+    got = {
+        (r.vec_id, tuple(r.v))
+        for r in spark.read.parquet(idx).select("vec_id", "v").collect()
+    }
+    want = {(i, tuple(v)) for i, _, v in new_rows}
+    assert got == want
