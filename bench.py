@@ -175,6 +175,10 @@ HEADLINE = [
     "streaming_countmin_maintenance",
     "multimodal_center_crop",
     "similarity_index_incremental_update",
+    # r10: graph-based ANN search family + recall calibration gate
+    "similarity_graph_search",
+    "graph_search_recall_audit",
+    "knn_recall_calibration",
 ]
 
 

@@ -82,6 +82,10 @@ def _workdir(prefix: str) -> str:
 _GATE_PRIORITY = [
     # rotation rule (VERDICT r6 #1): any query whose implementation
     # OR shared helper changed this round leads the 50-slot gate.
+    # --- new in r10 ---
+    "similarity_graph_search",           # r10: graph-based ANN (HNSW L0)
+    "graph_search_recall_audit",         # r10: equal-budget vs multiprobe
+    "knn_recall_calibration",            # r10: planes×bands recall matrix
     # --- new in r9 ---
     "text_within_doc_dedup",             # r9b: C4 duplicate-line rule
     "vocab_coverage_curve",              # r9b: count-of-counts coverage

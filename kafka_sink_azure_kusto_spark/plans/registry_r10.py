@@ -1,0 +1,444 @@
+"""Round-10 registry queries — the retrieval-family completion the r9
+verdict named plus the recall-calibration gate:
+
+- ``similarity_graph_search`` — graph-based ANN search (HNSW layer-0
+  analog): greedy beam search from fixed entry points over the
+  undirected 2-band kNN edge lists, fixed rounds, every stage an
+  equi-join. The substrate is the TWO-band directed top-k graph (the
+  NN-descent seed) rather than the single-band mutual graph: with one
+  band every edge stays inside one LSH bucket, so the search could
+  never escape the entry points' buckets — the same structural no-op
+  the r9b NN-descent probe found.
+- ``graph_search_recall_audit`` — graph search vs IVF multiprobe at
+  (measured) equal candidate budget against exact brute-force ground
+  truth; candidate counts are exact integers so "equal budget" is
+  evidence, not assertion.
+- ``knn_recall_calibration`` — the planes×bands → recall matrix from
+  PERF.md r9b as a GATED query (deterministic integer hit counts), so
+  a regression anywhere in the LSH/seed stack surfaces as a hash
+  mismatch instead of a silent doc drift.
+
+Oracle note: the unrolled-search CTEs are marked ``AS MATERIALIZED`` —
+each round references the previous round twice (frontier + visited
+anti-join), so DuckDB's default CTE inlining re-evaluates the whole
+upstream pipeline exponentially (the un-materialized audit OOM'd the
+gate runner at sf0.01).
+
+No reference citations: north-star additions (SURVEY §7.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_sink_azure_kusto_spark.functions.sampling import (
+    md5_unit_interval_sql,
+)
+from kafka_sink_azure_kusto_spark.plans.registry import register
+from kafka_sink_azure_kusto_spark.plans.registry_r9b import (
+    _KNN_CAP,
+    _KNN_K,
+    _KNN_PLANES,
+    _NND_SEED_SQL,
+    _knn_comp_sql,
+)
+from kafka_sink_azure_kusto_spark.sources.tables import load_table
+
+# search parameters
+_GS_QMOD = 25       # queries: vec_id % 25 == 0
+_GS_ENTRY = 50      # entry points: vec_id % 50 == 0 (~corpus/50)
+_GS_BEAM = 4
+_GS_ROUNDS = 2
+_GS_K = 5
+
+
+def _bucket_sql(planes: int, offset: int) -> str:
+    return " || ".join(
+        f"(CASE WHEN list_dot_product(v, {_knn_comp_sql(p)}) >= 0 "
+        f"THEN '1' ELSE '0' END)"
+        for p in range(offset, offset + planes)
+    )
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * "
+        f"sqrt(list_dot_product({b}, {b})))"
+    )
+
+
+# undirected edge list from the 2-band directed top-k seed (r9b's
+# _NND_SEED_SQL defines CTEs e and seed); sm materializes seed once so
+# the two-direction union doesn't run the LSH pipeline twice
+_UND_EDGES_SQL = f"""
+    {_NND_SEED_SQL},
+    sm AS MATERIALIZED (SELECT src, dst FROM seed),
+    und AS MATERIALIZED (SELECT src, dst FROM sm
+                         UNION
+                         SELECT dst AS src, src AS dst FROM sm)
+"""
+
+
+def _search_rounds_sql(rounds: int, beam: int) -> str:
+    """Unrolled beam-search CTEs: s0 (scored entry points), then per
+    round r: f{r} = per-query top-``beam`` of the PREVIOUS round's new
+    scores, c{r} = their edge expansion minus everything already
+    visited, s{r} = exact scores of the new nodes, vis{r} = running
+    visited union. Mirrors ``graph_search_topk``'s loop exactly."""
+    parts = [f"""
+    xq AS MATERIALIZED (SELECT nid AS qid, v AS qv FROM e
+                       WHERE nid % {_GS_QMOD} = 0),
+    xs0 AS MATERIALIZED (
+        SELECT xq.qid, n.nid, {_cos("xq.qv", "n.v")} AS score
+        FROM xq CROSS JOIN
+             (SELECT nid, v FROM e WHERE nid % {_GS_ENTRY} = 0) n),
+    xvis0 AS MATERIALIZED (SELECT qid, nid, score FROM xs0)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+    xf{r} AS MATERIALIZED (SELECT qid, nid FROM (
+        SELECT qid, nid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, nid ASC) AS br
+        FROM xs{r - 1}) WHERE br <= {beam}),
+    xc{r} AS MATERIALIZED (SELECT DISTINCT f.qid, u.dst AS nid
+             FROM xf{r} f JOIN und u ON f.nid = u.src
+             WHERE NOT EXISTS (SELECT 1 FROM xvis{r - 1} vv
+                               WHERE vv.qid = f.qid AND vv.nid = u.dst)),
+    xs{r} AS MATERIALIZED (
+        SELECT c.qid, c.nid, {_cos("xq.qv", "n.v")} AS score
+        FROM xc{r} c JOIN e n ON c.nid = n.nid
+                     JOIN xq ON c.qid = xq.qid),
+    xvis{r} AS MATERIALIZED (SELECT qid, nid, score FROM xvis{r - 1}
+               UNION ALL
+               SELECT qid, nid, score FROM xs{r})""")
+    return ",".join(parts)
+
+
+def _search_edges_spark(emb: DataFrame) -> DataFrame:
+    """The Spark twin of _UND_EDGES_SQL: 2-band directed top-k lists
+    (the NN-descent seed substrate) — cross-band edges are what let the
+    search hop out of any one LSH bucketing."""
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        lsh_topk_directed,
+    )
+
+    return lsh_topk_directed(
+        emb, num_planes=_KNN_PLANES, k=_KNN_K, bucket_cap=_KNN_CAP, bands=2
+    )
+
+
+@register(
+    "similarity_graph_search",
+    f"""
+    WITH {_UND_EDGES_SQL},
+    {_search_rounds_sql(_GS_ROUNDS, _GS_BEAM)}
+    SELECT qid AS query_id, nid AS neighbor_id,
+           ROUND(score, 6) AS score, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT qid, nid, score,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY score DESC, nid ASC) AS rnk
+          FROM xvis{_GS_ROUNDS} WHERE nid <> qid)
+    WHERE rnk <= {_GS_K}
+    """,
+)
+def similarity_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based ANN search over the 2-band kNN edge lists (HNSW
+    layer-0 analog): each query (vec_id % 25 == 0) starts at the fixed
+    entry set (vec_id % 50 == 0), scores it exactly, then for 2 rounds
+    expands its 4 best unexpanded nodes through the undirected edge
+    list, scoring only newly discovered nodes; top-5 of everything
+    visited. Per query the scored set is ≤ entries + rounds·beam·degree
+    — independent of corpus size — and every stage is an equi-join
+    (frontier⋈edges on node id, candidates⋈vectors on node id) with the
+    bounded query side broadcast
+    (`functions/similarity.graph_search_topk`)."""
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        graph_search_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return graph_search_topk(
+        emb,
+        emb.filter(F.col("vec_id") % _GS_QMOD == 0),
+        _search_edges_spark(emb),
+        k=_GS_K,
+        rounds=_GS_ROUNDS,
+        beam=_GS_BEAM,
+        entry_stride=_GS_ENTRY,
+    )
+
+
+_AUD_K = 3  # audit grades top-3 against exact top-3 ground truth
+
+
+@register(
+    "graph_search_recall_audit",
+    f"""
+    WITH {_UND_EDGES_SQL},
+    {_search_rounds_sql(_GS_ROUNDS, _GS_BEAM)},
+    gvis AS MATERIALIZED (SELECT qid, nid, ROUND(score, 6) AS score
+             FROM xvis{_GS_ROUNDS} WHERE nid <> qid),
+    gres AS MATERIALIZED (SELECT qid, nid FROM (
+        SELECT qid, nid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, nid ASC) AS rnk
+        FROM gvis) WHERE rnk <= {_AUD_K}),
+    pd AS (SELECT label AS cell, unnest(range(1, len(embedding) + 1)) AS i,
+                  embedding::DOUBLE[] AS v
+           FROM embeddings),
+    cd AS (SELECT cell, i, AVG(v[i]) AS m FROM pd GROUP BY cell, i),
+    cent AS MATERIALIZED (SELECT cell, list(round(m, 6) ORDER BY i) AS centroid
+             FROM cd GROUP BY cell),
+    qc AS MATERIALIZED (SELECT qid, qv, cell FROM (
+        SELECT xq.qid, xq.qv, c.cell,
+               ROW_NUMBER() OVER (PARTITION BY xq.qid
+                 ORDER BY {_cos("xq.qv", "c.centroid")} DESC,
+                          c.cell ASC) AS cr
+        FROM xq CROSS JOIN cent c) WHERE cr <= 1),
+    icand AS MATERIALIZED (SELECT qc.qid, cv.vec_id AS nid,
+                     {_cos("qc.qv", "cv.v")} AS score
+              FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                    FROM embeddings) cv
+              JOIN qc ON cv.label = qc.cell
+              WHERE cv.vec_id <> qc.qid),
+    ires AS MATERIALIZED (SELECT qid, nid FROM (
+        SELECT qid, nid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, nid ASC) AS rnk
+        FROM icand) WHERE rnk <= {_AUD_K}),
+    gt AS MATERIALIZED (SELECT qid, nid FROM (
+        SELECT xq.qid, c.nid,
+               ROW_NUMBER() OVER (PARTITION BY xq.qid
+                                  ORDER BY {_cos("xq.qv", "c.v")} DESC,
+                                           c.nid ASC) AS rnk
+        FROM xq JOIN e c ON c.nid <> xq.qid) WHERE rnk <= {_AUD_K}),
+    tot AS (SELECT COUNT(*) AS n_possible FROM gt),
+    gn AS (SELECT COUNT(*) AS n_candidates FROM gvis),
+    inn AS (SELECT COUNT(*) AS n_candidates FROM icand),
+    gh AS (SELECT COUNT(*) AS n_hits FROM gt
+           WHERE EXISTS (SELECT 1 FROM gres r
+                         WHERE r.qid = gt.qid AND r.nid = gt.nid)),
+    ih AS (SELECT COUNT(*) AS n_hits FROM gt
+           WHERE EXISTS (SELECT 1 FROM ires r
+                         WHERE r.qid = gt.qid AND r.nid = gt.nid))
+    SELECT 'graph_search' AS method, gn.n_candidates, gh.n_hits,
+           tot.n_possible,
+           ROUND(gh.n_hits / CAST(tot.n_possible AS DOUBLE), 6) AS recall
+    FROM gn, gh, tot
+    UNION ALL
+    SELECT 'ivf_multiprobe_1' AS method, inn.n_candidates, ih.n_hits,
+           tot.n_possible,
+           ROUND(ih.n_hits / CAST(tot.n_possible AS DOUBLE), 6) AS recall
+    FROM inn, ih, tot
+    """,
+)
+def graph_search_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit: graph-based beam search vs IVF multiprobe (1 cell)
+    at MEASURED candidate budget, graded top-3 against exact
+    brute-force ground truth on the same query sample → (method,
+    n_candidates, n_hits, n_possible, recall). n_candidates counts the
+    vectors each method actually scored, so "equal budget" is in the
+    result, not the prose: with 10 cells, one probed cell scores
+    ~corpus/10 per query; the graph arm's entries + rounds·beam·degree
+    bound lands in the same range by construction. All counts exact
+    integers; recall is one division
+    (`functions/similarity.graph_search_topk`)."""
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        brute_force_topk,
+        cell_centroids,
+        cosine,
+        graph_search_topk,
+        multiprobe_cells,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % _GS_QMOD == 0)
+    gt = brute_force_topk(emb, queries, k=_AUD_K).select(
+        F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
+    ).localCheckpoint()
+    tot = gt.agg(F.count(F.lit(1)).alias("n_possible"))
+
+    gvis = (
+        graph_search_topk(
+            emb, queries, _search_edges_spark(emb),
+            rounds=_GS_ROUNDS, beam=_GS_BEAM, entry_stride=_GS_ENTRY,
+            return_visited=True,
+        )
+        .filter(F.col("nid") != F.col("query_id"))
+        .select(F.col("query_id").alias("qid"), "nid", "score")
+        .localCheckpoint()
+    )
+    gw = Window.partitionBy("qid").orderBy(
+        F.col("score").desc(), F.col("nid").asc()
+    )
+    gres = (
+        gvis.withColumn("rnk", F.row_number().over(gw))
+        .filter(F.col("rnk") <= _AUD_K)
+        .select("qid", "nid")
+    )
+
+    cents = cell_centroids(emb, cell_col="label").select(
+        "cell", F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid")
+    )
+    qc = multiprobe_cells(
+        queries.select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        ),
+        cents, n_probe=1, query_id_col="qid", query_vec_col="qv",
+    )
+    icand = (
+        emb.select(
+            F.col("vec_id").alias("nid"),
+            F.col("embedding").alias("cv"),
+            F.col("label").alias("cell"),
+        )
+        .join(F.broadcast(qc), "cell")
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "nid", cosine(F.col("qv"), F.col("cv")).alias("score"))
+        .localCheckpoint()
+    )
+    ires = (
+        icand.withColumn("rnk", F.row_number().over(gw))
+        .filter(F.col("rnk") <= _AUD_K)
+        .select("qid", "nid")
+    )
+
+    def arm(name: str, res: DataFrame, cand: DataFrame) -> DataFrame:
+        hits = gt.join(res, ["qid", "nid"], "left_semi").agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+        n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+        return (
+            n_cand.crossJoin(F.broadcast(hits))
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(name).alias("method"),
+                "n_candidates",
+                "n_hits",
+                "n_possible",
+                F.round(F.col("n_hits") / F.col("n_possible"), 6)
+                .alias("recall"),
+            )
+        )
+
+    return arm("graph_search", gres, gvis).unionByName(
+        arm("ivf_multiprobe_1", ires, icand)
+    )
+
+
+# calibration grid: planes × bands → seed recall, the ANN family's
+# tuning protocol (PERF.md r9b) as integers. Small grid on purpose —
+# the NN-descent increment is already graded by knn_recall_audit.
+_CAL_GRID = [(4, 2), (4, 3), (6, 2), (6, 3)]
+_CAL_K = 3
+_CAL_CAP = 256
+_CAL_GT_MOD = 20
+
+
+def _cal_seed_sql(planes: int, bands: int, sfx: str) -> str:
+    """Banded seed CTEs for one (planes, bands) config; band b uses
+    plane ids [b·planes, (b+1)·planes) — lsh_topk_directed's layout."""
+    band_ctes, band_sel = [], []
+    for b in range(bands):
+        band_ctes.append(f"""
+    cb{sfx}_{b} AS MATERIALIZED (SELECT nid, bucket FROM (
+        SELECT nid, {_bucket_sql(planes, b * planes)} AS bucket,
+               ROW_NUMBER() OVER (
+                   PARTITION BY {_bucket_sql(planes, b * planes)}
+                   ORDER BY {md5_unit_interval_sql("nid", salt="knncap:")},
+                            nid) AS cr
+        FROM e) WHERE cr <= {_CAL_CAP})""")
+        band_sel.append(
+            f"SELECT l.nid AS src, r.nid AS dst "
+            f"FROM cb{sfx}_{b} l JOIN cb{sfx}_{b} r USING (bucket) "
+            f"WHERE l.nid <> r.nid"
+        )
+    pairs = " UNION ALL ".join(band_sel)
+    return ",".join(band_ctes) + f""",
+    pr{sfx} AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({pairs})),
+    sd{sfx} AS MATERIALIZED (SELECT src, dst FROM (
+        SELECT pr{sfx}.src, pr{sfx}.dst,
+               ROW_NUMBER() OVER (
+                   PARTITION BY pr{sfx}.src
+                   ORDER BY {_cos("es.v", "ed.v")} DESC,
+                            pr{sfx}.dst ASC) AS rnk
+        FROM pr{sfx} JOIN e es ON pr{sfx}.src = es.nid
+                     JOIN e ed ON pr{sfx}.dst = ed.nid)
+        WHERE rnk <= {_CAL_K}),
+    h{sfx} AS MATERIALIZED (SELECT COUNT(*) AS n_hits FROM gt
+        WHERE EXISTS (SELECT 1 FROM sd{sfx} s
+                      WHERE s.src = gt.src AND s.dst = gt.dst))"""
+
+
+def _cal_sql() -> str:
+    ctes = [f"""
+    e AS MATERIALIZED (SELECT vec_id AS nid, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+    gt AS MATERIALIZED (SELECT src, dst FROM (
+        SELECT l.nid AS src, r.nid AS dst,
+               ROW_NUMBER() OVER (PARTITION BY l.nid
+                                  ORDER BY {_cos("l.v", "r.v")} DESC,
+                                           r.nid ASC) AS rnk
+        FROM e l JOIN e r ON l.nid <> r.nid
+        WHERE l.nid % {_CAL_GT_MOD} = 0) WHERE rnk <= {_CAL_K}),
+    tot AS (SELECT COUNT(*) AS n_possible FROM gt)"""]
+    sels = []
+    for p, b in _CAL_GRID:
+        sfx = f"{p}_{b}"
+        ctes.append(_cal_seed_sql(p, b, sfx))
+        sels.append(f"""
+    SELECT CAST({p} AS BIGINT) AS num_planes, CAST({b} AS BIGINT) AS bands,
+           h{sfx}.n_hits, tot.n_possible,
+           ROUND(h{sfx}.n_hits / CAST(tot.n_possible AS DOUBLE), 6) AS recall
+    FROM h{sfx}, tot""")
+    return "WITH " + ",".join(ctes) + (" UNION ALL ".join(sels))
+
+
+@register("knn_recall_calibration", _cal_sql())
+def knn_recall_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN recall-calibration matrix as a gated query: for each
+    (num_planes, bands) in a 2×2 grid, the LSH seed round's exact hit
+    count against brute-force top-3 ground truth on a deterministic
+    1-in-20 query sample → (num_planes, bands, n_hits, n_possible,
+    recall). This is PERF.md r9b's tuning table made regression-proof:
+    any change to the hyperplane family, banding layout, bucket cap, or
+    seed ranking flips an integer and fails the gate. Ground truth is
+    computed ONCE and shared by all four configs; each config is the
+    standard capped bucket self-join
+    (`functions/similarity.lsh_topk_directed`)."""
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        brute_force_topk,
+        lsh_topk_directed,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    gt = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") % _CAL_GT_MOD == 0), k=_CAL_K
+    ).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    ).localCheckpoint()
+    tot = gt.agg(F.count(F.lit(1)).alias("n_possible"))
+
+    out = None
+    for p, b in _CAL_GRID:
+        seed = lsh_topk_directed(
+            emb, num_planes=p, k=_CAL_K, bucket_cap=_CAL_CAP, bands=b
+        ).select("src", "dst")
+        hits = gt.join(seed, ["src", "dst"], "left_semi").agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+        row = (
+            hits.crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(p).cast("long").alias("num_planes"),
+                F.lit(b).cast("long").alias("bands"),
+                "n_hits",
+                "n_possible",
+                F.round(F.col("n_hits") / F.col("n_possible"), 6)
+                .alias("recall"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

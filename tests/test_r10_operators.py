@@ -1,0 +1,140 @@
+"""Round-10 operator tests: graph-based ANN search over a kNN edge
+list (functions/similarity.graph_search_topk) and the r10 registry
+queries' structural invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _line_vectors(spark, n=40, dim=8):
+    """Vectors on a smooth 1-D manifold: vec i points mostly at axis
+    (i // 10) with a small in-cluster drift, so true nearest neighbors
+    are the adjacent ids — a graph walk along edges reaches them."""
+    rows = []
+    for i in range(n):
+        v = [0.0] * dim
+        v[i // 10] = 1.0
+        v[(i // 10 + 1) % dim] = 0.01 * (i % 10)
+        rows.append((i, v))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def _edges(spark, df):
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        lsh_topk_directed,
+    )
+
+    return lsh_topk_directed(df, num_planes=2, k=3, bucket_cap=256, bands=2)
+
+
+def test_graph_search_reaches_beyond_entry_points(spark):
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        graph_search_topk,
+    )
+
+    df = _line_vectors(spark)
+    queries = df.filter(F.col("vec_id") % 10 == 3)
+    out = graph_search_topk(
+        df, queries, _edges(spark, df),
+        k=3, rounds=2, beam=3, entry_stride=10,
+    )
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        assert r.neighbor_id != r.query_id
+        assert 1 <= r.rank <= 3
+        by_q.setdefault(r.query_id, []).append(r)
+    # every query got results, and at least one neighbor that is NOT an
+    # entry point (vec_id % 10 == 0) — i.e. the walk expanded the graph
+    assert set(by_q) == {3, 13, 23, 33}
+    assert any(
+        r.neighbor_id % 10 != 0 for rs in by_q.values() for r in rs
+    ), "search never left the entry set — expansion is broken"
+
+
+def test_graph_search_zero_rounds_is_entry_ranking(spark):
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        graph_search_topk,
+    )
+
+    df = _line_vectors(spark)
+    queries = df.filter(F.col("vec_id") == 3)
+    out = graph_search_topk(
+        df, queries, _edges(spark, df),
+        k=10, rounds=0, beam=3, entry_stride=10,
+    ).collect()
+    # with zero rounds only entry points (ids % 10 == 0) are visited
+    assert out and all(r.neighbor_id % 10 == 0 for r in out)
+
+
+def test_graph_search_visited_is_bounded_and_deduped(spark):
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        graph_search_topk,
+    )
+
+    df = _line_vectors(spark)
+    queries = df.filter(F.col("vec_id") % 10 == 3)
+    vis = graph_search_topk(
+        df, queries, _edges(spark, df),
+        rounds=2, beam=3, entry_stride=10, return_visited=True,
+    )
+    rows = vis.collect()
+    seen = set()
+    for r in rows:
+        assert (r.query_id, r.nid) not in seen, "node scored twice"
+        seen.add((r.query_id, r.nid))
+    # budget bound: entries (4) + rounds*beam*max_degree; degree ≤ 2k
+    # per band direction ≤ 12 undirected here
+    per_q = {}
+    for r in rows:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert all(n <= 4 + 2 * 3 * 12 for n in per_q.values())
+
+
+def test_graph_search_query_cap_enforced(spark):
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        graph_search_topk,
+    )
+
+    df = _line_vectors(spark)
+    with pytest.raises(ValueError, match="max_broadcast_queries"):
+        graph_search_topk(
+            df, df, _edges(spark, df), max_broadcast_queries=5
+        )
+
+
+def test_undirected_edges_symmetric(spark):
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        undirected_edges,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 4)], ["src", "dst"]
+    )
+    out = {(r.src, r.dst) for r in undirected_edges(e).collect()}
+    assert out == {(1, 2), (2, 1), (3, 4), (4, 3)}
+
+
+def test_r10_registry_queries_run_and_shape(spark, sf_dir):
+    from kafka_sink_azure_kusto_spark.plans.registry_r10 import (
+        graph_search_recall_audit,
+        knn_recall_calibration,
+        similarity_graph_search,
+    )
+
+    gs = similarity_graph_search(spark, sf_dir)
+    assert gs.columns == ["query_id", "neighbor_id", "score", "rank"]
+    assert gs.count() > 0
+
+    aud = graph_search_recall_audit(spark, sf_dir).collect()
+    assert {r.method for r in aud} == {"graph_search", "ivf_multiprobe_1"}
+    for r in aud:
+        assert 0 <= r.n_hits <= r.n_possible
+        assert r.n_candidates > 0
+
+    cal = knn_recall_calibration(spark, sf_dir).collect()
+    assert {(r.num_planes, r.bands) for r in cal} == {
+        (4, 2), (4, 3), (6, 2), (6, 3)
+    }
+    for r in cal:
+        assert 0 <= r.n_hits <= r.n_possible
