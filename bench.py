@@ -179,6 +179,7 @@ HEADLINE = [
     "similarity_graph_search",
     "graph_search_recall_audit",
     "knn_recall_calibration",
+    "streaming_ivf_index_maintenance",
 ]
 
 

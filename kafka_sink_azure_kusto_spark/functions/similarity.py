@@ -1178,6 +1178,75 @@ def knn_graph_mutual(
     )
 
 
+def ivf_index_upsert(
+    batch: DataFrame,
+    idx_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    cell_col: str = "cell",
+    seq_col: str | None = None,
+) -> list:
+    """Apply ONE batch of upserts/tombstones to a cell-partitioned
+    parquet IVF index — the maintenance kernel behind both the batch
+    diff-driven rewrite (``similarity_index_incremental_update``) and
+    the live streaming loop (``streaming_ivf_index_maintenance``).
+
+    ``batch`` rows: (id, vec, cell); a NULL vector is a TOMBSTONE
+    (delete this id from its cell — the Kafka null-value convention).
+    With ``seq_col``, last-write-wins WITHIN the batch by that column
+    (a merged micro-batch can carry both a value and its later
+    tombstone; without an order the wrong one could survive).
+
+    Mechanics: affected cells = the batch's distinct cells; surviving
+    index rows in those cells (ids not superseded by the batch) union
+    the batch's live rows are rewritten via DYNAMIC partition
+    overwrite — |affected cells| of I/O, never |index|. The rewrite
+    frame is ``localCheckpoint``-materialized BEFORE the write: it
+    reads the same parquet path the write overwrites, and only a
+    broken lineage makes that safe. Cells left EMPTY by deletes are
+    removed explicitly (dynamic overwrite never touches a partition
+    absent from the written frame — the standard incremental-index
+    hole); the emptied cell list is returned for observability.
+    """
+    import os
+    import shutil
+
+    spark = batch.sparkSession
+    if seq_col is not None:
+        w = Window.partitionBy(id_col).orderBy(F.col(seq_col).desc())
+        batch = (
+            batch.withColumn("_lw", F.row_number().over(w))
+            .filter(F.col("_lw") == 1)
+            .drop("_lw", seq_col)
+        )
+    batch = batch.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        F.col(cell_col).alias("cell"),
+    ).localCheckpoint()  # consumed by 3 branches below
+    affected = batch.select("cell").distinct()
+    idx = spark.read.parquet(idx_dir)
+    keep = (
+        idx.join(F.broadcast(affected), "cell")
+        .join(batch.select("vec_id"), "vec_id", "left_anti")
+        .select("vec_id", "v", "cell")
+    )
+    live = batch.filter(F.col("v").isNotNull()).select("vec_id", "v", "cell")
+    rewrite = keep.unionByName(live).localCheckpoint()
+    rewrite.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("cell").parquet(idx_dir)
+    emptied = [
+        r["cell"]
+        for r in affected.join(
+            rewrite.select("cell").distinct(), "cell", "left_anti"
+        ).collect()  # bounded: ≤ |affected cells|
+    ]
+    for c in emptied:
+        shutil.rmtree(os.path.join(idx_dir, f"cell={c}"), ignore_errors=True)
+    return emptied
+
+
 def undirected_edges(graph: DataFrame) -> DataFrame:
     """Symmetrize a directed/mutual edge list: (src, dst) ∪ (dst, src),
     distinct. The expansion substrate for ``graph_search_topk`` —

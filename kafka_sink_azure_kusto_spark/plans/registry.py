@@ -86,6 +86,7 @@ _GATE_PRIORITY = [
     "similarity_graph_search",           # r10: graph-based ANN (HNSW L0)
     "graph_search_recall_audit",         # r10: equal-budget vs multiprobe
     "knn_recall_calibration",            # r10: planes×bands recall matrix
+    "streaming_ivf_index_maintenance",   # r10: live cell-rewrite loop
     # --- new in r9 ---
     "text_within_doc_dedup",             # r9b: C4 duplicate-line rule
     "vocab_coverage_curve",              # r9b: count-of-counts coverage

@@ -442,3 +442,189 @@ def knn_recall_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------
+# Streaming IVF index maintenance (VERDICT r9 #3): the r9b diff-driven
+# cell rewrite composed into the LIVE foreachBatch loop — upserts and
+# Kafka-style NULL tombstones arrive in micro-batches, each batch
+# rewrites only its affected cells (ivf_index_upsert), a probe runs
+# BETWEEN batches (epoch-keyed overwrite — the exactly-once recipe),
+# and the gate grades the FINAL probe against the whole-snapshot
+# oracle: a stale cell, missed tombstone, double-write, or lost
+# in-batch ordering flips the value hash.
+#
+# Fixture by vec_id (all closed-form for the oracle):
+#   seed index      : vec_id % 3 == 0 (original vectors)
+#   batch 0 (seq 0) : vec_id % 3 == 1, plus MODIFIED (+1.0/dim)
+#                     re-deliveries of vec_id % 9 == 0
+#   batch 1 (seq 1) : vec_id % 3 == 2, plus TOMBSTONES (v NULL) of
+#                     vec_id % 15 == 0
+# Final state: vec_id % 15 == 0 absent; vec_id % 9 == 0 at +1.0;
+# everything else original. (+1.0 per dim is NOT scale-invariant, so a
+# missed rewrite actually flips cosines.)
+
+_IVF_STREAM_ORACLE = f"""
+    WITH fs AS (
+      SELECT vec_id, label,
+             CASE WHEN vec_id % 9 = 0
+                  THEN list_transform(embedding::DOUBLE[], x -> x + 1.0)
+                  ELSE embedding::DOUBLE[] END AS v
+      FROM embeddings WHERE vec_id % 15 <> 0),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+          FROM fs WHERE vec_id < 8),
+    scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+                      {_cos("qv", "c.v")} AS score
+               FROM fs c JOIN q ON c.label = qlabel
+               WHERE c.vec_id <> query_id)
+    SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+           round(score, 6) AS score
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC,
+                                                neighbor_id ASC) AS rank
+          FROM scored)
+    WHERE rank <= 10
+"""
+
+
+def _run_ivf_stream_loop(
+    spark: SparkSession, sf_dir: str, stats: dict | None = None
+) -> DataFrame:
+    """Engine of ``streaming_ivf_index_maintenance``; ``stats`` (tests)
+    records per-epoch affected cells, emptied cells, and the per-cell
+    data-file counts after each batch."""
+    import os
+
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        ivf_index_upsert,
+        ivf_topk,
+    )
+    from kafka_sink_azure_kusto_spark.plans.registry import _workdir
+    from kafka_sink_azure_kusto_spark.plans.registry_streaming2 import (
+        _stage_chunks,
+    )
+
+    work = _workdir("stream_ivf_")
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = emb.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    idx_dir = os.path.join(work, "idx")
+    dbl.filter(F.col("vec_id") % 3 == 0).select(
+        "vec_id", "v", F.col("label").alias("cell")
+    ).write.partitionBy("cell").parquet(idx_dir)
+
+    plus1 = F.expr("transform(v, x -> x + CAST(1.0 AS DOUBLE))")
+    b0 = (
+        dbl.filter(F.col("vec_id") % 3 == 1)
+        .unionByName(
+            dbl.filter(F.col("vec_id") % 9 == 0).withColumn("v", plus1)
+        )
+        .withColumn("seq", F.lit(0))
+    )
+    b1 = (
+        dbl.filter(F.col("vec_id") % 3 == 2)
+        .unionByName(
+            dbl.filter(F.col("vec_id") % 15 == 0).withColumn(
+                "v", F.lit(None).cast("array<double>")
+            )
+        )
+        .withColumn("seq", F.lit(1))
+    )
+    # to_json omits NULL fields, so tombstones travel as {vec_id,label,seq}
+    chunks = [
+        [
+            r[0]
+            for r in b.select(
+                F.to_json(F.struct("vec_id", "label", "v", "seq"))
+            ).collect()
+        ]
+        for b in (b0, b1)
+    ]
+    replay = os.path.join(work, "replay")
+    _stage_chunks(chunks, replay)
+    probes_dir = os.path.join(work, "probes")
+
+    def cell_files() -> dict:
+        out = {}
+        for d in os.listdir(idx_dir):
+            if d.startswith("cell="):
+                out[d] = sorted(
+                    f for f in os.listdir(os.path.join(idx_dir, d))
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    def upsert_and_probe(batch_df, epoch_id: int) -> None:
+        mb = batch_df.sparkSession
+        before = cell_files() if stats is not None else None
+        affected = [
+            r[0] for r in batch_df.select("label").distinct().collect()
+        ] if stats is not None else None
+        emptied = ivf_index_upsert(
+            batch_df, idx_dir,
+            id_col="vec_id", vec_col="v", cell_col="label", seq_col="seq",
+        )
+        # probe BETWEEN batches, off the updated on-disk index;
+        # epoch-keyed overwrite so a micro-batch retry rewrites its own
+        # directory instead of appending duplicates
+        idx = mb.read.parquet(idx_dir).withColumnRenamed("v", "embedding")
+        probe = ivf_topk(
+            idx, idx.filter(F.col("vec_id") < 8),
+            k=10, cell_col="cell", query_cell_col="cell",
+        )
+        probe.select(
+            "query_id", "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            F.round("score", 6).alias("score"),
+        ).write.mode("overwrite").parquet(
+            os.path.join(probes_dir, f"epoch={int(epoch_id)}")
+        )
+        if stats is not None:
+            stats[int(epoch_id)] = {
+                "affected_cells": sorted(affected),
+                "emptied_cells": emptied,
+                "files_before": before,
+                "files_after": cell_files(),
+            }
+
+    stream = (
+        spark.readStream.schema("vec_id long, label int, v array<double>, seq int")
+        .option("maxFilesPerTrigger", 1)
+        .json(replay)
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert_and_probe)
+        .option("checkpointLocation", os.path.join(work, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    res = spark.read.parquet(probes_dir)
+    last = res.groupBy().agg(F.max("epoch").alias("epoch"))
+    return res.join(F.broadcast(last), "epoch").select(
+        "query_id", "neighbor_id", "rank", "score"
+    )
+
+
+@register("streaming_ivf_index_maintenance", _IVF_STREAM_ORACLE)
+def streaming_ivf_index_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LIVE IVF index maintenance through the real streaming engine
+    (VERDICT r9 #3): micro-batches of vector upserts + Kafka-style NULL
+    tombstones arrive over a cell-partitioned parquet index; each batch
+    rewrites ONLY its affected cells via `ivf_index_upsert` (dynamic
+    partition overwrite, last-write-wins within the batch, emptied
+    cells removed), then probes the updated index OFF DISK between
+    batches with epoch-keyed overwrite results. Gate = the final
+    probe vs the whole-snapshot oracle — a stale cell, missed
+    tombstone, or double-write breaks the value hash. At 100 TB each
+    batch's I/O is |affected cells|, never |index|; per-batch file
+    growth is asserted per affected cell in tests/test_r10_operators.py
+    (`functions/similarity.ivf_index_upsert`)."""
+    return _run_ivf_stream_loop(spark, sf_dir)

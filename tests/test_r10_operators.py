@@ -138,3 +138,110 @@ def test_r10_registry_queries_run_and_shape(spark, sf_dir):
     }
     for r in cal:
         assert 0 <= r.n_hits <= r.n_possible
+
+
+# ---------------------------------------------------------------------
+# r10: IVF index maintenance (ivf_index_upsert + the streaming loop)
+
+
+def _read_idx(spark, idx_dir):
+    return {
+        (r.vec_id, r.cell): tuple(r.v)
+        for r in spark.read.parquet(idx_dir).collect()
+    }
+
+
+def test_ivf_upsert_tombstone_and_empty_cell_cleanup(spark, tmp_path):
+    import os
+
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        ivf_index_upsert,
+    )
+
+    idx_dir = str(tmp_path / "idx")
+    seed = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0), (3, [0.0, 1.0], 1)],
+        ["vec_id", "v", "cell"],
+    )
+    seed.write.partitionBy("cell").parquet(idx_dir)
+    # tombstone the ONLY vector of cell 1, upsert a new vector in cell 0
+    batch = spark.createDataFrame(
+        [(3, None, 1), (4, [0.8, 0.2], 0)],
+        "vec_id long, v array<double>, cell int",
+    )
+    emptied = ivf_index_upsert(batch, idx_dir)
+    assert emptied == [1]
+    assert not os.path.exists(os.path.join(idx_dir, "cell=1"))
+    assert _read_idx(spark, idx_dir) == {
+        (1, 0): (1.0, 0.0), (2, 0): (0.9, 0.1), (4, 0): (0.8, 0.2),
+    }
+
+
+def test_ivf_upsert_untouched_cells_not_rewritten(spark, tmp_path):
+    import os
+
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        ivf_index_upsert,
+    )
+
+    idx_dir = str(tmp_path / "idx")
+    spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (3, [0.0, 1.0], 1)], ["vec_id", "v", "cell"]
+    ).write.partitionBy("cell").parquet(idx_dir)
+
+    def files(cell):
+        d = os.path.join(idx_dir, f"cell={cell}")
+        return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+    before_c1 = files(1)
+    ivf_index_upsert(
+        spark.createDataFrame(
+            [(5, [0.7, 0.3], 0)], "vec_id long, v array<double>, cell int"
+        ),
+        idx_dir,
+    )
+    # the unaffected cell's data files are byte-identical (never touched)
+    assert files(1) == before_c1
+    assert (5, 0) in _read_idx(spark, idx_dir)
+
+
+def test_ivf_upsert_last_write_wins_within_batch(spark, tmp_path):
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        ivf_index_upsert,
+    )
+
+    idx_dir = str(tmp_path / "idx")
+    spark.createDataFrame(
+        [(1, [1.0, 0.0], 0)], ["vec_id", "v", "cell"]
+    ).write.partitionBy("cell").parquet(idx_dir)
+    # a merged batch carries a value AND its later tombstone — the
+    # tombstone (higher seq) must win
+    batch = spark.createDataFrame(
+        [(1, [0.5, 0.5], 0, 0), (1, None, 0, 1), (2, [0.1, 0.9], 0, 1)],
+        "vec_id long, v array<double>, cell int, seq int",
+    )
+    ivf_index_upsert(batch, idx_dir, seq_col="seq")
+    assert _read_idx(spark, idx_dir) == {(2, 0): (0.1, 0.9)}
+
+
+def test_streaming_ivf_loop_touches_only_affected_cells(spark, sf_dir):
+    from kafka_sink_azure_kusto_spark.plans.registry_r10 import (
+        _run_ivf_stream_loop,
+    )
+
+    stats = {}
+    out = _run_ivf_stream_loop(spark, sf_dir, stats=stats)
+    assert out.count() > 0
+    assert len(stats) >= 1
+    for ep, s in stats.items():
+        affected = {f"cell={c}" for c in s["affected_cells"]}
+        for cell, before_files in s["files_before"].items():
+            if cell not in affected:
+                # VERDICT r9 #3's file-count assertion: untouched cells
+                # keep their exact file lists across the batch
+                assert s["files_after"].get(cell) == before_files, (
+                    f"epoch {ep}: unaffected {cell} was rewritten"
+                )
+        for cell in affected:
+            if cell in s["files_after"]:
+                assert s["files_after"][cell], f"{cell} rewrote to empty"
