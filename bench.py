@@ -180,6 +180,7 @@ HEADLINE = [
     "graph_search_recall_audit",
     "knn_recall_calibration",
     "streaming_ivf_index_maintenance",
+    "multimodal_curation_pipeline",
 ]
 
 

@@ -379,6 +379,54 @@ def media_dhash(df: DataFrame, id_col: str = "doc_id", media_id=None) -> DataFra
     return ensure_min_parallelism(base).mapInPandas(body, schema=DHASH_SCHEMA)
 
 
+DHASH_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("dhash", LongType(), False),
+        StructField("feat_idx", LongType(), False),
+        StructField("feature", LongType(), False),
+    ]
+)
+
+
+def media_dhash_and_features(
+    df: DataFrame, id_col: str = "doc_id", media_id=None
+) -> DataFrame:
+    """DECODE-ONCE fused kernel for the image-curation pipeline: one
+    synth→BMP/PPM codec decode per row feeds BOTH the 63-bit dHash
+    (dedup stage) and the 8 integer features (CLIP-align stage), long
+    form (doc_id, dhash, feat_idx, feature) — chaining ``media_dhash``
+    + ``synth_feature_extract`` would decode every image twice, and on
+    real images the decode IS the pipeline's dominant cost. Single
+    mapInPandas pass, zero shuffle; callers localCheckpoint the (tiny:
+    32 B/row) output so the two consuming branches never replay the
+    decode lineage. WAV rows (kind 2) are excluded like
+    ``media_dhash``."""
+    mid = media_id if media_id is not None else F.col(id_col)
+    base = df.select(
+        F.col(id_col).alias("doc_id"), mid.cast("long").alias("mid")
+    ).filter(F.col("mid") % 3 != 2)
+
+    def body(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"doc_id": [], "dhash": [], "feat_idx": [], "feature": []}
+            for doc, m in zip(pdf["doc_id"], pdf["mid"]):
+                dm = decode_media_bytes(synth_media_payload(int(m)))
+                dh = dhash64(dm)
+                for i, v in enumerate(media_features(dm)):
+                    rows["doc_id"].append(int(doc))
+                    rows["dhash"].append(dh)
+                    rows["feat_idx"].append(i)
+                    rows["feature"].append(int(v))
+            yield pd.DataFrame(
+                {k: pd.Series(v, dtype="int64") for k, v in rows.items()}
+            )
+
+    return ensure_min_parallelism(base).mapInPandas(
+        body, schema=DHASH_FEATURES_SCHEMA
+    )
+
+
 def dhash_neardup_pairs(
     hashes: DataFrame,
     max_hamming: int = 10,

@@ -87,6 +87,7 @@ _GATE_PRIORITY = [
     "graph_search_recall_audit",         # r10: equal-budget vs multiprobe
     "knn_recall_calibration",            # r10: planes×bands recall matrix
     "streaming_ivf_index_maintenance",   # r10: live cell-rewrite loop
+    "multimodal_curation_pipeline",      # r10: image-text E2E curation
     # --- new in r9 ---
     "text_within_doc_dedup",             # r9b: C4 duplicate-line rule
     "vocab_coverage_curve",              # r9b: count-of-counts coverage

@@ -628,3 +628,207 @@ def streaming_ivf_index_maintenance(
     growth is asserted per affected cell in tests/test_r10_operators.py
     (`functions/similarity.ivf_index_upsert`)."""
     return _run_ivf_stream_loop(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------
+# Multimodal curation pipeline (VERDICT r9 #4): the image-text
+# equivalent of `curation_pipeline` — decode once → perceptual dHash
+# dedup (keep-first) → CLIP-align filter → text-quality gate → pack
+# manifest, one gated end-to-end query with a stage-composed oracle so
+# stage BOUNDARIES (who survives each filter, their pack coordinates)
+# are hash-verified, not just the final count.
+
+def _mm_cur_sql() -> str:
+    from kafka_sink_azure_kusto_spark.plans.registry_northstar import (
+        _CLF_W,
+        _clf_bucket_sql,
+    )
+
+    return f"""
+    WITH imgs AS (SELECT doc_id, doc_id % 97 AS mid FROM documents
+                  WHERE (doc_id % 97) % 3 != 2),
+    ddims AS (SELECT doc_id, mid, 4 + mid % 13 AS w, 3 + mid % 7 AS h
+              FROM imgs),
+    dcells AS (SELECT doc_id, mid, w, h, gr.g AS gr, gc.c AS gc,
+                      ((gr.g * h) // 8) * w + ((gc.c * w) // 9) AS i
+               FROM ddims
+               CROSS JOIN (SELECT unnest(range(0, 8)) AS g) gr
+               CROSS JOIN (SELECT unnest(range(0, 9)) AS c) gc),
+    dlum AS (SELECT doc_id, gr, gc,
+                    299 * ((mid * 31 + i * 7) % 256)
+                  + 587 * ((mid * 37 + i * 11) % 256)
+                  + 114 * ((mid * 41 + i * 13) % 256) AS l
+             FROM dcells),
+    dbits AS (SELECT a.doc_id, a.gr, a.gc,
+                     CASE WHEN a.l < b.l THEN 1 ELSE 0 END AS bit
+              FROM dlum a JOIN dlum b
+                ON a.doc_id = b.doc_id AND a.gr = b.gr AND b.gc = a.gc + 1
+              WHERE a.gc < 8),
+    dsig AS MATERIALIZED (SELECT doc_id,
+                   -- CAST: DuckDB SUM(BIGINT) is HUGEINT, which pandas
+                   -- renders as float64 and loses bit-62 precision
+                   CAST(SUM(CASE WHEN gr * 8 + gc < 63
+                            THEN bit * (CAST(1 AS BIGINT) << (gr * 8 + gc))
+                            ELSE 0 END) AS BIGINT) AS dh
+            FROM dbits GROUP BY doc_id),
+    dblocks AS (SELECT doc_id, dh, bj.j AS j,
+                       (dh >> (16 * bj.j)) & 65535 AS bb
+                FROM dsig CROSS JOIN (SELECT unnest(range(0, 4)) AS j) bj),
+    dpairs AS (SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id,
+                               l.dh AS ldh, r.dh AS rdh
+               FROM dblocks l JOIN dblocks r
+                 ON l.j = r.j AND l.bb = r.bb AND l.doc_id < r.doc_id),
+    dropped AS (SELECT DISTINCT right_id AS doc_id FROM dpairs
+                WHERE bit_count(xor(ldh, rdh)) <= 10),
+    surv AS (SELECT imgs.doc_id FROM imgs
+             WHERE NOT EXISTS (SELECT 1 FROM dropped dd
+                               WHERE dd.doc_id = imgs.doc_id)),
+    mbase AS (SELECT doc_id, mid,
+                     3 * (4 + mid % 13) * (3 + mid % 7) AS n_tot
+              FROM imgs),
+    midx AS (SELECT *, unnest(generate_series(0, n_tot - 1)) AS j
+             FROM mbase),
+    mvals AS (SELECT doc_id, n_tot, j,
+              CAST(CASE
+                WHEN j % 3 = 0 THEN (mid * 31 + (j // 3) * 7) % 256
+                WHEN j % 3 = 1 THEN (mid * 37 + (j // 3) * 11) % 256
+                ELSE (mid * 41 + (j // 3) * 13) % 256
+              END AS BIGINT) AS v
+              FROM midx),
+    magg AS MATERIALIZED (SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS f0,
+                   CAST(SUM(v) AS BIGINT) AS f1,
+                   CAST(MIN(v) AS BIGINT) AS f2,
+                   CAST(MAX(v) AS BIGINT) AS f3,
+                   CAST(SUM((j + 1) * v) AS BIGINT) AS f4,
+                   CAST(SUM(v * v) AS BIGINT) AS f5,
+                   CAST(MAX(CASE WHEN j = 0 THEN v END) AS BIGINT) AS f6,
+                   CAST(MAX(CASE WHEN j = n_tot - 1 THEN v END)
+                        AS BIGINT) AS f7
+            FROM mvals GROUP BY doc_id),
+    lff AS (SELECT doc_id, CAST(0 AS BIGINT) AS fi, f0 AS feat FROM magg
+            UNION ALL SELECT doc_id, 1, f1 FROM magg
+            UNION ALL SELECT doc_id, 2, f2 FROM magg
+            UNION ALL SELECT doc_id, 3, f3 FROM magg
+            UNION ALL SELECT doc_id, 4, f4 FROM magg
+            UNION ALL SELECT doc_id, 5, f5 FROM magg
+            UNION ALL SELECT doc_id, 6, f6 FROM magg
+            UNION ALL SELECT doc_id, 7, f7 FROM magg),
+    mimg AS (SELECT doc_id, dd.d AS d,
+                    SUM(feat * ((fi * 31 + dd.d * 17) % 7 - 3)) AS img_v
+             FROM lff CROSS JOIN (SELECT unnest(range(0, 64)) AS d) dd
+             GROUP BY doc_id, dd.d),
+    mimgl AS (SELECT doc_id, list(CAST(img_v AS DOUBLE) ORDER BY d) AS iv
+              FROM mimg GROUP BY doc_id),
+    msc AS (SELECT i.doc_id,
+                   list_dot_product(e.embedding::DOUBLE[], i.iv)
+                     / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(i.iv, i.iv))) AS s
+            FROM mimgl i JOIN embeddings e ON e.vec_id = i.doc_id),
+    align AS (SELECT doc_id, round(s, 6) AS align_score FROM msc
+              WHERE s >= 0.0),
+    ctoks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    cuni AS (SELECT doc_id, 'u:' || unnest(ws) AS f FROM ctoks),
+    cbi AS (SELECT doc_id, 'b:' || ws[g.i] || ' ' || ws[g.i + 1] AS f
+            FROM ctoks
+            CROSS JOIN LATERAL (SELECT unnest(range(1, len(ws))) AS i) g),
+    cfeats AS (SELECT * FROM cuni UNION ALL SELECT * FROM cbi),
+    cagg AS (SELECT doc_id,
+                    CAST(COUNT(*) AS BIGINT) AS n_features,
+                    CAST(SUM({_CLF_W.format(b=_clf_bucket_sql('f'))})
+                         AS BIGINT) AS mw
+             FROM cfeats GROUP BY doc_id),
+    cq AS (SELECT doc_id FROM cagg
+           WHERE 1.0 / (1.0 + exp(-(mw / 1000.0) / n_features)) >= 0.5),
+    sel AS (SELECT s.doc_id, g.dh AS dhash, a.align_score,
+                   m.f0 AS n_units
+            FROM surv s JOIN dsig g USING (doc_id)
+                        JOIN align a USING (doc_id)
+                        JOIN magg m USING (doc_id)
+            WHERE EXISTS (SELECT 1 FROM cq WHERE cq.doc_id = s.doc_id)),
+    pre AS (SELECT doc_id, dhash, align_score, n_units,
+                   CAST(doc_id % 4 AS INT) AS shard,
+                   CAST(COALESCE(SUM(n_units) OVER (
+                            PARTITION BY doc_id % 4 ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0)
+                        AS BIGINT) AS units_before
+            FROM sel)
+    SELECT doc_id, dhash, align_score, CAST(n_units AS BIGINT) AS n_units,
+           shard, units_before,
+           CAST(FLOOR(units_before / 2048.0) AS BIGINT) AS pack_id
+    FROM pre
+    """
+
+
+@register("multimodal_curation_pipeline", _mm_cur_sql())
+def multimodal_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IMAGE-TEXT pair curation (VERDICT r9 #4) — the
+    multimodal twin of `curation_pipeline`:
+
+      decode ONCE (fused dHash+features mapInPandas, media id =
+      doc_id % 97 so the corpus contains genuine duplicate images)
+      → perceptual near-dup dedup (4×16-bit block-LSH, Hamming ≤ 10,
+        keep-first: any doc appearing as the larger id of a pair drops)
+      → CLIP-align filter (integer projection → cosine ≥ 0 vs the
+        doc's text embedding)
+      → text-quality classifier gate (clf_keep)
+      → pack manifest (4 shards, ≤2048 decoded samples per pack,
+        prefix-sum boundaries).
+
+    One row per SELECTED pair with full curation coordinates:
+    (doc_id, dhash, align_score, n_units, shard, units_before,
+    pack_id). Decode-once is structural: the fused kernel is a single
+    MapInPandas whose 32 B/row output is localCheckpoint'd and fanned
+    to the dedup and align branches (plan-asserted in
+    tests/test_r10_operators.py). The oracle composes the same stage
+    oracles, so each filter's survivor set is hash-verified
+    (`functions/multimodal.media_dhash_and_features`)."""
+    from kafka_sink_azure_kusto_spark.functions import multimodal as M
+    from kafka_sink_azure_kusto_spark.functions.text import (
+        quality_classifier,
+    )
+    from kafka_sink_azure_kusto_spark.operators.packing import (
+        pack_sequences,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    fused = M.media_dhash_and_features(
+        docs, media_id=F.col("doc_id") % 97
+    ).localCheckpoint(eager=True)
+    hashes = fused.filter(F.col("feat_idx") == 0).select("doc_id", "dhash")
+    pairs = M.dhash_neardup_pairs(hashes, max_hamming=10, num_blocks=4)
+    dropped = pairs.select(F.col("right_id").alias("doc_id")).distinct()
+    surv = hashes.join(dropped, "doc_id", "left_anti")
+    aligned = M.clip_align_scores(
+        fused.select("doc_id", "feat_idx", "feature"), emb,
+        dim=64, threshold=0.0,
+    ).filter(F.col("keep")).select("doc_id", "align_score")
+    quality = (
+        quality_classifier(docs, "text", "doc_id")
+        .filter(F.col("clf_keep"))
+        .select("doc_id")
+    )
+    n_units = fused.filter(F.col("feat_idx") == 0).select(
+        "doc_id", F.col("feature").alias("n_units")
+    )
+    sel = (
+        surv.join(aligned, "doc_id")
+        .join(quality, "doc_id", "semi")
+        .join(n_units, "doc_id")
+    )
+    packed = pack_sequences(
+        sel, token_col="n_units", key_col="doc_id",
+        max_tokens=2048, num_shards=4,
+    )
+    return packed.select(
+        "doc_id",
+        "dhash",
+        "align_score",
+        F.col("n_units").cast("bigint").alias("n_units"),
+        "shard",
+        F.col("pack_tokens_before").alias("units_before"),
+        F.col("pack_id").cast("bigint").alias("pack_id"),
+    )

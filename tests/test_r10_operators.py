@@ -245,3 +245,68 @@ def test_streaming_ivf_loop_touches_only_affected_cells(spark, sf_dir):
         for cell in affected:
             if cell in s["files_after"]:
                 assert s["files_after"][cell], f"{cell} rewrote to empty"
+
+
+# ---------------------------------------------------------------------
+# r10: multimodal curation pipeline (decode-once + stage composition)
+
+
+def test_media_dhash_and_features_matches_separate_kernels(spark, sf_dir):
+    from kafka_sink_azure_kusto_spark.functions import multimodal as M
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(0, 30)], ["doc_id"]
+    )
+    mid = F.col("doc_id") % 97
+    fused = M.media_dhash_and_features(docs, media_id=mid)
+    # dhash branch == media_dhash output
+    got_h = {
+        (r.doc_id, r.dhash)
+        for r in fused.filter("feat_idx = 0").select("doc_id", "dhash").collect()
+    }
+    want_h = {
+        (r.doc_id, r.dhash) for r in M.media_dhash(docs, media_id=mid).collect()
+    }
+    assert got_h == want_h
+    # feature branch == synth_feature_extract on the image subset,
+    # with the SAME media identity
+    imgs = docs.filter((F.col("doc_id") % 97) % 3 != 2)
+    got_f = {
+        (r.doc_id, r.feat_idx, r.feature)
+        for r in fused.select("doc_id", "feat_idx", "feature").collect()
+    }
+    want_f = {
+        (r.doc_id, r.feat_idx, r.feature)
+        for r in M.synth_feature_extract(
+            imgs.select((F.col("doc_id") % 97).alias("doc_id"))
+        ).join(
+            imgs.select(
+                F.col("doc_id").alias("orig"), (F.col("doc_id") % 97).alias("doc_id")
+            ),
+            "doc_id",
+        ).select(F.col("orig").alias("doc_id"), "feat_idx", "feature").collect()
+    }
+    assert got_f == want_f
+
+
+def test_multimodal_curation_pipeline_decode_once_plan(spark, sf_dir):
+    """VERDICT r9 #4's structural requirement: the pipeline's final
+    plan contains ZERO Python/Arrow nodes — the single fused decode
+    ran once at the eager localCheckpoint, and every later stage
+    (block-LSH, CLIP projection, classifier, packing) is JVM-side."""
+    from kafka_sink_azure_kusto_spark.plans.registry_r10 import (
+        multimodal_curation_pipeline,
+    )
+
+    out = multimodal_curation_pipeline(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for node in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert node not in plan, plan
+    rows = out.collect()
+    assert rows, "pipeline selected nothing"
+    # survivors are image docs ((doc_id % 97) % 3 != 2), packed within budget
+    for r in rows:
+        assert (r.doc_id % 97) % 3 != 2
+        assert r.align_score >= 0.0
+        assert r.shard == r.doc_id % 4
+        assert r.pack_id == r.units_before // 2048
