@@ -396,15 +396,24 @@ def _scale100x_timings(spark, sf_dir: str) -> dict:
         return round(best, 3)
 
     from kafka_sink_azure_kusto_spark.functions import corpus as C
+    from tools.scale_probe import synth_docs_controlled_dups
 
     base_docs = load_table(spark, sf_dir, "documents")
     minhash: dict[int, float] = {}
     seg: dict[int, float] = {}
     cont: dict[int, float] = {}
     for n in (5_000, 50_000):
+        # minhash-LSH gets the CONTROLLED-duplicate-density corpus
+        # (VERDICT r9 #3): synth_docs decorrelates every replica, so at
+        # 100× the pair volume collapsed and the exponent went negative
+        # (−0.507) — a fixture artifact. Fixed-size clusters keep true
+        # pair volume linear (measured 788 → 8,666 pairs, 5k → 50k).
+        ddocs = synth_docs_controlled_dups(spark, base_docs, n).cache()
+        ddocs.count()
+        minhash[n] = timed(D.minhash_lsh_pairs(ddocs, jaccard_threshold=0.5))
+        ddocs.unpersist()
         docs = synth_docs(spark, base_docs, n).cache()
         docs.count()
-        minhash[n] = timed(D.minhash_lsh_pairs(docs, jaccard_threshold=0.5))
         seg[n] = timed(C.segment_dedup(docs))
         # r9b: asymmetric containment — no jaccard length-ratio pruning
         # applies, so the hot-shingle guard is the only quadratic bound
