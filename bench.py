@@ -181,6 +181,12 @@ HEADLINE = [
     "knn_recall_calibration",
     "streaming_ivf_index_maintenance",
     "multimodal_curation_pipeline",
+    # r10: TPC-H analog completion (derived partsupp)
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q20_promotion_candidates",
+    "q21_waiting_orders",
 ]
 
 

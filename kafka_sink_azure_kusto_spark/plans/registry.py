@@ -88,6 +88,11 @@ _GATE_PRIORITY = [
     "knn_recall_calibration",            # r10: planes×bands recall matrix
     "streaming_ivf_index_maintenance",   # r10: live cell-rewrite loop
     "multimodal_curation_pipeline",      # r10: image-text E2E curation
+    "q2_min_cost_supplier",              # r10: TPC-H Q2 analog
+    "q9_product_profit",                 # r10: TPC-H Q9 analog
+    "q11_important_stock",               # r10: TPC-H Q11 analog
+    "q20_promotion_candidates",          # r10: TPC-H Q20 analog
+    "q21_waiting_orders",                # r10: TPC-H Q21 analog
     # --- new in r9 ---
     "text_within_doc_dedup",             # r9b: C4 duplicate-line rule
     "vocab_coverage_curve",              # r9b: count-of-counts coverage
