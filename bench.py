@@ -187,6 +187,11 @@ HEADLINE = [
     "q11_important_stock",
     "q20_promotion_candidates",
     "q21_waiting_orders",
+    # r10 second wave: audits + curation additions
+    "dedup_lsh_recall_audit",
+    "dsir_importance_select",
+    "multimodal_crossmodal_topk",
+    "embedding_hygiene_audit",
 ]
 
 

@@ -788,3 +788,143 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
     )
     return j.select("id", status.alias("status"), "old_fp", "new_fp")
+
+
+# ------------------------------------------------ DSIR importance weights
+def dsir_features(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Long-form hashed features for DSIR: unigram (``u:tok``) and
+    bigram (``b:t1 t2``) occurrences bucketed 0..255 by the classifier
+    bucket (first two md5 hex digits — exact in both engines) →
+    (doc_id, bucket). One narrow projection + explode; NULL-text rows
+    drop (no tokens ⇒ no features)."""
+    from kafka_sink_azure_kusto_spark.functions.text import _clf_bucket
+
+    df = ensure_min_parallelism(df.filter(F.col(text_col).isNotNull()))
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    uni = F.transform(toks, lambda t: F.concat(F.lit("u:"), t))
+    bi = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - 1, F.lit(0))),
+        lambda i: F.concat(
+            F.lit("b:"), F.element_at(toks, i), F.lit(" "),
+            F.element_at(toks, i + 1),
+        ),
+    )
+    feats = F.concat(uni, F.when(n > 1, bi).otherwise(F.array()))
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(feats).alias("f")
+    ).select("doc_id", _clf_bucket(F.col("f")).alias("bucket"))
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public): score
+    every raw document by how much its hashed n-gram feature
+    distribution looks like the TARGET corpus's. Per bucket b,
+    lr_b = ln((t_b+1)/(r_b+1)) + ln((R+B)/(T+B)) (add-one smoothing
+    over B buckets); a document's weight is the sum of lr over its
+    feature OCCURRENCES. Positive ⇒ more target-like than the raw
+    average ⇒ keep (resampling rank).
+
+    Scale shape: feature extraction is narrow; both bucket-count
+    aggregates map-side-combine into ≤256 groups; the lr table is a
+    256-row broadcast; the per-doc sum is ONE shuffle on doc_id. The
+    double lr sum reassociates at ~1e-15 — six orders below the 6-dp
+    boundary (same determinism budget as unigram_logprob_score).
+    Returns (doc_id, n_features, dsir_weight, keep)."""
+    raw_f = dsir_features(docs, text_col, id_col)
+    tgt_f = dsir_features(target, text_col, id_col)
+    # distinct names throughout: Spark resolves case-insensitively, so
+    # a per-bucket "r" and a total "R" in one frame are AMBIGUOUS
+    raw_c = raw_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("r_cnt"))
+    tgt_c = tgt_f.groupBy("bucket").agg(F.count(F.lit(1)).alias("t_cnt"))
+    totals = raw_f.agg(F.count(F.lit(1)).alias("r_tot")).crossJoin(
+        tgt_f.agg(F.count(F.lit(1)).alias("t_tot"))
+    )
+    lr = (
+        raw_c.join(tgt_c, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("r_cnt", F.lit(0)).alias("r_cnt"),
+            F.coalesce("t_cnt", F.lit(0)).alias("t_cnt"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("t_cnt") + 1).cast("double"))
+                - F.log((F.col("r_cnt") + 1).cast("double"))
+                + F.log((F.col("r_tot") + n_buckets).cast("double"))
+                - F.log((F.col("t_tot") + n_buckets).cast("double"))
+            ).alias("lr"),
+        )
+    )
+    w = F.col("dsir_weight")
+    return (
+        raw_f.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_features"),
+            F.round(F.sum("lr"), 6).alias("dsir_weight"),
+        )
+        .withColumn("keep", w > 0)
+    )
+
+
+def dsir_importance_weights_sql(
+    raw_pred: str, target_pred: str, n_buckets: int = 256
+) -> str:
+    """DuckDB oracle twin of ``dsir_importance_weights`` over the
+    documents table: ``raw_pred``/``target_pred`` are WHERE predicates
+    selecting the raw and target corpora."""
+    b = []
+    for i in (1, 2):
+        d = f"ascii(substr(md5(f), {i}, 1))"
+        b.append(f"(CASE WHEN {d} >= 97 THEN {d} - 87 ELSE {d} - 48 END)")
+    bucket = f"({b[0]} * 16 + {b[1]})"
+    feats = """
+      toks AS (SELECT doc_id, string_split(text, ' ') AS ws
+               FROM documents WHERE text IS NOT NULL AND ({pred})),
+      uni AS (SELECT doc_id, 'u:' || unnest(ws) AS f FROM toks),
+      bi AS (SELECT doc_id, 'b:' || ws[g.i] || ' ' || ws[g.i + 1] AS f
+             FROM toks
+             CROSS JOIN LATERAL (SELECT unnest(range(1, len(ws))) AS i) g),
+      fe AS (SELECT doc_id, {bucket} AS bucket
+             FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi))
+    """
+    raw = (
+        feats.replace("{pred}", raw_pred).replace("{bucket}", bucket)
+        .replace("toks", "rtoks").replace("uni", "runi")
+        .replace("bi", "rbi").replace("fe AS", "rfe AS")
+    )
+    tgt = (
+        feats.replace("{pred}", target_pred).replace("{bucket}", bucket)
+        .replace("toks", "ttoks").replace("uni", "tuni")
+        .replace("bi", "tbi").replace("fe AS", "tfe AS")
+    )
+    return f"""
+    WITH {raw},
+    {tgt},
+    rc AS (SELECT bucket, COUNT(*) AS r_cnt FROM rfe GROUP BY bucket),
+    tc AS (SELECT bucket, COUNT(*) AS t_cnt FROM tfe GROUP BY bucket),
+    tot AS (SELECT (SELECT COUNT(*) FROM rfe) AS r_tot,
+                   (SELECT COUNT(*) FROM tfe) AS t_tot),
+    lr AS (SELECT COALESCE(rc.bucket, tc.bucket) AS bucket,
+                  ln(CAST(COALESCE(t_cnt, 0) + 1 AS DOUBLE))
+                - ln(CAST(COALESCE(r_cnt, 0) + 1 AS DOUBLE))
+                + ln(CAST(r_tot + {n_buckets} AS DOUBLE))
+                - ln(CAST(t_tot + {n_buckets} AS DOUBLE)) AS lr
+           FROM rc FULL OUTER JOIN tc ON rc.bucket = tc.bucket, tot)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
+           ROUND(SUM(lr.lr), 6) AS dsir_weight,
+           SUM(lr.lr) > 0 AS keep
+    FROM rfe JOIN lr ON rfe.bucket = lr.bucket
+    GROUP BY doc_id
+    """

@@ -785,6 +785,37 @@ def _clip_proj(f: int, d: int) -> int:
     return (f * CLIP_PROJ_MULT_F + d * CLIP_PROJ_MULT_D) % CLIP_PROJ_MOD - 3
 
 
+def clip_image_vectors(
+    features_long: DataFrame, dim: int = 64, n_features: int = N_FEATURES
+) -> DataFrame:
+    """(doc_id, _img array<long>): decoded-media features projected
+    into the text-embedding space — the shared projection stage of
+    ``clip_align_scores`` (per-pair alignment) and the cross-modal
+    retrieval gate (text query → image top-k). The image vector
+    assembles in EXACT 64-bit integer arithmetic: features wide-pivot
+    in one fixed-width aggregate, then dim × n_features literal
+    multiply-adds in a single codegen'd projection — zero Python, no
+    per-dim shuffle. The projection is built as ONE SQL expression
+    string (single parse) instead of Python Column algebra: the 512+
+    Column constructions cost a Py4J JVM round trip EACH — measured
+    3.7 s of driver time per plan build at dim=64."""
+    wide = features_long.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("feat_idx") == i, F.col("feature"))).alias(
+                f"_f{i}"
+            )
+            for i in range(n_features)
+        ]
+    )
+    proj_terms = ", ".join(
+        "(" + " + ".join(
+            f"_f{f} * {_clip_proj(f, d)}" for f in range(n_features)
+        ) + ")"
+        for d in range(dim)
+    )
+    return wide.withColumn("_img", F.expr(f"array({proj_terms})"))
+
+
 def clip_align_scores(
     features_long: DataFrame,
     embeddings: DataFrame,
@@ -810,26 +841,7 @@ def clip_align_scores(
     summation order can't drift. One equi-join with the embedding
     table on the pair id; at 100 TB both sides are id-partitioned and
     the join co-locates."""
-    wide = features_long.groupBy("doc_id").agg(
-        *[
-            F.max(F.when(F.col("feat_idx") == i, F.col("feature"))).alias(
-                f"_f{i}"
-            )
-            for i in range(n_features)
-        ]
-    )
-    # The projection is dim × n_features literal multiply-adds. Built as
-    # ONE SQL expression string (single parse) instead of Python Column
-    # algebra: the 512+ Column constructions cost a Py4J JVM round trip
-    # EACH — measured 3.7 s of driver time per plan build at dim=64.
-    # Same arithmetic, same types (long * int literal stays long).
-    proj_terms = ", ".join(
-        "(" + " + ".join(
-            f"_f{f} * {_clip_proj(f, d)}" for f in range(n_features)
-        ) + ")"
-        for d in range(dim)
-    )
-    wide = wide.withColumn("_img", F.expr(f"array({proj_terms})"))
+    wide = clip_image_vectors(features_long, dim=dim, n_features=n_features)
     # norm² folds in DOUBLE and in ARRAY ORDER (img_v² overflows long
     # for WAV energy features); the oracle mirrors the exact fold order
     # with list_dot_product(iv, iv). 0.0D: the SQL double literal —

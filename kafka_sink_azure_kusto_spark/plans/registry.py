@@ -93,6 +93,10 @@ _GATE_PRIORITY = [
     "q11_important_stock",               # r10: TPC-H Q11 analog
     "q20_promotion_candidates",          # r10: TPC-H Q20 analog
     "q21_waiting_orders",                # r10: TPC-H Q21 analog
+    "dedup_lsh_recall_audit",            # r10: LSH vs exact-Jaccard audit
+    "dsir_importance_select",            # r10: DSIR distribution match
+    "multimodal_crossmodal_topk",        # r10: text→image retrieval
+    "embedding_hygiene_audit",           # r10: norm-contract gate
     # --- new in r9 ---
     "text_within_doc_dedup",             # r9b: C4 duplicate-line rule
     "vocab_coverage_curve",              # r9b: count-of-counts coverage

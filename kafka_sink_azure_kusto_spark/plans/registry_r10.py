@@ -832,3 +832,340 @@ def multimodal_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pack_tokens_before").alias("units_before"),
         F.col("pack_id").cast("bigint").alias("pack_id"),
     )
+
+
+# ---------------------------------------------------------------------
+# r10 second wave: dedup-recall audit, DSIR selection, cross-modal
+# retrieval, embedding-norm outlier gate.
+
+_LSH_AUD_T = 0.5  # audit threshold (and the LSH gate's own threshold)
+
+
+@register(
+    "dedup_lsh_recall_audit",
+    f"""
+    WITH sdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    swords AS (SELECT doc_id, string_split(text, ' ') AS ws FROM sdocs),
+    ssh AS (SELECT DISTINCT doc_id,
+                   md5(array_to_string(ws[g.i : g.i + 2], ' ')) AS shh
+            FROM swords
+            CROSS JOIN LATERAL (
+                SELECT unnest(range(1, greatest(len(ws) - 1, 1))) AS i) g),
+    ssz AS (SELECT doc_id, COUNT(*) AS n_sh FROM ssh GROUP BY doc_id),
+    inter AS (SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+                     COUNT(*) AS n_inter
+              FROM ssh l JOIN ssh r
+                ON l.shh = r.shh AND l.doc_id < r.doc_id
+              GROUP BY l.doc_id, r.doc_id),
+    gt AS MATERIALIZED (
+        SELECT left_id, right_id
+        FROM inter JOIN ssz sl ON left_id = sl.doc_id
+                   JOIN ssz sr ON right_id = sr.doc_id
+        WHERE n_inter * 1.0 / (sl.n_sh + sr.n_sh - n_inter)
+              >= {_LSH_AUD_T}),
+    smh AS (SELECT doc_id, hs.h AS h, MIN(md5(hs.h || ':' || s)) AS mv
+            FROM (SELECT doc_id,
+                         unnest(list_transform(
+                             range(1, greatest(len(ws) - 1, 1)),
+                             i -> array_to_string(ws[i : i + 2], ' '))) AS s
+                  FROM swords) sshl
+            CROSS JOIN (SELECT unnest(range(0, 16)) AS h) hs
+            GROUP BY doc_id, hs.h),
+    ssig AS (SELECT doc_id, list(mv ORDER BY h) AS sig FROM smh
+             GROUP BY doc_id),
+    sband AS (SELECT doc_id, sig, bs.b AS band_id,
+                     md5(array_to_string(sig[bs.b*4+1 : bs.b*4+4], '|'))
+                         AS band_hash
+              FROM ssig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bs),
+    scand AS (SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id
+              FROM sband l JOIN sband r
+                ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+               AND l.doc_id < r.doc_id),
+    found AS MATERIALIZED (
+        SELECT left_id, right_id
+        FROM scand JOIN ssig ls ON left_id = ls.doc_id
+                   JOIN ssig rs ON right_id = rs.doc_id
+        WHERE len(list_intersect(ls.sig, rs.sig)) * 1.0 / 16
+              >= {_LSH_AUD_T}),
+    nt AS (SELECT COUNT(*) AS n_true FROM gt),
+    nf AS (SELECT COUNT(*) AS n_found FROM found),
+    nh AS (SELECT COUNT(*) AS n_hits FROM gt
+           WHERE EXISTS (SELECT 1 FROM found f
+                         WHERE f.left_id = gt.left_id
+                           AND f.right_id = gt.right_id)),
+    np AS (SELECT COUNT(*) AS n_false_pos FROM found
+           WHERE NOT EXISTS (SELECT 1 FROM gt
+                             WHERE gt.left_id = found.left_id
+                               AND gt.right_id = found.right_id))
+    SELECT nt.n_true, nf.n_found, nh.n_hits, np.n_false_pos,
+           ROUND(nh.n_hits / CAST(GREATEST(nt.n_true, 1) AS DOUBLE), 6)
+               AS recall,
+           ROUND(nh.n_hits / CAST(GREATEST(nf.n_found, 1) AS DOUBLE), 6)
+               AS "precision"
+    FROM nt, nf, nh, np
+    """,
+)
+def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision AUDIT of MinHash-LSH near-dup detection against
+    EXACT shingle-Jaccard ground truth on a deterministic half-corpus
+    sample → one row of exact integers (n_true, n_found, n_hits,
+    n_false_pos) + two single-division ratios. Both error directions
+    are real: banding misses true pairs (recall < 1) and the 16-hash
+    signature-overlap estimate admits sub-threshold pairs (precision
+    < 1) — this gate pins BOTH, so any change to the hash family,
+    banding layout, or estimate arithmetic flips an integer. Ground
+    truth is `ngram_jaccard_pairs` (shingle inverted index — never
+    O(n²)); the audit-on-a-sample discipline matches knn_recall_audit
+    (`functions/dedup.ngram_jaccard_pairs`)."""
+    from kafka_sink_azure_kusto_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 0
+    )
+    gt = ngram_jaccard_pairs(
+        docs, k=3, threshold=_LSH_AUD_T
+    ).select("left_id", "right_id").localCheckpoint()
+    found = minhash_lsh_pairs(
+        docs, num_hashes=16, num_bands=4, k=3,
+        jaccard_threshold=_LSH_AUD_T,
+    ).select("left_id", "right_id").localCheckpoint()
+    nt = gt.agg(F.count(F.lit(1)).alias("n_true"))
+    nf = found.agg(F.count(F.lit(1)).alias("n_found"))
+    nh = gt.join(found, ["left_id", "right_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    np_ = found.join(gt, ["left_id", "right_id"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_false_pos")
+    )
+    return (
+        nt.crossJoin(F.broadcast(nf))
+        .crossJoin(F.broadcast(nh))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_true", "n_found", "n_hits", "n_false_pos",
+            F.round(
+                F.col("n_hits")
+                / F.greatest(F.col("n_true"), F.lit(1)).cast("double"), 6
+            ).alias("recall"),
+            F.round(
+                F.col("n_hits")
+                / F.greatest(F.col("n_found"), F.lit(1)).cast("double"), 6
+            ).alias("precision"),
+        )
+    )
+
+
+@register(
+    "dsir_importance_select",
+    None,  # oracle attached below (generated twin)
+)
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, public): hashed
+    n-gram importance weights of every document against a TARGET
+    distribution (every 25th doc standing in for the downstream task
+    corpus) → (doc_id, n_features, dsir_weight, keep). The
+    importance-resampling complement to the classifier filter: where
+    `text_quality_classifier` scores intrinsic quality,
+    DSIR scores DISTRIBUTIONAL MATCH to the data you actually want
+    more of. Bucket counts map-side-combine to ≤256 groups, the
+    log-ratio table broadcasts, one doc-keyed shuffle
+    (`functions/corpus.dsir_importance_weights`)."""
+    from kafka_sink_azure_kusto_spark.functions.corpus import (
+        dsir_importance_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_importance_weights(
+        docs, docs.filter(F.col("doc_id") % 25 == 0)
+    )
+
+
+def _attach_dsir_oracle():
+    from kafka_sink_azure_kusto_spark.functions.corpus import (
+        dsir_importance_weights_sql,
+    )
+    from kafka_sink_azure_kusto_spark.plans.registry import _REGISTRY
+
+    _REGISTRY["dsir_importance_select"] = (
+        _REGISTRY["dsir_importance_select"][0],
+        dsir_importance_weights_sql("TRUE", "doc_id % 25 = 0"),
+    )
+
+
+_attach_dsir_oracle()
+
+
+_XM_QMOD = 100  # text queries: vec_id % 100 == 0
+_XM_K = 5
+
+
+@register(
+    "multimodal_crossmodal_topk",
+    f"""
+    WITH imgs AS (SELECT doc_id, doc_id % 97 AS mid FROM documents
+                  WHERE (doc_id % 97) % 3 != 2),
+    mbase AS (SELECT doc_id, mid,
+                     3 * (4 + mid % 13) * (3 + mid % 7) AS n_tot
+              FROM imgs),
+    midx AS (SELECT *, unnest(generate_series(0, n_tot - 1)) AS j
+             FROM mbase),
+    mvals AS (SELECT doc_id, n_tot, j,
+              CAST(CASE
+                WHEN j % 3 = 0 THEN (mid * 31 + (j // 3) * 7) % 256
+                WHEN j % 3 = 1 THEN (mid * 37 + (j // 3) * 11) % 256
+                ELSE (mid * 41 + (j // 3) * 13) % 256
+              END AS BIGINT) AS v
+              FROM midx),
+    magg AS (SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS f0,
+                   CAST(SUM(v) AS BIGINT) AS f1,
+                   CAST(MIN(v) AS BIGINT) AS f2,
+                   CAST(MAX(v) AS BIGINT) AS f3,
+                   CAST(SUM((j + 1) * v) AS BIGINT) AS f4,
+                   CAST(SUM(v * v) AS BIGINT) AS f5,
+                   CAST(MAX(CASE WHEN j = 0 THEN v END) AS BIGINT) AS f6,
+                   CAST(MAX(CASE WHEN j = n_tot - 1 THEN v END)
+                        AS BIGINT) AS f7
+            FROM mvals GROUP BY doc_id),
+    lff AS (SELECT doc_id, CAST(0 AS BIGINT) AS fi, f0 AS feat FROM magg
+            UNION ALL SELECT doc_id, 1, f1 FROM magg
+            UNION ALL SELECT doc_id, 2, f2 FROM magg
+            UNION ALL SELECT doc_id, 3, f3 FROM magg
+            UNION ALL SELECT doc_id, 4, f4 FROM magg
+            UNION ALL SELECT doc_id, 5, f5 FROM magg
+            UNION ALL SELECT doc_id, 6, f6 FROM magg
+            UNION ALL SELECT doc_id, 7, f7 FROM magg),
+    mimg AS (SELECT doc_id, dd.d AS d,
+                    SUM(feat * ((fi * 31 + dd.d * 17) % 7 - 3)) AS img_v
+             FROM lff CROSS JOIN (SELECT unnest(range(0, 64)) AS d) dd
+             GROUP BY doc_id, dd.d),
+    mimgl AS MATERIALIZED (
+        SELECT doc_id, list(CAST(img_v AS DOUBLE) ORDER BY d) AS iv
+        FROM mimg GROUP BY doc_id),
+    xq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id % {_XM_QMOD} = 0),
+    sc AS (SELECT xq.query_id, i.doc_id,
+                  list_dot_product(xq.qv, i.iv)
+                    / (sqrt(list_dot_product(xq.qv, xq.qv))
+                       * sqrt(list_dot_product(i.iv, i.iv))) AS s
+           FROM xq CROSS JOIN mimgl i)
+    SELECT query_id, doc_id, ROUND(s, 6) AS score,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT query_id, doc_id, s,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY s DESC, doc_id ASC) AS rnk
+          FROM sc)
+    WHERE rnk <= {_XM_K}
+    """,
+)
+def multimodal_crossmodal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-MODAL retrieval (CLIP-style text→image search): each text
+    embedding query (vec_id % 100 == 0) retrieves its top-5 images by
+    cosine against the integer-projected image vectors — the retrieval
+    use of the projection `multimodal_clip_align_filter` uses for
+    per-pair filtering. Image vectors assemble exactly once through
+    the decode-once fused kernel + `clip_image_vectors` (exact integer
+    arithmetic); the bounded query side broadcasts into the scoring
+    join; top-k windows only scored rows
+    (`functions/multimodal.clip_image_vectors`)."""
+    from kafka_sink_azure_kusto_spark.functions import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    fused = M.media_dhash_and_features(
+        docs, media_id=F.col("doc_id") % 97
+    )
+    iv = M.clip_image_vectors(
+        fused.select("doc_id", "feat_idx", "feature")
+    ).select(
+        "doc_id", F.expr("cast(_img as array<double>)").alias("iv")
+    )
+    q = emb.filter(F.col("vec_id") % _XM_QMOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(qv, iv, (a, b) -> a * b), 0.0D, (a, x) -> a + x)"
+    )
+    qn = F.expr("aggregate(qv, 0.0D, (a, x) -> a + x * x)")
+    inorm = F.expr("aggregate(iv, 0.0D, (a, x) -> a + x * x)")
+    sc = iv.crossJoin(F.broadcast(q)).select(
+        "query_id", "doc_id",
+        (dot / (F.sqrt(qn) * F.sqrt(inorm))).alias("s"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("s").desc(), F.col("doc_id").asc())
+    return (
+        sc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _XM_K)
+        .select(
+            "query_id", "doc_id", F.round("s", 6).alias("score"),
+            F.col("rnk").cast("bigint").alias("rank"),
+        )
+    )
+
+
+@register(
+    "embedding_hygiene_audit",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    corrupted AS (SELECT vec_id,
+        CASE WHEN vec_id % 17 = 0
+             THEN list_transform(list_zip(v, range(1, len(v) + 1)),
+                                 z -> CASE WHEN z[2] > len(v) // 2
+                                           THEN 0.0 ELSE z[1] END)
+             WHEN vec_id % 23 = 0
+             THEN list_transform(v, x -> x * 3.0)
+             ELSE v END AS v
+        FROM e),
+    nrm AS (SELECT vec_id, ROUND(sqrt(list_dot_product(v, v)), 6) AS norm
+            FROM corrupted)
+    SELECT vec_id, norm,
+           CASE WHEN norm < 0.9 THEN 'truncated_likely'
+                WHEN norm > 1.5 THEN 'scaled_likely'
+                ELSE 'ok' END AS status
+    FROM nrm
+    """,
+)
+def embedding_hygiene_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene gate: per-vector L2 norm against the corpus's
+    unit-norm contract, flagging truncated (tail zeroed -> norm << 1)
+    and mis-scaled (norm >> 1) vectors BEFORE they poison an ANN index.
+    The fixture injects both corruption classes deterministically
+    (vec_id % 17: tail half zeroed; % 23: scaled 3x) -- the
+    referential_integrity_audit pattern of proving the detector on
+    known-bad rows. A z-score variant was tried first and REJECTED: the
+    table's embeddings are unit-normalized (population sd ~ 4e-8), so
+    avg(x^2)-avg(x)^2 is pure cancellation noise and engine-divergent;
+    absolute norm thresholds on 6-dp-rounded values are the stable
+    contract. Zero joins, zero Python -- one codegen projection."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    half = F.size(v) / F.lit(2)
+    truncated = F.zip_with(
+        v,
+        F.sequence(F.lit(1), F.size(v)),
+        lambda x, i: F.when(i > F.floor(half), F.lit(0.0)).otherwise(x),
+    )
+    scaled = F.transform(v, lambda x: x * 3.0)
+    cv = (
+        F.when(F.col("vec_id") % 17 == 0, truncated)
+        .when(F.col("vec_id") % 23 == 0, scaled)
+        .otherwise(v)
+    )
+    norm = F.round(
+        F.sqrt(F.aggregate(cv, F.lit(0.0), lambda a, x: a + x * x)), 6
+    )
+    return emb.select(
+        "vec_id",
+        norm.alias("norm"),
+        F.when(norm < 0.9, F.lit("truncated_likely"))
+        .when(norm > 1.5, F.lit("scaled_likely"))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+    )
