@@ -192,6 +192,10 @@ HEADLINE = [
     "dsir_importance_select",
     "multimodal_crossmodal_topk",
     "embedding_hygiene_audit",
+    # r10 third wave
+    "hilbert_layout_key",
+    "interval_overlap_join",
+    "streaming_bm25_maintenance",
 ]
 
 

@@ -78,3 +78,100 @@ def zorder_sql(col_exprs: Sequence[str], bits: int = 16) -> str:
                 f"((((CAST({e} AS BIGINT) & {mask}) >> {i}) & 1) << {i * n + j})"
             )
     return "(" + " | ".join(terms) + ")"
+
+
+def hilbert_key(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    key_col: str = "hkey",
+) -> DataFrame:
+    """Append a 2-D HILBERT-curve clustering key over (x, y) — the
+    locality-preserving upgrade to ``zorder_key``: consecutive Hilbert
+    indices are ALWAYS spatially adjacent (Morton order jumps at
+    quadrant boundaries), so range scans over the sorted layout touch
+    tighter (x, y) regions and parquet min/max footers prune better on
+    both dimensions. Standard xy→d construction (per-level quadrant
+    accumulation + rotate/reflect), unrolled ``bits`` levels into flat
+    integer column arithmetic — zero Python at runtime, and the SQL
+    oracle (``hilbert_sql``) is generated from the same loop. Inputs
+    are masked to ``bits`` low bits like zorder_key."""
+    mask = (1 << bits) - 1
+    # one PROJECTION per level (withColumns evaluates its dict against
+    # the CURRENT frame — simultaneous assignment, like the SQL
+    # oracle's one-subquery-per-level chain). Building the whole
+    # recurrence as a single Column tree is exponential: each level
+    # references the previous level's x AND y several times, Column
+    # trees duplicate rather than share, and the 8-level tree OOM'd the
+    # driver at plan conversion (found live).
+    out = df.withColumns(
+        {
+            "_hx": F.col(x_col).cast("long").bitwiseAND(
+                F.lit(mask).cast("long")
+            ),
+            "_hy": F.col(y_col).cast("long").bitwiseAND(
+                F.lit(mask).cast("long")
+            ),
+            "_hd": F.lit(0).cast("long"),
+        }
+    )
+    s = 1 << (bits - 1)
+    while s > 0:
+        x, y = F.col("_hx"), F.col("_hy")
+        rx = F.when(x.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(y.bitwiseAND(F.lit(s)) > 0, F.lit(1)).otherwise(F.lit(0))
+        out = out.withColumns(
+            {
+                "_hd": F.col("_hd")
+                + F.lit(s).cast("long") * F.lit(s).cast("long")
+                * ((F.lit(3) * rx).bitwiseXOR(ry)).cast("long"),
+                # rotate/reflect the quadrant: when ry == 0, (x, y)
+                # swap, and when additionally rx == 1 both reflect
+                # within the s-square
+                "_hx": F.when(
+                    ry == 0,
+                    F.when(rx == 1, F.lit(s - 1).cast("long") - y)
+                    .otherwise(y),
+                ).otherwise(x),
+                "_hy": F.when(
+                    ry == 0,
+                    F.when(rx == 1, F.lit(s - 1).cast("long") - x)
+                    .otherwise(x),
+                ).otherwise(y),
+            }
+        )
+        s //= 2
+    return out.withColumn(key_col, F.col("_hd")).drop("_hx", "_hy", "_hd")
+
+
+def hilbert_sql(x_expr: str, y_expr: str, bits: int = 8) -> str:
+    """DuckDB mirror of ``hilbert_key``: the same per-level loop
+    rendered as a chain of nested subqueries (one level each — inlining
+    the rotate/reflect recurrence into one expression would blow up
+    exponentially). Produces a scalar-joinable relation: SELECT the
+    caller's row key alongside. The caller embeds it as
+    ``FROM ({hilbert_sql(...)}) h`` with ``_hx0``/``_hy0`` provided by
+    the innermost ``src`` alias."""
+    mask = (1 << bits) - 1
+    inner = (
+        f"SELECT *, CAST({x_expr} AS BIGINT) & {mask} AS hx, "
+        f"CAST({y_expr} AS BIGINT) & {mask} AS hy, "
+        f"CAST(0 AS BIGINT) AS hd FROM __HSRC__"
+    )
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        step = (
+            f"SELECT * REPLACE ("
+            f"hd + CAST({s} AS BIGINT) * {s} * CAST(xor(3 * {rx}, {ry}) AS BIGINT) AS hd, "
+            f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+            f"THEN {s - 1} - hy ELSE hy END) ELSE hx END AS hx, "
+            f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 "
+            f"THEN {s - 1} - hx ELSE hx END) ELSE hy END AS hy) "
+            f"FROM ({inner})"
+        )
+        inner = step
+        s //= 2
+    return inner

@@ -97,6 +97,9 @@ _GATE_PRIORITY = [
     "dsir_importance_select",            # r10: DSIR distribution match
     "multimodal_crossmodal_topk",        # r10: text→image retrieval
     "embedding_hygiene_audit",           # r10: norm-contract gate
+    "hilbert_layout_key",                # r10: locality layout key
+    "interval_overlap_join",             # r10: bucketized range join
+    "streaming_bm25_maintenance",        # r10: additive index registers
     # --- new in r9 ---
     "text_within_doc_dedup",             # r9b: C4 duplicate-line rule
     "vocab_coverage_curve",              # r9b: count-of-counts coverage

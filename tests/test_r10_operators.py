@@ -368,3 +368,85 @@ def test_warmup_on_attach_leaves_no_trace(spark, sf_dir, tmp_path):
     assert m_w == m_c
     # the warmup's throwaway epoch never reached the real backend
     assert all("warmup" not in e["file"] for e in be_w.ingest_log())
+
+
+# ---------------------------------------------------------------------
+# r10 third wave: hilbert key, interval-overlap join, streaming BM25
+
+
+def test_hilbert_key_matches_reference_and_is_adjacent(spark):
+    from kafka_sink_azure_kusto_spark.operators.layout import hilbert_key
+
+    def xy2d(n, x, y):
+        rx = ry = 0
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x = s - 1 - x
+                    y = s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    pts = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], ["x", "y"]
+    )
+    rows = hilbert_key(pts, "x", "y", bits=4).collect()
+    assert all(r.hkey == xy2d(16, r.x, r.y) for r in rows)
+    # the defining property: consecutive indices are adjacent cells
+    byd = {r.hkey: (r.x, r.y) for r in rows}
+    assert all(
+        abs(byd[d][0] - byd[d + 1][0]) + abs(byd[d][1] - byd[d + 1][1]) == 1
+        for d in range(255)
+    )
+
+
+def test_interval_overlap_join_counts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from kafka_sink_azure_kusto_spark.plans.registry_r10 import (
+        _IOJ_LEN_US,
+        _IOJ_N,
+        _IOJ_STRIDE_US,
+        interval_overlap_join,
+    )
+    from kafka_sink_azure_kusto_spark.sources.tables import load_table
+
+    out = {r.window_id: r.n_events
+           for r in interval_overlap_join(spark, sf_dir).collect()}
+    assert set(out) == set(range(_IOJ_N))
+    # brute-force check on 3 windows (the point of the bucketized join
+    # is avoiding exactly this nested loop — fine at test scale)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("tus")
+    )
+    t0 = ev.agg(F.min("tus")).collect()[0][0]
+    for w in (0, 7, 19):
+        lo = t0 + w * _IOJ_STRIDE_US
+        n = ev.filter(
+            (F.col("tus") >= lo) & (F.col("tus") < lo + _IOJ_LEN_US)
+        ).count()
+        assert out[w] == n, (w, out[w], n)
+
+
+def test_streaming_bm25_matches_single_shot(spark, sf_dir):
+    from kafka_sink_azure_kusto_spark.plans.registry_curation import (
+        bm25_topk,
+    )
+    from kafka_sink_azure_kusto_spark.plans.registry_r10 import (
+        streaming_bm25_maintenance,
+    )
+
+    merged = [
+        (r.doc_id, r.score, r.rank)
+        for r in streaming_bm25_maintenance(spark, sf_dir).collect()
+    ]
+    single = [
+        (r.doc_id, r.score, r.rank) for r in bm25_topk(spark, sf_dir).collect()
+    ]
+    assert sorted(merged) == sorted(single)
