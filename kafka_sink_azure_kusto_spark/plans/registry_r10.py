@@ -405,12 +405,24 @@ def knn_recall_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall). This is PERF.md r9b's tuning table made regression-proof:
     any change to the hyperplane family, banding layout, bucket cap, or
     seed ranking flips an integer and fails the gate. Ground truth is
-    computed ONCE and shared by all four configs; each config is the
-    standard capped bucket self-join
-    (`functions/similarity.lsh_topk_directed`)."""
+    computed ONCE and shared by all four configs.
+
+    Plan shape: all 10 (config, band) bucketings union into ONE frame
+    tagged by a composite bucket key (cfg:band:bucket — the cap window
+    and the pair self-join then run ONCE over the union instead of 10
+    sequential lsh_topk_directed pipelines; 13.6 → ~4 s at sf0.1,
+    bit-identical results since capping/scoring/ranking partition on
+    keys that embed the config). The per-config semantics are exactly
+    ``lsh_topk_directed``'s: md5-rank member cap, exact cosine, band
+    union deduped by identical deterministic scores."""
+    from kafka_sink_azure_kusto_spark.functions.sampling import (
+        md5_unit_interval,
+    )
     from kafka_sink_azure_kusto_spark.functions.similarity import (
         brute_force_topk,
-        lsh_topk_directed,
+        dot,
+        hyperplane_lsh_buckets,
+        l2_norm,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -421,27 +433,88 @@ def knn_recall_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint()
     tot = gt.agg(F.count(F.lit(1)).alias("n_possible"))
 
-    out = None
-    for p, b in _CAL_GRID:
-        seed = lsh_topk_directed(
-            emb, num_planes=p, k=_CAL_K, bucket_cap=_CAL_CAP, bands=b
-        ).select("src", "dst")
-        hits = gt.join(seed, ["src", "dst"], "left_semi").agg(
-            F.count(F.lit(1)).alias("n_hits")
-        )
-        row = (
-            hits.crossJoin(F.broadcast(tot))
-            .select(
-                F.lit(p).cast("long").alias("num_planes"),
-                F.lit(b).cast("long").alias("bands"),
-                "n_hits",
-                "n_possible",
-                F.round(F.col("n_hits") / F.col("n_possible"), 6)
-                .alias("recall"),
+    vecs = emb.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("v")
+    ).withColumn("vn", l2_norm(F.col("v")))
+    parts = []
+    for ci, (p, b) in enumerate(_CAL_GRID):
+        for band in range(b):
+            buckets = hyperplane_lsh_buckets(
+                emb, num_planes=p, plane_offset=band * p
+            ).withColumnRenamed("id", "nid")
+            parts.append(
+                buckets.select(
+                    F.lit(ci).alias("cfg"),
+                    F.concat(
+                        F.lit(f"{ci}:{band}:"), F.col("bucket")
+                    ).alias("bkey"),
+                    "nid",
+                )
             )
+    allb = parts[0]
+    for pt in parts[1:]:
+        allb = allb.unionByName(pt)
+    capw = Window.partitionBy("bkey").orderBy(
+        md5_unit_interval(F.col("nid"), salt="knncap:"), F.col("nid")
+    )
+    capped = (
+        allb.join(vecs, "nid")
+        .withColumn("_cr", F.row_number().over(capw))
+        .filter(F.col("_cr") <= _CAL_CAP)
+        .select("cfg", "bkey", "nid", "v", "vn")
+    )
+    scored = (
+        capped.select(
+            "cfg", "bkey",
+            F.col("nid").alias("src"), F.col("v").alias("sv"),
+            F.col("vn").alias("sn"),
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+        .join(
+            capped.select(
+                "bkey",
+                F.col("nid").alias("dst"), F.col("v").alias("dv"),
+                F.col("vn").alias("dn"),
+            ),
+            "bkey",
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "cfg", "src", "dst",
+            (dot(F.col("sv"), F.col("dv")) / (F.col("sn") * F.col("dn")))
+            .alias("score"),
+        )
+        .distinct()  # multi-band repeats carry identical scores
+    )
+    w = Window.partitionBy("cfg", "src").orderBy(
+        F.col("score").desc(), F.col("dst").asc()
+    )
+    seeds = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _CAL_K)
+        .select("cfg", "src", "dst")
+    )
+    hits = (
+        seeds.join(gt, ["src", "dst"], "left_semi")
+        .groupBy("cfg")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    grid = spark.createDataFrame(
+        [(ci, p, b) for ci, (p, b) in enumerate(_CAL_GRID)],
+        ["cfg", "num_planes", "bands"],
+    )
+    return (
+        grid.join(hits, "cfg", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("num_planes").cast("long").alias("num_planes"),
+            F.col("bands").cast("long").alias("bands"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            "n_possible",
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.col("n_possible"), 6
+            ).alias("recall"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------
