@@ -196,6 +196,7 @@ HEADLINE = [
     "hilbert_layout_key",
     "interval_overlap_join",
     "streaming_bm25_maintenance",
+    "streaming_dsir_maintenance",
 ]
 
 
@@ -303,6 +304,19 @@ def _scale10x_timings(spark, sf_dir: str) -> dict[str, float]:
         ).write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
     timings["knn_graph_nn_descent_10x"] = round(best, 3)
+    # r10: graph-based ANN search at 10× — edge list prebuilt
+    # (checkpointed) like a real deployment's persisted graph; the
+    # timer covers the SEARCH: 50 fixed entry points, 2 rounds, beam 4
+    edges10 = S.lsh_topk_directed(
+        emb, num_planes=8, k=3, bucket_cap=256, bands=2
+    ).localCheckpoint()
+    timed(
+        "similarity_graph_search_10x",
+        S.graph_search_topk(
+            emb, emb.filter(F.col("vec_id") % 100 == 0), edges10,
+            k=5, rounds=2, beam=4, entry_stride=100,
+        ),
+    )
     emb.unpersist()
 
     # 10× replicated events: shifted ids keep key cardinality realistic.
@@ -439,11 +453,27 @@ def _scale100x_timings(spark, sf_dir: str) -> dict:
         docs.unpersist()
     ivf: dict[int, float] = {}
     nnd: dict[int, float] = {}
+    gsearch: dict[int, float] = {}
     for n in (5_000, 50_000):
         emb = synth_embeddings(spark, n).cache()
         emb.count()
         q = emb.filter(F.col("vec_id") < 50)
         ivf[n] = timed(S.ivf_topk(emb, q, k=10))
+        # r10: graph search with the edge list PREBUILT (the persisted
+        # kNN graph is the index; building it is the one-time cost the
+        # lifecycle gates amortize) and entry count FIXED at ~50 via a
+        # corpus-proportional stride — per-query budget is then
+        # entries + rounds·beam·degree, independent of n; the residual
+        # growth is the edge-list scan in the expansion equi-join
+        edges = S.lsh_topk_directed(
+            emb, num_planes=8, k=3, bucket_cap=256, bands=2
+        ).localCheckpoint()
+        gsearch[n] = timed(
+            S.graph_search_topk(
+                emb, emb.filter(F.col("vec_id") < 50), edges,
+                k=5, rounds=2, beam=4, entry_stride=max(1, n // 50),
+            )
+        )
         # r9b: NN-descent graph build — per-bucket pair cost is bounded
         # by cap², per-node expansion by 4k². Built inside the timer
         # (eager localCheckpoint at plan build would escape it).
@@ -479,6 +509,10 @@ def _scale100x_timings(spark, sf_dir: str) -> dict:
     out["dedup_containment_subset"] = {
         "sec_10x": cont[5_000], "sec_100x": cont[50_000],
         "scaling_exponent": exponent(cont),  # hot-shingle guard bound
+    }
+    out["similarity_graph_search"] = {
+        "sec_10x": gsearch[5_000], "sec_100x": gsearch[50_000],
+        "scaling_exponent": exponent(gsearch),  # bounded per-query budget
     }
 
     # --- r9 (VERDICT r8 #4): the two write-heavy lifecycle queries ---

@@ -1516,3 +1516,131 @@ def streaming_bm25_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "rank", F.row_number().over(w).cast("bigint")
     ).select("doc_id", "score", "rank")
+
+
+def _dsir_stream_oracle() -> str:
+    from kafka_sink_azure_kusto_spark.functions.corpus import (
+        dsir_importance_weights_sql,
+    )
+
+    return dsir_importance_weights_sql("TRUE", "doc_id % 25 = 0")
+
+
+@register("streaming_dsir_maintenance", _dsir_stream_oracle())
+def streaming_dsir_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING maintenance of the DSIR selection state — the
+    importance-resampling member of the mergeability family (count-min,
+    theta, HLL, quantile, minhash, BM25): each micro-batch writes its
+    epoch-keyed 256-bucket feature-count registers for the raw and
+    target sides plus per-doc bucket counts; after the stream the
+    registers SUM-merge (counts are additive; per-doc features are
+    doc-disjoint appends), the log-ratio table derives from the MERGED
+    totals, and every document's weight must equal the single-shot
+    batch computation exactly. This is how a live ingest keeps data
+    selection current without rescanning the corpus: bucket registers
+    are 256 longs per epoch however big the batch. Oracle: the
+    single-shot DSIR SQL (`functions/corpus.dsir_importance_weights`)."""
+    import os
+
+    from kafka_sink_azure_kusto_spark.functions.corpus import dsir_features
+    from kafka_sink_azure_kusto_spark.plans.registry import _workdir
+    from kafka_sink_azure_kusto_spark.plans.registry_streaming2 import (
+        _stage_chunks,
+    )
+
+    n_buckets = 256
+    work = _workdir("stream_dsir_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = [
+        [
+            r[0]
+            for r in docs.filter(F.col("doc_id") % 3 == c)
+            .select(F.to_json(F.struct("doc_id", "text")))
+            .collect()
+        ]
+        for c in range(3)
+    ]
+    replay = os.path.join(work, "replay")
+    _stage_chunks(chunks, replay)
+    reg = os.path.join(work, "registers")
+
+    def update_registers(batch_df, epoch_id: int) -> None:
+        ep = int(epoch_id)
+        feats = dsir_features(batch_df, "text", "doc_id")
+        # per-doc bucket multiplicities (doc-disjoint across batches)
+        feats.groupBy("doc_id", "bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        ).write.mode("overwrite").parquet(
+            os.path.join(reg, f"docfeats/epoch={ep}")
+        )
+        # raw-side bucket registers (≤256 rows per epoch)
+        feats.groupBy("bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("r_part")
+        ).write.mode("overwrite").parquet(
+            os.path.join(reg, f"raw/epoch={ep}")
+        )
+        # target-side registers from the batch's target members
+        tgt = dsir_features(
+            batch_df.filter(F.col("doc_id") % 25 == 0), "text", "doc_id"
+        )
+        tgt.groupBy("bucket").agg(
+            F.count(F.lit(1)).cast("long").alias("t_part")
+        ).write.mode("overwrite").parquet(
+            os.path.join(reg, f"tgt/epoch={ep}")
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(replay)
+    )
+    q = (
+        stream.writeStream.foreachBatch(update_registers)
+        .option("checkpointLocation", os.path.join(work, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    raw_c = (
+        spark.read.parquet(os.path.join(reg, "raw"))
+        .groupBy("bucket")
+        .agg(F.sum("r_part").alias("r_cnt"))
+    )
+    tgt_c = (
+        spark.read.parquet(os.path.join(reg, "tgt"))
+        .groupBy("bucket")
+        .agg(F.sum("t_part").alias("t_cnt"))
+    )
+    totals = raw_c.agg(F.sum("r_cnt").alias("r_tot")).crossJoin(
+        tgt_c.agg(F.sum("t_cnt").alias("t_tot"))
+    )
+    lr = (
+        raw_c.join(tgt_c, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("r_cnt", F.lit(0)).alias("r_cnt"),
+            F.coalesce("t_cnt", F.lit(0)).alias("t_cnt"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("t_cnt") + 1).cast("double"))
+                - F.log((F.col("r_cnt") + 1).cast("double"))
+                + F.log((F.col("r_tot") + n_buckets).cast("double"))
+                - F.log((F.col("t_tot") + n_buckets).cast("double"))
+            ).alias("lr"),
+        )
+    )
+    docfeats = spark.read.parquet(os.path.join(reg, "docfeats")).drop("epoch")
+    return (
+        docfeats.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_features"),
+            F.round(F.sum(F.col("n") * F.col("lr")), 6).alias("dsir_weight"),
+        )
+        .withColumn("keep", F.col("dsir_weight") > 0)
+    )

@@ -450,3 +450,28 @@ def test_streaming_bm25_matches_single_shot(spark, sf_dir):
         (r.doc_id, r.score, r.rank) for r in bm25_topk(spark, sf_dir).collect()
     ]
     assert sorted(merged) == sorted(single)
+
+
+def test_streaming_dsir_matches_single_shot(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from kafka_sink_azure_kusto_spark.functions.corpus import (
+        dsir_importance_weights,
+    )
+    from kafka_sink_azure_kusto_spark.plans.registry_r10 import (
+        streaming_dsir_maintenance,
+    )
+    from kafka_sink_azure_kusto_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    single = {
+        r.doc_id: (r.n_features, r.dsir_weight, r.keep)
+        for r in dsir_importance_weights(
+            docs, docs.filter(F.col("doc_id") % 25 == 0)
+        ).collect()
+    }
+    merged = {
+        r.doc_id: (r.n_features, r.dsir_weight, r.keep)
+        for r in streaming_dsir_maintenance(spark, sf_dir).collect()
+    }
+    assert merged == single
