@@ -197,6 +197,7 @@ HEADLINE = [
     "interval_overlap_join",
     "streaming_bm25_maintenance",
     "streaming_dsir_maintenance",
+    "split_semantic_leakage_audit",
 ]
 
 

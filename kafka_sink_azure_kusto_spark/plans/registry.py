@@ -101,6 +101,7 @@ _GATE_PRIORITY = [
     "interval_overlap_join",             # r10: bucketized range join
     "streaming_bm25_maintenance",        # r10: additive index registers
     "streaming_dsir_maintenance",        # r10: additive selection registers
+    "split_semantic_leakage_audit",      # r10: embedding-space leakage gate
     # --- new in r9 ---
     "text_within_doc_dedup",             # r9b: C4 duplicate-line rule
     "vocab_coverage_curve",              # r9b: count-of-counts coverage

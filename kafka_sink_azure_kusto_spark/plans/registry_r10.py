@@ -1644,3 +1644,127 @@ def streaming_dsir_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("keep", F.col("dsir_weight") > 0)
     )
+
+
+_SLK_T = 0.4  # cross-split cosine threshold for the leakage audit
+
+
+@register(
+    "split_semantic_leakage_audit",
+    f"""
+    WITH e AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    sp AS (SELECT nid, v,
+                  CASE WHEN {md5_unit_interval_sql("nid", salt="ssplit:")}
+                            < 0.8 THEN 'train' ELSE 'eval' END AS part
+           FROM e),
+    b0 AS (SELECT nid, {_bucket_sql(6, 0)} AS bucket FROM e),
+    c0 AS (SELECT nid, bucket FROM (
+        SELECT nid, bucket,
+               ROW_NUMBER() OVER (
+                   PARTITION BY bucket
+                   ORDER BY {md5_unit_interval_sql("nid", salt="knncap:")},
+                            nid) AS cr
+        FROM b0) WHERE cr <= 256),
+    b1 AS (SELECT nid, {_bucket_sql(6, 6)} AS bucket FROM e),
+    c1 AS (SELECT nid, bucket FROM (
+        SELECT nid, bucket,
+               ROW_NUMBER() OVER (
+                   PARTITION BY bucket
+                   ORDER BY {md5_unit_interval_sql("nid", salt="knncap:")},
+                            nid) AS cr
+        FROM b1) WHERE cr <= 256),
+    prs AS (SELECT DISTINCT src, dst FROM (
+        SELECT l.nid AS src, r.nid AS dst
+        FROM c0 l JOIN c0 r USING (bucket) WHERE l.nid < r.nid
+        UNION ALL
+        SELECT l.nid AS src, r.nid AS dst
+        FROM c1 l JOIN c1 r USING (bucket) WHERE l.nid < r.nid)),
+    xed AS (SELECT ls.nid AS train_id, rs.nid AS eval_id,
+                   ROUND({_cos("ls.v", "rs.v")}, 6) AS score
+            FROM prs JOIN sp ls ON prs.src = ls.nid
+                     JOIN sp rs ON prs.dst = rs.nid
+            WHERE ls.part = 'train' AND rs.part = 'eval'
+            UNION ALL
+            SELECT rs.nid AS train_id, ls.nid AS eval_id,
+                   ROUND({_cos("ls.v", "rs.v")}, 6) AS score
+            FROM prs JOIN sp ls ON prs.src = ls.nid
+                     JOIN sp rs ON prs.dst = rs.nid
+            WHERE ls.part = 'eval' AND rs.part = 'train')
+    SELECT train_id, eval_id, score FROM xed WHERE score >= {_SLK_T}
+    """,
+)
+def split_semantic_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC split-leakage audit — the embedding-space complement to
+    the lexical `leakage_safe_split`: after an 80/20 md5 split of the
+    embedding corpus, find (train, eval) pairs whose cosine exceeds the
+    leakage threshold among 2-band LSH candidates → (train_id, eval_id,
+    score). A naive lexical split lets paraphrases/translations of an
+    eval item sit in train; this audit is the release gate that counts
+    them. Candidate generation is the standard capped bucket self-join
+    (both bands, OR-amplified — a single band provably misses
+    cross-bucket near-pairs); the split assignment is a pure md5
+    function of the id so the oracle replays it exactly. Like every
+    LSH-candidate audit, recall < 1 by construction — pair it with
+    `knn_recall_calibration` to size planes/bands for the leakage
+    tolerance (`functions/similarity.lsh_topk_directed` substrate)."""
+    from kafka_sink_azure_kusto_spark.functions.sampling import (
+        md5_unit_interval,
+    )
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        cosine,
+        hyperplane_lsh_buckets,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("v")
+    ).withColumn(
+        "part",
+        F.when(
+            md5_unit_interval(F.col("nid"), salt="ssplit:") < 0.8,
+            F.lit("train"),
+        ).otherwise(F.lit("eval")),
+    )
+    parts = []
+    for band in range(2):
+        buckets = hyperplane_lsh_buckets(
+            emb, num_planes=6, plane_offset=band * 6
+        ).withColumnRenamed("id", "nid")
+        capw = Window.partitionBy("bucket").orderBy(
+            md5_unit_interval(F.col("nid"), salt="knncap:"), F.col("nid")
+        )
+        capped = (
+            buckets.withColumn("_cr", F.row_number().over(capw))
+            .filter(F.col("_cr") <= 256)
+            .select("nid", F.concat(F.lit(f"{band}:"), "bucket").alias("bkey"))
+        )
+        parts.append(
+            capped.select(F.col("nid").alias("src"), "bkey")
+            .join(
+                capped.select(F.col("nid").alias("dst"), "bkey"), "bkey"
+            )
+            .filter(F.col("src") < F.col("dst"))
+            .select("src", "dst")
+        )
+    prs = parts[0].unionByName(parts[1]).distinct()
+    l = vecs.select(
+        F.col("nid").alias("src"), F.col("v").alias("lv"),
+        F.col("part").alias("lpart"),
+    )
+    r = vecs.select(
+        F.col("nid").alias("dst"), F.col("v").alias("rv"),
+        F.col("part").alias("rpart"),
+    )
+    scored = (
+        prs.join(l, "src").join(r, "dst")
+        .filter(F.col("lpart") != F.col("rpart"))
+        .select(
+            F.when(F.col("lpart") == "train", F.col("src"))
+            .otherwise(F.col("dst")).alias("train_id"),
+            F.when(F.col("lpart") == "train", F.col("dst"))
+            .otherwise(F.col("src")).alias("eval_id"),
+            F.round(cosine(F.col("lv"), F.col("rv")), 6).alias("score"),
+        )
+    )
+    return scored.filter(F.col("score") >= _SLK_T)
