@@ -191,9 +191,15 @@ def _decode_value(t, buf: BinaryIO):
     if t in ("int", "long"):
         return _zigzag_decode(buf)
     if t == "float":
-        return _struct.unpack("<f", buf.read(4))[0]
+        raw = buf.read(4)
+        if len(raw) != 4:  # truncated fixed-width value → the same
+            raise EOFError("truncated float")  # loud-reject class as
+        return _struct.unpack("<f", raw)[0]   # _zigzag_decode's EOFError
     if t == "double":
-        return _struct.unpack("<d", buf.read(8))[0]
+        raw = buf.read(8)
+        if len(raw) != 8:
+            raise EOFError("truncated double")
+        return _struct.unpack("<d", raw)[0]
     if t == "string":
         n = _zigzag_decode(buf)
         return buf.read(n).decode("utf-8")
