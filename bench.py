@@ -1029,8 +1029,12 @@ def main() -> int:
         shard = _fresh_jvm_section(f"headline:{i}:{n_shards}")
         timings.update(shard.get("queries", {}))
     # defensive: any query a shard failed to report gets a visible
-    # null instead of silently vanishing from the artifact
+    # null entry IN the queries map (ADVICE r10 #5 — headline_missing
+    # alone let a partially failed shard silently deflate the total,
+    # which reads as a round-over-round improvement)
     missing = [n for n in HEADLINE if n not in timings]
+    for n in missing:
+        timings[n] = None
     total = round(sum(v for v in timings.values() if v is not None), 3)
     # Scale sections in fresh subprocess JVMs too (same methodology as
     # sink/latency, extended this round): run at the tail of the
@@ -1075,10 +1079,18 @@ def main() -> int:
     with open(detail_path, "w") as f:
         json.dump(full, f, indent=1)
     slowest = dict(
-        sorted(timings.items(), key=lambda kv: -kv[1])[:30]
+        sorted(
+            ((k, v) for k, v in timings.items() if v is not None),
+            key=lambda kv: -kv[1],
+        )[:30]
     )
     compact = {
-        "metric": "headline_queries_total_wall",
+        # a partially failed shard invalidates the headline sum — say so
+        # loudly in the metric name rather than publishing a deflated
+        # number that reads as a perf win
+        "metric": "headline_queries_total_wall"
+        if not missing
+        else "headline_queries_total_wall_INCOMPLETE",
         "value": total,
         "unit": "sec",
         "sf": full["sf"],
@@ -1086,6 +1098,7 @@ def main() -> int:
         "queries": slowest,
         "queries_note": "slowest 30 of %d; full map in BENCH_DETAIL.json"
         % len(timings),
+        **({"headline_missing": missing} if missing else {}),
         "scale10x_total": full["scale10x"]["value"],
         "sink_throughput_rec_s": sink_tp.get("records_per_sec"),
         "sink_throughput_cold_rec_s": sink_tp.get("records_per_sec_cold"),

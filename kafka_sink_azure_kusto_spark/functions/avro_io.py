@@ -202,10 +202,16 @@ def _decode_value(t, buf: BinaryIO):
         return _struct.unpack("<d", raw)[0]
     if t == "string":
         n = _zigzag_decode(buf)
-        return buf.read(n).decode("utf-8")
+        raw = buf.read(n)
+        if len(raw) != n:  # same loud-reject contract as float/double:
+            raise EOFError("truncated string")  # never a silent short value
+        return raw.decode("utf-8")
     if t == "bytes":
         n = _zigzag_decode(buf)
-        return buf.read(n)
+        raw = buf.read(n)
+        if len(raw) != n:
+            raise EOFError("truncated bytes")
+        return raw
     raise NotImplementedError(f"avro decode: unsupported type {t!r}")
 
 

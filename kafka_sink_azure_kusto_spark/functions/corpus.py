@@ -889,26 +889,22 @@ def dsir_importance_weights_sql(
         d = f"ascii(substr(md5(f), {i}, 1))"
         b.append(f"(CASE WHEN {d} >= 97 THEN {d} - 87 ELSE {d} - 48 END)")
     bucket = f"({b[0]} * 16 + {b[1]})"
+    # CTE names carry the corpus prefix as a real format placeholder —
+    # post-hoc substring .replace over the whole template would silently
+    # corrupt the SQL the day an edit introduces 'toks'/'uni'/'bi' in a
+    # column name or keyword (ADVICE r10 #4).
     feats = """
-      toks AS (SELECT doc_id, string_split(text, ' ') AS ws
+      {p}toks AS (SELECT doc_id, string_split(text, ' ') AS ws
                FROM documents WHERE text IS NOT NULL AND ({pred})),
-      uni AS (SELECT doc_id, 'u:' || unnest(ws) AS f FROM toks),
-      bi AS (SELECT doc_id, 'b:' || ws[g.i] || ' ' || ws[g.i + 1] AS f
-             FROM toks
+      {p}uni AS (SELECT doc_id, 'u:' || unnest(ws) AS f FROM {p}toks),
+      {p}bi AS (SELECT doc_id, 'b:' || ws[g.i] || ' ' || ws[g.i + 1] AS f
+             FROM {p}toks
              CROSS JOIN LATERAL (SELECT unnest(range(1, len(ws))) AS i) g),
-      fe AS (SELECT doc_id, {bucket} AS bucket
-             FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi))
+      {p}fe AS (SELECT doc_id, {bucket} AS bucket
+             FROM (SELECT * FROM {p}uni UNION ALL SELECT * FROM {p}bi))
     """
-    raw = (
-        feats.replace("{pred}", raw_pred).replace("{bucket}", bucket)
-        .replace("toks", "rtoks").replace("uni", "runi")
-        .replace("bi", "rbi").replace("fe AS", "rfe AS")
-    )
-    tgt = (
-        feats.replace("{pred}", target_pred).replace("{bucket}", bucket)
-        .replace("toks", "ttoks").replace("uni", "tuni")
-        .replace("bi", "tbi").replace("fe AS", "tfe AS")
-    )
+    raw = feats.format(p="r", pred=raw_pred, bucket=bucket)
+    tgt = feats.format(p="t", pred=target_pred, bucket=bucket)
     return f"""
     WITH {raw},
     {tgt},

@@ -1224,8 +1224,26 @@ def ivf_index_upsert(
         F.col(vec_col).alias("v"),
         F.col(cell_col).alias("cell"),
     ).localCheckpoint()  # consumed by 3 branches below
-    affected = batch.select("cell").distinct()
     idx = spark.read.parquet(idx_dir)
+    # Affected cells = the batch's claimed cells PLUS the index's
+    # CURRENT cells for the batch's ids. The second set is the cell-move
+    # case (re-embedded vector assigned a new nearest centroid): without
+    # it the stale row in the OLD cell is invisible to the anti-join and
+    # survives as a duplicate vec_id. The lookup scans only
+    # (vec_id, cell) — cell is the partition column and vec_id one thin
+    # column, so this is a pruned metadata-ish scan, not a vector read —
+    # with the ≤|batch| id set broadcast.
+    old_cells = (
+        idx.select("vec_id", "cell")
+        .join(F.broadcast(batch.select("vec_id").distinct()), "vec_id")
+        .select("cell")
+    )
+    # materialized pre-write: `affected` now has lineage through the
+    # index parquet this function overwrites, and the `emptied` branch
+    # re-evaluates it AFTER the rewrite
+    affected = (
+        batch.select("cell").distinct().unionByName(old_cells).distinct()
+    ).localCheckpoint()
     keep = (
         idx.join(F.broadcast(affected), "cell")
         .join(batch.select("vec_id"), "vec_id", "left_anti")

@@ -410,7 +410,9 @@ def knn_recall_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: all 10 (config, band) bucketings union into ONE frame
     tagged by a composite bucket key (cfg:band:bucket — the cap window
     and the pair self-join then run ONCE over the union instead of 10
-    sequential lsh_topk_directed pipelines; 13.6 → ~4 s at sf0.1,
+    sequential lsh_topk_directed pipelines; measured 13.6 → ~10 s at
+    sf0.1 in the r10 driver artifact (the fusion saves the 9 redundant
+    ground-truth arms; the remaining cost IS the brute-force GT arm),
     bit-identical results since capping/scoring/ranking partition on
     keys that embed the config). The per-config semantics are exactly
     ``lsh_topk_directed``'s: md5-rank member cap, exact cosine, band

@@ -730,11 +730,18 @@ class KustoSparkSink:
             ),
         )
         saved = self.backend
+        saved_executor_side = self._executor_side_ingest
         try:
             self.backend = _WarmupNullBackend()
+            # Executor-side ingest ships self._backend_factory to the
+            # workers and never consults self.backend — so the warmup
+            # MUST force the driver-side path, or the 64 synthetic
+            # records would land in the REAL destination table.
+            self._executor_side_ingest = False
             self.process_batch(tiny, epoch_id=-1)
         finally:
             self.backend = saved
+            self._executor_side_ingest = saved_executor_side
             self.metrics.reset()
 
     @staticmethod

@@ -333,3 +333,19 @@ def test_avro_codegen_nulls_overlength_slice(spark):
     assert rows[0]["payload"]["l"] == 9
     assert rows[1]["payload"]["s"] is None  # NOT 'he'
     assert rows[1]["payload"]["l"] is None  # starved walk
+
+
+def test_decode_record_truncated_variable_width_raises():
+    """ADVICE r10 #3: truncated string/bytes values must raise EOFError
+    (the loud-reject contract the fixed-width float/double fix set),
+    never silently return short data."""
+    for typ, val in (("string", "hello"), ("bytes", b"hello")):
+        schema = {
+            "type": "record",
+            "name": "T",
+            "fields": [{"name": "f", "type": typ}],
+        }
+        good = encode_record(schema, {"f": val})
+        assert decode_record(schema, io.BytesIO(good)) == {"f": val}
+        with pytest.raises(EOFError, match="truncated"):
+            decode_record(schema, io.BytesIO(good[:3]))

@@ -127,3 +127,46 @@ def test_executor_ingest_fail_mode_raises(spark, tmp_path):
     )
     with pytest.raises(RuntimeError, match="executor-side ingestion failed"):
         sink.process_batch(_records_df(spark, n=2), epoch_id=0)
+
+
+def test_warmup_with_executor_ingest_leaves_no_trace(spark, tmp_path):
+    # warmup_on_attach + executor_side_ingest: the 64 synthetic warmup
+    # records must NOT reach the real backend through the executor-side
+    # backend_factory path — the warmup forces the driver-side path with
+    # the null backend (advice r10: executor mode ignores self.backend).
+    from kafka_sink_azure_kusto_spark.sources.replay import (
+        replay_stream,
+        stage_replay_dir,
+    )
+
+    root = str(tmp_path / "kusto")
+    records = _records_df(spark, n=10)
+    stage_replay_dir(records, str(tmp_path / "replay"), chunks=2)
+    backend = LocalEmulatorBackend(root)
+    sink = KustoSparkSink(
+        _cfg(
+            tmp_path,
+            checkpoint_location=str(tmp_path / "ckpt"),
+            warmup_on_attach=True,
+        ),
+        backend,
+        backend_factory=lambda: LocalEmulatorBackend(root),
+        executor_side_ingest=True,
+    )
+    q = sink.attach(
+        replay_stream(spark, str(tmp_path / "replay")),
+        query_name="warm_exec",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    q.stop()
+    # only the 11 real records landed; zero warmup rows, zero warmup files
+    rows = backend.table_rows("db1", "t1")
+    assert len(rows) == 10
+    assert backend.table_rows("dbW", "tW") == ['{"w": 1}']
+    assert all("epoch=-1" not in e["file"] for e in backend.ingest_log())
+    assert len(backend.ingest_log()) == len(
+        {e["file"] for e in backend.ingest_log()}
+    )
+    # executor-ingest mode stays enabled after warmup
+    assert sink._executor_side_ingest is True

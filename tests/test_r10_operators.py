@@ -224,6 +224,46 @@ def test_ivf_upsert_last_write_wins_within_batch(spark, tmp_path):
     assert _read_idx(spark, idx_dir) == {(2, 0): (0.1, 0.9)}
 
 
+def test_ivf_upsert_cell_move_removes_stale_row(spark, tmp_path):
+    # The normal IVF re-embed case: vec 1 moves cell 0 → cell 1. The
+    # stale copy in cell 0 must be removed even though the batch's cell
+    # column never mentions cell 0 (advice r10: old cells of the batch's
+    # ids are looked up from the index and added to `affected`).
+    import os
+
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        ivf_index_upsert,
+    )
+
+    idx_dir = str(tmp_path / "idx")
+    spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0), (3, [0.0, 1.0], 1)],
+        ["vec_id", "v", "cell"],
+    ).write.partitionBy("cell").parquet(idx_dir)
+    batch = spark.createDataFrame(
+        [(1, [0.1, 0.9], 1)], "vec_id long, v array<double>, cell int"
+    )
+    emptied = ivf_index_upsert(batch, idx_dir)
+    assert emptied == []
+    assert _read_idx(spark, idx_dir) == {
+        (1, 1): (0.1, 0.9), (2, 0): (0.9, 0.1), (3, 1): (0.0, 1.0),
+    }
+    # a move that DRAINS the old cell also cleans up its directory
+    batch2 = spark.createDataFrame(
+        [(2, [0.0, 1.0], 1)], "vec_id long, v array<double>, cell int"
+    )
+    assert ivf_index_upsert(batch2, idx_dir) == [0]
+    assert not os.path.exists(os.path.join(idx_dir, "cell=0"))
+    # a tombstone with a WRONG claimed cell still deletes the id
+    batch3 = spark.createDataFrame(
+        [(3, None, 7)], "vec_id long, v array<double>, cell int"
+    )
+    ivf_index_upsert(batch3, idx_dir)
+    assert _read_idx(spark, idx_dir) == {
+        (1, 1): (0.1, 0.9), (2, 1): (0.0, 1.0),
+    }
+
+
 def test_streaming_ivf_loop_touches_only_affected_cells(spark, sf_dir):
     from kafka_sink_azure_kusto_spark.plans.registry_r10 import (
         _run_ivf_stream_loop,
