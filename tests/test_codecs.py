@@ -12,9 +12,11 @@ from kafka_sink_azure_kusto_spark.functions.codecs import (
     MediaDecodeError,
     decode_bmp,
     decode_media_bytes,
+    decode_png,
     decode_ppm,
     decode_wav,
     encode_bmp,
+    encode_png,
     encode_ppm,
     encode_wav,
 )
@@ -156,8 +158,101 @@ def test_dispatch_by_magic():
     assert decode_media_bytes(encode_bmp(1, 1, [1, 2, 3])).media_type == "bmp"
     assert decode_media_bytes(encode_ppm(1, 1, [1, 2, 3])).media_type == "ppm"
     assert decode_media_bytes(encode_wav([0], 8000)).media_type == "wav"
+    assert decode_media_bytes(encode_png(1, 1, [1, 2, 3])).media_type == "png"
     with pytest.raises(MediaDecodeError, match="unrecognized"):
-        decode_media_bytes(b"\x89PNG\r\n")
+        decode_media_bytes(b"\x89PNG\r\n")  # short of the 8-byte signature
+
+
+# ------------------------------------------------------------------ PNG
+
+
+def test_png_golden_1x1_hand_assembled():
+    """1×1 RGB PNG assembled by hand from the spec (stored-deflate
+    zlib stream, filter byte 0) — pins signature, chunk framing,
+    IHDR layout, CRC placement, and the scanline walk independent of
+    the encoder."""
+    import struct as _s
+    import zlib as _z
+
+    raw = b"\x00\x0a\x14\x1e"  # filter 0, pixel RGB (10,20,30)
+    idat_body = (
+        b"\x78\x01"
+        + b"\x01" + _s.pack("<HH", 4, 4 ^ 0xFFFF) + raw
+        + _s.pack(">I", _z.adler32(raw))
+    )
+    ihdr_body = _s.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)
+
+    def chunk(t, b):
+        return _s.pack(">I", len(b)) + t + b + _s.pack(">I", _z.crc32(t + b))
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr_body)
+        + chunk(b"IDAT", idat_body)
+        + chunk(b"IEND", b"")
+    )
+    assert encode_png(1, 1, [10, 20, 30]) == data
+    m = decode_png(data)
+    assert (m.media_type, m.width, m.height) == ("png", 1, 1)
+    assert list(m.samples) == [10, 20, 30]
+
+
+def test_png_all_filter_types_roundtrip():
+    # ≥5 rows ⇒ the cycling encoder emits every filter type; a gradient
+    # raster makes Sub/Up/Average/Paeth all take non-trivial branches
+    w, h = 7, 6
+    rgb = [(x * 41 + 3) % 256 for x in range(3 * w * h)]
+    m = decode_png(encode_png(w, h, rgb))
+    assert list(m.samples) == rgb
+    # and through real zlib compression
+    m6 = decode_png(encode_png(w, h, rgb, level=6))
+    assert list(m6.samples) == rgb
+
+
+def test_png_rgba_alpha_stripped():
+    w, h = 3, 5
+    rgb = [(x * 7) % 256 for x in range(3 * w * h)]
+    alpha = [(x * 11) % 256 for x in range(w * h)]
+    m = decode_png(encode_png(w, h, rgb, alpha=alpha))
+    assert (m.width, m.height) == (w, h)
+    assert list(m.samples) == rgb  # 3-channel contract preserved
+
+
+def test_png_loud_rejects():
+    good = encode_png(2, 2, list(range(12)))
+    with pytest.raises(MediaDecodeError, match="truncated"):
+        decode_png(good[:20])
+    corrupt = bytearray(good)
+    corrupt[-6] ^= 0xFF  # inside IEND CRC
+    with pytest.raises(MediaDecodeError, match="CRC"):
+        decode_png(bytes(corrupt))
+    # unsupported shapes: 16-bit depth, palette color, interlace
+    import struct as _s
+    import zlib as _z
+
+    def chunk(t, b):
+        return _s.pack(">I", len(b)) + t + b + _s.pack(">I", _z.crc32(t + b))
+
+    for depth, color, interlace, msg in (
+        (16, 2, 0, "depth"),
+        (8, 3, 0, "color"),
+        (8, 2, 1, "interlace"),
+    ):
+        ihdr = _s.pack(">IIBBBBB", 1, 1, depth, color, 0, 0, interlace)
+        data = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+        with pytest.raises(MediaDecodeError, match=msg):
+            decode_png(data)
+    # scanline byte count must match geometry exactly
+    bad_idat = _z.compress(b"\x00" * 5)  # 1x1 RGB needs 4 bytes, not 5
+    ihdr = _s.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", bad_idat)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(MediaDecodeError, match="scanline"):
+        decode_png(data)
 
 
 # ------------------------------------------------------------------ property

@@ -173,7 +173,12 @@ def test_multimodal_decode_real_content(spark, sf_dir):
     for r in out:
         payload = M.synth_media_payload(r.doc_id)
         m = decode_media_bytes(payload)
-        assert r.media_type == {0: "bmp", 1: "ppm", 2: "wav"}[r.doc_id % 3]
+        expect_type = (
+            ("bmp" if r.doc_id % 6 == 0 else "png")
+            if r.doc_id % 3 == 0
+            else {1: "ppm", 2: "wav"}[r.doc_id % 3]
+        )
+        assert r.media_type == expect_type
         assert r.n_bytes == len(payload)
         assert (r.width, r.height, r.sample_rate) == (m.width, m.height, m.sample_rate)
         assert r.n_samples == len(m.samples)
