@@ -349,3 +349,21 @@ def test_decode_record_truncated_variable_width_raises():
         assert decode_record(schema, io.BytesIO(good)) == {"f": val}
         with pytest.raises(EOFError, match="truncated"):
             decode_record(schema, io.BytesIO(good[:3]))
+
+
+def test_container_snappy_crc_mismatch_rejected():
+    """The Avro snappy framing's CRC32-of-uncompressed suffix is
+    verified: a corrupted checksum rejects even when the compressed
+    body itself inflates fine."""
+    schema = {
+        "type": "record",
+        "name": "T",
+        "fields": [{"name": "x", "type": "long"}],
+    }
+    bio = io.BytesIO()
+    write_container([{"x": 1}, {"x": 2}], schema, bio, codec="snappy")
+    data = bytearray(bio.getvalue())
+    # the last 16 bytes are the sync marker; the 4 before it are the CRC
+    data[-17] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC32 mismatch"):
+        read_container(bytes(data))

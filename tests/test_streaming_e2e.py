@@ -99,6 +99,51 @@ def test_avro_bytes_roll_per_message(spark, tmp_path):
     assert all(e["file"].endswith(".avro.gz") for e in log)
 
 
+def test_avro_bytes_passthrough_snappy_fixture(spark, tmp_path):
+    # E4/S3 + r11: an externally-produced SNAPPY Avro container flows
+    # through the bytes-passthrough path opaquely AND the emulator's
+    # codec-agnostic block-count accounting reads its record count; the
+    # staged bytes decode back exactly (snappy_io + avro_io read path).
+    import io as _io
+
+    from kafka_sink_azure_kusto_spark.functions.avro_io import (
+        read_container,
+        write_container,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "E",
+        "fields": [{"name": "n", "type": "long"},
+                   {"name": "s", "type": "string"}],
+    }
+    payloads = []
+    for part in range(3):
+        recs = [{"n": part * 10 + j, "s": f"v{part}-{j}" * 4} for j in range(7)]
+        bio = _io.BytesIO()
+        write_container(recs, schema, bio, block_records=3, codec="snappy")
+        payloads.append((f"k{part}", bytearray(bio.getvalue()), "t1", 0, part))
+    df = spark.createDataFrame(
+        payloads,
+        "key string, value binary, topic string, partition long, offset long",
+    )
+    cfg = _cfg(
+        tmp_path,
+        [TopicToTableMapping(topic="t1", db="db", table="tb", format="avro")],
+    )
+    backend = LocalEmulatorBackend(str(tmp_path / "kusto"))
+    sink = KustoSparkSink(cfg, backend)
+    sink.process_batch(df, epoch_id=0)
+    log = backend.ingest_log()
+    assert len(log) == 3  # per-message roll (E4)
+    assert {e["records"] for e in log} == {7}  # counted through snappy blocks
+    for f in backend.table_files("db", "tb"):
+        with open(f, "rb") as fh:
+            got_schema, got = read_container(fh.read())
+        assert [x["name"] for x in got_schema["fields"]] == ["n", "s"]
+        assert len(got) == 7 and all(g["s"].startswith("v") for g in got)
+
+
 def test_struct_to_avro_container_roundtrip(spark, tmp_path):
     # E2 (AvroRecordWriterProvider.java:27-73): struct payloads are staged
     # as real Avro Object Container Files — parse one back and check both
