@@ -447,3 +447,167 @@ def graph_entry_strategy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arm("entry_stride", None).unionByName(
         arm("entry_centroid", cent_entries)
     )
+
+
+# ---------------------------------------------------------------------
+# tokenize-to-IDs end-to-end: fixed context windows (VERDICT r10 #6)
+
+_W_CTX = 128                 # context window length (tokens per window)
+_W_EOS = 256 + 1             # vocab ids 0..255, unk=256, EOS=257
+_W_PAD = 256 + 2             # trailing-window padding id
+
+
+def _bpe_pack_windows_sql() -> str:
+    """Generated oracle for ``bpe_pack_token_windows``: the shared BPE
+    merge CTEs + vocab/id CTEs (identical chain to ``bpe_encode_corpus``
+    — one spec, three consumers), then the window algebra: per-shard
+    doc start offsets by prefix sum of (n_tokens + 1 EOS), a token
+    stream with global positions, EOS rows appended per document, and
+    fixed ``_W_CTX``-token windows fingerprinted WITH their padding."""
+    from kafka_sink_azure_kusto_spark.plans.registry_r5b import (
+        _BPE_BATCH,
+        _BPE_ROUNDS,
+        _BPE_VOCAB_K,
+        _bpe_merge_ctes,
+    )
+
+    ctes, final = _bpe_merge_ctes(_BPE_ROUNDS, _BPE_BATCH)
+    k = _BPE_VOCAB_K
+    ctes += [
+        f"vt AS (SELECT doc_id, string_split(trim(txt), ' ') AS ws FROM {final})",
+        "vc AS (SELECT tok, COUNT(*) AS cnt FROM "
+        "(SELECT unnest(ws) AS tok FROM vt) GROUP BY tok)",
+        f"vocab AS (SELECT tok, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) - 1 "
+        f"AS tid FROM vc ORDER BY cnt DESC, tok ASC LIMIT {k})",
+        "tp AS (SELECT doc_id, ws[pos + 1] AS tok, pos FROM "
+        "(SELECT doc_id, ws, unnest(range(0, len(ws))) AS pos FROM vt))",
+        f"ti AS (SELECT tp.doc_id, tp.pos, COALESCE(v.tid, {k}) AS tid "
+        "FROM tp LEFT JOIN vocab v ON tp.tok = v.tok)",
+        "st AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard, "
+        "COUNT(*) AS nt FROM ti GROUP BY doc_id)",
+        "spre AS (SELECT doc_id, shard, nt, "
+        "COALESCE(SUM(nt + 1) OVER (PARTITION BY shard ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt "
+        "FROM st)",
+        f"stream AS (SELECT spre.shard, spre.strt + ti.pos AS gpos, ti.tid "
+        "FROM ti JOIN spre ON ti.doc_id = spre.doc_id "
+        "UNION ALL "
+        f"SELECT shard, strt + nt AS gpos, {_W_EOS} AS tid FROM spre)",
+        f"win AS (SELECT shard, CAST(gpos // {_W_CTX} AS BIGINT) AS window_id, "
+        f"gpos % {_W_CTX} AS wpos, tid FROM stream)",
+        "agg AS (SELECT shard, window_id, CAST(COUNT(*) AS BIGINT) AS n_real, "
+        "string_agg(tid::VARCHAR, ',' ORDER BY wpos) AS idstr "
+        "FROM win GROUP BY shard, window_id)",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT shard, window_id, n_real,
+           CAST({_W_CTX} - n_real AS BIGINT) AS n_pad,
+           md5(idstr || repeat(',{_W_PAD}', {_W_CTX} - n_real)) AS ids_fp
+    FROM agg"""
+    )
+
+
+@register("bpe_pack_token_windows", _bpe_pack_windows_sql())
+def bpe_pack_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END of the tokenizer story (VERDICT r10 #6): train BPE merges
+    (same batched loop as ``bpe_iterative_merges``), encode every doc to
+    ``array<int>`` ids (same vocab rule as ``bpe_encode_corpus`` — count
+    DESC / token ASC → ids 0..255, unk=256), then materialize the
+    artifact a trainer actually consumes: documents concatenated per
+    shard in doc_id order with an EOS id (257) after every document,
+    chopped into FIXED {_W_CTX}-token context windows, the trailing
+    partial window padded with PAD (258). The md5 fingerprint covers
+    every id of every window INCLUDING padding, so window boundaries,
+    in-window order, EOS placement, and pad counts are all value-hashed
+    against the oracle's independent CTE replay.
+
+    Scale shape: encode is zero-shuffle (literal replace chain + map);
+    the window assembly is a per-token posexplode (linear, fixed-width
+    (shard, gpos, tid) rows), ONE per-shard prefix-sum window over doc
+    counts, and ONE shuffle keyed (shard, window_id) — windows are
+    fixed-size by construction, so the assembly groups are skew-free
+    regardless of document length distribution. A 100 TB corpus packs
+    with the same plan: the token stream never concentrates, and no
+    stage holds more than a window's ids per group."""
+    from kafka_sink_azure_kusto_spark.functions.corpus import bpe_encode
+    from kafka_sink_azure_kusto_spark.functions.parallelism import (
+        ensure_min_parallelism,
+    )
+    from kafka_sink_azure_kusto_spark.plans.registry_r5b import (
+        _BPE_VOCAB_K,
+        _train_bpe_merges,
+    )
+
+    docs = ensure_min_parallelism(load_table(spark, sf_dir, "documents"))
+    merges = _train_bpe_merges(docs)
+    from kafka_sink_azure_kusto_spark.functions.corpus import bpe_apply_merges
+
+    merged_toks = F.split(F.trim(bpe_apply_merges("text", merges)), " ")
+    vocab_rows = (
+        docs.select(F.explode(merged_toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(_BPE_VOCAB_K)
+        .collect()
+    )
+    vocab = {r["tok"]: i for i, r in enumerate(vocab_rows)}
+    enc = bpe_encode(docs, merges, vocab, unk_id=_BPE_VOCAB_K)
+
+    nd = enc.select(
+        "doc_id",
+        "token_ids",
+        (F.col("doc_id") % 8).cast("int").alias("shard"),
+        F.size("token_ids").cast("long").alias("nt"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = nd.withColumn(
+        "strt", F.coalesce(F.sum(F.col("nt") + 1).over(w), F.lit(0))
+    )
+    with_eos = F.concat(
+        F.col("token_ids"), F.array(F.lit(_W_EOS).cast("int"))
+    )
+    stream = pre.select(
+        "shard",
+        "strt",
+        F.posexplode(with_eos).alias("pos", "tid"),
+    ).select(
+        "shard",
+        (F.col("strt") + F.col("pos")).alias("gpos"),
+        "tid",
+    )
+    winkey = F.floor(F.col("gpos") / _W_CTX).cast("long")
+    ordered = F.array_sort(
+        F.collect_list(F.struct((F.col("gpos") % _W_CTX).alias("w"), F.col("tid").alias("t")))
+    )
+    agg = (
+        stream.withColumn("window_id", winkey)
+        .groupBy("shard", "window_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_real"),
+            F.array_join(
+                F.transform(ordered, lambda s: s["t"].cast("string")), ","
+            ).alias("idstr"),
+        )
+    )
+    return agg.select(
+        "shard",
+        "window_id",
+        "n_real",
+        (F.lit(_W_CTX) - F.col("n_real")).cast("long").alias("n_pad"),
+        F.md5(
+            F.concat(
+                F.col("idstr"),
+                F.expr(
+                    f"repeat(',{_W_PAD}', CAST({_W_CTX} - n_real AS INT))"
+                ),
+            )
+        ).alias("ids_fp"),
+    )
