@@ -51,9 +51,13 @@ _EPOCH_TS = _dt.datetime(1970, 1, 1)
 
 # --------------------------------------------------------------- schema
 def avro_schema_for(spark_schema: StructType, name: str = "KustoSinkRecord") -> dict:
-    """Map a flat Spark StructType to an Avro record schema (the
-    fromConnectSchema step, AvroRecordWriterProvider.java:37). Nullable
-    Spark fields become null-first unions, matching Avro convention."""
+    """Map a Spark StructType to an Avro record schema (the
+    fromConnectSchema step, AvroRecordWriterProvider.java:37) —
+    including NESTED structs, arrays, and string-keyed maps (r11; the
+    reference writer serializes arbitrary Connect schemas through the
+    Avro lib, so nesting is reference-parity surface, not an
+    extension). Nullable Spark fields become null-first unions,
+    matching Avro convention."""
     fields = []
     for f in spark_schema.fields:
         t = _avro_type(f.dataType, f.name)
@@ -62,6 +66,8 @@ def avro_schema_for(spark_schema: StructType, name: str = "KustoSinkRecord") -> 
 
 
 def _avro_type(dt: DataType, field_name: str):
+    from pyspark.sql.types import ArrayType, MapType
+
     if isinstance(dt, (LongType,)):
         return "long"
     if isinstance(dt, (IntegerType, ShortType, ByteType)):
@@ -80,10 +86,28 @@ def _avro_type(dt: DataType, field_name: str):
         return {"type": "long", "logicalType": "timestamp-micros"}
     if isinstance(dt, DateType):
         return {"type": "int", "logicalType": "date"}
+    if isinstance(dt, ArrayType):
+        item = _avro_type(dt.elementType, f"{field_name}.element")
+        return {
+            "type": "array",
+            "items": ["null", item] if dt.containsNull else item,
+        }
+    if isinstance(dt, MapType):
+        if not isinstance(dt.keyType, StringType):
+            raise NotImplementedError(
+                f"avro encode: map keys must be strings for field "
+                f"{field_name!r} (Avro map keys are always strings)"
+            )
+        val = _avro_type(dt.valueType, f"{field_name}.value")
+        return {
+            "type": "map",
+            "values": ["null", val] if dt.valueContainsNull else val,
+        }
+    if isinstance(dt, StructType):
+        return avro_schema_for(dt, name=f"{field_name}_record")
     raise NotImplementedError(
         f"avro encode: unsupported Spark type {dt.simpleString()} for field "
-        f"{field_name!r} (flat scalar records only, like the connector's "
-        f"it-avro.avsc shape)"
+        f"{field_name!r}"
     )
 
 
@@ -153,7 +177,41 @@ def _encode_value(t, v) -> bytes:
             if isinstance(v, _dt.date):
                 v = (v - _EPOCH_DATE).days
             return _zigzag_encode(int(v))
-        return _encode_value(t["type"], v)
+        tt = t.get("type")
+        if tt == "array":
+            items = list(v)
+            if not items:
+                return _zigzag_encode(0)
+            body = b"".join(_encode_value(t["items"], x) for x in items)
+            return _zigzag_encode(len(items)) + body + _zigzag_encode(0)
+        if tt == "map":
+            entries = dict(v)
+            if not entries:
+                return _zigzag_encode(0)
+            body = b"".join(
+                _encode_value("string", k) + _encode_value(t["values"], x)
+                for k, x in entries.items()
+            )
+            return _zigzag_encode(len(entries)) + body + _zigzag_encode(0)
+        if tt == "record":
+            rec = v if isinstance(v, dict) else v.asDict(recursive=False)
+            return encode_record(t, rec)
+        if tt == "enum":
+            try:
+                return _zigzag_encode(t["symbols"].index(v))
+            except ValueError as e:
+                raise ValueError(
+                    f"avro enum {t.get('name')!r}: {v!r} not in symbols"
+                ) from e
+        if tt == "fixed":
+            raw = bytes(v)
+            if len(raw) != t["size"]:
+                raise ValueError(
+                    f"avro fixed {t.get('name')!r}: got {len(raw)} bytes, "
+                    f"need {t['size']}"
+                )
+            return raw
+        return _encode_value(tt, v)
     if t == "null":
         return b""
     if t == "boolean":
@@ -183,7 +241,38 @@ def _decode_value(t, buf: BinaryIO):
             return _EPOCH_TS + _dt.timedelta(microseconds=_zigzag_decode(buf))
         if logical == "date":
             return _EPOCH_DATE + _dt.timedelta(days=_zigzag_decode(buf))
-        return _decode_value(t["type"], buf)
+        tt = t.get("type")
+        if tt in ("array", "map"):
+            out_a: list = []
+            out_m: dict = {}
+            while True:
+                n = _zigzag_decode(buf)
+                if n == 0:
+                    break
+                if n < 0:  # spec: negative count ⇒ block byte size follows
+                    n = -n
+                    _zigzag_decode(buf)
+                for _ in range(n):
+                    if tt == "array":
+                        out_a.append(_decode_value(t["items"], buf))
+                    else:
+                        k = _decode_value("string", buf)
+                        out_m[k] = _decode_value(t["values"], buf)
+            return out_a if tt == "array" else out_m
+        if tt == "record":
+            return decode_record(t, buf)
+        if tt == "enum":
+            idx = _zigzag_decode(buf)
+            symbols = t["symbols"]
+            if not 0 <= idx < len(symbols):
+                raise ValueError(f"avro enum index {idx} out of range")
+            return symbols[idx]
+        if tt == "fixed":
+            raw = buf.read(t["size"])
+            if len(raw) != t["size"]:
+                raise EOFError("truncated fixed")
+            return raw
+        return _decode_value(tt, buf)
     if t == "null":
         return None
     if t == "boolean":

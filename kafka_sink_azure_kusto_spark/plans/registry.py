@@ -97,24 +97,19 @@ _GATE_PRIORITY = [
     "dsir_importance_select",            # r11: oracle CTE-prefix refactor
     "streaming_dsir_maintenance",        # r11: same oracle refactor
     # --- new in r10 ---
-    "similarity_graph_search",           # r10: graph-based ANN (HNSW L0)
     "graph_search_recall_audit",         # r10: equal-budget vs multiprobe
     "knn_recall_calibration",            # r10: planes×bands recall matrix
-    "streaming_ivf_index_maintenance",   # r10: live cell-rewrite loop
-    "multimodal_curation_pipeline",      # r10: image-text E2E curation
     "q2_min_cost_supplier",              # r10: TPC-H Q2 analog
     "q9_product_profit",                 # r10: TPC-H Q9 analog
     "q11_important_stock",               # r10: TPC-H Q11 analog
     "q20_promotion_candidates",          # r10: TPC-H Q20 analog
     "q21_waiting_orders",                # r10: TPC-H Q21 analog
     "dedup_lsh_recall_audit",            # r10: LSH vs exact-Jaccard audit
-    "dsir_importance_select",            # r10: DSIR distribution match
     "multimodal_crossmodal_topk",        # r10: text→image retrieval
     "embedding_hygiene_audit",           # r10: norm-contract gate
     "hilbert_layout_key",                # r10: locality layout key
     "interval_overlap_join",             # r10: bucketized range join
     "streaming_bm25_maintenance",        # r10: additive index registers
-    "streaming_dsir_maintenance",        # r10: additive selection registers
     "split_semantic_leakage_audit",      # r10: embedding-space leakage gate
     # --- new in r9 ---
     "text_within_doc_dedup",             # r9b: C4 duplicate-line rule
@@ -148,7 +143,6 @@ _GATE_PRIORITY = [
     "minhash_merge_lifecycle",           # r9: MIN-merge source-affinity matrix
     "dedup_substring_spans",             # VERDICT r8 #5: anchor-gram span dedup
     "dedup_substring_trim",              # r9: span removal + trimmed text
-    "multimodal_resize_bilinear",        # VERDICT r8 #8: Q16 bilinear kernel
     "multimodal_resample_sinc",          # VERDICT r8 #8: Q12 polyphase sinc
     "streaming_neardup_store_live_compaction",  # VERDICT r8 #6: mid-stream compact
     "streaming_substring_store",         # r9: live anchor-store loop
@@ -168,7 +162,6 @@ _GATE_PRIORITY = [
     "multimodal_resize",                 # real NN resize, stub retired
     "multimodal_audio_resample",         # 4 kHz rate conversion, real codec
     # --- changed implementation in r8 ---
-    "multimodal_dhash_dedup",         # VERDICT r7 #1: decode-once persist
     "multimodal_audio_fingerprint_dedup",  # same materialization fix
     "registry_wire_decode",           # VERDICT r7 #2: chunked codegen spans
     "wire_frame_split",               #   shares wire_format
@@ -277,7 +270,6 @@ _GATE_PRIORITY = [
     "text_quality",
     "text_rolling_fingerprint",
     "text_quality_score",
-    "multimodal_decode",
     "multimodal_feature_extract",
     "multimodal_frame_sample",
     "events_sessionization",

@@ -149,11 +149,16 @@ def test_container_magic_and_determinism():
 
 
 def test_unsupported_nested_type_raises():
-    from pyspark.sql.types import ArrayType
+    # r11: arrays/maps/structs are now SUPPORTED; the remaining rejects
+    # are non-string map keys and genuinely unmapped Spark types
+    from pyspark.sql.types import DecimalType, MapType
 
-    schema = StructType([StructField("a", ArrayType(LongType()), True)])
+    with pytest.raises(NotImplementedError, match="map keys must be strings"):
+        avro_schema_for(
+            StructType([StructField("m", MapType(LongType(), LongType()), True)])
+        )
     with pytest.raises(NotImplementedError, match="unsupported Spark type"):
-        avro_schema_for(schema)
+        avro_schema_for(StructType([StructField("d", DecimalType(10, 2), True)]))
 
 
 def test_count_container_records_matches_decode():
@@ -367,3 +372,58 @@ def test_container_snappy_crc_mismatch_rejected():
     data[-17] ^= 0xFF
     with pytest.raises(ValueError, match="CRC32 mismatch"):
         read_container(bytes(data))
+
+
+def test_nested_record_array_map_roundtrip():
+    """r11: nested structs / arrays / string-keyed maps — the reference
+    writer serializes arbitrary Connect schemas through the Avro lib
+    (AvroRecordWriterProvider.java:37), so nesting is parity surface."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    st = StructType([
+        StructField("id", LongType(), False),
+        StructField("tags", ArrayType(StringType(), containsNull=False), False),
+        StructField("scores", ArrayType(DoubleType(), containsNull=True), True),
+        StructField("attrs", MapType(StringType(), LongType(), False), False),
+        StructField("inner", StructType([
+            StructField("a", StringType(), True),
+            StructField("b", ArrayType(LongType(), False), False),
+        ]), True),
+    ])
+    schema = avro_schema_for(st)
+    recs = [
+        {"id": 1, "tags": ["x", "y"], "scores": [1.5, None, 2.5],
+         "attrs": {"k1": 10, "k2": 20}, "inner": {"a": "hi", "b": [1, 2, 3]}},
+        {"id": 2, "tags": [], "scores": None, "attrs": {}, "inner": None},
+    ]
+    for r in recs:
+        assert decode_record(schema, io.BytesIO(encode_record(schema, r))) == r
+    bio = io.BytesIO()
+    write_container(recs, schema, bio, codec="deflate")
+    _, back = read_container(bio.getvalue())
+    assert back == recs
+
+
+def test_enum_and_fixed_types():
+    es = {"type": "record", "name": "E", "fields": [
+        {"name": "color",
+         "type": {"type": "enum", "name": "C",
+                  "symbols": ["RED", "GREEN", "BLUE"]}},
+        {"name": "mac", "type": {"type": "fixed", "name": "M", "size": 6}},
+    ]}
+    r = {"color": "GREEN", "mac": b"\x01\x02\x03\x04\x05\x06"}
+    good = encode_record(es, r)
+    assert decode_record(es, io.BytesIO(good)) == r
+    with pytest.raises(EOFError, match="truncated fixed"):
+        decode_record(es, io.BytesIO(good[:-2]))
+    with pytest.raises(ValueError, match="not in symbols"):
+        encode_record(es, {"color": "MAUVE", "mac": r["mac"]})
+    with pytest.raises(ValueError, match="6"):
+        encode_record(es, {"color": "RED", "mac": b"\x01"})
+    # negative-count array blocks (spec: abs count + byte size) decode
+    arr_schema = {"type": "record", "name": "A", "fields": [
+        {"name": "xs", "type": {"type": "array", "items": "long"}}]}
+    from kafka_sink_azure_kusto_spark.functions.avro_io import _zigzag_encode
+    body = (_zigzag_encode(-2) + _zigzag_encode(2)
+            + _zigzag_encode(7) + _zigzag_encode(9) + _zigzag_encode(0))
+    assert decode_record(arr_schema, io.BytesIO(body)) == {"xs": [7, 9]}

@@ -167,6 +167,39 @@ def test_struct_to_avro_container_roundtrip(spark, tmp_path):
     assert backend.ingest_log()[0]["records"] == 2
 
 
+def test_struct_to_avro_nested_payload_roundtrip(spark, tmp_path):
+    # r11: nested struct/array/map payloads stage as real Avro container
+    # files through the UNCHANGED writer path — the schema mapper and
+    # the pure-Python codec carry the nesting (reference parity:
+    # AvroRecordWriterProvider serializes arbitrary Connect schemas).
+    from kafka_sink_azure_kusto_spark.functions.avro_io import read_container
+
+    df = spark.createDataFrame(
+        [((1, ["a", "b"], {"k": 7}, ("in", [1, 2])), "t1", 0, 0),
+         ((2, [], {}, None), "t1", 0, 1)],
+        "value struct<id:long, tags:array<string>, attrs:map<string,long>, "
+        "inner:struct<s:string, xs:array<long>>>, "
+        "topic string, partition long, offset long",
+    )
+    cfg = _cfg(
+        tmp_path, [TopicToTableMapping(topic="t1", db="d", table="t", format="avro")]
+    )
+    backend = LocalEmulatorBackend(str(tmp_path / "kusto"))
+    sink = KustoSparkSink(cfg, backend)
+    sink.process_batch(df, epoch_id=0)
+    files = backend.table_files("d", "t")
+    assert len(files) == 1
+    with open(files[0], "rb") as f:
+        schema, records = read_container(f.read())
+    assert [x["name"] for x in schema["fields"]] == ["id", "tags", "attrs", "inner"]
+    assert records == [
+        {"id": 1, "tags": ["a", "b"], "attrs": {"k": 7},
+         "inner": {"s": "in", "xs": [1, 2]}},
+        {"id": 2, "tags": [], "attrs": {}, "inner": None},
+    ]
+    assert backend.ingest_log()[0]["records"] == 2
+
+
 def test_validation_probes(tmp_path):
     # V1/V2/V4 through the strict emulator (validateTableMappings analog)
     backend = LocalEmulatorBackend(str(tmp_path / "kusto"), strict_validation=True)
