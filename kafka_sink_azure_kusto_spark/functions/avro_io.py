@@ -105,6 +105,18 @@ def _avro_type(dt: DataType, field_name: str):
         }
     if isinstance(dt, StructType):
         return avro_schema_for(dt, name=f"{field_name}_record")
+    from pyspark.sql.types import DecimalType
+
+    if isinstance(dt, DecimalType):
+        # Avro decimal logical type: two's-complement big-endian
+        # unscaled int in a bytes field — the exact-precision path the
+        # Kusto decimal round-trip needs (SURVEY §7.4)
+        return {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": dt.precision,
+            "scale": dt.scale,
+        }
     raise NotImplementedError(
         f"avro encode: unsupported Spark type {dt.simpleString()} for field "
         f"{field_name!r}"
@@ -177,6 +189,20 @@ def _encode_value(t, v) -> bytes:
             if isinstance(v, _dt.date):
                 v = (v - _EPOCH_DATE).days
             return _zigzag_encode(int(v))
+        if logical == "decimal":
+            import decimal as _dec
+
+            scale = int(t.get("scale", 0))
+            d = v if isinstance(v, _dec.Decimal) else _dec.Decimal(str(v))
+            shifted = d.scaleb(scale)
+            unscaled = int(shifted)
+            if shifted != unscaled:  # never round silently
+                raise ValueError(
+                    f"avro decimal: {d} does not fit scale {scale}"
+                )
+            nbytes = max(1, (unscaled.bit_length() + 8) // 8)
+            raw = unscaled.to_bytes(nbytes, "big", signed=True)
+            return _zigzag_encode(len(raw)) + raw
         tt = t.get("type")
         if tt == "array":
             items = list(v)
@@ -241,6 +267,15 @@ def _decode_value(t, buf: BinaryIO):
             return _EPOCH_TS + _dt.timedelta(microseconds=_zigzag_decode(buf))
         if logical == "date":
             return _EPOCH_DATE + _dt.timedelta(days=_zigzag_decode(buf))
+        if logical == "decimal":
+            import decimal as _dec
+
+            n = _zigzag_decode(buf)
+            raw = buf.read(n)
+            if len(raw) != n:
+                raise EOFError("truncated decimal")
+            unscaled = int.from_bytes(raw, "big", signed=True)
+            return _dec.Decimal(unscaled).scaleb(-int(t.get("scale", 0)))
         tt = t.get("type")
         if tt in ("array", "map"):
             out_a: list = []

@@ -151,14 +151,18 @@ def test_container_magic_and_determinism():
 def test_unsupported_nested_type_raises():
     # r11: arrays/maps/structs are now SUPPORTED; the remaining rejects
     # are non-string map keys and genuinely unmapped Spark types
-    from pyspark.sql.types import DecimalType, MapType
+    from pyspark.sql.types import MapType
 
     with pytest.raises(NotImplementedError, match="map keys must be strings"):
         avro_schema_for(
             StructType([StructField("m", MapType(LongType(), LongType()), True)])
         )
+    from pyspark.sql.types import DayTimeIntervalType
+
     with pytest.raises(NotImplementedError, match="unsupported Spark type"):
-        avro_schema_for(StructType([StructField("d", DecimalType(10, 2), True)]))
+        avro_schema_for(
+            StructType([StructField("d", DayTimeIntervalType(), True)])
+        )
 
 
 def test_count_container_records_matches_decode():
@@ -427,3 +431,40 @@ def test_enum_and_fixed_types():
     body = (_zigzag_encode(-2) + _zigzag_encode(2)
             + _zigzag_encode(7) + _zigzag_encode(9) + _zigzag_encode(0))
     assert decode_record(arr_schema, io.BytesIO(body)) == {"xs": [7, 9]}
+
+
+def test_decimal_logical_type_roundtrip():
+    """r11: Avro decimal logical type (bytes + two's-complement
+    big-endian unscaled int) — the exact-precision path the Kusto
+    decimal round-trip needs (SURVEY §7.4). Scale is preserved, inexact
+    values reject loudly, negatives take minimal signed bytes."""
+    import decimal
+
+    from pyspark.sql.types import DecimalType
+
+    D = decimal.Decimal
+    st = StructType([
+        StructField("amt", DecimalType(12, 2), False),
+        StructField("opt", DecimalType(5, 0), True),
+    ])
+    schema = avro_schema_for(st)
+    assert schema["fields"][0]["type"] == {
+        "type": "bytes", "logicalType": "decimal",
+        "precision": 12, "scale": 2,
+    }
+    cases = [
+        (D("1234567890.12"), D("42")),
+        (D("-0.01"), None),
+        (D("0.00"), D("-99999")),
+        (D("-9999999999.99"), D("0")),
+    ]
+    for amt, opt in cases:
+        r = {"amt": amt, "opt": opt}
+        back = decode_record(schema, io.BytesIO(encode_record(schema, r)))
+        assert back == r
+        assert back["amt"].as_tuple().exponent == -2  # scale preserved
+    with pytest.raises(ValueError, match="does not fit scale"):
+        encode_record(schema, {"amt": D("1.234"), "opt": None})
+    with pytest.raises(EOFError, match="truncated decimal"):
+        good = encode_record(schema, {"amt": D("12345678.90"), "opt": None})
+        decode_record(schema, io.BytesIO(good[:2]))

@@ -200,6 +200,32 @@ def test_struct_to_avro_nested_payload_roundtrip(spark, tmp_path):
     assert backend.ingest_log()[0]["records"] == 2
 
 
+def test_struct_to_avro_decimal_payload_roundtrip(spark, tmp_path):
+    # r11: DecimalType stages through the avro path as the decimal
+    # logical type — exact precision, scale preserved (SURVEY §7.4's
+    # Kusto-decimal round-trip note)
+    import decimal
+
+    from kafka_sink_azure_kusto_spark.functions.avro_io import read_container
+
+    D = decimal.Decimal
+    df = spark.createDataFrame(
+        [((1, D("12345.67")), "t1", 0, 0), ((2, D("-0.01")), "t1", 0, 1)],
+        "value struct<id:long, amt:decimal(10,2)>, "
+        "topic string, partition long, offset long",
+    )
+    cfg = _cfg(
+        tmp_path, [TopicToTableMapping(topic="t1", db="d", table="t", format="avro")]
+    )
+    backend = LocalEmulatorBackend(str(tmp_path / "kusto"))
+    KustoSparkSink(cfg, backend).process_batch(df, epoch_id=0)
+    with open(backend.table_files("d", "t")[0], "rb") as f:
+        _, records = read_container(f.read())
+    assert records == [
+        {"id": 1, "amt": D("12345.67")}, {"id": 2, "amt": D("-0.01")},
+    ]
+
+
 def test_validation_probes(tmp_path):
     # V1/V2/V4 through the strict emulator (validateTableMappings analog)
     backend = LocalEmulatorBackend(str(tmp_path / "kusto"), strict_validation=True)
