@@ -364,10 +364,11 @@ def write_container(
     (AvroRecordWriterProvider.java:39). ``codec`` is ``null`` (the
     reference writer's default), ``deflate`` (raw RFC-1951 per the
     Avro spec — zlib with no header, level 6 like DataFileWriter's
-    Deflater default), or ``snappy`` (pure-Python raw snappy blocks +
+    Deflater default), ``snappy`` (pure-Python raw snappy blocks +
     the spec's 4-byte big-endian CRC32 of the UNCOMPRESSED block
-    appended per block). Returns the record count."""
-    if codec not in ("null", "deflate", "snappy"):
+    appended per block), or ``bzip2`` (spec-listed; plain bzip2 block
+    payloads, stdlib). Returns the record count."""
+    if codec not in ("null", "deflate", "snappy", "bzip2"):
         raise NotImplementedError(f"avro codec {codec!r} not supported")
     schema_json = json.dumps(schema, sort_keys=True)
     sync = sync_marker_for(schema_json)
@@ -406,6 +407,10 @@ def write_container(
             payload = snappy_compress(payload) + _struct.pack(
                 ">I", zlib.crc32(payload) & 0xFFFFFFFF
             )
+        elif codec == "bzip2":
+            import bz2
+
+            payload = bz2.compress(payload)
         out.write(_zigzag_encode(len(block)))
         out.write(_zigzag_encode(len(payload)))
         out.write(payload)
@@ -446,7 +451,7 @@ def read_container(data: bytes) -> tuple[dict, list[dict]]:
             vlen = _zigzag_decode(buf)
             meta[k] = buf.read(vlen)
     codec = meta.get("avro.codec", b"null")
-    if codec not in (b"null", b"", b"deflate", b"snappy"):
+    if codec not in (b"null", b"", b"deflate", b"snappy", b"bzip2"):
         raise NotImplementedError(f"avro codec {codec!r} not supported")
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     sync = buf.read(16)
@@ -477,6 +482,13 @@ def read_container(data: bytes) -> tuple[dict, list[dict]]:
             payload = snappy_decompress(body)
             if _struct.unpack(">I", crc)[0] != (zlib.crc32(payload) & 0xFFFFFFFF):
                 raise ValueError("avro snappy block CRC32 mismatch")
+        elif codec == b"bzip2":
+            import bz2
+
+            try:
+                payload = bz2.decompress(payload)
+            except OSError as e:  # bz2's invalid-stream error class
+                raise ValueError(f"avro bzip2 block corrupt: {e}") from e
         pbuf = io.BytesIO(payload)
         for _ in range(count):
             records.append(decode_record(schema, pbuf))

@@ -296,18 +296,29 @@ def _png_filter_rows(raw: np.ndarray, bpp: int) -> bytes:
     return bytes(out)
 
 
+# Adam7 interlace passes: (x0, y0, dx, dy) — pass p covers pixels at
+# (x0 + i·dx, y0 + j·dy); the IDAT stream is each pass's filtered
+# scanlines concatenated, empty passes contributing nothing.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def encode_png(
     width: int,
     height: int,
     rgb: Sequence[int],
     alpha: Sequence[int] | None = None,
     level: int = 0,
+    interlace: bool = False,
 ) -> bytes:
     """8-bit PNG, color type 2 (RGB) or 6 (RGBA when ``alpha`` given).
     ``rgb`` is row-major top-down RGB-interleaved. Filter types cycle
     row % 5. ``level=0`` emits hand-built STORED deflate blocks
     (byte-count closed form: the oracle's n_bytes arithmetic); higher
-    levels use real zlib compression."""
+    levels use real zlib compression. ``interlace`` emits Adam7
+    (each pass filtered as its own sub-image per the spec)."""
     if len(rgb) != 3 * width * height:
         raise ValueError("rgb length must be 3*width*height")
     arr = np.asarray(rgb, dtype=np.int64)
@@ -326,12 +337,25 @@ def encode_png(
     else:
         px = arr.reshape(height, width, 3)
         color_type, bpp = 2, 3
-    raw = px.astype(np.uint8).reshape(height, width * bpp)
-    filtered = _png_filter_rows(raw, bpp)
+    px8 = px.astype(np.uint8)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px8[y0::dy, x0::dx, :]
+            if sub.size == 0:
+                continue
+            parts.append(
+                _png_filter_rows(sub.reshape(sub.shape[0], -1), bpp)
+            )
+        filtered = b"".join(parts)
+    else:
+        filtered = _png_filter_rows(px8.reshape(height, width * bpp), bpp)
     compressed = (
         _zlib_stored(filtered) if level == 0 else _zlib.compress(filtered, level)
     )
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, 8, color_type, 0, 0, 1 if interlace else 0
+    )
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -389,6 +413,7 @@ def decode_png(data: bytes) -> DecodedMedia:
     i = 8
     width = height = None
     color_type = bpp = 0
+    adam7 = False
     idat = bytearray()
     seen_iend = False
     while i < len(data):
@@ -410,10 +435,11 @@ def decode_png(data: bytes) -> DecodedMedia:
                 raise MediaDecodeError(
                     f"unsupported PNG depth={depth}/color={color_type}"
                 )
-            if comp != 0 or filt != 0 or interlace != 0:
+            if comp != 0 or filt != 0 or interlace not in (0, 1):
                 raise MediaDecodeError(
                     f"unsupported PNG comp={comp}/filter={filt}/interlace={interlace}"
                 )
+            adam7 = interlace == 1
             bpp = 4 if color_type == 6 else 3
         elif ctype == b"IDAT":
             idat.extend(body)
@@ -429,8 +455,26 @@ def decode_png(data: bytes) -> DecodedMedia:
         filtered = _zlib.decompress(bytes(idat))
     except _zlib.error as e:
         raise MediaDecodeError(f"PNG IDAT inflate failed: {e}") from e
-    recon = _png_unfilter(filtered, height, width * bpp, bpp)
-    px = recon.reshape(height, width, bpp)[:, :, :3]  # RGBA → RGB
+    if adam7:
+        full = np.zeros((height, width, bpp), dtype=np.int64)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (width - x0 + dx - 1) // dx
+            hp = (height - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            n = hp * (1 + wp * bpp)
+            recon = _png_unfilter(filtered[pos: pos + n], hp, wp * bpp, bpp)
+            full[y0::dy, x0::dx, :] = recon.reshape(hp, wp, bpp)
+            pos += n
+        if pos != len(filtered):
+            raise MediaDecodeError(
+                f"PNG scanline data length {len(filtered)} != Adam7 total {pos}"
+            )
+        px = full[:, :, :3]  # RGBA → RGB
+    else:
+        recon = _png_unfilter(filtered, height, width * bpp, bpp)
+        px = recon.reshape(height, width, bpp)[:, :, :3]  # RGBA → RGB
     return DecodedMedia("png", width, height, 0, px.reshape(-1).astype(np.int64))
 
 

@@ -389,3 +389,39 @@ def test_container_snappy_mutation_never_silent(recs, pos, xor):
     assert isinstance(back, list)
     for r in back:
         assert isinstance(r, dict)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(records_st, max_size=25), st.integers(min_value=1, max_value=7))
+def test_container_roundtrip_bzip2(recs, block_records):
+    n = write_container(
+        recs, SCHEMA, bio := io.BytesIO(), block_records=block_records,
+        codec="bzip2",
+    )
+    assert n == len(recs)
+    _, back = read_container(bio.getvalue())
+    assert back == recs
+    assert count_container_records(bio.getvalue()) == len(recs)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(records_st, min_size=1, max_size=8),
+    st.integers(min_value=0, max_value=10_000),
+    st.integers(min_value=1, max_value=255),
+)
+def test_container_bzip2_mutation_never_silent(recs, pos, xor):
+    bio = io.BytesIO()
+    write_container(recs, SCHEMA, bio, block_records=4, codec="bzip2")
+    data = bytearray(bio.getvalue())
+    i = len(data) // 2 + pos % max(1, len(data) - len(data) // 2)
+    i = min(i, len(data) - 1)
+    data[i] ^= xor
+    try:
+        _, back = read_container(bytes(data))
+    except (ValueError, EOFError, NotImplementedError, KeyError,
+            IndexError, UnicodeDecodeError, OverflowError, MemoryError):
+        return  # rejected loudly (bz2 streams carry per-block CRCs)
+    assert isinstance(back, list)
+    for r in back:
+        assert isinstance(r, dict)

@@ -236,7 +236,7 @@ def test_png_loud_rejects():
     for depth, color, interlace, msg in (
         (16, 2, 0, "depth"),
         (8, 3, 0, "color"),
-        (8, 2, 1, "interlace"),
+        (8, 2, 2, "interlace"),  # 0/1 supported (r11 Adam7); 2 is not
     ):
         ihdr = _s.pack(">IIBBBBB", 1, 1, depth, color, 0, 0, interlace)
         data = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
@@ -652,3 +652,25 @@ def test_bilinear_and_sinc_plans_single_mapinpandas(spark):
     for fn in (synth_resize_bilinear_stats, synth_audio_resample_sinc_stats):
         plan = fn(df)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("MapInPandas") == 1, plan
+
+
+def test_png_adam7_interlace_roundtrip():
+    """r11: Adam7 interlaced PNGs (interlace=1) — each of the 7 passes
+    filtered/unfiltered as its own sub-image, scattered back into the
+    full raster. Geometry sweep covers passes that are empty (1×1, 1×7,
+    5×1) and rasters aligned/unaligned to the 8×8 tile."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for w, h in [(1, 1), (2, 3), (7, 5), (8, 8), (16, 11), (5, 1), (1, 7)]:
+        rgb = rng.integers(0, 256, 3 * w * h)
+        for lvl in (0, 6):
+            m = decode_png(encode_png(w, h, rgb, level=lvl, interlace=True))
+            assert list(m.samples) == list(rgb), (w, h, lvl)
+        a = rng.integers(0, 256, w * h)
+        m = decode_png(encode_png(w, h, rgb, alpha=a, interlace=True))
+        assert list(m.samples) == list(rgb)
+    # truncated interlaced scanline data rejects loudly
+    good = encode_png(8, 8, list(range(8 * 8)) * 3, interlace=True)
+    with pytest.raises(MediaDecodeError):
+        decode_png(good[:60])
