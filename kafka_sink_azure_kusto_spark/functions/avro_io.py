@@ -9,10 +9,11 @@ varint longs, little-endian IEEE floats, length-prefixed strings/bytes,
 null-first unions for nullable fields, and the ``Obj\\x01`` container
 framing with a metadata map and 16-byte sync markers.
 
-Scope: flat records of Spark's scalar types (the shape the connector
-ingests — see it-avro.avsc: boolean/string/double/long/int/float), plus
-bytes, date and timestamp logical types. Nested structs/arrays/maps
-raise cleanly.
+Scope (r11): Spark's scalar types (boolean/string/double/long/int/
+float/bytes), date / timestamp-micros / decimal logical types, NESTED
+structs, arrays, string-keyed maps, plus read/write of Avro enum and
+fixed. Container codecs: null, deflate, snappy (pure-Python, CRC32
+framing), bzip2, xz. Genuinely unmapped Spark types raise cleanly.
 
 Determinism: the sync marker is derived from the schema JSON (md5), not
 random, so re-staging the same batch yields byte-identical files — the
@@ -366,9 +367,9 @@ def write_container(
     Avro spec — zlib with no header, level 6 like DataFileWriter's
     Deflater default), ``snappy`` (pure-Python raw snappy blocks +
     the spec's 4-byte big-endian CRC32 of the UNCOMPRESSED block
-    appended per block), or ``bzip2`` (spec-listed; plain bzip2 block
-    payloads, stdlib). Returns the record count."""
-    if codec not in ("null", "deflate", "snappy", "bzip2"):
+    appended per block), ``bzip2``, or ``xz`` (both spec-listed; plain
+    compressed block payloads, stdlib). Returns the record count."""
+    if codec not in ("null", "deflate", "snappy", "bzip2", "xz"):
         raise NotImplementedError(f"avro codec {codec!r} not supported")
     schema_json = json.dumps(schema, sort_keys=True)
     sync = sync_marker_for(schema_json)
@@ -411,6 +412,10 @@ def write_container(
             import bz2
 
             payload = bz2.compress(payload)
+        elif codec == "xz":
+            import lzma
+
+            payload = lzma.compress(payload, format=lzma.FORMAT_XZ)
         out.write(_zigzag_encode(len(block)))
         out.write(_zigzag_encode(len(payload)))
         out.write(payload)
@@ -451,7 +456,7 @@ def read_container(data: bytes) -> tuple[dict, list[dict]]:
             vlen = _zigzag_decode(buf)
             meta[k] = buf.read(vlen)
     codec = meta.get("avro.codec", b"null")
-    if codec not in (b"null", b"", b"deflate", b"snappy", b"bzip2"):
+    if codec not in (b"null", b"", b"deflate", b"snappy", b"bzip2", b"xz"):
         raise NotImplementedError(f"avro codec {codec!r} not supported")
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     sync = buf.read(16)
@@ -489,6 +494,13 @@ def read_container(data: bytes) -> tuple[dict, list[dict]]:
                 payload = bz2.decompress(payload)
             except OSError as e:  # bz2's invalid-stream error class
                 raise ValueError(f"avro bzip2 block corrupt: {e}") from e
+        elif codec == b"xz":
+            import lzma
+
+            try:
+                payload = lzma.decompress(payload)
+            except lzma.LZMAError as e:
+                raise ValueError(f"avro xz block corrupt: {e}") from e
         pbuf = io.BytesIO(payload)
         for _ in range(count):
             records.append(decode_record(schema, pbuf))

@@ -337,7 +337,41 @@ def encode_png(
     else:
         px = arr.reshape(height, width, 3)
         color_type, bpp = 2, 3
-    px8 = px.astype(np.uint8)
+    return _encode_png_px(px.astype(np.uint8), color_type, bpp, level, interlace)
+
+
+def encode_png_gray(
+    width: int,
+    height: int,
+    gray: Sequence[int],
+    alpha: Sequence[int] | None = None,
+    level: int = 0,
+    interlace: bool = False,
+) -> bytes:
+    """8-bit grayscale PNG, color type 0 (or 4 with ``alpha``)."""
+    if len(gray) != width * height:
+        raise ValueError("gray length must be width*height")
+    g = np.asarray(gray, dtype=np.int64)
+    if g.size and (g.min() < 0 or g.max() > 255):
+        raise ValueError("gray values must be in 0..255")
+    if alpha is not None:
+        a = np.asarray(alpha, dtype=np.int64)
+        if len(a) != width * height:
+            raise ValueError("alpha length must be width*height")
+        px = np.stack(
+            [g.reshape(height, width), a.reshape(height, width)], axis=2
+        )
+        color_type, bpp = 4, 2
+    else:
+        px = g.reshape(height, width, 1)
+        color_type, bpp = 0, 1
+    return _encode_png_px(px.astype(np.uint8), color_type, bpp, level, interlace)
+
+
+def _encode_png_px(
+    px8: np.ndarray, color_type: int, bpp: int, level: int, interlace: bool
+) -> bytes:
+    height, width = px8.shape[0], px8.shape[1]
     if interlace:
         parts = []
         for x0, y0, dx, dy in _ADAM7:
@@ -431,7 +465,7 @@ def decode_png(data: bytes) -> DecodedMedia:
             width, height, depth, color_type, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth != 8 or color_type not in (2, 6):
+            if depth != 8 or color_type not in (0, 2, 4, 6):
                 raise MediaDecodeError(
                     f"unsupported PNG depth={depth}/color={color_type}"
                 )
@@ -440,7 +474,7 @@ def decode_png(data: bytes) -> DecodedMedia:
                     f"unsupported PNG comp={comp}/filter={filt}/interlace={interlace}"
                 )
             adam7 = interlace == 1
-            bpp = 4 if color_type == 6 else 3
+            bpp = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
         elif ctype == b"IDAT":
             idat.extend(body)
         elif ctype == b"IEND":
@@ -471,10 +505,16 @@ def decode_png(data: bytes) -> DecodedMedia:
             raise MediaDecodeError(
                 f"PNG scanline data length {len(filtered)} != Adam7 total {pos}"
             )
-        px = full[:, :, :3]  # RGBA → RGB
+        raster = full
     else:
         recon = _png_unfilter(filtered, height, width * bpp, bpp)
-        px = recon.reshape(height, width, bpp)[:, :, :3]  # RGBA → RGB
+        raster = recon.reshape(height, width, bpp)
+    if bpp >= 3:
+        px = raster[:, :, :3]  # RGBA → RGB
+    else:
+        # grayscale (types 0/4, alpha dropped like RGBA): replicate the
+        # gray channel ×3 so every image operator keeps (h, w, 3)
+        px = np.repeat(raster[:, :, :1], 3, axis=2)
     return DecodedMedia("png", width, height, 0, px.reshape(-1).astype(np.int64))
 
 

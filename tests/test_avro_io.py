@@ -468,3 +468,18 @@ def test_decimal_logical_type_roundtrip():
     with pytest.raises(EOFError, match="truncated decimal"):
         good = encode_record(schema, {"amt": D("12345678.90"), "opt": None})
         decode_record(schema, io.BytesIO(good[:2]))
+
+
+def test_container_xz_roundtrip_and_corrupt_reject():
+    schema = {"type": "record", "name": "R",
+              "fields": [{"name": "a", "type": "long"},
+                         {"name": "s", "type": "string"}]}
+    recs = [{"a": i, "s": "v" * (i % 23)} for i in range(60)]
+    bio = io.BytesIO()
+    write_container(recs, schema, bio, block_records=16, codec="xz")
+    data = bytearray(bio.getvalue())
+    _, back = read_container(bytes(data))
+    assert back == recs
+    data[-30] ^= 0xFF  # inside the last compressed block
+    with pytest.raises(ValueError):
+        read_container(bytes(data))

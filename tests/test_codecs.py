@@ -674,3 +674,23 @@ def test_png_adam7_interlace_roundtrip():
     good = encode_png(8, 8, list(range(8 * 8)) * 3, interlace=True)
     with pytest.raises(MediaDecodeError):
         decode_png(good[:60])
+
+
+def test_png_grayscale_roundtrip():
+    """r11: grayscale PNGs (color types 0 and 4) decode with the gray
+    channel replicated x3, preserving the (h, w, 3) operator contract;
+    gray-alpha drops alpha like RGBA."""
+    from kafka_sink_azure_kusto_spark.functions.codecs import encode_png_gray
+
+    w, h = 9, 6
+    gray = [(x * 37 + 5) % 256 for x in range(w * h)]
+    expect = [g for g in gray for _ in range(3)]
+    for interlace in (False, True):
+        m = decode_png(encode_png_gray(w, h, gray, interlace=interlace))
+        assert (m.media_type, m.width, m.height) == ("png", w, h)
+        assert list(m.samples) == expect
+        alpha = [(x * 11) % 256 for x in range(w * h)]
+        m4 = decode_png(
+            encode_png_gray(w, h, gray, alpha=alpha, interlace=interlace)
+        )
+        assert list(m4.samples) == expect
