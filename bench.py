@@ -202,6 +202,7 @@ HEADLINE = [
     "streaming_knn_graph_maintenance",
     "graph_entry_strategy_audit",
     "bpe_pack_token_windows",
+    "multimodal_jpeg_decode_gate",
 ]
 
 

@@ -531,4 +531,8 @@ def decode_media_bytes(data: bytes) -> DecodedMedia:
         return decode_wav(data)
     if data[:8] == _PNG_SIG:
         return decode_png(data)
+    if data[:2] == b"\xff\xd8":
+        from kafka_sink_azure_kusto_spark.functions.jpeg import decode_jpeg
+
+        return decode_jpeg(data)
     raise MediaDecodeError(f"unrecognized media magic {data[:4]!r}")

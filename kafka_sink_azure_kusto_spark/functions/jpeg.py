@@ -1,0 +1,577 @@
+"""Pure-Python baseline JPEG codec (ITU-T T.81 / JFIF).
+
+The multimodal family's real-corpus formats: BMP/PPM/WAV (round 2),
+PNG (r11), and now JPEG — the dominant image format in LAION-style
+corpora. No codec library ships in this environment, so baseline
+sequential DCT JPEG is implemented from the public spec:
+
+- **Decoder**: marker walk (DQT/SOF0/DHT/DRI/SOS), Huffman-coded MCU
+  scan with byte unstuffing and restart-marker DC-predictor resets,
+  run-length AC with EOB/ZRL, dequantize → de-zigzag → 8×8 IDCT
+  (exact separable cosine matrix, float64), chroma upsampling for
+  4:4:4 / 4:2:2 / 4:2:0 sampling factors (nearest/box replication),
+  JFIF YCbCr→RGB. Progressive (SOF2), arithmetic coding, 12-bit
+  precision, and >2 quant/huffman table slots per class reject loudly
+  as ``MediaDecodeError``.
+- **Encoder**: 4:4:4, Annex-K example quantization tables scaled by
+  the libjpeg quality formula, the spec's "typical" Huffman tables
+  (K.3.3), level shift → DCT → round-half-away quantize → zigzag →
+  DC-differential + AC run-length Huffman, 0xFF byte stuffing.
+
+JPEG is LOSSY, so unlike BMP/PPM/PNG/WAV it cannot join the
+exact-value oracle gates (no SQL replays DCT round trips); the
+contract here is unit-level: golden hand-assembled streams pin the
+decoder (DC-only and single-AC blocks verified against an independent
+naive O(N⁴) IDCT), encode→decode round trips bound max pixel error at
+high quality, and every unsupported shape rejects loudly. The Spark
+integration is the SAME decode-once dispatch (`decode_media_bytes`)
+the other formats use — a JPEG blob in a binary column flows through
+`decode_media` / dHash / resize untouched.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Sequence
+
+import numpy as np
+
+from kafka_sink_azure_kusto_spark.functions.codecs import (
+    DecodedMedia,
+    MediaDecodeError,
+)
+
+# ------------------------------------------------------------ constants
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# Annex K.1/K.2 example quantization tables (natural order)
+_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K.3.3 "typical" Huffman tables: (bits[1..16], values)
+_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# separable DCT basis: D[u, x] = 0.5 * C(u) * cos((2x+1)uπ/16)
+_DCT = np.zeros((8, 8))
+for _u in range(8):
+    _c = (1.0 / np.sqrt(2.0)) if _u == 0 else 1.0
+    for _x in range(8):
+        _DCT[_u, _x] = 0.5 * _c * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+
+def _huff_codes(bits: Sequence[int], values: Sequence[int]) -> dict:
+    """Canonical JPEG Huffman code assignment: value → (code, length)."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[values[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_tree(bits: Sequence[int], values: Sequence[int]) -> dict:
+    """(length, code) → value lookup for decoding."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """libjpeg quality scaling of the Annex-K tables (public formula):
+    scale = 5000/q for q<50 else 200−2q; entries clamped to 1..255."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+
+    def scaled(base: np.ndarray) -> np.ndarray:
+        t = (base * scale + 50) // 100
+        return np.clip(t, 1, 255)
+
+    return scaled(_QT_LUMA), scaled(_QT_CHROMA)
+
+
+# --------------------------------------------------------------- encoder
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude category + the (category)-bit value bits."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    cat = a.bit_length()
+    bits = v if v > 0 else v + (1 << cat) - 1
+    return cat, bits
+
+
+def _encode_block(
+    w: _BitWriter, block: np.ndarray, qt: np.ndarray,
+    dc_codes: dict, ac_codes: dict, pred: int,
+) -> int:
+    coef = _DCT @ (block - 128.0) @ _DCT.T
+    # round half away from zero (the spec's quantizer intent; numpy's
+    # bankers rounding would bias coefficients toward even)
+    q = coef / qt.reshape(8, 8)
+    quant = np.sign(q) * np.floor(np.abs(q) + 0.5)
+    zz = quant.reshape(-1)[_ZIGZAG].astype(np.int64)
+    dc = int(zz[0])
+    cat, bits = _magnitude(dc - pred)
+    code, ln = dc_codes[cat]
+    w.write(code, ln)
+    if cat:
+        w.write(bits, cat)
+    run = 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if zz[i] != 0:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            w.write(code, ln)
+            run -= 16
+        cat, bits = _magnitude(v)
+        code, ln = ac_codes[(run << 4) | cat]
+        w.write(code, ln)
+        w.write(bits, cat)
+        run = 0
+    if last_nz != 63:
+        code, ln = ac_codes[0x00]  # EOB
+        w.write(code, ln)
+    return dc
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    rgb: Sequence[int],
+    quality: int = 90,
+) -> bytes:
+    """Baseline JFIF JPEG, 4:4:4 (no chroma subsampling), Annex-K
+    tables at the given libjpeg-formula quality. ``rgb`` is row-major
+    top-down RGB-interleaved. Deterministic byte-for-byte."""
+    if len(rgb) != 3 * width * height:
+        raise ValueError("rgb length must be 3*width*height")
+    arr = np.asarray(rgb, dtype=np.float64).reshape(height, width, 3)
+    if arr.size and (arr.min() < 0 or arr.max() > 255):
+        raise ValueError("rgb values must be in 0..255")
+    r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    qly, qlc = quality_tables(quality)
+
+    def pad8(p: np.ndarray) -> np.ndarray:
+        ph = (8 - p.shape[0] % 8) % 8
+        pw = (8 - p.shape[1] % 8) % 8
+        return np.pad(p, ((0, ph), (0, pw)), mode="edge")
+
+    planes = [pad8(y), pad8(cb), pad8(cr)]
+    dc_l, ac_l = _huff_codes(*_DC_LUMA), _huff_codes(*_AC_LUMA)
+    dc_c, ac_c = _huff_codes(*_DC_CHROMA), _huff_codes(*_AC_CHROMA)
+    w = _BitWriter()
+    preds = [0, 0, 0]
+    bh, bw = planes[0].shape[0] // 8, planes[0].shape[1] // 8
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, plane in enumerate(planes):
+                blk = plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                qt = qly if ci == 0 else qlc
+                dcc = dc_l if ci == 0 else dc_c
+                acc = ac_l if ci == 0 else ac_c
+                preds[ci] = _encode_block(w, blk, qt, dcc, acc, preds[ci])
+    w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def dqt(tid: int, table: np.ndarray) -> bytes:
+        return seg(0xDB, bytes([tid]) + bytes(
+            int(table[z]) for z in _ZIGZAG
+        ))
+
+    def dht(cls: int, tid: int, bits, values) -> bytes:
+        return seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(values))
+
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", height, width) + bytes([
+        3,
+        1, 0x11, 0,   # Y: 1x1, qt 0
+        2, 0x11, 1,   # Cb: 1x1, qt 1
+        3, 0x11, 1,   # Cr
+    ]))
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    return (
+        b"\xff\xd8" + app0
+        + dqt(0, qly) + dqt(1, qlc)
+        + sof
+        + dht(0, 0, *_DC_LUMA) + dht(1, 0, *_AC_LUMA)
+        + dht(0, 1, *_DC_CHROMA) + dht(1, 1, *_AC_CHROMA)
+        + sos + bytes(w.out) + b"\xff\xd9"
+    )
+
+
+# --------------------------------------------------------------- decoder
+
+
+class _BitReader:
+    """Entropy-coded segment reader: unstuffs 0xFF00, surfaces RSTn."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise MediaDecodeError("JPEG entropy data truncated")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                # a real marker mid-entropy-read means the MCU walk and
+                # the stream disagree (restart markers are consumed at
+                # MCU boundaries by align_restart, never here)
+                raise MediaDecodeError(
+                    f"JPEG unexpected marker 0xFF{nxt:02X} in scan"
+                    if nxt is not None else "JPEG scan ends at bare 0xFF"
+                )
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_restart(self, expect: int) -> None:
+        """Discard pad bits and consume the RSTn marker at an MCU
+        restart boundary."""
+        self.nbits = 0  # discard pad bits
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and d[self.pos + 1] != 0x00:
+                m = d[self.pos + 1]
+                if 0xD0 <= m <= 0xD7:
+                    if (m - 0xD0) != expect:
+                        raise MediaDecodeError(
+                            f"JPEG restart marker out of order: got "
+                            f"{m - 0xD0}, want {expect}"
+                        )
+                    self.pos += 2
+                    return
+                raise MediaDecodeError(
+                    f"JPEG expected RST{expect}, found 0xFF{m:02X}"
+                )
+            self.pos += 1
+        raise MediaDecodeError("JPEG truncated before restart marker")
+
+
+def _huff_decode(r: _BitReader, tree: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | r.bit()
+        v = tree.get((ln, code))
+        if v is not None:
+            return v
+    raise MediaDecodeError("JPEG invalid Huffman code")
+
+
+def _extend(bits: int, cat: int) -> int:
+    if cat == 0:
+        return 0
+    return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
+
+
+def decode_jpeg(data: bytes) -> DecodedMedia:
+    """Decode a baseline sequential JFIF/EXIF JPEG to top-down RGB
+    samples. Supports 1- or 3-component scans, sampling factors up to
+    2×2 (4:4:4 / 4:2:2 / 4:2:0), restart intervals, multiple DQT/DHT
+    segments. Everything else (progressive SOF2, arithmetic coding,
+    12-bit, hierarchical) rejects as MediaDecodeError."""
+    if data[:2] != b"\xff\xd8":
+        raise MediaDecodeError("not a JPEG payload")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    hts: dict[tuple[int, int], dict] = {}
+    width = height = None
+    comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
+    restart = 0
+    scan = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise MediaDecodeError(f"JPEG marker expected at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0xC1,):  # extended sequential — same scan layout
+            marker = 0xC0
+        if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                      0xCD, 0xCE, 0xCF):
+            raise MediaDecodeError(
+                f"unsupported JPEG SOF marker 0xFF{marker:02X} "
+                "(baseline sequential only)"
+            )
+        (seg_len,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4: pos + 2 + seg_len]
+        if len(body) != seg_len - 2:
+            raise MediaDecodeError("JPEG segment truncated")
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise MediaDecodeError("unsupported 16-bit JPEG DQT")
+                tbl = np.zeros(64, dtype=np.int64)
+                raw = body[i + 1: i + 65]
+                if len(raw) != 64:
+                    raise MediaDecodeError("JPEG DQT truncated")
+                tbl[_ZIGZAG] = np.frombuffer(raw, dtype=np.uint8)
+                qts[tq] = tbl
+                i += 65
+        elif marker == 0xC0:  # SOF0
+            prec = body[0]
+            if prec != 8:
+                raise MediaDecodeError(f"unsupported JPEG precision {prec}")
+            height, width = struct.unpack_from(">HH", body, 1)
+            n = body[5]
+            comps = []
+            for c in range(n):
+                cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1: i + 17])
+                nv = sum(bits)
+                values = list(body[i + 17: i + 17 + nv])
+                if len(values) != nv:
+                    raise MediaDecodeError("JPEG DHT truncated")
+                hts[(cls, tid)] = _huff_tree(bits, values)
+                i += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cs, tt = body[1 + 2 * c], body[2 + 2 * c]
+                scan.append((cs, tt >> 4, tt & 0xF))
+            pos = pos + 2 + seg_len
+            break
+        # APPn / COM / others: skipped
+        pos = pos + 2 + seg_len
+    if width is None or scan is None:
+        raise MediaDecodeError("JPEG missing SOF or SOS")
+    if width <= 0 or height <= 0:
+        raise MediaDecodeError("non-positive JPEG dimensions")
+    by_id = {c[0]: c for c in comps}
+    sc = []
+    for cs, td, ta in scan:
+        if cs not in by_id:
+            raise MediaDecodeError(f"JPEG scan references unknown component {cs}")
+        _, h, v, tq = by_id[cs]
+        if h not in (1, 2) or v not in (1, 2):
+            raise MediaDecodeError(
+                f"unsupported JPEG sampling factors {h}x{v}"
+            )
+        if tq not in qts or (0, td) not in hts or (1, ta) not in hts:
+            raise MediaDecodeError("JPEG missing quant/huffman table")
+        sc.append((cs, h, v, qts[tq], hts[(0, td)], hts[(1, ta)]))
+    hmax = max(c[1] for c in sc)
+    vmax = max(c[2] for c in sc)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * v * 8, mcux * h * 8), dtype=np.float64)
+        for _, h, v, _, _, _ in sc
+    ]
+    r = _BitReader(data, pos)
+    preds = [0] * len(sc)
+    mcu_count = 0
+    rst_seq = 0
+    idct_t = _DCT.T
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                r.align_restart(rst_seq % 8)
+                rst_seq += 1
+                preds = [0] * len(sc)
+            for ci, (cs, h, v, qt, dct_tree, act_tree) in enumerate(sc):
+                for bv in range(v):
+                    for bh_ in range(h):
+                        zz = np.zeros(64, dtype=np.int64)
+                        cat = _huff_decode(r, dct_tree)
+                        diff = _extend(r.bits(cat), cat)
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(r, act_tree)
+                            run, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if run == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise MediaDecodeError(
+                                    "JPEG AC run past block end"
+                                )
+                            zz[k] = _extend(r.bits(size), size)
+                            k += 1
+                        blk = np.zeros(64, dtype=np.float64)
+                        # zz is zigzag-ordered; qt natural-ordered —
+                        # scatter FIRST, dequantize in natural order
+                        blk[_ZIGZAG] = zz
+                        blk *= qt
+                        pix = idct_t @ blk.reshape(8, 8) @ _DCT + 128.0
+                        y0 = (my * v + bv) * 8
+                        x0 = (mx * h + bh_) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
+            mcu_count += 1
+    # upsample to full geometry and crop
+    full = []
+    for ci, (cs, h, v, _, _, _) in enumerate(sc):
+        p = planes[ci]
+        if h != hmax or v != vmax:
+            p = np.repeat(np.repeat(p, vmax // v, axis=0), hmax // h, axis=1)
+        full.append(p[:height, :width])
+    if len(full) == 1:
+        yp = np.clip(np.round(full[0]), 0, 255).astype(np.int64)
+        samples = np.repeat(yp.reshape(height, width, 1), 3, axis=2)
+        return DecodedMedia(
+            "jpeg", width, height, 0, samples.reshape(-1)
+        )
+    if len(full) != 3:
+        raise MediaDecodeError(f"unsupported JPEG component count {len(full)}")
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rr = y + 1.402 * cr
+    gg = y - 0.344136 * cb - 0.714136 * cr
+    bb = y + 1.772 * cb
+    out = np.stack([rr, gg, bb], axis=2)
+    samples = np.clip(np.round(out), 0, 255).astype(np.int64)
+    return DecodedMedia("jpeg", width, height, 0, samples.reshape(-1))

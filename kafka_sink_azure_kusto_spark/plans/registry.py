@@ -86,6 +86,7 @@ _GATE_PRIORITY = [
     "streaming_knn_graph_maintenance",   # r11: live kNN-graph upsert loop
     "graph_entry_strategy_audit",        # r11: stride vs centroid entries
     "bpe_pack_token_windows",            # r11: fixed ctx windows of ids
+    "multimodal_jpeg_decode_gate",       # r11: baseline JPEG through dispatch
     # --- changed in r11 (PNG fixture rows through the decode kernel;
     # graph_search_topk gained the entries param) ---
     "multimodal_decode",                 # r11: PNG n_bytes/media_type oracle

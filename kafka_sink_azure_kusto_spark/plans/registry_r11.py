@@ -611,3 +611,101 @@ def bpe_pack_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ids_fp"),
     )
+
+
+# ---------------------------------------------------------------------
+# JPEG decode gate (r11): baseline JPEG is LOSSY, so unlike BMP/PPM/PNG
+# it cannot join the content-stat value-hash gates (no SQL replays DCT
+# rounding). The gate splits the contract: GEOMETRY (width/height/
+# sample count — exact, closed-form from doc_id) is oracle-hashed,
+# while CONTENT sanity (decoded mean within ±2.0 of the source mean —
+# JPEG preserves block DC terms) is asserted INSIDE the kernel, so a
+# broken Huffman walk / IDCT / color transform fails the gate as an
+# error even though the oracle never sees pixel values.
+
+
+def _jpeg_geom(doc_id: int) -> tuple[int, int]:
+    return 8 + (doc_id % 5) * 4, 8 + (doc_id % 3) * 4
+
+
+@register(
+    "multimodal_jpeg_decode_gate",
+    """
+    SELECT doc_id,
+           'jpeg' AS media_type,
+           CAST(8 + (doc_id % 5) * 4 AS BIGINT) AS width,
+           CAST(8 + (doc_id % 3) * 4 AS BIGINT) AS height,
+           CAST(3 * (8 + (doc_id % 5) * 4) * (8 + (doc_id % 3) * 4)
+                AS BIGINT) AS n_samples
+    FROM documents
+    """,
+)
+def multimodal_jpeg_decode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: synthesize a deterministic JPEG (same per-pixel
+    arithmetic series as the BMP/PPM/PNG fixtures, quality 90, 4:4:4),
+    decode it through the SAME magic-byte dispatch the production
+    decode path uses, assert the lossy-content sanity bound in the
+    kernel, emit exact geometry. One Arrow-batched mapInPandas pass, no
+    shuffle (`functions/jpeg.py`)."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from kafka_sink_azure_kusto_spark.functions.codecs import (
+        decode_media_bytes,
+    )
+    from kafka_sink_azure_kusto_spark.functions.jpeg import encode_jpeg
+    from kafka_sink_azure_kusto_spark.functions.parallelism import (
+        ensure_min_parallelism,
+    )
+
+    schema = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("n_samples", LongType(), False),
+    ])
+
+    def body(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = {"doc_id": [], "media_type": [], "width": [],
+                "height": [], "n_samples": []}
+        for pdf in it:
+            for d in pdf["doc_id"]:
+                doc = int(d)
+                w, h = _jpeg_geom(doc)
+                i = np.arange(w * h, dtype=np.int64)
+                rgb = np.empty(3 * w * h, dtype=np.int64)
+                rgb[0::3] = (doc * 31 + i * 7) % 256
+                rgb[1::3] = (doc * 37 + i * 11) % 256
+                rgb[2::3] = (doc * 41 + i * 13) % 256
+                m = decode_media_bytes(encode_jpeg(w, h, rgb, quality=90))
+                if abs(float(m.samples.mean()) - float(rgb.mean())) > 2.0:
+                    raise ValueError(
+                        f"jpeg content drift for doc {doc}: decoded mean "
+                        f"{m.samples.mean():.2f} vs source {rgb.mean():.2f}"
+                    )
+                rows["doc_id"].append(doc)
+                rows["media_type"].append(m.media_type)
+                rows["width"].append(m.width)
+                rows["height"].append(m.height)
+                rows["n_samples"].append(int(m.samples.size))
+        yield pd.DataFrame({
+            "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+            "media_type": rows["media_type"],
+            "width": pd.Series(rows["width"], dtype="int64"),
+            "height": pd.Series(rows["height"], dtype="int64"),
+            "n_samples": pd.Series(rows["n_samples"], dtype="int64"),
+        })
+
+    docs = ensure_min_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    return docs.mapInPandas(body, schema=schema)
