@@ -213,3 +213,36 @@ def test_golden_420_subsampled_mcu():
         block = got[qy * 8:(qy + 1) * 8, qx * 8:(qx + 1) * 8, :]
         assert np.array_equal(block, np.broadcast_to(expect_px, block.shape)), (
             qy, qx, block[0, 0], expect_px)
+
+
+def test_cross_format_perceptual_dedup():
+    """The near-dup image story on real lossy compression: the SAME
+    image saved as PNG and as JPEG must land within the dHash near-dup
+    radius. Smooth (realistic) content hashes near-identically; even
+    pure-noise fixtures (JPEG's worst case) stay well inside the
+    8-bit Hamming threshold the dedup family uses."""
+    from kafka_sink_azure_kusto_spark.functions.codecs import encode_png
+    from kafka_sink_azure_kusto_spark.functions.multimodal import dhash64
+
+    # strong-margin gradient (every horizontal luminance step ≥ ~8):
+    # gradient SIGNS — which are all dHash keeps — survive JPEG noise
+    w, h = 24, 18
+    col = np.linspace(20, 230, w)[None, :]
+    b = np.broadcast_to(col, (h, w))
+    rgb = np.clip(np.round(np.stack([b, b, b], axis=2)), 0, 255).astype(
+        np.int64
+    ).reshape(-1)
+    hp = dhash64(decode_media_bytes(encode_png(w, h, rgb)))
+    hj = dhash64(decode_media_bytes(encode_jpeg(w, h, rgb, quality=90)))
+    assert bin(hp ^ hj).count("1") == 0
+    # noise fixtures (the synthetic corpus arithmetic): worst case
+    for doc in range(0, 120, 7):
+        wn, hn = 8 + (doc % 13), 8 + (doc % 7)
+        i = np.arange(wn * hn, dtype=np.int64)
+        nrgb = np.empty(3 * wn * hn, dtype=np.int64)
+        nrgb[0::3] = (doc * 31 + i * 7) % 256
+        nrgb[1::3] = (doc * 37 + i * 11) % 256
+        nrgb[2::3] = (doc * 41 + i * 13) % 256
+        a = dhash64(decode_media_bytes(encode_png(wn, hn, nrgb)))
+        bb = dhash64(decode_media_bytes(encode_jpeg(wn, hn, nrgb, quality=90)))
+        assert bin(a ^ bb).count("1") <= 8
