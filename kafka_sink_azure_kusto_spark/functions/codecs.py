@@ -177,14 +177,48 @@ def encode_wav(samples: Sequence[int], sample_rate: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _g711_ulaw_table() -> np.ndarray:
+    """µ-law byte → 16-bit linear PCM (ITU-T G.711): complement the
+    byte, split sign/exponent/mantissa, expand with the 0x84 bias."""
+    u = np.arange(256, dtype=np.int64) ^ 0xFF
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = ((mant << 3) + 0x84 << exp) - 0x84
+    return np.where(sign, -mag, mag)
+
+
+def _g711_alaw_table() -> np.ndarray:
+    """A-law byte → 16-bit linear PCM (ITU-T G.711): even bits toggled
+    (0x55), exponent-0 segment is linear, others add the leading 1."""
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    sign = (a & 0x80) != 0  # A-law: sign bit SET means POSITIVE
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    mag = np.where(
+        exp == 0,
+        (mant << 4) + 8,
+        ((mant << 4) + 0x108) << np.maximum(exp - 1, 0),
+    )
+    return np.where(sign, mag, -mag)
+
+
+_ULAW = _g711_ulaw_table()
+_ALAW = _g711_alaw_table()
+
+
 def decode_wav(data: bytes) -> DecodedMedia:
-    """Chunk-walk a RIFF/WAVE payload; PCM 16-bit mono only. Unknown
-    chunks (LIST, fact, …) are skipped with word alignment."""
+    """Chunk-walk a RIFF/WAVE payload: PCM 16-bit mono (fmt 1), plus
+    the G.711 telephony encodings — A-law (fmt 6) and µ-law (fmt 7),
+    8-bit mono, expanded to 16-bit linear per the public companding
+    formulas. Unknown chunks (LIST, fact, …) are skipped with word
+    alignment."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise MediaDecodeError("not a RIFF/WAVE payload")
     i = 12
     sample_rate = None
-    samples: np.ndarray | None = None
+    fmt_code = 1
+    data_body: bytes | None = None
     while i + 8 <= len(data):
         cid = data[i: i + 4]
         (clen,) = struct.unpack_from("<I", data, i + 4)
@@ -198,18 +232,29 @@ def decode_wav(data: bytes) -> DecodedMedia:
             audio_fmt, channels, rate, _brate, _align, bits = struct.unpack_from(
                 "<HHIIHH", body, 0
             )
-            if audio_fmt != 1 or channels != 1 or bits != 16:
+            ok = (audio_fmt == 1 and bits == 16) or (
+                audio_fmt in (6, 7) and bits == 8
+            )
+            if not ok or channels != 1:
                 raise MediaDecodeError(
                     f"unsupported WAV (fmt={audio_fmt}, ch={channels}, bits={bits})"
                 )
+            fmt_code = audio_fmt
             sample_rate = rate
         elif cid == b"data":
             if len(body) < clen:
                 raise MediaDecodeError("WAV data chunk truncated")
-            samples = np.frombuffer(body, dtype="<i2", count=clen // 2).astype(np.int64)
+            data_body = body[:clen]
         i += 8 + clen + (clen % 2)  # chunks are word-aligned
-    if sample_rate is None or samples is None:
+    if sample_rate is None or data_body is None:
         raise MediaDecodeError("WAV missing fmt or data chunk")
+    if fmt_code == 1:
+        samples = np.frombuffer(
+            data_body, dtype="<i2", count=len(data_body) // 2
+        ).astype(np.int64)
+    else:
+        raw = np.frombuffer(data_body, dtype=np.uint8)
+        samples = (_ALAW if fmt_code == 6 else _ULAW)[raw]
     return DecodedMedia("wav", 0, 0, sample_rate, samples)
 
 

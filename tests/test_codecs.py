@@ -694,3 +694,32 @@ def test_png_grayscale_roundtrip():
             encode_png_gray(w, h, gray, alpha=alpha, interlace=interlace)
         )
         assert list(m4.samples) == expect
+
+
+def test_wav_g711_ulaw_alaw():
+    """r11: G.711 telephony WAV (fmt 6 A-law, fmt 7 µ-law) expands to
+    16-bit linear; anchors pinned to Sun g711.c / published tables."""
+    import struct as _s
+
+    def wav(fmt, body):
+        f = _s.pack("<HHIIHH", fmt, 1, 8000, 8000, 1, 8)
+        b = (b"WAVE" + b"fmt " + _s.pack("<I", len(f)) + f
+             + b"data" + _s.pack("<I", len(body)) + body)
+        return b"RIFF" + _s.pack("<I", len(b)) + b
+
+    m = decode_wav(wav(7, bytes([0xFF, 0x7F, 0x00, 0x80])))
+    assert list(m.samples) == [0, 0, -32124, 32124]  # µ-law anchors
+    assert m.sample_rate == 8000
+    m = decode_wav(wav(6, bytes([0xD5, 0x55, 0x2A, 0xAA])))
+    assert list(m.samples) == [8, -8, -32256, 32256]  # A-law anchors
+    # stereo / odd bit depths still reject
+    f = _s.pack("<HHIIHH", 7, 2, 8000, 16000, 2, 8)
+    bad = (b"RIFF" + _s.pack("<I", 20 + len(f))
+           + b"WAVE" + b"fmt " + _s.pack("<I", len(f)) + f)
+    with pytest.raises(MediaDecodeError, match="ch=2"):
+        decode_wav(bad)
+    f = _s.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # float PCM
+    bad = (b"RIFF" + _s.pack("<I", 20 + len(f))
+           + b"WAVE" + b"fmt " + _s.pack("<I", len(f)) + f)
+    with pytest.raises(MediaDecodeError, match="fmt=3"):
+        decode_wav(bad)
