@@ -203,6 +203,7 @@ HEADLINE = [
     "graph_entry_strategy_audit",
     "bpe_pack_token_windows",
     "multimodal_jpeg_decode_gate",
+    "corpus_shard_manifest",
 ]
 
 

@@ -87,6 +87,7 @@ _GATE_PRIORITY = [
     "graph_entry_strategy_audit",        # r11: stride vs centroid entries
     "bpe_pack_token_windows",            # r11: fixed ctx windows of ids
     "multimodal_jpeg_decode_gate",       # r11: baseline JPEG through dispatch
+    "corpus_shard_manifest",             # r11: order-sensitive release hash
     # --- changed in r11 (PNG fixture rows through the decode kernel;
     # graph_search_topk gained the entries param) ---
     "multimodal_decode",                 # r11: PNG n_bytes/media_type oracle

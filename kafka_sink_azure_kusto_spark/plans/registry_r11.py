@@ -709,3 +709,60 @@ def multimodal_jpeg_decode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").select("doc_id")
     )
     return docs.mapInPandas(body, schema=schema)
+
+
+# ---------------------------------------------------------------------
+# corpus shard manifest (r11): the reproducibility artifact a 100 TB
+# release ships NEXT TO the data card — per shard, an ORDER-SENSITIVE
+# hash over the member documents' content fingerprints, so a
+# re-materialized shard can be verified bit-for-bit without re-reading
+# any other shard. Complements corpus_data_card (per-source summary
+# stats): the card says what's in the corpus, the manifest proves a
+# copy of shard k IS shard k.
+
+_MANIFEST_SHARDS = 16
+
+
+@register(
+    "corpus_shard_manifest",
+    f"""
+    WITH per AS (
+      SELECT CAST(doc_id % {_MANIFEST_SHARDS} AS INT) AS shard,
+             doc_id, md5(text) AS fp, length(text) AS n_chars
+      FROM documents)
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc_id,
+           MAX(doc_id) AS max_doc_id,
+           md5(string_agg(fp, ',' ORDER BY doc_id)) AS manifest_hash
+    FROM per GROUP BY shard
+    """,
+)
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard release manifest: member count, char volume, id range,
+    and md5 over the doc_id-ordered concatenation of per-document
+    content fingerprints. One scan computes per-doc facts; ONE shuffle
+    keyed by the shard; the collect_list is bounded by shard size (a
+    production manifest shards to bound this by construction). Hash is
+    ORDER-SENSITIVE on purpose — a shuffled copy of the same documents
+    is a different artifact."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        (F.col("doc_id") % _MANIFEST_SHARDS).cast("int").alias("shard"),
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("doc_id").alias("d"), F.col("fp").alias("f")))
+    )
+    return per.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.md5(
+            F.array_join(F.transform(ordered, lambda s: s["f"]), ",")
+        ).alias("manifest_hash"),
+    )
