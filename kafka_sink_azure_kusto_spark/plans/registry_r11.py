@@ -170,11 +170,30 @@ def _run_knn_graph_stream_loop(
     replay = os.path.join(work, "replay")
     _stage_chunks(chunks, replay)
 
-    def upsert(batch_df, epoch_id: int) -> None:
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        graph_search_topk,
+    )
+
+    probes_dir = os.path.join(work, "probes")
+
+    def upsert_and_probe(batch_df, epoch_id: int) -> None:
+        mb = batch_df.sparkSession
         st = knn_graph_upsert(
             batch_df, graph_dir, vec_dir,
             k=_KG_K, n_blocks=_KG_BLOCKS,
             id_col="vec_id", vec_col="v", seq_col="seq",
+        )
+        # serve BETWEEN batches off the updated on-disk index —
+        # epoch-keyed overwrite so a micro-batch retry rewrites its
+        # own directory (the exactly-once recipe the IVF loop uses)
+        corpus = mb.read.parquet(vec_dir).select("vec_id", "v")
+        edges = mb.read.parquet(graph_dir).select("src", "dst")
+        graph_search_topk(
+            corpus, corpus.filter(F.col("vec_id") < 8), edges,
+            k=_KG_TOPK, rounds=_KG_ROUNDS, beam=_KG_BEAM,
+            entry_stride=_KG_ENTRY, vec_col="v", query_vec_col="v",
+        ).write.mode("overwrite").parquet(
+            os.path.join(probes_dir, f"epoch={int(epoch_id)}")
         )
         if stats is not None:
             stats[int(epoch_id)] = st
@@ -185,7 +204,7 @@ def _run_knn_graph_stream_loop(
         .json(replay)
     )
     q = (
-        stream.writeStream.foreachBatch(upsert)
+        stream.writeStream.foreachBatch(upsert_and_probe)
         .option("checkpointLocation", os.path.join(work, "chk"))
         .trigger(availableNow=True)
         .start()
@@ -193,22 +212,10 @@ def _run_knn_graph_stream_loop(
     q.awaitTermination(180)
     q.stop()
 
-    from kafka_sink_azure_kusto_spark.functions.similarity import (
-        graph_search_topk,
-    )
-
-    corpus = spark.read.parquet(vec_dir).select("vec_id", "v")
-    edges = spark.read.parquet(graph_dir).select("src", "dst")
-    return graph_search_topk(
-        corpus,
-        corpus.filter(F.col("vec_id") < 8),
-        edges,
-        k=_KG_TOPK,
-        rounds=_KG_ROUNDS,
-        beam=_KG_BEAM,
-        entry_stride=_KG_ENTRY,
-        vec_col="v",
-        query_vec_col="v",
+    res = spark.read.parquet(probes_dir)
+    last = res.groupBy().agg(F.max("epoch").alias("epoch"))
+    return res.join(F.broadcast(last), "epoch").select(
+        "query_id", "neighbor_id", "score", "rank"
     )
 
 
@@ -243,11 +250,14 @@ def streaming_knn_graph_maintenance(
     score an incoming vector beats) and rewrites only affected
     adjacency blocks (`functions/similarity.knn_graph_upsert`, dynamic
     partition overwrite, last-write-wins within a batch, emptied blocks
-    removed). Gate = ``graph_search_topk`` over the POST-STREAM graph
-    vs an oracle that rebuilds the kNN graph FROM SCRATCH on the final
-    corpus and replays the identical unrolled beam search — a stale
-    adjacency row, missed tombstone edge, or unrecomputed displaced
-    node changes the walked topology and flips the value hash."""
+    removed), then SERVES a ``graph_search_topk`` probe off the updated
+    on-disk index between batches (epoch-keyed overwrite — the same
+    serve-while-maintaining shape as the IVF loop). Gate = the FINAL
+    probe vs an oracle that rebuilds the kNN graph FROM SCRATCH on the
+    final corpus and replays the identical unrolled beam search — a
+    stale adjacency row, missed tombstone edge, or unrecomputed
+    displaced node changes the walked topology and flips the value
+    hash."""
     return _run_knn_graph_stream_loop(spark, sf_dir)
 
 
