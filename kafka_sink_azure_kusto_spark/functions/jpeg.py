@@ -388,6 +388,53 @@ class _BitReader:
         raise MediaDecodeError("JPEG truncated before restart marker")
 
 
+def _exif_orientation(tiff: bytes) -> int:
+    """Pull tag 0x0112 (orientation) from an EXIF APP1 TIFF header
+    (IFD0 only — where the spec places it). Returns 1 on anything
+    malformed: orientation is a hint, a broken EXIF block must never
+    fail an otherwise-valid decode."""
+    try:
+        if tiff[:2] == b"II":
+            end = "<"
+        elif tiff[:2] == b"MM":
+            end = ">"
+        else:
+            return 1
+        (magic,) = struct.unpack_from(end + "H", tiff, 2)
+        if magic != 42:
+            return 1
+        (ifd0,) = struct.unpack_from(end + "I", tiff, 4)
+        (n,) = struct.unpack_from(end + "H", tiff, ifd0)
+        for i in range(n):
+            off = ifd0 + 2 + 12 * i
+            tag, typ, _cnt = struct.unpack_from(end + "HHI", tiff, off)
+            if tag == 0x0112 and typ == 3:  # SHORT
+                (val,) = struct.unpack_from(end + "H", tiff, off + 8)
+                return val if 1 <= val <= 8 else 1
+        return 1
+    except (struct.error, IndexError):
+        return 1
+
+
+def _apply_orientation(px: np.ndarray, orientation: int) -> np.ndarray:
+    """EXIF orientation 1-8 → upright raster (TIFF 6.0 table)."""
+    if orientation == 2:
+        return px[:, ::-1]
+    if orientation == 3:
+        return px[::-1, ::-1]
+    if orientation == 4:
+        return px[::-1, :]
+    if orientation == 5:
+        return px.transpose(1, 0, 2)
+    if orientation == 6:
+        return px.transpose(1, 0, 2)[:, ::-1]
+    if orientation == 7:
+        return px.transpose(1, 0, 2)[::-1, ::-1]
+    if orientation == 8:
+        return px.transpose(1, 0, 2)[::-1, :]
+    return px
+
+
 def _huff_decode(r: _BitReader, tree: dict) -> int:
     code = 0
     for ln in range(1, 17):
@@ -418,6 +465,7 @@ def decode_jpeg(data: bytes) -> DecodedMedia:
     width = height = None
     comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
     restart = 0
+    orientation = 1
     scan = None
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -481,7 +529,9 @@ def decode_jpeg(data: bytes) -> DecodedMedia:
                 scan.append((cs, tt >> 4, tt & 0xF))
             pos = pos + 2 + seg_len
             break
-        # APPn / COM / others: skipped
+        elif marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            orientation = _exif_orientation(body[6:])
+        # other APPn / COM: skipped
         pos = pos + 2 + seg_len
     if width is None or scan is None:
         raise MediaDecodeError("JPEG missing SOF or SOS")
@@ -563,15 +613,15 @@ def decode_jpeg(data: bytes) -> DecodedMedia:
     if len(full) == 1:
         yp = np.clip(np.round(full[0]), 0, 255).astype(np.int64)
         samples = np.repeat(yp.reshape(height, width, 1), 3, axis=2)
-        return DecodedMedia(
-            "jpeg", width, height, 0, samples.reshape(-1)
-        )
-    if len(full) != 3:
+    elif len(full) == 3:
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        rr = y + 1.402 * cr
+        gg = y - 0.344136 * cb - 0.714136 * cr
+        bb = y + 1.772 * cb
+        out = np.stack([rr, gg, bb], axis=2)
+        samples = np.clip(np.round(out), 0, 255).astype(np.int64)
+    else:
         raise MediaDecodeError(f"unsupported JPEG component count {len(full)}")
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    rr = y + 1.402 * cr
-    gg = y - 0.344136 * cb - 0.714136 * cr
-    bb = y + 1.772 * cb
-    out = np.stack([rr, gg, bb], axis=2)
-    samples = np.clip(np.round(out), 0, 255).astype(np.int64)
-    return DecodedMedia("jpeg", width, height, 0, samples.reshape(-1))
+    samples = _apply_orientation(samples, orientation)
+    oh, ow = samples.shape[0], samples.shape[1]
+    return DecodedMedia("jpeg", ow, oh, 0, np.ascontiguousarray(samples).reshape(-1))

@@ -246,3 +246,48 @@ def test_cross_format_perceptual_dedup():
         a = dhash64(decode_media_bytes(encode_png(wn, hn, nrgb)))
         bb = dhash64(decode_media_bytes(encode_jpeg(wn, hn, nrgb, quality=90)))
         assert bin(a ^ bb).count("1") <= 8
+
+
+def test_exif_orientation_applied():
+    """r11: EXIF orientation tag (APP1 TIFF, tag 0x0112) is applied on
+    decode — all 8 orientations verified against numpy transforms of
+    the baseline (orientation-1) decode; malformed EXIF is ignored."""
+    w, h = 16, 8
+    rng = np.random.default_rng(4)
+    rgb = rng.integers(0, 256, 3 * w * h)
+    base = encode_jpeg(w, h, rgb, quality=90)
+    m1 = decode_jpeg(base)
+    px1 = m1.samples.reshape(h, w, 3)
+
+    def with_exif(orientation, endian=b"II"):
+        if endian == b"II":
+            tiff = (b"II" + struct.pack("<H", 42) + struct.pack("<I", 8)
+                    + struct.pack("<H", 1)
+                    + struct.pack("<HHI", 0x0112, 3, 1)
+                    + struct.pack("<H", orientation) + b"\x00\x00"
+                    + struct.pack("<I", 0))
+        else:
+            tiff = (b"MM" + struct.pack(">H", 42) + struct.pack(">I", 8)
+                    + struct.pack(">H", 1)
+                    + struct.pack(">HHI", 0x0112, 3, 1)
+                    + struct.pack(">H", orientation) + b"\x00\x00"
+                    + struct.pack(">I", 0))
+        app1 = _seg(0xE1, b"Exif\x00\x00" + tiff)
+        return base[:2] + app1 + base[2:]
+
+    expect = {
+        1: px1, 2: px1[:, ::-1], 3: px1[::-1, ::-1], 4: px1[::-1, :],
+        5: px1.transpose(1, 0, 2), 6: px1.transpose(1, 0, 2)[:, ::-1],
+        7: px1.transpose(1, 0, 2)[::-1, ::-1], 8: px1.transpose(1, 0, 2)[::-1, :],
+    }
+    for o, exp in expect.items():
+        m = decode_jpeg(with_exif(o))
+        assert (m.height, m.width) == exp.shape[:2], o
+        assert np.array_equal(m.samples.reshape(exp.shape), exp), o
+    # big-endian TIFF header also parses
+    m = decode_jpeg(with_exif(6, endian=b"MM"))
+    assert (m.width, m.height) == (h, w)
+    # garbage EXIF does not break the decode
+    app1 = _seg(0xE1, b"Exif\x00\x00" + b"XX\x00\x00garbage")
+    m = decode_jpeg(base[:2] + app1 + base[2:])
+    assert np.array_equal(m.samples.reshape(h, w, 3), px1)
