@@ -207,16 +207,20 @@ def _magnitude(v: int) -> tuple[int, int]:
     return cat, bits
 
 
-def _encode_block(
-    w: _BitWriter, block: np.ndarray, qt: np.ndarray,
-    dc_codes: dict, ac_codes: dict, pred: int,
-) -> int:
+def _quantize_block(block: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """8×8 spatial block → zigzag-ordered quantized coefficients."""
     coef = _DCT @ (block - 128.0) @ _DCT.T
     # round half away from zero (the spec's quantizer intent; numpy's
     # bankers rounding would bias coefficients toward even)
     q = coef / qt.reshape(8, 8)
     quant = np.sign(q) * np.floor(np.abs(q) + 0.5)
-    zz = quant.reshape(-1)[_ZIGZAG].astype(np.int64)
+    return quant.reshape(-1)[_ZIGZAG].astype(np.int64)
+
+
+def _emit_quantized_block(
+    w: _BitWriter, zz: np.ndarray,
+    dc_codes: dict, ac_codes: dict, pred: int,
+) -> int:
     dc = int(zz[0])
     cat, bits = _magnitude(dc - pred)
     code, ln = dc_codes[cat]
@@ -249,17 +253,157 @@ def _encode_block(
     return dc
 
 
-def encode_jpeg(
-    width: int,
-    height: int,
-    rgb: Sequence[int],
-    quality: int = 90,
-) -> bytes:
-    """Baseline JFIF JPEG, 4:4:4 (no chroma subsampling), Annex-K
-    tables at the given libjpeg-formula quality. ``rgb`` is row-major
-    top-down RGB-interleaved. Deterministic byte-for-byte."""
-    if len(rgb) != 3 * width * height:
-        raise ValueError("rgb length must be 3*width*height")
+# Progressive AC table: uniform 8-bit canonical codes over every RS the
+# refinement/EOBn machinery can emit — all (run, size 0..10) incl. the
+# EOBn symbols 0x10..0xE0 baseline tables never contain. 176 symbols in
+# 256 8-bit codes keeps the all-ones code unused (spec requirement).
+_PROG_AC = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    [(r << 4) | s for r in range(16) for s in range(11)],
+)
+
+
+def _seg_bytes(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _point_shift(v: int, al: int) -> int:
+    """AC point transform: magnitude shift preserving sign (T.81)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _emit_ac_first_scan(
+    w: _BitWriter, grid: np.ndarray, ss: int, se: int, al: int, ac: dict
+) -> None:
+    eobrun = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            n = eobrun.bit_length() - 1
+            code, ln = ac[n << 4]
+            w.write(code, ln)
+            if n:
+                w.write(eobrun - (1 << n), n)
+            eobrun = 0
+
+    bly, blx = grid.shape[0], grid.shape[1]
+    for by in range(bly):
+        for bx in range(blx):
+            band = [
+                _point_shift(int(grid[by, bx, k]), al)
+                for k in range(ss, se + 1)
+            ]
+            last_nz = -1
+            for i in range(len(band) - 1, -1, -1):
+                if band[i] != 0:
+                    last_nz = i
+                    break
+            if last_nz < 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for i in range(last_nz + 1):
+                v = band[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac[0xF0]
+                    w.write(code, ln)
+                    run -= 16
+                cat, bits = _magnitude(v)
+                code, ln = ac[(run << 4) | cat]
+                w.write(code, ln)
+                w.write(bits, cat)
+                run = 0
+            if last_nz != se - ss:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+    flush_eob()
+
+
+def _emit_ac_refine_scan(
+    w: _BitWriter, grid: np.ndarray, ss: int, se: int, al: int, ac: dict
+) -> None:
+    """AC successive-approximation refinement (the jcphuff.c
+    encode_mcu_AC_refine algorithm). TWO correction-bit buffers, as in
+    libjpeg: ``br`` holds the CURRENT block's bits (emitted right after
+    each ZRL / newly-significant symbol), ``be`` holds bits belonging
+    to blocks folded into the pending EOB run (emitted with the EOBn
+    symbol) — conflating them desyncs the decoder's tail-bit reads."""
+    eobrun = 0
+    be: list[int] = []
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            n = eobrun.bit_length() - 1
+            code, ln = ac[n << 4]
+            w.write(code, ln)
+            if n:
+                w.write(eobrun - (1 << n), n)
+            for bit in be:
+                w.write(bit, 1)
+            be.clear()
+            eobrun = 0
+
+    bly, blx = grid.shape[0], grid.shape[1]
+    for by in range(bly):
+        for bx in range(blx):
+            absv = [
+                abs(int(grid[by, bx, k])) >> al for k in range(ss, se + 1)
+            ]
+            eob = -1
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eob = i
+            run = 0
+            br: list[int] = []
+            for i, t in enumerate(absv):
+                if t == 0:
+                    run += 1
+                    continue
+                # the ZRL flush runs at EVERY nonzero position (old or
+                # new) so each ZRL carries exactly the correction bits
+                # of the positions it spans (jcphuff.c loop order)
+                while run > 15 and i <= eob:
+                    flush_eob()
+                    code, ln = ac[0xF0]
+                    w.write(code, ln)
+                    run -= 16
+                    for bit in br:
+                        w.write(bit, 1)
+                    br.clear()
+                if t > 1:  # already significant: buffer a correction bit
+                    br.append(t & 1)
+                    continue
+                # newly significant (t == 1)
+                flush_eob()
+                code, ln = ac[(run << 4) | 1]
+                w.write(code, ln)
+                w.write(1 if int(grid[by, bx, ss + i]) > 0 else 0, 1)
+                for bit in br:
+                    w.write(bit, 1)
+                br.clear()
+                run = 0
+            if run > 0 or br:
+                eobrun += 1
+                be.extend(br)
+                if eobrun == 0x7FFF or len(be) > 900:
+                    flush_eob()
+    flush_eob()
+
+
+def _coef_grids(
+    width: int, height: int, rgb, quality: int
+) -> tuple[list[np.ndarray], np.ndarray, np.ndarray]:
+    """Shared encode front half: color transform, pad, DCT+quantize →
+    per-component zigzag coefficient grids."""
     arr = np.asarray(rgb, dtype=np.float64).reshape(height, width, 3)
     if arr.size and (arr.min() < 0 or arr.max() > 255):
         raise ValueError("rgb values must be in 0..255")
@@ -274,49 +418,134 @@ def encode_jpeg(
         pw = (8 - p.shape[1] % 8) % 8
         return np.pad(p, ((0, ph), (0, pw)), mode="edge")
 
-    planes = [pad8(y), pad8(cb), pad8(cr)]
-    dc_l, ac_l = _huff_codes(*_DC_LUMA), _huff_codes(*_AC_LUMA)
-    dc_c, ac_c = _huff_codes(*_DC_CHROMA), _huff_codes(*_AC_CHROMA)
-    w = _BitWriter()
-    preds = [0, 0, 0]
-    bh, bw = planes[0].shape[0] // 8, planes[0].shape[1] // 8
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, plane in enumerate(planes):
-                blk = plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
-                qt = qly if ci == 0 else qlc
-                dcc = dc_l if ci == 0 else dc_c
-                acc = ac_l if ci == 0 else ac_c
-                preds[ci] = _encode_block(w, blk, qt, dcc, acc, preds[ci])
-    w.flush()
+    grids = []
+    for ci, plane in enumerate((pad8(y), pad8(cb), pad8(cr))):
+        qt = qly if ci == 0 else qlc
+        bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+        grid = np.zeros((bh, bw, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                grid[by, bx] = _quantize_block(
+                    plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8], qt
+                )
+        grids.append(grid)
+    return grids, qly, qlc
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    rgb: Sequence[int],
+    quality: int = 90,
+    progressive: bool = False,
+) -> bytes:
+    """JFIF JPEG, 4:4:4 (no chroma subsampling), Annex-K tables at the
+    given libjpeg-formula quality. ``rgb`` is row-major top-down
+    RGB-interleaved. Deterministic byte-for-byte. ``progressive``
+    emits SOF2 with a spectral-selection + successive-approximation
+    progression (DC first/refine, split AC bands at Al=1, AC
+    refinement passes) — the SAME quantized coefficients as the
+    baseline form, losslessly rearranged, so the two decode
+    identically."""
+    if len(rgb) != 3 * width * height:
+        raise ValueError("rgb length must be 3*width*height")
+    grids, qly, qlc = _coef_grids(width, height, rgb, quality)
+    seg = _seg_bytes
 
     def dqt(tid: int, table: np.ndarray) -> bytes:
-        return seg(0xDB, bytes([tid]) + bytes(
-            int(table[z]) for z in _ZIGZAG
-        ))
+        return seg(0xDB, bytes([tid]) + bytes(int(table[z]) for z in _ZIGZAG))
 
     def dht(cls: int, tid: int, bits, values) -> bytes:
         return seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(values))
 
-    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", height, width) + bytes([
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    sof_body = bytes([8]) + struct.pack(">HH", height, width) + bytes([
         3,
         1, 0x11, 0,   # Y: 1x1, qt 0
         2, 0x11, 1,   # Cb: 1x1, qt 1
         3, 0x11, 1,   # Cr
-    ]))
-    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
-    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
-    return (
-        b"\xff\xd8" + app0
-        + dqt(0, qly) + dqt(1, qlc)
-        + sof
-        + dht(0, 0, *_DC_LUMA) + dht(1, 0, *_AC_LUMA)
-        + dht(0, 1, *_DC_CHROMA) + dht(1, 1, *_AC_CHROMA)
-        + sos + bytes(w.out) + b"\xff\xd9"
-    )
+    ])
+    head = b"\xff\xd8" + app0 + dqt(0, qly) + dqt(1, qlc)
+
+    if not progressive:
+        dc_l, ac_l = _huff_codes(*_DC_LUMA), _huff_codes(*_AC_LUMA)
+        dc_c, ac_c = _huff_codes(*_DC_CHROMA), _huff_codes(*_AC_CHROMA)
+        w = _BitWriter()
+        preds = [0, 0, 0]
+        bh, bw = grids[0].shape[0], grids[0].shape[1]
+        for by in range(bh):
+            for bx in range(bw):
+                for ci in range(3):
+                    zz = grids[ci][by, bx]
+                    dcc = dc_l if ci == 0 else dc_c
+                    acc = ac_l if ci == 0 else ac_c
+                    preds[ci] = _emit_quantized_block(
+                        w, zz, dcc, acc, preds[ci]
+                    )
+        w.flush()
+        sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+        return (
+            head + seg(0xC0, sof_body)
+            + dht(0, 0, *_DC_LUMA) + dht(1, 0, *_AC_LUMA)
+            + dht(0, 1, *_DC_CHROMA) + dht(1, 1, *_AC_CHROMA)
+            + sos + bytes(w.out) + b"\xff\xd9"
+        )
+
+    # progressive: SOF2 + the scan script
+    dc_l = _huff_codes(*_DC_LUMA)
+    dc_c = _huff_codes(*_DC_CHROMA)
+    prog_ac = _huff_codes(*_PROG_AC)
+    out = bytearray(head + seg(0xC2, sof_body))
+    out += dht(0, 0, *_DC_LUMA) + dht(0, 1, *_DC_CHROMA)
+    out += dht(1, 0, *_PROG_AC)
+
+    def sos_hdr(comps_tt: list[tuple[int, int]], ss_, se_, ah_, al_) -> bytes:
+        body = bytes([len(comps_tt)])
+        for cid, tt in comps_tt:
+            body += bytes([cid, tt])
+        return seg(0xDA, body + bytes([ss_, se_, (ah_ << 4) | al_]))
+
+    # scan 1: DC first, interleaved, Al=1
+    w = _BitWriter()
+    preds = [0, 0, 0]
+    bh, bw = grids[0].shape[0], grids[0].shape[1]
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(3):
+                dcc = dc_l if ci == 0 else dc_c
+                v = int(grids[ci][by, bx, 0]) >> 1  # arithmetic, Al=1
+                cat, bits = _magnitude(v - preds[ci])
+                code, ln = dcc[cat]
+                w.write(code, ln)
+                if cat:
+                    w.write(bits, cat)
+                preds[ci] = v
+    w.flush()
+    out += sos_hdr([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 0, 1) + bytes(w.out)
+    # scans 2-5: AC first at Al=1 — luma split into two bands to
+    # exercise spectral selection; chroma full-band
+    for cid, ci, ss_, se_ in ((1, 0, 1, 5), (3, 2, 1, 63),
+                              (2, 1, 1, 63), (1, 0, 6, 63)):
+        w = _BitWriter()
+        _emit_ac_first_scan(w, grids[ci], ss_, se_, 1, prog_ac)
+        w.flush()
+        out += sos_hdr([(cid, 0x00)], ss_, se_, 0, 1) + bytes(w.out)
+    # scan 6: DC refinement (raw bits, no Huffman)
+    w = _BitWriter()
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(3):
+                w.write(int(grids[ci][by, bx, 0]) & 1, 1)
+    w.flush()
+    out += sos_hdr([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 1, 0) + bytes(w.out)
+    # scans 7-9: AC refinement to full precision
+    for cid, ci in ((1, 0), (2, 1), (3, 2)):
+        w = _BitWriter()
+        _emit_ac_refine_scan(w, grids[ci], 1, 63, 0, prog_ac)
+        w.flush()
+        out += sos_hdr([(cid, 0x00)], 1, 63, 1, 0) + bytes(w.out)
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 # --------------------------------------------------------------- decoder
@@ -451,12 +680,195 @@ def _extend(bits: int, cat: int) -> int:
     return bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
 
 
+def _prog_ac_first_block(r, coef, ac_tree, ss, se, al, eobrun: int) -> int:
+    """One block of an AC spectral-selection FIRST scan (Ah=0)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(r, ac_tree)
+        run, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if run == 15:
+                k += 16  # ZRL
+                continue
+            eobrun = (1 << run) - 1
+            if run:
+                eobrun += r.bits(run)
+            break
+        k += run
+        if k > se:
+            raise MediaDecodeError("JPEG progressive AC run past band end")
+        coef[k] = _extend(r.bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _prog_ac_refine_block(r, coef, ac_tree, ss, se, al, eobrun: int) -> int:
+    """One block of an AC successive-approximation REFINEMENT scan
+    (Ah=Al+1): correction bits for already-significant coefficients
+    interleave with newly-significant ±2^Al insertions (T.81 G.1.2.3 /
+    the jdphuff.c refinement algorithm)."""
+    p1 = 1 << al
+    m1 = -p1
+
+    def correct(k_: int) -> None:
+        c = int(coef[k_])
+        if r.bit() and (c & p1) == 0:
+            coef[k_] = c + (p1 if c >= 0 else m1)
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(r, ac_tree)
+            run, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if run < 15:
+                    # FULL count here (unlike the first-pass form): the
+                    # tail clause below consumes this block's remaining
+                    # correction bits and decrements (jdphuff.c)
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += r.bits(run)
+                    break
+                sval = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise MediaDecodeError(
+                        "JPEG progressive AC refinement size != 1"
+                    )
+                sval = p1 if r.bit() else m1
+            while k <= se:
+                if int(coef[k]) != 0:
+                    correct(k)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if k <= se and sval != 0:
+                coef[k] = sval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if int(coef[k]) != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(
+    r, comps, hts, scan, ss, se, ah, al,
+    restart, width, height, coef_store,
+) -> None:
+    """Decode one progressive SOS into the per-component coefficient
+    store. Interleaved (multi-component, DC only per T.81) scans walk
+    MCUs; single-component scans walk the component's OWN block grid
+    in raster order. Restart intervals reset DC predictors and the
+    EOB run."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    idx_by_id = {c[0]: i for i, c in enumerate(comps)}
+    sel = []
+    for cs, td, ta in scan:
+        if cs not in idx_by_id:
+            raise MediaDecodeError(f"JPEG scan references unknown component {cs}")
+        ci = idx_by_id[cs]
+        if ss == 0:
+            tree = hts.get((0, td))
+            if ah == 0 and tree is None:
+                raise MediaDecodeError("JPEG missing DC huffman table")
+        else:
+            tree = hts.get((1, ta))
+            if tree is None:
+                raise MediaDecodeError("JPEG missing AC huffman table")
+        sel.append((ci, tree))
+    if ss != 0 and len(sel) != 1:
+        raise MediaDecodeError("JPEG progressive AC scan must be single-component")
+    if ss == 0 and se != 0:
+        raise MediaDecodeError("JPEG progressive DC scan must have Se=0")
+    eobrun = 0
+    preds = [0] * len(sel)
+    rst_seq = 0
+    unit = 0
+
+    def maybe_restart() -> None:
+        nonlocal eobrun, preds, rst_seq
+        if restart and unit and unit % restart == 0:
+            r.align_restart(rst_seq % 8)
+            rst_seq += 1
+            eobrun = 0
+            preds = [0] * len(sel)
+
+    def dc_block(si: int, coef) -> None:
+        _, tree = sel[si]
+        if ah == 0:
+            cat = _huff_decode(r, tree)
+            diff = _extend(r.bits(cat), cat)
+            preds[si] += diff
+            coef[0] = preds[si] << al
+        else:
+            coef[0] = int(coef[0]) | (r.bit() << al)
+
+    if ss == 0 and len(sel) > 1:
+        # interleaved DC scan: MCU walk, h×v blocks per component
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart()
+                for si, (ci, _tree) in enumerate(sel):
+                    _, h, v, _ = comps[ci]
+                    grid = coef_store[ci]
+                    for bv in range(v):
+                        for bh_ in range(h):
+                            dc_block(si, grid[my * v + bv, mx * h + bh_])
+                unit += 1
+        return
+    # non-interleaved scan (DC or AC): the component's own block raster
+    ci, tree = sel[0]
+    _, h, v, _ = comps[ci]
+    comp_w = -(-(width * h) // hmax)
+    comp_h = -(-(height * v) // vmax)
+    bw = -(-comp_w // 8)
+    bh = -(-comp_h // 8)
+    grid = coef_store[ci]
+    for by in range(bh):
+        for bx in range(bw):
+            maybe_restart()
+            coef = grid[by, bx]
+            if ss == 0:
+                dc_block(0, coef)
+            elif ah == 0:
+                eobrun = _prog_ac_first_block(r, coef, tree, ss, se, al, eobrun)
+            else:
+                eobrun = _prog_ac_refine_block(r, coef, tree, ss, se, al, eobrun)
+            unit += 1
+
+
+def _skip_to_marker(data: bytes, pos: int) -> int:
+    """Advance past entropy-coded data to the next REAL marker (not a
+    stuffed 0xFF00, not a restart)."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF and data[pos + 1] != 0x00 and not (
+            0xD0 <= data[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    raise MediaDecodeError("JPEG truncated inside entropy data")
+
+
 def decode_jpeg(data: bytes) -> DecodedMedia:
-    """Decode a baseline sequential JFIF/EXIF JPEG to top-down RGB
-    samples. Supports 1- or 3-component scans, sampling factors up to
-    2×2 (4:4:4 / 4:2:2 / 4:2:0), restart intervals, multiple DQT/DHT
-    segments. Everything else (progressive SOF2, arithmetic coding,
-    12-bit, hierarchical) rejects as MediaDecodeError."""
+    """Decode a baseline sequential (SOF0/SOF1) or PROGRESSIVE (SOF2)
+    JFIF/EXIF JPEG to top-down RGB samples. Supports 1- or 3-component
+    frames, sampling factors up to 2×2 (4:4:4 / 4:2:2 / 4:2:0),
+    restart intervals, multiple DQT/DHT segments (progressive streams
+    legally redefine Huffman tables between scans), spectral-selection
+    + successive-approximation progressive scans, and EXIF orientation.
+    Arithmetic coding, 12-bit precision, lossless and hierarchical
+    modes reject as MediaDecodeError."""
     if data[:2] != b"\xff\xd8":
         raise MediaDecodeError("not a JPEG payload")
     pos = 2
@@ -466,7 +878,11 @@ def decode_jpeg(data: bytes) -> DecodedMedia:
     comps: list[tuple[int, int, int, int]] = []  # (id, h, v, tq)
     restart = 0
     orientation = 1
+    progressive = False
     scan = None
+    # progressive state: per frame component, zigzag-ordered coefficient
+    # grid (blocks_y, blocks_x, 64) at the MCU-padded geometry
+    coef_store: list[np.ndarray] | None = None
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise MediaDecodeError(f"JPEG marker expected at {pos}")
@@ -475,11 +891,14 @@ def decode_jpeg(data: bytes) -> DecodedMedia:
             break
         if marker in (0xC1,):  # extended sequential — same scan layout
             marker = 0xC0
-        if marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        if marker == 0xC2:
+            progressive = True
+            marker = 0xC0  # frame header layout is identical
+        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                       0xCD, 0xCE, 0xCF):
             raise MediaDecodeError(
                 f"unsupported JPEG SOF marker 0xFF{marker:02X} "
-                "(baseline sequential only)"
+                "(baseline sequential and progressive only)"
             )
         (seg_len,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4: pos + 2 + seg_len]
@@ -528,7 +947,30 @@ def decode_jpeg(data: bytes) -> DecodedMedia:
                 cs, tt = body[1 + 2 * c], body[2 + 2 * c]
                 scan.append((cs, tt >> 4, tt & 0xF))
             pos = pos + 2 + seg_len
-            break
+            if not progressive:
+                break
+            # progressive: decode THIS scan into the coefficient store,
+            # then keep walking markers (more scans follow)
+            if width is None:
+                raise MediaDecodeError("JPEG SOS before SOF")
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0xF
+            if coef_store is None:
+                hmax0 = max(c[1] for c in comps)
+                vmax0 = max(c[2] for c in comps)
+                mx0 = (width + 8 * hmax0 - 1) // (8 * hmax0)
+                my0 = (height + 8 * vmax0 - 1) // (8 * vmax0)
+                coef_store = [
+                    np.zeros((my0 * v, mx0 * h, 64), dtype=np.int64)
+                    for _, h, v, _ in comps
+                ]
+            r = _BitReader(data, pos)
+            _decode_prog_scan(
+                r, comps, hts, scan, ss, se, ah, al,
+                restart, width, height, coef_store,
+            )
+            pos = _skip_to_marker(data, r.pos)
+            continue
         elif marker == 0xE1 and body[:6] == b"Exif\x00\x00":
             orientation = _exif_orientation(body[6:])
         # other APPn / COM: skipped
@@ -537,6 +979,33 @@ def decode_jpeg(data: bytes) -> DecodedMedia:
         raise MediaDecodeError("JPEG missing SOF or SOS")
     if width <= 0 or height <= 0:
         raise MediaDecodeError("non-positive JPEG dimensions")
+    idct_t = _DCT.T
+    if progressive:
+        if coef_store is None:
+            raise MediaDecodeError("JPEG progressive frame without scans")
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        planes = []
+        plane_geom = [(h, v) for _, h, v, _ in comps]
+        for ci, (cid, h, v, tq) in enumerate(comps):
+            if tq not in qts:
+                raise MediaDecodeError("JPEG missing quant table")
+            qt = qts[tq]
+            grid = coef_store[ci]
+            bly, blx = grid.shape[0], grid.shape[1]
+            plane = np.zeros((bly * 8, blx * 8), dtype=np.float64)
+            for by in range(bly):
+                for bx in range(blx):
+                    blk = np.zeros(64, dtype=np.float64)
+                    blk[_ZIGZAG] = grid[by, bx]
+                    blk *= qt
+                    plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                        idct_t @ blk.reshape(8, 8) @ _DCT + 128.0
+                    )
+            planes.append(plane)
+        return _finish_decode(
+            planes, plane_geom, hmax, vmax, width, height, orientation
+        )
     by_id = {c[0]: c for c in comps}
     sc = []
     for cs, td, ta in scan:
@@ -562,7 +1031,6 @@ def decode_jpeg(data: bytes) -> DecodedMedia:
     preds = [0] * len(sc)
     mcu_count = 0
     rst_seq = 0
-    idct_t = _DCT.T
     for my in range(mcuy):
         for mx in range(mcux):
             if restart and mcu_count and mcu_count % restart == 0:
@@ -603,9 +1071,25 @@ def decode_jpeg(data: bytes) -> DecodedMedia:
                         x0 = (mx * h + bh_) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
             mcu_count += 1
-    # upsample to full geometry and crop
+    return _finish_decode(
+        planes, [(h, v) for _, h, v, _, _, _ in sc],
+        hmax, vmax, width, height, orientation,
+    )
+
+
+def _finish_decode(
+    planes: list[np.ndarray],
+    plane_geom: list[tuple[int, int]],
+    hmax: int,
+    vmax: int,
+    width: int,
+    height: int,
+    orientation: int,
+) -> DecodedMedia:
+    """Shared decode tail: chroma upsample → crop → color transform →
+    EXIF orientation."""
     full = []
-    for ci, (cs, h, v, _, _, _) in enumerate(sc):
+    for ci, (h, v) in enumerate(plane_geom):
         p = planes[ci]
         if h != hmax or v != vmax:
             p = np.repeat(np.repeat(p, vmax // v, axis=0), hmax // h, axis=1)

@@ -129,11 +129,16 @@ def test_loud_rejects():
         decode_jpeg(b"\x00\x00" + good)
     with pytest.raises(MediaDecodeError, match="truncated|marker|Huffman"):
         decode_jpeg(good[:40])
-    # progressive SOF2 rejects by marker, before any entropy work
+    # lossless SOF3 rejects by marker, before any entropy work
     prog = bytearray(good)
     i = prog.find(b"\xff\xc0")
+    prog[i + 1] = 0xC3
+    with pytest.raises(MediaDecodeError, match="unsupported JPEG SOF"):
+        decode_jpeg(bytes(prog))
+    # a baseline stream relabeled SOF2 is MALFORMED progressive (its
+    # single scan claims DC with Se=63) — loud reject, not garbage
     prog[i + 1] = 0xC2
-    with pytest.raises(MediaDecodeError, match="baseline sequential only"):
+    with pytest.raises(MediaDecodeError, match="progressive DC scan"):
         decode_jpeg(bytes(prog))
     # 16-bit DQT rejects
     qt16 = bytearray(good)
@@ -291,3 +296,33 @@ def test_exif_orientation_applied():
     app1 = _seg(0xE1, b"Exif\x00\x00" + b"XX\x00\x00garbage")
     m = decode_jpeg(base[:2] + app1 + base[2:])
     assert np.array_equal(m.samples.reshape(h, w, 3), px1)
+
+
+def test_progressive_decodes_identical_to_baseline():
+    """Progressive entropy coding is a LOSSLESS rearrangement of the
+    same quantized coefficients, so decode(progressive(x)) must equal
+    decode(baseline(x)) bit-for-bit — a strong equivalence oracle that
+    ties the DC first/refine, spectral-band, EOB-run, and AC-refinement
+    paths to the already-golden-pinned baseline pipeline."""
+    rng = np.random.default_rng(2)
+    for w, h in [(8, 8), (16, 16), (13, 11), (32, 24), (1, 1), (24, 7)]:
+        rgb = rng.integers(0, 256, 3 * w * h)
+        for q in (90, 50, 10):
+            base = decode_jpeg(encode_jpeg(w, h, rgb, quality=q))
+            pdata = encode_jpeg(w, h, rgb, quality=q, progressive=True)
+            prog = decode_jpeg(pdata)
+            assert pdata[2:4] != b"\xff\xc0" and b"\xff\xc2" in pdata[:600]
+            assert pdata.count(b"\xff\xda") >= 9  # multi-scan progression
+            assert np.array_equal(base.samples, prog.samples), (w, h, q)
+
+
+def test_progressive_smooth_image_and_dispatch():
+    w, h = 24, 16
+    x = np.arange(w, dtype=np.float64)
+    col = 20 + 8 * x
+    rgb = np.clip(np.round(np.broadcast_to(
+        col[None, :, None], (h, w, 3))), 0, 255).astype(np.int64).reshape(-1)
+    data = encode_jpeg(w, h, rgb, quality=95, progressive=True)
+    m = decode_media_bytes(data)  # magic dispatch handles SOF2 too
+    assert m.media_type == "jpeg" and (m.width, m.height) == (w, h)
+    assert np.abs(m.samples - rgb).max() <= 12
