@@ -696,7 +696,14 @@ def multimodal_jpeg_decode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rgb[0::3] = (doc * 31 + i * 7) % 256
                 rgb[1::3] = (doc * 37 + i * 11) % 256
                 rgb[2::3] = (doc * 41 + i * 13) % 256
-                m = decode_media_bytes(encode_jpeg(w, h, rgb, quality=90))
+                # half the docs emit PROGRESSIVE streams (r11 — the
+                # dominant web-JPEG form); coefficients are identical
+                # either way, so the mean bound below is form-agnostic
+                m = decode_media_bytes(
+                    encode_jpeg(
+                        w, h, rgb, quality=90, progressive=(doc % 2 == 1)
+                    )
+                )
                 if abs(float(m.samples.mean()) - float(rgb.mean())) > 2.0:
                     raise ValueError(
                         f"jpeg content drift for doc {doc}: decoded mean "
