@@ -438,6 +438,7 @@ def encode_jpeg(
     rgb: Sequence[int],
     quality: int = 90,
     progressive: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """JFIF JPEG, 4:4:4 (no chroma subsampling), Annex-K tables at the
     given libjpeg-formula quality. ``rgb`` is row-major top-down
@@ -467,14 +468,29 @@ def encode_jpeg(
     ])
     head = b"\xff\xd8" + app0 + dqt(0, qly) + dqt(1, qlc)
 
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval else b""
+    )
     if not progressive:
         dc_l, ac_l = _huff_codes(*_DC_LUMA), _huff_codes(*_AC_LUMA)
         dc_c, ac_c = _huff_codes(*_DC_CHROMA), _huff_codes(*_AC_CHROMA)
         w = _BitWriter()
         preds = [0, 0, 0]
+        scan_parts: list[bytes] = []
+        mcu = 0
+        rst = 0
         bh, bw = grids[0].shape[0], grids[0].shape[1]
         for by in range(bh):
             for bx in range(bw):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    # close the interval: pad, emit RSTn, reset preds
+                    w.flush()
+                    scan_parts.append(bytes(w.out))
+                    scan_parts.append(bytes([0xFF, 0xD0 + (rst % 8)]))
+                    rst += 1
+                    w = _BitWriter()
+                    preds = [0, 0, 0]
                 for ci in range(3):
                     zz = grids[ci][by, bx]
                     dcc = dc_l if ci == 0 else dc_c
@@ -482,13 +498,15 @@ def encode_jpeg(
                     preds[ci] = _emit_quantized_block(
                         w, zz, dcc, acc, preds[ci]
                     )
+                mcu += 1
         w.flush()
+        scan_parts.append(bytes(w.out))
         sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
         return (
             head + seg(0xC0, sof_body)
             + dht(0, 0, *_DC_LUMA) + dht(1, 0, *_AC_LUMA)
             + dht(0, 1, *_DC_CHROMA) + dht(1, 1, *_AC_CHROMA)
-            + sos + bytes(w.out) + b"\xff\xd9"
+            + dri + sos + b"".join(scan_parts) + b"\xff\xd9"
         )
 
     # progressive: SOF2 + the scan script

@@ -326,3 +326,28 @@ def test_progressive_smooth_image_and_dispatch():
     m = decode_media_bytes(data)  # magic dispatch handles SOF2 too
     assert m.media_type == "jpeg" and (m.width, m.height) == (w, h)
     assert np.abs(m.samples - rgb).max() <= 12
+
+
+def test_restart_intervals_roundtrip():
+    """DRI + RSTn: the encoder closes each interval with bit padding +
+    a sequence-checked restart marker and resets DC predictors; decode
+    must be IDENTICAL to the no-restart stream (restarts change framing,
+    not coefficients). Covers intervals that divide, straddle, and
+    exceed the MCU count."""
+    rng = np.random.default_rng(5)
+    for w, h in [(32, 24), (16, 16), (40, 8)]:
+        rgb = rng.integers(0, 256, 3 * w * h)
+        base = decode_jpeg(encode_jpeg(w, h, rgb, quality=85))
+        for ri in (1, 2, 3, 7):
+            data = encode_jpeg(w, h, rgb, quality=85, restart_interval=ri)
+            m = decode_jpeg(data)
+            assert np.array_equal(m.samples, base.samples), (w, h, ri)
+    # out-of-order restart sequence rejects loudly
+    data = bytearray(
+        encode_jpeg(32, 24, rng.integers(0, 256, 3 * 32 * 24),
+                    quality=85, restart_interval=1)
+    )
+    i = data.find(b"\xff\xd0")
+    data[i + 1] = 0xD5  # wrong sequence number
+    with pytest.raises(MediaDecodeError, match="restart"):
+        decode_jpeg(bytes(data))
