@@ -213,7 +213,14 @@ HLL_REST_BITS = 52
 #: bias constant alpha_m = 0.7213 / (1 + 1.079/m) — the published HLL
 #: constant for m ≥ 128; written as the formula (not a rounded float)
 #: so both engines constant-fold the identical double.
-HLL_ALPHA_EXPR = f"(0.7213 / (1.0 + 1.079 / {HLL_M}))"
+# CASTs are load-bearing: Spark parses bare decimal-point literals as
+# DECIMAL and evaluates the divide in decimal arithmetic, which drifts
+# from DuckDB's double math at the 8th significant digit — caught by
+# the r11 sf0.1 sweep (est 1535.733773 vs 1535.733706 post-round-6).
+HLL_ALPHA_EXPR = (
+    f"(CAST(0.7213 AS DOUBLE) / "
+    f"(CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / {HLL_M}))"
+)
 
 
 def _hll_rho(rest: Column) -> Column:
