@@ -1,0 +1,890 @@
+"""Round-11 second wave — retrieval-stack closure and data-quality
+gates a production corpus pipeline ships next to the engine:
+
+- ``expectation_suite_audit`` — Deequ-style declarative data-quality
+  checks (completeness / uniqueness / range / set / ordering /
+  referential containment) evaluated in ONE conditional-aggregation
+  pass per table.
+- ``retrieval_eval_metrics`` — the retrieval scorecard (precision@k,
+  recall@k, MRR, nDCG@k) over a label-relevance judgment set, graded
+  per query with exact integers and 6-dp doubles.
+- ``hybrid_retrieval_rrf`` — reciprocal-rank fusion of a lexical BM25
+  arm and a dense cosine arm (the standard hybrid-search serving
+  shape), fused ranks value-hashed.
+- ``similarity_binary_hamming_topk`` — 1-bit quantization (sign bits
+  packed into two 32-bit words) with multi-index-hashing candidate
+  generation (8×8-bit subword equi-join — Norouzi et al.'s pigeonhole:
+  any neighbor within Hamming radius < 8 shares at least one exact
+  subword), Hamming popcount ranking, exact-cosine rerank.
+
+Reference parity note: the reference sink (kafka-sink-azure-kusto) is
+a delivery connector with no retrieval/eval surface; these are
+north-star additions per SURVEY §7.3.6. Oracles are generated from the
+same constants as the Spark plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_sink_azure_kusto_spark.plans.registry import register
+from kafka_sink_azure_kusto_spark.plans.registry_r10 import _cos
+from kafka_sink_azure_kusto_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------
+# expectation-suite audit (Deequ-style declarative data validation)
+
+
+@register(
+    "expectation_suite_audit",
+    """
+    WITH li AS (
+      SELECT COUNT(*) AS n_rows,
+             SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS c_null,
+             SUM(CASE WHEN l_discount < 0.0 OR l_discount > 0.1
+                      THEN 1 ELSE 0 END) AS c_range,
+             SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                      THEN 1 ELSE 0 END) AS c_qty,
+             SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS c_pos
+      FROM lineitem),
+    od AS (
+      SELECT COUNT(*) AS n_rows,
+             COUNT(*) - COUNT(DISTINCT o_orderkey) AS c_uniq,
+             SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                      THEN 1 ELSE 0 END) AS c_set,
+             SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS c_pos
+      FROM orders),
+    rc AS (
+      SELECT COUNT(*) AS n_rows,
+             SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS c_ref,
+             SUM(CASE WHEN o.o_orderdate > l.l_shipdate
+                      THEN 1 ELSE 0 END) AS c_time
+      FROM lineitem l
+      LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    checks AS (
+      SELECT 'completeness(l_quantity)' AS check_name,
+             'lineitem' AS dataset, n_rows, c_null AS n_violations FROM li
+      UNION ALL SELECT 'range(l_discount,0.0,0.1)', 'lineitem',
+             n_rows, c_range FROM li
+      UNION ALL SELECT 'range(l_quantity,1,50)', 'lineitem',
+             n_rows, c_qty FROM li
+      UNION ALL SELECT 'positive(l_extendedprice)', 'lineitem',
+             n_rows, c_pos FROM li
+      UNION ALL SELECT 'uniqueness(o_orderkey)', 'orders',
+             n_rows, c_uniq FROM od
+      UNION ALL SELECT 'in_set(o_orderstatus)', 'orders',
+             n_rows, c_set FROM od
+      UNION ALL SELECT 'positive(o_totalprice)', 'orders',
+             n_rows, c_pos FROM od
+      UNION ALL SELECT 'containment(l_orderkey in orders)', 'lineitem',
+             n_rows, c_ref FROM rc
+      UNION ALL SELECT 'ordering(o_orderdate<=l_shipdate)', 'lineitem',
+             n_rows, c_time FROM rc)
+    SELECT check_name, dataset,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT) AS passed,
+           ROUND(n_violations / CAST(n_rows AS DOUBLE), 6) AS violation_rate
+    FROM checks
+    """,
+)
+def expectation_suite_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite (the Deequ /
+    Great-Expectations shape): completeness, value range, cross-column
+    ordering, and positivity over ``lineitem``; key uniqueness, value
+    set, and positivity over ``orders``; referential containment of
+    ``l_orderkey`` in ``orders``. Every per-table family evaluates in
+    ONE conditional-aggregation scan (no per-check passes — at 100 TB
+    each extra pass is a full-table read), and the containment check is
+    a single left-anti count. Output is the audit artifact: one row per
+    check with exact violation counts and a passed flag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+
+    def chk(name, dataset, n_rows, n_viol):
+        return (
+            F.lit(name).alias("check_name"),
+            F.lit(dataset).alias("dataset"),
+            n_rows.cast("bigint").alias("n_rows"),
+            n_viol.cast("bigint").alias("n_violations"),
+        )
+
+    li_agg = li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("l_quantity").isNull(), 1).otherwise(0)).alias("c_null"),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0.0) | (F.col("l_discount") > 0.1), 1
+            ).otherwise(0)
+        ).alias("c_range"),
+        F.sum(
+            F.when(
+                (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1
+            ).otherwise(0)
+        ).alias("c_qty"),
+        F.sum(F.when(F.col("l_extendedprice") <= 0, 1).otherwise(0)).alias("c_pos"),
+    )
+    od_agg = od.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("c_uniq"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        ).alias("c_set"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("c_pos"),
+    )
+    # referential containment + cross-table temporal ordering share ONE
+    # left join (orders' key side is the small/broadcastable side)
+    j = li.select("l_orderkey", "l_shipdate").join(
+        od.select("o_orderkey", "o_orderdate"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left",
+    )
+    rc = j.agg(
+        F.count(F.lit(1)).alias("li_n"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).alias(
+            "c_ref"
+        ),
+        F.sum(
+            F.when(F.col("o_orderdate") > F.col("l_shipdate"), 1).otherwise(0)
+        ).alias("c_time"),
+    )
+
+    rows = (
+        li_agg.select(*chk("completeness(l_quantity)", "lineitem",
+                           F.col("n_rows"), F.col("c_null")))
+        .unionByName(li_agg.select(*chk("range(l_discount,0.0,0.1)",
+                                        "lineitem", F.col("n_rows"),
+                                        F.col("c_range"))))
+        .unionByName(li_agg.select(*chk("range(l_quantity,1,50)",
+                                        "lineitem", F.col("n_rows"),
+                                        F.col("c_qty"))))
+        .unionByName(li_agg.select(*chk("positive(l_extendedprice)",
+                                        "lineitem", F.col("n_rows"),
+                                        F.col("c_pos"))))
+        .unionByName(od_agg.select(*chk("uniqueness(o_orderkey)", "orders",
+                                        F.col("n_rows"), F.col("c_uniq"))))
+        .unionByName(od_agg.select(*chk("in_set(o_orderstatus)", "orders",
+                                        F.col("n_rows"), F.col("c_set"))))
+        .unionByName(od_agg.select(*chk("positive(o_totalprice)", "orders",
+                                        F.col("n_rows"), F.col("c_pos"))))
+        .unionByName(rc.select(*chk("containment(l_orderkey in orders)",
+                                    "lineitem", F.col("li_n"),
+                                    F.col("c_ref"))))
+        .unionByName(rc.select(*chk("ordering(o_orderdate<=l_shipdate)",
+                                    "lineitem", F.col("li_n"),
+                                    F.col("c_time"))))
+    )
+    return rows.select(
+        "check_name",
+        "dataset",
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).cast("int").alias("passed"),
+        F.round(F.col("n_violations") / F.col("n_rows"), 6).alias(
+            "violation_rate"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------
+# retrieval evaluation metrics (precision@k / recall@k / MRR / nDCG@k)
+
+_EV_K = 10
+_EV_QMOD = 50  # queries: vec_id % 50 == 1
+
+
+@register(
+    "retrieval_eval_metrics",
+    f"""
+    WITH e AS MATERIALIZED (SELECT vec_id AS nid, label,
+                                   embedding::DOUBLE[] AS v
+                            FROM embeddings),
+    q AS MATERIALIZED (SELECT nid AS qid, label AS qlabel, v AS qv
+                       FROM e WHERE nid % {_EV_QMOD} = 1),
+    run AS MATERIALIZED (SELECT qid, nid, rnk FROM (
+        SELECT q.qid, e.nid,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                                  ORDER BY {_cos("q.qv", "e.v")} DESC,
+                                           e.nid ASC) AS rnk
+        FROM q JOIN e ON e.nid <> q.qid) WHERE rnk <= {_EV_K}),
+    lh AS (SELECT label, COUNT(*) AS n_lab FROM e GROUP BY label),
+    nrel AS (SELECT q.qid, lh.n_lab - 1 AS n_rel
+             FROM q JOIN lh ON lh.label = q.qlabel),
+    hit AS (SELECT r.qid, r.rnk FROM run r
+            JOIN e ON e.nid = r.nid
+            JOIN q ON q.qid = r.qid
+            WHERE e.label = q.qlabel),
+    hs AS (SELECT qid, COUNT(*) AS n_hits,
+                  MIN(rnk) AS first_rank,
+                  SUM(1.0 / log2(rnk + 1)) AS dcg
+           FROM hit GROUP BY qid),
+    per AS (SELECT nrel.qid, nrel.n_rel,
+                   COALESCE(hs.n_hits, 0) AS n_hits,
+                   COALESCE(1.0 / hs.first_rank, 0.0) AS mrr,
+                   COALESCE(hs.dcg, 0.0) AS dcg,
+                   list_sum(list_transform(
+                       range(1, LEAST({_EV_K}, nrel.n_rel) + 1),
+                       i -> 1.0 / log2(i + 1))) AS idcg
+            FROM nrel LEFT JOIN hs ON hs.qid = nrel.qid)
+    SELECT qid AS query_id,
+           CAST(n_rel AS BIGINT) AS n_rel,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           ROUND(n_hits / CAST({_EV_K} AS DOUBLE), 6) AS precision_at_k,
+           ROUND(n_hits / CAST(n_rel AS DOUBLE), 6) AS recall_at_k,
+           ROUND(mrr, 6) AS mrr,
+           ROUND(dcg / idcg, 6) AS ndcg
+    FROM per
+    """,
+)
+def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval scorecard: run exact cosine top-{_EV_K} per query
+    (`brute_force_topk` — broadcast-query nested loop, corpus never
+    shuffles), judge relevance by label equality, and emit per-query
+    precision@k, recall@k, MRR, and nDCG@k. The judgment-set size per
+    query comes from ONE 10-row label histogram (broadcast), never a
+    per-query scan; DCG/IDCG sum in identical index order in both
+    engines (sequential fold over ``sequence``), so the 6-dp rounding
+    is pure tie-insurance. This is the audit every ANN variant in the
+    registry (IVF / PQ / graph) is ultimately graded against — here the
+    metric layer itself is the unit under test."""
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        brute_force_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = emb.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    q = dbl.filter(F.col("vec_id") % _EV_QMOD == 1)
+    run = brute_force_topk(
+        dbl, q, k=_EV_K, vec_col="v", query_vec_col="v"
+    ).select("query_id", F.col("neighbor_id").alias("nid"), "rank")
+
+    lh = dbl.groupBy("label").agg(F.count(F.lit(1)).alias("n_lab"))
+    nrel = (
+        q.select(F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"))
+        .join(F.broadcast(lh), F.col("qlabel") == F.col("label"))
+        .select("query_id", "qlabel", (F.col("n_lab") - 1).alias("n_rel"))
+    )
+    nbr_lab = dbl.select(F.col("vec_id").alias("nid"), F.col("label").alias("nlabel"))
+    hit = (
+        run.join(nbr_lab, "nid")
+        .join(F.broadcast(nrel.select("query_id", "qlabel")), "query_id")
+        .filter(F.col("nlabel") == F.col("qlabel"))
+    )
+    hs = hit.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min("rank").alias("first_rank"),
+        F.sum(1.0 / F.log2(F.col("rank") + 1)).alias("dcg"),
+    )
+    per = nrel.join(hs, "query_id", "left").select(
+        "query_id",
+        "n_rel",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        F.coalesce(1.0 / F.col("first_rank"), F.lit(0.0)).alias("mrr"),
+        F.coalesce(F.col("dcg"), F.lit(0.0)).alias("dcg"),
+        F.expr(
+            f"aggregate(sequence(1, LEAST({_EV_K}, n_rel)), CAST(0.0 AS DOUBLE),"
+            " (a, i) -> a + 1.0 / log2(i + 1))"
+        ).alias("idcg"),
+    )
+    return per.select(
+        "query_id",
+        F.col("n_rel").cast("bigint").alias("n_rel"),
+        F.col("n_hits").cast("bigint").alias("n_hits"),
+        F.round(F.col("n_hits") / F.lit(float(_EV_K)), 6).alias("precision_at_k"),
+        F.round(F.col("n_hits") / F.col("n_rel").cast("double"), 6).alias(
+            "recall_at_k"
+        ),
+        F.round(F.col("mrr"), 6).alias("mrr"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+    )
+
+
+# ---------------------------------------------------------------------
+# hybrid retrieval: BM25 lexical arm + dense cosine arm, RRF fusion
+
+_H_QMOD = 125   # queries: id % 125 == 7 (id space shared by documents
+_H_QOFF = 7     # and embeddings — doc_id == vec_id in the fixtures)
+_H_TERMS = 3    # per-query lexical terms: top-3 of the query's own doc
+_H_ARM_K = 20   # depth of each arm's ranked list
+_H_K = 10       # fused depth
+_H_RRF = 60     # the standard RRF constant
+_H_K1, _H_B = 1.2, 0.75
+
+
+@register(
+    "hybrid_retrieval_rrf",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents),
+    q AS MATERIALIZED (SELECT doc_id AS qid FROM documents
+                       WHERE doc_id % {_H_QMOD} = {_H_QOFF}),
+    qt AS MATERIALIZED (SELECT qid, term FROM (
+        SELECT q.qid, t.term,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                                  ORDER BY COUNT(*) DESC, t.term ASC) AS tr
+        FROM q JOIN toks t ON t.doc_id = q.qid
+        GROUP BY q.qid, t.term) WHERE tr <= {_H_TERMS}),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+           FROM toks WHERE term IN (SELECT DISTINCT term FROM qt)
+           GROUP BY doc_id, term),
+    dl AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS DOUBLE) AS dlen
+           FROM documents),
+    stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+                     (SELECT AVG(dlen) FROM dl) AS avgdl),
+    df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+           FROM (SELECT DISTINCT doc_id, term FROM tf) GROUP BY term),
+    lexs AS (
+      SELECT qt.qid, tf.doc_id,
+             SUM(ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                 * tf.tf * ({_H_K1} + 1)
+                 / (tf.tf + {_H_K1} * (1 - {_H_B}
+                    + {_H_B} * dl.dlen / stats.avgdl))) AS s
+      FROM qt JOIN tf USING (term)
+              JOIN df USING (term)
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN stats
+      WHERE tf.doc_id <> qt.qid
+      GROUP BY qt.qid, tf.doc_id),
+    lex AS MATERIALIZED (SELECT qid, doc_id, lrank FROM (
+        SELECT qid, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY ROUND(s, 6) DESC, doc_id ASC)
+                 AS lrank
+        FROM lexs) WHERE lrank <= {_H_ARM_K}),
+    e AS MATERIALIZED (SELECT vec_id AS nid, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+    qv AS MATERIALIZED (SELECT nid AS qid, v AS qv FROM e
+                        WHERE nid % {_H_QMOD} = {_H_QOFF}),
+    den AS MATERIALIZED (SELECT qid, nid AS doc_id, drank FROM (
+        SELECT qv.qid, e.nid,
+               ROW_NUMBER() OVER (PARTITION BY qv.qid
+                                  ORDER BY {_cos("qv.qv", "e.v")} DESC,
+                                           e.nid ASC) AS drank
+        FROM qv JOIN e ON e.nid <> qv.qid) WHERE drank <= {_H_ARM_K}),
+    fused AS (
+      SELECT COALESCE(lex.qid, den.qid) AS qid,
+             COALESCE(lex.doc_id, den.doc_id) AS doc_id,
+             COALESCE(lex.lrank, 0) AS lex_rank,
+             COALESCE(den.drank, 0) AS dense_rank,
+             COALESCE(1.0 / ({_H_RRF} + lex.lrank), 0.0)
+               + COALESCE(1.0 / ({_H_RRF} + den.drank), 0.0) AS rrf
+      FROM lex FULL OUTER JOIN den
+        ON lex.qid = den.qid AND lex.doc_id = den.doc_id)
+    SELECT qid AS query_id, doc_id,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(dense_rank AS BIGINT) AS dense_rank,
+           ROUND(rrf, 6) AS rrf_score,
+           CAST(frank AS BIGINT) AS fused_rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY rrf DESC, doc_id ASC)
+                      AS frank
+          FROM fused)
+    WHERE frank <= {_H_K}
+    """,
+)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search, the standard two-arm serving shape: a LEXICAL arm
+    (BM25 k1={_H_K1} b={_H_B} over the query document's top-{_H_TERMS}
+    terms — a deterministic query-expansion stand-in for a typed query)
+    and a DENSE arm (exact cosine over the embedding twin of the same
+    id space), each ranked to depth {_H_ARM_K}, fused by reciprocal-rank
+    fusion ``Σ 1/({_H_RRF}+rank)`` — the Cormack/Clarke RRF that needs
+    no score calibration between arms, which is exactly why production
+    hybrid stacks use it.
+
+    Scale shape: the query set is modulus-bounded (grows linearly with
+    the corpus but stays broadcast-small per gate); the lexical arm
+    filters the token stream to query terms BEFORE any join (the full
+    posting space never shuffles — same semi-join pushdown as
+    ``bm25_topk``); the dense arm is a broadcast nested loop with
+    corpus unshuffled; the fusion join is keyed (query, doc) over ≤
+    2·{_H_ARM_K} rows per query. Both arms rank on 6-dp-rounded BM25 /
+    raw-double cosine exactly as their standalone gates do."""
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        brute_force_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    q = docs.filter(F.col("doc_id") % _H_QMOD == _H_QOFF).select(
+        F.col("doc_id").alias("qid")
+    )
+    # per-query top terms of the query's own document (tiny: |q| rows)
+    qtok = toks.join(F.broadcast(q), toks.doc_id == q.qid).groupBy(
+        "qid", "term"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wt = Window.partitionBy("qid").orderBy(F.col("cnt").desc(), F.col("term").asc())
+    qt = (
+        qtok.withColumn("tr", F.row_number().over(wt))
+        .filter(F.col("tr") <= _H_TERMS)
+        .select("qid", "term")
+    )
+    qterms = qt.select("term").distinct()
+    tf = (
+        toks.join(F.broadcast(qterms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("double").alias("dlen")
+    )
+    n_docs = docs.count()
+    avgdl = dl.agg(F.avg("dlen")).collect()[0][0]  # bounded scalar
+    df_ = (
+        tf.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+    )
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    lexs = (
+        qt.join(tf, "term")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "_s",
+            idf
+            * F.col("tf")
+            * (_H_K1 + 1)
+            / (
+                F.col("tf")
+                + _H_K1
+                * (1 - _H_B + _H_B * F.col("dlen") / F.lit(float(avgdl)))
+            ),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(F.round(F.sum("_s"), 6).alias("s"))
+    )
+    wl = Window.partitionBy("qid").orderBy(F.col("s").desc(), F.col("doc_id").asc())
+    lex = (
+        lexs.withColumn("lrank", F.row_number().over(wl))
+        .filter(F.col("lrank") <= _H_ARM_K)
+        .select("qid", "doc_id", "lrank")
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    den = (
+        brute_force_topk(
+            dbl,
+            dbl.filter(F.col("vec_id") % _H_QMOD == _H_QOFF),
+            k=_H_ARM_K,
+            vec_col="v",
+            query_vec_col="v",
+        )
+        .select(
+            F.col("query_id").alias("qid"),
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").alias("drank"),
+        )
+    )
+    fused = lex.join(den, ["qid", "doc_id"], "full_outer").select(
+        "qid",
+        "doc_id",
+        F.coalesce(F.col("lrank"), F.lit(0)).alias("lex_rank"),
+        F.coalesce(F.col("drank"), F.lit(0)).alias("dense_rank"),
+        (
+            F.coalesce(1.0 / (F.lit(_H_RRF) + F.col("lrank")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(_H_RRF) + F.col("drank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    wf = Window.partitionBy("qid").orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("frank", F.row_number().over(wf))
+        .filter(F.col("frank") <= _H_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            "doc_id",
+            F.col("lex_rank").cast("bigint").alias("lex_rank"),
+            F.col("dense_rank").cast("bigint").alias("dense_rank"),
+            F.round(F.col("rrf"), 6).alias("rrf_score"),
+            F.col("frank").cast("bigint").alias("fused_rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# binary quantization + multi-index-hashing Hamming search
+
+_BQ_QMOD = 125   # queries: vec_id % 125 == 3
+_BQ_QOFF = 3
+_BQ_SUBS = 8     # 8 subwords × 8 bits = the 64-bit sign code
+_BQ_CAND = 32    # Hamming candidates kept per query
+_BQ_K = 10       # final exact-cosine depth
+
+# sign-bit words, identical expression in both engines: bit j of word 0
+# is embedding[j] > 0 for j in 0..31, word 1 covers 32..63. Two 32-bit
+# words (not one 64-bit word) so no engine ever shifts into the sign
+# bit of a BIGINT.
+_BQ_WORDS_SQL = """
+    e AS MATERIALIZED (
+      SELECT vec_id AS nid, embedding::DOUBLE[] AS v,
+             CAST(list_sum(list_transform(range(1, 33),
+                  j -> CASE WHEN embedding[j] > 0
+                       THEN (1::BIGINT << (j - 1)) ELSE 0::BIGINT END))
+                  AS BIGINT) AS w0,
+             CAST(list_sum(list_transform(range(33, 65),
+                  j -> CASE WHEN embedding[j] > 0
+                       THEN (1::BIGINT << (j - 33)) ELSE 0::BIGINT END))
+                  AS BIGINT) AS w1
+      FROM embeddings)
+"""
+
+
+@register(
+    "similarity_binary_hamming_topk",
+    f"""
+    WITH {_BQ_WORDS_SQL},
+    sub AS MATERIALIZED (
+      SELECT e.nid, t.i,
+             CASE WHEN t.i < 4 THEN (e.w0 >> (8 * t.i)) & 255
+                  ELSE (e.w1 >> (8 * (t.i - 4))) & 255 END AS sv
+      FROM e, range(0, {_BQ_SUBS}) t(i)),
+    q AS MATERIALIZED (SELECT nid AS qid, v AS qv, w0 AS qw0, w1 AS qw1
+                       FROM e WHERE nid % {_BQ_QMOD} = {_BQ_QOFF}),
+    qs AS (SELECT q.qid, t.i,
+                  CASE WHEN t.i < 4 THEN (q.qw0 >> (8 * t.i)) & 255
+                       ELSE (q.qw1 >> (8 * (t.i - 4))) & 255 END AS sv
+           FROM q, range(0, {_BQ_SUBS}) t(i)),
+    cand AS (SELECT DISTINCT qs.qid, sub.nid
+             FROM qs JOIN sub ON qs.i = sub.i AND qs.sv = sub.sv
+             WHERE sub.nid <> qs.qid),
+    ham AS (SELECT c.qid, c.nid,
+                   CAST(bit_count(xor(q.qw0, e.w0))
+                        + bit_count(xor(q.qw1, e.w1)) AS BIGINT) AS hamming
+            FROM cand c JOIN q ON q.qid = c.qid
+                        JOIN e ON e.nid = c.nid),
+    top AS (SELECT qid, nid, hamming FROM (
+        SELECT qid, nid, hamming,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY hamming ASC, nid ASC) AS hr
+        FROM ham) WHERE hr <= {_BQ_CAND})
+    SELECT qid AS query_id, nid AS neighbor_id, hamming,
+           ROUND(score, 6) AS score, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT t.qid, t.nid, t.hamming,
+                 {_cos("q.qv", "e.v")} AS score,
+                 ROW_NUMBER() OVER (PARTITION BY t.qid
+                                    ORDER BY {_cos("q.qv", "e.v")} DESC,
+                                             t.nid ASC) AS rnk
+          FROM top t JOIN q ON q.qid = t.qid
+                     JOIN e ON e.nid = t.nid)
+    WHERE rnk <= {_BQ_K}
+    """,
+)
+def similarity_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized similarity search with MULTI-INDEX-HASHING
+    candidate generation (Norouzi, Punjani, Fleet): pack each vector's
+    64 sign bits into two 32-bit words, split the code into
+    {_BQ_SUBS} 8-bit subwords, and generate candidates by EQUI-JOIN on
+    (subword index, subword value) — the pigeonhole principle
+    guarantees every neighbor within Hamming radius < {_BQ_SUBS} shares
+    at least one exact subword, so candidate generation is a hash join
+    on fixed-width keys, never a corpus×query scan. Candidates are
+    ranked by popcount Hamming distance (``bit_count(w XOR w)`` — pure
+    JVM integer ops), the top {_BQ_CAND} rerank by exact cosine, and
+    the final top-{_BQ_K} is value-hashed against the oracle's replay
+    of the identical pipeline.
+
+    Scale shape: the quantized index is 8 bytes/vector (a 100 TB float
+    corpus quantizes to ~0.8 TB of codes); subword buckets hold
+    n/256 rows in expectation per index, so the candidate join's
+    fan-out is linear in corpus size with a 1/32 constant; only
+    {_BQ_CAND} rows per query touch the full-precision vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    word = (
+        "CAST(aggregate(transform(slice(embedding, {lo}, 32), (x, j) -> "
+        "IF(x > CAST(0 AS FLOAT), shiftleft(CAST(1 AS BIGINT), j), "
+        "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT)"
+    )
+    e = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        F.expr(word.format(lo=1)).alias("w0"),
+        F.expr(word.format(lo=33)).alias("w1"),
+    ).localCheckpoint()  # words + doubles computed once, reused 4×
+
+    sub_expr = F.expr(
+        f"explode(transform(sequence(0, {_BQ_SUBS - 1}), i -> struct(i AS i,"
+        " CASE WHEN i < 4 THEN shiftright(w0, 8 * i) & CAST(255 AS BIGINT)"
+        " ELSE shiftright(w1, 8 * (i - 4)) & CAST(255 AS BIGINT) END AS sv)))"
+    )
+    sub = e.select("nid", sub_expr.alias("s")).select(
+        "nid", F.col("s.i").alias("i"), F.col("s.sv").alias("sv")
+    )
+    q = e.filter(F.col("nid") % _BQ_QMOD == _BQ_QOFF).select(
+        F.col("nid").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    qs = q.select("qid", "qw0", "qw1").select(
+        "qid",
+        F.expr(
+            f"explode(transform(sequence(0, {_BQ_SUBS - 1}), i -> struct(i AS i,"
+            " CASE WHEN i < 4 THEN shiftright(qw0, 8 * i) & CAST(255 AS BIGINT)"
+            " ELSE shiftright(qw1, 8 * (i - 4)) & CAST(255 AS BIGINT) END AS sv)))"
+        ).alias("s"),
+    ).select("qid", F.col("s.i").alias("i"), F.col("s.sv").alias("sv"))
+    cand = (
+        sub.join(F.broadcast(qs), ["i", "sv"])
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "nid")
+        .distinct()
+    )
+    ham = (
+        cand.join(F.broadcast(q.select("qid", "qw0", "qw1")), "qid")
+        .join(e.select("nid", "w0", "w1"), "nid")
+        .select(
+            "qid",
+            "nid",
+            (
+                F.expr("bit_count(qw0 ^ w0)") + F.expr("bit_count(qw1 ^ w1)")
+            ).cast("bigint").alias("hamming"),
+        )
+    )
+    wh = Window.partitionBy("qid").orderBy(F.col("hamming").asc(), F.col("nid").asc())
+    top = (
+        ham.withColumn("hr", F.row_number().over(wh))
+        .filter(F.col("hr") <= _BQ_CAND)
+        .select("qid", "nid", "hamming")
+    )
+    from kafka_sink_azure_kusto_spark.functions.similarity import cosine
+
+    rer = (
+        top.join(F.broadcast(q.select("qid", "qv")), "qid")
+        .join(e.select("nid", "v"), "nid")
+        .withColumn("score", cosine(F.col("qv"), F.col("v")))
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
+    return (
+        rer.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _BQ_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "hamming",
+            F.round("score", 6).alias("score"),
+            F.col("rnk").cast("bigint").alias("rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# graph analytics over the co-purchase graph: triangle counting with
+# degree-ordered orientation, and synchronous label propagation
+
+_TRI_TOPN = 20
+_LPA_ITERS = 3
+
+# shared substrate: the DISTINCT co-purchase edge list (parts appearing
+# together in an order basket; the self-join is keyed on the ORDER so
+# pair blow-up is bounded by basket size, never corpus-quadratic)
+_EDGE_SQL = """
+    items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ed AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+"""
+
+
+@register(
+    "graph_triangle_count",
+    f"""
+    WITH {_EDGE_SQL},
+    deg AS (SELECT node, COUNT(*) AS d FROM (
+        SELECT p1 AS node FROM ed UNION ALL SELECT p2 FROM ed)
+        GROUP BY node),
+    rk AS MATERIALIZED (SELECT node,
+                ROW_NUMBER() OVER (ORDER BY d ASC, node ASC) AS r
+         FROM deg),
+    o AS MATERIALIZED (
+      SELECT CASE WHEN ra.r < rb.r THEN ed.p1 ELSE ed.p2 END AS src,
+             CASE WHEN ra.r < rb.r THEN ed.p2 ELSE ed.p1 END AS dst,
+             LEAST(ra.r, rb.r) AS rs, GREATEST(ra.r, rb.r) AS rd
+      FROM ed JOIN rk ra ON ra.node = ed.p1
+              JOIN rk rb ON rb.node = ed.p2),
+    tri AS MATERIALIZED (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.rd < e2.rd
+                JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+    tot AS (SELECT COUNT(*) AS total FROM tri),
+    pn AS (SELECT node, COUNT(*) AS n_triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri) GROUP BY node)
+    SELECT node, n_triangles, total_triangles,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT pn.node, CAST(pn.n_triangles AS BIGINT) AS n_triangles,
+                 CAST(tot.total AS BIGINT) AS total_triangles,
+                 ROW_NUMBER() OVER (ORDER BY pn.n_triangles DESC,
+                                             pn.node ASC) AS rnk
+          FROM pn, tot)
+    WHERE rnk <= {_TRI_TOPN}
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting over the co-purchase graph with
+    DEGREE-ORDERED orientation (the compact-forward algorithm): every
+    edge is directed from its lower-(degree, id)-rank endpoint to the
+    higher, so the wedge-generating self-join fans out as
+    Σ out-degree² where out-degree is bounded by graph arboricity —
+    the device that makes triangle counting survive power-law degree
+    skew at 100 TB (a raw id-ordered orientation would square the hub
+    degrees instead). Wedges close via one hash join back onto the
+    oriented edge list; per-node participation is a union-all rollup.
+    Output: top-{_TRI_TOPN} nodes by triangle participation plus the
+    global count, both integer-exact against the oracle's replay."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    ed = (
+        a.join(b, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+    )
+    deg = (
+        ed.select(F.col("p1").alias("node"))
+        .unionAll(ed.select(F.col("p2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wr = Window.orderBy(F.col("d").asc(), F.col("node").asc())
+    rk = deg.withColumn("r", F.row_number().over(wr)).select("node", "r")
+    ra = rk.select(F.col("node").alias("p1"), F.col("r").alias("ra"))
+    rb = rk.select(F.col("node").alias("p2"), F.col("r").alias("rb"))
+    o = (
+        ed.join(ra, "p1")
+        .join(rb, "p2")
+        .select(
+            F.when(F.col("ra") < F.col("rb"), F.col("p1"))
+            .otherwise(F.col("p2"))
+            .alias("src"),
+            F.when(F.col("ra") < F.col("rb"), F.col("p2"))
+            .otherwise(F.col("p1"))
+            .alias("dst"),
+            F.least("ra", "rb").alias("rs"),
+            F.greatest("ra", "rb").alias("rd"),
+        )
+        .localCheckpoint()  # oriented edges reused 3× in the wedge close
+    )
+    e1 = o.select(F.col("src"), F.col("dst").alias("b"), F.col("rd").alias("r1"))
+    e2 = o.select(F.col("src"), F.col("dst").alias("c"), F.col("rd").alias("r2"))
+    wedges = e1.join(e2, "src").filter(F.col("r1") < F.col("r2"))
+    e3 = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(e3, ["b", "c"]).select(
+        F.col("src").alias("a"), "b", "c"
+    )
+    tot = tri.agg(F.count(F.lit(1)).cast("bigint").alias("total_triangles"))
+    pn = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    wn = Window.orderBy(F.col("n_triangles").desc(), F.col("node").asc())
+    return (
+        pn.crossJoin(F.broadcast(tot))
+        .withColumn("rank", F.row_number().over(wn).cast("bigint"))
+        .filter(F.col("rank") <= _TRI_TOPN)
+        .select("node", "n_triangles", "total_triangles", "rank")
+    )
+
+
+def _lpa_sql() -> str:
+    """Unrolled synchronous label-propagation oracle: per iteration,
+    each node adopts the modal label of its neighbors (count DESC,
+    label ASC tie-break) — same CTE chain the Spark loop builds."""
+    parts = [
+        "und AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM ed"
+        " UNION ALL SELECT p2, p1 FROM ed)",
+        "l0 AS (SELECT DISTINCT p1 AS node, p1 AS lbl FROM ed"
+        " UNION SELECT DISTINCT p2, p2 FROM ed)",
+    ]
+    for t in range(1, _LPA_ITERS + 1):
+        parts.append(
+            f"""c{t} AS (SELECT u.src AS node, l.lbl, COUNT(*) AS c
+        FROM und u JOIN l{t - 1} l ON l.node = u.dst
+        GROUP BY u.src, l.lbl),
+    l{t} AS (SELECT node, lbl FROM (
+        SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node
+                 ORDER BY c DESC, lbl ASC) AS pr FROM c{t})
+        WHERE pr = 1)"""
+        )
+    return (
+        f"WITH {_EDGE_SQL},\n    "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT lbl AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(node) AS min_node, MAX(node) AS max_node
+    FROM l{_LPA_ITERS} GROUP BY lbl"""
+    )
+
+
+@register("graph_label_propagation", _lpa_sql())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation over the
+    co-purchase graph: every node starts as its own label; each of the
+    {_LPA_ITERS} rounds, every node adopts the modal label among its
+    neighbors (count DESC, label ASC — the deterministic tie-break that
+    makes the fixed-round result exact in both engines). Each round is
+    exactly one Pregel superstep expressed relationally: a message join
+    (edges ⋈ labels, keyed on the neighbor), a (node, label) count
+    aggregate, and a per-node top-1 window — three shuffles per round,
+    state is one label per node, nothing accumulates across rounds.
+    That per-round shape is what scales: a 100 TB edge list runs the
+    same three stages with label state co-partitioned on node id.
+    Output: final communities with member counts and id ranges."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    ed = (
+        a.join(b, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+    )
+    und = (
+        ed.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .unionAll(ed.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+        .localCheckpoint()  # the edge substrate is reused every round
+    )
+    lbl = (
+        ed.select(F.col("p1").alias("node"))
+        .unionAll(ed.select(F.col("p2").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+    )
+    wp = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl").asc())
+    for _ in range(_LPA_ITERS):
+        msgs = und.join(
+            lbl.select(F.col("node").alias("dst"), "lbl"), "dst"
+        ).select(F.col("src").alias("node"), "lbl")
+        cnt = msgs.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        lbl = (
+            cnt.withColumn("pr", F.row_number().over(wp))
+            .filter(F.col("pr") == 1)
+            .select("node", "lbl")
+        )
+    return lbl.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )

@@ -1,0 +1,280 @@
+"""Independent-implementation tests for the round-11 second wave
+(plans/registry_r11b.py): every numeric claim is recomputed in plain
+numpy/pandas/python from the parquet fixtures — no DuckDB, no shared
+CTE text — so a bug that slipped past the oracle's shared constants
+would still be caught here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from kafka_sink_azure_kusto_spark.plans import queries
+
+Q = queries()
+
+
+def _emb(sf_dir: str) -> pd.DataFrame:
+    return pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _li(sf_dir: str) -> pd.DataFrame:
+    return pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+
+
+# ---------------------------------------------------------------- MIH
+
+
+def _sign_words(vecs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    bits = (vecs > 0).astype(np.int64)
+    pows = 1 << np.arange(32, dtype=np.int64)
+    return bits[:, :32] @ pows, bits[:, 32:] @ pows
+
+
+def test_binary_hamming_matches_numpy(spark, sf_dir):
+    """Full pipeline replay in numpy: sign-bit words, 8×8-bit subword
+    candidate generation, Hamming top-32, exact-cosine top-10."""
+    emb = _emb(sf_dir).sort_values("vec_id").reset_index(drop=True)
+    ids = emb["vec_id"].to_numpy()
+    vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    w0, w1 = _sign_words(np.stack(emb["embedding"].to_numpy()))
+
+    def subwords(a0, a1):
+        return [(a0 >> (8 * i)) & 255 for i in range(4)] + [
+            (a1 >> (8 * i)) & 255 for i in range(4)
+        ]
+
+    sub = np.stack(subwords(w0, w1), axis=1)  # (n, 8)
+    qmask = ids % 125 == 3
+    expect = []
+    for qi in np.where(qmask)[0]:
+        cand = np.where(
+            (sub == sub[qi]).any(axis=1) & (ids != ids[qi])
+        )[0]
+        ham = np.array(
+            [
+                bin(int(w0[c] ^ w0[qi])).count("1")
+                + bin(int(w1[c] ^ w1[qi])).count("1")
+                for c in cand
+            ]
+        )
+        order = np.lexsort((ids[cand], ham))[:32]
+        top = cand[order]
+        qv = vecs[qi]
+        cos = (vecs[top] @ qv) / (
+            np.linalg.norm(vecs[top], axis=1) * np.linalg.norm(qv)
+        )
+        rer = np.lexsort((ids[top], -cos))[:10]
+        for rnk, t in enumerate(rer, 1):
+            expect.append(
+                (
+                    int(ids[qi]),
+                    int(ids[top[t]]),
+                    int(ham[order[t]]),
+                    round(float(cos[t]), 6),
+                    rnk,
+                )
+            )
+    got = sorted(
+        tuple(r)
+        for r in Q["similarity_binary_hamming_topk"](spark, sf_dir)
+        .toPandas()
+        .itertuples(index=False)
+    )
+    assert got == sorted(expect)
+
+
+def test_mih_pigeonhole_radius():
+    """The candidate-generation guarantee the docstring claims: any two
+    64-bit codes within Hamming distance < 8 share at least one of the
+    8 exact 8-bit subwords (pigeonhole over the subword partition)."""
+    rng = np.random.RandomState(7)
+    for _ in range(200):
+        a = rng.randint(0, 2, 64)
+        b = a.copy()
+        flips = rng.choice(64, size=rng.randint(0, 8), replace=False)
+        b[flips] ^= 1
+        shared = any(
+            np.array_equal(a[8 * i : 8 * i + 8], b[8 * i : 8 * i + 8])
+            for i in range(8)
+        )
+        assert shared, f"distance {len(flips)} pair with no shared subword"
+
+
+# ------------------------------------------------------ triangle count
+
+
+def _copurchase_edges(li: pd.DataFrame) -> set[tuple[int, int]]:
+    edges = set()
+    for _, grp in li.groupby("l_orderkey"):
+        parts = sorted(set(grp["l_partkey"]))
+        for i in range(len(parts)):
+            for j in range(i + 1, len(parts)):
+                edges.add((parts[i], parts[j]))
+    return edges
+
+
+def test_triangle_count_matches_bruteforce(spark, sf_dir):
+    li = _li(sf_dir)
+    edges = _copurchase_edges(li)
+    nbrs: dict[int, set[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    tri_per: dict[int, int] = {}
+    total = 0
+    for a, b in edges:
+        for c in nbrs[a] & nbrs[b]:
+            if c > b:  # a < b < c: count each triangle once
+                total += 1
+                for n in (a, b, c):
+                    tri_per[n] = tri_per.get(n, 0) + 1
+    got = (
+        Q["graph_triangle_count"](spark, sf_dir)
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert (got["total_triangles"] == total).all()
+    expect = sorted(tri_per.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert list(zip(got["node"], got["n_triangles"])) == expect
+
+
+# ----------------------------------------------------- label propagation
+
+
+def test_label_propagation_matches_python(spark, sf_dir):
+    li = _li(sf_dir)
+    edges = _copurchase_edges(li)
+    nbrs: dict[int, list[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    lbl = {n: n for n in nbrs}
+    for _ in range(3):
+        new = {}
+        for n, ns in nbrs.items():
+            counts: dict[int, int] = {}
+            for m in ns:
+                counts[lbl[m]] = counts.get(lbl[m], 0) + 1
+            new[n] = min(counts, key=lambda k: (-counts[k], k))
+        lbl = new
+    comm: dict[int, list[int]] = {}
+    for n, c in lbl.items():
+        comm.setdefault(c, []).append(n)
+    expect = sorted(
+        (c, len(ms), min(ms), max(ms)) for c, ms in comm.items()
+    )
+    got = sorted(
+        tuple(r)
+        for r in Q["graph_label_propagation"](spark, sf_dir)
+        .toPandas()
+        .itertuples(index=False)
+    )
+    assert got == expect
+
+
+# -------------------------------------------------------- eval metrics
+
+
+def test_retrieval_eval_matches_numpy(spark, sf_dir):
+    emb = _emb(sf_dir).sort_values("vec_id").reset_index(drop=True)
+    ids = emb["vec_id"].to_numpy()
+    labels = emb["label"].to_numpy()
+    vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(vecs, axis=1)
+    expect = {}
+    for qi in np.where(ids % 50 == 1)[0]:
+        cos = (vecs @ vecs[qi]) / (norms * norms[qi])
+        mask = ids != ids[qi]
+        order = np.lexsort((ids[mask], -cos[mask]))[:10]
+        run_ids = ids[mask][order]
+        rel_mask = labels[mask][order] == labels[qi]
+        n_rel = int(((labels == labels[qi]) & mask).sum())
+        hits = np.where(rel_mask)[0]
+        n_hits = len(hits)
+        mrr = 1.0 / (hits[0] + 1) if n_hits else 0.0
+        dcg = sum(1.0 / np.log2(r + 2) for r in hits)
+        idcg = sum(1.0 / np.log2(i + 2) for i in range(min(10, n_rel)))
+        expect[int(ids[qi])] = (
+            n_rel,
+            n_hits,
+            round(n_hits / 10.0, 6),
+            round(n_hits / n_rel, 6),
+            round(mrr, 6),
+            round(dcg / idcg, 6),
+        )
+        del run_ids
+    got = Q["retrieval_eval_metrics"](spark, sf_dir).toPandas()
+    assert len(got) == len(expect)
+    for r in got.itertuples(index=False):
+        assert expect[r.query_id] == (
+            r.n_rel,
+            r.n_hits,
+            round(r.precision_at_k, 6),
+            round(r.recall_at_k, 6),
+            round(r.mrr, 6),
+            round(r.ndcg, 6),
+        )
+
+
+# ----------------------------------------------------------- hybrid RRF
+
+
+def test_hybrid_rrf_invariants(spark, sf_dir):
+    got = Q["hybrid_retrieval_rrf"](spark, sf_dir).toPandas()
+    assert len(got) > 0
+    # every fused row came from at least one arm
+    assert ((got["lex_rank"] > 0) | (got["dense_rank"] > 0)).all()
+    # the fusion arithmetic is exactly Σ 1/(60+rank) over present arms
+    rrf = np.where(got["lex_rank"] > 0, 1.0 / (60 + got["lex_rank"]), 0.0)
+    rrf = rrf + np.where(
+        got["dense_rank"] > 0, 1.0 / (60 + got["dense_rank"]), 0.0
+    )
+    assert np.allclose(got["rrf_score"], np.round(rrf, 6), atol=1e-9)
+    # fused ranks are 1..k contiguous per query, ordered by rrf desc
+    for _, grp in got.groupby("query_id"):
+        grp = grp.sort_values("fused_rank")
+        assert list(grp["fused_rank"]) == list(range(1, len(grp) + 1))
+        assert (np.diff(grp["rrf_score"].to_numpy()) <= 1e-12).all()
+    # both arms contribute somewhere (the corpus has lexical AND dense
+    # structure; a dead arm means a broken join, not a quiet corpus)
+    assert (got["lex_rank"] > 0).any() and (got["dense_rank"] > 0).any()
+
+
+# ---------------------------------------------------- expectation suite
+
+
+def test_expectation_suite_detects_real_violation(spark, sf_dir):
+    """The synthetic fixtures are clean on 8 of 9 checks, and genuinely
+    violate ordering(o_orderdate<=l_shipdate) — shipdates are drawn
+    unconstrained. The suite must report the exact violation count."""
+    li = _li(sf_dir)
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    j = li.merge(
+        od[["o_orderkey", "o_orderdate"]],
+        left_on="l_orderkey",
+        right_on="o_orderkey",
+        how="left",
+    )
+    expected_time_viol = int((j["o_orderdate"] > j["l_shipdate"]).sum())
+
+    got = Q["expectation_suite_audit"](spark, sf_dir).toPandas()
+    assert len(got) == 9
+    by_name = got.set_index("check_name")
+    t = by_name.loc["ordering(o_orderdate<=l_shipdate)"]
+    assert int(t["n_violations"]) == expected_time_viol
+    assert int(t["passed"]) == (1 if expected_time_viol == 0 else 0)
+    clean = got[got["check_name"] != "ordering(o_orderdate<=l_shipdate)"]
+    assert (clean["n_violations"] == 0).all()
+    assert (clean["passed"] == 1).all()
+    assert (clean["violation_rate"] == 0.0).all()
+
+
+def test_expectation_suite_row_counts(spark, sf_dir):
+    li_n, od_n = len(_li(sf_dir)), len(pd.read_parquet(f"{sf_dir}/orders.parquet"))
+    got = Q["expectation_suite_audit"](spark, sf_dir).toPandas()
+    assert set(got[got["dataset"] == "lineitem"]["n_rows"]) == {li_n}
+    assert set(got[got["dataset"] == "orders"]["n_rows"]) == {od_n}
