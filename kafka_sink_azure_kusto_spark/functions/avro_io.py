@@ -10,10 +10,12 @@ null-first unions for nullable fields, and the ``Obj\\x01`` container
 framing with a metadata map and 16-byte sync markers.
 
 Scope (r11): Spark's scalar types (boolean/string/double/long/int/
-float/bytes), date / timestamp-micros / decimal logical types, NESTED
-structs, arrays, string-keyed maps, plus read/write of Avro enum and
-fixed. Container codecs: null, deflate, snappy (pure-Python, CRC32
-framing), bzip2, xz. Genuinely unmapped Spark types raise cleanly.
+float/bytes), the full logical-type family (date, timestamp-micros/
+millis, local-timestamp-micros/millis, time-micros/millis, uuid,
+decimal), NESTED structs, arrays, string-keyed maps, plus read/write
+of Avro enum and fixed. Container codecs: null, deflate, snappy
+(pure-Python, CRC32 framing), bzip2, xz. Genuinely unmapped Spark
+types raise cleanly.
 
 Determinism: the sync marker is derived from the schema JSON (md5), not
 random, so re-staging the same batch yields byte-identical files — the
@@ -190,6 +192,44 @@ def _encode_value(t, v) -> bytes:
             if isinstance(v, _dt.date):
                 v = (v - _EPOCH_DATE).days
             return _zigzag_encode(int(v))
+        if logical in ("timestamp-millis", "local-timestamp-millis",
+                       "local-timestamp-micros"):
+            # millis/local variants of the timestamp family: same
+            # datetime→int arithmetic as timestamp-micros, scaled
+            if hasattr(v, "value") and isinstance(v, _dt.datetime):
+                us = v.value // 1000  # pandas.Timestamp exact nanos
+            elif isinstance(v, _dt.datetime):
+                base = (v.replace(tzinfo=None) if v.tzinfo is None
+                        else v.astimezone(_dt.timezone.utc).replace(tzinfo=None))
+                us = (base - _EPOCH_TS) // _dt.timedelta(microseconds=1)
+            else:
+                return _zigzag_encode(int(v))
+            if logical.endswith("millis"):
+                if us % 1000:
+                    raise ValueError(
+                        f"avro {logical}: {v} has sub-millisecond precision"
+                    )
+                return _zigzag_encode(us // 1000)
+            return _zigzag_encode(us)
+        if logical in ("time-millis", "time-micros"):
+            if isinstance(v, _dt.time):
+                us = ((v.hour * 3600 + v.minute * 60 + v.second) * 1_000_000
+                      + v.microsecond)
+                if logical == "time-millis":
+                    if us % 1000:
+                        raise ValueError(
+                            f"avro time-millis: {v} has sub-ms precision"
+                        )
+                    us //= 1000
+                return _zigzag_encode(us)
+            return _zigzag_encode(int(v))
+        if logical == "uuid":
+            import uuid as _uuid
+
+            s = str(v)
+            _uuid.UUID(s)  # loud-reject malformed uuids at encode time
+            raw = s.encode("utf-8")
+            return _zigzag_encode(len(raw)) + raw
         if logical == "decimal":
             import decimal as _dec
 
@@ -268,6 +308,26 @@ def _decode_value(t, buf: BinaryIO):
             return _EPOCH_TS + _dt.timedelta(microseconds=_zigzag_decode(buf))
         if logical == "date":
             return _EPOCH_DATE + _dt.timedelta(days=_zigzag_decode(buf))
+        if logical in ("timestamp-millis", "local-timestamp-millis"):
+            return _EPOCH_TS + _dt.timedelta(milliseconds=_zigzag_decode(buf))
+        if logical == "local-timestamp-micros":
+            return _EPOCH_TS + _dt.timedelta(microseconds=_zigzag_decode(buf))
+        if logical in ("time-millis", "time-micros"):
+            n = _zigzag_decode(buf)
+            us = n * 1000 if logical == "time-millis" else n
+            if not 0 <= us < 86_400_000_000:
+                raise ValueError(f"avro {logical}: {n} out of day range")
+            return (_dt.datetime.min + _dt.timedelta(microseconds=us)).time()
+        if logical == "uuid":
+            n = _zigzag_decode(buf)
+            raw = buf.read(n)
+            if len(raw) != n:
+                raise EOFError("truncated uuid")
+            import uuid as _uuid
+
+            s = raw.decode("utf-8")
+            _uuid.UUID(s)  # malformed uuid payloads loud-reject
+            return s
         if logical == "decimal":
             import decimal as _dec
 

@@ -37,6 +37,9 @@ class DecodedMedia:
     # int64 ndarray so downstream stats stay vectorized (no per-sample
     # Python loop on the hottest bytes in the pipeline).
     samples: np.ndarray
+    # presentation frames concatenated in `samples` (GIF animations; 1
+    # for every single-image/audio format)
+    n_frames: int = 1
 
 
 class MediaDecodeError(ValueError):
@@ -580,4 +583,8 @@ def decode_media_bytes(data: bytes) -> DecodedMedia:
         from kafka_sink_azure_kusto_spark.functions.jpeg import decode_jpeg
 
         return decode_jpeg(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from kafka_sink_azure_kusto_spark.functions.gif import decode_gif
+
+        return decode_gif(data)
     raise MediaDecodeError(f"unrecognized media magic {data[:4]!r}")

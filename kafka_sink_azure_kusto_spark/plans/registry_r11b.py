@@ -888,3 +888,132 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").alias("min_node"),
         F.max("node").alias("max_node"),
     )
+
+
+# ---------------------------------------------------------------------
+# GIF decode gate: GIF is LOSSLESS (palette indices round-trip exactly)
+# so, unlike the JPEG gate, the decoded CONTENT joins the closed-form
+# value-hash oracle directly — the oracle replays the fixture's value
+# model (frame/pixel/channel formula) and never sees the bytes, so the
+# LZW walk, code-size growth, interlace inversion, palette priority
+# (local over global), and sub-block framing must all be exactly right.
+
+
+@register(
+    "multimodal_gif_decode",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             1 + doc_id % 3 AS nf,
+             6 + doc_id % 7 AS w,
+             5 + doc_id % 5 AS h
+      FROM documents),
+    idx AS (SELECT *, unnest(generate_series(0, nf * w * h * 3 - 1)) AS j
+            FROM base),
+    vals AS (
+      SELECT doc_id, nf, w, h, j,
+             (doc_id * 31 + (j // (3 * w * h)) * 17
+              + ((j % (3 * w * h)) // 3) * 7) % 256 AS k,
+             j % 3 AS c
+      FROM idx),
+    v2 AS (
+      SELECT doc_id, nf, w, h, j,
+             CAST(CASE c WHEN 0 THEN k
+                         WHEN 1 THEN (3 * k + 1) % 256
+                         ELSE (7 * k + 5) % 256 END AS BIGINT) AS v
+      FROM vals)
+    SELECT doc_id,
+           any_value('gif') AS media_type,
+           CAST(any_value(w) AS BIGINT) AS width,
+           CAST(any_value(h) AS BIGINT) AS height,
+           CAST(any_value(nf) AS BIGINT) AS n_frames,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(v) AS BIGINT) AS sample_sum,
+           CAST(SUM((j + 1) * v) AS BIGINT) AS checksum
+    FROM v2 GROUP BY doc_id
+    """,
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per document: synthesize a deterministic GIF (1-3 frames, odd
+    frames INTERLACED, odd docs shipping the palette as a LOCAL color
+    table over a deliberately scrambled global one), decode it through
+    the production magic-byte dispatch, and emit integer-exact content
+    stats over the concatenated frames. One fused synthesize+decode
+    mapInPandas pass, no shuffle (`functions/gif.py`); the oracle
+    replays the value model from the closed-form pixel formula alone."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from kafka_sink_azure_kusto_spark.functions.codecs import (
+        decode_media_bytes,
+    )
+    from kafka_sink_azure_kusto_spark.functions.gif import encode_gif
+    from kafka_sink_azure_kusto_spark.functions.parallelism import (
+        ensure_min_parallelism,
+    )
+
+    schema = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("n_frames", LongType(), False),
+        StructField("n_samples", LongType(), False),
+        StructField("sample_sum", LongType(), False),
+        StructField("checksum", LongType(), False),
+    ])
+
+    ks = np.arange(256, dtype=np.int64)
+    palette = np.stack([ks, (3 * ks + 1) % 256, (7 * ks + 5) % 256], axis=1)
+
+    def body(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = {k: [] for k in ("doc_id", "media_type", "width", "height",
+                                "n_frames", "n_samples", "sample_sum",
+                                "checksum")}
+        for pdf in it:
+            for d in pdf["doc_id"]:
+                doc = int(d)
+                nf = 1 + doc % 3
+                w = 6 + doc % 7
+                h = 5 + doc % 5
+                p = np.arange(w * h, dtype=np.int64)
+                frames = [(doc * 31 + f * 17 + p * 7) % 256
+                          for f in range(nf)]
+                blob = encode_gif(
+                    w, h, frames, palette,
+                    local_palette=(doc % 2 == 1),
+                    interlaced_frames={f for f in range(nf) if f % 2 == 1},
+                )
+                m = decode_media_bytes(blob)
+                j = np.arange(m.samples.size, dtype=np.int64)
+                rows["doc_id"].append(doc)
+                rows["media_type"].append(m.media_type)
+                rows["width"].append(m.width)
+                rows["height"].append(m.height)
+                rows["n_frames"].append(m.n_frames)
+                rows["n_samples"].append(int(m.samples.size))
+                rows["sample_sum"].append(int(m.samples.sum()))
+                rows["checksum"].append(int(((j + 1) * m.samples).sum()))
+        yield pd.DataFrame({
+            "doc_id": pd.Series(rows["doc_id"], dtype="int64"),
+            "media_type": rows["media_type"],
+            "width": pd.Series(rows["width"], dtype="int64"),
+            "height": pd.Series(rows["height"], dtype="int64"),
+            "n_frames": pd.Series(rows["n_frames"], dtype="int64"),
+            "n_samples": pd.Series(rows["n_samples"], dtype="int64"),
+            "sample_sum": pd.Series(rows["sample_sum"], dtype="int64"),
+            "checksum": pd.Series(rows["checksum"], dtype="int64"),
+        })
+
+    docs = ensure_min_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    return docs.mapInPandas(body, schema=schema)

@@ -483,3 +483,80 @@ def test_container_xz_roundtrip_and_corrupt_reject():
     data[-30] ^= 0xFF  # inside the last compressed block
     with pytest.raises(ValueError):
         read_container(bytes(data))
+
+
+def test_logical_type_family_roundtrip():
+    """timestamp-millis / local-timestamp-* / time-millis / time-micros
+    / uuid logical types round-trip through the value codec (externally
+    produced OCFs carry these routinely; falling back to the raw base
+    type would silently change semantics)."""
+    import datetime as dt
+    import io
+
+    schema = {
+        "type": "record",
+        "name": "L",
+        "fields": [
+            {"name": "tsm", "type": {"type": "long", "logicalType": "timestamp-millis"}},
+            {"name": "ltm", "type": {"type": "long", "logicalType": "local-timestamp-millis"}},
+            {"name": "ltu", "type": {"type": "long", "logicalType": "local-timestamp-micros"}},
+            {"name": "tm", "type": {"type": "int", "logicalType": "time-millis"}},
+            {"name": "tu", "type": {"type": "long", "logicalType": "time-micros"}},
+            {"name": "u", "type": {"type": "string", "logicalType": "uuid"}},
+        ],
+    }
+    rec = {
+        "tsm": dt.datetime(2024, 5, 17, 12, 34, 56, 789000),
+        "ltm": dt.datetime(1969, 12, 31, 23, 59, 59, 1000),  # negative epoch
+        "ltu": dt.datetime(2024, 5, 17, 12, 34, 56, 789123),
+        "tm": dt.time(23, 59, 59, 250000),
+        "tu": dt.time(0, 0, 0, 1),
+        "u": "123e4567-e89b-12d3-a456-426614174000",
+    }
+    out = decode_record(schema, io.BytesIO(encode_record(schema, rec)))
+    assert out == rec
+
+
+def test_logical_type_loud_rejects():
+    import datetime as dt
+    import io
+
+    import pytest
+
+    ms = {"type": "record", "name": "M", "fields": [
+        {"name": "t", "type": {"type": "long", "logicalType": "timestamp-millis"}}]}
+    with pytest.raises(ValueError, match="sub-millisecond"):
+        encode_record(ms, {"t": dt.datetime(2024, 1, 1, 0, 0, 0, 123)})
+
+    tmm = {"type": "record", "name": "T", "fields": [
+        {"name": "t", "type": {"type": "int", "logicalType": "time-millis"}}]}
+    with pytest.raises(ValueError, match="sub-ms"):
+        encode_record(tmm, {"t": dt.time(1, 2, 3, 500)})
+    # out-of-day-range raw value loud-rejects on decode
+    from kafka_sink_azure_kusto_spark.functions.avro_io import _zigzag_encode
+    with pytest.raises(ValueError, match="out of day range"):
+        decode_record(tmm, io.BytesIO(_zigzag_encode(86_400_000)))
+
+    uu = {"type": "record", "name": "U", "fields": [
+        {"name": "u", "type": {"type": "string", "logicalType": "uuid"}}]}
+    with pytest.raises(ValueError):
+        encode_record(uu, {"u": "not-a-uuid"})
+    bad = encode_record(
+        {"type": "record", "name": "S", "fields": [{"name": "u", "type": "string"}]},
+        {"u": "also-not-a-uuid"},
+    )
+    with pytest.raises(ValueError):
+        decode_record(uu, io.BytesIO(bad))
+
+
+def test_timestamp_millis_integer_passthrough():
+    """Raw ints (pre-scaled) pass through the timestamp/time encoders
+    unchanged, matching the base-type contract."""
+    import datetime as dt
+    import io
+
+    schema = {"type": "record", "name": "P", "fields": [
+        {"name": "t", "type": {"type": "long", "logicalType": "timestamp-millis"}}]}
+    enc = encode_record(schema, {"t": 1_715_949_296_789})
+    out = decode_record(schema, io.BytesIO(enc))
+    assert out["t"] == dt.datetime(2024, 5, 17, 12, 34, 56, 789000)
