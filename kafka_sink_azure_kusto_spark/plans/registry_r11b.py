@@ -1017,3 +1017,381 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents").select("doc_id")
     )
     return docs.mapInPandas(body, schema=schema)
+
+
+# ---------------------------------------------------------------------
+# inverted-index postings compression accounting (delta + varint)
+
+_PC_TOPN = 50
+
+# varint byte-length ladder — exact integer CASE in both engines (no
+# floating log2 at power-of-two boundaries)
+_VB_SQL = (
+    "CASE WHEN {g} < 128 THEN 1 WHEN {g} < 16384 THEN 2 "
+    "WHEN {g} < 2097152 THEN 3 WHEN {g} < 268435456 THEN 4 ELSE 5 END"
+)
+
+
+@register(
+    "inverted_index_compression",
+    f"""
+    WITH post AS (
+      SELECT DISTINCT term, doc_id FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)),
+    gaps AS (
+      SELECT term, doc_id,
+             doc_id - COALESCE(LAG(doc_id) OVER (PARTITION BY term
+                                                 ORDER BY doc_id), 0) AS g
+      FROM post),
+    per AS (
+      SELECT term,
+             CAST(COUNT(*) AS BIGINT) AS n_postings,
+             CAST(8 * COUNT(*) AS BIGINT) AS raw_bytes,
+             CAST(SUM({_VB_SQL.format(g="g")}) AS BIGINT) AS compressed_bytes
+      FROM gaps GROUP BY term)
+    SELECT term, n_postings, raw_bytes, compressed_bytes,
+           ROUND(compressed_bytes / CAST(raw_bytes AS DOUBLE), 6) AS ratio,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY n_postings DESC, term ASC)
+                      AS rnk
+          FROM per)
+    WHERE rnk <= {_PC_TOPN}
+    """,
+)
+def inverted_index_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Postings-list compression accounting — the index-size planning
+    artifact next to ``inverted_index_postings``: per term, sort the
+    posting doc_ids, delta-encode (first id raw, then gaps), and charge
+    each delta its varint byte length via an exact integer CASE ladder
+    (1 byte < 2^7, 2 < 2^14, ... — no floating log at power-of-two
+    boundaries). Output: the top-{_PC_TOPN} heaviest terms with raw
+    (8 B/id) vs compressed bytes and the ratio.
+
+    Scale shape: ONE shuffle keyed by term; the per-term lag window is
+    the posting list's natural order (the same order a real index
+    writer streams), so state per group is one previous id. Delta+varint
+    is what makes a 100 TB corpus's inverted index fit: hot terms have
+    dense postings → small gaps → 1-2 bytes instead of 8."""
+    docs = load_table(spark, sf_dir, "documents")
+    post = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .select("term", "doc_id")
+        .distinct()
+    )
+    wlag = Window.partitionBy("term").orderBy("doc_id")
+    gaps = post.withColumn(
+        "g", F.col("doc_id") - F.coalesce(F.lag("doc_id").over(wlag), F.lit(0))
+    )
+    vb = (
+        F.when(F.col("g") < 128, 1)
+        .when(F.col("g") < 16384, 2)
+        .when(F.col("g") < 2097152, 3)
+        .when(F.col("g") < 268435456, 4)
+        .otherwise(5)
+    )
+    per = gaps.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_postings"),
+        (8 * F.count(F.lit(1))).cast("bigint").alias("raw_bytes"),
+        F.sum(vb).cast("bigint").alias("compressed_bytes"),
+    )
+    wr = Window.orderBy(F.col("n_postings").desc(), F.col("term").asc())
+    return (
+        per.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= _PC_TOPN)
+        .select(
+            "term",
+            "n_postings",
+            "raw_bytes",
+            "compressed_bytes",
+            F.round(
+                F.col("compressed_bytes") / F.col("raw_bytes").cast("double"), 6
+            ).alias("ratio"),
+            "rank",
+        )
+    )
+
+
+# ---------------------------------------------------------------------
+# Kneser-Ney interpolated trigram language-model scoring
+
+_KN_D = 0.75  # the fixed absolute discount
+
+
+@register(
+    "text_kneser_ney_trigram_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, pos, ws[pos + 1] AS w FROM (
+        SELECT doc_id, ws, unnest(range(0, len(ws))) AS pos
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))),
+    tri AS MATERIALIZED (
+      SELECT a.doc_id, a.pos, a.w AS w1, b.w AS w2, c.w AS w3
+      FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+    c3 AS MATERIALIZED (SELECT w1, w2, w3, CAST(COUNT(*) AS DOUBLE) AS c3
+           FROM tri GROUP BY w1, w2, w3),
+    c2 AS MATERIALIZED (SELECT w1, w2, SUM(c3) AS c2, CAST(COUNT(*) AS DOUBLE) AS t_after
+           FROM c3 GROUP BY w1, w2),
+    bg AS MATERIALIZED (SELECT DISTINCT a.w AS w1, b.w AS w2
+           FROM toks a JOIN toks b ON b.doc_id = a.doc_id
+                                  AND b.pos = a.pos + 1),
+    nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_bigram_types FROM bg),
+    pcont AS MATERIALIZED (SELECT w2 AS w, CAST(COUNT(*) AS DOUBLE) AS n_pre FROM bg
+              GROUP BY w2),
+    fol AS MATERIALIZED (SELECT w1 AS w, CAST(COUNT(*) AS DOUBLE) AS n_fol FROM bg
+            GROUP BY w1),
+    mid3 AS MATERIALIZED (SELECT w2, w3, CAST(COUNT(DISTINCT w1) AS DOUBLE) AS n_pre3
+             FROM c3 GROUP BY w2, w3),
+    mid2 AS MATERIALIZED (SELECT w2, SUM(n_pre3) AS n_mid FROM mid3 GROUP BY w2),
+    scored AS (
+      SELECT t.doc_id,
+             ln(GREATEST(c3.c3 - {_KN_D}, 0.0) / c2.c2
+                + ({_KN_D} * c2.t_after / c2.c2)
+                  * (GREATEST(m3.n_pre3 - {_KN_D}, 0.0) / m2.n_mid
+                     + ({_KN_D} * f.n_fol / m2.n_mid)
+                       * (pc.n_pre / nb.n_bigram_types))) AS lp
+      FROM tri t
+      JOIN c3 ON c3.w1 = t.w1 AND c3.w2 = t.w2 AND c3.w3 = t.w3
+      JOIN c2 ON c2.w1 = t.w1 AND c2.w2 = t.w2
+      JOIN mid3 m3 ON m3.w2 = t.w2 AND m3.w3 = t.w3
+      JOIN mid2 m2 ON m2.w2 = t.w2
+      JOIN fol f ON f.w = t.w2
+      JOIN pcont pc ON pc.w = t.w3
+      CROSS JOIN nb)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           ROUND(AVG(lp), 6) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_kneser_ney_trigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney trigram scoring (D={_KN_D}) — the
+    CCNet-style perplexity filter, the standard quality gate a 100 TB
+    pretraining corpus is cut with. Per trigram:
+    ``P(w3|w1w2) = max(c3-D,0)/c2 + D·T(w1w2·)/c2 · P(w3|w2)`` with the
+    KN lower orders built from CONTINUATION counts
+    (``P(w3|w2) = max(N1+(·w2w3)-D,0)/N1+(·w2·) + D·N1+(w2·)/N1+(·w2·)
+    · N1+(·w3)/|bigram types|``) — the insight that "Francisco" is
+    frequent but follows only "San". Scored on the training corpus
+    itself, so every trigram is observed and the discounted mass
+    exercises all three interpolation layers. Per document: trigram
+    count and mean log-probability (6-dp; both engines evaluate the
+    identical expression tree over exact integer counts).
+
+    Scale shape: five count tables, all hash aggregates on gram keys
+    (linear, map-side combinable); scoring joins are equi-joins on
+    those same keys — the gram tables are the small sides and the
+    trigram stream never materializes more than fixed-width rows. No
+    windows, no per-doc state."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    a = toks.select("doc_id", "pos", F.col("w").alias("w1"))
+    b = toks.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("w").alias("w2")
+    )
+    c = toks.select(
+        "doc_id", (F.col("pos") - 2).alias("pos"), F.col("w").alias("w3")
+    )
+    tri = a.join(b, ["doc_id", "pos"]).join(c, ["doc_id", "pos"])
+    c3 = tri.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).cast("double").alias("c3")
+    )
+    c2 = c3.groupBy("w1", "w2").agg(
+        F.sum("c3").alias("c2"),
+        F.count(F.lit(1)).cast("double").alias("t_after"),
+    )
+    bg = (
+        a.join(b, ["doc_id", "pos"]).select("w1", "w2").distinct()
+    )
+    n_bigram_types = float(bg.count())  # bounded scalar (vocab², not corpus)
+    pcont = bg.groupBy(F.col("w2").alias("w")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_pre")
+    )
+    fol = bg.groupBy(F.col("w1").alias("w")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_fol")
+    )
+    mid3 = c3.groupBy("w2", "w3").agg(
+        F.countDistinct("w1").cast("double").alias("n_pre3")
+    )
+    mid2 = mid3.groupBy("w2").agg(F.sum("n_pre3").alias("n_mid"))
+    d = float(_KN_D)
+    lp = F.log(
+        F.greatest(F.col("c3") - d, F.lit(0.0)) / F.col("c2")
+        + (d * F.col("t_after") / F.col("c2"))
+        * (
+            F.greatest(F.col("n_pre3") - d, F.lit(0.0)) / F.col("n_mid")
+            + (d * F.col("n_fol") / F.col("n_mid"))
+            * (F.col("n_pre") / F.lit(n_bigram_types))
+        )
+    )
+    scored = (
+        tri.join(c3, ["w1", "w2", "w3"])
+        .join(c2, ["w1", "w2"])
+        .join(mid3, ["w2", "w3"])
+        .join(mid2, ["w2"])
+        .join(fol.withColumnRenamed("w", "w2"), ["w2"])
+        .join(pcont.withColumnRenamed("w", "w3"), ["w3"])
+        .withColumn("lp", lp)
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+        F.round(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+
+
+# ---------------------------------------------------------------------
+# streaming expectation monitor: the expectation suite run as ADDITIVE
+# per-micro-batch violation registers through the real streaming engine
+
+_EM_CHECKS_SQL = """
+    SELECT 'completeness(user_id)' AS check_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations
+    FROM events
+    UNION ALL
+    SELECT 'completeness(props)', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN props IS NULL OR props = '' THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'range(value,0,500)', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN value < 0 OR value > 500 THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'in_set(event_type)', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN event_type NOT IN
+                         ('click', 'view', 'purchase', 'signup')
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM events
+"""
+
+
+@register(
+    "streaming_expectation_monitor",
+    f"""
+    WITH checks AS ({_EM_CHECKS_SQL})
+    SELECT check_name, n_rows, n_violations,
+           CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS INT)
+             AS passed,
+           ROUND(n_violations / CAST(n_rows AS DOUBLE), 6) AS violation_rate
+    FROM checks
+    """,
+)
+def streaming_expectation_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expectation suite as a STREAMING data-quality monitor — the
+    shape a 100 TB ingest pipeline actually runs checks in: each
+    micro-batch evaluates every expectation as a conditional aggregate
+    over ONLY its own rows and writes (check, n_rows, n_violations)
+    register rows epoch-keyed (overwrite — the foreachBatch
+    exactly-once recipe, so a batch retry rewrites rather than
+    double-counts); after the stream, registers SUM-merge per check.
+    Violation counters are ADDITIVE, so the merged monitor must equal
+    the single-shot batch audit exactly — the oracle IS that batch
+    audit over the full table. One register row lost, duplicated, or
+    double-counted breaks the value hash. The `in_set(event_type)`
+    check genuinely fires on this corpus ('error' events), proving the
+    monitor detects, not just tallies zeros."""
+    import os
+
+    from kafka_sink_azure_kusto_spark.plans.registry import _workdir
+    from kafka_sink_azure_kusto_spark.plans.registry_streaming2 import (
+        _stage_chunks,
+    )
+
+    work = _workdir("stream_expect_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "props"
+    )
+    chunks = [
+        [
+            r[0]
+            for r in ev.filter(F.col("event_id") % 3 == c)
+            .select(
+                F.to_json(
+                    F.struct("event_id", "user_id", "event_type", "value", "props")
+                )
+            )
+            .collect()
+        ]
+        for c in range(3)
+    ]
+    replay = os.path.join(work, "replay")
+    _stage_chunks(chunks, replay)
+    reg_dir = os.path.join(work, "registers")
+
+    def audit_batch(batch_df, epoch_id: int) -> None:
+        def one(name, viol):
+            return batch_df.agg(
+                F.lit(name).alias("check_name"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(F.when(viol, 1).otherwise(0)).cast("bigint").alias(
+                    "n_violations"
+                ),
+            )
+
+        regs = (
+            one("completeness(user_id)", F.col("user_id").isNull())
+            .unionByName(
+                one(
+                    "completeness(props)",
+                    F.col("props").isNull() | (F.col("props") == ""),
+                )
+            )
+            .unionByName(
+                one(
+                    "range(value,0,500)",
+                    (F.col("value") < 0) | (F.col("value") > 500),
+                )
+            )
+            .unionByName(
+                one(
+                    "in_set(event_type)",
+                    ~F.col("event_type").isin(
+                        "click", "view", "purchase", "signup"
+                    ),
+                )
+            )
+        )
+        regs.write.mode("overwrite").parquet(
+            os.path.join(reg_dir, f"epoch={int(epoch_id)}")
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(replay)
+    )
+    q = (
+        stream.writeStream.foreachBatch(audit_batch)
+        .option("checkpointLocation", os.path.join(work, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    merged = (
+        spark.read.parquet(reg_dir)
+        .groupBy("check_name")
+        .agg(
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("n_violations").cast("bigint").alias("n_violations"),
+        )
+    )
+    return merged.select(
+        "check_name",
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).cast("int").alias("passed"),
+        F.round(F.col("n_violations") / F.col("n_rows"), 6).alias(
+            "violation_rate"
+        ),
+    )

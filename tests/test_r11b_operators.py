@@ -278,3 +278,175 @@ def test_expectation_suite_row_counts(spark, sf_dir):
     got = Q["expectation_suite_audit"](spark, sf_dir).toPandas()
     assert set(got[got["dataset"] == "lineitem"]["n_rows"]) == {li_n}
     assert set(got[got["dataset"] == "orders"]["n_rows"]) == {od_n}
+
+
+# ------------------------------------------------- postings compression
+
+
+def test_inverted_index_compression_matches_python(spark, sf_dir):
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    posts: dict[str, list[int]] = {}
+    for r in docs.itertuples(index=False):
+        for t in set(r.text.split(" ")):
+            posts.setdefault(t, []).append(r.doc_id)
+
+    def vb(g: int) -> int:
+        for n, lim in ((1, 128), (2, 16384), (3, 2097152), (4, 268435456)):
+            if g < lim:
+                return n
+        return 5
+
+    rows = []
+    for t, ids in posts.items():
+        ids = sorted(ids)
+        gaps = [ids[0]] + [b - a for a, b in zip(ids, ids[1:])]
+        rows.append((t, len(ids), 8 * len(ids), sum(vb(g) for g in gaps)))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    expect = [
+        (t, n, rb, cb, round(cb / rb, 6), i + 1)
+        for i, (t, n, rb, cb) in enumerate(rows[:50])
+    ]
+    got = [
+        (r.term, r.n_postings, r.raw_bytes, r.compressed_bytes,
+         round(r.ratio, 6), r.rank)
+        for r in Q["inverted_index_compression"](spark, sf_dir)
+        .toPandas()
+        .sort_values("rank")
+        .itertuples(index=False)
+    ]
+    assert got == expect
+
+
+# ------------------------------------------------------ KN trigram LM
+
+
+def test_kneser_ney_matches_python(spark, sf_dir):
+    """Independent dict-based interpolated-KN implementation."""
+    import math
+    from collections import Counter, defaultdict
+
+    D = 0.75
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    tris, bis = Counter(), set()
+    doc_tris: dict[int, list[tuple[str, str, str]]] = {}
+    for r in docs.itertuples(index=False):
+        ws = r.text.split(" ")
+        doc_tris[r.doc_id] = [
+            (ws[i], ws[i + 1], ws[i + 2]) for i in range(len(ws) - 2)
+        ]
+        tris.update(doc_tris[r.doc_id])
+        bis.update((ws[i], ws[i + 1]) for i in range(len(ws) - 1))
+    c2, t_after = Counter(), Counter()
+    for (w1, w2, w3), c in tris.items():
+        c2[(w1, w2)] += c
+        t_after[(w1, w2)] += 1
+    n_pre = Counter(w2 for _, w2 in bis)        # N1+(·w)
+    n_fol = Counter(w1 for w1, _ in bis)        # N1+(w·)
+    mid3 = defaultdict(set)
+    for w1, w2, w3 in tris:
+        mid3[(w2, w3)].add(w1)
+    n_pre3 = {k: len(v) for k, v in mid3.items()}
+    n_mid = Counter()
+    for (w2, _w3), n in n_pre3.items():
+        n_mid[w2] += n
+    nb = len(bis)
+
+    expect = {}
+    for doc_id, ts in doc_tris.items():
+        if not ts:
+            continue
+        lps = []
+        for w1, w2, w3 in ts:
+            p1 = n_pre[w3] / nb
+            p2 = max(n_pre3[(w2, w3)] - D, 0.0) / n_mid[w2] + (
+                D * n_fol[w2] / n_mid[w2]
+            ) * p1
+            p3 = max(tris[(w1, w2, w3)] - D, 0.0) / c2[(w1, w2)] + (
+                D * t_after[(w1, w2)] / c2[(w1, w2)]
+            ) * p2
+            lps.append(math.log(p3))
+        expect[doc_id] = (len(lps), round(sum(lps) / len(lps), 6))
+
+    got = Q["text_kneser_ney_trigram_score"](spark, sf_dir).toPandas()
+    assert len(got) == len(expect)
+    for r in got.itertuples(index=False):
+        n, lp = expect[r.doc_id]
+        assert r.n_trigrams == n
+        assert abs(r.avg_logprob - lp) < 2e-6, (r.doc_id, r.avg_logprob, lp)
+
+
+def test_kneser_ney_probabilities_normalize():
+    """On a tiny closed corpus, the interpolated-KN distribution over a
+    fixed context sums to 1 across the observed vocabulary — the model
+    is a proper distribution, not just a score."""
+    import math
+    from collections import Counter, defaultdict
+
+    D = 0.75
+    corpus = [
+        "a b c a b d a b c e".split(),
+        "b c a b c d e a b c".split(),
+    ]
+    tris, bis = Counter(), set()
+    for ws in corpus:
+        tris.update((ws[i], ws[i + 1], ws[i + 2]) for i in range(len(ws) - 2))
+        bis.update((ws[i], ws[i + 1]) for i in range(len(ws) - 1))
+    c2, t_after = Counter(), Counter()
+    for (w1, w2, w3), c in tris.items():
+        c2[(w1, w2)] += c
+        t_after[(w1, w2)] += 1
+    n_pre = Counter(w2 for _, w2 in bis)
+    n_fol = Counter(w1 for w1, _ in bis)
+    mid3 = defaultdict(set)
+    for w1, w2, w3 in tris:
+        mid3[(w2, w3)].add(w1)
+    n_pre3 = {k: len(v) for k, v in mid3.items()}
+    n_mid = Counter()
+    for (w2, _w3), n in n_pre3.items():
+        n_mid[w2] += n
+    nb = len(bis)
+    vocab = sorted({w for ws in corpus for w in ws})
+
+    for ctx in [("a", "b"), ("b", "c")]:
+        total = 0.0
+        for w3 in vocab:
+            p1 = n_pre[w3] / nb
+            p2 = max(n_pre3.get((ctx[1], w3), 0) - D, 0.0) / n_mid[ctx[1]] + (
+                D * n_fol[ctx[1]] / n_mid[ctx[1]]
+            ) * p1
+            p3 = max(tris.get((*ctx, w3), 0) - D, 0.0) / c2[ctx] + (
+                D * t_after[ctx] / c2[ctx]
+            ) * p2
+            total += p3
+        # the unigram continuation layer normalizes over the observed
+        # bigram-type vocabulary; Σ P(w|ctx) == 1 up to float error
+        assert abs(total - 1.0) < 1e-9, (ctx, total)
+        assert math.isfinite(total)
+
+
+# ------------------------------------------- streaming expectation monitor
+
+
+def test_streaming_expectation_monitor_matches_batch(spark, sf_dir):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    expect = {
+        "completeness(user_id)": int(ev["user_id"].isna().sum()),
+        "completeness(props)": int(
+            (ev["props"].isna() | (ev["props"] == "")).sum()
+        ),
+        "range(value,0,500)": int(((ev["value"] < 0) | (ev["value"] > 500)).sum()),
+        "in_set(event_type)": int(
+            (~ev["event_type"].isin(["click", "view", "purchase", "signup"])).sum()
+        ),
+    }
+    got = Q["streaming_expectation_monitor"](spark, sf_dir).toPandas()
+    assert len(got) == 4
+    for r in got.itertuples(index=False):
+        assert r.n_rows == len(ev)
+        assert r.n_violations == expect[r.check_name], r.check_name
+        assert r.passed == (1 if r.n_violations == 0 else 0)
+    # the monitor must actually detect: 'error' events violate in_set
+    assert (
+        got.set_index("check_name").loc["in_set(event_type)", "n_violations"]
+        > 0
+    )
