@@ -204,6 +204,20 @@ HEADLINE = [
     "bpe_pack_token_windows",
     "multimodal_jpeg_decode_gate",
     "corpus_shard_manifest",
+    # r11 second wave: data-quality gates, retrieval stack closure,
+    # graph analytics, GIF codec, LM scoring, postings compression
+    "expectation_suite_audit",
+    "streaming_expectation_monitor",
+    "retrieval_eval_metrics",
+    "hybrid_retrieval_rrf",
+    "similarity_binary_hamming_topk",
+    "graph_triangle_count",
+    "graph_label_propagation",
+    "graph_modularity_audit",
+    "multimodal_gif_decode",
+    "multimodal_gif_frame_dedup",
+    "inverted_index_compression",
+    "text_kneser_ney_trigram_score",
 ]
 
 
@@ -461,11 +475,17 @@ def _scale100x_timings(spark, sf_dir: str) -> dict:
     ivf: dict[int, float] = {}
     nnd: dict[int, float] = {}
     gsearch: dict[int, float] = {}
+    bham: dict[int, float] = {}
     for n in (5_000, 50_000):
         emb = synth_embeddings(spark, n).cache()
         emb.count()
         q = emb.filter(F.col("vec_id") < 50)
         ivf[n] = timed(S.ivf_topk(emb, q, k=10))
+        # r11 second wave: binary MIH — candidate buckets hold n/256
+        # rows in expectation per subword index, so with the query set
+        # FIXED at 50 the candidate join volume is linear in n with a
+        # 1/32 constant; the rerank touches only 32 full vectors/query
+        bham[n] = timed(S.binary_hamming_topk(emb, q, k=10))
         # r10: graph search with the edge list PREBUILT (the persisted
         # kNN graph is the index; building it is the one-time cost the
         # lifecycle gates amortize) and entry count FIXED at ~50 via a
@@ -520,6 +540,10 @@ def _scale100x_timings(spark, sf_dir: str) -> dict:
     out["similarity_graph_search"] = {
         "sec_10x": gsearch[5_000], "sec_100x": gsearch[50_000],
         "scaling_exponent": exponent(gsearch),  # bounded per-query budget
+    }
+    out["similarity_binary_hamming_topk"] = {
+        "sec_10x": bham[5_000], "sec_100x": bham[50_000],
+        "scaling_exponent": exponent(bham),  # ≤ linear: n/256-sized buckets
     }
 
     # r11: kNN-graph incremental upsert — a FIXED 50-row batch applied

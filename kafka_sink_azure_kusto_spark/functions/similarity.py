@@ -1738,3 +1738,132 @@ def graph_search_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# binary (sign-bit) quantization + multi-index-hashing Hamming search
+
+
+def sign_bit_words(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Append the 64-dim sign-bit code packed into TWO 32-bit words
+    (``w0``/``w1`` — two words, not one 64-bit word, so no engine ever
+    shifts into a BIGINT's sign bit). Bit j of word 0 is
+    ``vec[j] > 0`` for j in 0..31; word 1 covers 32..63. The quantized
+    index is 8 bytes/vector: a 100 TB float corpus becomes ~0.8 TB of
+    codes."""
+    word = (
+        "CAST(aggregate(transform(slice({v}, {lo}, 32), (x, j) -> "
+        "IF(x > 0, shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))), "
+        "CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT)"
+    )
+    return df.withColumn("w0", F.expr(word.format(v=vec_col, lo=1))).withColumn(
+        "w1", F.expr(word.format(v=vec_col, lo=33))
+    )
+
+
+def _mih_subwords(src: DataFrame, id_out: str, n_sub: int) -> DataFrame:
+    """Explode a coded frame into (id, subword index, subword value)
+    rows — the multi-index-hashing bucket keys (8-bit subwords)."""
+    sub_expr = F.expr(
+        f"explode(transform(sequence(0, {n_sub - 1}), i -> struct(i AS i,"
+        " CASE WHEN i < 4 THEN shiftright(w0, 8 * i) & CAST(255 AS BIGINT)"
+        " ELSE shiftright(w1, 8 * (i - 4)) & CAST(255 AS BIGINT) END AS sv)))"
+    )
+    return src.select(F.col("id").alias(id_out), sub_expr.alias("s")).select(
+        id_out, F.col("s.i").alias("i"), F.col("s.sv").alias("sv")
+    )
+
+
+def binary_hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_candidates: int = 32,
+    n_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_round: int | None = None,
+) -> DataFrame:
+    """Binary-quantized top-k with MULTI-INDEX-HASHING candidate
+    generation (Norouzi, Punjani, Fleet): candidates are corpus rows
+    sharing at least one exact 8-bit subword with the query at the same
+    index — the pigeonhole principle guarantees every neighbor within
+    Hamming radius < ``n_sub`` is recalled, and candidate generation is
+    an EQUI-JOIN on fixed-width (index, subword) keys, never a
+    corpus×query scan. Candidates rank by popcount Hamming
+    (``bit_count(w XOR w)``, pure JVM integer ops); the top
+    ``n_candidates`` rerank by exact cosine.
+
+    Scale shape: subword buckets hold n/256 rows in expectation per
+    index, so the candidate join's fan-out is linear in corpus size
+    with a 1/32 constant; only ``n_candidates`` rows per query ever
+    touch the full-precision vectors. The query side is
+    modulus-bounded by the caller and broadcast.
+
+    Returns (query_id, neighbor_id, hamming, score, rank)."""
+    e = sign_bit_words(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        "v",
+    ).localCheckpoint()  # words + vectors computed once, reused 4×
+    q = sign_bit_words(
+        queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        "v",
+    ).select(
+        F.col("id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    sub = _mih_subwords(e, "nid", n_sub)
+    qs = _mih_subwords(
+        q.select(
+            F.col("qid").alias("id"), F.col("qw0").alias("w0"), F.col("qw1").alias("w1")
+        ),
+        "qid",
+        n_sub,
+    )
+    cand = (
+        sub.join(F.broadcast(qs), ["i", "sv"])
+        .filter(F.col("nid") != F.col("qid"))
+        .select("qid", "nid")
+        .distinct()
+    )
+    ham = (
+        cand.join(F.broadcast(q.select("qid", "qw0", "qw1")), "qid")
+        .join(
+            e.select(F.col("id").alias("nid"), "w0", "w1"), "nid"
+        )
+        .select(
+            "qid",
+            "nid",
+            (
+                F.expr("bit_count(qw0 ^ w0)") + F.expr("bit_count(qw1 ^ w1)")
+            ).cast("bigint").alias("hamming"),
+        )
+    )
+    wh = Window.partitionBy("qid").orderBy(F.col("hamming").asc(), F.col("nid").asc())
+    top = (
+        ham.withColumn("hr", F.row_number().over(wh))
+        .filter(F.col("hr") <= n_candidates)
+        .select("qid", "nid", "hamming")
+    )
+    rer = (
+        top.join(F.broadcast(q.select("qid", "qv")), "qid")
+        .join(e.select(F.col("id").alias("nid"), F.col("v")), "nid")
+        .withColumn("score", cosine(F.col("qv"), F.col("v")))
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
+    score_col = (
+        F.round("score", score_round) if score_round is not None else F.col("score")
+    )
+    return (
+        rer.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "hamming",
+            score_col.alias("score"),
+            F.col("rnk").cast("bigint").alias("rank"),
+        )
+    )

@@ -604,82 +604,23 @@ def similarity_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFram
     n/256 rows in expectation per index, so the candidate join's
     fan-out is linear in corpus size with a 1/32 constant; only
     {_BQ_CAND} rows per query touch the full-precision vectors."""
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        binary_hamming_topk,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    word = (
-        "CAST(aggregate(transform(slice(embedding, {lo}, 32), (x, j) -> "
-        "IF(x > CAST(0 AS FLOAT), shiftleft(CAST(1 AS BIGINT), j), "
-        "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x) AS BIGINT)"
-    )
-    e = emb.select(
-        F.col("vec_id").alias("nid"),
+    dbl = emb.select(
+        "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
-        F.expr(word.format(lo=1)).alias("w0"),
-        F.expr(word.format(lo=33)).alias("w1"),
-    ).localCheckpoint()  # words + doubles computed once, reused 4×
-
-    sub_expr = F.expr(
-        f"explode(transform(sequence(0, {_BQ_SUBS - 1}), i -> struct(i AS i,"
-        " CASE WHEN i < 4 THEN shiftright(w0, 8 * i) & CAST(255 AS BIGINT)"
-        " ELSE shiftright(w1, 8 * (i - 4)) & CAST(255 AS BIGINT) END AS sv)))"
     )
-    sub = e.select("nid", sub_expr.alias("s")).select(
-        "nid", F.col("s.i").alias("i"), F.col("s.sv").alias("sv")
-    )
-    q = e.filter(F.col("nid") % _BQ_QMOD == _BQ_QOFF).select(
-        F.col("nid").alias("qid"),
-        F.col("v").alias("qv"),
-        F.col("w0").alias("qw0"),
-        F.col("w1").alias("qw1"),
-    )
-    qs = q.select("qid", "qw0", "qw1").select(
-        "qid",
-        F.expr(
-            f"explode(transform(sequence(0, {_BQ_SUBS - 1}), i -> struct(i AS i,"
-            " CASE WHEN i < 4 THEN shiftright(qw0, 8 * i) & CAST(255 AS BIGINT)"
-            " ELSE shiftright(qw1, 8 * (i - 4)) & CAST(255 AS BIGINT) END AS sv)))"
-        ).alias("s"),
-    ).select("qid", F.col("s.i").alias("i"), F.col("s.sv").alias("sv"))
-    cand = (
-        sub.join(F.broadcast(qs), ["i", "sv"])
-        .filter(F.col("nid") != F.col("qid"))
-        .select("qid", "nid")
-        .distinct()
-    )
-    ham = (
-        cand.join(F.broadcast(q.select("qid", "qw0", "qw1")), "qid")
-        .join(e.select("nid", "w0", "w1"), "nid")
-        .select(
-            "qid",
-            "nid",
-            (
-                F.expr("bit_count(qw0 ^ w0)") + F.expr("bit_count(qw1 ^ w1)")
-            ).cast("bigint").alias("hamming"),
-        )
-    )
-    wh = Window.partitionBy("qid").orderBy(F.col("hamming").asc(), F.col("nid").asc())
-    top = (
-        ham.withColumn("hr", F.row_number().over(wh))
-        .filter(F.col("hr") <= _BQ_CAND)
-        .select("qid", "nid", "hamming")
-    )
-    from kafka_sink_azure_kusto_spark.functions.similarity import cosine
-
-    rer = (
-        top.join(F.broadcast(q.select("qid", "qv")), "qid")
-        .join(e.select("nid", "v"), "nid")
-        .withColumn("score", cosine(F.col("qv"), F.col("v")))
-    )
-    wr = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("nid").asc())
-    return (
-        rer.withColumn("rnk", F.row_number().over(wr))
-        .filter(F.col("rnk") <= _BQ_K)
-        .select(
-            F.col("qid").alias("query_id"),
-            F.col("nid").alias("neighbor_id"),
-            "hamming",
-            F.round("score", 6).alias("score"),
-            F.col("rnk").cast("bigint").alias("rank"),
-        )
+    return binary_hamming_topk(
+        dbl,
+        dbl.filter(F.col("vec_id") % _BQ_QMOD == _BQ_QOFF),
+        k=_BQ_K,
+        n_candidates=_BQ_CAND,
+        n_sub=_BQ_SUBS,
+        vec_col="v",
+        score_round=6,
     )
 
 
@@ -841,10 +782,50 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lpa_sql() -> str:
-    """Unrolled synchronous label-propagation oracle: per iteration,
-    each node adopts the modal label of its neighbors (count DESC,
-    label ASC tie-break) — same CTE chain the Spark loop builds."""
+def _copurchase_lpa(spark: SparkSession, sf_dir: str):
+    """Shared LPA engine: build the distinct co-purchase edge list and
+    run {_LPA_ITERS} synchronous label-propagation rounds. Returns
+    (edges, final labels); consumed by ``graph_label_propagation`` and
+    ``graph_modularity_audit`` from the SAME loop, so the two gates can
+    never drift apart."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    ed = (
+        a.join(b, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .select("p1", "p2")
+        .distinct()
+        .localCheckpoint()  # reused every round + by modularity stats
+    )
+    und = ed.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).unionAll(ed.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+    lbl = (
+        ed.select(F.col("p1").alias("node"))
+        .unionAll(ed.select(F.col("p2").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+    )
+    wp = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl").asc())
+    for _ in range(_LPA_ITERS):
+        msgs = und.join(
+            lbl.select(F.col("node").alias("dst"), "lbl"), "dst"
+        ).select(F.col("src").alias("node"), "lbl")
+        cnt = msgs.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        lbl = (
+            cnt.withColumn("pr", F.row_number().over(wp))
+            .filter(F.col("pr") == 1)
+            .select("node", "lbl")
+        )
+    return ed, lbl.localCheckpoint()
+
+
+def _lpa_chain() -> str:
+    """The shared unrolled LPA CTE chain (edges + iterations); the
+    final labels live in CTE ``l{_LPA_ITERS}``. One spec, two
+    consumers: the community rollup and the modularity audit."""
     parts = [
         "und AS MATERIALIZED (SELECT p1 AS src, p2 AS dst FROM ed"
         " UNION ALL SELECT p2, p1 FROM ed)",
@@ -856,14 +837,20 @@ def _lpa_sql() -> str:
             f"""c{t} AS (SELECT u.src AS node, l.lbl, COUNT(*) AS c
         FROM und u JOIN l{t - 1} l ON l.node = u.dst
         GROUP BY u.src, l.lbl),
-    l{t} AS (SELECT node, lbl FROM (
+    l{t} AS MATERIALIZED (SELECT node, lbl FROM (
         SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node
                  ORDER BY c DESC, lbl ASC) AS pr FROM c{t})
         WHERE pr = 1)"""
         )
+    return f"WITH {_EDGE_SQL},\n    " + ",\n    ".join(parts)
+
+
+def _lpa_sql() -> str:
+    """Unrolled synchronous label-propagation oracle: per iteration,
+    each node adopts the modal label of its neighbors (count DESC,
+    label ASC tie-break) — same CTE chain the Spark loop builds."""
     return (
-        f"WITH {_EDGE_SQL},\n    "
-        + ",\n    ".join(parts)
+        _lpa_chain()
         + f"""
     SELECT lbl AS community,
            CAST(COUNT(*) AS BIGINT) AS n_members,
@@ -886,42 +873,105 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     That per-round shape is what scales: a 100 TB edge list runs the
     same three stages with label state co-partitioned on node id.
     Output: final communities with member counts and id ranges."""
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
-    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
-    ed = (
-        a.join(b, "ok")
-        .filter(F.col("p1") < F.col("p2"))
-        .select("p1", "p2")
-        .distinct()
-    )
-    und = (
-        ed.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
-        .unionAll(ed.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
-        .localCheckpoint()  # the edge substrate is reused every round
-    )
-    lbl = (
-        ed.select(F.col("p1").alias("node"))
-        .unionAll(ed.select(F.col("p2").alias("node")))
-        .distinct()
-        .select("node", F.col("node").alias("lbl"))
-    )
-    wp = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl").asc())
-    for _ in range(_LPA_ITERS):
-        msgs = und.join(
-            lbl.select(F.col("node").alias("dst"), "lbl"), "dst"
-        ).select(F.col("src").alias("node"), "lbl")
-        cnt = msgs.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
-        lbl = (
-            cnt.withColumn("pr", F.row_number().over(wp))
-            .filter(F.col("pr") == 1)
-            .select("node", "lbl")
-        )
+    _ed, lbl = _copurchase_lpa(spark, sf_dir)
     return lbl.groupBy(F.col("lbl").alias("community")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_members"),
         F.min("node").alias("min_node"),
         F.max("node").alias("max_node"),
+    )
+
+
+@register(
+    "graph_modularity_audit",
+    _lpa_chain()
+    + f"""
+    ,deg AS (SELECT node, CAST(COUNT(*) AS DOUBLE) AS d FROM (
+        SELECT p1 AS node FROM ed UNION ALL SELECT p2 FROM ed)
+        GROUP BY node),
+    m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM ed),
+    lb AS (SELECT node, lbl FROM l{_LPA_ITERS}),
+    ein AS (SELECT la.lbl, CAST(COUNT(*) AS DOUBLE) AS e_in
+            FROM ed JOIN lb la ON la.node = ed.p1
+                    JOIN lb lc ON lc.node = ed.p2
+            WHERE la.lbl = lc.lbl GROUP BY la.lbl),
+    dsum AS (SELECT lb.lbl, SUM(deg.d) AS d_sum,
+                    CAST(COUNT(*) AS BIGINT) AS n_members
+             FROM lb JOIN deg ON deg.node = lb.node GROUP BY lb.lbl),
+    per AS (SELECT dsum.lbl, dsum.n_members,
+                   COALESCE(ein.e_in, 0.0) AS e_in, dsum.d_sum,
+                   COALESCE(ein.e_in, 0.0) / m.m
+                     - (dsum.d_sum / (2 * m.m)) * (dsum.d_sum / (2 * m.m))
+                     AS contrib
+            FROM dsum LEFT JOIN ein ON ein.lbl = dsum.lbl CROSS JOIN m),
+    q AS (SELECT SUM(contrib) AS q FROM per)
+    SELECT per.lbl AS community, per.n_members,
+           CAST(per.e_in AS BIGINT) AS internal_edges,
+           CAST(per.d_sum AS BIGINT) AS degree_sum,
+           ROUND(per.contrib, 6) AS contribution,
+           ROUND(q.q, 6) AS modularity
+    FROM per CROSS JOIN q
+    """,
+)
+def graph_modularity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA partition — the metric that says
+    whether the communities MEAN anything:
+    ``Q = Σ_c [ e_c/m − (d_c/2m)² ]`` (fraction of edges inside each
+    community minus the degree-preserving-null expectation). Runs the
+    SAME {_LPA_ITERS}-round LPA loop as ``graph_label_propagation``
+    (one shared engine, `_copurchase_lpa`), then: per-community
+    internal-edge counts via two label joins on the edge list,
+    degree sums via one join, and the global Q as a 1-row broadcast.
+    Per-community rows carry exact integer counts; contribution and Q
+    are 6-dp. The audit shape matters at 100 TB: Q is how you detect
+    that a partition degenerated (one giant community → Q ≈ 0) without
+    eyeballing millions of labels."""
+    ed, lbl = _copurchase_lpa(spark, sf_dir)
+    deg = (
+        ed.select(F.col("p1").alias("node"))
+        .unionAll(ed.select(F.col("p2").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("double").alias("d"))
+    )
+    m = float(ed.count())  # bounded scalar; ed is checkpointed
+    la = lbl.select(F.col("node").alias("p1"), F.col("lbl").alias("l1"))
+    lc = lbl.select(F.col("node").alias("p2"), F.col("lbl").alias("l2"))
+    ein = (
+        ed.join(la, "p1")
+        .join(lc, "p2")
+        .filter(F.col("l1") == F.col("l2"))
+        .groupBy(F.col("l1").alias("lbl"))
+        .agg(F.count(F.lit(1)).cast("double").alias("e_in"))
+    )
+    dsum = (
+        lbl.join(deg, "node")
+        .groupBy("lbl")
+        .agg(
+            F.sum("d").alias("d_sum"),
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        )
+    )
+    per = (
+        dsum.join(ein, "lbl", "left")
+        .select(
+            "lbl",
+            "n_members",
+            F.coalesce(F.col("e_in"), F.lit(0.0)).alias("e_in"),
+            "d_sum",
+        )
+        .withColumn(
+            "contrib",
+            F.col("e_in") / m
+            - (F.col("d_sum") / (2 * m)) * (F.col("d_sum") / (2 * m)),
+        )
+    )
+    q = per.agg(F.sum("contrib").alias("q"))
+    return per.crossJoin(F.broadcast(q)).select(
+        F.col("lbl").alias("community"),
+        "n_members",
+        F.col("e_in").cast("bigint").alias("internal_edges"),
+        F.col("d_sum").cast("bigint").alias("degree_sum"),
+        F.round("contrib", 6).alias("contribution"),
+        F.round("q", 6).alias("modularity"),
     )
 
 
@@ -1426,4 +1476,140 @@ def streaming_expectation_monitor(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.col("n_violations") / F.col("n_rows"), 6).alias(
             "violation_rate"
         ),
+    )
+
+
+# ---------------------------------------------------------------------
+# GIF-frame perceptual dedup: the video-dedup story on a REAL container
+# format — animated GIF decode → per-frame 63-bit dHash → block-LSH
+# near-dup pairs. mid = doc_id % 89 plants genuine duplicates (docs
+# sharing mid have IDENTICAL frame sets), the same fixture algebra as
+# multimodal_dhash_dedup.
+
+_GF_MOD = 89
+_GF_HAM = 10
+
+
+@register(
+    "multimodal_gif_frame_dedup",
+    f"""
+    WITH base AS (SELECT doc_id, doc_id % {_GF_MOD} AS mid FROM documents),
+    dims AS (SELECT doc_id, mid, 1 + mid % 3 AS nf,
+                    6 + mid % 7 AS w, 5 + mid % 5 AS h
+             FROM base),
+    units AS (SELECT doc_id, mid, w, h, fr.f AS f
+              FROM dims, range(0, 3) fr(f) WHERE fr.f < nf),
+    cells AS (SELECT doc_id, mid, w, h, f, gr.g AS gr, gc.c AS gc,
+                     ((gr.g * h) // 8) * w + ((gc.c * w) // 9) AS p
+              FROM units
+              CROSS JOIN (SELECT unnest(range(0, 8)) AS g) gr
+              CROSS JOIN (SELECT unnest(range(0, 9)) AS c) gc),
+    lum AS (SELECT doc_id, f, gr, gc,
+                   299 * ((mid * 31 + f * 17 + p * 7) % 256)
+                 + 587 * ((3 * ((mid * 31 + f * 17 + p * 7) % 256) + 1) % 256)
+                 + 114 * ((7 * ((mid * 31 + f * 17 + p * 7) % 256) + 5) % 256)
+                     AS l
+            FROM cells),
+    bits AS (SELECT a.doc_id, a.f, a.gr, a.gc,
+                    CASE WHEN a.l < b.l THEN 1 ELSE 0 END AS bit
+             FROM lum a JOIN lum b
+               ON a.doc_id = b.doc_id AND a.f = b.f AND a.gr = b.gr
+              AND b.gc = a.gc + 1
+             WHERE a.gc < 8),
+    sig AS (SELECT doc_id * 4 + f AS u,
+                   SUM(CASE WHEN gr * 8 + gc < 63
+                            THEN bit * (CAST(1 AS BIGINT) << (gr * 8 + gc))
+                            ELSE 0 END) AS dh
+            FROM bits GROUP BY doc_id, f),
+    blocks AS (SELECT u, dh, bj.j AS j, (dh >> (16 * bj.j)) & 65535 AS bb
+               FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS j) bj),
+    cand AS (SELECT DISTINCT l.u AS lu, r.u AS ru, l.dh AS ldh, r.dh AS rdh
+             FROM blocks l JOIN blocks r
+               ON l.j = r.j AND l.bb = r.bb AND l.u < r.u)
+    SELECT lu // 4 AS left_doc, lu % 4 AS left_frame,
+           ru // 4 AS right_doc, ru % 4 AS right_frame,
+           CAST(bit_count(xor(ldh, rdh)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(ldh, rdh)) <= {_GF_HAM}
+    """,
+)
+def multimodal_gif_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animation-frame perceptual dedup through the REAL GIF container:
+    per document, synthesize a (1-3)-frame GIF (odd frames interlaced,
+    odd docs with local color tables), decode it through the magic-byte
+    dispatch, split the concatenated raster back into frames, and
+    63-bit dHash each frame; then `dhash_neardup_pairs` finds near-dup
+    FRAME pairs across the corpus (16-bit block LSH candidates →
+    popcount Hamming ≤ {_GF_HAM}). The frame unit id packs as
+    doc_id·4+frame so the pair machinery is the shared image-dedup
+    kernel, unchanged. The mid = doc % {_GF_MOD} fixture algebra plants
+    genuine duplicates (same mid ⇒ identical frame sets), so the gate
+    proves detection — and the oracle replays the ENTIRE chain (pixel
+    formula → 9×8 grid luma → gradient bits → blocks → Hamming)
+    closed-form, never seeing a byte of LZW. Decode+hash is one Arrow
+    mapInPandas pass; the only shuffle is the (block, bits) equi-join."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from kafka_sink_azure_kusto_spark.functions.codecs import (
+        DecodedMedia,
+        decode_media_bytes,
+    )
+    from kafka_sink_azure_kusto_spark.functions.gif import encode_gif
+    from kafka_sink_azure_kusto_spark.functions.multimodal import (
+        dhash64,
+        dhash_neardup_pairs,
+    )
+    from kafka_sink_azure_kusto_spark.functions.parallelism import (
+        ensure_min_parallelism,
+    )
+
+    ks = np.arange(256, dtype=np.int64)
+    palette = np.stack([ks, (3 * ks + 1) % 256, (7 * ks + 5) % 256], axis=1)
+    schema = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("dhash", LongType(), False),
+    ])
+
+    def body(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        units, hashes = [], []
+        for pdf in it:
+            for d in pdf["doc_id"]:
+                doc = int(d)
+                mid = doc % _GF_MOD
+                nf = 1 + mid % 3
+                w = 6 + mid % 7
+                h = 5 + mid % 5
+                p = np.arange(w * h, dtype=np.int64)
+                frames = [(mid * 31 + f * 17 + p * 7) % 256
+                          for f in range(nf)]
+                m = decode_media_bytes(encode_gif(
+                    w, h, frames, palette,
+                    local_palette=(doc % 2 == 1),
+                    interlaced_frames={f for f in range(nf) if f % 2 == 1},
+                ))
+                per = m.samples.reshape(m.n_frames, h * w * 3)
+                for f in range(m.n_frames):
+                    units.append(doc * 4 + f)
+                    hashes.append(dhash64(
+                        DecodedMedia("gif", w, h, 0, per[f])
+                    ))
+        yield pd.DataFrame({
+            "doc_id": pd.Series(units, dtype="int64"),
+            "dhash": pd.Series(hashes, dtype="int64"),
+        })
+
+    docs = ensure_min_parallelism(
+        load_table(spark, sf_dir, "documents").select("doc_id")
+    )
+    sig = docs.mapInPandas(body, schema=schema)
+    pairs = dhash_neardup_pairs(sig, max_hamming=_GF_HAM)
+    return pairs.select(
+        (F.col("left_id") / 4).cast("bigint").alias("left_doc"),
+        (F.col("left_id") % 4).cast("bigint").alias("left_frame"),
+        (F.col("right_id") / 4).cast("bigint").alias("right_doc"),
+        (F.col("right_id") % 4).cast("bigint").alias("right_frame"),
+        "hamming",
     )

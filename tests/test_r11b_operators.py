@@ -450,3 +450,50 @@ def test_streaming_expectation_monitor_matches_batch(spark, sf_dir):
         got.set_index("check_name").loc["in_set(event_type)", "n_violations"]
         > 0
     )
+
+
+# ------------------------------------------------------- modularity
+
+
+def test_modularity_matches_python(spark, sf_dir):
+    li = _li(sf_dir)
+    edges = _copurchase_edges(li)
+    nbrs: dict[int, list[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    lbl = {n: n for n in nbrs}
+    for _ in range(3):
+        new = {}
+        for n, ns in nbrs.items():
+            counts: dict[int, int] = {}
+            for mm in ns:
+                counts[lbl[mm]] = counts.get(lbl[mm], 0) + 1
+            new[n] = min(counts, key=lambda k: (-counts[k], k))
+        lbl = new
+    m = len(edges)
+    e_in: dict[int, int] = {}
+    for a, b in edges:
+        if lbl[a] == lbl[b]:
+            e_in[lbl[a]] = e_in.get(lbl[a], 0) + 1
+    d_sum: dict[int, int] = {}
+    members: dict[int, int] = {}
+    for n, c in lbl.items():
+        d_sum[c] = d_sum.get(c, 0) + len(nbrs[n])
+        members[c] = members.get(c, 0) + 1
+    contrib = {
+        c: e_in.get(c, 0) / m - (d_sum[c] / (2 * m)) ** 2 for c in members
+    }
+    q_total = sum(contrib.values())
+
+    got = Q["graph_modularity_audit"](spark, sf_dir).toPandas()
+    assert len(got) == len(members)
+    for r in got.itertuples(index=False):
+        assert r.n_members == members[r.community]
+        assert r.internal_edges == e_in.get(r.community, 0)
+        assert r.degree_sum == d_sum[r.community]
+        assert abs(r.contribution - round(contrib[r.community], 6)) < 2e-6
+        assert abs(r.modularity - round(q_total, 6)) < 2e-6
+    # modularity is a proper score: bounded and, on this clustered
+    # basket graph, strictly positive
+    assert -0.5 <= got["modularity"].iloc[0] <= 1.0
