@@ -1106,6 +1106,31 @@ def _section_main(section: str) -> int:
         print(json.dumps(out, separators=(",", ":")))
         sys.stdout.flush()
         return 0
+    if section == "canary":
+        # end-of-run environment-drift detector (see main()): three
+        # cheap fixed queries, same warmup + min-of-N as the shards
+        import time as _time
+
+        import __spark_entry__ as entrymod
+
+        from kafka_sink_azure_kusto_spark.sources.tables import load_table
+
+        qs = entrymod.queries()
+        load_table(spark, sf_dir, "region").count()
+        runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+        out_q: dict[str, float] = {}
+        for name in ("q6_forecast_revenue", "region_rollup", "tombstone_filter"):
+            best = float("inf")
+            for _ in range(runs):
+                t0 = _time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, _time.perf_counter() - t0)
+            out_q[name] = round(best, 3)
+        spark.stop()
+        sys.stdout.flush()
+        print(json.dumps({"queries": out_q}, separators=(",", ":")))
+        sys.stdout.flush()
+        return 0
     if section == "sink":
         out = _sink_throughput(spark, sf_dir)
     elif section == "latency":
@@ -1190,6 +1215,25 @@ def main() -> int:
     for n in missing:
         timings[n] = None
     total = round(sum(v for v in timings.values() if v is not None), 3)
+    # quiet-at-START is not quiet-THROUGHOUT: a shared host's neighbors
+    # can ramp mid-run (observed: a start-quiet run recorded 1.7×
+    # headline inflation while load15 climbed to 8.6). Raw end-of-run
+    # load is ambiguous (it includes our own decay), so the detector is
+    # a CANARY RERUN: three cheap fixed queries re-measured in one more
+    # fresh JVM at the very end; drift vs their in-run walls in EITHER
+    # direction flags an unstable environment in the artifact itself.
+    env["load1_at_end"] = round(os.getloadavg()[0], 2)
+    env["load15_at_end"] = round(os.getloadavg()[2], 2)
+    canary = _fresh_jvm_section("canary").get("queries", {})
+    drift = {}
+    for name, end_t in canary.items():
+        in_run = timings.get(name)
+        if in_run and end_t:
+            drift[name] = round(end_t / in_run, 2)
+    env["canary_end_over_inrun"] = drift
+    env["environment_stable"] = bool(drift) and all(
+        0.6 <= r <= 1.5 for r in drift.values()
+    )
     # Scale sections in fresh subprocess JVMs too (same methodology as
     # sink/latency, extended this round): run at the tail of the
     # ~25-minute headline JVM, the 10×/100× walls were unstable to the
