@@ -1119,7 +1119,9 @@ def _section_main(section: str) -> int:
         load_table(spark, sf_dir, "region").count()
         runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
         out_q: dict[str, float] = {}
-        for name in ("q6_forecast_revenue", "region_rollup", "tombstone_filter"):
+        # all three must be HEADLINE members or the drift ratio has no
+        # in-run wall to compare against
+        for name in ("q1_pricing_summary", "region_rollup", "tombstone_filter"):
             best = float("inf")
             for _ in range(runs):
                 t0 = _time.perf_counter()
