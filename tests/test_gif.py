@@ -127,3 +127,78 @@ def test_mutation_never_silently_equal():
         assert not np.array_equal(m.samples, expect) or mutated == blob
         hits += 1
     assert hits > 0
+
+
+# ------------------------------------------------------ property suite
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    idx=st.lists(st.integers(0, 255), min_size=1, max_size=2000),
+    mcs=st.integers(2, 8),
+)
+def test_lzw_roundtrip_property(idx, mcs):
+    """LZW encode→decode is identity for arbitrary symbol streams at
+    every min-code-size, across the code-size-growth and (for long
+    random streams) full-table-reset regimes. Symbols are clamped to
+    the alphabet implied by mcs."""
+    import numpy as np
+
+    from kafka_sink_azure_kusto_spark.functions.gif import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    syms = np.asarray(idx, dtype=np.int64) % (1 << mcs)
+    enc = _lzw_encode(syms, mcs)
+    out = _lzw_decode(enc, mcs, len(syms))
+    assert np.array_equal(out, syms)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    nf=st.integers(1, 4),
+    interlace_mask=st.integers(0, 15),
+    local=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_container_roundtrip_property(w, h, nf, interlace_mask, local, seed):
+    """Arbitrary geometry × frame count × interlace subset × palette
+    placement round-trips exactly through the full container."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    frames = [rng.randint(0, 256, w * h) for _ in range(nf)]
+    blob = encode_gif(
+        w, h, frames, PAL,
+        local_palette=local,
+        interlaced_frames={f for f in range(nf) if interlace_mask >> f & 1},
+    )
+    m = decode_gif(blob)
+    assert (m.width, m.height, m.n_frames) == (w, h, nf)
+    assert np.array_equal(m.samples, _expect(frames))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    cut=st.integers(1, 400),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_gif_truncation_always_loud(cut, seed):
+    """EVERY prefix truncation of a valid stream loud-rejects — no
+    prefix parses as a complete GIF (the trailer byte is load-bearing,
+    and sub-block/LZW walks check their bounds)."""
+    import numpy as np
+    import pytest as _pytest
+
+    rng = np.random.RandomState(seed)
+    f = rng.randint(0, 256, 10 * 8)
+    blob = encode_gif(10, 8, [f], PAL)
+    prefix = blob[: len(blob) - 1 - (cut % (len(blob) - 1))]
+    with _pytest.raises(MediaDecodeError):
+        decode_gif(prefix)
