@@ -211,6 +211,7 @@ HEADLINE = [
     "retrieval_eval_metrics",
     "hybrid_retrieval_rrf",
     "similarity_binary_hamming_topk",
+    "similarity_mih_recall_audit",
     "graph_triangle_count",
     "graph_label_propagation",
     "graph_modularity_audit",

@@ -1613,3 +1613,177 @@ def multimodal_gif_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("right_id") % 4).cast("bigint").alias("right_frame"),
         "hamming",
     )
+
+
+# ---------------------------------------------------------------------
+# MIH recall audit: the binary-quantized searcher graded against exact
+# brute force on TWO corpora — the raw near-isotropic embeddings and a
+# planted-cluster transform — so the audit measures the regime
+# dependence of sign-bit codes instead of one number with no context
+
+_MIH_SHIFT = 0.35  # ± sign shift: label-aligned components pushed
+#                    positive, the rest negative — sign bits are
+#                    MAGNITUDE-blind, so a one-sided boost (first
+#                    attempt, measured live) changes nothing; cluster
+#                    structure must live in the SIGN pattern
+
+
+def _mih_arm_sql(p: str, vexpr: str) -> str:
+    """One audit arm (prefix ``p``): corpus with vectors ``vexpr``,
+    sign-bit words, MIH candidates, Hamming top-{_BQ_CAND}, cosine
+    top-{_BQ_K}, brute-force ground truth, per-query hit counts. The
+    SAME chain text for both arms — only the corpus expression
+    differs, exactly like the Spark side."""
+    word = (
+        "CAST(list_sum(list_transform(range({lo}, {hi}), "
+        "j -> CASE WHEN v[j] > 0 THEN (1::BIGINT << (j - {lo})) "
+        "ELSE 0::BIGINT END)) AS BIGINT)"
+    )
+    return f"""
+    {p}e0 AS (SELECT vec_id AS nid, {vexpr} AS v FROM embeddings),
+    {p}e AS MATERIALIZED (
+      SELECT nid, v, {word.format(lo=1, hi=33)} AS w0,
+             {word.format(lo=33, hi=65)} AS w1
+      FROM {p}e0),
+    {p}sub AS MATERIALIZED (
+      SELECT e.nid, t.i,
+             CASE WHEN t.i < 4 THEN (e.w0 >> (8 * t.i)) & 255
+                  ELSE (e.w1 >> (8 * (t.i - 4))) & 255 END AS sv
+      FROM {p}e e, range(0, {_BQ_SUBS}) t(i)),
+    {p}q AS MATERIALIZED (SELECT nid AS qid, v AS qv, w0 AS qw0,
+                                 w1 AS qw1
+                          FROM {p}e WHERE nid % {_BQ_QMOD} = {_BQ_QOFF}),
+    {p}qs AS (SELECT q.qid, t.i,
+                     CASE WHEN t.i < 4 THEN (q.qw0 >> (8 * t.i)) & 255
+                          ELSE (q.qw1 >> (8 * (t.i - 4))) & 255 END AS sv
+              FROM {p}q q, range(0, {_BQ_SUBS}) t(i)),
+    {p}cand AS (SELECT DISTINCT qs.qid, sub.nid
+                FROM {p}qs qs JOIN {p}sub sub
+                  ON qs.i = sub.i AND qs.sv = sub.sv
+                WHERE sub.nid <> qs.qid),
+    {p}ham AS (SELECT c.qid, c.nid,
+                      bit_count(xor(q.qw0, e.w0))
+                        + bit_count(xor(q.qw1, e.w1)) AS hamming
+               FROM {p}cand c JOIN {p}q q ON q.qid = c.qid
+                              JOIN {p}e e ON e.nid = c.nid),
+    {p}mih AS (SELECT qid, nid FROM (
+        SELECT t.qid, t.nid,
+               ROW_NUMBER() OVER (PARTITION BY t.qid
+                                  ORDER BY {_cos("q.qv", "e.v")} DESC,
+                                           t.nid ASC) AS rnk
+        FROM (SELECT qid, nid FROM (
+                SELECT qid, nid,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                                          ORDER BY hamming ASC, nid ASC)
+                         AS hr FROM {p}ham) WHERE hr <= {_BQ_CAND}) t
+        JOIN {p}q q ON q.qid = t.qid JOIN {p}e e ON e.nid = t.nid)
+        WHERE rnk <= {_BQ_K}),
+    {p}gt AS MATERIALIZED (SELECT qid, nid FROM (
+        SELECT q.qid, e.nid,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                                  ORDER BY {_cos("q.qv", "e.v")} DESC,
+                                           e.nid ASC) AS rnk
+        FROM {p}q q JOIN {p}e e ON e.nid <> q.qid)
+        WHERE rnk <= {_BQ_K}),
+    {p}per AS (SELECT gt.qid,
+                      CAST(COUNT(*) AS BIGINT) AS n_possible,
+                      CAST(SUM(CASE WHEN EXISTS (
+                          SELECT 1 FROM {p}mih m
+                          WHERE m.qid = gt.qid AND m.nid = gt.nid)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+               FROM {p}gt gt GROUP BY gt.qid)"""
+
+
+_MIH_ISO_V = "embedding::DOUBLE[]"
+_MIH_CLU_V = (
+    "list_transform(range(1, len(embedding) + 1), "
+    "i -> embedding[i]::DOUBLE + CASE WHEN (i - 1) % 10 = label "
+    f"THEN {_MIH_SHIFT} ELSE -{_MIH_SHIFT} END)"
+)
+
+
+@register(
+    "similarity_mih_recall_audit",
+    f"""
+    WITH {_mih_arm_sql("a", _MIH_ISO_V)},
+    {_mih_arm_sql("b", _MIH_CLU_V)}
+    SELECT 'isotropic' AS corpus, qid AS query_id, n_hits, n_possible,
+           ROUND(n_hits / CAST(n_possible AS DOUBLE), 6) AS recall
+    FROM aper
+    UNION ALL
+    SELECT 'clustered', qid, n_hits, n_possible,
+           ROUND(n_hits / CAST(n_possible AS DOUBLE), 6)
+    FROM bper
+    """,
+)
+def similarity_mih_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit for the binary-MIH searcher — the honesty gate
+    every ANN variant in this registry carries — run on TWO corpora
+    with the SAME queries (% {_BQ_QMOD}): the raw synthetic embeddings
+    (near-isotropic — 64 sign bits preserve little, measured recall
+    ~0.1-0.3) and a PLANTED-CLUSTER transform (±{_MIH_SHIFT} sign
+    shift on label-aligned vs other components — sign quantization is
+    MAGNITUDE-blind, so the cluster structure must live in the sign
+    pattern; a one-sided boost was measured live to change nothing).
+    In the clustered regime label-correlated sign bits make MIH
+    buckets collide within-cluster and recall climbs — the regime real
+    (mean-centered) embedding corpora live in. Exact integer hit
+    counts vs brute-force cosine
+    top-{_BQ_K} per (corpus, query); the audit MEASURES the
+    quantization trade-off and its data dependence instead of
+    asserting a single context-free number."""
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        binary_hamming_topk,
+        brute_force_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    iso = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    clu = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, (x, j) -> CAST(x AS DOUBLE) + "
+            f"CASE WHEN j % 10 = label THEN CAST({_MIH_SHIFT} AS DOUBLE) "
+            f"ELSE CAST(-{_MIH_SHIFT} AS DOUBLE) END)"
+        ).alias("v"),
+    )
+
+    def arm(name: str, corpus: DataFrame) -> DataFrame:
+        queries = corpus.filter(F.col("vec_id") % _BQ_QMOD == _BQ_QOFF)
+        mih = binary_hamming_topk(
+            corpus, queries, k=_BQ_K, n_candidates=_BQ_CAND,
+            n_sub=_BQ_SUBS, vec_col="v",
+        ).select(
+            F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
+        )
+        gt = brute_force_topk(
+            corpus, queries, k=_BQ_K, vec_col="v", query_vec_col="v"
+        ).select(
+            F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
+        )
+        hits = gt.join(mih, ["qid", "nid"], "left_semi").groupBy("qid").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits")
+        )
+        return (
+            gt.groupBy("qid")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_possible"))
+            .join(hits, "qid", "left")
+            .select(
+                F.lit(name).alias("corpus"),
+                F.col("qid").alias("query_id"),
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias(
+                    "n_hits"
+                ),
+                "n_possible",
+                F.round(
+                    F.coalesce(F.col("n_hits"), F.lit(0))
+                    / F.col("n_possible").cast("double"),
+                    6,
+                ).alias("recall"),
+            )
+        )
+
+    return arm("isotropic", iso).unionByName(arm("clustered", clu))

@@ -496,3 +496,55 @@ def test_modularity_matches_python(spark, sf_dir):
     # modularity is a proper score: bounded and, on this clustered
     # basket graph, strictly positive
     assert -0.5 <= got["modularity"].iloc[0] <= 1.0
+
+
+# --------------------------------------------------- MIH recall audit
+
+
+def test_mih_recall_audit_matches_numpy(spark, sf_dir):
+    """Both audit arms replayed in numpy end to end (corpus transform,
+    words, candidates, Hamming top-32, cosine top-10, GT, hits)."""
+    emb = _emb(sf_dir).sort_values("vec_id").reset_index(drop=True)
+    ids = emb["vec_id"].to_numpy()
+    labels = emb["label"].to_numpy()
+    raw = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    j = np.arange(raw.shape[1])
+    shift = np.where(j[None, :] % 10 == labels[:, None], 0.35, -0.35)
+    arms = {"isotropic": raw, "clustered": raw + shift}
+
+    expect = {}
+    for name, vecs in arms.items():
+        w0, w1 = _sign_words(vecs)
+        sub = np.stack(
+            [(w0 >> (8 * i)) & 255 for i in range(4)]
+            + [(w1 >> (8 * i)) & 255 for i in range(4)],
+            axis=1,
+        )
+        norms = np.linalg.norm(vecs, axis=1)
+        for qi in np.where(ids % 125 == 3)[0]:
+            cand = np.where((sub == sub[qi]).any(axis=1) & (ids != ids[qi]))[0]
+            ham = np.array(
+                [
+                    bin(int(w0[c] ^ w0[qi])).count("1")
+                    + bin(int(w1[c] ^ w1[qi])).count("1")
+                    for c in cand
+                ]
+            )
+            top = cand[np.lexsort((ids[cand], ham))[:32]]
+            cos_t = (vecs[top] @ vecs[qi]) / (norms[top] * norms[qi])
+            mih = set(ids[top][np.lexsort((ids[top], -cos_t))[:10]])
+            cos_all = (vecs @ vecs[qi]) / (norms * norms[qi])
+            mask = ids != ids[qi]
+            gt = ids[mask][np.lexsort((ids[mask], -cos_all[mask]))[:10]]
+            n_hits = sum(1 for g in gt if g in mih)
+            expect[(name, int(ids[qi]))] = (n_hits, len(gt))
+
+    got = Q["similarity_mih_recall_audit"](spark, sf_dir).toPandas()
+    assert len(got) == len(expect)
+    for r in got.itertuples(index=False):
+        nh, np_ = expect[(r.corpus, r.query_id)]
+        assert (r.n_hits, r.n_possible) == (nh, np_), (r.corpus, r.query_id)
+        assert abs(r.recall - round(nh / np_, 6)) < 1e-9
+    # the audit's reason to exist: the clustered regime beats isotropic
+    g = got.groupby("corpus")["n_hits"].sum()
+    assert g["clustered"] > g["isotropic"]
