@@ -212,6 +212,7 @@ HEADLINE = [
     "hybrid_retrieval_rrf",
     "similarity_binary_hamming_topk",
     "similarity_mih_recall_audit",
+    "streaming_mih_index_maintenance",
     "graph_triangle_count",
     "graph_label_propagation",
     "graph_modularity_audit",

@@ -1783,6 +1783,7 @@ def binary_hamming_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     score_round: int | None = None,
+    precoded: bool = False,
 ) -> DataFrame:
     """Binary-quantized top-k with MULTI-INDEX-HASHING candidate
     generation (Norouzi, Punjani, Fleet): candidates are corpus rows
@@ -1800,15 +1801,21 @@ def binary_hamming_topk(
     touch the full-precision vectors. The query side is
     modulus-bounded by the caller and broadcast.
 
+    ``precoded=True``: corpus and queries already carry ``w0``/``w1``
+    (e.g. read from a `mih_code_upsert`-maintained store) — the search
+    then READS the persisted codes instead of recomputing sign bits,
+    which is the point of maintaining the index.
+
     Returns (query_id, neighbor_id, hamming, score, rank)."""
-    e = sign_bit_words(
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
-        "v",
-    ).localCheckpoint()  # words + vectors computed once, reused 4×
-    q = sign_bit_words(
-        queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
-        "v",
-    ).select(
+    def coded(df: DataFrame) -> DataFrame:
+        base = df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+            *([F.col("w0"), F.col("w1")] if precoded else []),
+        )
+        return base if precoded else sign_bit_words(base, "v")
+
+    e = coded(corpus).localCheckpoint()  # words + vectors reused 4×
+    q = coded(queries).select(
         F.col("id").alias("qid"),
         F.col("v").alias("qv"),
         F.col("w0").alias("qw0"),
@@ -1867,3 +1874,70 @@ def binary_hamming_topk(
             F.col("rnk").cast("bigint").alias("rank"),
         )
     )
+
+
+def mih_code_upsert(
+    batch: DataFrame,
+    code_dir: str,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    seq_col: str | None = None,
+) -> dict:
+    """Apply ONE batch of vector upserts/tombstones (NULL vector) to a
+    persisted binary-code store — the MIH twin of ``ivf_index_upsert``,
+    and the CHEAPEST index-maintenance contract in the family: the
+    stored row is (id, vector, w0, w1) with ``block = id % n_blocks``
+    as the partition key, so id→block is IMMUTABLE by construction —
+    the cell-move staleness hazard the IVF upsert has to defend against
+    (ADVICE r10 #2) cannot exist here. Affected blocks come from the
+    batch's ids alone; only those partitions rewrite (dynamic partition
+    overwrite, last-write-wins by ``seq_col`` within the batch);
+    emptied blocks are deleted. Returns per-batch stats."""
+    import os
+    import shutil
+
+    spark = batch.sparkSession
+    b = batch.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        *( [F.col(seq_col).alias("_seq")] if seq_col else [F.lit(0).alias("_seq")] ),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("_seq").desc())
+    latest = (
+        b.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_r", "_seq")
+        .withColumn("block", (F.col("vec_id") % n_blocks).cast("int"))
+        .localCheckpoint()
+    )
+    affected = latest.select("block").distinct().localCheckpoint()
+    try:
+        idx = spark.read.parquet(code_dir)
+        keep = (
+            idx.join(F.broadcast(affected), "block")
+            .join(latest.select("vec_id"), "vec_id", "left_anti")
+            .select("vec_id", "v", "w0", "w1", "block")
+        )
+    except Exception:
+        keep = None
+    adds = sign_bit_words(
+        latest.filter(F.col("v").isNotNull()), "v"
+    ).select("vec_id", "v", "w0", "w1", "block")
+    rewrite = (adds if keep is None else keep.unionByName(adds)).localCheckpoint()
+    rewrite.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("block").parquet(code_dir)
+    emptied = [
+        r["block"]
+        for r in affected.join(
+            rewrite.select("block").distinct(), "block", "left_anti"
+        ).collect()  # bounded: ≤ n_blocks
+    ]
+    for blk in emptied:
+        shutil.rmtree(os.path.join(code_dir, f"block={blk}"), ignore_errors=True)
+    return {
+        "batch_rows": latest.count(),
+        "affected_blocks": affected.count(),
+        "emptied_blocks": len(emptied),
+    }

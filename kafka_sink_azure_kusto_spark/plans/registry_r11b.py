@@ -1628,19 +1628,28 @@ _MIH_SHIFT = 0.35  # ± sign shift: label-aligned components pushed
 #                    structure must live in the SIGN pattern
 
 
-def _mih_arm_sql(p: str, vexpr: str) -> str:
-    """One audit arm (prefix ``p``): corpus with vectors ``vexpr``,
-    sign-bit words, MIH candidates, Hamming top-{_BQ_CAND}, cosine
-    top-{_BQ_K}, brute-force ground truth, per-query hit counts. The
-    SAME chain text for both arms — only the corpus expression
-    differs, exactly like the Spark side."""
+def _mih_arm_sql(
+    p: str,
+    vexpr: str,
+    src: str = "embeddings",
+    qpred: str | None = None,
+) -> str:
+    """One MIH chain (prefix ``p``): corpus ``src`` with vectors
+    ``vexpr``, sign-bit words, MIH candidates, Hamming top-{_BQ_CAND},
+    cosine top-{_BQ_K} (full rows in ``{p}res``, ids in ``{p}mih``),
+    brute-force ground truth, per-query hit counts. ONE chain text,
+    three consumers: both audit arms and the streaming maintenance
+    gate — only the corpus expression / source / query predicate
+    differ, exactly like the Spark side."""
     word = (
         "CAST(list_sum(list_transform(range({lo}, {hi}), "
         "j -> CASE WHEN v[j] > 0 THEN (1::BIGINT << (j - {lo})) "
         "ELSE 0::BIGINT END)) AS BIGINT)"
     )
+    if qpred is None:
+        qpred = f"nid % {_BQ_QMOD} = {_BQ_QOFF}"
     return f"""
-    {p}e0 AS (SELECT vec_id AS nid, {vexpr} AS v FROM embeddings),
+    {p}e0 AS (SELECT vec_id AS nid, {vexpr} AS v FROM {src}),
     {p}e AS MATERIALIZED (
       SELECT nid, v, {word.format(lo=1, hi=33)} AS w0,
              {word.format(lo=33, hi=65)} AS w1
@@ -1652,7 +1661,7 @@ def _mih_arm_sql(p: str, vexpr: str) -> str:
       FROM {p}e e, range(0, {_BQ_SUBS}) t(i)),
     {p}q AS MATERIALIZED (SELECT nid AS qid, v AS qv, w0 AS qw0,
                                  w1 AS qw1
-                          FROM {p}e WHERE nid % {_BQ_QMOD} = {_BQ_QOFF}),
+                          FROM {p}e WHERE {qpred}),
     {p}qs AS (SELECT q.qid, t.i,
                      CASE WHEN t.i < 4 THEN (q.qw0 >> (8 * t.i)) & 255
                           ELSE (q.qw1 >> (8 * (t.i - 4))) & 255 END AS sv
@@ -1666,18 +1675,21 @@ def _mih_arm_sql(p: str, vexpr: str) -> str:
                         + bit_count(xor(q.qw1, e.w1)) AS hamming
                FROM {p}cand c JOIN {p}q q ON q.qid = c.qid
                               JOIN {p}e e ON e.nid = c.nid),
-    {p}mih AS (SELECT qid, nid FROM (
-        SELECT t.qid, t.nid,
+    {p}res AS (SELECT qid, nid, hamming, ROUND(score, 6) AS score, rnk
+        FROM (
+        SELECT t.qid, t.nid, t.hamming,
+               {_cos("q.qv", "e.v")} AS score,
                ROW_NUMBER() OVER (PARTITION BY t.qid
                                   ORDER BY {_cos("q.qv", "e.v")} DESC,
                                            t.nid ASC) AS rnk
-        FROM (SELECT qid, nid FROM (
-                SELECT qid, nid,
+        FROM (SELECT qid, nid, hamming FROM (
+                SELECT qid, nid, hamming,
                        ROW_NUMBER() OVER (PARTITION BY qid
                                           ORDER BY hamming ASC, nid ASC)
                          AS hr FROM {p}ham) WHERE hr <= {_BQ_CAND}) t
         JOIN {p}q q ON q.qid = t.qid JOIN {p}e e ON e.nid = t.nid)
         WHERE rnk <= {_BQ_K}),
+    {p}mih AS (SELECT qid, nid FROM {p}res),
     {p}gt AS MATERIALIZED (SELECT qid, nid FROM (
         SELECT q.qid, e.nid,
                ROW_NUMBER() OVER (PARTITION BY q.qid
@@ -1787,3 +1799,142 @@ def similarity_mih_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return arm("isotropic", iso).unionByName(arm("clustered", clu))
+
+
+# ---------------------------------------------------------------------
+# streaming MIH code-store maintenance: the cheapest member of the
+# streaming-index family (IVF / kNN-graph / BM25 / DSIR / count-min /
+# expectations), completing the "every index serves without rescans"
+# contract for the binary-quantized searcher
+
+_SM_STATE_SQL = """
+    fs AS MATERIALIZED (
+      SELECT vec_id,
+             CASE WHEN vec_id % 9 = 0
+                  THEN list_transform(embedding::DOUBLE[], x -> x + 1.0)
+                  ELSE embedding::DOUBLE[] END AS v
+      FROM embeddings WHERE vec_id % 15 <> 0)
+"""
+
+
+@register(
+    "streaming_mih_index_maintenance",
+    f"""
+    WITH {_SM_STATE_SQL},
+    {_mih_arm_sql("s", "v", src="fs", qpred="nid < 8")}
+    SELECT qid AS query_id, nid AS neighbor_id,
+           CAST(hamming AS BIGINT) AS hamming, score,
+           CAST(rnk AS BIGINT) AS rank
+    FROM sres
+    """,
+)
+def streaming_mih_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE maintenance of the binary-code store through the real
+    streaming engine — the MIH member of the streaming-index family,
+    and deliberately its CHEAPEST: the persisted state is one
+    (vec_id, v, w0, w1) row per vector, block = vec_id % 8 is
+    IMMUTABLE (the IVF cell-move staleness hazard cannot exist), and a
+    batch rewrites only its ids' blocks (`mih_code_upsert`, dynamic
+    partition overwrite, last-write-wins by seq, emptied-block
+    deletion). Between batches the store SERVES a `binary_hamming_topk`
+    probe with ``precoded=True`` — the search READS the persisted
+    codes, so a stale or missed code row changes Hamming candidates
+    and flips the value hash. Same fixture algebra as the IVF and
+    kNN-graph loops (seed %3==0; upserts + %9==0 re-embedded at +1.0 —
+    which flips signs, hence codes; %15==0 Kafka-NULL tombstones);
+    gate = the FINAL probe vs an oracle that recomputes codes from the
+    final corpus and replays the identical MIH chain."""
+    import os
+
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        binary_hamming_topk,
+        mih_code_upsert,
+        sign_bit_words,
+    )
+    from kafka_sink_azure_kusto_spark.plans.registry import _workdir
+    from kafka_sink_azure_kusto_spark.plans.registry_streaming2 import (
+        _stage_chunks,
+    )
+
+    work = _workdir("stream_mih_")
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    code_dir = os.path.join(work, "codes")
+    seed = dbl.filter(F.col("vec_id") % 3 == 0)
+    sign_bit_words(seed, "v").withColumn(
+        "block", (F.col("vec_id") % 8).cast("int")
+    ).select("vec_id", "v", "w0", "w1", "block").write.partitionBy(
+        "block"
+    ).parquet(code_dir)
+
+    plus1 = F.expr("transform(v, x -> x + CAST(1.0 AS DOUBLE))")
+    b0 = (
+        dbl.filter(F.col("vec_id") % 3 == 1)
+        .unionByName(
+            dbl.filter(F.col("vec_id") % 9 == 0).withColumn("v", plus1)
+        )
+        .withColumn("seq", F.lit(0))
+    )
+    b1 = (
+        dbl.filter(F.col("vec_id") % 3 == 2)
+        .unionByName(
+            dbl.filter(F.col("vec_id") % 15 == 0).withColumn(
+                "v", F.lit(None).cast("array<double>")
+            )
+        )
+        .withColumn("seq", F.lit(1))
+    )
+    chunks = [
+        [
+            r[0]
+            for r in b.select(
+                F.to_json(F.struct("vec_id", "v", "seq"))
+            ).collect()
+        ]
+        for b in (b0, b1)
+    ]
+    replay = os.path.join(work, "replay")
+    _stage_chunks(chunks, replay)
+    probes_dir = os.path.join(work, "probes")
+
+    def upsert_and_probe(batch_df, epoch_id: int) -> None:
+        mb = batch_df.sparkSession
+        mih_code_upsert(batch_df, code_dir, n_blocks=8, seq_col="seq")
+        store = mb.read.parquet(code_dir).select(
+            "vec_id", "v", "w0", "w1"
+        )
+        binary_hamming_topk(
+            store,
+            store.filter(F.col("vec_id") < 8),
+            k=_BQ_K,
+            n_candidates=_BQ_CAND,
+            n_sub=_BQ_SUBS,
+            vec_col="v",
+            score_round=6,
+            precoded=True,
+        ).write.mode("overwrite").parquet(
+            os.path.join(probes_dir, f"epoch={int(epoch_id)}")
+        )
+
+    stream = (
+        spark.readStream.schema("vec_id long, v array<double>, seq int")
+        .option("maxFilesPerTrigger", 1)
+        .json(replay)
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert_and_probe)
+        .option("checkpointLocation", os.path.join(work, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    res = spark.read.parquet(probes_dir)
+    last = res.groupBy().agg(F.max("epoch").alias("epoch"))
+    return res.join(F.broadcast(last), "epoch").select(
+        "query_id", "neighbor_id", "hamming", "score", "rank"
+    )

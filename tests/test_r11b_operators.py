@@ -548,3 +548,71 @@ def test_mih_recall_audit_matches_numpy(spark, sf_dir):
     # the audit's reason to exist: the clustered regime beats isotropic
     g = got.groupby("corpus")["n_hits"].sum()
     assert g["clustered"] > g["isotropic"]
+
+
+# --------------------------------------------- MIH code-store upsert
+
+
+def test_mih_code_upsert_store_invariant(spark, sf_dir, tmp_path):
+    """After seed + upsert/tombstone batches, the on-disk code store
+    must equal codes recomputed from scratch on the surviving vectors
+    (numpy ground truth) — stale rows, missed tombstones, or wrong
+    last-write-wins all break this."""
+    from pyspark.sql import functions as F
+
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        mih_code_upsert,
+        sign_bit_words,
+    )
+
+    emb = _emb(sf_dir).sort_values("vec_id").reset_index(drop=True)
+    ids = emb["vec_id"].to_numpy()
+    raw = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+
+    dbl = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, raw)],
+        "vec_id long, v array<double>",
+    )
+    code_dir = str(tmp_path / "codes")
+    seed = dbl.filter(F.col("vec_id") % 3 == 0)
+    sign_bit_words(seed, "v").withColumn(
+        "block", (F.col("vec_id") % 8).cast("int")
+    ).select("vec_id", "v", "w0", "w1", "block").write.partitionBy(
+        "block"
+    ).parquet(code_dir)
+
+    plus1 = F.expr("transform(v, x -> x + CAST(1.0 AS DOUBLE))")
+    b0 = (
+        dbl.filter(F.col("vec_id") % 3 == 1)
+        .unionByName(dbl.filter(F.col("vec_id") % 9 == 0).withColumn("v", plus1))
+        .withColumn("seq", F.lit(0))
+    )
+    b1 = (
+        dbl.filter(F.col("vec_id") % 3 == 2)
+        .unionByName(
+            dbl.filter(F.col("vec_id") % 15 == 0).withColumn(
+                "v", F.lit(None).cast("array<double>")
+            )
+        )
+        .withColumn("seq", F.lit(1))
+    )
+    st0 = mih_code_upsert(b0, code_dir, n_blocks=8, seq_col="seq")
+    st1 = mih_code_upsert(b1, code_dir, n_blocks=8, seq_col="seq")
+    assert st0["affected_blocks"] <= 8 and st1["affected_blocks"] <= 8
+
+    # numpy ground truth over the final corpus
+    survive = ids % 15 != 0
+    vecs = raw.copy()
+    vecs[ids % 9 == 0] += 1.0
+    w0, w1 = _sign_words(vecs)
+    expect = {
+        int(ids[i]): (int(w0[i]), int(w1[i]))
+        for i in range(len(ids))
+        if survive[i]
+    }
+
+    store = spark.read.parquet(code_dir).toPandas()
+    assert len(store) == len(expect)
+    for r in store.itertuples(index=False):
+        assert expect[r.vec_id] == (r.w0, r.w1), r.vec_id
+        assert r.block == r.vec_id % 8
