@@ -82,6 +82,21 @@ def _workdir(prefix: str) -> str:
 _GATE_PRIORITY = [
     # rotation rule (VERDICT r6 #1): any query whose implementation
     # OR shared helper changed this round leads the 50-slot gate.
+    # --- new in the r11 third wave ---
+    "streaming_mih_index_maintenance",   # r11c: live binary-code store loop
+    "similarity_mih_recall_audit",       # r11c: two-regime sign-bit recall
+    "similarity_binary_hamming_topk",    # r11c: MIH candidates + rerank
+    "expectation_suite_audit",           # r11c: Deequ-style batch audit
+    "streaming_expectation_monitor",     # r11c: additive violation registers
+    "retrieval_eval_metrics",            # r11c: P@k/R@k/MRR/nDCG scorecard
+    "hybrid_retrieval_rrf",              # r11c: BM25+dense RRF fusion
+    "graph_triangle_count",              # r11c: edge-iterator compact-forward
+    "graph_label_propagation",           # r11c: 3-round sync LPA
+    "graph_modularity_audit",            # r11c: Newman Q of the partition
+    "multimodal_gif_decode",             # r11c: LZW/interlace/palette gate
+    "multimodal_gif_frame_dedup",        # r11c: animation-frame dHash pairs
+    "inverted_index_compression",        # r11c: delta+varint accounting
+    "text_kneser_ney_trigram_score",     # r11c: interpolated-KN LM filter
     # --- new in r11 ---
     "streaming_knn_graph_maintenance",   # r11: live kNN-graph upsert loop
     "graph_entry_strategy_audit",        # r11: stride vs centroid entries
