@@ -195,7 +195,21 @@ def _encode_value(t, v) -> bytes:
         if logical in ("timestamp-millis", "local-timestamp-millis",
                        "local-timestamp-micros"):
             # millis/local variants of the timestamp family: same
-            # datetime→int arithmetic as timestamp-micros, scaled
+            # datetime→int arithmetic as timestamp-micros, scaled.
+            # Avro local-timestamp-* is WALL-CLOCK (timezone-free): an
+            # aware input is ambiguous — converting to UTC would store
+            # different wall-clock fields than the caller sees — so
+            # loud-reject instead of silently converting (ADVICE r11
+            # #4; pandas.Timestamp subclasses datetime, so this guards
+            # both paths). The Spark TimestampNTZ path always arrives
+            # naive and is unaffected.
+            if (logical.startswith("local-")
+                    and isinstance(v, _dt.datetime) and v.tzinfo is not None):
+                raise ValueError(
+                    f"avro {logical}: tz-aware datetime {v!r} — local-"
+                    "timestamp semantics are timezone-free; strip or "
+                    "convert tzinfo explicitly before encoding"
+                )
             if hasattr(v, "value") and isinstance(v, _dt.datetime):
                 us = v.value // 1000  # pandas.Timestamp exact nanos
             elif isinstance(v, _dt.datetime):

@@ -53,6 +53,32 @@ def cosine(a: Column, b: Column) -> Column:
 # per-vector norms once before the pair join (1 fold per pair, not 3).
 
 
+def _store_exists(spark, path: str) -> bool:
+    """True iff ``path`` exists on whatever FileSystem backs it (local,
+    HDFS, S3A, ...) — resolved through the Hadoop FileSystem API so the
+    first-run check in the index-upsert kernels is storage-agnostic
+    rather than a local-only ``os.path`` probe (ADVICE r11 #1/#3)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
+def _store_delete_partition(spark, store_dir: str, partition: str) -> None:
+    """Delete one hive-style partition directory (``col=value``) from a
+    parquet index store through the Hadoop FileSystem API. Dynamic
+    partition overwrite never touches partitions ABSENT from the
+    written frame, so partitions emptied by tombstones must be removed
+    explicitly — and doing that with ``shutil.rmtree`` would silently
+    no-op on HDFS/S3, leaving stale serving state (ADVICE r11 #3).
+    ``fs.delete`` on an already-absent path returns False, which is
+    fine: the partition is gone either way."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(store_dir, partition)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1208,9 +1234,6 @@ def ivf_index_upsert(
     absent from the written frame — the standard incremental-index
     hole); the emptied cell list is returned for observability.
     """
-    import os
-    import shutil
-
     spark = batch.sparkSession
     if seq_col is not None:
         w = Window.partitionBy(id_col).orderBy(F.col(seq_col).desc())
@@ -1261,7 +1284,7 @@ def ivf_index_upsert(
         ).collect()  # bounded: ≤ |affected cells|
     ]
     for c in emptied:
-        shutil.rmtree(os.path.join(idx_dir, f"cell={c}"), ignore_errors=True)
+        _store_delete_partition(spark, idx_dir, f"cell={c}")
     return emptied
 
 
@@ -1362,9 +1385,6 @@ def knn_graph_upsert(
 
     Returns {"n_frontier", "affected_blocks", "emptied_blocks"}.
     """
-    import os
-    import shutil
-
     spark = batch.sparkSession
     if seq_col is not None:
         w = Window.partitionBy(id_col).orderBy(F.col(seq_col).desc())
@@ -1398,7 +1418,7 @@ def knn_graph_upsert(
     for r in vec_affected.join(
         vrewrite.select("block").distinct(), "block", "left_anti"
     ).collect():  # bounded: ≤ |batch| blocks
-        shutil.rmtree(os.path.join(vec_dir, f"block={r['block']}"), ignore_errors=True)
+        _store_delete_partition(spark, vec_dir, f"block={r['block']}")
 
     corpus = spark.read.parquet(vec_dir)  # post-batch state
     graph = spark.read.parquet(graph_dir)
@@ -1517,7 +1537,7 @@ def knn_graph_upsert(
         ).collect()  # bounded: ≤ |affected blocks|
     ]
     for blk in emptied:
-        shutil.rmtree(os.path.join(graph_dir, f"block={blk}"), ignore_errors=True)
+        _store_delete_partition(spark, graph_dir, f"block={blk}")
     return {
         "n_frontier": n_frontier,
         "affected_blocks": sorted(r["block"] for r in affected.collect()),
@@ -1893,10 +1913,12 @@ def mih_code_upsert(
     (ADVICE r10 #2) cannot exist here. Affected blocks come from the
     batch's ids alone; only those partitions rewrite (dynamic partition
     overwrite, last-write-wins by ``seq_col`` within the batch);
-    emptied blocks are deleted. Returns per-batch stats."""
-    import os
-    import shutil
-
+    emptied blocks are deleted through the Hadoop FileSystem API so the
+    maintenance contract holds on HDFS/S3 as well as the local
+    filesystem. A missing store (first run) starts empty; any OTHER
+    read failure on an existing store propagates loudly — swallowing
+    it would make the dynamic overwrite drop every pre-existing row in
+    the affected blocks (ADVICE r11 #1). Returns per-batch stats."""
     spark = batch.sparkSession
     b = batch.select(
         F.col(id_col).alias("vec_id"),
@@ -1912,15 +1934,15 @@ def mih_code_upsert(
         .localCheckpoint()
     )
     affected = latest.select("block").distinct().localCheckpoint()
-    try:
+    if _store_exists(spark, code_dir):
         idx = spark.read.parquet(code_dir)
         keep = (
             idx.join(F.broadcast(affected), "block")
             .join(latest.select("vec_id"), "vec_id", "left_anti")
             .select("vec_id", "v", "w0", "w1", "block")
         )
-    except Exception:
-        keep = None
+    else:
+        keep = None  # first run only — the store has never been written
     adds = sign_bit_words(
         latest.filter(F.col("v").isNotNull()), "v"
     ).select("vec_id", "v", "w0", "w1", "block")
@@ -1935,7 +1957,7 @@ def mih_code_upsert(
         ).collect()  # bounded: ≤ n_blocks
     ]
     for blk in emptied:
-        shutil.rmtree(os.path.join(code_dir, f"block={blk}"), ignore_errors=True)
+        _store_delete_partition(spark, code_dir, f"block={blk}")
     return {
         "batch_rows": latest.count(),
         "affected_blocks": affected.count(),

@@ -226,14 +226,14 @@ _EV_QMOD = 50  # queries: vec_id % 50 == 1
                    COALESCE(1.0 / hs.first_rank, 0.0) AS mrr,
                    COALESCE(hs.dcg, 0.0) AS dcg,
                    list_sum(list_transform(
-                       range(1, LEAST({_EV_K}, nrel.n_rel) + 1),
+                       range(1, LEAST({_EV_K}, GREATEST(nrel.n_rel, 1)) + 1),
                        i -> 1.0 / log2(i + 1))) AS idcg
             FROM nrel LEFT JOIN hs ON hs.qid = nrel.qid)
     SELECT qid AS query_id,
            CAST(n_rel AS BIGINT) AS n_rel,
            CAST(n_hits AS BIGINT) AS n_hits,
            ROUND(n_hits / CAST({_EV_K} AS DOUBLE), 6) AS precision_at_k,
-           ROUND(n_hits / CAST(n_rel AS DOUBLE), 6) AS recall_at_k,
+           ROUND(n_hits / CAST(GREATEST(n_rel, 1) AS DOUBLE), 6) AS recall_at_k,
            ROUND(mrr, 6) AS mrr,
            ROUND(dcg / idcg, 6) AS ndcg
     FROM per
@@ -288,9 +288,14 @@ def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
         F.coalesce(1.0 / F.col("first_rank"), F.lit(0.0)).alias("mrr"),
         F.coalesce(F.col("dcg"), F.lit(0.0)).alias("dcg"),
+        # GREATEST(n_rel, 1): a singleton-label query (n_rel = 0) must
+        # degrade to recall 0 / ndcg 0 IDENTICALLY in both engines —
+        # unguarded, Spark's sequence(1, 0) is the DESCENDING [1, 0]
+        # while DuckDB's range(1, 1) is empty, and recall divides by
+        # zero (ADVICE r11 #2).
         F.expr(
-            f"aggregate(sequence(1, LEAST({_EV_K}, n_rel)), CAST(0.0 AS DOUBLE),"
-            " (a, i) -> a + 1.0 / log2(i + 1))"
+            f"aggregate(sequence(1, LEAST({_EV_K}, GREATEST(n_rel, 1))),"
+            " CAST(0.0 AS DOUBLE), (a, i) -> a + 1.0 / log2(i + 1))"
         ).alias("idcg"),
     )
     return per.select(
@@ -298,9 +303,9 @@ def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_rel").cast("bigint").alias("n_rel"),
         F.col("n_hits").cast("bigint").alias("n_hits"),
         F.round(F.col("n_hits") / F.lit(float(_EV_K)), 6).alias("precision_at_k"),
-        F.round(F.col("n_hits") / F.col("n_rel").cast("double"), 6).alias(
-            "recall_at_k"
-        ),
+        F.round(
+            F.col("n_hits") / F.greatest(F.col("n_rel"), F.lit(1)).cast("double"), 6
+        ).alias("recall_at_k"),
         F.round(F.col("mrr"), 6).alias("mrr"),
         F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
     )

@@ -548,6 +548,21 @@ def test_logical_type_loud_rejects():
     with pytest.raises(ValueError):
         decode_record(uu, io.BytesIO(bad))
 
+    # local-timestamp-* is WALL-CLOCK: a tz-aware input is ambiguous
+    # and must loud-reject rather than silently storing the UTC
+    # conversion (ADVICE r11 #4); a naive input with the same fields
+    # encodes fine.
+    aware = dt.datetime(2024, 5, 17, 12, 0, 0, tzinfo=dt.timezone(
+        dt.timedelta(hours=5, minutes=30)))
+    for logical in ("local-timestamp-millis", "local-timestamp-micros"):
+        lt = {"type": "record", "name": "L", "fields": [
+            {"name": "t", "type": {"type": "long", "logicalType": logical}}]}
+        with pytest.raises(ValueError, match="tz-aware"):
+            encode_record(lt, {"t": aware})
+        enc = encode_record(lt, {"t": aware.replace(tzinfo=None)})
+        assert decode_record(lt, io.BytesIO(enc))["t"] == dt.datetime(
+            2024, 5, 17, 12, 0, 0)
+
 
 def test_timestamp_millis_integer_passthrough():
     """Raw ints (pre-scaled) pass through the timestamp/time encoders

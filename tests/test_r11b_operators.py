@@ -616,3 +616,39 @@ def test_mih_code_upsert_store_invariant(spark, sf_dir, tmp_path):
     for r in store.itertuples(index=False):
         assert expect[r.vec_id] == (r.w0, r.w1), r.vec_id
         assert r.block == r.vec_id % 8
+
+
+def test_mih_code_upsert_corrupt_store_fails_loud(spark, tmp_path):
+    """A read failure on an EXISTING store must propagate, never be
+    treated as an empty first run — the silent-empty path would make
+    the dynamic overwrite drop every pre-existing row in the affected
+    blocks (ADVICE r11 #1). A genuinely missing store still seeds."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        mih_code_upsert,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, [1.0, -1.0]), (2, [-1.0, 1.0])], "vec_id long, v array<double>"
+    ).withColumn("seq", F.lit(0))
+
+    # missing store → first-run seed succeeds
+    fresh = str(tmp_path / "fresh")
+    st = mih_code_upsert(batch, fresh, n_blocks=4, seq_col="seq")
+    assert st["batch_rows"] == 2
+    assert spark.read.parquet(fresh).count() == 2
+
+    # existing-but-unreadable store → loud failure, store untouched
+    corrupt = str(tmp_path / "corrupt")
+    (tmp_path / "corrupt").mkdir()
+    (tmp_path / "corrupt" / "block=1").mkdir()
+    (tmp_path / "corrupt" / "block=1" / "part-0.parquet").write_bytes(
+        b"not a parquet file"
+    )
+    with pytest.raises(Exception):
+        mih_code_upsert(batch, corrupt, n_blocks=4, seq_col="seq")
+    assert (tmp_path / "corrupt" / "block=1" / "part-0.parquet").read_bytes() == (
+        b"not a parquet file"
+    )
