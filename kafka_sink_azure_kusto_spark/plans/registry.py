@@ -75,10 +75,56 @@ def _workdir(prefix: str) -> str:
 
 
 # Driver-gate ordering: the external correctness gate evaluates the first
-# 50 entries of queries().  Entries never yet covered by a driver
-# CORRECTNESS_r*.json row (plus queries newly added this round) are listed
-# FIRST so every registry query earns a driver-green row across rounds;
-# previously-green anchors fill the remaining gate slots.
+# 50 entries of queries().  The window is filled in three layers:
+#   1. _GATE_HEAD — queries NEW this round or whose implementation /
+#      shared helper CHANGED this round (VERDICT r6 #1: changed work is
+#      always driver-gated);
+#   2. a deterministic ROTATING SAMPLE of long-stable queries (VERDICT
+#      r11 #1): the ~190 queries outside the recent-round region are
+#      ranked by md5(name|round) and the first _ROTATION_SLOTS fill the
+#      next slots, so every long-stable query passes through the driver
+#      gate every ~(pool/slots) ≈ 12 rounds and a silent regression in
+#      an old query cannot hide behind the builder's own sweep forever;
+#   3. previously-green anchors (_GATE_PRIORITY, newest-first history)
+#      fill the remaining slots.
+_ROUND = 12  # bump each round — the rotation key
+
+_GATE_HEAD = [
+    # --- changed in r12 (ADVICE r11 fixes) ---
+    "retrieval_eval_metrics",            # singleton-label GREATEST guard
+    "streaming_mih_index_maintenance",   # loud-fail store read + hadoop-FS delete
+    "streaming_ivf_index_maintenance",   # hadoop-FS partition delete
+    "streaming_knn_graph_maintenance",   # hadoop-FS partition delete
+    "similarity_index_incremental_update",  # shares ivf_index_upsert
+    "similarity_binary_hamming_topk",    # shares the MIH helpers
+    "avro_container_encode",             # local-timestamp tz-aware reject
+]
+
+# Number of rotation slots after the changed-query head. 15 of ~190
+# eligible → full coverage in ~13 rounds.
+_ROTATION_SLOTS = 15
+
+# First N entries of _GATE_PRIORITY form the RECENT region (r10/r11
+# additions — they earned driver rows within the last two rounds) and
+# are excluded from the rotation pool so the sample spends its slots on
+# genuinely old queries.
+_RECENT_BLOCK = 41
+
+
+def _rotation_sample() -> list[str]:
+    """Deterministic round-keyed sample of long-stable queries: rank by
+    md5(name|round) — stable within a round, reshuffled across rounds —
+    and take the first _ROTATION_SLOTS."""
+    import hashlib
+
+    recent = set(_GATE_HEAD) | set(_GATE_PRIORITY[:_RECENT_BLOCK])
+    pool = [n for n in _REGISTRY if n not in recent]
+    pool.sort(
+        key=lambda n: hashlib.md5(f"{n}|round{_ROUND}".encode()).hexdigest()
+    )
+    return pool[:_ROTATION_SLOTS]
+
+
 _GATE_PRIORITY = [
     # rotation rule (VERDICT r6 #1): any query whose implementation
     # OR shared helper changed this round leads the 50-slot gate.
@@ -308,11 +354,13 @@ _GATE_PRIORITY = [
 
 
 def _ordered_names() -> list[str]:
-    # dedupe defensively so rotation edits can't create phantom slot
-    # entries against the 50-slot gate window (ADVICE r7 #4)
+    # layered gate window: changed-this-round head, then the rotating
+    # sample of long-stable queries, then the historical anchor list.
+    # Dedupe defensively so rotation edits can't create phantom slot
+    # entries against the 50-slot gate window (ADVICE r7 #4).
     seen: set[str] = set()
     pri = [
-        n for n in _GATE_PRIORITY
+        n for n in _GATE_HEAD + _rotation_sample() + _GATE_PRIORITY
         if n in _REGISTRY and not (n in seen or seen.add(n))
     ]
     rest = [n for n in _REGISTRY if n not in seen]
