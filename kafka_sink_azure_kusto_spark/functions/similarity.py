@@ -1963,3 +1963,104 @@ def mih_code_upsert(
         "affected_blocks": affected.count(),
         "emptied_blocks": len(emptied),
     }
+
+
+def pq_code_upsert(
+    batch: DataFrame,
+    codebook: DataFrame,
+    code_dir: str,
+    num_subspaces: int,
+    sub_len: int,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    seq_col: str | None = None,
+) -> dict:
+    """Apply ONE batch of vector upserts/tombstones (NULL vector) to a
+    persisted PQ CODE store — the product-quantization member of the
+    streaming index-maintenance family (IVF cells, kNN-graph blocks,
+    MIH sign-bit words, and now PQ code words). The serving regime is
+    the realistic one: the codebook is FROZEN at training time and new
+    vectors are encoded against it on arrival (``pq_encode`` — scan →
+    subvector explode → broadcast-codebook argmin, no corpus shuffle),
+    so an upsert costs |batch| encodings + |affected blocks| of store
+    I/O, never |index|.
+
+    Store rows are (vec_id, m, code, qerr) with ``block = vec_id %
+    n_blocks`` as the partition key — id→block is IMMUTABLE by
+    construction, so (like MIH, unlike IVF cells) the cell-move
+    staleness hazard cannot exist. Tombstones drop all ``num_subspaces``
+    rows of the id; last-write-wins by ``seq_col`` within the batch;
+    emptied blocks are deleted through the Hadoop FileSystem API; a
+    read failure on an existing store propagates loudly (first run
+    only starts empty).
+
+    The frozen-codebook regime silently DEGRADES if upserts shift the
+    vector distribution — exactly what the returned per-subspace drift
+    registers exist to catch: ``drift`` is [(m, n, sum_qerr)] for THIS
+    batch's encodings (≤ num_subspaces rows collected), additive across
+    epochs like the BM25/DSIR/count-min registers, so a monitor can
+    SUM-merge them and gate a retrain decision on mean quantization
+    error versus the training-time baseline without ever rescanning
+    the corpus.
+
+    Returns {"batch_rows", "affected_blocks", "emptied_blocks",
+    "drift": [(m, n, sum_qerr), ...]}.
+    """
+    spark = batch.sparkSession
+    b = batch.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        *([F.col(seq_col).alias("_seq")] if seq_col else [F.lit(0).alias("_seq")]),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("_seq").desc())
+    latest = (
+        b.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_r", "_seq")
+        .withColumn("block", (F.col("vec_id") % n_blocks).cast("int"))
+        .localCheckpoint()
+    )
+    affected = latest.select("block").distinct().localCheckpoint()
+    if _store_exists(spark, code_dir):
+        idx = spark.read.parquet(code_dir)
+        keep = (
+            idx.join(F.broadcast(affected), "block")
+            .join(latest.select("vec_id"), "vec_id", "left_anti")
+            .select("vec_id", "m", "code", "qerr", "block")
+        )
+    else:
+        keep = None  # first run only — the store has never been written
+    adds = (
+        pq_encode(
+            latest.filter(F.col("v").isNotNull()),
+            codebook, num_subspaces, sub_len, id_col="vec_id", vec_col="v",
+        )
+        .withColumn("block", (F.col("vec_id") % n_blocks).cast("int"))
+        .select("vec_id", "m", "code", "qerr", "block")
+        .localCheckpoint()
+    )
+    drift = [
+        (int(r["m"]), int(r["n"]), float(r["sq"]))
+        for r in adds.groupBy("m")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("qerr").alias("sq"))
+        .collect()  # bounded: ≤ num_subspaces rows
+    ]
+    rewrite = (adds if keep is None else keep.unionByName(adds)).localCheckpoint()
+    rewrite.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("block").parquet(code_dir)
+    emptied = [
+        r["block"]
+        for r in affected.join(
+            rewrite.select("block").distinct(), "block", "left_anti"
+        ).collect()  # bounded: ≤ n_blocks
+    ]
+    for blk in emptied:
+        _store_delete_partition(spark, code_dir, f"block={blk}")
+    return {
+        "batch_rows": latest.count(),
+        "affected_blocks": affected.count(),
+        "emptied_blocks": len(emptied),
+        "drift": sorted(drift),
+    }

@@ -14,3 +14,4 @@ import kafka_sink_azure_kusto_spark.plans.registry_r10  # noqa: E402,F401 — gr
 import kafka_sink_azure_kusto_spark.plans.registry_tpch3  # noqa: E402,F401 — TPC-H analogs q2/q9/q11/q20/q21 (derived partsupp)
 import kafka_sink_azure_kusto_spark.plans.registry_r11  # noqa: E402,F401 — kNN-graph maintenance/entry-strategy audit
 import kafka_sink_azure_kusto_spark.plans.registry_r11b  # noqa: E402,F401 — expectation suite/retrieval eval/hybrid RRF/binary MIH
+import kafka_sink_azure_kusto_spark.plans.registry_r12  # noqa: E402,F401 — streaming PQ maintenance/drift retrain gate

@@ -90,6 +90,9 @@ def _workdir(prefix: str) -> str:
 _ROUND = 12  # bump each round — the rotation key
 
 _GATE_HEAD = [
+    # --- new in r12 ---
+    "streaming_pq_index_maintenance",    # r12: live PQ code-store loop
+    "streaming_pq_drift_audit",          # r12: retrain gate registers
     # --- changed in r12 (ADVICE r11 fixes) ---
     "retrieval_eval_metrics",            # singleton-label GREATEST guard
     "streaming_mih_index_maintenance",   # loud-fail store read + hadoop-FS delete

@@ -1,0 +1,206 @@
+"""Independent-implementation tests for round 12: streaming PQ
+code-store maintenance (plans/registry_r12.py,
+functions/similarity.pq_code_upsert). Every numeric claim is recomputed
+in plain numpy from the parquet fixtures — no DuckDB, no shared CTE
+text — so a bug that slipped past the oracle's shared constants would
+still be caught here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def _emb(sf_dir: str) -> pd.DataFrame:
+    return pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _np_codes(vecs: np.ndarray, cbook: np.ndarray, m: int, sub: int):
+    """(codes, qerr) per vector per subspace against cbook
+    [n_codes, m, sub]; ties toward the smaller code (argmin is
+    first-min in numpy, codes are ordered)."""
+    n = vecs.shape[0]
+    codes = np.zeros((n, m), dtype=np.int64)
+    qerr = np.zeros((n, m), dtype=np.float64)
+    for mm in range(m):
+        sv = vecs[:, mm * sub : (mm + 1) * sub]
+        d2 = ((sv[:, None, :] - cbook[None, :, mm, :]) ** 2).sum(axis=2)
+        codes[:, mm] = d2.argmin(axis=1)
+        qerr[:, mm] = d2.min(axis=1)
+    return codes, qerr
+
+
+def _dbl(spark, sf_dir):
+    emb = _emb(sf_dir).sort_values("vec_id").reset_index(drop=True)
+    ids = emb["vec_id"].to_numpy()
+    raw = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(ids, raw)],
+        "vec_id long, v array<double>",
+    )
+    return df, ids, raw
+
+
+def _codebook_df(spark, ids, raw, m=8, sub=8, n_codes=16):
+    sel = ids < n_codes
+    cb_rows = []
+    order = np.argsort(ids[sel])
+    cb_ids = ids[sel][order]
+    cb_vecs = raw[sel][order]
+    for code, v in zip(cb_ids, cb_vecs):
+        for mm in range(m):
+            cb_rows.append(
+                (mm, int(code), [float(x) for x in v[mm * sub : (mm + 1) * sub]])
+            )
+    cb = spark.createDataFrame(cb_rows, "m int, code long, c array<double>")
+    cbook = np.stack(
+        [cb_vecs[:, mm * sub : (mm + 1) * sub] for mm in range(m)], axis=1
+    )  # [n_codes, m, sub]
+    return cb, cbook
+
+
+def test_pq_code_upsert_store_invariant(spark, sf_dir, tmp_path):
+    """After seed + upsert/tombstone batches, the on-disk code store
+    must equal codes recomputed from scratch on the surviving vectors
+    (numpy ground truth) — stale codes, missed tombstones, or wrong
+    last-write-wins all break this. Drift registers must SUM-merge to
+    the single-shot per-subspace totals of the stream-arrival
+    population (the mergeability contract)."""
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        pq_code_upsert,
+        pq_encode,
+    )
+
+    dbl, ids, raw = _dbl(spark, sf_dir)
+    cb, cbook = _codebook_df(spark, ids, raw)
+    code_dir = str(tmp_path / "codes")
+
+    seed = dbl.filter(F.col("vec_id") % 3 == 0)
+    pq_encode(seed, cb, 8, 8, vec_col="v").withColumn(
+        "block", (F.col("vec_id") % 8).cast("int")
+    ).select("vec_id", "m", "code", "qerr", "block").write.partitionBy(
+        "block"
+    ).parquet(code_dir)
+
+    plus1 = F.expr("transform(v, x -> x + CAST(1.0 AS DOUBLE))")
+    b0 = (
+        dbl.filter(F.col("vec_id") % 3 == 1)
+        .unionByName(dbl.filter(F.col("vec_id") % 9 == 0).withColumn("v", plus1))
+        .withColumn("seq", F.lit(0))
+    )
+    b1 = (
+        dbl.filter(F.col("vec_id") % 3 == 2)
+        .unionByName(
+            dbl.filter(F.col("vec_id") % 15 == 0).withColumn(
+                "v", F.lit(None).cast("array<double>")
+            )
+        )
+        .withColumn("seq", F.lit(1))
+    )
+    st0 = pq_code_upsert(b0, cb, code_dir, 8, 8, n_blocks=8, seq_col="seq")
+    st1 = pq_code_upsert(b1, cb, code_dir, 8, 8, n_blocks=8, seq_col="seq")
+    assert st0["affected_blocks"] <= 8 and st1["affected_blocks"] <= 8
+
+    # ---- store == from-scratch codes of the surviving corpus
+    survive = ids % 15 != 0
+    vecs = raw.copy()
+    vecs[ids % 9 == 0] += 1.0
+    codes, qerr = _np_codes(vecs, cbook, 8, 8)
+    expect = {
+        (int(ids[i]), mm): (int(codes[i, mm]), qerr[i, mm])
+        for i in range(len(ids))
+        if survive[i]
+        for mm in range(8)
+    }
+    store = spark.read.parquet(code_dir).toPandas()
+    assert len(store) == len(expect)
+    for r in store.itertuples(index=False):
+        ec, eq = expect[(r.vec_id, r.m)]
+        assert r.code == ec, (r.vec_id, r.m)
+        assert abs(r.qerr - eq) < 1e-9
+        assert r.block == r.vec_id % 8
+
+    # ---- drift registers SUM-merge == single-shot on arrivals
+    arr_mask_b0 = (ids % 3 == 1) | (ids % 9 == 0)
+    arr_b0 = np.where(ids % 9 == 0, 1.0, 0.0)[:, None] + raw
+    _, q0 = _np_codes(arr_b0[arr_mask_b0], cbook, 8, 8)
+    arr_mask_b1 = ids % 3 == 2
+    _, q1 = _np_codes(raw[arr_mask_b1], cbook, 8, 8)
+    merged = {
+        mm: (0, 0.0) for mm in range(8)
+    }
+    for st in (st0, st1):
+        for mm, n, sq in st["drift"]:
+            pn, psq = merged[mm]
+            merged[mm] = (pn + n, psq + sq)
+    for mm in range(8):
+        n, sq = merged[mm]
+        assert n == arr_mask_b0.sum() + arr_mask_b1.sum() - 0  # live rows only
+        assert abs(sq - (q0[:, mm].sum() + q1[:, mm].sum())) < 1e-6
+
+
+def test_pq_drift_retrain_false_without_shift(spark, sf_dir, tmp_path):
+    """Control arm for the retrain gate: a stream that re-delivers the
+    SAME population it was seeded from produces drift_ratio == 1 and
+    retrain False — guards the comparison's sign and the ratio's
+    orientation (stream/seed, not seed/stream)."""
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        pq_code_upsert,
+        pq_encode,
+    )
+
+    dbl, ids, raw = _dbl(spark, sf_dir)
+    cb, _ = _codebook_df(spark, ids, raw)
+    code_dir = str(tmp_path / "codes")
+
+    seed = dbl.filter(F.col("vec_id") % 3 == 0)
+    seeded = pq_encode(seed, cb, 8, 8, vec_col="v").withColumn(
+        "block", (F.col("vec_id") % 8).cast("int")
+    ).select("vec_id", "m", "code", "qerr", "block")
+    seeded.write.partitionBy("block").parquet(code_dir)
+    seed_reg = {
+        int(r["m"]): (int(r["n"]), float(r["sq"]))
+        for r in seeded.groupBy("m")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("qerr").alias("sq"))
+        .collect()
+    }
+
+    st = pq_code_upsert(
+        seed.withColumn("seq", F.lit(0)), cb, code_dir, 8, 8,
+        n_blocks=8, seq_col="seq",
+    )
+    for mm, n, sq in st["drift"]:
+        sn, ssq = seed_reg[mm]
+        assert n == sn
+        ratio = round(round(sq / n, 6) / round(ssq / sn, 6), 6)
+        assert ratio == 1.0
+        assert not ratio > 1.1  # the gate's retrain predicate
+
+
+def test_pq_code_upsert_corrupt_store_fails_loud(spark, tmp_path):
+    """Same loud-fail contract as mih_code_upsert: an existing but
+    unreadable store must raise, not silently start empty."""
+    import pytest
+
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        pq_code_upsert,
+    )
+
+    cb = spark.createDataFrame(
+        [(m, 0, [0.0] * 2) for m in range(2)], "m int, code long, c array<double>"
+    )
+    batch = spark.createDataFrame(
+        [(1, [1.0, -1.0, 0.5, 0.25])], "vec_id long, v array<double>"
+    ).withColumn("seq", F.lit(0))
+
+    corrupt = str(tmp_path / "corrupt")
+    (tmp_path / "corrupt").mkdir()
+    (tmp_path / "corrupt" / "block=1").mkdir()
+    (tmp_path / "corrupt" / "block=1" / "part-0.parquet").write_bytes(b"junk")
+    with pytest.raises(Exception):
+        pq_code_upsert(batch, cb, corrupt, 2, 2, n_blocks=4, seq_col="seq")
+    assert (tmp_path / "corrupt" / "block=1" / "part-0.parquet").read_bytes() == (
+        b"junk"
+    )
