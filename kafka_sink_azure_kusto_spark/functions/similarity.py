@@ -2064,3 +2064,116 @@ def pq_code_upsert(
         "emptied_blocks": len(emptied),
         "drift": sorted(drift),
     }
+
+
+def hierarchical_graph_search_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    edges: DataFrame,
+    upper_layers: list[dict],
+    k: int = 10,
+    rounds: int = 2,
+    beam: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    max_broadcast_queries: int | None = 10_000,
+    return_visited: bool = False,
+    return_all_visited: bool = False,
+) -> DataFrame:
+    """HIERARCHICAL graph search — the multi-layer descent that is
+    HNSW's actual win (Malkov & Yashunin: greedy search on sparse upper
+    layers finds the right NEIGHBORHOOD, the dense bottom layer finds
+    the neighbors). ``upper_layers`` lists layers TOP-first; each is
+    {"members": (nid) DataFrame — the stride-sampled node subset,
+    "edges": (src, dst) exact-kNN edges AMONG those members,
+    "rounds": int, "beam": int, "carry": int}. The search greedily
+    descends: beam-search each upper layer (via ``graph_search_topk``
+    restricted to that layer's members), keep the per-query ``carry``
+    best nodes as the entry points of the layer below, and finally run
+    the normal rounds×beam beam search on the full layer-0 graph.
+
+    The top layer starts from ALL of its members — by construction the
+    top layer is the sparsest (|corpus| / stride^depth nodes), so this
+    is the bounded "entry candidates" set, exactly the role HNSW's
+    single top-layer entry plays but deterministic and
+    oracle-expressible.
+
+    Scale shape: every stage inherits ``graph_search_topk``'s bounds —
+    per query per round ≤ beam expansions × layer degree, all
+    equi-joins with the bounded query side broadcast; upper layers are
+    strictly smaller (members are a 1/stride sample, their edge lists
+    ~degree·|members|), so the added descent cost is a FRACTION of the
+    layer-0 search while the layer-0 beam starts inside the right
+    neighborhood. An audit (``graph_hierarchy_gain_audit``) grades the
+    gain as exact integer hit counts at equal layer-0 rounds×beam.
+
+    ``return_all_visited`` returns the union of every layer's visited
+    set as (query_id, nid, score, layer) — layer = len(upper_layers)
+    for the top, 0 for the bottom — the hook that makes the audit's
+    "candidate budget" column count the WHOLE search (descent
+    included), not just the layer-0 walk.
+    """
+    vecs = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("v")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qv"),
+    )
+    entries: DataFrame | None = None
+    all_vis: list[DataFrame] = []
+    for li, layer in enumerate(upper_layers):
+        members = layer["members"].select("nid")
+        lcorpus = vecs.join(F.broadcast(members), "nid")
+        if entries is None:
+            # top layer: every query starts at every member (bounded:
+            # the top layer is the sparsest by construction)
+            start = q.select("query_id").crossJoin(members)
+        else:
+            start = entries
+        vis = graph_search_topk(
+            lcorpus, q, layer["edges"],
+            rounds=layer["rounds"], beam=layer["beam"],
+            id_col="nid", vec_col="v",
+            query_id_col="query_id", query_vec_col="qv",
+            max_broadcast_queries=max_broadcast_queries if li == 0 else None,
+            return_visited=True, entries=start,
+        )
+        if return_all_visited:
+            all_vis.append(
+                vis.select(
+                    "query_id", "nid", "score",
+                    F.lit(len(upper_layers) - li).alias("layer"),
+                )
+            )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("nid").asc()
+        )
+        entries = (
+            vis.withColumn("_cr", F.row_number().over(w))
+            .filter(F.col("_cr") <= layer["carry"])
+            .select("query_id", "nid")
+            # bounded (≤ carry × |queries| rows) barrier: without it the
+            # next layer's plan chains the WHOLE upper-layer search
+            # lineage and the composed plan blows up the driver
+            .localCheckpoint()
+        )
+    bottom = graph_search_topk(
+        corpus, queries, edges, k=k, rounds=rounds, beam=beam,
+        id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+        max_broadcast_queries=None,  # probed on the top layer already
+        return_visited=return_visited or return_all_visited, entries=entries,
+    )
+    if not return_all_visited:
+        return bottom
+    out = bottom.select(
+        "query_id", "nid", "score", F.lit(0).alias("layer")
+    )
+    for v in all_vis:
+        out = out.unionByName(
+            v.select("query_id", "nid", F.round("score", 6).alias("score"), "layer")
+        )
+    return out

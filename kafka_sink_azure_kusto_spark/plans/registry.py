@@ -93,6 +93,8 @@ _GATE_HEAD = [
     # --- new in r12 ---
     "streaming_pq_index_maintenance",    # r12: live PQ code-store loop
     "streaming_pq_drift_audit",          # r12: retrain gate registers
+    "similarity_hierarchical_search",    # r12: HNSW-style layer descent
+    "graph_hierarchy_gain_audit",        # r12: hier vs flat, integer hits
     # --- changed in r12 (ADVICE r11 fixes) ---
     "retrieval_eval_metrics",            # singleton-label GREATEST guard
     "streaming_mih_index_maintenance",   # loud-fail store read + hadoop-FS delete

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_sink_azure_kusto_spark.plans.registry import _workdir, register
@@ -359,3 +359,317 @@ def streaming_pq_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`functions/similarity.pq_code_upsert` drift registers)."""
     _, drift = _run_pq_stream_loop(spark, sf_dir)
     return drift
+
+
+# ---------------------------------------------------------------------
+# hierarchical graph search (VERDICT r11 #3): multi-layer descent —
+# HNSW's actual win over flat beam search. Same planted-cluster corpus
+# as graph_entry_strategy_audit (the regime a coarse layer can
+# navigate; the raw synthetic embeddings are near-isotropic), same
+# closed-form transform in both engines.
+
+_HL_BOOST = 2.0    # planted cluster separation (see registry_r11)
+_HL_QMOD = 25      # queries: nid % 25 == 7 — disjoint from every
+_HL_QOFF = 7       # layer's member set (multiples of 8/64)
+_HL_GK0 = 6        # layer-0 exact-kNN degree
+_HL_GK1 = 4        # upper-layer exact-kNN degree
+_HL_S1 = 8         # layer-1 members: nid % 8 == 0 (~n/8)
+_HL_S2 = 32        # layer-2 members: nid % 32 == 0 (~n/32, the top)
+_HL_R1 = 2         # rounds per upper layer (greedy descent)
+_HL_B1 = 3         # beam per upper layer
+_HL_CARRY2 = 3     # nodes carried layer2 → layer1
+_HL_CARRY1 = 4     # nodes carried layer1 → layer0 (its entry points)
+_HL_ROUNDS = 3     # layer-0 budget — IDENTICAL in both audit arms
+_HL_BEAM = 4
+_HL_K = 10         # searcher output depth
+_HL_AK = 3         # audit graded depth (exact top-3 ground truth)
+
+
+def _hl_base_sql() -> str:
+    """Shared corpus/layer CTEs for the two hierarchical queries:
+    planted corpus → layer subsets (e1/e2) → per-layer exact-kNN edge
+    CTEs → the greedy descent (generated by the SAME
+    ``_graph_rounds_sql`` loop as the Spark search), carrying the
+    per-query best nodes down as the next layer's entries. Carry ranks
+    on ROUND(score, 6) because the Spark side carries from the rounded
+    visited frame."""
+    from kafka_sink_azure_kusto_spark.plans.registry_r10 import _cos
+    from kafka_sink_azure_kusto_spark.plans.registry_r11 import (
+        _graph_rounds_sql,
+    )
+
+    def knn_cte(name: str, src: str, k: int) -> str:
+        return f"""
+    g{name} AS MATERIALIZED (SELECT src, dst FROM (
+        SELECT a.nid AS src, b.nid AS dst,
+               ROW_NUMBER() OVER (PARTITION BY a.nid
+                                  ORDER BY {_cos("a.v", "b.v")} DESC,
+                                           b.nid ASC) AS rk
+        FROM {src} a JOIN {src} b ON a.nid <> b.nid) WHERE rk <= {k}),
+    und{name} AS MATERIALIZED (SELECT src, dst FROM g{name}
+                               UNION
+                               SELECT dst AS src, src AS dst FROM g{name})"""
+
+    def carry_cte(name: str, vis: str, carry: int) -> str:
+        return f"""
+    {name} AS MATERIALIZED (SELECT qid, nid FROM (
+        SELECT qid, nid,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY ROUND(score, 6) DESC,
+                                           nid ASC) AS cr
+        FROM {vis}) WHERE cr <= {carry})"""
+
+    return f"""
+    e AS MATERIALIZED (
+      SELECT vec_id AS nid, label,
+             list_transform(range(1, len(embedding) + 1),
+                            i -> embedding[i]::DOUBLE
+                                 + CASE WHEN (i - 1) % 10 = label
+                                        THEN {_HL_BOOST} ELSE 0.0 END) AS v
+      FROM embeddings),
+    xq AS MATERIALIZED (SELECT nid AS qid, v AS qv FROM e
+                        WHERE nid % {_HL_QMOD} = {_HL_QOFF}),
+    e2 AS MATERIALIZED (SELECT nid, v FROM e WHERE nid % {_HL_S2} = 0),
+    e1 AS MATERIALIZED (SELECT nid, v FROM e WHERE nid % {_HL_S1} = 0),
+    {knn_cte("2", "e2", _HL_GK1)},
+    {knn_cte("1", "e1", _HL_GK1)},
+    {knn_cte("0", "e", _HL_GK0)},
+    en2 AS MATERIALIZED (SELECT xq.qid, n.nid FROM xq CROSS JOIN e2 n),
+    {_graph_rounds_sql("h2", "en2", _HL_R1, _HL_B1,
+                       und_cte="und2", vec_cte="e2")},
+    {carry_cte("car2", f"h2vis{_HL_R1}", _HL_CARRY2)},
+    {_graph_rounds_sql("h1", "car2", _HL_R1, _HL_B1,
+                       und_cte="und1", vec_cte="e1")},
+    {carry_cte("car1", f"h1vis{_HL_R1}", _HL_CARRY1)},
+    {_graph_rounds_sql("h0", "car1", _HL_ROUNDS, _HL_BEAM,
+                       und_cte="und0", vec_cte="e")}
+"""
+
+
+def _hl_layers(dbl):
+    """Spark-side layer construction mirroring ``_hl_base_sql``."""
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        knn_graph_build_exact,
+    )
+
+    e2 = dbl.filter(F.col("vec_id") % _HL_S2 == 0)
+    e1 = dbl.filter(F.col("vec_id") % _HL_S1 == 0)
+    edges2 = knn_graph_build_exact(e2, k=_HL_GK1, vec_col="v").select(
+        "src", "dst"
+    )
+    edges1 = knn_graph_build_exact(e1, k=_HL_GK1, vec_col="v").select(
+        "src", "dst"
+    )
+    edges0 = knn_graph_build_exact(dbl, k=_HL_GK0, vec_col="v").select(
+        "src", "dst"
+    ).localCheckpoint()
+    mk = lambda df: df.select(F.col("vec_id").alias("nid"))  # noqa: E731
+    return edges0, [
+        {"members": mk(e2), "edges": edges2,
+         "rounds": _HL_R1, "beam": _HL_B1, "carry": _HL_CARRY2},
+        {"members": mk(e1), "edges": edges1,
+         "rounds": _HL_R1, "beam": _HL_B1, "carry": _HL_CARRY1},
+    ]
+
+
+def _hl_corpus(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = emb.select(
+        "vec_id", "label",
+        F.expr(
+            "transform(embedding, (x, j) -> CAST(x AS DOUBLE) + "
+            f"CASE WHEN j % 10 = label THEN CAST({_HL_BOOST} AS DOUBLE) "
+            "ELSE CAST(0.0 AS DOUBLE) END)"
+        ).alias("v"),
+    )
+    return dbl, dbl.filter(F.col("vec_id") % _HL_QMOD == _HL_QOFF)
+
+
+@register(
+    "similarity_hierarchical_search",
+    f"""
+    WITH {_hl_base_sql()}
+    SELECT qid AS query_id, nid AS neighbor_id,
+           ROUND(score, 6) AS score, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT qid, nid, score,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY score DESC, nid ASC) AS rnk
+          FROM h0vis{_HL_ROUNDS} WHERE nid <> qid)
+    WHERE rnk <= {_HL_K}
+    """,
+)
+def similarity_hierarchical_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hierarchical graph-based ANN search
+    (`functions/similarity.hierarchical_graph_search_topk`) — the
+    HNSW-style multi-layer descent: beam-search the sparse top layer
+    (nid % {_HL_S2} == 0, its own exact-kNN edges) from ALL its
+    members, carry the best {_HL_CARRY2} per query into the middle
+    layer (nid % {_HL_S1} == 0), carry its best {_HL_CARRY1} as the
+    LAYER-0 entry points, then run the standard rounds×beam walk on the
+    full graph. Every layer is the same bounded equi-join shape as
+    ``graph_search_topk``; the upper layers are 1/{_HL_S1} and
+    1/{_HL_S2} samples, so the descent adds a fraction of the layer-0
+    cost while starting the beam inside the right neighborhood. The
+    oracle unrolls the identical descent from one generating loop
+    (`plans/registry_r11._graph_rounds_sql`)."""
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        hierarchical_graph_search_topk,
+    )
+
+    dbl, queries = _hl_corpus(spark, sf_dir)
+    edges0, layers = _hl_layers(dbl)
+    out = hierarchical_graph_search_topk(
+        dbl, queries, edges0, layers,
+        k=_HL_K, rounds=_HL_ROUNDS, beam=_HL_BEAM,
+        vec_col="v", query_vec_col="v",
+    )
+    return out.select(
+        "query_id", "neighbor_id", "score",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+def _hl_audit_sql() -> str:
+    from kafka_sink_azure_kusto_spark.plans.registry_r10 import _cos
+    from kafka_sink_azure_kusto_spark.plans.registry_r11 import (
+        _graph_rounds_sql,
+    )
+
+    flat_rounds = _graph_rounds_sql(
+        "f", "sen", _HL_ROUNDS, _HL_BEAM, und_cte="und0", vec_cte="e"
+    )
+    cos_gt = _cos("xq.qv", "c.v")
+    return f"""
+    WITH {_hl_base_sql()},
+    sen AS MATERIALIZED (SELECT xq.qid, n.nid FROM xq
+                         CROSS JOIN (SELECT nid FROM e
+                                     WHERE nid % (SELECT COUNT(*) // 10
+                                                  FROM e) = 0) n),
+    {flat_rounds},
+    gt AS MATERIALIZED (SELECT qid, nid FROM (
+        SELECT xq.qid, c.nid,
+               ROW_NUMBER() OVER (PARTITION BY xq.qid
+                                  ORDER BY {cos_gt} DESC,
+                                           c.nid ASC) AS rnk
+        FROM xq JOIN e c ON c.nid <> xq.qid) WHERE rnk <= {_HL_AK}),
+    tot AS (SELECT COUNT(*) AS n_possible FROM gt),
+    fres AS (SELECT qid, nid FROM (
+        SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY score DESC, nid ASC) AS rnk
+        FROM fvis{_HL_ROUNDS} WHERE nid <> qid) WHERE rnk <= {_HL_AK}),
+    hres AS (SELECT qid, nid FROM (
+        SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY score DESC, nid ASC) AS rnk
+        FROM h0vis{_HL_ROUNDS} WHERE nid <> qid) WHERE rnk <= {_HL_AK}),
+    fcand AS (SELECT COUNT(*) AS n_candidates FROM fvis{_HL_ROUNDS}
+              WHERE nid <> qid),
+    hall AS (SELECT qid, nid FROM h0vis{_HL_ROUNDS}
+             UNION SELECT qid, nid FROM h1vis{_HL_R1}
+             UNION SELECT qid, nid FROM h2vis{_HL_R1}),
+    hcand AS (SELECT COUNT(*) AS n_candidates FROM hall
+              WHERE nid <> qid),
+    fh AS (SELECT COUNT(*) AS n_hits FROM gt
+           WHERE EXISTS (SELECT 1 FROM fres r
+                         WHERE r.qid = gt.qid AND r.nid = gt.nid)),
+    hh AS (SELECT COUNT(*) AS n_hits FROM gt
+           WHERE EXISTS (SELECT 1 FROM hres r
+                         WHERE r.qid = gt.qid AND r.nid = gt.nid))
+    SELECT 'flat_stride' AS strategy, fcand.n_candidates, fh.n_hits,
+           tot.n_possible,
+           ROUND(fh.n_hits / CAST(tot.n_possible AS DOUBLE), 6) AS recall
+    FROM fcand, fh, tot
+    UNION ALL
+    SELECT 'hierarchical' AS strategy, hcand.n_candidates, hh.n_hits,
+           tot.n_possible,
+           ROUND(hh.n_hits / CAST(tot.n_possible AS DOUBLE), 6) AS recall
+    FROM hcand, hh, tot
+    """
+
+
+@register("graph_hierarchy_gain_audit", _hl_audit_sql())
+def graph_hierarchy_gain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the multi-layer descent actually BUY anything? The same
+    layer-0 exact-kNN substrate and the same layer-0 rounds×beam
+    budget, searched twice — once flat from the blind
+    ``nid % (n/10)`` stride sample (the r10/r11 baseline), once
+    hierarchically (descend {_HL_S2}→{_HL_S1}→full, carrying
+    {_HL_CARRY2}/{_HL_CARRY1} nodes). Graded as exact integer hit
+    counts against brute-force top-{_HL_AK} ground truth; the
+    hierarchical arm's candidate column counts the WHOLE search
+    including descent scoring (distinct nodes across all three
+    layers), so "equal budget" is a measured column, not prose
+    (`functions/similarity.hierarchical_graph_search_topk`)."""
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        brute_force_topk,
+        graph_search_topk,
+        hierarchical_graph_search_topk,
+    )
+
+    dbl, queries = _hl_corpus(spark, sf_dir)
+    edges0, layers = _hl_layers(dbl)
+    stride = max(1, dbl.count() // 10)
+    gt = brute_force_topk(
+        dbl, queries, k=_HL_AK, vec_col="v", query_vec_col="v"
+    ).select(
+        F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
+    ).localCheckpoint()
+    tot = gt.agg(F.count(F.lit(1)).alias("n_possible"))
+
+    def grade(name: str, vis: DataFrame) -> DataFrame:
+        vis = (
+            vis.filter(F.col("nid") != F.col("query_id"))
+            .select(F.col("query_id").alias("qid"), "nid", "score")
+            .localCheckpoint()
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("score").desc(), F.col("nid").asc()
+        )
+        res = (
+            vis.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= _HL_AK)
+            .select("qid", "nid")
+        )
+        hits = gt.join(res, ["qid", "nid"], "left_semi").agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+        n_cand = vis.select("qid", "nid").distinct().agg(
+            F.count(F.lit(1)).alias("n_candidates")
+        )
+        return (
+            n_cand.crossJoin(F.broadcast(hits))
+            .crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(name).alias("strategy"),
+                "n_candidates", "n_hits", "n_possible",
+                F.round(F.col("n_hits") / F.col("n_possible"), 6)
+                .alias("recall"),
+            )
+        )
+
+    flat_vis = graph_search_topk(
+        dbl, queries, edges0,
+        rounds=_HL_ROUNDS, beam=_HL_BEAM, entry_stride=stride,
+        vec_col="v", query_vec_col="v", return_visited=True,
+    )
+    hier_all = hierarchical_graph_search_topk(
+        dbl, queries, edges0, layers,
+        rounds=_HL_ROUNDS, beam=_HL_BEAM,
+        vec_col="v", query_vec_col="v", return_all_visited=True,
+    )
+    # grade the hierarchical RESULT from layer 0 only (what the
+    # searcher returns); count candidates across ALL layers
+    hier_l0 = hier_all.filter(F.col("layer") == 0).drop("layer")
+    flat_row = grade("flat_stride", flat_vis)
+    hier_hits_row = grade("hierarchical", hier_l0)
+    hier_cand = (
+        hier_all.filter(F.col("nid") != F.col("query_id"))
+        .select(F.col("query_id").alias("qid"), "nid")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_candidates"))
+    )
+    hier_row = hier_hits_row.drop("n_candidates").crossJoin(
+        F.broadcast(hier_cand)
+    ).select("strategy", "n_candidates", "n_hits", "n_possible", "recall")
+    return flat_row.unionByName(hier_row)

@@ -204,3 +204,54 @@ def test_pq_code_upsert_corrupt_store_fails_loud(spark, tmp_path):
     assert (tmp_path / "corrupt" / "block=1" / "part-0.parquet").read_bytes() == (
         b"junk"
     )
+
+
+# ------------------------------------------- hierarchical graph search
+
+
+def test_hierarchy_gain_audit_beats_flat(spark, sf_dir):
+    """The audit's reason to exist: at (near-)equal candidate budget
+    the multi-layer descent must find at least as many exact top-3
+    neighbors as the flat stride-entry walk — integers, not vibes."""
+    from kafka_sink_azure_kusto_spark.plans import queries
+
+    got = queries()["graph_hierarchy_gain_audit"](spark, sf_dir).toPandas()
+    rows = {r.strategy: r for r in got.itertuples(index=False)}
+    assert set(rows) == {"flat_stride", "hierarchical"}
+    h, f = rows["hierarchical"], rows["flat_stride"]
+    assert h.n_possible == f.n_possible > 0
+    assert h.n_hits >= f.n_hits
+    # budget honesty: the hierarchical arm's candidates include the
+    # descent layers, and stay in the same ballpark as flat's
+    assert h.n_candidates <= 2 * f.n_candidates
+
+
+def test_hierarchical_search_layer_accounting(spark, sf_dir):
+    """return_all_visited must label layers top-down (2, 1, 0), carry
+    entries into layer 0's visited set, and keep every upper-layer node
+    a member of that layer's stride subset."""
+    from kafka_sink_azure_kusto_spark.plans.registry_r12 import (
+        _HL_S1,
+        _HL_S2,
+        _hl_corpus,
+        _hl_layers,
+    )
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        hierarchical_graph_search_topk,
+    )
+
+    dbl, qs = _hl_corpus(spark, sf_dir)
+    edges0, layers = _hl_layers(dbl)
+    vis = hierarchical_graph_search_topk(
+        dbl, qs, edges0, layers, rounds=1, beam=2,
+        vec_col="v", query_vec_col="v", return_all_visited=True,
+    ).toPandas()
+    assert set(vis["layer"].unique()) == {0, 1, 2}
+    top = vis[vis.layer == 2]
+    mid = vis[vis.layer == 1]
+    assert (top["nid"] % _HL_S2 == 0).all()
+    assert (mid["nid"] % _HL_S1 == 0).all()
+    # every query was seeded at the full top layer
+    n_top_members = dbl.filter(f"vec_id % {_HL_S2} = 0").count()
+    for _, g in top.groupby("query_id"):
+        assert len(g) >= n_top_members  # all members scored (+expansions)
