@@ -924,3 +924,79 @@ def dsir_importance_weights_sql(
     FROM rfe JOIN lr ON rfe.bucket = lr.bucket
     GROUP BY doc_id
     """
+
+
+def pack_token_windows(
+    enc: DataFrame,
+    ctx: int,
+    eos_id: int,
+    pad_id: int,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Pack per-document ``token_ids`` arrays into fixed ``ctx``-token
+    context windows — the artifact a trainer actually consumes, shared
+    by the BPE and unigram-LM tokenizer families so both emit the SAME
+    window contract (shard = doc_id % n_shards, docs concatenated in
+    doc_id order with ``eos_id`` after every document, trailing partial
+    window padded with ``pad_id``; the md5 fingerprint covers every id
+    INCLUDING padding).
+
+    Scale shape: a per-token posexplode (linear, fixed-width
+    (shard, gpos, tid) rows), ONE per-shard prefix-sum window over doc
+    counts, and ONE shuffle keyed (shard, window_id) — windows are
+    fixed-size by construction, so the assembly groups are skew-free
+    regardless of document length distribution."""
+    nd = enc.select(
+        "doc_id",
+        "token_ids",
+        (F.col("doc_id") % n_shards).cast("int").alias("shard"),
+        F.size("token_ids").cast("long").alias("nt"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = nd.withColumn(
+        "strt", F.coalesce(F.sum(F.col("nt") + 1).over(w), F.lit(0))
+    )
+    with_eos = F.concat(
+        F.col("token_ids"), F.array(F.lit(eos_id).cast("int"))
+    )
+    stream = pre.select(
+        "shard",
+        "strt",
+        F.posexplode(with_eos).alias("pos", "tid"),
+    ).select(
+        "shard",
+        (F.col("strt") + F.col("pos")).alias("gpos"),
+        "tid",
+    )
+    winkey = F.floor(F.col("gpos") / ctx).cast("long")
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct((F.col("gpos") % ctx).alias("w"), F.col("tid").alias("t"))
+        )
+    )
+    agg = (
+        stream.withColumn("window_id", winkey)
+        .groupBy("shard", "window_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_real"),
+            F.array_join(
+                F.transform(ordered, lambda s: s["t"].cast("string")), ","
+            ).alias("idstr"),
+        )
+    )
+    return agg.select(
+        "shard",
+        "window_id",
+        "n_real",
+        (F.lit(ctx) - F.col("n_real")).cast("long").alias("n_pad"),
+        F.md5(
+            F.concat(
+                F.col("idstr"),
+                F.expr(f"repeat(',{pad_id}', CAST({ctx} - n_real AS INT))"),
+            )
+        ).alias("ids_fp"),
+    )

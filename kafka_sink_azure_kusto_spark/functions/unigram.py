@@ -1,0 +1,233 @@
+"""Unigram-LM (SentencePiece-style) tokenizer trainer — the OTHER
+tokenizer family a training pipeline actually chooses between (Kudo
+2018): seed a candidate vocabulary from frequent substrings, run
+Viterbi-EM over corpus likelihood, prune by usage, emit token ids.
+
+Everything here is bounded and engine-portable by construction (the
+repo's plan-static discipline, same policy as the fixed-round BPE
+loop and ``pq_train``'s k-means):
+
+- the corpus is scanned ONCE to build weighted word counts; every EM
+  pass then runs on the DISTINCT-WORD table (vocabulary-sized, not
+  corpus-sized — the classic trick that makes tokenizer training on a
+  100 TB corpus a word-histogram problem);
+- Viterbi segmentation is a bounded DP unrolled over word positions
+  (``max_word_len`` steps of ≤ ``max_piece_len`` equi-joins against the
+  broadcast piece table), with a fully deterministic tie-break
+  (score DESC, fewer pieces, segmentation string ASC);
+- piece log-probs are rounded to 6 dp before the DP, so both engines
+  accumulate IDENTICAL doubles in IDENTICAL order — DP comparisons
+  cannot drift on the last ulp;
+- usage counts are integers (word occurrences × uses), so the M-step
+  and every prune/rank decision is exact in both engines;
+- a word with NO segmentation under the current vocabulary (a pruned
+  char) simply yields no DP row and encodes as UNK — deterministic in
+  both engines, no fallback heuristics.
+
+Reference parity note: the reference sink has no tokenizer surface;
+north-star addition per SURVEY §7.3.6 (training-data pipeline ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def word_counts(
+    docs: DataFrame, text_col: str = "text", max_word_len: int | None = None
+) -> DataFrame:
+    """(word, wlen, wcnt) over whitespace words — the ONE corpus scan.
+    Words longer than ``max_word_len`` are dropped here (they encode as
+    UNK; the DP never sees them — the bounded-DP discipline)."""
+    w = docs.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    out = w.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("wcnt"))
+    out = out.withColumn("wlen", F.length("word").cast("int"))
+    if max_word_len is not None:
+        out = out.filter(F.col("wlen") <= max_word_len)
+    return out
+
+
+def seed_substring_counts(words: DataFrame, max_piece_len: int) -> DataFrame:
+    """(piece, cnt): every substring of length 1..max_piece_len of every
+    word, weighted by word count — the unigram seed candidates. Runs on
+    the distinct-word table; the explode is ≤ wlen × max_piece_len rows
+    per WORD (not per corpus token)."""
+    pieces = F.expr(
+        "flatten(transform(sequence(1, wlen), i -> "
+        f"transform(sequence(1, least({max_piece_len}, wlen - i + 1)), "
+        "p -> substring(word, i, p))))"
+    )
+    return (
+        words.select(F.explode(pieces).alias("piece"), "wcnt")
+        .groupBy("piece")
+        .agg(F.sum("wcnt").cast("long").alias("cnt"))
+    )
+
+
+def lp_table(counts: DataFrame, cap: int) -> DataFrame:
+    """(piece, cnt, lp): keep the top ``cap`` pieces by
+    (cnt DESC, piece ASC) and assign each the 6-dp-rounded log-prob
+    ln(cnt / Σcnt) over the RETAINED set. Integer ranking + one rounded
+    double per piece = engine-identical."""
+    top = counts.orderBy(F.col("cnt").desc(), F.col("piece").asc()).limit(cap)
+    tot = top.agg(F.sum("cnt").alias("tot"))
+    return top.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        "cnt",
+        F.round(F.log(F.col("cnt") / F.col("tot")), 6).alias("lp"),
+    )
+
+
+def viterbi_segment(
+    words: DataFrame,
+    lp: DataFrame,
+    max_word_len: int,
+    max_piece_len: int,
+) -> DataFrame:
+    """Best segmentation per word under piece log-probs ``lp`` —
+    bounded DP unrolled over positions j = 1..max_word_len. State per
+    (word, j): (score = Σ lp, npieces, seg = space-joined pieces); the
+    per-step argmax tie-breaks (score DESC, npieces ASC, seg ASC).
+    Each step is ≤ max_piece_len equi-joins of the (word-count-sized)
+    state against the BROADCAST piece table; states are checkpointed
+    per step so the unrolled plan stays flat. Words with no path under
+    ``lp`` are absent from the result (callers treat them as UNK).
+
+    Returns (word, wlen, score, npieces, seg)."""
+    lp = F.broadcast(lp.select("piece", "lp"))
+    base = words.select(
+        "word",
+        "wlen",
+        F.lit(0.0).alias("score"),
+        F.lit(0).alias("npieces"),
+        F.lit("").alias("seg"),
+    )
+    best = {0: base.localCheckpoint()}
+    w = Window.partitionBy("word").orderBy(
+        F.col("score").desc(), F.col("npieces").asc(), F.col("seg").asc()
+    )
+    for j in range(1, max_word_len + 1):
+        branches = []
+        for p in range(1, min(max_piece_len, j) + 1):
+            prev = best[j - p].filter(F.col("wlen") >= j)
+            piece = F.expr(f"substring(word, {j - p + 1}, {p})")
+            branches.append(
+                prev.withColumn("piece", piece)
+                .join(lp, "piece")
+                .select(
+                    "word",
+                    "wlen",
+                    (F.col("score") + F.col("lp")).alias("score"),
+                    (F.col("npieces") + 1).alias("npieces"),
+                    F.when(F.col("seg") == "", F.col("piece"))
+                    .otherwise(F.concat(F.col("seg"), F.lit(" "), F.col("piece")))
+                    .alias("seg"),
+                )
+            )
+        allb = branches[0]
+        for b in branches[1:]:
+            allb = allb.unionByName(b)
+        best[j] = (
+            allb.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .localCheckpoint()
+        )
+    segs = None
+    for j in range(1, max_word_len + 1):
+        s = best[j].filter(F.col("wlen") == j)
+        segs = s if segs is None else segs.unionByName(s)
+    return segs
+
+
+def usage_counts(segs: DataFrame, words: DataFrame) -> DataFrame:
+    """M-step: (piece, cnt) — how often each piece is USED across the
+    corpus under the current segmentation (uses in word × word count).
+    Pure integers."""
+    return (
+        segs.join(words.select("word", "wcnt"), "word")
+        .select(F.explode(F.split("seg", " ")).alias("piece"), "wcnt")
+        .groupBy("piece")
+        .agg(F.sum("wcnt").cast("long").alias("cnt"))
+    )
+
+
+def unigram_train(
+    words: DataFrame,
+    max_word_len: int,
+    max_piece_len: int,
+    seed_cap: int,
+    vocab_cap: int,
+    em_iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Full trainer: seed substring counts → ``em_iters`` rounds of
+    (Viterbi segment → integer usage counts → prune to top
+    ``vocab_cap`` → re-derive log-probs). Returns (vocab, segs):
+
+    - vocab: (tid, piece, cnt, lp) — final pieces ranked by
+      (cnt DESC, piece ASC) → ids 0..|V|-1;
+    - segs: the final-pass segmentations (word, seg) for the encoder.
+    """
+    seed = seed_substring_counts(words, max_piece_len)
+    lp = lp_table(seed, seed_cap).localCheckpoint()
+    segs = None
+    for _ in range(em_iters):
+        segs = viterbi_segment(words, lp, max_word_len, max_piece_len)
+        u = usage_counts(segs, words)
+        lp = lp_table(u, vocab_cap).localCheckpoint()
+    wid = Window.orderBy(F.col("cnt").desc(), F.col("piece").asc())
+    vocab = lp.withColumn("tid", (F.row_number().over(wid) - 1).cast("int")).select(
+        "tid", "piece", "cnt", "lp"
+    )
+    return vocab, segs
+
+
+def unigram_encode(
+    docs: DataFrame,
+    vocab: DataFrame,
+    segs: DataFrame,
+    unk_id: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, token_ids): each document's words in order mapped
+    through the final segmentations and piece ids; a word with no
+    segmentation (or longer than the DP bound) emits ONE ``unk_id``.
+    The per-doc array is assembled with one shuffle keyed doc_id; word
+    and piece order ride in a sortable (pos, ppos) struct."""
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word")
+    ).filter(F.col("word") != "")
+    seg_ids = (
+        segs.select("word", F.posexplode(F.split("seg", " ")).alias("ppos", "piece"))
+        .join(F.broadcast(vocab.select("piece", "tid")), "piece")
+        .groupBy("word")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ppos", "tid"))
+            ).alias("_pt")
+        )
+        .select(
+            "word",
+            F.transform(F.col("_pt"), lambda s: s["tid"].cast("int")).alias("wids"),
+        )
+    )
+    per_word = toks.join(F.broadcast(seg_ids), "word", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce(
+            F.col("wids"), F.array(F.lit(unk_id).cast("int"))
+        ).alias("wids"),
+    )
+    return (
+        per_word.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "wids"))).alias("_pw"))
+        .select(
+            "doc_id",
+            F.flatten(
+                F.transform(F.col("_pw"), lambda s: s["wids"])
+            ).alias("token_ids"),
+        )
+    )

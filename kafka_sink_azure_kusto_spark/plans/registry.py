@@ -95,6 +95,10 @@ _GATE_HEAD = [
     "streaming_pq_drift_audit",          # r12: retrain gate registers
     "similarity_hierarchical_search",    # r12: HNSW-style layer descent
     "graph_hierarchy_gain_audit",        # r12: hier vs flat, integer hits
+    "unigram_lm_tokenizer_train",        # r12: SentencePiece-style EM
+    "unigram_pack_token_windows",        # r12: id emission, shared packer
+    # --- changed in r12 (pack refactored onto the shared packer) ---
+    "bpe_pack_token_windows",
     # --- changed in r12 (ADVICE r11 fixes) ---
     "retrieval_eval_metrics",            # singleton-label GREATEST guard
     "streaming_mih_index_maintenance",   # loud-fail store read + hadoop-FS delete

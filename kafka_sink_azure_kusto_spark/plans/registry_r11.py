@@ -566,61 +566,13 @@ def bpe_pack_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vocab = {r["tok"]: i for i, r in enumerate(vocab_rows)}
     enc = bpe_encode(docs, merges, vocab, unk_id=_BPE_VOCAB_K)
+    # shared window contract (functions/corpus.pack_token_windows) —
+    # the unigram-LM packer emits the identical shard/window algebra
+    from kafka_sink_azure_kusto_spark.functions.corpus import (
+        pack_token_windows,
+    )
 
-    nd = enc.select(
-        "doc_id",
-        "token_ids",
-        (F.col("doc_id") % 8).cast("int").alias("shard"),
-        F.size("token_ids").cast("long").alias("nt"),
-    )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    pre = nd.withColumn(
-        "strt", F.coalesce(F.sum(F.col("nt") + 1).over(w), F.lit(0))
-    )
-    with_eos = F.concat(
-        F.col("token_ids"), F.array(F.lit(_W_EOS).cast("int"))
-    )
-    stream = pre.select(
-        "shard",
-        "strt",
-        F.posexplode(with_eos).alias("pos", "tid"),
-    ).select(
-        "shard",
-        (F.col("strt") + F.col("pos")).alias("gpos"),
-        "tid",
-    )
-    winkey = F.floor(F.col("gpos") / _W_CTX).cast("long")
-    ordered = F.array_sort(
-        F.collect_list(F.struct((F.col("gpos") % _W_CTX).alias("w"), F.col("tid").alias("t")))
-    )
-    agg = (
-        stream.withColumn("window_id", winkey)
-        .groupBy("shard", "window_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_real"),
-            F.array_join(
-                F.transform(ordered, lambda s: s["t"].cast("string")), ","
-            ).alias("idstr"),
-        )
-    )
-    return agg.select(
-        "shard",
-        "window_id",
-        "n_real",
-        (F.lit(_W_CTX) - F.col("n_real")).cast("long").alias("n_pad"),
-        F.md5(
-            F.concat(
-                F.col("idstr"),
-                F.expr(
-                    f"repeat(',{_W_PAD}', CAST({_W_CTX} - n_real AS INT))"
-                ),
-            )
-        ).alias("ids_fp"),
-    )
+    return pack_token_windows(enc, _W_CTX, _W_EOS, _W_PAD)
 
 
 # ---------------------------------------------------------------------

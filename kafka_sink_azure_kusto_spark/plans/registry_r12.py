@@ -673,3 +673,216 @@ def graph_hierarchy_gain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(hier_cand)
     ).select("strategy", "n_candidates", "n_hits", "n_possible", "recall")
     return flat_row.unionByName(hier_row)
+
+
+# ---------------------------------------------------------------------
+# unigram-LM (SentencePiece-style) tokenizer (VERDICT r11 #6): the
+# other tokenizer family next to BPE — seed vocab from frequent
+# substrings, bounded Viterbi-EM over corpus likelihood, prune by
+# usage, emit ids, pack the SAME window contract as the BPE packer
+# (functions/corpus.pack_token_windows).
+
+_UL_MAXW = 8       # DP bound: words longer than this encode as UNK
+_UL_MAXP = 4       # max piece length
+_UL_SEED = 48      # seed vocabulary cap (top substrings by count)
+_UL_V = 40         # post-EM vocabulary cap
+_UL_EM = 2         # EM iterations (plan-static, like BPE rounds)
+
+
+def _ul_dp_ctes(t: str, lp_cte: str) -> list[str]:
+    """Unrolled Viterbi DP CTEs for one pass — generated from the SAME
+    j/p loop as ``functions/unigram.viterbi_segment``."""
+    ctes = [
+        f"b{t}_0 AS (SELECT word, wlen, CAST(0.0 AS DOUBLE) AS score, "
+        "0 AS npieces, '' AS seg FROM w0)"
+    ]
+    for j in range(1, _UL_MAXW + 1):
+        branches = []
+        for p in range(1, min(_UL_MAXP, j) + 1):
+            branches.append(
+                f"SELECT b.word, b.wlen, b.score + v.lp AS score, "
+                f"b.npieces + 1 AS npieces, "
+                f"CASE WHEN b.seg = '' THEN v.piece "
+                f"ELSE b.seg || ' ' || v.piece END AS seg "
+                f"FROM b{t}_{j - p} b JOIN {lp_cte} v "
+                f"ON v.piece = substring(b.word, {j - p + 1}, {p}) "
+                f"WHERE b.wlen >= {j}"
+            )
+        u = " UNION ALL ".join(branches)
+        ctes.append(
+            f"b{t}_{j} AS MATERIALIZED (SELECT word, wlen, score, npieces, seg "
+            f"FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY word "
+            f"ORDER BY score DESC, npieces ASC, seg ASC) AS rn FROM ({u})) "
+            f"WHERE rn = 1)"
+        )
+    segu = " UNION ALL ".join(
+        f"SELECT word, wlen, score, npieces, seg FROM b{t}_{j} WHERE wlen = {j}"
+        for j in range(1, _UL_MAXW + 1)
+    )
+    ctes.append(f"seg{t} AS MATERIALIZED ({segu})")
+    return ctes
+
+
+def _ul_train_ctes() -> list[str]:
+    """Shared CTE chain: word counts → seed → EM passes → final vocab —
+    one generating loop for the oracle, mirroring ``unigram_train``."""
+    ctes = [
+        f"""w0 AS MATERIALIZED (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS wcnt,
+               CAST(length(word) AS INT) AS wlen
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> '' GROUP BY word
+        HAVING length(word) <= {_UL_MAXW})""",
+        f"""sc AS (SELECT piece, CAST(SUM(wcnt) AS BIGINT) AS cnt FROM (
+        SELECT substring(word, ii.i, pp.p) AS piece, wcnt
+        FROM w0
+        CROSS JOIN LATERAL (SELECT unnest(range(1, wlen + 1)) AS i) ii
+        CROSS JOIN LATERAL (SELECT unnest(range(1,
+            least({_UL_MAXP}, wlen - ii.i + 1) + 1)) AS p) pp
+        ) GROUP BY piece)""",
+        f"""top0 AS MATERIALIZED (SELECT piece, cnt FROM sc
+        ORDER BY cnt DESC, piece ASC LIMIT {_UL_SEED})""",
+        """lp0 AS MATERIALIZED (SELECT piece, cnt,
+        ROUND(ln(cnt / (SELECT CAST(SUM(cnt) AS DOUBLE) FROM top0)), 6)
+          AS lp FROM top0)""",
+    ]
+    for it in range(1, _UL_EM + 1):
+        ctes += _ul_dp_ctes(str(it), f"lp{it - 1}")
+        ctes += [
+            f"""u{it} AS (SELECT piece, CAST(SUM(wcnt) AS BIGINT) AS cnt
+            FROM (SELECT unnest(string_split(seg, ' ')) AS piece, wcnt
+                  FROM seg{it} JOIN w0 USING (word)) GROUP BY piece)""",
+            f"""top{it} AS MATERIALIZED (SELECT piece, cnt FROM u{it}
+            ORDER BY cnt DESC, piece ASC LIMIT {_UL_V})""",
+            f"""lp{it} AS MATERIALIZED (SELECT piece, cnt,
+            ROUND(ln(cnt / (SELECT CAST(SUM(cnt) AS DOUBLE) FROM top{it})),
+                  6) AS lp FROM top{it})""",
+        ]
+    ctes.append(
+        f"""vocab AS MATERIALIZED (SELECT
+        CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) - 1 AS INT)
+          AS tid, piece, cnt, lp FROM lp{_UL_EM})"""
+    )
+    return ctes
+
+
+def _ul_train_sql() -> str:
+    return (
+        "WITH "
+        + ",\n    ".join(_ul_train_ctes())
+        + "\n    SELECT tid, piece, cnt, lp FROM vocab"
+    )
+
+
+@register("unigram_lm_tokenizer_train", _ul_train_sql())
+def unigram_lm_tokenizer_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenizer trainer
+    (`functions/unigram.unigram_train`): seed candidates = every
+    substring of length ≤ {_UL_MAXP} of the distinct-word table
+    (weighted integer counts, capped to the top {_UL_SEED}), then
+    {_UL_EM} Viterbi-EM rounds — bounded DP segmentation (≤ {_UL_MAXW}
+    unrolled steps of broadcast equi-joins, deterministic tie-break),
+    integer usage counts, prune to the top {_UL_V}, re-derive
+    6-dp-rounded log-probs. Gate = the full final vocabulary table
+    (tid, piece, cnt, lp) value-hashed against the oracle's
+    independently generated CTE replay of the same loop. The corpus is
+    scanned ONCE (word histogram); every EM pass is vocabulary-sized —
+    at 100 TB tokenizer training stays a word-count problem."""
+    from kafka_sink_azure_kusto_spark.functions import unigram as U
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = U.word_counts(docs, max_word_len=_UL_MAXW).localCheckpoint()
+    vocab, _ = U.unigram_train(
+        words, _UL_MAXW, _UL_MAXP, _UL_SEED, _UL_V, em_iters=_UL_EM
+    )
+    return vocab.select("tid", "piece", "cnt", F.round("lp", 6).alias("lp"))
+
+
+def _ul_pack_sql() -> str:
+    from kafka_sink_azure_kusto_spark.plans.registry_r11 import _W_CTX
+
+    ctes = _ul_train_ctes()
+    # encode pass: DP with the FINAL vocabulary's log-probs
+    ctes += _ul_dp_ctes("e", f"lp{_UL_EM}")
+    ctes += [
+        """wid AS MATERIALIZED (SELECT word, list(tid ORDER BY ppos) AS wids
+        FROM (SELECT word, pp.p - 1 AS ppos, pieces[pp.p] AS piece
+              FROM (SELECT word, string_split(seg, ' ') AS pieces FROM sege)
+              CROSS JOIN LATERAL (SELECT unnest(range(1, len(pieces) + 1))
+                                  AS p) pp)
+        JOIN vocab USING (piece) GROUP BY word)""",
+        """dt AS (SELECT doc_id, g.i AS pos, ws[g.i + 1] AS word
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        CROSS JOIN LATERAL (SELECT unnest(range(0, len(ws))) AS i) g
+        WHERE ws[g.i + 1] <> '')""",
+        """ids AS (SELECT dt.doc_id, dt.pos,
+        COALESCE(w.wids, [(SELECT COUNT(*) FROM vocab)::INT]) AS wids
+        FROM dt LEFT JOIN wid w USING (word))""",
+        """wpos AS (SELECT doc_id, wids,
+        COALESCE(SUM(len(wids)) OVER (PARTITION BY doc_id
+            ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+            AND 1 PRECEDING), 0) AS wstart
+        FROM ids)""",
+        """ti AS MATERIALIZED (SELECT doc_id, wstart + g.i AS tpos,
+        wids[g.i + 1] AS tid
+        FROM wpos CROSS JOIN LATERAL (SELECT unnest(range(0, len(wids)))
+                                      AS i) g)""",
+        """st AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+        COUNT(*) AS nt FROM ti GROUP BY doc_id)""",
+        """spre AS (SELECT doc_id, shard, nt,
+        COALESCE(SUM(nt + 1) OVER (PARTITION BY shard ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+        FROM st)""",
+        """stream AS (SELECT spre.shard, spre.strt + ti.tpos AS gpos, ti.tid
+        FROM ti JOIN spre ON ti.doc_id = spre.doc_id
+        UNION ALL
+        SELECT shard, strt + nt AS gpos,
+               (SELECT COUNT(*) FROM vocab) + 1 AS tid FROM spre)""",
+        f"""win AS (SELECT shard, CAST(gpos // {_W_CTX} AS BIGINT)
+          AS window_id, gpos % {_W_CTX} AS wpos, tid FROM stream)""",
+        """agg AS (SELECT shard, window_id,
+        CAST(COUNT(*) AS BIGINT) AS n_real,
+        string_agg(tid::VARCHAR, ',' ORDER BY wpos) AS idstr
+        FROM win GROUP BY shard, window_id)""",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT shard, window_id, n_real,
+           CAST({_W_CTX} - n_real AS BIGINT) AS n_pad,
+           md5(idstr || repeat(
+               ',' || CAST((SELECT COUNT(*) FROM vocab) + 2 AS VARCHAR),
+               {_W_CTX} - n_real)) AS ids_fp
+    FROM agg"""
+    )
+
+
+@register("unigram_pack_token_windows", _ul_pack_sql())
+def unigram_pack_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID-emission end of the unigram-LM story: encode every document
+    through the trained vocabulary (final-pass Viterbi segmentation;
+    unsegmentable words emit UNK = |V|) and pack the id streams through
+    the SAME window contract as the BPE packer
+    (`functions/corpus.pack_token_windows` — shard = doc_id % 8, EOS =
+    |V|+1 after every doc, {{ctx}}-token windows, trailing pad =
+    |V|+2, md5 fingerprint over every id INCLUDING padding). One code
+    path packs both tokenizer families, so the window algebra is
+    tested twice against two independently generated oracles."""
+    from kafka_sink_azure_kusto_spark.functions import unigram as U
+    from kafka_sink_azure_kusto_spark.functions.corpus import (
+        pack_token_windows,
+    )
+    from kafka_sink_azure_kusto_spark.plans.registry_r11 import _W_CTX
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = U.word_counts(docs, max_word_len=_UL_MAXW).localCheckpoint()
+    vocab, _ = U.unigram_train(
+        words, _UL_MAXW, _UL_MAXP, _UL_SEED, _UL_V, em_iters=_UL_EM
+    )
+    vocab = vocab.localCheckpoint()
+    lp_final = vocab.select("piece", "lp")
+    segs = U.viterbi_segment(words, lp_final, _UL_MAXW, _UL_MAXP)
+    n_v = vocab.count()  # bounded scalar: |V| ≤ vocab cap
+    enc = U.unigram_encode(docs, vocab, segs, unk_id=n_v)
+    return pack_token_windows(enc, _W_CTX, eos_id=n_v + 1, pad_id=n_v + 2)

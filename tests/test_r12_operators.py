@@ -255,3 +255,120 @@ def test_hierarchical_search_layer_accounting(spark, sf_dir):
     n_top_members = dbl.filter(f"vec_id % {_HL_S2} = 0").count()
     for _, g in top.groupby("query_id"):
         assert len(g) >= n_top_members  # all members scored (+expansions)
+
+
+# ------------------------------------------------ unigram-LM tokenizer
+
+
+def _py_unigram_train(texts, maxw=8, maxp=4, seed_cap=48, vcap=40, em=2):
+    """Pure-Python replay of the unigram-LM trainer — independent of
+    Spark AND of the DuckDB oracle's CTE text."""
+    import math
+    from collections import Counter
+
+    wc = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                wc[w] += 1
+    words = {w: c for w, c in wc.items() if len(w) <= maxw}
+
+    def lp_of(counts, cap):
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:cap]
+        tot = float(sum(c for _, c in top))
+        return {p: (c, round(math.log(c / tot), 6)) for p, c in top}
+
+    seed = Counter()
+    for w, c in words.items():
+        for i in range(len(w)):
+            for p in range(1, min(maxp, len(w) - i) + 1):
+                seed[w[i : i + p]] += c
+    lp = lp_of(seed, seed_cap)
+
+    def viterbi(word):
+        # state per j: (score, npieces, seg) — max score, then fewer
+        # pieces, then lexicographically smallest seg
+        best = {0: (0.0, 0, "")}
+        for j in range(1, len(word) + 1):
+            cands = []
+            for p in range(1, min(maxp, j) + 1):
+                if j - p not in best:
+                    continue
+                piece = word[j - p : j]
+                if piece not in lp:
+                    continue
+                s, n, g = best[j - p]
+                cands.append(
+                    (s + lp[piece][1], n + 1, piece if g == "" else g + " " + piece)
+                )
+            if cands:
+                best[j] = max(cands, key=lambda c: (c[0], -c[1], _neg_str(c[2])))
+        return best.get(len(word))
+
+    def _neg_str(s):
+        # max() with seg ASC preference: invert each char
+        return tuple(-ord(ch) for ch in s)
+
+    segs = {}
+    for _ in range(em):
+        segs = {w: viterbi(w) for w in words}
+        u = Counter()
+        for w, st in segs.items():
+            if st is None:
+                continue
+            for piece in st[2].split(" "):
+                u[piece] += words[w]
+        lp = lp_of(u, vcap)
+    vocab = sorted(lp.items(), key=lambda kv: (-kv[1][0], kv[0]))
+    return words, lp, vocab, viterbi
+
+
+def test_unigram_train_matches_python(spark, sf_dir):
+    """Final vocabulary (ids, pieces, integer usage counts, 6-dp
+    log-probs) must equal the pure-Python EM replay exactly."""
+    from kafka_sink_azure_kusto_spark.plans import queries
+
+    texts = pd.read_parquet(f"{sf_dir}/documents.parquet")["text"].tolist()
+    _, _, vocab, _ = _py_unigram_train(texts)
+    got = (
+        queries()["unigram_lm_tokenizer_train"](spark, sf_dir)
+        .toPandas()
+        .sort_values("tid")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(vocab)
+    for i, (piece, (cnt, lp)) in enumerate(vocab):
+        r = got.iloc[i]
+        assert (r.tid, r.piece, r.cnt) == (i, piece, cnt)
+        assert abs(r.lp - lp) < 1e-9
+
+
+def test_unigram_pack_window_contract_parity(spark, sf_dir):
+    """Both tokenizer families must emit the SAME window contract:
+    context length 128, every non-final window per shard full,
+    contiguous window ids, n_pad complementary, and the unigram token
+    total = Σ per-word piece counts + one EOS per doc (pure-Python
+    recount)."""
+    from kafka_sink_azure_kusto_spark.plans import queries
+
+    Q = queries()
+    texts = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    words, lp, vocab, viterbi = _py_unigram_train(texts["text"].tolist())
+
+    for qname in ("unigram_pack_token_windows", "bpe_pack_token_windows"):
+        win = Q[qname](spark, sf_dir).toPandas()
+        assert (win.n_real + win.n_pad == 128).all(), qname
+        for sh, g in win.groupby("shard"):
+            g = g.sort_values("window_id")
+            assert list(g.window_id) == list(range(len(g))), qname
+            assert (g.n_real.iloc[:-1] == 128).all(), qname
+
+    # exact token accounting for the unigram arm
+    npieces = {w: (st[1] if st else 1) for w, st in
+               ((w, viterbi(w)) for w in words)}
+    total = 0
+    for r in texts.itertuples(index=False):
+        toks = [w for w in r.text.split(" ") if w]
+        total += sum(npieces.get(w, 1) for w in toks) + 1  # + EOS
+    uwin = Q["unigram_pack_token_windows"](spark, sf_dir).toPandas()
+    assert int(uwin.n_real.sum()) == total
