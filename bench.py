@@ -975,11 +975,22 @@ def _streaming_latency(spark, sf_dir: str) -> dict:
     }
 
 
-def _sink_throughput(spark, sf_dir: str) -> dict:
+def _sink_throughput(
+    spark, sf_dir: str, warmup: bool = False, executor_side: bool = False
+) -> dict:
     """Records/sec through the full sink data plane (encode → roll →
     stage → concurrent emulated ingest) on the events table — the
     connector-parity throughput number (the reference publishes none;
-    BASELINE.md, so this self-ratchets round over round)."""
+    BASELINE.md, so this self-ratchets round over round).
+
+    ``warmup``/``executor_side`` select the cold-start A/B arms
+    (VERDICT r11 #5): with ``warmup`` the attach-time warmup batch
+    (config.warmup_on_attach, the executor-safe path from commit
+    0c466a9) runs BEFORE the measured first batch — in production it
+    overlaps writeStream source initialization, so its own wall time is
+    reported separately, not folded into cold. ``executor_side``
+    exercises the per-staging-group ingest path (backend built on the
+    workers from a factory)."""
     import shutil
     import tempfile
     import time
@@ -1010,8 +1021,23 @@ def _sink_throughput(spark, sf_dir: str) -> dict:
             ingest_url="https://ingest.example.kusto.windows.net",
             mappings=[pks.TopicToTableMapping(topic="*", db="db", table="t", format="json")],
             staging_dir=os.path.join(work, "staging"),
+            warmup_on_attach=warmup,
         )
-        sink = KustoSparkSink(cfg, LocalEmulatorBackend(os.path.join(work, "kusto")))
+        kdir = os.path.join(work, "kusto")
+        if executor_side:
+            sink = KustoSparkSink(
+                cfg,
+                LocalEmulatorBackend(kdir),
+                backend_factory=lambda: LocalEmulatorBackend(kdir),
+                executor_side_ingest=True,
+            )
+        else:
+            sink = KustoSparkSink(cfg, LocalEmulatorBackend(kdir))
+        warmup_sec = None
+        if warmup:
+            t0 = time.perf_counter()
+            sink._warmup(spark)
+            warmup_sec = round(time.perf_counter() - t0, 3)
         # Fresh-JVM methodology (VERDICT r8 #2): this section now runs
         # in its OWN subprocess JVM (see --section), so run 1 is a true
         # cold start (JVM + codegen) and runs 2-3 are steady state —
@@ -1034,6 +1060,9 @@ def _sink_throughput(spark, sf_dir: str) -> dict:
             "sec_steady": round(best, 3),
             "records_per_sec_cold": round(n / cold),
             "records_per_sec": round(n / best),
+            "warmup_on_attach": warmup,
+            "executor_side_ingest": executor_side,
+            "warmup_sec": warmup_sec,
             "timing": "fresh_jvm; run1=cold, steady=min_of_5",
         }
     finally:
@@ -1137,6 +1166,11 @@ def _section_main(section: str) -> int:
         return 0
     if section == "sink":
         out = _sink_throughput(spark, sf_dir)
+    elif section.startswith("sinkab:"):
+        _, w, side = section.split(":")
+        out = _sink_throughput(
+            spark, sf_dir, warmup=(w == "warm"), executor_side=(side == "exec")
+        )
     elif section == "latency":
         out = _streaming_latency(spark, sf_dir)
     elif section == "scale10x":
@@ -1193,6 +1227,14 @@ def main() -> int:
     # with spark.stop() + a load-settle guard; the stopped JVM's
     # resident heap and allocator state outlive the session.
     sink_tp = _fresh_jvm_section("sink")
+    # cold-start A/B (VERDICT r11 #5): warmup_on_attach × ingest side,
+    # each arm in its OWN fresh JVM so run 1 is a true cold start; the
+    # headline "sink" arm above stays warmup-off/driver-side for
+    # round-over-round continuity
+    sink_tp["cold_start_ab"] = {
+        arm: _fresh_jvm_section(f"sinkab:{arm}")
+        for arm in ("warm:driver", "nowarm:exec", "warm:exec")
+    }
     latency = _fresh_jvm_section("latency")
 
     # Headline section in fresh-JVM SHARDS (VERDICT r9 #1): min-of-3
