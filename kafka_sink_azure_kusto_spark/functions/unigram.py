@@ -88,59 +88,77 @@ def viterbi_segment(
     max_piece_len: int,
 ) -> DataFrame:
     """Best segmentation per word under piece log-probs ``lp`` —
-    bounded DP unrolled over positions j = 1..max_word_len. State per
-    (word, j): (score = Σ lp, npieces, seg = space-joined pieces); the
-    per-step argmax tie-breaks (score DESC, npieces ASC, seg ASC).
-    Each step is ≤ max_piece_len equi-joins of the (word-count-sized)
-    state against the BROADCAST piece table; states are checkpointed
-    per step so the unrolled plan stays flat. Words with no path under
+    bounded DP over positions j = 1..max_word_len, with per-step argmax
+    tie-break (score DESC, npieces ASC, seg ASC).
+
+    Executed as ONE Arrow-batched ``mapInPandas`` pass over the
+    distinct-word table with the piece table BROADCAST as a plain dict
+    (bounded by the vocabulary cap, ≤ a few hundred rows) — the
+    legitimate Pandas-kernel case: the DP is per-row iterative logic no
+    built-in operator expresses, and the relational formulation (one
+    window + ≤ max_piece_len joins per unrolled step) spent its whole
+    wall on 3 passes × max_word_len barrier jobs at fixture scale. As a
+    kernel the pass is zero-shuffle and embarrassingly parallel over
+    word partitions; doubles accumulate in the same order as the
+    oracle's unrolled SQL (one addition per DP step on 6-dp-rounded
+    inputs), so values stay engine-identical. Words with no path under
     ``lp`` are absent from the result (callers treat them as UNK).
 
     Returns (word, wlen, score, npieces, seg)."""
-    lp = F.broadcast(lp.select("piece", "lp"))
-    base = words.select(
-        "word",
-        "wlen",
-        F.lit(0.0).alias("score"),
-        F.lit(0).alias("npieces"),
-        F.lit("").alias("seg"),
+    lp_map = {r["piece"]: float(r["lp"]) for r in lp.select("piece", "lp").collect()}
+    spark = words.sparkSession
+    blp = spark.sparkContext.broadcast(lp_map)
+
+    def kernel(batches):
+        import pandas as pd
+
+        table = blp.value
+        for pdf in batches:
+            out = {"word": [], "wlen": [], "score": [], "npieces": [], "seg": []}
+            for word, wlen in zip(pdf["word"], pdf["wlen"]):
+                # best[j] = (score, npieces, seg); argmax by
+                # (score DESC, npieces ASC, seg ASC) — seg ASC realized
+                # by comparing candidates in a deterministic scan
+                best = {0: (0.0, 0, "")}
+                for j in range(1, int(wlen) + 1):
+                    top = None
+                    for p in range(1, min(max_piece_len, j) + 1):
+                        prev = best.get(j - p)
+                        if prev is None:
+                            continue
+                        piece = word[j - p : j]
+                        plp = table.get(piece)
+                        if plp is None:
+                            continue
+                        s, n, g = prev
+                        cand = (
+                            s + plp,
+                            n + 1,
+                            piece if g == "" else g + " " + piece,
+                        )
+                        if (
+                            top is None
+                            or cand[0] > top[0]
+                            or (cand[0] == top[0] and cand[1] < top[1])
+                            or (cand[0] == top[0] and cand[1] == top[1]
+                                and cand[2] < top[2])
+                        ):
+                            top = cand
+                    if top is not None:
+                        best[j] = top
+                fin = best.get(int(wlen))
+                if fin is None or int(wlen) == 0:
+                    continue
+                out["word"].append(word)
+                out["wlen"].append(int(wlen))
+                out["score"].append(fin[0])
+                out["npieces"].append(fin[1])
+                out["seg"].append(fin[2])
+            yield pd.DataFrame(out)
+
+    return words.select("word", "wlen").mapInPandas(
+        kernel, "word string, wlen int, score double, npieces int, seg string"
     )
-    best = {0: base.localCheckpoint()}
-    w = Window.partitionBy("word").orderBy(
-        F.col("score").desc(), F.col("npieces").asc(), F.col("seg").asc()
-    )
-    for j in range(1, max_word_len + 1):
-        branches = []
-        for p in range(1, min(max_piece_len, j) + 1):
-            prev = best[j - p].filter(F.col("wlen") >= j)
-            piece = F.expr(f"substring(word, {j - p + 1}, {p})")
-            branches.append(
-                prev.withColumn("piece", piece)
-                .join(lp, "piece")
-                .select(
-                    "word",
-                    "wlen",
-                    (F.col("score") + F.col("lp")).alias("score"),
-                    (F.col("npieces") + 1).alias("npieces"),
-                    F.when(F.col("seg") == "", F.col("piece"))
-                    .otherwise(F.concat(F.col("seg"), F.lit(" "), F.col("piece")))
-                    .alias("seg"),
-                )
-            )
-        allb = branches[0]
-        for b in branches[1:]:
-            allb = allb.unionByName(b)
-        best[j] = (
-            allb.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-            .localCheckpoint()
-        )
-    segs = None
-    for j in range(1, max_word_len + 1):
-        s = best[j].filter(F.col("wlen") == j)
-        segs = s if segs is None else segs.unionByName(s)
-    return segs
 
 
 def usage_counts(segs: DataFrame, words: DataFrame) -> DataFrame:
