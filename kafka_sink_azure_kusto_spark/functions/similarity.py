@@ -2021,11 +2021,16 @@ def pq_code_upsert(
         .withColumn("block", (F.col("vec_id") % n_blocks).cast("int"))
         .localCheckpoint()
     )
-    affected = latest.select("block").distinct().localCheckpoint()
+    # affected blocks as a collected literal list — bounded ≤ n_blocks
+    # by construction, and a plain isin() filter costs one partition-
+    # pruned scan instead of a checkpoint + broadcast join per epoch
+    affected = sorted(
+        r["block"] for r in latest.select("block").distinct().collect()
+    )
     if _store_exists(spark, code_dir):
         idx = spark.read.parquet(code_dir)
         keep = (
-            idx.join(F.broadcast(affected), "block")
+            idx.filter(F.col("block").isin(affected))
             .join(latest.select("vec_id"), "vec_id", "left_anti")
             .select("vec_id", "m", "code", "qerr", "block")
         )
@@ -2050,17 +2055,16 @@ def pq_code_upsert(
     rewrite.write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("block").parquet(code_dir)
-    emptied = [
+    kept_blocks = {
         r["block"]
-        for r in affected.join(
-            rewrite.select("block").distinct(), "block", "left_anti"
-        ).collect()  # bounded: ≤ n_blocks
-    ]
+        for r in rewrite.select("block").distinct().collect()  # ≤ n_blocks
+    }
+    emptied = [b for b in affected if b not in kept_blocks]
     for blk in emptied:
         _store_delete_partition(spark, code_dir, f"block={blk}")
     return {
         "batch_rows": latest.count(),
-        "affected_blocks": affected.count(),
+        "affected_blocks": len(affected),
         "emptied_blocks": len(emptied),
         "drift": sorted(drift),
     }
