@@ -530,6 +530,8 @@ def pq_adc_topk(
     query_id_col: str = "vec_id",
     query_vec_col: str = "embedding",
     codes_id_col: str = "vec_id",
+    codes_cell_col: str | None = None,
+    query_cell_col: str | None = None,
 ) -> DataFrame:
     """Asymmetric distance computation over PQ codes — the search half
     of product quantization: the query stays full-precision, each
@@ -550,6 +552,14 @@ def pq_adc_topk(
     with a non-default ``id_col`` carries that name through). A short
     QUERY vector raises with its id (on_short='error') — a missing
     query is an input error, not an ANN trade-off.
+
+    With ``codes_cell_col``/``query_cell_col`` set, the cell becomes an
+    extra equi-key of the ADC join — the IVF-PQ serving read: each
+    query scores ONLY codes in its assigned cell(s), so a
+    cell-partitioned code store prunes at the scan (used by
+    ``streaming_ivfpq_index_maintenance``; ``ivf_pq_topk`` is the
+    variant that derives probe cells from centroids instead of taking
+    them as a column).
     """
     qsub = subvectors(
         queries, num_subspaces, sub_len, query_id_col, query_vec_col,
@@ -560,8 +570,17 @@ def pq_adc_topk(
         .withColumn("qd", _flat_l2sq("sv", "c", sub_len))
         .select(F.col("id").alias("query_id"), "m", "code", "qd")
     )
+    join_keys = ["m", "code"]
+    if codes_cell_col is not None and query_cell_col is not None:
+        qcells = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_cell_col).alias("_qcell"),
+        )
+        dtab = dtab.join(F.broadcast(qcells), "query_id")
+        codes = codes.withColumnRenamed(codes_cell_col, "_qcell")
+        join_keys = ["m", "code", "_qcell"]
     adc = (
-        codes.join(F.broadcast(dtab), ["m", "code"])
+        codes.join(F.broadcast(dtab), join_keys)
         .groupBy("query_id", F.col(codes_id_col).alias("neighbor_id"))
         .agg(F.round(F.sum("qd"), 6).alias("adc_d2"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -2181,3 +2200,106 @@ def hierarchical_graph_search_topk(
             v.select("query_id", "nid", F.round("score", 6).alias("score"), "layer")
         )
     return out
+
+
+def ivfpq_code_upsert(
+    batch: DataFrame,
+    codebook: DataFrame,
+    idx_dir: str,
+    num_subspaces: int,
+    sub_len: int,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    cell_col: str = "cell",
+    seq_col: str | None = None,
+) -> dict:
+    """Apply ONE batch of vector upserts/tombstones (NULL vector) to a
+    CELL-PARTITIONED PQ code store — the IVF-PQ composite of the
+    streaming index-maintenance family: rows are (vec_id, m, code,
+    qerr) partitioned by the IVF ``cell``, so a probe prunes to its
+    probed cells AND scans 8-byte code words instead of raw vectors —
+    the layout a billion-vector serving index actually uses.
+
+    Inherits BOTH hazards of its parents: the cell is carried with the
+    batch (a re-embedded vector may be reassigned), so affected cells =
+    the batch's claimed cells ∪ the store's CURRENT cells for the
+    batch's ids — without the second set a moved vector's stale codes
+    survive in the old cell as duplicates (the ivf_index_upsert
+    cell-move defense, ADVICE r10 #2); and codes are computed against
+    the FROZEN training-time codebook, so the same per-subspace drift
+    registers as ``pq_code_upsert`` come back for the retrain monitor.
+    Last-write-wins by ``seq_col`` within the batch; emptied cells are
+    deleted through the Hadoop FileSystem API; a read failure on an
+    existing store propagates loudly.
+
+    Returns {"batch_rows", "affected_cells", "emptied_cells",
+    "drift": [(m, n, sum_qerr), ...]}.
+    """
+    spark = batch.sparkSession
+    b = batch.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("v"),
+        F.col(cell_col).alias("cell"),
+        *([F.col(seq_col).alias("_seq")] if seq_col else [F.lit(0).alias("_seq")]),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("_seq").desc())
+    latest = (
+        b.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_r", "_seq")
+        .localCheckpoint()
+    )
+    claimed = {r["cell"] for r in latest.select("cell").distinct().collect()}
+    if _store_exists(spark, idx_dir):
+        idx = spark.read.parquet(idx_dir)
+        # cell-move lookup: (vec_id, cell) only — cell is the partition
+        # column and vec_id one thin column, a pruned metadata-ish scan
+        # with the ≤|batch| id set broadcast
+        current = {
+            r["cell"]
+            for r in idx.select("vec_id", "cell")
+            .join(F.broadcast(latest.select("vec_id").distinct()), "vec_id")
+            .select("cell")
+            .distinct()
+            .collect()  # bounded: ≤ |batch| cells
+        }
+        affected = sorted(claimed | current)
+        keep = (
+            idx.filter(F.col("cell").isin(affected))
+            .join(latest.select("vec_id"), "vec_id", "left_anti")
+            .select("vec_id", "m", "code", "qerr", "cell")
+        )
+    else:
+        affected = sorted(claimed)
+        keep = None  # first run only — the store has never been written
+    live = latest.filter(F.col("v").isNotNull())
+    adds = (
+        pq_encode(live, codebook, num_subspaces, sub_len,
+                  id_col="vec_id", vec_col="v")
+        .join(F.broadcast(live.select("vec_id", "cell")), "vec_id")
+        .select("vec_id", "m", "code", "qerr", "cell")
+        .localCheckpoint()
+    )
+    drift = [
+        (int(r["m"]), int(r["n"]), float(r["sq"]))
+        for r in adds.groupBy("m")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("qerr").alias("sq"))
+        .collect()  # bounded: ≤ num_subspaces rows
+    ]
+    rewrite = (adds if keep is None else keep.unionByName(adds)).localCheckpoint()
+    rewrite.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("cell").parquet(idx_dir)
+    kept = {
+        r["cell"]
+        for r in rewrite.select("cell").distinct().collect()  # ≤ |affected|
+    }
+    emptied = [c for c in affected if c not in kept]
+    for c in emptied:
+        _store_delete_partition(spark, idx_dir, f"cell={c}")
+    return {
+        "batch_rows": latest.count(),
+        "affected_cells": len(affected),
+        "emptied_cells": len(emptied),
+        "drift": sorted(drift),
+    }

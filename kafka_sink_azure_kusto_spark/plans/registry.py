@@ -93,6 +93,8 @@ _GATE_HEAD = [
     # --- new in r12 ---
     "streaming_pq_index_maintenance",    # r12: live PQ code-store loop
     "streaming_pq_drift_audit",          # r12: retrain gate registers
+    "streaming_ivfpq_index_maintenance", # r12: cell-partitioned codes
+    "embedding_pq_adc_topk",             # r12: pq_adc_topk cell param
     "similarity_hierarchical_search",    # r12: HNSW-style layer descent
     "graph_hierarchy_gain_audit",        # r12: hier vs flat, integer hits
     "unigram_lm_tokenizer_train",        # r12: SentencePiece-style EM

@@ -886,3 +886,180 @@ def unigram_pack_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_v = vocab.count()  # bounded scalar: |V| ≤ vocab cap
     enc = U.unigram_encode(docs, vocab, segs, unk_id=n_v)
     return pack_token_windows(enc, _W_CTX, eos_id=n_v + 1, pad_id=n_v + 2)
+
+
+# ---------------------------------------------------------------------
+# streaming IVF-PQ maintenance: the composite member of the family —
+# cell-partitioned CODE store (prune to probed cells, scan 8-byte code
+# words). Same stream algebra as the IVF/PQ loops; probes are ADC
+# within the query's own cell.
+
+_IPQ_NQ = 8  # probe queries: ORIGINAL vec_id < 8 (vector + label frozen)
+
+_IVFPQ_STREAM_ORACLE = f"""
+    WITH {_PQ_SQL_CB},
+    el AS (SELECT vec_id, label, embedding::DOUBLE[] AS v0 FROM embeddings),
+    fs AS (SELECT vec_id, label,
+                  CASE WHEN vec_id % 9 = 0
+                       THEN list_transform(v0, x -> x + 1.0)
+                       ELSE v0 END AS v
+           FROM el WHERE vec_id % 15 <> 0),
+    sub AS (SELECT vec_id, ms.m AS m,
+                   v[ms.m*{_PQ_SUB}+1 : ms.m*{_PQ_SUB}+{_PQ_SUB}] AS sv
+            FROM fs
+            CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS m) ms),
+    dist AS (SELECT s.vec_id, s.m, cb.code, {_PQ_SQL_D2} AS d2
+             FROM sub s JOIN cb ON s.m = cb.m),
+    codes AS (SELECT c.vec_id, c.m, c.code, fs.label AS cell FROM (
+                SELECT vec_id, m, code,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                          ORDER BY d2, code) AS rn
+                FROM dist) c JOIN fs USING (vec_id) WHERE c.rn = 1),
+    q AS (SELECT vec_id AS query_id, label AS qcell, ms.m AS m,
+                 v0[ms.m*{_PQ_SUB}+1 : ms.m*{_PQ_SUB}+{_PQ_SUB}] AS sv
+          FROM el CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS m) ms
+          WHERE vec_id < {_IPQ_NQ}),
+    dtab AS (SELECT s.query_id, s.qcell, s.m, cb.code, {_PQ_SQL_D2} AS qd
+             FROM q s JOIN cb ON s.m = cb.m),
+    adc AS (SELECT d.query_id, c.vec_id AS neighbor_id,
+                   round(SUM(d.qd), 6) AS adc_d2
+            FROM codes c JOIN dtab d
+              ON c.m = d.m AND c.code = d.code AND c.cell = d.qcell
+            WHERE d.query_id <> c.vec_id
+            GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, adc_d2, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY adc_d2 ASC,
+                                                neighbor_id ASC) AS rank
+          FROM adc)
+    WHERE rank <= {_PQ_TOPK}
+"""
+
+
+@register("streaming_ivfpq_index_maintenance", _IVFPQ_STREAM_ORACLE)
+def streaming_ivfpq_index_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LIVE IVF-PQ code-store maintenance — the COMPOSITE member of the
+    streaming-index family (`functions/similarity.ivfpq_code_upsert`):
+    the store is cell-partitioned PQ codes, so it inherits the IVF
+    cell-move hazard (affected cells = claimed ∪ current for the
+    batch's ids) AND the PQ frozen-codebook regime (per-batch encode +
+    drift registers). Probes run between batches OFF DISK as
+    cell-pruned ADC (the billion-vector serving read: probed cells
+    only, 8-byte code words only). Gate = the final probe vs codes
+    recomputed from scratch on the final surviving corpus — a stale
+    old-cell row after a cell move is a DUPLICATE neighbor_id that
+    flips the value hash."""
+    import os
+
+    from kafka_sink_azure_kusto_spark.functions import similarity as S
+    from kafka_sink_azure_kusto_spark.plans.registry_streaming2 import (
+        _stage_chunks,
+    )
+
+    work = _workdir("stream_ivfpq_")
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = emb.select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    cb_rows = [
+        (r["m"], r["code"], [float(x) for x in r["c"]])
+        for r in S.subvectors(
+            dbl.filter(F.col("vec_id") < _PQ_CODES), _PQ_M, _PQ_SUB,
+            vec_col="v",
+        )
+        .select("m", F.col("id").alias("code"), F.col("sv").alias("c"))
+        .collect()
+    ]
+    q_rows = [
+        (r["vec_id"], r["label"], [float(x) for x in r["v"]])
+        for r in dbl.filter(F.col("vec_id") < _IPQ_NQ).collect()
+    ]
+    cb_schema = "m int, code long, c array<double>"
+    idx_dir = os.path.join(work, "codes")
+    probes_dir = os.path.join(work, "probes")
+
+    cb = spark.createDataFrame(cb_rows, cb_schema)
+    seed = dbl.filter(F.col("vec_id") % 3 == 0)
+    (
+        S.pq_encode(seed, cb, _PQ_M, _PQ_SUB, vec_col="v")
+        .join(F.broadcast(seed.select("vec_id", F.col("label").alias("cell"))),
+              "vec_id")
+        .select("vec_id", "m", "code", "qerr", "cell")
+        .localCheckpoint()
+        .write.partitionBy("cell")
+        .parquet(idx_dir)
+    )
+
+    plus1 = F.expr("transform(v, x -> x + CAST(1.0 AS DOUBLE))")
+    b0 = (
+        dbl.filter(F.col("vec_id") % 3 == 1)
+        .unionByName(dbl.filter(F.col("vec_id") % 9 == 0).withColumn("v", plus1))
+        .withColumn("seq", F.lit(0))
+    )
+    b1 = (
+        dbl.filter(F.col("vec_id") % 3 == 2)
+        .unionByName(
+            dbl.filter(F.col("vec_id") % 15 == 0).withColumn(
+                "v", F.lit(None).cast("array<double>")
+            )
+        )
+        .withColumn("seq", F.lit(1))
+    )
+    chunks = [
+        [
+            r[0]
+            for r in b.select(
+                F.to_json(F.struct("vec_id", "label", "v", "seq"))
+            ).collect()
+        ]
+        for b in (b0, b1)
+    ]
+    replay = os.path.join(work, "replay")
+    _stage_chunks(chunks, replay)
+
+    def upsert_and_probe(batch_df, epoch_id: int) -> None:
+        ep = int(epoch_id)
+        mb = batch_df.sparkSession
+        cb_b = mb.createDataFrame(cb_rows, cb_schema)
+        S.ivfpq_code_upsert(
+            batch_df, cb_b, idx_dir, _PQ_M, _PQ_SUB,
+            cell_col="label", seq_col="seq",
+        )
+        codes = mb.read.parquet(idx_dir)
+        qdf = mb.createDataFrame(
+            q_rows, "vec_id long, qcell int, v array<double>"
+        )
+        probe = S.pq_adc_topk(
+            codes.select("vec_id", "m", "code", "cell"),
+            qdf, cb_b, _PQ_M, _PQ_SUB, k=_PQ_TOPK, query_vec_col="v",
+            codes_cell_col="cell", query_cell_col="qcell",
+        )
+        probe.write.mode("overwrite").parquet(
+            os.path.join(probes_dir, f"epoch={ep}")
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "vec_id long, label int, v array<double>, seq int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(replay)
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert_and_probe)
+        .option("checkpointLocation", os.path.join(work, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+
+    res = spark.read.parquet(probes_dir)
+    last = res.groupBy().agg(F.max("epoch").alias("epoch"))
+    return res.join(F.broadcast(last), "epoch").select(
+        "query_id", "neighbor_id", "adc_d2", "rank"
+    )

@@ -372,3 +372,81 @@ def test_unigram_pack_window_contract_parity(spark, sf_dir):
         total += sum(npieces.get(w, 1) for w in toks) + 1  # + EOS
     uwin = Q["unigram_pack_token_windows"](spark, sf_dir).toPandas()
     assert int(uwin.n_real.sum()) == total
+
+
+# ----------------------------------------------- IVF-PQ code upsert
+
+
+def test_ivfpq_code_upsert_cell_move(spark, sf_dir, tmp_path):
+    """The composite kernel's distinguishing hazard: a re-delivered
+    vector claiming a NEW cell must vanish from its old cell (no
+    duplicate vec_id across cells) — plus the usual store invariant
+    against numpy ground truth and tombstone handling."""
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        ivfpq_code_upsert,
+        pq_encode,
+    )
+
+    dbl, ids, raw = _dbl(spark, sf_dir)
+    cb, cbook = _codebook_df(spark, ids, raw)
+    idx_dir = str(tmp_path / "codes")
+
+    # seed: everyone in cell = vec_id % 5
+    seed = dbl.withColumn("cell", (F.col("vec_id") % 5).cast("int"))
+    pq_encode(seed, cb, 8, 8, vec_col="v").join(
+        seed.select("vec_id", "cell"), "vec_id"
+    ).select("vec_id", "m", "code", "qerr", "cell").write.partitionBy(
+        "cell"
+    ).parquet(idx_dir)
+
+    # batch: ids %7==0 move to cell 9 with a +1.0 re-embed; ids %11==3
+    # tombstone; within-batch conflict for id 21 (move at seq 0, then
+    # tombstone at seq 1 — the tombstone must win)
+    plus1 = F.expr("transform(v, x -> x + CAST(1.0 AS DOUBLE))")
+    moved = (
+        dbl.filter(F.col("vec_id") % 7 == 0)
+        .withColumn("v", plus1)
+        .withColumn("cell", F.lit(9).cast("int"))
+        .withColumn("seq", F.lit(0))
+    )
+    tombs = (
+        dbl.filter(F.col("vec_id") % 11 == 3)
+        .withColumn("v", F.lit(None).cast("array<double>"))
+        .withColumn("cell", (F.col("vec_id") % 5).cast("int"))
+        .withColumn("seq", F.lit(1))
+    )
+    extra_tomb = (
+        dbl.filter(F.col("vec_id") == 21)
+        .withColumn("v", F.lit(None).cast("array<double>"))
+        .withColumn("cell", F.lit(9).cast("int"))
+        .withColumn("seq", F.lit(1))
+    )
+    st = ivfpq_code_upsert(
+        moved.unionByName(tombs).unionByName(extra_tomb),
+        cb, idx_dir, 8, 8, cell_col="cell", seq_col="seq",
+    )
+    assert st["batch_rows"] > 0
+
+    store = spark.read.parquet(idx_dir).toPandas()
+    # no duplicate (vec_id, m) anywhere — a surviving old-cell row
+    # after a move would show up here
+    assert not store.duplicated(["vec_id", "m"]).any()
+
+    gone = {int(i) for i in ids if i % 11 == 3} | {21}
+    movedids = {int(i) for i in ids if i % 7 == 0} - gone
+    vecs = raw.copy()
+    sel = np.isin(ids, sorted(movedids))
+    vecs[sel] += 1.0
+    codes, _ = _np_codes(vecs, cbook, 8, 8)
+    bycell = store.groupby("vec_id")["cell"].nunique()
+    assert (bycell == 1).all()
+    cellmap = store.drop_duplicates("vec_id").set_index("vec_id")["cell"]
+    codemap = store.set_index(["vec_id", "m"])["code"]
+    for i, vid in enumerate(ids):
+        vid = int(vid)
+        if vid in gone:
+            assert vid not in cellmap.index
+            continue
+        assert cellmap[vid] == (9 if vid in movedids else vid % 5)
+        for mm in range(8):
+            assert codemap[(vid, mm)] == codes[i, mm], (vid, mm)
