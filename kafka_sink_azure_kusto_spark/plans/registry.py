@@ -94,6 +94,7 @@ _GATE_HEAD = [
     "streaming_pq_index_maintenance",    # r12: live PQ code-store loop
     "streaming_pq_drift_audit",          # r12: retrain gate registers
     "streaming_ivfpq_index_maintenance", # r12: cell-partitioned codes
+    "streaming_hierarchical_graph_maintenance",  # r12: all-layer upserts
     "embedding_pq_adc_topk",             # r12: pq_adc_topk cell param
     "similarity_hierarchical_search",    # r12: HNSW-style layer descent
     "graph_hierarchy_gain_audit",        # r12: hier vs flat, integer hits
