@@ -403,6 +403,7 @@ def pq_train(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_means: int | None = None,
 ) -> DataFrame:
     """Train a PQ codebook: independent k-means per subspace (the
     standard construction — Jégou et al.'s product quantization trains
@@ -450,10 +451,17 @@ def pq_train(
             )
             .select("m", F.col("b.code").alias("code"), "sv")
         )
+        mu = F.avg("x")
+        if round_means is not None:
+            # quantize the update step so an engine-replica oracle can
+            # follow the SAME trajectory: float-sum ORDER inside avg()
+            # differs across engines, and an unrounded last-ulp wobble
+            # can flip a near-tie assignment next iteration
+            mu = F.round(mu, round_means)
         per_dim = (
             assigned.select("m", "code", F.posexplode("sv").alias("d", "x"))
             .groupBy("m", "code", "d")
-            .agg(F.avg("x").alias("mu"))
+            .agg(mu.alias("mu"))
         )
         new_cb = (
             per_dim.groupBy("m", "code")

@@ -95,6 +95,8 @@ _GATE_HEAD = [
     "streaming_pq_drift_audit",          # r12: retrain gate registers
     "streaming_ivfpq_index_maintenance", # r12: cell-partitioned codes
     "streaming_hierarchical_graph_maintenance",  # r12: all-layer upserts
+    "pq_codebook_train",                 # r12: real k-means under gate
+    "pq_retrain_improvement_audit",      # r12: drift story closure
     "embedding_pq_adc_topk",             # r12: pq_adc_topk cell param
     "similarity_hierarchical_search",    # r12: HNSW-style layer descent
     "graph_hierarchy_gain_audit",        # r12: hier vs flat, integer hits

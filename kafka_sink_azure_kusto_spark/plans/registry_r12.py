@@ -1233,3 +1233,209 @@ def streaming_hierarchical_graph_maintenance(
         "query_id", "neighbor_id", "score",
         F.col("rank").cast("bigint").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------
+# PQ codebook training gate: per-subspace k-means (pq_train) was
+# unit-tested but never oracle-gated — every PQ gate so far used the
+# deterministic first-16 stand-in codebook. This gate runs the REAL
+# trainer for a fixed number of Lloyd iterations with 6-dp-quantized
+# update steps (both engines follow the same trajectory) and
+# value-hashes the full final codebook, exploded to scalar rows.
+
+_PT_ITERS = 2
+_PT_ROUND = 6
+
+
+def _pq_kmeans_ctes(p: str, src_cte: str) -> list[str]:
+    """Per-subspace k-means CTE chain over corpus CTE ``src_cte``
+    (columns vec_id, v), prefixed ``p`` — generated from the same
+    iteration loop as ``pq_train``: init = subvectors of the 16
+    smallest-id rows (code = id rank); each iteration = per-(vec,
+    subspace) argmin assignment (ties to the smaller code) then
+    per-(subspace, code, dim) ROUND(AVG, 6) means, codes that lose all
+    members keeping their previous centroid. Final codebook CTE:
+    ``{p}cb{_PT_ITERS}``."""
+    ctes = [
+        f"""{p}sub AS MATERIALIZED (SELECT vec_id, ms.m AS m,
+            v[ms.m*{_PQ_SUB}+1 : ms.m*{_PQ_SUB}+{_PQ_SUB}] AS sv
+        FROM {src_cte} CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS m) ms)""",
+        f"""{p}seedids AS (SELECT vec_id,
+            CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
+        FROM {src_cte} ORDER BY vec_id LIMIT {_PQ_CODES})""",
+        f"""{p}cb0 AS MATERIALIZED (SELECT s.m, si.code, s.sv AS c
+        FROM {p}sub s JOIN {p}seedids si USING (vec_id))""",
+    ]
+    for it in range(1, _PT_ITERS + 1):
+        prev = f"{p}cb{it - 1}"
+        ctes += [
+            f"""{p}a{it} AS MATERIALIZED (SELECT vec_id, m, code, sv FROM (
+            SELECT s.vec_id, s.m, s.sv, cb.code,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                      ORDER BY {_PQ_SQL_D2}, cb.code) AS rn
+            FROM {p}sub s JOIN {prev} cb ON s.m = cb.m) WHERE rn = 1)""",
+            f"""{p}pd{it} AS (SELECT m, code, dd.i AS d,
+                ROUND(AVG(sv[dd.i]), {_PT_ROUND}) AS mu
+            FROM {p}a{it}
+            CROSS JOIN (SELECT unnest(range(1, {_PQ_SUB} + 1)) AS i) dd
+            GROUP BY m, code, dd.i)""",
+            f"""{p}nc{it} AS (SELECT m, code, list(mu ORDER BY d) AS c
+            FROM {p}pd{it} GROUP BY m, code)""",
+            f"""{p}cb{it} AS MATERIALIZED (SELECT o.m, o.code,
+                COALESCE(n.c, o.c) AS c
+            FROM {prev} o LEFT JOIN {p}nc{it} n
+              ON o.m = n.m AND o.code = n.code)""",
+        ]
+    return ctes
+
+
+def _pq_train_sql() -> str:
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+    ] + _pq_kmeans_ctes("", "e")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(m AS INT) AS m, CAST(code AS BIGINT) AS code,
+           CAST(dd.i AS INT) AS d, ROUND(c[dd.i], {_PT_ROUND}) AS mu
+    FROM cb{_PT_ITERS}
+    CROSS JOIN (SELECT unnest(range(1, {_PQ_SUB} + 1)) AS i) dd"""
+    )
+
+
+@register("pq_codebook_train", _pq_train_sql())
+def pq_codebook_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL PQ trainer under gate (`functions/similarity.pq_train`):
+    {_PT_ITERS} Lloyd iterations of per-subspace k-means over the
+    embeddings corpus — deterministic init (subvectors of the
+    {_PQ_CODES} smallest-id rows), per-(vec, subspace) struct-min
+    assignment, {_PT_ROUND}-dp-quantized mean updates so both engines
+    follow the same trajectory, lose-all-members codes keeping their
+    previous centroid. The gate value-hashes the FULL final codebook
+    exploded to (m, code, d, mu) scalar rows — a wrong assignment
+    anywhere moves some mean. Scale: one corpus scan per iteration,
+    fixed-width aggregates, the tiny codebook collected per iteration
+    to truncate lineage (the MLlib k-means discipline)."""
+    from kafka_sink_azure_kusto_spark.functions.similarity import pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    cb = pq_train(
+        dbl, _PQ_M, _PQ_SUB, num_codes=_PQ_CODES, iters=_PT_ITERS,
+        vec_col="v", round_means=_PT_ROUND,
+    )
+    return cb.select(
+        F.col("m").cast("int").alias("m"),
+        F.col("code").cast("bigint").alias("code"),
+        F.posexplode(F.col("c")).alias("_d0", "mu0"),
+    ).select(
+        "m", "code",
+        (F.col("_d0") + 1).cast("int").alias("d"),
+        F.round("mu0", _PT_ROUND).alias("mu"),
+    )
+
+
+# ---------------------------------------------------------------------
+# retrain-improvement audit: the END of the drift story. The drift
+# gate (streaming_pq_drift_audit) decides WHEN to retrain; this audit
+# measures what retraining BUYS: encode the post-stream corpus with
+# the stale codebook (k-means on the ORIGINAL corpus) and with a
+# retrained one (k-means on the FINAL corpus), and compare mean
+# quantization error per subspace.
+
+
+def _pq_retrain_sql() -> str:
+    qerr_arm = """
+    {p}q AS (SELECT s.m, ROUND(AVG(best), {rnd}) AS {col} FROM (
+        SELECT s.vec_id, s.m, MIN({d2}) AS best
+        FROM fsub s JOIN {cb} cb ON s.m = cb.m
+        GROUP BY s.vec_id, s.m) s GROUP BY s.m)"""
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        """fs AS MATERIALIZED (SELECT vec_id,
+            CASE WHEN vec_id % 9 = 0 THEN list_transform(v, x -> x + 1.0)
+                 ELSE v END AS v
+        FROM e WHERE vec_id % 15 <> 0)""",
+    ]
+    ctes += _pq_kmeans_ctes("o_", "e")     # stale: trained pre-drift
+    ctes += _pq_kmeans_ctes("r_", "fs")    # retrained on the final corpus
+    ctes += [
+        f"""fsub AS MATERIALIZED (SELECT vec_id, ms.m AS m,
+            v[ms.m*{_PQ_SUB}+1 : ms.m*{_PQ_SUB}+{_PQ_SUB}] AS sv
+        FROM fs CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS m) ms)""",
+        qerr_arm.format(p="st", rnd=_PT_ROUND, col="stale_mqerr",
+                        d2=_PQ_SQL_D2, cb=f"o_cb{_PT_ITERS}"),
+        qerr_arm.format(p="rt", rnd=_PT_ROUND, col="retrained_mqerr",
+                        d2=_PQ_SQL_D2, cb=f"r_cb{_PT_ITERS}"),
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT CAST(stq.m AS INT) AS m, stq.stale_mqerr, rtq.retrained_mqerr,
+           rtq.retrained_mqerr < stq.stale_mqerr AS improved
+    FROM stq JOIN rtq ON stq.m = rtq.m"""
+    )
+
+
+@register("pq_retrain_improvement_audit", _pq_retrain_sql())
+def pq_retrain_improvement_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What retraining BUYS — the closing member of the PQ drift story
+    (decide: `streaming_pq_drift_audit`; act: `pq_train`; verify:
+    this). The post-stream corpus (tombstones applied, +1.0/dim
+    re-embeddings — the same closed-form final state every maintenance
+    loop uses) is encoded twice: against the STALE codebook (k-means
+    trained on the original corpus) and against a RETRAINED one
+    (k-means on the final corpus, same {_PT_ITERS}-iteration
+    discipline); the gate value-hashes per-subspace mean quantization
+    error for both arms and the improvement flag. Both trainings and
+    both encodes are one-scan-per-iteration plans; nothing here is
+    new machinery — the audit composes `pq_train` + `pq_encode` the
+    way a production retrain job would."""
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        pq_encode,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dbl = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    fs = dbl.filter(F.col("vec_id") % 15 != 0).withColumn(
+        "v",
+        F.when(
+            F.col("vec_id") % 9 == 0,
+            F.expr("transform(v, x -> x + CAST(1.0 AS DOUBLE))"),
+        ).otherwise(F.col("v")),
+    ).localCheckpoint()
+    stale_cb = pq_train(
+        dbl, _PQ_M, _PQ_SUB, num_codes=_PQ_CODES, iters=_PT_ITERS,
+        vec_col="v", round_means=_PT_ROUND,
+    )
+    retr_cb = pq_train(
+        fs, _PQ_M, _PQ_SUB, num_codes=_PQ_CODES, iters=_PT_ITERS,
+        vec_col="v", round_means=_PT_ROUND,
+    )
+
+    def arm(cb, col):
+        return (
+            pq_encode(fs, cb, _PQ_M, _PQ_SUB, vec_col="v")
+            .groupBy("m")
+            .agg(F.round(F.avg("qerr"), _PT_ROUND).alias(col))
+        )
+
+    return (
+        arm(stale_cb, "stale_mqerr")
+        .join(arm(retr_cb, "retrained_mqerr"), "m")
+        .select(
+            F.col("m").cast("int").alias("m"),
+            "stale_mqerr",
+            "retrained_mqerr",
+            (F.col("retrained_mqerr") < F.col("stale_mqerr")).alias("improved"),
+        )
+    )

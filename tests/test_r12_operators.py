@@ -450,3 +450,15 @@ def test_ivfpq_code_upsert_cell_move(spark, sf_dir, tmp_path):
         assert cellmap[vid] == (9 if vid in movedids else vid % 5)
         for mm in range(8):
             assert codemap[(vid, mm)] == codes[i, mm], (vid, mm)
+
+
+def test_pq_retrain_improves_every_subspace(spark, sf_dir):
+    """The retrain audit's reason to exist: k-means retrained on the
+    drifted corpus must beat the stale pre-drift codebook — here in
+    every subspace (the +1.0 shift moves every dimension)."""
+    from kafka_sink_azure_kusto_spark.plans import queries
+
+    got = queries()["pq_retrain_improvement_audit"](spark, sf_dir).toPandas()
+    assert len(got) == 8
+    assert got["improved"].all()
+    assert (got["retrained_mqerr"] < got["stale_mqerr"]).all()
