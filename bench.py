@@ -220,6 +220,19 @@ HEADLINE = [
     "multimodal_gif_frame_dedup",
     "inverted_index_compression",
     "text_kneser_ney_trigram_score",
+    # r12: streaming PQ/IVF-PQ/hierarchical index maintenance, the
+    # layered searcher + gain audit, the unigram-LM tokenizer family,
+    # and the real k-means trainer + retrain audit
+    "streaming_pq_index_maintenance",
+    "streaming_pq_drift_audit",
+    "streaming_ivfpq_index_maintenance",
+    "streaming_hierarchical_graph_maintenance",
+    "similarity_hierarchical_search",
+    "graph_hierarchy_gain_audit",
+    "unigram_lm_tokenizer_train",
+    "unigram_pack_token_windows",
+    "pq_codebook_train",
+    "pq_retrain_improvement_audit",
 ]
 
 
