@@ -54,14 +54,30 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def _store_exists(spark, path: str) -> bool:
-    """True iff ``path`` exists on whatever FileSystem backs it (local,
-    HDFS, S3A, ...) — resolved through the Hadoop FileSystem API so the
-    first-run check in the index-upsert kernels is storage-agnostic
-    rather than a local-only ``os.path`` probe (ADVICE r11 #1/#3)."""
+    """True iff ``path`` holds index DATA on whatever FileSystem backs
+    it (local, HDFS, S3A, ...) — resolved through the Hadoop FileSystem
+    API so the first-run check in the index-upsert kernels is
+    storage-agnostic rather than a local-only ``os.path`` probe
+    (ADVICE r11 #1/#3).
+
+    "Holds data" means at least one non-hidden child (a partition
+    directory or data file), not bare path existence: a store whose
+    every partition was deleted by tombstones still has its directory
+    and write markers (``_SUCCESS``), and treating THAT as an existing
+    store makes the next batch's parquet read fail forever — a
+    legitimately empty store must be indistinguishable from a
+    first-run store, while a store with unreadable DATA still fails
+    loudly."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(hpath))
+    if not fs.exists(hpath):
+        return False
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if not (name.startswith("_") or name.startswith(".")):
+            return True
+    return False
 
 
 def _store_delete_partition(spark, store_dir: str, partition: str) -> None:
@@ -578,6 +594,12 @@ def pq_adc_topk(
         .withColumn("qd", _flat_l2sq("sv", "c", sub_len))
         .select(F.col("id").alias("query_id"), "m", "code", "qd")
     )
+    if (codes_cell_col is None) != (query_cell_col is None):
+        raise ValueError(
+            "pq_adc_topk: codes_cell_col and query_cell_col must be set "
+            "together — a half-specified pairing would silently skip the "
+            "cell prune and score every query against ALL cells"
+        )
     join_keys = ["m", "code"]
     if codes_cell_col is not None and query_cell_col is not None:
         qcells = queries.select(
@@ -2155,6 +2177,21 @@ def hierarchical_graph_search_topk(
     )
     entries: DataFrame | None = None
     all_vis: list[DataFrame] = []
+    if not upper_layers:
+        # degenerate flat call: the layer loop never runs, so the
+        # bottom search must carry the query-size guard itself
+        flat = graph_search_topk(
+            corpus, queries, edges, k=k, rounds=rounds, beam=beam,
+            id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col, query_vec_col=query_vec_col,
+            max_broadcast_queries=max_broadcast_queries,
+            return_visited=return_visited or return_all_visited,
+        )
+        if return_all_visited:
+            flat = flat.select(
+                "query_id", "nid", "score", F.lit(0).alias("layer")
+            )
+        return flat
     for li, layer in enumerate(upper_layers):
         members = layer["members"].select("nid")
         lcorpus = vecs.join(F.broadcast(members), "nid")

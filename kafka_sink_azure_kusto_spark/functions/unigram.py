@@ -183,19 +183,25 @@ def unigram_train(
 ) -> tuple[DataFrame, DataFrame]:
     """Full trainer: seed substring counts → ``em_iters`` rounds of
     (Viterbi segment → integer usage counts → prune to top
-    ``vocab_cap`` → re-derive log-probs). Returns (vocab, segs):
+    ``vocab_cap`` → re-derive log-probs) → ONE closing segmentation
+    pass under the FINAL log-probs. Returns (vocab, segs):
 
     - vocab: (tid, piece, cnt, lp) — final pieces ranked by
       (cnt DESC, piece ASC) → ids 0..|V|-1;
-    - segs: the final-pass segmentations (word, seg) for the encoder.
+    - segs: segmentations (word, seg) consistent with ``vocab`` — the
+      encoder input. The closing pass matters: the last EM round's
+      segmentations were produced under the PREVIOUS round's
+      (pre-prune) vocabulary, and feeding those to the encoder would
+      silently drop pruned pieces mid-word instead of falling back to
+      UNK.
     """
     seed = seed_substring_counts(words, max_piece_len)
     lp = lp_table(seed, seed_cap).localCheckpoint()
-    segs = None
     for _ in range(em_iters):
         segs = viterbi_segment(words, lp, max_word_len, max_piece_len)
         u = usage_counts(segs, words)
         lp = lp_table(u, vocab_cap).localCheckpoint()
+    segs = viterbi_segment(words, lp, max_word_len, max_piece_len)
     wid = Window.orderBy(F.col("cnt").desc(), F.col("piece").asc())
     vocab = lp.withColumn("tid", (F.row_number().over(wid) - 1).cast("int")).select(
         "tid", "piece", "cnt", "lp"

@@ -564,6 +564,9 @@ def _hl_audit_sql() -> str:
                                      WHERE nid % (SELECT COUNT(*) // 10
                                                   FROM e) = 0) n),
     {flat_rounds},
+    -- fres/hres rank on ROUND(score, 6): the Spark arms rank the
+    -- ROUNDED visited frames (return_visited rounds to 6 dp), so the
+    -- oracle must not let a sub-ulp raw difference flip the rank-3 cut
     gt AS MATERIALIZED (SELECT qid, nid FROM (
         SELECT xq.qid, c.nid,
                ROW_NUMBER() OVER (PARTITION BY xq.qid
@@ -573,11 +576,11 @@ def _hl_audit_sql() -> str:
     tot AS (SELECT COUNT(*) AS n_possible FROM gt),
     fres AS (SELECT qid, nid FROM (
         SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
-                 ORDER BY score DESC, nid ASC) AS rnk
+                 ORDER BY ROUND(score, 6) DESC, nid ASC) AS rnk
         FROM fvis{_HL_ROUNDS} WHERE nid <> qid) WHERE rnk <= {_HL_AK}),
     hres AS (SELECT qid, nid FROM (
         SELECT qid, nid, ROW_NUMBER() OVER (PARTITION BY qid
-                 ORDER BY score DESC, nid ASC) AS rnk
+                 ORDER BY ROUND(score, 6) DESC, nid ASC) AS rnk
         FROM h0vis{_HL_ROUNDS} WHERE nid <> qid) WHERE rnk <= {_HL_AK}),
     fcand AS (SELECT COUNT(*) AS n_candidates FROM fvis{_HL_ROUNDS}
               WHERE nid <> qid),
@@ -893,12 +896,10 @@ def unigram_pack_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     words = U.word_counts(docs, max_word_len=_UL_MAXW).localCheckpoint()
-    vocab, _ = U.unigram_train(
+    vocab, segs = U.unigram_train(
         words, _UL_MAXW, _UL_MAXP, _UL_SEED, _UL_V, em_iters=_UL_EM
     )
     vocab = vocab.localCheckpoint()
-    lp_final = vocab.select("piece", "lp")
-    segs = U.viterbi_segment(words, lp_final, _UL_MAXW, _UL_MAXP)
     n_v = vocab.count()  # bounded scalar: |V| ≤ vocab cap
     enc = U.unigram_encode(docs, vocab, segs, unk_id=n_v)
     return pack_token_windows(enc, _W_CTX, eos_id=n_v + 1, pad_id=n_v + 2)

@@ -355,23 +355,25 @@ def test_unigram_pack_window_contract_parity(spark, sf_dir):
     texts = pd.read_parquet(f"{sf_dir}/documents.parquet")
     words, lp, vocab, viterbi = _py_unigram_train(texts["text"].tolist())
 
+    wins = {}
     for qname in ("unigram_pack_token_windows", "bpe_pack_token_windows"):
         win = Q[qname](spark, sf_dir).toPandas()
+        wins[qname] = win
         assert (win.n_real + win.n_pad == 128).all(), qname
         for sh, g in win.groupby("shard"):
             g = g.sort_values("window_id")
             assert list(g.window_id) == list(range(len(g))), qname
             assert (g.n_real.iloc[:-1] == 128).all(), qname
 
-    # exact token accounting for the unigram arm
+    # exact token accounting for the unigram arm (reuse the frame —
+    # re-running the query would re-run the whole EM pipeline)
     npieces = {w: (st[1] if st else 1) for w, st in
                ((w, viterbi(w)) for w in words)}
     total = 0
     for r in texts.itertuples(index=False):
         toks = [w for w in r.text.split(" ") if w]
         total += sum(npieces.get(w, 1) for w in toks) + 1  # + EOS
-    uwin = Q["unigram_pack_token_windows"](spark, sf_dir).toPandas()
-    assert int(uwin.n_real.sum()) == total
+    assert int(wins["unigram_pack_token_windows"].n_real.sum()) == total
 
 
 # ----------------------------------------------- IVF-PQ code upsert
@@ -462,3 +464,71 @@ def test_pq_retrain_improves_every_subspace(spark, sf_dir):
     assert len(got) == 8
     assert got["improved"].all()
     assert (got["retrained_mqerr"] < got["stale_mqerr"]).all()
+
+
+def test_code_store_survives_full_emptying(spark, tmp_path):
+    """A store whose every row was tombstoned must behave like a
+    first-run store on the next batch (the directory + _SUCCESS marker
+    survive the partition deletes) — treating it as an existing store
+    bricks every subsequent upsert with an unreadable-parquet error,
+    while a store with actual unreadable DATA must still fail loudly."""
+    from pyspark.sql import functions as F
+
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        mih_code_upsert,
+        pq_code_upsert,
+    )
+
+    cb = spark.createDataFrame(
+        [(m, c, [float(c), float(m)]) for m in range(2) for c in range(2)],
+        "m int, code long, c array<double>",
+    )
+    live = spark.createDataFrame(
+        [(1, [1.0, -1.0, 0.5, 0.25]), (2, [-1.0, 1.0, 0.25, 0.5])],
+        "vec_id long, v array<double>",
+    ).withColumn("seq", F.lit(0))
+    dead = live.withColumn("v", F.lit(None).cast("array<double>")).withColumn(
+        "seq", F.lit(1)
+    )
+
+    pq_dir = str(tmp_path / "pq")
+    pq_code_upsert(live, cb, pq_dir, 2, 2, n_blocks=4, seq_col="seq")
+    st = pq_code_upsert(dead, cb, pq_dir, 2, 2, n_blocks=4, seq_col="seq")
+    assert st["emptied_blocks"] == 2
+    # fully emptied → next batch must re-seed, not crash
+    st2 = pq_code_upsert(live, cb, pq_dir, 2, 2, n_blocks=4, seq_col="seq")
+    assert st2["batch_rows"] == 2
+    assert spark.read.parquet(pq_dir).count() == 4  # 2 ids × 2 subspaces
+
+    mih_dir = str(tmp_path / "mih")
+    big = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, [-1.0] * 64)], "vec_id long, v array<double>"
+    ).withColumn("seq", F.lit(0))
+    bigdead = big.withColumn("v", F.lit(None).cast("array<double>")).withColumn(
+        "seq", F.lit(1)
+    )
+    mih_code_upsert(big, mih_dir, n_blocks=4, seq_col="seq")
+    mih_code_upsert(bigdead, mih_dir, n_blocks=4, seq_col="seq")
+    st3 = mih_code_upsert(big, mih_dir, n_blocks=4, seq_col="seq")
+    assert st3["batch_rows"] == 2
+    assert spark.read.parquet(mih_dir).count() == 2
+
+
+def test_pq_adc_topk_half_specified_cell_raises(spark):
+    """Setting only one of codes_cell_col/query_cell_col must raise —
+    silently skipping the cell prune would score every query against
+    ALL cells."""
+    import pytest
+
+    from kafka_sink_azure_kusto_spark.functions.similarity import pq_adc_topk
+
+    cb = spark.createDataFrame(
+        [(0, 0, [0.0, 0.0])], "m int, code long, c array<double>"
+    )
+    codes = spark.createDataFrame(
+        [(1, 0, 0, 0)], "vec_id long, m int, code long, cell int"
+    )
+    q = spark.createDataFrame([(2, [1.0, 1.0])], "vec_id long, v array<double>")
+    with pytest.raises(ValueError, match="together"):
+        pq_adc_topk(codes, q, cb, 1, 2, query_vec_col="v",
+                    codes_cell_col="cell")
