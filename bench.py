@@ -971,20 +971,55 @@ def _scale100x_timings(spark, sf_dir: str) -> dict:
     return out
 
 
+# The three cheap fixed queries used for BOTH drift detectors: the
+# per-shard interleaved canary (VERDICT r12 #4) and the end-of-run
+# rerun. All must be HEADLINE members so ratios have in-run walls.
+CANARY_QUERIES = ("q1_pricing_summary", "region_rollup", "tombstone_filter")
+
+
+def _canary_sample(qs, spark, sf_dir: str) -> dict:
+    """One timed pass of the canary trio (single run each — min-of-N
+    would suppress exactly the ambient load the canary exists to
+    sense; per-JVM codegen warmup is absorbed by the shard's dedicated
+    canary warmup pass, not by minimum-taking)."""
+    out = {}
+    for name in CANARY_QUERIES:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
 def _headline_shard_timings(spark, sf_dir: str, i: int, n: int) -> dict:
     """One fresh-JVM headline shard (VERDICT r9 #1): queries
     HEADLINE[i::n], min-of-N each. Striped assignment balances the
     heavy queries across shards; the tiny-table warmup plus min-of-N
-    absorbs JVM/codegen cold-start inside the shard."""
+    absorbs JVM/codegen cold-start inside the shard.
+
+    Returns {"timings": ..., "canary_samples": [...]}: the canary trio
+    is interleaved at shard START / MIDDLE / END (VERDICT r12 #4 — the
+    old end-of-run-only canary bracketed just the final minutes, so a
+    session-wide ambient shift was invisible and cross-round ratios
+    stayed guesswork). Samples are single runs; a canary warmup pass
+    right after the table warmup eats codegen so sample 1 is
+    comparable to samples 2/3."""
     import __spark_entry__ as entrymod
 
     from kafka_sink_azure_kusto_spark.sources.tables import load_table
 
     qs = entrymod.queries()
     load_table(spark, sf_dir, "region").count()
+    _canary_sample(qs, spark, sf_dir)  # codegen warmup, discarded
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    names = HEADLINE[i::n]
+    half = len(names) // 2
     timings: dict[str, float] = {}
-    for name in HEADLINE[i::n]:
+    canary_samples = [{"at": "start", **_canary_sample(qs, spark, sf_dir)}]
+    for j, name in enumerate(names):
+        if j == half and half > 0:
+            canary_samples.append(
+                {"at": "middle", **_canary_sample(qs, spark, sf_dir)}
+            )
         fn = qs[name]
         best = float("inf")
         for _ in range(runs_per_query):
@@ -992,7 +1027,8 @@ def _headline_shard_timings(spark, sf_dir: str, i: int, n: int) -> dict:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
-    return timings
+    canary_samples.append({"at": "end", **_canary_sample(qs, spark, sf_dir)})
+    return {"timings": timings, "canary_samples": canary_samples}
 
 
 def _streaming_latency(spark, sf_dir: str) -> dict:
@@ -1111,13 +1147,18 @@ def _sink_throughput(
     BASELINE.md, so this self-ratchets round over round).
 
     ``warmup``/``executor_side`` select the cold-start A/B arms
-    (VERDICT r11 #5): with ``warmup`` the attach-time warmup batch
-    (config.warmup_on_attach, the executor-safe path from commit
-    0c466a9) runs BEFORE the measured first batch — in production it
-    overlaps writeStream source initialization, so its own wall time is
-    reported separately, not folded into cold. ``executor_side``
-    exercises the per-staging-group ingest path (backend built on the
-    workers from a factory)."""
+    (VERDICT r11 #5): with ``warmup`` the sink's warmup batch (the
+    SAME ``_warmup`` method config.warmup_on_attach runs before
+    writeStream.start(); executor-safe path from commit 0c466a9) is
+    invoked EXPLICITLY before the measured first batch, and the arm is
+    recorded as ``explicit _warmup() call`` — this harness drives
+    ``process_batch`` directly (no attach(), no stream), so labeling
+    the arm ``warmup_on_attach`` would claim an attach-time overlap the
+    measurement never exercises (ADVICE r12 #4). In production the
+    flag-triggered run overlaps source initialization; its own wall
+    time is reported separately, not folded into cold.
+    ``executor_side`` exercises the per-staging-group ingest path
+    (backend built on the workers from a factory)."""
     import shutil
     import tempfile
     import time
@@ -1148,7 +1189,10 @@ def _sink_throughput(
             ingest_url="https://ingest.example.kusto.windows.net",
             mappings=[pks.TopicToTableMapping(topic="*", db="db", table="t", format="json")],
             staging_dir=os.path.join(work, "staging"),
-            warmup_on_attach=warmup,
+            # attach() is never called here (process_batch is driven
+            # directly), so the config flag stays OFF — it would also
+            # double-warm if a later attach() were added (ADVICE r12 #4)
+            warmup_on_attach=False,
         )
         kdir = os.path.join(work, "kusto")
         if executor_side:
@@ -1187,7 +1231,10 @@ def _sink_throughput(
             "sec_steady": round(best, 3),
             "records_per_sec_cold": round(n / cold),
             "records_per_sec": round(n / best),
-            "warmup_on_attach": warmup,
+            # honest arm label (ADVICE r12 #4): the measured path is an
+            # explicit _warmup() call before the first process_batch,
+            # NOT the attach-time flag (attach() is not exercised here)
+            "warmup": "explicit _warmup() call" if warmup else "none",
             "executor_side_ingest": executor_side,
             "warmup_sec": warmup_sec,
             "timing": "fresh_jvm; run1=cold, steady=min_of_5",
@@ -1258,7 +1305,9 @@ def _section_main(section: str) -> int:
     spark = _build_session(cpus)
     if section.startswith("headline:"):
         _, i, n = section.split(":")
-        out = {"queries": _headline_shard_timings(spark, sf_dir, int(i), int(n))}
+        shard = _headline_shard_timings(spark, sf_dir, int(i), int(n))
+        out = {"queries": shard["timings"],
+               "canary_samples": shard["canary_samples"]}
         spark.stop()
         sys.stdout.flush()
         print(json.dumps(out, separators=(",", ":")))
@@ -1340,11 +1389,45 @@ def _fresh_jvm_section(section: str) -> dict:
     }
 
 
+def _cpu_probe() -> dict:
+    """Spark-free fixed-workload box-speed probe (VERDICT r12 #4): the
+    canary ratios sense WITHIN-run drift but are blind to a box that is
+    uniformly slower than last round's (observed r12→r13: candidate
+    hosts differ ~2× on cold-JVM walls). Two absolute seconds, same
+    workload every round: md5 over a 1 MiB buffer ×256 single-thread,
+    and the same ×32 on 32 threads (hashlib releases the GIL on large
+    buffers, so the mt number senses core count + steal). Cross-round
+    comparisons in PERF.md normalize by st_sec when hosts differ."""
+    import hashlib
+    import threading
+
+    buf = bytes(range(256)) * 4096  # 1 MiB, deterministic
+
+    def work(n: int) -> None:
+        h = hashlib.md5()
+        for _ in range(n):
+            h.update(buf)
+
+    t0 = time.perf_counter()
+    work(256)
+    st = time.perf_counter() - t0
+    threads = [threading.Thread(target=work, args=(256,)) for _ in range(32)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    mt = time.perf_counter() - t0
+    return {"st_sec": round(st, 3), "mt32_sec": round(mt, 3),
+            "workload": "md5 1MiB x256 (st) / x256 x32thr (mt32)"}
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     env = _wait_for_quiet()
+    env["cpu_probe"] = _cpu_probe()
 
     # Fresh-JVM isolation for the two steady-state claims (VERDICT r8
     # #2): measure sink throughput and streaming latency FIRST, each in
@@ -1377,9 +1460,12 @@ def main() -> int:
     runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     n_shards = int(os.environ.get("SPARK_GRAFT_HEADLINE_SHARDS", "4"))
     timings: dict[str, float] = {}
+    canary_samples: list[dict] = []
     for i in range(n_shards):
         shard = _fresh_jvm_section(f"headline:{i}:{n_shards}")
         timings.update(shard.get("queries", {}))
+        for s in shard.get("canary_samples", []):
+            canary_samples.append({"shard": i, **s})
     # defensive: any query a shard failed to report gets a visible
     # null entry IN the queries map (ADVICE r10 #5 — headline_missing
     # alone let a partially failed shard silently deflate the total,
@@ -1407,6 +1493,29 @@ def main() -> int:
     env["environment_stable"] = bool(drift) and all(
         0.6 <= r <= 1.5 for r in drift.values()
     )
+    # SESSION-WIDE ambient factor (VERDICT r12 #4): the end-of-run
+    # canary brackets only the final minutes; the per-shard interleaved
+    # samples (start/middle/end of every shard JVM) cover the whole
+    # session. Per-query baseline = the QUIETEST sample observed; the
+    # published factor = median over all samples of wall/baseline, so
+    # ~1.0 means the session ran as quiet as its own best moment and
+    # e.g. 1.3 means the median query ran under ~30% ambient
+    # inflation. A CONSTANT ambient load is invisible to this ratio by
+    # construction — the Spark-free cpu_probe below anchors absolute
+    # box speed across rounds for exactly that case.
+    ratios: list[float] = []
+    for name in CANARY_QUERIES:
+        walls = [s[name] for s in canary_samples if s.get(name)]
+        if canary.get(name):
+            walls.append(canary[name])
+        base = min(walls) if walls else None
+        if base:
+            ratios.extend(w / base for w in walls)
+    ratios.sort()
+    env["ambient_factor"] = (
+        round(ratios[len(ratios) // 2], 3) if ratios else None
+    )
+    env["canary_samples"] = canary_samples
     # Scale sections in fresh subprocess JVMs too (same methodology as
     # sink/latency, extended this round): run at the tail of the
     # ~25-minute headline JVM, the 10×/100× walls were unstable to the
@@ -1484,6 +1593,10 @@ def main() -> int:
         "streaming_p95_full_ms": latency.get(
             "queued_defaults_1mb_30s", {}
         ).get("p95_ms_full"),
+        # cross-round comparability anchors (VERDICT r12 #4): in-run
+        # ambient drift + absolute box speed, in the driver-parsed tail
+        "ambient_factor": env.get("ambient_factor"),
+        "cpu_probe_st_sec": env.get("cpu_probe", {}).get("st_sec"),
         "detail": "BENCH_DETAIL.json",
     }
     sys.stdout.flush()

@@ -220,7 +220,14 @@ def unigram_encode(
     through the final segmentations and piece ids; a word with no
     segmentation (or longer than the DP bound) emits ONE ``unk_id``.
     The per-doc array is assembled with one shuffle keyed doc_id; word
-    and piece order ride in a sortable (pos, ppos) struct."""
+    and piece order ride in a sortable (pos, ppos) struct.
+
+    Scale shape: the piece table (``vocab``) is capped by the trainer
+    and broadcasts; the word→ids mapping (``seg_ids``) scales with the
+    CORPUS VOCABULARY, so it carries no broadcast hint (ADVICE r12 #1)
+    — the token→mapping join is a word-keyed equi-join that AQE
+    broadcasts when the vocabulary fits and shuffles on ``word``
+    otherwise (both sides key-partitioned; fine at any corpus size)."""
     toks = docs.select(
         "doc_id", F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "word")
     ).filter(F.col("word") != "")
@@ -238,7 +245,7 @@ def unigram_encode(
             F.transform(F.col("_pt"), lambda s: s["tid"].cast("int")).alias("wids"),
         )
     )
-    per_word = toks.join(F.broadcast(seg_ids), "word", "left").select(
+    per_word = toks.join(seg_ids, "word", "left").select(
         "doc_id",
         "pos",
         F.coalesce(

@@ -74,6 +74,20 @@ def _workdir(prefix: str) -> str:
     return d
 
 
+def _drain_stream(q, timeout_s: int) -> None:
+    """Await an availableNow streaming query and FAIL LOUDLY on
+    timeout (ADVICE r12 #3): every gate loop grades state the stream
+    wrote, so a hung query that merely times out would silently grade
+    a partial store/probes directory as if the stream had drained."""
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise RuntimeError(
+            f"streaming gate loop did not drain within {timeout_s}s — "
+            "refusing to grade partial stream output"
+        )
+    q.stop()
+
+
 # Driver-gate ordering: the external correctness gate evaluates the first
 # 50 entries of queries().  The window is filled in three layers:
 #   1. _GATE_HEAD — queries NEW this round or whose implementation /
@@ -87,42 +101,73 @@ def _workdir(prefix: str) -> str:
 #      an old query cannot hide behind the builder's own sweep forever;
 #   3. previously-green anchors (_GATE_PRIORITY, newest-first history)
 #      fill the remaining slots.
-_ROUND = 12  # bump each round — the rotation key
+_ROUND = 13  # bump each round — the rotation key
 
 _GATE_HEAD = [
-    # --- new in r12 ---
-    "streaming_pq_index_maintenance",    # r12: live PQ code-store loop
-    "streaming_pq_drift_audit",          # r12: retrain gate registers
-    "streaming_ivfpq_index_maintenance", # r12: cell-partitioned codes
-    "streaming_hierarchical_graph_maintenance",  # r12: all-layer upserts
-    "pq_codebook_train",                 # r12: real k-means under gate
-    "pq_retrain_improvement_audit",      # r12: drift story closure
-    "embedding_pq_adc_topk",             # r12: pq_adc_topk cell param
-    "similarity_hierarchical_search",    # r12: HNSW-style layer descent
-    "graph_hierarchy_gain_audit",        # r12: hier vs flat, integer hits
-    "unigram_lm_tokenizer_train",        # r12: SentencePiece-style EM
-    "unigram_pack_token_windows",        # r12: id emission, shared packer
-    # --- changed in r12 (pack refactored onto the shared packer) ---
-    "bpe_pack_token_windows",
-    # --- changed in r12 (ADVICE r11 fixes) ---
-    "retrieval_eval_metrics",            # singleton-label GREATEST guard
-    "streaming_mih_index_maintenance",   # loud-fail store read + hadoop-FS delete
-    "streaming_ivf_index_maintenance",   # hadoop-FS partition delete
-    "streaming_knn_graph_maintenance",   # hadoop-FS partition delete
-    "similarity_index_incremental_update",  # shares ivf_index_upsert
-    "similarity_binary_hamming_topk",    # shares the MIH helpers
-    "avro_container_encode",             # local-timestamp tz-aware reject
+    # --- new in r13 ---
+    "hierarchical_build_nn_descent",     # r13: layered build w/o all-pairs
+    "hierarchical_build_recall_audit",   # r13: nn-descent vs exact layers
+    "streaming_vocab_maintenance",       # r13: live word-count registers
+    "vocab_drift_retrain_audit",         # r13: OOV-rate retrain gate
+    "ivfpq_nprobe_search",               # r13: multi-cell store-side ADC
+    "adc_nprobe_recall_audit",           # r13: recall monotone in nprobe
+    # --- changed in r13 (unigram_encode broadcast-hint removal,
+    # ADVICE r12 #1 — both queries ride the id-emission path) ---
+    "unigram_pack_token_windows",
+    "unigram_lm_tokenizer_train",
+    # --- changed in r13 (PQ stream loop memoized + awaitTermination
+    # guard, ADVICE r12 #3; hierarchical substrate memoized) ---
+    "streaming_pq_index_maintenance",
+    "streaming_pq_drift_audit",
+    "similarity_hierarchical_search",
+    "graph_hierarchy_gain_audit",
+    # --- changed in r13 (pq_adc_topk nprobe-capable cell join) ---
+    "embedding_pq_adc_topk",
+    "streaming_ivfpq_index_maintenance",
 ]
 
 # Number of rotation slots after the changed-query head. 15 of ~190
 # eligible → full coverage in ~13 rounds.
 _ROTATION_SLOTS = 15
 
-# First N entries of _GATE_PRIORITY form the RECENT region (r10/r11
-# additions — they earned driver rows within the last two rounds) and
-# are excluded from the rotation pool so the sample spends its slots on
-# genuinely old queries.
-_RECENT_BLOCK = 41
+# Queries that earned driver-gate rows as NEW or CHANGED work in each
+# recent round, by explicit name (ADVICE r12 #2 — the old positional
+# _RECENT_BLOCK prefix silently shifted when _GATE_PRIORITY was
+# reordered). Rounds within the last two of _ROUND are excluded from
+# the rotation pool so the sample spends its slots on genuinely old
+# queries; older entries here are inert and kept for history.
+_ROUND_FRESH: dict[int, list[str]] = {
+    13: _GATE_HEAD,
+    12: [
+        "streaming_pq_index_maintenance", "streaming_pq_drift_audit",
+        "streaming_ivfpq_index_maintenance",
+        "streaming_hierarchical_graph_maintenance",
+        "pq_codebook_train", "pq_retrain_improvement_audit",
+        "embedding_pq_adc_topk", "similarity_hierarchical_search",
+        "graph_hierarchy_gain_audit", "unigram_lm_tokenizer_train",
+        "unigram_pack_token_windows", "bpe_pack_token_windows",
+        "retrieval_eval_metrics", "streaming_mih_index_maintenance",
+        "streaming_ivf_index_maintenance", "streaming_knn_graph_maintenance",
+        "similarity_index_incremental_update",
+        "similarity_binary_hamming_topk", "avro_container_encode",
+    ],
+    11: [
+        "streaming_mih_index_maintenance", "similarity_mih_recall_audit",
+        "similarity_binary_hamming_topk", "expectation_suite_audit",
+        "streaming_expectation_monitor", "retrieval_eval_metrics",
+        "hybrid_retrieval_rrf", "graph_triangle_count",
+        "graph_label_propagation", "graph_modularity_audit",
+        "multimodal_gif_decode", "multimodal_gif_frame_dedup",
+        "inverted_index_compression", "text_kneser_ney_trigram_score",
+        "streaming_knn_graph_maintenance", "graph_entry_strategy_audit",
+        "bpe_pack_token_windows", "multimodal_jpeg_decode_gate",
+        "corpus_shard_manifest", "multimodal_decode",
+        "multimodal_dhash_dedup", "multimodal_resize_bilinear",
+        "multimodal_curation_pipeline", "similarity_graph_search",
+        "streaming_ivf_index_maintenance", "dsir_importance_select",
+        "streaming_dsir_maintenance",
+    ],
+}
 
 
 def _rotation_sample() -> list[str]:
@@ -131,7 +176,10 @@ def _rotation_sample() -> list[str]:
     and take the first _ROTATION_SLOTS."""
     import hashlib
 
-    recent = set(_GATE_HEAD) | set(_GATE_PRIORITY[:_RECENT_BLOCK])
+    recent = set(_GATE_HEAD) | {
+        n for r, names in _ROUND_FRESH.items() if r >= _ROUND - 2
+        for n in names
+    }
     pool = [n for n in _REGISTRY if n not in recent]
     pool.sort(
         key=lambda n: hashlib.md5(f"{n}|round{_ROUND}".encode()).hexdigest()

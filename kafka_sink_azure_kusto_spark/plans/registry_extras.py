@@ -465,7 +465,14 @@ def streaming_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     backend = LocalEmulatorBackend(os.path.join(work, "kusto"))
     sink = KustoSparkSink(cfg, backend)
     q = sink.attach(replay_stream(spark, os.path.join(work, "replay")), available_now=True)
-    q.awaitTermination(120)
+    # loud-fail on a hung stream (ADVICE r12 #3): grading the emulator
+    # table after a timeout would silently gate on partial ingestion
+    if not q.awaitTermination(120):
+        KustoSparkSink.close(q)
+        raise RuntimeError(
+            "streaming_sink_roundtrip did not drain within 120s — "
+            "refusing to grade a partially ingested table"
+        )
     KustoSparkSink.close(q)
     table_dir = os.path.join(work, "kusto", "db", "t")
     out = spark.read.json(f"{table_dir}/part-*")

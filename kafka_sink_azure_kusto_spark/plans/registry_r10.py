@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from kafka_sink_azure_kusto_spark.functions.sampling import (
     md5_unit_interval_sql,
 )
-from kafka_sink_azure_kusto_spark.plans.registry import register
+from kafka_sink_azure_kusto_spark.plans.registry import _drain_stream, register
 from kafka_sink_azure_kusto_spark.plans.registry_r9b import (
     _KNN_CAP,
     _KNN_K,
@@ -676,8 +676,7 @@ def _run_ivf_stream_loop(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
-    q.stop()
+    _drain_stream(q, 180)
 
     res = spark.read.parquet(probes_dir)
     last = res.groupBy().agg(F.max("epoch").alias("epoch"))
@@ -1480,8 +1479,7 @@ def streaming_bm25_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
-    q.stop()
+    _drain_stream(q, 180)
 
     postings = spark.read.parquet(os.path.join(reg, "postings")).drop("epoch")
     df_ = (
@@ -1602,8 +1600,7 @@ def streaming_dsir_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
-    q.stop()
+    _drain_stream(q, 180)
 
     raw_c = (
         spark.read.parquet(os.path.join(reg, "raw"))

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafka_sink_azure_kusto_spark.plans.registry import register
+from kafka_sink_azure_kusto_spark.plans.registry import _drain_stream, register
 from kafka_sink_azure_kusto_spark.plans.registry_r10 import _cos
 from kafka_sink_azure_kusto_spark.sources.tables import load_table
 
@@ -1462,8 +1462,7 @@ def streaming_expectation_monitor(spark: SparkSession, sf_dir: str) -> DataFrame
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
-    q.stop()
+    _drain_stream(q, 180)
 
     merged = (
         spark.read.parquet(reg_dir)
@@ -1935,8 +1934,7 @@ def streaming_mih_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
-    q.stop()
+    _drain_stream(q, 180)
 
     res = spark.read.parquet(probes_dir)
     last = res.groupBy().agg(F.max("epoch").alias("epoch"))

@@ -30,7 +30,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafka_sink_azure_kusto_spark.plans.registry import _workdir, register
+from kafka_sink_azure_kusto_spark.plans.registry import (
+    _drain_stream,
+    _workdir,
+    register,
+)
 from kafka_sink_azure_kusto_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------
@@ -119,12 +123,36 @@ _PQ_STREAM_ORACLE = f"""
 """
 
 
+# Per-process memo for the round's gate substrate (ADVICE r12 #3 /
+# VERDICT r12 #5): the PQ stream loop feeds TWO gates
+# (streaming_pq_index_maintenance + streaming_pq_drift_audit) and the
+# hierarchical layer substrate feeds two more — without memoization a
+# sweep/bench/driver pass pays the full seed+2-epoch loop (or the
+# exact-kNN layer build) twice per round for identical outputs. Keyed
+# by (applicationId, sf_dir); the returned DataFrames scan parquet in
+# an atexit-cleaned workdir, so reuse within the process is safe.
+_PQ_LOOP_MEMO: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
 def _run_pq_stream_loop(
     spark: SparkSession, sf_dir: str, stats: dict | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Engine of both PQ streaming queries: runs the live loop and
     returns (final probe, drift audit). ``stats`` (tests) records the
-    per-epoch upsert stats."""
+    per-epoch upsert stats. Memoized per (application, sf_dir) — a
+    ``stats`` caller bypasses the memo (tests want a fresh loop) but
+    still refreshes it."""
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    if stats is None and memo_key in _PQ_LOOP_MEMO:
+        return _PQ_LOOP_MEMO[memo_key]
+    result = _run_pq_stream_loop_uncached(spark, sf_dir, stats)
+    _PQ_LOOP_MEMO[memo_key] = result
+    return result
+
+
+def _run_pq_stream_loop_uncached(
+    spark: SparkSession, sf_dir: str, stats: dict | None = None
+) -> tuple[DataFrame, DataFrame]:
     from kafka_sink_azure_kusto_spark.functions import similarity as S
     from kafka_sink_azure_kusto_spark.plans.registry_streaming2 import (
         _stage_chunks,
@@ -243,8 +271,7 @@ def _run_pq_stream_loop(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
-    q.stop()
+    _drain_stream(q, 180)
 
     res = spark.read.parquet(probes_dir)
     last = res.groupBy().agg(F.max("epoch").alias("epoch"))
@@ -462,30 +489,45 @@ def _hl_base_sql(final_state: bool = False,
 """
 
 
-def _hl_layers(dbl):
-    """Spark-side layer construction mirroring ``_hl_base_sql``."""
+# (applicationId, sf_dir) → (edges0, layers): the exact-kNN layer
+# substrate is identical for the two build-once hierarchical gates and
+# costs ~10 s/scale to build — memoized per process (VERDICT r12 #5),
+# with every edge frame localCheckpointed so reuse is a narrow scan.
+_HL_LAYER_MEMO: dict[tuple[str, str], tuple] = {}
+
+
+def _hl_layers(dbl, memo_key: tuple[str, str] | None = None):
+    """Spark-side layer construction mirroring ``_hl_base_sql``.
+    ``memo_key`` (set by the registry gates, which all derive ``dbl``
+    from the SAME `_hl_corpus` transform) enables the per-process
+    substrate memo; direct/test callers with bespoke corpora omit it."""
     from kafka_sink_azure_kusto_spark.functions.similarity import (
         knn_graph_build_exact,
     )
 
+    if memo_key is not None and memo_key in _HL_LAYER_MEMO:
+        return _HL_LAYER_MEMO[memo_key]
     e2 = dbl.filter(F.col("vec_id") % _HL_S2 == 0)
     e1 = dbl.filter(F.col("vec_id") % _HL_S1 == 0)
     edges2 = knn_graph_build_exact(e2, k=_HL_GK1, vec_col="v").select(
         "src", "dst"
-    )
+    ).localCheckpoint()
     edges1 = knn_graph_build_exact(e1, k=_HL_GK1, vec_col="v").select(
         "src", "dst"
-    )
+    ).localCheckpoint()
     edges0 = knn_graph_build_exact(dbl, k=_HL_GK0, vec_col="v").select(
         "src", "dst"
     ).localCheckpoint()
     mk = lambda df: df.select(F.col("vec_id").alias("nid"))  # noqa: E731
-    return edges0, [
+    result = (edges0, [
         {"members": mk(e2), "edges": edges2,
          "rounds": _HL_R1, "beam": _HL_B1, "carry": _HL_CARRY2},
         {"members": mk(e1), "edges": edges1,
          "rounds": _HL_R1, "beam": _HL_B1, "carry": _HL_CARRY1},
-    ]
+    ])
+    if memo_key is not None:
+        _HL_LAYER_MEMO[memo_key] = result
+    return result
 
 
 def _hl_corpus(spark: SparkSession, sf_dir: str):
@@ -535,7 +577,9 @@ def similarity_hierarchical_search(
     )
 
     dbl, queries = _hl_corpus(spark, sf_dir)
-    edges0, layers = _hl_layers(dbl)
+    edges0, layers = _hl_layers(
+        dbl, memo_key=(spark.sparkContext.applicationId, sf_dir)
+    )
     out = hierarchical_graph_search_topk(
         dbl, queries, edges0, layers,
         k=_HL_K, rounds=_HL_ROUNDS, beam=_HL_BEAM,
@@ -627,7 +671,9 @@ def graph_hierarchy_gain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     dbl, queries = _hl_corpus(spark, sf_dir)
-    edges0, layers = _hl_layers(dbl)
+    edges0, layers = _hl_layers(
+        dbl, memo_key=(spark.sparkContext.applicationId, sf_dir)
+    )
     stride = max(1, dbl.count() // 10)
     gt = brute_force_topk(
         dbl, queries, k=_HL_AK, vec_col="v", query_vec_col="v"
@@ -1072,8 +1118,7 @@ def streaming_ivfpq_index_maintenance(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
-    q.stop()
+    _drain_stream(q, 180)
 
     res = spark.read.parquet(probes_dir)
     last = res.groupBy().agg(F.max("epoch").alias("epoch"))
@@ -1203,8 +1248,7 @@ def streaming_hierarchical_graph_maintenance(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(240)
-    q.stop()
+    _drain_stream(q, 240)
 
     # gate probe: ONE descent off the final on-disk stores. The
     # serve-BETWEEN-batches shape is the sibling loops' proven

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_sink_azure_kusto_spark.plans.registry import register
+from kafka_sink_azure_kusto_spark.plans.registry import _drain_stream, register
 from kafka_sink_azure_kusto_spark.sources.tables import load_table
 
 _SPAN_K = 6
@@ -380,8 +380,7 @@ def streaming_substring_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
-    q.stop()
+    _drain_stream(q, 180)
     return spark.read.parquet(results_dir).select("doc_id", "status")
 
 

@@ -37,7 +37,11 @@ from pyspark.sql import functions as F
 from kafka_sink_azure_kusto_spark.functions.sketches import (
     countmin_estimates_sql,
 )
-from kafka_sink_azure_kusto_spark.plans.registry import _workdir, register
+from kafka_sink_azure_kusto_spark.plans.registry import (
+    _drain_stream,
+    _workdir,
+    register,
+)
 from kafka_sink_azure_kusto_spark.sources.tables import load_table
 
 _MTIME = [1_700_000_000]
@@ -73,8 +77,7 @@ def _run_to_memory(spark: SparkSession, stream_df: DataFrame, chk: str) -> DataF
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
-    q.stop()
+    _drain_stream(q, 180)
     return spark.table(name)
 
 
@@ -361,8 +364,7 @@ def streaming_upsert_materialized(spark: SparkSession, sf_dir: str) -> DataFrame
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
-    q.stop()
+    _drain_stream(q, 180)
     final = current_snapshot()
     return final.select(
         "user_id", "state", F.timestamp_micros("state_ts_us").alias("state_ts")
@@ -599,8 +601,7 @@ def _run_incr_store_loop(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
-    q.stop()
+    _drain_stream(q, 180)
     return spark.read.parquet(results_dir).select("doc_id", "status")
 
 
@@ -714,8 +715,7 @@ def streaming_countmin_maintenance(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
-    q.stop()
+    _drain_stream(q, 180)
 
     merged = (
         spark.read.parquet(reg_dir)

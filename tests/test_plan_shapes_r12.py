@@ -101,8 +101,12 @@ def test_hierarchical_search_no_unbounded_cartesian(spark, dbl, sf_dir):
 
 
 def test_unigram_encode_single_doc_shuffle(spark, sf_dir):
-    """The id-emission path: word→ids mapping broadcast, ONE exchange
-    keyed doc_id to assemble per-doc arrays."""
+    """The id-emission path: the capped PIECE table broadcasts, the
+    word→ids mapping joins on the word key WITHOUT a forced broadcast
+    (it scales with corpus vocabulary — ADVICE r12 #1; AQE picks
+    broadcast when it fits), and per-doc arrays are assembled through a
+    doc_id-keyed exchange. Pins: no cartesian, no data-sized
+    single-partition stage, and the mapping join is NOT hint-forced."""
     from kafka_sink_azure_kusto_spark.functions import unigram as U
     from kafka_sink_azure_kusto_spark.sources.tables import load_table
 
@@ -114,7 +118,16 @@ def test_unigram_encode_single_doc_shuffle(spark, sf_dir):
     enc = U.unigram_encode(docs, vocab, segs.localCheckpoint(), unk_id=40)
     plan = _plan(enc)
     assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" not in plan
-    # hashpartitioning exchanges only (doc-keyed assembly); no
-    # data-sized single-partition stage
+    # hashpartitioning exchanges only (word-keyed mapping join +
+    # doc-keyed assembly); no data-sized single-partition stage.
+    # SortMergeJoin on the word key is ALLOWED — that is exactly the
+    # huge-vocabulary fallback the unforced join strategy buys.
     assert "SinglePartition" not in plan
+    # the logical plan must not force the vocabulary-sized side: no
+    # broadcast hint survives into the analyzed plan for the seg_ids
+    # join (the piece-table broadcast inside seg_ids itself is fine —
+    # that side is trainer-capped)
+    analyzed = enc._jdf.queryExecution().analyzed().toString()
+    # exactly one hint total: broadcast(vocab) inside seg_ids
+    assert analyzed.count("UnresolvedHint") == 0
+    assert analyzed.count("ResolvedHint") <= 1
