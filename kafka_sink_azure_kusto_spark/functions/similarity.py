@@ -556,6 +556,7 @@ def pq_adc_topk(
     codes_id_col: str = "vec_id",
     codes_cell_col: str | None = None,
     query_cell_col: str | None = None,
+    query_cells: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric distance computation over PQ codes — the search half
     of product quantization: the query stays full-precision, each
@@ -584,6 +585,16 @@ def pq_adc_topk(
     ``streaming_ivfpq_index_maintenance``; ``ivf_pq_topk`` is the
     variant that derives probe cells from centroids instead of taking
     them as a column).
+
+    ``query_cells`` (VERDICT r12 #6) generalizes the single-cell pairing
+    to real nprobe>1 serving: a (query_id, cell) relation with up to
+    ``n_probe`` rows per query (e.g. ``multiprobe_cells`` output, or
+    cells read from a routing table). Each corpus code lives in exactly
+    ONE cell, so a (query, vec) pair matches at most one probed cell
+    and the per-subspace lookup sum stays exact — no dedup stage
+    needed. Requires ``codes_cell_col``; mutually exclusive with
+    ``query_cell_col``. The probed relation is queries×n_probe rows —
+    broadcast, like the distance table it joins into.
     """
     qsub = subvectors(
         queries, num_subspaces, sub_len, query_id_col, query_vec_col,
@@ -594,18 +605,37 @@ def pq_adc_topk(
         .withColumn("qd", _flat_l2sq("sv", "c", sub_len))
         .select(F.col("id").alias("query_id"), "m", "code", "qd")
     )
-    if (codes_cell_col is None) != (query_cell_col is None):
+    if query_cells is not None:
+        if query_cell_col is not None:
+            raise ValueError(
+                "pq_adc_topk: query_cells and query_cell_col are mutually "
+                "exclusive — pass the probed (query_id, cell) relation OR "
+                "a single-cell query column, not both"
+            )
+        if codes_cell_col is None:
+            raise ValueError(
+                "pq_adc_topk: query_cells requires codes_cell_col — "
+                "without the store-side cell key the probed cells would "
+                "silently not prune anything"
+            )
+    elif (codes_cell_col is None) != (query_cell_col is None):
         raise ValueError(
             "pq_adc_topk: codes_cell_col and query_cell_col must be set "
             "together — a half-specified pairing would silently skip the "
             "cell prune and score every query against ALL cells"
         )
     join_keys = ["m", "code"]
-    if codes_cell_col is not None and query_cell_col is not None:
-        qcells = queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.col(query_cell_col).alias("_qcell"),
-        )
+    if codes_cell_col is not None:
+        if query_cells is not None:
+            # contract: (query_id, cell) — multiprobe_cells output shape
+            qcells = query_cells.select(
+                "query_id", F.col("cell").alias("_qcell")
+            )
+        else:
+            qcells = queries.select(
+                F.col(query_id_col).alias("query_id"),
+                F.col(query_cell_col).alias("_qcell"),
+            )
         dtab = dtab.join(F.broadcast(qcells), "query_id")
         codes = codes.withColumnRenamed(codes_cell_col, "_qcell")
         join_keys = ["m", "code", "_qcell"]
@@ -2348,3 +2378,74 @@ def ivfpq_code_upsert(
         "emptied_cells": len(emptied),
         "drift": sorted(drift),
     }
+
+
+def hierarchical_layers_nn_descent(
+    corpus: DataFrame,
+    layer_specs: list[dict],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 2,
+    bucket_cap: int = 256,
+) -> tuple[DataFrame, list[dict]]:
+    """Build ALL layers of a hierarchical ANN index WITHOUT any
+    all-pairs stage (VERDICT r12 next-round #2): each layer's kNN edges
+    come from ``nn_descent_refine`` (two-band LSH seed + one
+    neighbor-of-neighbor refinement round) over that layer's member
+    subset — including layer 0 over the full corpus, where
+    ``knn_graph_build_exact`` is the O(n²) construction this function
+    exists to retire for NEW indexes at 100 TB.
+
+    ``layer_specs`` is ordered BOTTOM-UP, layer 0 first; each entry is
+    {"stride": int (1 for layer 0 — membership is nid % stride == 0),
+    "k": int (graph degree), "num_planes": int (LSH planes per band —
+    smaller layers need fewer planes so buckets stay populated),
+    "rounds"/"beam"/"carry": the descent params for UPPER layers
+    (ignored on layer 0 — the searcher takes those separately)}.
+
+    Returns (edges0, upper_layers) in exactly the shape
+    ``hierarchical_graph_search_topk`` consumes (upper_layers
+    TOP-first). Every edge frame is localCheckpointed: each is scanned
+    once per descent round by the searcher, and re-deriving the
+    LSH+refine lineage per scan would multiply the build cost.
+
+    Scale shape: per layer, candidate generation is the banded bucket
+    equi-join (≤ bucket_cap² pairs per bucket per band) plus the ≤ 4k²
+    per-node two-hop expansion — linear in layer size, never |layer|².
+    Upper layers are 1/stride samples, so the whole build is a small
+    multiple of the layer-0 nn-descent cost. One refinement round is
+    the gated unit (the repo's plan-static policy); production builds
+    iterate rounds until the `improved` fraction dries up, each round
+    the same bounded shape. The construction trades exactness for
+    scalability — ``hierarchical_build_recall_audit`` grades the loss
+    as exact integers against the exact-built layers at equal descent
+    budget."""
+    vecs = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("v"))
+    built: list[tuple[dict, DataFrame, DataFrame]] = []
+    for spec in layer_specs:
+        members = (
+            vecs if spec["stride"] == 1
+            else vecs.filter(F.col("nid") % spec["stride"] == 0)
+        )
+        edges = (
+            nn_descent_refine(
+                members, id_col="nid", vec_col="v",
+                num_planes=spec["num_planes"], k=spec["k"],
+                bucket_cap=bucket_cap, bands=bands,
+            )
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        built.append((spec, members, edges))
+    edges0 = built[0][2]
+    upper = [
+        {
+            "members": members.select("nid"),
+            "edges": edges,
+            "rounds": spec["rounds"],
+            "beam": spec["beam"],
+            "carry": spec["carry"],
+        }
+        for spec, members, edges in reversed(built[1:])
+    ]
+    return edges0, upper

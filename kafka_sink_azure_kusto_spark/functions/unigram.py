@@ -262,3 +262,117 @@ def unigram_encode(
             ).alias("token_ids"),
         )
     )
+
+
+def word_count_upsert(
+    batch: DataFrame,
+    store_dir: str,
+    n_blocks: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_col: str | None = None,
+) -> dict:
+    """Apply ONE micro-batch of document upserts / Kafka NULL
+    tombstones to a persisted PER-DOCUMENT word-count store, and
+    return the ADDITIVE word-histogram deltas the batch implies — the
+    tokenizer-vocabulary member of the streaming index-maintenance
+    family (same store discipline as ``similarity.pq_code_upsert``).
+
+    Store rows are (doc_id, word, cnt) partitioned by ``block = doc_id
+    % n_blocks`` (id→block immutable, so no cell-move staleness). A
+    re-delivered doc replaces its old rows; a tombstone (NULL text)
+    drops them — in both cases the OLD rows, recovered from the
+    affected blocks, emit NEGATIVE histogram deltas and the new text's
+    counts emit positive ones, so the merged epoch registers always
+    equal the word histogram of the SURVIVING corpus. That additivity
+    is the whole point: at 100 TB the vocabulary monitor and any
+    retrain read the register store (vocabulary-sized), never the
+    corpus. Per-batch cost = |batch| tokenizations + |affected blocks|
+    of store I/O, never |index|. Last-write-wins within the batch by
+    ``seq_col``; emptied blocks are deleted through the Hadoop FS API;
+    a read failure on an existing store propagates loudly.
+
+    Returns {"batch_docs", "affected_blocks", "emptied_blocks",
+    "deltas": DataFrame (word, delta) — localCheckpointed BEFORE the
+    store overwrite so its lineage cannot read the rewritten store}.
+    """
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        _store_delete_partition,
+        _store_exists,
+    )
+
+    spark = batch.sparkSession
+    b = batch.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        *([F.col(seq_col).alias("_seq")] if seq_col else [F.lit(0).alias("_seq")]),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("_seq").desc())
+    latest = (
+        b.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .drop("_r", "_seq")
+        .withColumn("block", (F.col("doc_id") % n_blocks).cast("int"))
+        .localCheckpoint()
+    )
+    affected = sorted(
+        r["block"] for r in latest.select("block").distinct().collect()
+    )  # bounded ≤ n_blocks
+    new_rows = (
+        latest.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id", "block",
+            F.explode(F.split("text", " ")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "block", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint()
+    )
+    if _store_exists(spark, store_dir):
+        idx = spark.read.parquet(store_dir)
+        old_rows = (
+            idx.filter(F.col("block").isin(affected))
+            .join(latest.select("doc_id"), "doc_id", "left_semi")
+            .select("doc_id", "word", "cnt", "block")
+        )
+        keep = (
+            idx.filter(F.col("block").isin(affected))
+            .join(latest.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id", "word", "cnt", "block")
+        )
+    else:
+        old_rows, keep = None, None  # first run — store never written
+    neg = (
+        old_rows.select("word", (-F.col("cnt")).alias("delta"))
+        if old_rows is not None
+        else spark.createDataFrame([], "word string, delta long")
+    )
+    deltas = (
+        new_rows.select("word", F.col("cnt").alias("delta"))
+        .unionByName(neg)
+        .groupBy("word")
+        .agg(F.sum("delta").cast("long").alias("delta"))
+        .filter(F.col("delta") != 0)
+        .localCheckpoint()  # BEFORE the overwrite below invalidates lineage
+    )
+    rewrite = (
+        new_rows.select("doc_id", "word", "cnt", "block")
+        if keep is None
+        else keep.unionByName(new_rows.select("doc_id", "word", "cnt", "block"))
+    ).localCheckpoint()
+    rewrite.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("block").parquet(store_dir)
+    kept_blocks = {
+        r["block"] for r in rewrite.select("block").distinct().collect()
+    }  # ≤ n_blocks
+    emptied = [blk for blk in affected if blk not in kept_blocks]
+    for blk in emptied:
+        _store_delete_partition(spark, store_dir, f"block={blk}")
+    return {
+        "batch_docs": latest.count(),
+        "affected_blocks": len(affected),
+        "emptied_blocks": len(emptied),
+        "deltas": deltas,
+    }
