@@ -785,6 +785,13 @@ def _decode_prog_scan(
     MCUs; single-component scans walk the component's OWN block grid
     in raster order. Restart intervals reset DC predictors and the
     EOB run."""
+    # T.81 scan-header ranges: Ss 0..63, Se Ss..63. A corrupted Se
+    # would otherwise index past the 64-entry zigzag store as a bare
+    # IndexError (found by the r13 mutation property suite).
+    if not 0 <= ss <= se <= 63:
+        raise MediaDecodeError(
+            f"JPEG scan spectral selection out of range (Ss={ss}, Se={se})"
+        )
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = (width + 8 * hmax - 1) // (8 * hmax)
@@ -936,11 +943,19 @@ def decode_jpeg(data: bytes) -> DecodedMedia:
                 qts[tq] = tbl
                 i += 65
         elif marker == 0xC0:  # SOF0
+            if len(body) < 6:
+                raise MediaDecodeError("JPEG SOF segment truncated")
             prec = body[0]
             if prec != 8:
                 raise MediaDecodeError(f"unsupported JPEG precision {prec}")
             height, width = struct.unpack_from(">HH", body, 1)
             n = body[5]
+            # a corrupted component count would otherwise read past the
+            # segment body as a bare IndexError (found by the r13
+            # mutation property suite) — malformed input must always
+            # surface as MediaDecodeError
+            if n < 1 or len(body) < 6 + 3 * n:
+                raise MediaDecodeError("JPEG SOF component list truncated")
             comps = []
             for c in range(n):
                 cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
@@ -948,6 +963,8 @@ def decode_jpeg(data: bytes) -> DecodedMedia:
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
+                if i + 17 > len(body):
+                    raise MediaDecodeError("JPEG DHT truncated")
                 cls, tid = body[i] >> 4, body[i] & 0xF
                 bits = list(body[i + 1: i + 17])
                 nv = sum(bits)
@@ -957,8 +974,16 @@ def decode_jpeg(data: bytes) -> DecodedMedia:
                 hts[(cls, tid)] = _huff_tree(bits, values)
                 i += 17 + nv
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise MediaDecodeError("JPEG DRI segment truncated")
             (restart,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
+            # full SOS body = Ns + 2 bytes/component + Ss, Se, AhAl —
+            # a corrupted Ns must reject loudly, not IndexError (found
+            # by the r13 mutation property suite on progressive scans)
+            if len(body) < 1 or not 1 <= body[0] <= 4 \
+                    or len(body) < 2 * body[0] + 4:
+                raise MediaDecodeError("JPEG SOS segment truncated")
             ns = body[0]
             scan = []
             for c in range(ns):

@@ -683,3 +683,389 @@ def hierarchical_build_recall_audit(
     return grade("exact_built", edges0x, layersx).unionByName(
         grade("nn_descent_built", edges0n, layersn)
     )
+
+
+# =====================================================================
+# streaming tokenizer-vocabulary maintenance (VERDICT r12 next-round
+# #3): the tokenizer family gets the same live-loop discipline as the
+# six index families. Store = per-document word counts (block-
+# partitioned, tombstone-capable — functions/unigram.word_count_upsert);
+# registers = additive word-histogram deltas + per-epoch OOV/coverage
+# counters; gate = merged registers vs the closed-form final corpus.
+# Fixture (shared loop algebra, text edition): seed doc_id % 3 == 0;
+# batch 0 = % 3 == 1 + RE-DELIVERIES of % 9 == 0 with vowels→'z'
+# (the text analog of the +1.0/dim re-embedding — 'z' is OUTSIDE the
+# synthetic corpus alphabet, so coverage under the seed vocabulary
+# drops and the drift gate has something real to catch); batch 1 =
+# % 3 == 2 + tombstones of % 15 == 0 (text NULL).
+
+_VB_MAXW = 8       # DP bound (corpus max word length is 8)
+_VB_MAXP = 4       # max piece length
+_VB_CAP = 48       # vocabulary cap (seed AND retrained)
+_VB_BLOCKS = 8     # doc-store partitions (block = doc_id % blocks)
+_VB_TOP = 50       # gate output: top-50 merged histogram rows
+# ABSOLUTE coverage SLA (the production analog of a tokenizer
+# coverage contract), set ABOVE the baseline noise floor: even the
+# seed corpus under its own vocabulary reads ~3% OOV (the top-48 cap
+# drops the rarest single-char pieces, so a handful of words lose
+# their only tiling), so the SLA sits at 0.08 — the baseline and the
+# post-retrain state pass it, the drifted epochs (0.18-0.28 measured
+# at sf0.01) trip it. A seed-relative ratio would work too; the
+# absolute form is what a serving coverage contract actually is.
+_VB_OOV_GATE = 0.08
+
+_VB_MUT = "translate(text, 'aeiou', 'zzzzz')"
+
+_VB_GATE_ORACLE = f"""
+    WITH finalc AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 9 = 0 THEN {_VB_MUT} ELSE text END AS text
+        FROM documents WHERE doc_id % 15 <> 0),
+    hist AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS wcnt
+             FROM (SELECT unnest(string_split(text, ' ')) AS word
+                   FROM finalc)
+             WHERE word <> '' GROUP BY word)
+    SELECT word, wcnt, CAST(rnk AS BIGINT) AS rank FROM (
+        SELECT word, wcnt,
+               ROW_NUMBER() OVER (ORDER BY wcnt DESC, word ASC) AS rnk
+        FROM hist) WHERE rnk <= {_VB_TOP}
+"""
+
+
+def _vb_hist_sql(name: str, src: str) -> str:
+    return f"""{name} AS MATERIALIZED (
+        SELECT word, CAST(length(word) AS INT) AS wlen,
+               CAST(COUNT(*) AS BIGINT) AS wcnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM {src})
+        WHERE word <> '' GROUP BY word)"""
+
+
+def _vb_pieces_sql(name: str, words_cte: str) -> str:
+    """Top-{cap} substring pieces of a word histogram — the piece SET
+    of ``unigram.lp_table(seed_substring_counts(...))`` (log-probs are
+    irrelevant to coverage, so the oracle keeps only the set)."""
+    return f"""{name} AS MATERIALIZED (SELECT piece FROM (
+        SELECT piece, SUM(wcnt) AS cnt FROM (
+            SELECT substring(word, ii.i, pp.p) AS piece, wcnt
+            FROM {words_cte}
+            CROSS JOIN LATERAL (SELECT unnest(range(1, wlen + 1)) AS i) ii
+            CROSS JOIN LATERAL (SELECT unnest(range(1,
+                least({_VB_MAXP}, wlen - ii.i + 1) + 1)) AS p) pp
+            WHERE wlen <= {_VB_MAXW}
+        ) GROUP BY piece)
+        ORDER BY cnt DESC, piece ASC LIMIT {_VB_CAP})"""
+
+
+def _vb_reach_ctes(tag: str, words_cte: str, pieces_cte: str) -> list[str]:
+    """Boolean tiling-reachability DP (can the word be tiled by pieces
+    of length ≤ {maxp}?) — the coverage half of ``viterbi_segment``: a
+    word is covered iff the Viterbi DP has ANY path, which is exactly
+    tiling reachability, so the oracle needs no float scores at all."""
+    ctes = [
+        f"r{tag}0 AS (SELECT word, wlen FROM {words_cte} "
+        f"WHERE wlen <= {_VB_MAXW})"
+    ]
+    for j in range(1, _VB_MAXW + 1):
+        branches = " UNION ALL ".join(
+            f"SELECT r.word, r.wlen FROM r{tag}{j - p} r "
+            f"JOIN {pieces_cte} v "
+            f"ON v.piece = substring(r.word, {j - p + 1}, {p}) "
+            f"WHERE r.wlen >= {j}"
+            for p in range(1, min(_VB_MAXP, j) + 1)
+        )
+        ctes.append(
+            f"r{tag}{j} AS MATERIALIZED (SELECT DISTINCT word, wlen "
+            f"FROM ({branches}))"
+        )
+    cov = " UNION ALL ".join(
+        f"SELECT word FROM r{tag}{j} WHERE wlen = {j}"
+        for j in range(1, _VB_MAXW + 1)
+    )
+    ctes.append(f"cov{tag} AS MATERIALIZED ({cov})")
+    ctes.append(
+        f"""st{tag} AS (SELECT CAST(SUM(wcnt) AS BIGINT) AS n_tokens,
+        CAST(COALESCE(SUM(wcnt) FILTER (WHERE word NOT IN
+            (SELECT word FROM cov{tag})), 0) AS BIGINT) AS n_oov
+        FROM {words_cte})"""
+    )
+    return ctes
+
+
+def _vb_audit_oracle() -> str:
+    corpora = f"""
+    seedc AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+    b0c AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+            UNION ALL
+            SELECT doc_id, {_VB_MUT} FROM documents WHERE doc_id % 9 = 0),
+    b1c AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+    finalc AS (SELECT doc_id,
+               CASE WHEN doc_id % 9 = 0 THEN {_VB_MUT} ELSE text END AS text
+               FROM documents WHERE doc_id % 15 <> 0)"""
+    ctes = [
+        _vb_hist_sql("seedw", "seedc"),
+        _vb_hist_sql("b0w", "b0c"),
+        _vb_hist_sql("b1w", "b1c"),
+        _vb_hist_sql("finw", "finalc"),
+        _vb_pieces_sql("pseed", "seedw"),
+        _vb_pieces_sql("pnew", "finw"),
+    ]
+    ctes += _vb_reach_ctes("s", "seedw", "pseed")
+    ctes += _vb_reach_ctes("a", "b0w", "pseed")
+    ctes += _vb_reach_ctes("b", "b1w", "pseed")
+    ctes += _vb_reach_ctes("f", "finw", "pseed")
+    ctes += _vb_reach_ctes("g", "finw", "pnew")
+
+    def row(arm: str, nt: str, no: str, frm: str) -> str:
+        rate = f"ROUND(({no}) / CAST(({nt}) AS DOUBLE), 6)"
+        return (
+            f"SELECT '{arm}' AS arm, CAST({nt} AS BIGINT) AS n_tokens, "
+            f"CAST({no} AS BIGINT) AS n_oov, {rate} AS oov_rate, "
+            f"{rate} > {_VB_OOV_GATE} AS retrain FROM {frm}"
+        )
+
+    rows = "\n    UNION ALL\n    ".join([
+        row("seed_baseline", "n_tokens", "n_oov", "sts"),
+        row("epoch_0", "n_tokens", "n_oov", "sta"),
+        row("epoch_1", "n_tokens", "n_oov", "stb"),
+        row("stream_merged", "sta.n_tokens + stb.n_tokens",
+            "sta.n_oov + stb.n_oov", "sta, stb"),
+        row("final_seed_vocab", "n_tokens", "n_oov", "stf"),
+        row("final_retrained_vocab", "n_tokens", "n_oov", "stg"),
+    ])
+    return f"WITH {corpora},\n    " + ",\n    ".join(ctes) + "\n    " + rows
+
+
+_VB_MEMO: dict = {}
+
+
+def _run_vocab_stream_loop(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Engine of both vocabulary gates: runs the live loop once per
+    (application, sf_dir) and returns (top-{_VB_TOP} merged histogram,
+    drift/retrain audit rows)."""
+    from kafka_sink_azure_kusto_spark.functions import unigram as U
+    from kafka_sink_azure_kusto_spark.plans.registry_streaming2 import (
+        _stage_chunks,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _VB_MEMO:
+        return _VB_MEMO[key]
+
+    work = _workdir("stream_vocab_")
+    store = os.path.join(work, "store")
+    vocab_dir = os.path.join(work, "vocab")
+    reg = os.path.join(work, "registers")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # ---- seed: build the doc store through the SAME upsert kernel,
+    # persist the seed histogram register and the seed vocabulary store
+    seed = docs.filter(F.col("doc_id") % 3 == 0)
+    st = U.word_count_upsert(seed, store, n_blocks=_VB_BLOCKS)
+    st["deltas"].write.parquet(os.path.join(reg, "hist_seed"))
+    seedw = (
+        spark.read.parquet(os.path.join(reg, "hist_seed"))
+        .select(
+            "word",
+            F.col("delta").alias("wcnt"),
+            F.length("word").cast("int").alias("wlen"),
+        )
+    )
+    U.lp_table(
+        U.seed_substring_counts(
+            seedw.filter(F.col("wlen") <= _VB_MAXW), _VB_MAXP
+        ),
+        _VB_CAP,
+    ).write.parquet(vocab_dir)
+
+    def oov_stats(words: DataFrame, lp: DataFrame) -> DataFrame:
+        """(n_tokens, n_oov) of a word histogram under piece table
+        ``lp`` — coverage = the word has a Viterbi path."""
+        cov = U.viterbi_segment(
+            words.filter(F.col("wlen") <= _VB_MAXW), lp,
+            _VB_MAXW, _VB_MAXP,
+        ).select("word")
+        nt = words.agg(F.sum("wcnt").cast("long").alias("n_tokens"))
+        nc = (
+            words.join(cov, "word", "left_semi")
+            .agg(F.coalesce(F.sum("wcnt"), F.lit(0)).cast("long").alias("nc"))
+        )
+        return nt.crossJoin(nc).select(
+            "n_tokens", (F.col("n_tokens") - F.col("nc")).alias("n_oov")
+        )
+
+    lp_seed = spark.read.parquet(vocab_dir)
+    oov_stats(seedw, lp_seed).write.parquet(os.path.join(reg, "oov_seed"))
+
+    # ---- stream batches (shared loop algebra, text edition)
+    mut = F.translate(F.col("text"), "aeiou", "zzzzz")
+    b0 = (
+        docs.filter(F.col("doc_id") % 3 == 1)
+        .unionByName(
+            docs.filter(F.col("doc_id") % 9 == 0).withColumn("text", mut)
+        )
+        .withColumn("seq", F.lit(0))
+    )
+    b1 = (
+        docs.filter(F.col("doc_id") % 3 == 2)
+        .unionByName(
+            docs.filter(F.col("doc_id") % 15 == 0).withColumn(
+                "text", F.lit(None).cast("string")
+            )
+        )
+        .withColumn("seq", F.lit(1))
+    )
+    chunks = [
+        [r[0] for r in b.select(F.to_json(F.struct("doc_id", "text", "seq"))).collect()]
+        for b in (b0, b1)
+    ]
+    replay = os.path.join(work, "replay")
+    _stage_chunks(chunks, replay)
+
+    def update_vocab(batch_df, epoch_id: int) -> None:
+        ep = int(epoch_id)
+        mb = batch_df.sparkSession
+        st = U.word_count_upsert(
+            batch_df, store, n_blocks=_VB_BLOCKS, seq_col="seq"
+        )
+        st["deltas"].write.mode("overwrite").parquet(
+            os.path.join(reg, f"hist_stream/epoch={ep}")
+        )
+        # per-epoch coverage registers: the batch's LIVE text under the
+        # PERSISTED seed vocabulary (the serving store, not a recompute)
+        w = Window.partitionBy("doc_id").orderBy(F.col("seq").desc())
+        live = (
+            batch_df.withColumn("_r", F.row_number().over(w))
+            .filter((F.col("_r") == 1) & F.col("text").isNotNull())
+            .drop("_r")
+        )
+        bw = U.word_counts(live)
+        oov_stats(bw, mb.read.parquet(vocab_dir)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(reg, f"oov_stream/epoch={ep}"))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, seq int")
+        .option("maxFilesPerTrigger", 1)
+        .json(replay)
+    )
+    q = (
+        stream.writeStream.foreachBatch(update_vocab)
+        .option("checkpointLocation", os.path.join(work, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain_stream(q, 180)
+
+    # ---- merged histogram (seed register + stream deltas) — the gate
+    hist = (
+        spark.read.parquet(os.path.join(reg, "hist_seed"))
+        .select("word", "delta")
+        .unionByName(
+            spark.read.parquet(os.path.join(reg, "hist_stream"))
+            .select("word", "delta")
+        )
+        .groupBy("word")
+        .agg(F.sum("delta").cast("long").alias("wcnt"))
+        .filter(F.col("wcnt") > 0)
+        .localCheckpoint()
+    )
+    wtop = Window.orderBy(F.col("wcnt").desc(), F.col("word").asc())
+    top = (
+        hist.withColumn("rank", F.row_number().over(wtop).cast("bigint"))
+        .filter(F.col("rank") <= _VB_TOP)
+        .select("word", "wcnt", "rank")
+    )
+
+    # ---- audit rows: per-epoch + merged coverage registers, the
+    # retrain decision, and the retrain-from-REGISTERS verification
+    def arm_row(arm: str, stats: DataFrame) -> DataFrame:
+        rate = F.round(F.col("n_oov") / F.col("n_tokens"), 6)
+        return stats.select(
+            F.lit(arm).alias("arm"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_oov").cast("long").alias("n_oov"),
+            rate.alias("oov_rate"),
+            (rate > F.lit(_VB_OOV_GATE)).alias("retrain"),
+        )
+
+    seed_stats = spark.read.parquet(os.path.join(reg, "oov_seed"))
+    stream_reg = spark.read.parquet(os.path.join(reg, "oov_stream"))
+    ep_rows = None
+    for ep in (0, 1):
+        r = arm_row(
+            f"epoch_{ep}",
+            stream_reg.filter(F.col("epoch") == ep).select(
+                "n_tokens", "n_oov"
+            ),
+        )
+        ep_rows = r if ep_rows is None else ep_rows.unionByName(r)
+    merged = stream_reg.agg(
+        F.sum("n_tokens").alias("n_tokens"), F.sum("n_oov").alias("n_oov")
+    )
+    hist_words = hist.withColumn("wlen", F.length("word").cast("int"))
+    lp_new = U.lp_table(
+        U.seed_substring_counts(
+            hist_words.filter(F.col("wlen") <= _VB_MAXW), _VB_MAXP
+        ),
+        _VB_CAP,
+    ).localCheckpoint()
+    audit = (
+        arm_row("seed_baseline", seed_stats)
+        .unionByName(ep_rows)
+        .unionByName(arm_row("stream_merged", merged))
+        .unionByName(
+            arm_row("final_seed_vocab", oov_stats(hist_words, lp_seed))
+        )
+        .unionByName(
+            arm_row("final_retrained_vocab", oov_stats(hist_words, lp_new))
+        )
+    )
+    _VB_MEMO[key] = (top, audit)
+    return _VB_MEMO[key]
+
+
+@register("streaming_vocab_maintenance", _VB_GATE_ORACLE)
+def streaming_vocab_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE tokenizer-vocabulary maintenance through the real streaming
+    engine (VERDICT r12 #3 — the tokenizer family joins the six index
+    families' live-loop discipline): micro-batches of document
+    upserts, re-deliveries, and Kafka NULL tombstones maintain a
+    block-partitioned PER-DOCUMENT word-count store
+    (`functions/unigram.word_count_upsert` — old rows recovered from
+    affected blocks emit NEGATIVE histogram deltas, so a tombstone
+    with no payload still subtracts its doc's words), and each epoch
+    writes ADDITIVE word-histogram registers. Gate = the top-{_VB_TOP}
+    of the SUM-merged registers vs the word histogram of the
+    closed-form final corpus — a missed tombstone, double-applied
+    re-delivery, or lost delta flips counts in the top rows. At 100 TB
+    the register store is vocabulary-sized and every batch costs
+    |batch| + |affected blocks|, never |corpus| — vocabulary
+    monitoring and retraining never rescan the data."""
+    top, _ = _run_vocab_stream_loop(spark, sf_dir)
+    return top
+
+
+@register("vocab_drift_retrain_audit", _vb_audit_oracle())
+def vocab_drift_retrain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The coverage RETRAIN gate for the streaming vocabulary — drift
+    decides, retrain acts, the audit verifies (the
+    streaming_pq_drift_audit pattern, text edition). Per-epoch
+    coverage registers (n_tokens, n_oov — OOV = no Viterbi tiling
+    under the PERSISTED seed vocabulary, computed on batch-vocabulary-
+    sized word sets) SUM-merge into the stream coverage rate, compared
+    against the absolute coverage SLA (see _VB_OOV_GATE — set above
+    the ~3% baseline noise floor the capped vocabulary leaves even on
+    the seed corpus). Measured at sf0.01 the decision DISCRIMINATES:
+    seed 0.030 and epoch 1 0.031 pass, the mutated epoch 0 reads 0.283
+    and the merged stream 0.182 — retrain fires. The retrain consumes
+    ONLY the merged histogram registers (never the corpus) and the
+    final rows verify it as integers: the final corpus reads 3208 OOV
+    occurrences under the seed vocabulary vs 814 under the retrained
+    one (back under the SLA) once the 'z' pieces enter the top-48.
+    Oracle: closed-form corpora + top-{_VB_CAP} piece sets + boolean
+    tiling-reachability DP, generated from the same loops as the
+    Spark plan."""
+    _, audit = _run_vocab_stream_loop(spark, sf_dir)
+    return audit
