@@ -832,6 +832,14 @@ def _decode_prog_scan(
         _, tree = sel[si]
         if ah == 0:
             cat = _huff_decode(r, tree)
+            # T.81 8-bit: DC magnitude category is 0..11 — a corrupted
+            # Huffman table can emit up to 255 here, which reads a
+            # 255-bit diff and overflows the int64 store (found by the
+            # r13 crash-freedom property suite)
+            if cat > 11:
+                raise MediaDecodeError(
+                    f"JPEG DC magnitude category {cat} out of range"
+                )
             diff = _extend(r.bits(cat), cat)
             preds[si] += diff
             coef[0] = preds[si] << al
@@ -908,11 +916,13 @@ def decode_jpeg(data: bytes) -> DecodedMedia:
     # progressive state: per frame component, zigzag-ordered coefficient
     # grid (blocks_y, blocks_x, 64) at the MCU-padded geometry
     coef_store: list[np.ndarray] | None = None
+    saw_eoi = False
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise MediaDecodeError(f"JPEG marker expected at {pos}")
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
+            saw_eoi = True
             break
         if marker in (0xC1,):  # extended sequential — same scan layout
             marker = 0xC0
@@ -959,6 +969,16 @@ def decode_jpeg(data: bytes) -> DecodedMedia:
             comps = []
             for c in range(n):
                 cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
+                # validate sampling factors AT THE FRAME HEADER so both
+                # coding modes share the guard — the progressive path
+                # consumed comps before the baseline scan-time check
+                # and a corrupted hv byte reached the coefficient-store
+                # geometry as a bare ZeroDivisionError (r13 self-review)
+                if hv >> 4 not in (1, 2) or hv & 0xF not in (1, 2):
+                    raise MediaDecodeError(
+                        f"unsupported JPEG sampling factors "
+                        f"{hv >> 4}x{hv & 0xF}"
+                    )
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
         elif marker == 0xC4:  # DHT
             i = 0
@@ -1018,6 +1038,12 @@ def decode_jpeg(data: bytes) -> DecodedMedia:
             orientation = _exif_orientation(body[6:])
         # other APPn / COM: skipped
         pos = pos + 2 + seg_len
+    # the walk requires pos+4 for segment headers, but EOI is a bare
+    # 2-byte marker — a valid stream ending exactly in EOI exits the
+    # loop without entering it
+    if not saw_eoi and pos + 2 <= len(data) \
+            and data[pos:pos + 2] == b"\xff\xd9":
+        saw_eoi = True
     if width is None or scan is None:
         raise MediaDecodeError("JPEG missing SOF or SOS")
     if width <= 0 or height <= 0:
@@ -1026,6 +1052,12 @@ def decode_jpeg(data: bytes) -> DecodedMedia:
     if progressive:
         if coef_store is None:
             raise MediaDecodeError("JPEG progressive frame without scans")
+        # a progressive stream truncated between two scans (or with its
+        # EOI cut off) exits the marker walk with a PARTIAL coefficient
+        # store — rendering it would silently serve a half-refined
+        # image (found by the r13 truncation property suite)
+        if not saw_eoi:
+            raise MediaDecodeError("JPEG truncated before EOI")
         hmax = max(c[1] for c in comps)
         vmax = max(c[2] for c in comps)
         planes = []
@@ -1085,6 +1117,11 @@ def decode_jpeg(data: bytes) -> DecodedMedia:
                     for bh_ in range(h):
                         zz = np.zeros(64, dtype=np.int64)
                         cat = _huff_decode(r, dct_tree)
+                        if cat > 11:
+                            raise MediaDecodeError(
+                                f"JPEG DC magnitude category {cat} "
+                                "out of range"
+                            )
                         diff = _extend(r.bits(cat), cat)
                         preds[ci] += diff
                         zz[0] = preds[ci]
@@ -1114,6 +1151,15 @@ def decode_jpeg(data: bytes) -> DecodedMedia:
                         x0 = (mx * h + bh_) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = pix
             mcu_count += 1
+    # a stream with its EOI cut off decoded every MCU but is still a
+    # truncated file — the stored image may continue in bytes we never
+    # received (found by the r13 truncation property suite, baseline
+    # edition of the progressive saw_eoi check)
+    mpos = _skip_to_marker(data, r.pos)
+    if data[mpos + 1] != 0xD9:
+        raise MediaDecodeError(
+            f"JPEG expected EOI after scan, found 0xFF{data[mpos + 1]:02X}"
+        )
     return _finish_decode(
         planes, [(h, v) for _, h, v, _, _, _ in sc],
         hmax, vmax, width, height, orientation,

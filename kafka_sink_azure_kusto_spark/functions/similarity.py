@@ -627,10 +627,14 @@ def pq_adc_topk(
     join_keys = ["m", "code"]
     if codes_cell_col is not None:
         if query_cells is not None:
-            # contract: (query_id, cell) — multiprobe_cells output shape
+            # contract: (query_id, cell) — multiprobe_cells output
+            # shape. DISTINCT is load-bearing: a duplicate probed row
+            # (an at-least-once routing table, a union of probe
+            # sources) would double that cell's per-subspace lookup
+            # sums and corrupt the cross-cell ranking (r13 self-review)
             qcells = query_cells.select(
                 "query_id", F.col("cell").alias("_qcell")
-            )
+            ).distinct()
         else:
             qcells = queries.select(
                 F.col(query_id_col).alias("query_id"),
@@ -683,6 +687,10 @@ def ivf_pq_topk(
     6-dp-rounded approximate L2² ascending, self excluded.
     ``codes_id_col`` names the id column of the codes frame; a short
     QUERY vector raises with its id (on_short='error')."""
+    # ONE ADC kernel (r13 self-review): the centroid-derived case is
+    # just pq_adc_topk's query_cells path with multiprobe expansion —
+    # keeping a second hand-rolled join here meant every ADC fix had
+    # to land twice or the serving paths diverged.
     probed = multiprobe_cells(
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -691,31 +699,11 @@ def ivf_pq_topk(
         centroids,
         n_probe,
     )
-    qsub = subvectors(
-        queries, num_subspaces, sub_len, query_id_col, query_vec_col,
-        on_short="error",
-    )
-    dtab = (
-        qsub.join(F.broadcast(codebook), "m")
-        .withColumn("qd", _flat_l2sq("sv", "c", sub_len))
-        .select(F.col("id").alias("query_id"), "m", "code", "qd")
-    )
-    cand = codes.join(
-        F.broadcast(probed.select("query_id", "cell")), "cell"
-    )
-    adc = (
-        cand.join(F.broadcast(dtab), ["query_id", "m", "code"])
-        .groupBy("query_id", F.col(codes_id_col).alias("neighbor_id"))
-        .agg(F.round(F.sum("qd"), 6).alias("adc_d2"))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        adc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "adc_d2", "rank")
+    return pq_adc_topk(
+        codes, queries, codebook, num_subspaces, sub_len, k=k,
+        query_id_col=query_id_col, query_vec_col=query_vec_col,
+        codes_id_col=codes_id_col, codes_cell_col="cell",
+        query_cells=probed,
     )
 
 

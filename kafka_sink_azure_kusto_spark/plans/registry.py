@@ -137,7 +137,19 @@ _ROTATION_SLOTS = 15
 # the rotation pool so the sample spends its slots on genuinely old
 # queries; older entries here are inert and kept for history.
 _ROUND_FRESH: dict[int, list[str]] = {
-    13: _GATE_HEAD,
+    # FROZEN name lists, never an alias of the mutable _GATE_HEAD —
+    # next round's in-place head edit must not retroactively rewrite
+    # what counted as round-13 work (r13 self-review; the same drift
+    # hazard ADVICE r12 #2 removed in its positional form)
+    13: [
+        "hierarchical_build_nn_descent", "hierarchical_build_recall_audit",
+        "streaming_vocab_maintenance", "vocab_drift_retrain_audit",
+        "ivfpq_nprobe_search", "adc_nprobe_recall_audit",
+        "unigram_pack_token_windows", "unigram_lm_tokenizer_train",
+        "streaming_pq_index_maintenance", "streaming_pq_drift_audit",
+        "similarity_hierarchical_search", "graph_hierarchy_gain_audit",
+        "embedding_pq_adc_topk", "streaming_ivfpq_index_maintenance",
+    ],
     12: [
         "streaming_pq_index_maintenance", "streaming_pq_drift_audit",
         "streaming_ivfpq_index_maintenance",

@@ -140,3 +140,23 @@ def test_jpeg_mutation_crash_freedom_property(off, xor, seed, progressive):
         assert m.samples.min() >= 0 and m.samples.max() <= 255
     except MediaDecodeError:
         pass
+
+
+def test_jpeg_corrupt_sampling_factor_rejects_both_modes():
+    """r13 self-review regression: a zeroed or out-of-range hv byte in
+    the SOF component list must reject as MediaDecodeError in BOTH
+    coding modes — the progressive path used to reach the
+    coefficient-store geometry and die with a bare ZeroDivisionError."""
+    rgb = _rgb(3, 16, 12)
+    for progressive in (False, True):
+        blob = bytearray(
+            encode_jpeg(16, 12, rgb, quality=85, progressive=progressive)
+        )
+        sof = bytes(blob).find(b"\xff\xc2" if progressive else b"\xff\xc0")
+        assert sof > 0
+        hv_off = sof + 2 + 2 + 6 + 1  # len + prec/h/w/n + first cid
+        for hv in (0x00, 0x31, 0x13):
+            mutated = bytearray(blob)
+            mutated[hv_off] = hv
+            with pytest.raises(MediaDecodeError):
+                decode_jpeg(bytes(mutated))
