@@ -233,6 +233,14 @@ HEADLINE = [
     "unigram_pack_token_windows",
     "pq_codebook_train",
     "pq_retrain_improvement_audit",
+    # r13: nn-descent layered construction + its recall audit, the
+    # streaming vocabulary loop + retrain gate, nprobe>1 ADC serving
+    "hierarchical_build_nn_descent",
+    "hierarchical_build_recall_audit",
+    "streaming_vocab_maintenance",
+    "vocab_drift_retrain_audit",
+    "ivfpq_nprobe_search",
+    "adc_nprobe_recall_audit",
 ]
 
 
@@ -1103,6 +1111,15 @@ def _headline_shard_timings(spark, sf_dir: str, i: int, n: int) -> dict:
         fn = qs[name]
         best = float("inf")
         for _ in range(runs_per_query):
+            # standalone-cost contract: the gate-substrate memos
+            # (VERDICT r12 #5) must not leak a cached re-read into a
+            # timed run — without this, min-of-N recorded ~0.1 s for
+            # queries whose real loop costs ~10 s
+            from kafka_sink_azure_kusto_spark.plans.registry import (
+                clear_gate_memos,
+            )
+
+            clear_gate_memos()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
@@ -1502,12 +1519,49 @@ def _cpu_probe() -> dict:
             "workload": "md5 1MiB x256 (st) / x256 x32thr (mt32)"}
 
 
+def _io_probe() -> dict:
+    """Disk-speed twin of _cpu_probe (r13): the streaming-latency and
+    sink sections are fsync/write-bound (checkpoint WAL, staging,
+    emulator appends), so a slow or burst-credit-throttled volume
+    inflates their numbers while every CPU anchor reads normal —
+    exactly what r13 hit (6 ms/fsync, 11 MB/s sequential on a box
+    whose cpu_probe matched the quiet baseline). Two absolute numbers
+    per round: 200 × 4 KiB fsync'd writes, one 64 MiB sequential
+    write+fsync."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="bench_ioprobe_")
+    try:
+        t0 = time.perf_counter()
+        for i in range(200):
+            with open(os.path.join(d, f"f{i}"), "wb") as f:
+                f.write(b"x" * 4096)
+                f.flush()
+                os.fsync(f.fileno())
+        fsync200 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        with open(os.path.join(d, "big"), "wb") as f:
+            f.write(b"x" * (64 << 20))
+            f.flush()
+            os.fsync(f.fileno())
+        seq64 = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return {
+        "fsync_4k_ms_each": round(fsync200 / 200 * 1000, 2),
+        "seq_64mib_sec": round(seq64, 3),
+        "seq_mib_per_sec": round(64 / max(seq64, 1e-3), 1),
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
     env = _wait_for_quiet()
     env["cpu_probe"] = _cpu_probe()
+    env["io_probe"] = _io_probe()
 
     # Fresh-JVM isolation for the two steady-state claims (VERDICT r8
     # #2): measure sink throughput and streaming latency FIRST, each in
@@ -1677,9 +1731,13 @@ def main() -> int:
             "queued_defaults_1mb_30s", {}
         ).get("p95_ms_full"),
         # cross-round comparability anchors (VERDICT r12 #4): in-run
-        # ambient drift + absolute box speed, in the driver-parsed tail
+        # ambient drift + absolute box CPU and DISK speed, in the
+        # driver-parsed tail (a throttled volume inflates the
+        # fsync-bound streaming/sink sections while CPU reads normal)
         "ambient_factor": env.get("ambient_factor"),
         "cpu_probe_st_sec": env.get("cpu_probe", {}).get("st_sec"),
+        "io_fsync_ms": env.get("io_probe", {}).get("fsync_4k_ms_each"),
+        "io_seq_mib_s": env.get("io_probe", {}).get("seq_mib_per_sec"),
         "detail": "BENCH_DETAIL.json",
     }
     sys.stdout.flush()

@@ -74,6 +74,25 @@ def _workdir(prefix: str) -> str:
     return d
 
 
+def clear_gate_memos() -> None:
+    """Reset every per-process gate-substrate memo (the PQ stream
+    loop, the exact and nn-descent hierarchical layer builds, the
+    nprobe code store, the vocab stream loop). The memos exist so ONE
+    sweep / driver-gate pass builds each shared substrate once
+    (VERDICT r12 #5); benchmark timing loops must clear them before
+    every timed run so a recorded wall is always the query's
+    STANDALONE cost — without this, min-of-N recorded the ~0.1 s
+    cached re-read for gates whose real loop costs ~10 s, silently
+    deflating the headline total (r13 bench-honesty fix)."""
+    from kafka_sink_azure_kusto_spark.plans import registry_r12, registry_r13
+
+    registry_r12._PQ_LOOP_MEMO.clear()
+    registry_r12._HL_LAYER_MEMO.clear()
+    registry_r13._HB_MEMO.clear()
+    registry_r13._NP_MEMO.clear()
+    registry_r13._VB_MEMO.clear()
+
+
 def _drain_stream(q, timeout_s: int) -> None:
     """Await an availableNow streaming query and FAIL LOUDLY on
     timeout (ADVICE r12 #3): every gate loop grades state the stream

@@ -36,9 +36,12 @@ def _one(name: str) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     fn = entrymod.queries()[name]
     load_table(spark, SF_DIR, "region").count()
+    from kafka_sink_azure_kusto_spark.plans.registry import clear_gate_memos
+
     walls = []
     n_runs = int(os.environ.get("QUIET_AB_RUNS", "4"))
     for i in range(n_runs):  # run 0 = discarded cold (JVM + codegen)
+        clear_gate_memos()  # standalone-cost contract (see bench.py)
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         walls.append(round(time.perf_counter() - t0, 3))
