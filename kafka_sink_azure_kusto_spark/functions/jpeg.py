@@ -1154,8 +1154,16 @@ def decode_jpeg(data: bytes) -> DecodedMedia:
     # a stream with its EOI cut off decoded every MCU but is still a
     # truncated file — the stored image may continue in bytes we never
     # received (found by the r13 truncation property suite, baseline
-    # edition of the progressive saw_eoi check)
+    # edition of the progressive saw_eoi check). One marker IS
+    # spec-legal between the first scan and EOI: DNL (0xFFDC, B.2.5
+    # "define number of lines") — skip its 4-byte fixed segment before
+    # requiring EOI (ADVICE r13 #1; anything else still rejects).
     mpos = _skip_to_marker(data, r.pos)
+    if data[mpos + 1] == 0xDC:
+        if mpos + 4 > len(data):
+            raise MediaDecodeError("JPEG truncated inside DNL segment")
+        seg_len = int.from_bytes(data[mpos + 2:mpos + 4], "big")
+        mpos = _skip_to_marker(data, mpos + 2 + seg_len)
     if data[mpos + 1] != 0xD9:
         raise MediaDecodeError(
             f"JPEG expected EOI after scan, found 0xFF{data[mpos + 1]:02X}"

@@ -264,6 +264,40 @@ def unigram_encode(
     )
 
 
+def _check_store_n_blocks(spark, store_dir: str, n_blocks: int) -> None:
+    """Pin the block modulus to the store's on-disk layout (ADVICE r13
+    #2): a ``_n_blocks`` sidecar (hidden — underscore names don't count
+    as data for the first-run probe) is written once at store creation
+    and compared on every later call. Caller-supplied ``n_blocks`` that
+    disagrees with the layout the store was built under raises loudly
+    instead of silently filtering old rows into the wrong ``affected``
+    set. Hadoop FS API, same storage-agnosticism rationale as
+    ``similarity._store_exists``; O(1) per batch."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(store_dir, "_n_blocks")
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(fs.open(hpath), "UTF-8")
+        )
+        try:
+            stored = int(reader.readLine().strip())
+        finally:
+            reader.close()
+        if stored != n_blocks:
+            raise ValueError(
+                f"word-count store at {store_dir} was built with "
+                f"n_blocks={stored}; caller passed n_blocks={n_blocks} — "
+                "refusing to upsert under a mismatched block layout"
+            )
+    else:
+        out = fs.create(hpath, True)
+        try:
+            out.write(bytearray(f"{n_blocks}\n".encode("utf-8")))
+        finally:
+            out.close()
+
+
 def word_count_upsert(
     batch: DataFrame,
     store_dir: str,
@@ -292,6 +326,16 @@ def word_count_upsert(
     ``seq_col``; emptied blocks are deleted through the Hadoop FS API;
     a read failure on an existing store propagates loudly.
 
+    ``n_blocks`` is part of the store's on-disk layout: it is persisted
+    in a ``_n_blocks`` sidecar at store creation and every later call
+    raises loudly on mismatch (ADVICE r13 #2 — a different modulus
+    would compute ``affected`` under the wrong layout, silently leaving
+    stale rows and un-negated deltas). In-batch duplicate doc_ids with
+    no ``seq_col`` resolve by a DETERMINISTIC tiebreak — non-null text
+    beats tombstone, then lexicographically greatest text — so the
+    surviving delivery is stable across retries and partitionings
+    (ADVICE r13 #3); pass ``seq_col`` when delivery order matters.
+
     Returns {"batch_docs", "affected_blocks", "emptied_blocks",
     "deltas": DataFrame (word, delta) — localCheckpointed BEFORE the
     store overwrite so its lineage cannot read the rewritten store}.
@@ -302,12 +346,19 @@ def word_count_upsert(
     )
 
     spark = batch.sparkSession
+    _check_store_n_blocks(spark, store_dir, n_blocks)
     b = batch.select(
         F.col(id_col).alias("doc_id"),
         F.col(text_col).alias("text"),
         *([F.col(seq_col).alias("_seq")] if seq_col else [F.lit(0).alias("_seq")]),
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("_seq").desc())
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("_seq").desc(),
+        # deterministic within-_seq tiebreak (ADVICE r13 #3): prefer a
+        # live delivery over a tombstone, then greatest text
+        F.col("text").isNull().cast("int").asc(),
+        F.col("text").desc(),
+    )
     latest = (
         b.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") == 1)

@@ -201,6 +201,16 @@ _ROUND_FRESH: dict[int, list[str]] = {
 }
 
 
+# A _ROUND bump without a matching frozen fresh-list entry would
+# silently let just-changed queries re-enter the rotation pool — the
+# drift class ADVICE r12 #2 removed in positional form and ADVICE r13
+# #4 flagged in append-discipline form. Fail fast at import instead.
+assert _ROUND in _ROUND_FRESH, (
+    f"_ROUND={_ROUND} bumped without freezing _ROUND_FRESH[{_ROUND}] — "
+    "append this round's new/changed query names before shipping"
+)
+
+
 def _rotation_sample() -> list[str]:
     """Deterministic round-keyed sample of long-stable queries: rank by
     md5(name|round) — stable within a round, reshuffled across rounds —
