@@ -2388,6 +2388,10 @@ def hierarchical_layers_nn_descent(
     {"stride": int (1 for layer 0 — membership is nid % stride == 0),
     "k": int (graph degree), "num_planes": int (LSH planes per band —
     smaller layers need fewer planes so buckets stay populated),
+    "build_rounds": int (nn-descent refinement rounds, default 1 —
+    each extra round feeds the previous round's top-``k`` lists back
+    as the seed, the Dong et al. iteration; every round is the same
+    bounded equi-join shape, so cost is rounds × linear),
     "rounds"/"beam"/"carry": the descent params for UPPER layers
     (ignored on layer 0 — the searcher takes those separately)}.
 
@@ -2401,13 +2405,14 @@ def hierarchical_layers_nn_descent(
     equi-join (≤ bucket_cap² pairs per bucket per band) plus the ≤ 4k²
     per-node two-hop expansion — linear in layer size, never |layer|².
     Upper layers are 1/stride samples, so the whole build is a small
-    multiple of the layer-0 nn-descent cost. One refinement round is
-    the gated unit (the repo's plan-static policy); production builds
-    iterate rounds until the `improved` fraction dries up, each round
-    the same bounded shape. The construction trades exactness for
-    scalability — ``hierarchical_build_recall_audit`` grades the loss
-    as exact integers against the exact-built layers at equal descent
-    budget."""
+    multiple of the layer-0 nn-descent cost. ``build_rounds`` per-spec
+    fixes the refinement budget (the r14 gated unit is 2 — measured to
+    recover ≥90% of exact-graph recall on the audit fixture);
+    production builds at a new corpus instead iterate until the
+    `improved` fraction dries up, each round the same bounded shape.
+    The construction trades exactness for scalability —
+    ``hierarchical_build_recall_audit`` grades the loss as exact
+    integers against the exact-built layers at equal descent budget."""
     vecs = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("v"))
     built: list[tuple[dict, DataFrame, DataFrame]] = []
     for spec in layer_specs:
@@ -2415,15 +2420,23 @@ def hierarchical_layers_nn_descent(
             vecs if spec["stride"] == 1
             else vecs.filter(F.col("nid") % spec["stride"] == 0)
         )
-        edges = (
-            nn_descent_refine(
+        refined = nn_descent_refine(
+            members, id_col="nid", vec_col="v",
+            num_planes=spec["num_planes"], k=spec["k"],
+            bucket_cap=bucket_cap, bands=bands,
+        )
+        for _ in range(spec.get("build_rounds", 1) - 1):
+            # feed the previous round's top-k lists (ROUND(score,6) —
+            # the refine output contract) back as the seed; checkpoint
+            # per round, each graph is re-scanned by the next round's
+            # reverse-rank + two-hop stages
+            refined = nn_descent_refine(
                 members, id_col="nid", vec_col="v",
                 num_planes=spec["num_planes"], k=spec["k"],
                 bucket_cap=bucket_cap, bands=bands,
+                seed=refined.select("src", "dst", "score").localCheckpoint(),
             )
-            .select("src", "dst")
-            .localCheckpoint()
-        )
+        edges = refined.select("src", "dst").localCheckpoint()
         built.append((spec, members, edges))
     edges0 = built[0][2]
     upper = [
