@@ -825,29 +825,54 @@ def rerank_topk(
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
     query_vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> DataFrame:
     """Exact full-vector rerank of an ANN candidate set — the second
     half of the standard coarse-then-exact production pattern: a cheap
     wide-net pass (IVF / PQ / LSH, candidates ≫ k) followed by true
-    cosine on ONLY the candidate (query, neighbor) pairs.
+    distance on ONLY the candidate (query, neighbor) pairs.
 
     ``candidates``: (query_id, neighbor_id) rows. The full vectors are
     fetched by equi-join on the candidate ids — the corpus is touched
     only for candidate rows (at scale: a semi-join pushed to the
     vector store / parquet scan), and the query side is broadcast.
-    Returns (query_id, neighbor_id, score, rank) by exact cosine
-    descending."""
+    ``metric='cosine'`` (default) returns (query_id, neighbor_id,
+    score, rank) by exact cosine descending; ``metric='l2sq'`` returns
+    (query_id, neighbor_id, d2, rank) by exact squared-L2 ASCENDING —
+    the honest rerank for an ADC shortlist, which approximates L2²
+    (r14 IVF-PQ serving pipeline)."""
+    if metric not in ("cosine", "l2sq"):
+        raise ValueError(f"rerank_topk: unknown metric {metric!r}")
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qvec")
     )
-    scored = (
+    paired = (
         candidates.select("query_id", "neighbor_id")
         .join(c, "neighbor_id")
         .join(F.broadcast(q), "query_id")
-        .withColumn("score", cosine(F.col("qvec"), F.col("cvec")))
+    )
+    if metric == "l2sq":
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col("qvec"), F.col("cvec"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        scored = paired.withColumn("d2", d2)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("d2").asc(), F.col("neighbor_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "d2", "rank")
+        )
+    scored = paired.withColumn(
+        "score", cosine(F.col("qvec"), F.col("cvec"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()

@@ -16,3 +16,4 @@ import kafka_sink_azure_kusto_spark.plans.registry_r11  # noqa: E402,F401 — kN
 import kafka_sink_azure_kusto_spark.plans.registry_r11b  # noqa: E402,F401 — expectation suite/retrieval eval/hybrid RRF/binary MIH
 import kafka_sink_azure_kusto_spark.plans.registry_r12  # noqa: E402,F401 — streaming PQ maintenance/drift retrain gate
 import kafka_sink_azure_kusto_spark.plans.registry_r13  # noqa: E402,F401 — nn-descent layered build/vocab maintenance/nprobe ADC
+import kafka_sink_azure_kusto_spark.plans.registry_r14  # noqa: E402,F401 — IVF-PQ serving pipeline/vocab-store serving read

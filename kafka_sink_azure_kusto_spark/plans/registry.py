@@ -84,13 +84,18 @@ def clear_gate_memos() -> None:
     STANDALONE cost — without this, min-of-N recorded the ~0.1 s
     cached re-read for gates whose real loop costs ~10 s, silently
     deflating the headline total (r13 bench-honesty fix)."""
-    from kafka_sink_azure_kusto_spark.plans import registry_r12, registry_r13
+    from kafka_sink_azure_kusto_spark.plans import (
+        registry_r12,
+        registry_r13,
+        registry_r14,
+    )
 
     registry_r12._PQ_LOOP_MEMO.clear()
     registry_r12._HL_LAYER_MEMO.clear()
     registry_r13._HB_MEMO.clear()
     registry_r13._NP_MEMO.clear()
     registry_r13._VB_MEMO.clear()
+    registry_r14._SV_MEMO.clear()
 
 
 def _drain_stream(q, timeout_s: int) -> None:
