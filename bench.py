@@ -1661,6 +1661,34 @@ def main() -> int:
     # GC/allocator state, not engine cost.
     scale10x = _fresh_jvm_section("scale10x").get("queries", {})
     scale100x = _fresh_jvm_section("scale100x").get("queries", {})
+    # 2×-contract bookkeeping (VERDICT r13 #3): first-green walls live
+    # in the committed FIRSTGREEN.json artifact — queries measured for
+    # the first time at the canonical sf are APPENDED (never
+    # rewritten), and every run publishes per-query ratios + the
+    # breach list, so the contract needs no git archaeology.
+    try:
+        from tools import firstgreen as _fg
+    except ImportError:  # tools/ not importable as a package
+        import importlib.util as _ilu
+
+        _spec = _ilu.spec_from_file_location(
+            "firstgreen",
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "tools", "firstgreen.py",
+            ),
+        )
+        _fg = _ilu.module_from_spec(_spec)
+        _spec.loader.exec_module(_fg)
+    fg_map = _fg.load()
+    sf_num = float(sf) if sf.replace(".", "").isdigit() else None
+    fg_added = _fg.update(
+        fg_map, timings, sf_num, _fg.current_round(), _fg._head_commit()
+    )
+    if fg_added:
+        _fg.save(fg_map)
+    contract = _fg.contract(fg_map, timings, sf_num)
+    contract["first_green_added"] = sorted(fg_added)
     full = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -1682,6 +1710,7 @@ def main() -> int:
         },
         "sink_throughput": sink_tp,
         "streaming_latency": latency,
+        "contract": contract,
     }
     # The driver records only the LAST ~2000 chars of stdout and parses
     # the tail as JSON; the full payload (90 queries × 3 suites, ~6 KB)
@@ -1738,6 +1767,10 @@ def main() -> int:
         "cpu_probe_st_sec": env.get("cpu_probe", {}).get("st_sec"),
         "io_fsync_ms": env.get("io_probe", {}).get("fsync_4k_ms_each"),
         "io_seq_mib_s": env.get("io_probe", {}).get("seq_mib_per_sec"),
+        # the 2× contract, evaluated against FIRSTGREEN.json — breach
+        # list in the driver-parsed tail so the judge needs no git
+        # archaeology (VERDICT r13 #3)
+        "contract_breaches": contract.get("breaches", []),
         "detail": "BENCH_DETAIL.json",
     }
     sys.stdout.flush()

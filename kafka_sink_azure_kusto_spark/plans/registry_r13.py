@@ -879,10 +879,11 @@ _VB_MEMO: dict = {}
 
 def _run_vocab_stream_loop(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """Engine of both vocabulary gates: runs the live loop once per
+) -> tuple[DataFrame, DataFrame, str]:
+    """Engine of the vocabulary gates: runs the live loop once per
     (application, sf_dir) and returns (top-{_VB_TOP} merged histogram,
-    drift/retrain audit rows)."""
+    drift/retrain audit rows, path of the persisted RETRAINED
+    vocabulary store — the r14 serving read's input)."""
     from kafka_sink_azure_kusto_spark.functions import unigram as U
     from kafka_sink_azure_kusto_spark.plans.registry_streaming2 import (
         _stage_chunks,
@@ -1044,12 +1045,17 @@ def _run_vocab_stream_loop(
         F.sum("n_tokens").alias("n_tokens"), F.sum("n_oov").alias("n_oov")
     )
     hist_words = hist.withColumn("wlen", F.length("word").cast("int"))
-    lp_new = U.lp_table(
+    # the retrain PERSISTS the new vocabulary — it becomes the live
+    # serving store (r14 vocab_store_incremental_encode reads it the
+    # way ivfpq_nprobe_search reads the PQ code store)
+    retrained_dir = os.path.join(work, "vocab_retrained")
+    U.lp_table(
         U.seed_substring_counts(
             hist_words.filter(F.col("wlen") <= _VB_MAXW), _VB_MAXP
         ),
         _VB_CAP,
-    ).localCheckpoint()
+    ).write.parquet(retrained_dir)
+    lp_new = spark.read.parquet(retrained_dir)
     audit = (
         arm_row("seed_baseline", seed_stats)
         .unionByName(ep_rows)
@@ -1061,7 +1067,7 @@ def _run_vocab_stream_loop(
             arm_row("final_retrained_vocab", oov_stats(hist_words, lp_new))
         )
     )
-    _VB_MEMO[key] = (top, audit)
+    _VB_MEMO[key] = (top, audit, retrained_dir)
     return _VB_MEMO[key]
 
 
@@ -1082,7 +1088,7 @@ def streaming_vocab_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the register store is vocabulary-sized and every batch costs
     |batch| + |affected blocks|, never |corpus| — vocabulary
     monitoring and retraining never rescan the data."""
-    top, _ = _run_vocab_stream_loop(spark, sf_dir)
+    top, _, _ = _run_vocab_stream_loop(spark, sf_dir)
     return top
 
 
@@ -1106,5 +1112,5 @@ def vocab_drift_retrain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: closed-form corpora + top-{_VB_CAP} piece sets + boolean
     tiling-reachability DP, generated from the same loops as the
     Spark plan."""
-    _, audit = _run_vocab_stream_loop(spark, sf_dir)
+    _, audit, _ = _run_vocab_stream_loop(spark, sf_dir)
     return audit

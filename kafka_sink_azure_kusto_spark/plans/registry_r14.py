@@ -44,7 +44,16 @@ from kafka_sink_azure_kusto_spark.plans.registry_r12 import (
     _hl_corpus,
     _pq_codes_sql,
     _pq_kmeans_ctes,
+    _ul_dp_ctes,
 )
+from kafka_sink_azure_kusto_spark.plans.registry_r13 import (
+    _VB_CAP,
+    _VB_MAXP,
+    _VB_MAXW,
+    _VB_MUT,
+    _run_vocab_stream_loop,
+)
+from kafka_sink_azure_kusto_spark.sources.tables import load_table
 
 # =====================================================================
 # IVF-PQ serving pipeline (VERDICT r13 #2): trained codebook → nprobe
@@ -379,3 +388,153 @@ def ivfpq_serving_recall_audit(
             )
         )
     return rows
+
+
+# =====================================================================
+# vocab-store serving read (VERDICT r13 #5): the maintenance loop
+# persists the doc store + registers and retrains the vocabulary from
+# registers; this gate ENCODES a fresh batch against that live,
+# post-retrain vocabulary store — the tokenizer analog of
+# ivfpq_nprobe_search serving off the PQ code store. The encode reads
+# ONLY the persisted vocab parquet (vocabulary-sized) and the batch —
+# never the corpus, never the doc store.
+
+# fresh batch: a deterministic slice disjoint from nothing in
+# particular (it is a READ, not an upsert), drawn from the drifted
+# distribution the retrain just covered: doc_id % 25 == 7, with the
+# loop's vowel mutation applied to the re-embedded % 9 == 0 docs.
+_VE_FRESH_MOD = 25
+_VE_FRESH_OFF = 7
+
+
+def _ve_oracle() -> str:
+    # The retrained vocabulary, replayed closed-form: top-_VB_CAP
+    # substring pieces (by weighted count) of the FINAL surviving
+    # corpus histogram, log-probs over the retained set — the same
+    # lp_table(seed_substring_counts(...)) recipe the loop persists.
+    ctes = [
+        f"""finalc AS (SELECT doc_id,
+            CASE WHEN doc_id % 9 = 0 THEN {_VE_MUT} ELSE text END AS text
+        FROM documents WHERE doc_id % 15 <> 0)""",
+        f"""fw AS MATERIALIZED (
+        SELECT word, CAST(length(word) AS INT) AS wlen,
+               CAST(COUNT(*) AS BIGINT) AS wcnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM finalc)
+        WHERE word <> '' GROUP BY word
+        HAVING length(word) <= {_VB_MAXW})""",
+        f"""vsc AS (SELECT piece, CAST(SUM(wcnt) AS BIGINT) AS cnt FROM (
+        SELECT substring(word, ii.i, pp.p) AS piece, wcnt
+        FROM fw
+        CROSS JOIN LATERAL (SELECT unnest(range(1, wlen + 1)) AS i) ii
+        CROSS JOIN LATERAL (SELECT unnest(range(1,
+            least({_VB_MAXP}, wlen - ii.i + 1) + 1)) AS p) pp
+        ) GROUP BY piece)""",
+        f"""vtop AS MATERIALIZED (SELECT piece, cnt FROM vsc
+        ORDER BY cnt DESC, piece ASC LIMIT {_VB_CAP})""",
+        """vlp AS MATERIALIZED (SELECT piece, cnt,
+        ROUND(ln(cnt / (SELECT CAST(SUM(cnt) AS DOUBLE) FROM vtop)), 6)
+          AS lp FROM vtop)""",
+        """vocab AS MATERIALIZED (SELECT
+        CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) - 1 AS INT)
+          AS tid, piece FROM vlp)""",
+        f"""fresh AS (SELECT doc_id,
+            CASE WHEN doc_id % 9 = 0 THEN {_VE_MUT} ELSE text END AS text
+        FROM documents
+        WHERE doc_id % {_VE_FRESH_MOD} = {_VE_FRESH_OFF})""",
+        f"""w0 AS MATERIALIZED (SELECT word,
+               CAST(length(word) AS INT) AS wlen
+        FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+              FROM fresh)
+        WHERE word <> '' AND length(word) <= {_VB_MAXW})""",
+    ]
+    ctes += _ul_dp_ctes("e", "vlp")
+    ctes += [
+        """wid AS MATERIALIZED (SELECT word, list(tid ORDER BY ppos) AS wids
+        FROM (SELECT word, pp.p - 1 AS ppos, pieces[pp.p] AS piece
+              FROM (SELECT word, string_split(seg, ' ') AS pieces FROM sege)
+              CROSS JOIN LATERAL (SELECT unnest(range(1, len(pieces) + 1))
+                                  AS p) pp)
+        JOIN vocab USING (piece) GROUP BY word)""",
+        """dt AS (SELECT doc_id, g.i AS pos, ws[g.i + 1] AS word
+        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM fresh)
+        CROSS JOIN LATERAL (SELECT unnest(range(0, len(ws))) AS i) g
+        WHERE ws[g.i + 1] <> '')""",
+        f"""ids AS (SELECT dt.doc_id, dt.pos,
+        COALESCE(w.wids, [{_VB_CAP}::INT]) AS wids
+        FROM dt LEFT JOIN wid w USING (word))""",
+        """wpos AS (SELECT doc_id, wids,
+        COALESCE(SUM(len(wids)) OVER (PARTITION BY doc_id
+            ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+            AND 1 PRECEDING), 0) AS wstart
+        FROM ids)""",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT doc_id, CAST(wstart + g.i AS BIGINT) AS tpos,
+           CAST(wids[g.i + 1] AS INT) AS tid
+    FROM wpos CROSS JOIN LATERAL (SELECT unnest(range(0, len(wids)))
+                                  AS i) g"""
+    )
+
+
+_VE_MUT = _VB_MUT  # the loop's drift mutation, reused verbatim
+
+
+@register("vocab_store_incremental_encode", _ve_oracle())
+def vocab_store_incremental_encode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SERVING read of the live tokenizer vocabulary (VERDICT r13 #5):
+    a fresh document batch (doc_id % {_VE_FRESH_MOD} ==
+    {_VE_FRESH_OFF}, drawn from the drifted distribution) is encoded
+    against the vocabulary the streaming loop RETRAINED AND PERSISTED
+    (`_run_vocab_stream_loop` — retrain consumed only the merged
+    histogram registers). The read touches exactly two inputs: the
+    batch and the persisted vocab parquet (≤ {_VB_CAP} rows, broadcast
+    into the Viterbi kernel as a dict) — never the corpus, never the
+    doc store; per-batch cost is |batch| + |vocab|, the same serving
+    discipline as `ivfpq_nprobe_search` off the PQ code store.
+    Pipeline: `unigram.viterbi_segment` (bounded DP, mapInPandas) over
+    the batch's distinct words → tids by the vocabulary's (cnt DESC,
+    piece ASC) rank → `unigram.unigram_encode` (UNK = {_VB_CAP} for
+    unsegmentable/over-long words), exploded to (doc_id, tpos, tid)
+    scalar rows for the gate. Oracle: the closed-form final-corpus
+    vocabulary + the unrolled Viterbi DP + the same id/posision
+    algebra, generated from the shared loops."""
+    from kafka_sink_azure_kusto_spark.functions import unigram as U
+
+    _, _, vocab_dir = _run_vocab_stream_loop(spark, sf_dir)
+    lp = spark.read.parquet(vocab_dir)  # the ONLY store-side input
+    wid = Window.orderBy(F.col("cnt").desc(), F.col("piece").asc())
+    vocab = lp.withColumn(
+        "tid", (F.row_number().over(wid) - 1).cast("int")
+    ).select("tid", "piece")
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fresh = docs.filter(
+        F.col("doc_id") % _VE_FRESH_MOD == _VE_FRESH_OFF
+    ).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.translate(F.col("text"), "aeiou", "zzzzz"),
+        ).otherwise(F.col("text")),
+    )
+    words = (
+        fresh.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+        .withColumn("wlen", F.length("word").cast("int"))
+        .filter(F.col("wlen") <= _VB_MAXW)
+    )
+    segs = U.viterbi_segment(words, lp, _VB_MAXW, _VB_MAXP)
+    enc = U.unigram_encode(fresh, vocab, segs, unk_id=_VB_CAP)
+    return enc.select(
+        "doc_id", F.posexplode("token_ids").alias("tpos", "tid")
+    ).select(
+        "doc_id",
+        F.col("tpos").cast("bigint").alias("tpos"),
+        F.col("tid").cast("int").alias("tid"),
+    )

@@ -217,7 +217,7 @@ class TestVocabLoopPlumbing:
             _run_vocab_stream_loop,
         )
 
-        _, audit = _run_vocab_stream_loop(spark, sf_dir)
+        _, audit, _ = _run_vocab_stream_loop(spark, sf_dir)
         rows = {r["arm"]: r for r in audit.collect()}
         assert not rows["seed_baseline"]["retrain"]
         assert rows["epoch_0"]["retrain"]

@@ -106,6 +106,36 @@ class TestIvfpqServingPipeline:
         assert hits[-1] == ceiling
 
 
+class TestVocabStoreServing:
+    def test_encode_contract(self, spark, sf_dir):
+        """(doc_id, tpos, tid) rows: positions contiguous from 0 per
+        doc, ids within [0, UNK], and the post-retrain vocabulary must
+        cover some of the drifted 'z'-words (the whole point of serving
+        off the LIVE store rather than the seed vocabulary)."""
+        from kafka_sink_azure_kusto_spark.plans.registry_r13 import (
+            _VB_CAP,
+        )
+        from kafka_sink_azure_kusto_spark.plans.registry_r14 import (
+            _VE_FRESH_MOD,
+            _VE_FRESH_OFF,
+            vocab_store_incremental_encode,
+        )
+
+        rows = vocab_store_incremental_encode(spark, sf_dir).collect()
+        assert rows
+        per_doc: dict = {}
+        for r in rows:
+            assert r["doc_id"] % _VE_FRESH_MOD == _VE_FRESH_OFF
+            assert 0 <= r["tid"] <= _VB_CAP
+            per_doc.setdefault(r["doc_id"], []).append(r["tpos"])
+        for pos in per_doc.values():
+            assert sorted(pos) == list(range(len(pos)))
+        # the batch contains mutated (vowel→'z') docs; under the
+        # RETRAINED vocab they must not collapse entirely to UNK
+        non_unk = sum(1 for r in rows if r["tid"] < _VB_CAP)
+        assert non_unk > 0.5 * len(rows)
+
+
 class TestMultiRoundNnDescent:
     def test_build_rounds_2_equals_iterated_refine(self, spark, sf_dir):
         """hierarchical_layers_nn_descent with build_rounds=2 must equal
