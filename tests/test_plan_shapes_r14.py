@@ -42,3 +42,42 @@ def test_serving_pipeline_scans_code_store(served):
     not re-derived in-memory codes — the scan is what cell-partitioning
     prunes at 100 TB."""
     assert "sv_codes_" in served
+
+
+class TestUnigramEncodeJoinRegimes:
+    """The measured broadcast bound on the encode's word→ids mapping
+    (PERF.md r14, closing VERDICT r13 #4): under the bound the token
+    join is broadcast; above it, it shuffles on word. Both regimes
+    pinned on executed plans."""
+
+    def _encode_plan(self, spark, sf_dir, monkeypatch, bound):
+        from kafka_sink_azure_kusto_spark.functions import unigram as U
+        from kafka_sink_azure_kusto_spark.sources.tables import load_table
+
+        monkeypatch.setattr(U, "_ENCODE_BROADCAST_WORDS", bound)
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        words = U.word_counts(docs, max_word_len=8)
+        lp = U.lp_table(U.seed_substring_counts(words, 4), 48)
+        segs = U.viterbi_segment(words, lp, 8, 4)
+        wid_w = __import__("pyspark.sql.window", fromlist=["Window"]).Window
+        from pyspark.sql import functions as F
+
+        vocab = lp.withColumn(
+            "tid",
+            (F.row_number().over(
+                wid_w.orderBy(F.col("cnt").desc(), F.col("piece").asc())
+            ) - 1).cast("int"),
+        ).select("tid", "piece")
+        out = U.unigram_encode(docs, vocab, segs, unk_id=48)
+        out.write.format("noop").mode("overwrite").save()
+        return out._jdf.queryExecution().executedPlan().toString()
+
+    def test_under_bound_broadcasts(self, spark, sf_dir, monkeypatch):
+        plan = self._encode_plan(spark, sf_dir, monkeypatch, 100_000)
+        assert "SortMergeJoin" not in plan
+
+    def test_over_bound_shuffles(self, spark, sf_dir, monkeypatch):
+        plan = self._encode_plan(spark, sf_dir, monkeypatch, 0)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
