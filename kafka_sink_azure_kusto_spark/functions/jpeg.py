@@ -1160,10 +1160,22 @@ def decode_jpeg(data: bytes) -> DecodedMedia:
     # requiring EOI (ADVICE r13 #1; anything else still rejects).
     mpos = _skip_to_marker(data, r.pos)
     if data[mpos + 1] == 0xDC:
+        # spec fixes DNL's Lf to exactly 4 (2-byte length + 2-byte
+        # NL), and EOI must follow the segment IMMEDIATELY — scanning
+        # forward would tolerate garbage between DNL and EOI, undoing
+        # the r13 hardening (r14 self-review)
         if mpos + 4 > len(data):
             raise MediaDecodeError("JPEG truncated inside DNL segment")
         seg_len = int.from_bytes(data[mpos + 2:mpos + 4], "big")
-        mpos = _skip_to_marker(data, mpos + 2 + seg_len)
+        if seg_len != 4:
+            raise MediaDecodeError(
+                f"JPEG DNL segment length {seg_len} (spec requires 4)"
+            )
+        if mpos + 8 > len(data):
+            raise MediaDecodeError("JPEG truncated inside DNL segment")
+        mpos = mpos + 2 + seg_len
+        if data[mpos] != 0xFF:
+            raise MediaDecodeError("JPEG expected marker after DNL")
     if data[mpos + 1] != 0xD9:
         raise MediaDecodeError(
             f"JPEG expected EOI after scan, found 0xFF{data[mpos + 1]:02X}"

@@ -863,8 +863,11 @@ def rerank_topk(
             lambda acc, x: acc + x,
         )
         scored = paired.withColumn("d2", d2)
+        # asc_nulls_last: a corrupt/short corpus vector zip_with-pads
+        # to a null distance — default NULLS FIRST would rank it as
+        # the closest neighbor for every query (r14 self-review)
         w = Window.partitionBy("query_id").orderBy(
-            F.col("d2").asc(), F.col("neighbor_id").asc()
+            F.col("d2").asc_nulls_last(), F.col("neighbor_id").asc()
         )
         return (
             scored.withColumn("rank", F.row_number().over(w))

@@ -289,6 +289,10 @@ def _check_store_n_blocks(spark, store_dir: str, n_blocks: int) -> None:
     instead of silently filtering old rows into the wrong ``affected``
     set. Hadoop FS API, same storage-agnosticism rationale as
     ``similarity._store_exists``; O(1) per batch."""
+    from kafka_sink_azure_kusto_spark.functions.similarity import (
+        _store_exists,
+    )
+
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(store_dir, "_n_blocks")
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -297,15 +301,39 @@ def _check_store_n_blocks(spark, store_dir: str, n_blocks: int) -> None:
             jvm.java.io.InputStreamReader(fs.open(hpath), "UTF-8")
         )
         try:
-            stored = int(reader.readLine().strip())
+            line = reader.readLine()
         finally:
             reader.close()
+        try:
+            stored = int(line.strip()) if line is not None else None
+        except ValueError:
+            stored = None
+        if stored is None:
+            # empty/garbled sidecar (crash between create and write, a
+            # partial copy): the designed loud diagnostic, not an
+            # AttributeError out of py4j (r14 self-review)
+            raise ValueError(
+                f"word-count store at {store_dir} has an unreadable "
+                "_n_blocks sidecar — repair it (echo the block modulus "
+                "into _n_blocks) before upserting"
+            )
         if stored != n_blocks:
             raise ValueError(
                 f"word-count store at {store_dir} was built with "
                 f"n_blocks={stored}; caller passed n_blocks={n_blocks} — "
                 "refusing to upsert under a mismatched block layout"
             )
+    elif _store_exists(spark, store_dir):
+        # data with NO sidecar = a store this code did not create (the
+        # sidecar is written before the first data write). Adopting the
+        # caller's modulus would pin whatever the first post-upgrade
+        # caller happens to pass — possibly the wrong layout — so
+        # refuse and make the operator state the layout explicitly.
+        raise ValueError(
+            f"word-count store at {store_dir} has data but no _n_blocks "
+            "sidecar — write the store's true block modulus into "
+            "_n_blocks before upserting"
+        )
     else:
         out = fs.create(hpath, True)
         try:

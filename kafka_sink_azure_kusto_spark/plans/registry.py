@@ -125,29 +125,28 @@ def _drain_stream(q, timeout_s: int) -> None:
 #      an old query cannot hide behind the builder's own sweep forever;
 #   3. previously-green anchors (_GATE_PRIORITY, newest-first history)
 #      fill the remaining slots.
-_ROUND = 13  # bump each round — the rotation key
+_ROUND = 14  # bump each round — the rotation key
 
 _GATE_HEAD = [
-    # --- new in r13 ---
-    "hierarchical_build_nn_descent",     # r13: layered build w/o all-pairs
-    "hierarchical_build_recall_audit",   # r13: nn-descent vs exact layers
-    "streaming_vocab_maintenance",       # r13: live word-count registers
-    "vocab_drift_retrain_audit",         # r13: OOV-rate retrain gate
-    "ivfpq_nprobe_search",               # r13: multi-cell store-side ADC
-    "adc_nprobe_recall_audit",           # r13: recall monotone in nprobe
-    # --- changed in r13 (unigram_encode broadcast-hint removal,
-    # ADVICE r12 #1 — both queries ride the id-emission path) ---
+    # --- new in r14 ---
+    "ivfpq_serving_pipeline",            # r14: trained cb → nprobe ADC → rerank
+    "ivfpq_serving_recall_audit",        # r14: shortlist-budget recall curve
+    "vocab_store_incremental_encode",    # r14: serving read off live vocab
+    # --- changed in r14 (multi-round nn-descent build + occupancy-
+    # sized upper-layer planes, VERDICT r13 #1) ---
+    "hierarchical_build_nn_descent",
+    "hierarchical_build_recall_audit",
+    # --- changed in r14 (word_count_upsert layout guard + dedup
+    # tiebreak, ADVICE r13 #2/#3; vocab loop persists retrained store) ---
+    "streaming_vocab_maintenance",
+    "vocab_drift_retrain_audit",
+    # --- changed in r14 (unigram_encode measured broadcast bound) ---
     "unigram_pack_token_windows",
-    "unigram_lm_tokenizer_train",
-    # --- changed in r13 (PQ stream loop memoized + awaitTermination
-    # guard, ADVICE r12 #3; hierarchical substrate memoized) ---
-    "streaming_pq_index_maintenance",
-    "streaming_pq_drift_audit",
-    "similarity_hierarchical_search",
-    "graph_hierarchy_gain_audit",
-    # --- changed in r13 (pq_adc_topk nprobe-capable cell join) ---
-    "embedding_pq_adc_topk",
-    "streaming_ivfpq_index_maintenance",
+    # --- changed in r14 (jpeg DNL tolerance, ADVICE r13 #1) ---
+    "multimodal_jpeg_decode_gate",
+    "multimodal_curation_pipeline",
+    # --- changed in r14 (rerank_topk metric param) ---
+    "similarity_ann_rerank",
 ]
 
 # Number of rotation slots after the changed-query head. 15 of ~190
@@ -165,6 +164,14 @@ _ROUND_FRESH: dict[int, list[str]] = {
     # next round's in-place head edit must not retroactively rewrite
     # what counted as round-13 work (r13 self-review; the same drift
     # hazard ADVICE r12 #2 removed in its positional form)
+    14: [
+        "ivfpq_serving_pipeline", "ivfpq_serving_recall_audit",
+        "vocab_store_incremental_encode",
+        "hierarchical_build_nn_descent", "hierarchical_build_recall_audit",
+        "streaming_vocab_maintenance", "vocab_drift_retrain_audit",
+        "unigram_pack_token_windows", "multimodal_jpeg_decode_gate",
+        "multimodal_curation_pipeline", "similarity_ann_rerank",
+    ],
     13: [
         "hierarchical_build_nn_descent", "hierarchical_build_recall_audit",
         "streaming_vocab_maintenance", "vocab_drift_retrain_audit",
@@ -210,10 +217,11 @@ _ROUND_FRESH: dict[int, list[str]] = {
 # silently let just-changed queries re-enter the rotation pool — the
 # drift class ADVICE r12 #2 removed in positional form and ADVICE r13
 # #4 flagged in append-discipline form. Fail fast at import instead.
-assert _ROUND in _ROUND_FRESH, (
-    f"_ROUND={_ROUND} bumped without freezing _ROUND_FRESH[{_ROUND}] — "
-    "append this round's new/changed query names before shipping"
-)
+if _ROUND not in _ROUND_FRESH:  # not an assert: python -O keeps this
+    raise RuntimeError(
+        f"_ROUND={_ROUND} bumped without freezing _ROUND_FRESH[{_ROUND}] "
+        "— append this round's new/changed query names before shipping"
+    )
 
 
 def _rotation_sample() -> list[str]:

@@ -754,16 +754,23 @@ _UL_V = 40         # post-EM vocabulary cap
 _UL_EM = 2         # EM iterations (plan-static, like BPE rounds)
 
 
-def _ul_dp_ctes(t: str, lp_cte: str) -> list[str]:
+def _ul_dp_ctes(
+    t: str, lp_cte: str, maxw: int = _UL_MAXW, maxp: int = _UL_MAXP
+) -> list[str]:
     """Unrolled Viterbi DP CTEs for one pass — generated from the SAME
-    j/p loop as ``functions/unigram.viterbi_segment``."""
+    j/p loop as ``functions/unigram.viterbi_segment``. ``maxw``/
+    ``maxp`` parameterize the unroll so callers with their own DP
+    bounds (registry_r14's vocab serving read uses the _VB_* pair)
+    stay in lockstep with the Spark side they oracle — a hardcoded
+    _UL_* unroll would silently diverge the day either constant pair
+    moves (r14 self-review)."""
     ctes = [
         f"b{t}_0 AS (SELECT word, wlen, CAST(0.0 AS DOUBLE) AS score, "
         "0 AS npieces, '' AS seg FROM w0)"
     ]
-    for j in range(1, _UL_MAXW + 1):
+    for j in range(1, maxw + 1):
         branches = []
-        for p in range(1, min(_UL_MAXP, j) + 1):
+        for p in range(1, min(maxp, j) + 1):
             branches.append(
                 f"SELECT b.word, b.wlen, b.score + v.lp AS score, "
                 f"b.npieces + 1 AS npieces, "
@@ -782,7 +789,7 @@ def _ul_dp_ctes(t: str, lp_cte: str) -> list[str]:
         )
     segu = " UNION ALL ".join(
         f"SELECT word, wlen, score, npieces, seg FROM b{t}_{j} WHERE wlen = {j}"
-        for j in range(1, _UL_MAXW + 1)
+        for j in range(1, maxw + 1)
     )
     ctes.append(f"seg{t} AS MATERIALIZED ({segu})")
     return ctes

@@ -447,7 +447,7 @@ def _ve_oracle() -> str:
               FROM fresh)
         WHERE word <> '' AND length(word) <= {_VB_MAXW})""",
     ]
-    ctes += _ul_dp_ctes("e", "vlp")
+    ctes += _ul_dp_ctes("e", "vlp", maxw=_VB_MAXW, maxp=_VB_MAXP)
     ctes += [
         """wid AS MATERIALIZED (SELECT word, list(tid ORDER BY ppos) AS wids
         FROM (SELECT word, pp.p - 1 AS ppos, pieces[pp.p] AS piece

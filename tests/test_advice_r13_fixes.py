@@ -60,6 +60,20 @@ class TestJpegDnlTolerated:
         with pytest.raises(MediaDecodeError):
             decode_jpeg(data[:-2] + b"\xff\xdc\x00")
 
+    def test_malformed_dnl_length_rejects(self):
+        """Spec fixes DNL's Lf to 4 — a zero length must not restart
+        the marker scan inside the length field and accept the file
+        (r14 self-review)."""
+        data = _smooth_jpeg()
+        with pytest.raises(MediaDecodeError, match="DNL segment length"):
+            decode_jpeg(data[:-2] + b"\xff\xdc\x00\x00" + b"\xff\xd9")
+
+    def test_garbage_between_dnl_and_eoi_rejects(self):
+        data = _smooth_jpeg()
+        dnl = b"\xff\xdc" + struct.pack(">HH", 4, 16)
+        with pytest.raises(MediaDecodeError, match="after DNL"):
+            decode_jpeg(data[:-2] + dnl + b"zz" + b"\xff\xd9")
+
 
 def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, text string, seq int")
@@ -78,6 +92,29 @@ class TestWordStoreLayoutGuard:
             _docs(spark, [(1, "c", 0)]), store, n_blocks=8
         )
         assert st["batch_docs"] == 1
+
+    def test_unreadable_sidecar_raises_loudly(self, spark, tmp_path):
+        store = tmp_path / "store"
+        U.word_count_upsert(_docs(spark, [(0, "a", 0)]), str(store),
+                            n_blocks=4)
+        (store / "_n_blocks").write_text("")  # crash-truncated sidecar
+        with pytest.raises(ValueError, match="unreadable _n_blocks"):
+            U.word_count_upsert(
+                _docs(spark, [(1, "b", 0)]), str(store), n_blocks=4
+            )
+
+    def test_pre_sidecar_store_refuses_adoption(self, spark, tmp_path):
+        """Data with no sidecar = a store this code didn't create; the
+        first caller's modulus must NOT get silently pinned as the
+        layout (r14 self-review)."""
+        store = tmp_path / "store"
+        U.word_count_upsert(_docs(spark, [(0, "a", 0)]), str(store),
+                            n_blocks=4)
+        (store / "_n_blocks").unlink()
+        with pytest.raises(ValueError, match="no _n_blocks sidecar"):
+            U.word_count_upsert(
+                _docs(spark, [(1, "b", 0)]), str(store), n_blocks=16
+            )
 
     def test_guard_survives_fully_emptied_store(self, spark, tmp_path):
         """A store whose every partition was tombstoned keeps its layout
