@@ -96,6 +96,7 @@ def clear_gate_memos() -> None:
     registry_r13._NP_MEMO.clear()
     registry_r13._VB_MEMO.clear()
     registry_r14._SV_MEMO.clear()
+    registry_r14._RS_MEMO.clear()
 
 
 def _drain_stream(q, timeout_s: int) -> None:
@@ -131,6 +132,8 @@ _GATE_HEAD = [
     # --- new in r14 ---
     "ivfpq_serving_pipeline",            # r14: trained cb → nprobe ADC → rerank
     "ivfpq_serving_recall_audit",        # r14: shortlist-budget recall curve
+    "ivfpq_residual_serving_pipeline",   # r14: FAISS-style residual codes
+    "ivfpq_residual_gain_audit",         # r14: plain vs residual, integers
     "vocab_store_incremental_encode",    # r14: serving read off live vocab
     # --- changed in r14 (multi-round nn-descent build + occupancy-
     # sized upper-layer planes, VERDICT r13 #1) ---
@@ -166,6 +169,7 @@ _ROUND_FRESH: dict[int, list[str]] = {
     # hazard ADVICE r12 #2 removed in its positional form)
     14: [
         "ivfpq_serving_pipeline", "ivfpq_serving_recall_audit",
+        "ivfpq_residual_serving_pipeline", "ivfpq_residual_gain_audit",
         "vocab_store_incremental_encode",
         "hierarchical_build_nn_descent", "hierarchical_build_recall_audit",
         "streaming_vocab_maintenance", "vocab_drift_retrain_audit",

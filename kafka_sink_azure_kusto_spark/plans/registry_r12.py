@@ -76,22 +76,24 @@ _PQ_SQL_D2 = (
 )
 
 
-def _pq_codes_sql(src_cte: str) -> str:
+def _pq_codes_sql(src_cte: str, p: str = "") -> str:
     """codes-of-``src_cte`` fragment: per-(vec_id, m) argmin over the
-    frozen codebook, ties toward the smaller code — the exact SQL twin
-    of ``pq_encode``'s struct-min."""
+    ``{p}cb`` codebook, ties toward the smaller code — the exact SQL
+    twin of ``pq_encode``'s struct-min. ``p`` prefixes the CTE names
+    (and the codebook reference) so one oracle can encode against TWO
+    codebooks (registry_r14's plain-vs-residual gain audit)."""
     return f"""
-    sub AS (SELECT vec_id, ms.m AS m,
+    {p}sub AS (SELECT vec_id, ms.m AS m,
                    v[ms.m*{_PQ_SUB}+1 : ms.m*{_PQ_SUB}+{_PQ_SUB}] AS sv
             FROM {src_cte}
             CROSS JOIN (SELECT unnest(range(0, {_PQ_M})) AS m) ms),
-    dist AS (SELECT s.vec_id, s.m, cb.code, {_PQ_SQL_D2} AS d2
-             FROM sub s JOIN cb ON s.m = cb.m),
-    codes AS (SELECT vec_id, m, code, d2 FROM (
+    {p}dist AS (SELECT s.vec_id, s.m, cb.code, {_PQ_SQL_D2} AS d2
+             FROM {p}sub s JOIN {p}cb cb ON s.m = cb.m),
+    {p}codes AS (SELECT vec_id, m, code, d2 FROM (
                 SELECT vec_id, m, code, d2,
                        ROW_NUMBER() OVER (PARTITION BY vec_id, m
                                           ORDER BY d2, code) AS rn
-                FROM dist) WHERE rn = 1)
+                FROM {p}dist) WHERE rn = 1)
     """
 
 

@@ -106,6 +106,48 @@ class TestIvfpqServingPipeline:
         assert hits[-1] == ceiling
 
 
+class TestResidualServing:
+    def test_residual_beats_plain_at_fixed_budget(self, spark, sf_dir):
+        """The gain claim, pinned: at every non-saturated shortlist
+        budget, residual encoding recovers at least as many true
+        neighbors as plain PQ under identical probing and rerank."""
+        from kafka_sink_azure_kusto_spark.plans.registry_r14 import (
+            ivfpq_residual_gain_audit,
+        )
+
+        rows = ivfpq_residual_gain_audit(spark, sf_dir).collect()
+        by = {(r["encoding"], r["shortlist"]): r["n_hits"] for r in rows}
+        budgets = sorted({b for _, b in by})
+        assert all(
+            by[("residual", b)] >= by[("plain", b)] for b in budgets
+        )
+
+    def test_residual_pipeline_distances_are_true_l2sq(
+        self, spark, sf_dir
+    ):
+        """The composed residual read still reranks on ORIGINAL
+        vectors: every output d2 must be the true squared-L2 on the
+        boosted corpus (numpy recompute)."""
+        import numpy as np
+
+        from kafka_sink_azure_kusto_spark.plans.registry_r12 import (
+            _hl_corpus,
+        )
+        from kafka_sink_azure_kusto_spark.plans.registry_r14 import (
+            ivfpq_residual_serving_pipeline,
+        )
+
+        dbl, _ = _hl_corpus(spark, sf_dir)
+        vecs = {r["vec_id"]: np.array(r["v"]) for r in dbl.collect()}
+        rows = ivfpq_residual_serving_pipeline(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            true_d2 = float(
+                ((vecs[r["query_id"]] - vecs[r["neighbor_id"]]) ** 2).sum()
+            )
+            assert abs(r["d2"] - true_d2) < 1e-5
+
+
 class TestVocabStoreServing:
     def test_encode_contract(self, spark, sf_dir):
         """(doc_id, tpos, tid) rows: positions contiguous from 0 per
