@@ -1499,6 +1499,12 @@ def knn_graph_upsert(
     # ---- 1. vector store: rewrite only the batch ids' blocks.
     # block is a pure function of the id, so (unlike IVF cells) rows
     # can't move between partitions and the claimed blocks are complete.
+    # (r14 note: an attempted "post-batch corpus = untouched blocks ∪
+    # checkpointed rewrite" restructure — to overlap this write with
+    # the frontier recompute — MEASURED 2× SLOWER at fixture scale and
+    # is structurally worse at 100 TB: every downstream corpus scan
+    # paid the distinct-shuffle + broadcast anti-join instead of a
+    # plain store read. The read-after-write barrier stays.)
     vec_affected = batch.select("block").distinct().localCheckpoint()
     vstore = spark.read.parquet(vec_dir)
     vkeep = (
@@ -2441,9 +2447,13 @@ def hierarchical_layers_nn_descent(
     The construction trades exactness for scalability —
     ``hierarchical_build_recall_audit`` grades the loss as exact
     integers against the exact-built layers at equal descent budget."""
+    from kafka_sink_azure_kusto_spark.functions.parallelism import (
+        run_concurrently,
+    )
+
     vecs = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("v"))
-    built: list[tuple[dict, DataFrame, DataFrame]] = []
-    for spec in layer_specs:
+
+    def _build_layer(spec: dict) -> tuple[dict, DataFrame, DataFrame]:
         members = (
             vecs if spec["stride"] == 1
             else vecs.filter(F.col("nid") % spec["stride"] == 0)
@@ -2465,7 +2475,16 @@ def hierarchical_layers_nn_descent(
                 seed=refined.select("src", "dst", "score").localCheckpoint(),
             )
         edges = refined.select("src", "dst").localCheckpoint()
-        built.append((spec, members, edges))
+        return (spec, members, edges)
+
+    # layers are INDEPENDENT builds over disjoint plan trees — their
+    # rounds of materialization barriers overlap on the thread pool
+    # (guide §2.6); each layer's round chain stays sequential inside
+    # its thunk, so every computed edge list is bit-identical to the
+    # sequential build
+    built: list[tuple[dict, DataFrame, DataFrame]] = run_concurrently(
+        *[lambda s=spec: _build_layer(s) for spec in layer_specs]
+    )
     edges0 = built[0][2]
     upper = [
         {

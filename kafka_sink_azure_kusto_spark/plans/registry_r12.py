@@ -507,19 +507,24 @@ def _hl_layers(dbl, memo_key: tuple[str, str] | None = None):
         knn_graph_build_exact,
     )
 
+    from kafka_sink_azure_kusto_spark.functions.parallelism import (
+        run_concurrently,
+    )
+
     if memo_key is not None and memo_key in _HL_LAYER_MEMO:
         return _HL_LAYER_MEMO[memo_key]
     e2 = dbl.filter(F.col("vec_id") % _HL_S2 == 0)
     e1 = dbl.filter(F.col("vec_id") % _HL_S1 == 0)
-    edges2 = knn_graph_build_exact(e2, k=_HL_GK1, vec_col="v").select(
-        "src", "dst"
-    ).localCheckpoint()
-    edges1 = knn_graph_build_exact(e1, k=_HL_GK1, vec_col="v").select(
-        "src", "dst"
-    ).localCheckpoint()
-    edges0 = knn_graph_build_exact(dbl, k=_HL_GK0, vec_col="v").select(
-        "src", "dst"
-    ).localCheckpoint()
+    # the three exact layer builds are independent all-pairs jobs —
+    # materialize them concurrently (guide §2.6); values unchanged
+    edges2, edges1, edges0 = run_concurrently(
+        lambda: knn_graph_build_exact(e2, k=_HL_GK1, vec_col="v")
+        .select("src", "dst").localCheckpoint(),
+        lambda: knn_graph_build_exact(e1, k=_HL_GK1, vec_col="v")
+        .select("src", "dst").localCheckpoint(),
+        lambda: knn_graph_build_exact(dbl, k=_HL_GK0, vec_col="v")
+        .select("src", "dst").localCheckpoint(),
+    )
     mk = lambda df: df.select(F.col("vec_id").alias("nid"))  # noqa: E731
     result = (edges0, [
         {"members": mk(e2), "edges": edges2,
@@ -672,16 +677,26 @@ def graph_hierarchy_gain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         hierarchical_graph_search_topk,
     )
 
-    dbl, queries = _hl_corpus(spark, sf_dir)
-    edges0, layers = _hl_layers(
-        dbl, memo_key=(spark.sparkContext.applicationId, sf_dir)
+    from kafka_sink_azure_kusto_spark.functions.parallelism import (
+        run_concurrently,
     )
-    stride = max(1, dbl.count() // 10)
-    gt = brute_force_topk(
-        dbl, queries, k=_HL_AK, vec_col="v", query_vec_col="v"
-    ).select(
-        F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
-    ).localCheckpoint()
+
+    dbl, queries = _hl_corpus(spark, sf_dir)
+    # layer substrate, ground truth, and the corpus count are
+    # independent materializations — overlap them (guide §2.6)
+    (layer_sub, gt, n_dbl) = run_concurrently(
+        lambda: _hl_layers(
+            dbl, memo_key=(spark.sparkContext.applicationId, sf_dir)
+        ),
+        lambda: brute_force_topk(
+            dbl, queries, k=_HL_AK, vec_col="v", query_vec_col="v"
+        ).select(
+            F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
+        ).localCheckpoint(),
+        lambda: dbl.count(),
+    )
+    edges0, layers = layer_sub
+    stride = max(1, n_dbl // 10)
     tot = gt.agg(F.count(F.lit(1)).alias("n_possible"))
 
     def grade(name: str, vis: DataFrame) -> DataFrame:
@@ -715,30 +730,37 @@ def graph_hierarchy_gain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    flat_vis = graph_search_topk(
-        dbl, queries, edges0,
-        rounds=_HL_ROUNDS, beam=_HL_BEAM, entry_stride=stride,
-        vec_col="v", query_vec_col="v", return_visited=True,
-    )
-    hier_all = hierarchical_graph_search_topk(
-        dbl, queries, edges0, layers,
-        rounds=_HL_ROUNDS, beam=_HL_BEAM,
-        vec_col="v", query_vec_col="v", return_all_visited=True,
-    )
-    # grade the hierarchical RESULT from layer 0 only (what the
-    # searcher returns); count candidates across ALL layers
-    hier_l0 = hier_all.filter(F.col("layer") == 0).drop("layer")
-    flat_row = grade("flat_stride", flat_vis)
-    hier_hits_row = grade("hierarchical", hier_l0)
-    hier_cand = (
-        hier_all.filter(F.col("nid") != F.col("query_id"))
-        .select(F.col("query_id").alias("qid"), "nid")
-        .distinct()
-        .agg(F.count(F.lit(1)).alias("n_candidates"))
-    )
-    hier_row = hier_hits_row.drop("n_candidates").crossJoin(
-        F.broadcast(hier_cand)
-    ).select("strategy", "n_candidates", "n_hits", "n_possible", "recall")
+    def _flat_arm() -> DataFrame:
+        flat_vis = graph_search_topk(
+            dbl, queries, edges0,
+            rounds=_HL_ROUNDS, beam=_HL_BEAM, entry_stride=stride,
+            vec_col="v", query_vec_col="v", return_visited=True,
+        )
+        return grade("flat_stride", flat_vis)
+
+    def _hier_arm() -> DataFrame:
+        hier_all = hierarchical_graph_search_topk(
+            dbl, queries, edges0, layers,
+            rounds=_HL_ROUNDS, beam=_HL_BEAM,
+            vec_col="v", query_vec_col="v", return_all_visited=True,
+        )
+        # grade the hierarchical RESULT from layer 0 only (what the
+        # searcher returns); count candidates across ALL layers
+        hier_l0 = hier_all.filter(F.col("layer") == 0).drop("layer")
+        hier_hits_row = grade("hierarchical", hier_l0)
+        hier_cand = (
+            hier_all.filter(F.col("nid") != F.col("query_id"))
+            .select(F.col("query_id").alias("qid"), "nid")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_candidates"))
+        )
+        return hier_hits_row.drop("n_candidates").crossJoin(
+            F.broadcast(hier_cand)
+        ).select("strategy", "n_candidates", "n_hits", "n_possible", "recall")
+
+    # the two search arms (each a chain of eager descent barriers +
+    # a graded checkpoint) are independent — overlap them
+    flat_row, hier_row = run_concurrently(_flat_arm, _hier_arm)
     return flat_row.unionByName(hier_row)
 
 
@@ -1201,19 +1223,36 @@ def streaming_hierarchical_graph_maintenance(
         ("l1", _HL_S1, _HL_GK1),
         ("l2", _HL_S2, _HL_GK1),
     ]
+    from kafka_sink_azure_kusto_spark.functions.parallelism import (
+        run_concurrently,
+    )
+
     seed = dbl.filter(F.col("vec_id") % 3 == 0)
-    dirs = {}
-    for name, stride, deg in layers_spec:
-        vdir = os.path.join(work, name, "vecs")
-        gdir = os.path.join(work, name, "graph")
-        dirs[name] = (vdir, gdir)
+    dirs = {
+        name: (os.path.join(work, name, "vecs"),
+               os.path.join(work, name, "graph"))
+        for name, _, _ in layers_spec
+    }
+
+    def _seed_layer(name: str, stride: int, deg: int) -> None:
+        vdir, gdir = dirs[name]
         members = seed.filter(F.col("vec_id") % stride == 0)
-        members.withColumn(
-            "block", (F.col("vec_id") % n_blocks).cast("int")
-        ).write.partitionBy("block").parquet(vdir)
-        knn_graph_build_exact(
-            members, k=deg, vec_col="v", n_blocks=n_blocks
-        ).write.partitionBy("block").parquet(gdir)
+        # the vector-store write and the exact-graph build+write are
+        # independent jobs over the same lazy member subset
+        run_concurrently(
+            lambda: members.withColumn(
+                "block", (F.col("vec_id") % n_blocks).cast("int")
+            ).write.partitionBy("block").parquet(vdir),
+            lambda: knn_graph_build_exact(
+                members, k=deg, vec_col="v", n_blocks=n_blocks
+            ).write.partitionBy("block").parquet(gdir),
+        )
+
+    # the three layer stores are independent — overlap their seed
+    # builds (guide §2.6); on-disk state is byte-equivalent
+    run_concurrently(
+        *[lambda sp=sp: _seed_layer(*sp) for sp in layers_spec]
+    )
 
     plus1 = F.expr("transform(v, x -> x + CAST(1.0 AS DOUBLE))")
     b0 = (
@@ -1238,13 +1277,19 @@ def streaming_hierarchical_graph_maintenance(
     _stage_chunks(chunks, replay)
 
     def upsert_layers(batch_df, epoch_id: int) -> None:
-        for name, stride, deg in layers_spec:
+        def one(name: str, stride: int, deg: int) -> None:
             sub = batch_df.filter(F.col("vec_id") % stride == 0)
             vdir, gdir = dirs[name]
             knn_graph_upsert(
                 sub, gdir, vdir, k=deg, n_blocks=n_blocks,
                 id_col="vec_id", vec_col="v", seq_col="seq",
             )
+
+        # each layer upserts its OWN pair of stores (disjoint dirs) —
+        # the per-batch frontier recomputes are independent job chains,
+        # so overlap them (guide §2.6); per-layer store state after the
+        # batch is identical to the sequential application
+        run_concurrently(*[lambda sp=sp: one(*sp) for sp in layers_spec])
 
     stream = (
         spark.readStream.schema("vec_id long, v array<double>, seq int")

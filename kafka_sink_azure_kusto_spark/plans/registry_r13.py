@@ -671,15 +671,31 @@ def hierarchical_build_recall_audit(
         hierarchical_graph_search_topk,
     )
 
-    dbl, queries, edges0n, layersn = _hb_substrate(spark, sf_dir)
-    edges0x, layersx = _hl_layers(
-        dbl, memo_key=(spark.sparkContext.applicationId, sf_dir)
+    from kafka_sink_azure_kusto_spark.functions.parallelism import (
+        run_concurrently,
     )
-    gt = brute_force_topk(
-        dbl, queries, k=_HL_AK, vec_col="v", query_vec_col="v"
-    ).select(
-        F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
-    ).localCheckpoint()
+
+    # the three substrate arms are independent materializations over
+    # the same lazy corpus transform — overlap them (guide §2.6): the
+    # nn-descent build, the exact all-pairs build, and the brute-force
+    # ground truth each end in their own localCheckpoint barriers, and
+    # sequential scheduling left the box idle through each one's tail.
+    # _hl_corpus is a pure lazy transform, so every arm derives the
+    # IDENTICAL corpus plan; computed values are unchanged.
+    dbl0, queries0 = _hl_corpus(spark, sf_dir)
+    (dbl_sub, x_layers, gt) = run_concurrently(
+        lambda: _hb_substrate(spark, sf_dir),
+        lambda: _hl_layers(
+            dbl0, memo_key=(spark.sparkContext.applicationId, sf_dir)
+        ),
+        lambda: brute_force_topk(
+            dbl0, queries0, k=_HL_AK, vec_col="v", query_vec_col="v"
+        ).select(
+            F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
+        ).localCheckpoint(),
+    )
+    dbl, queries, edges0n, layersn = dbl_sub
+    edges0x, layersx = x_layers
     tot = gt.agg(F.count(F.lit(1)).alias("n_possible"))
 
     def grade(name: str, edges0, layers) -> DataFrame:
@@ -719,9 +735,13 @@ def hierarchical_build_recall_audit(
             )
         )
 
-    return grade("exact_built", edges0x, layersx).unionByName(
-        grade("nn_descent_built", edges0n, layersn)
+    # the two graded descents are independent (each localCheckpoints
+    # its own visited set) — overlap them too
+    g_exact, g_nnd = run_concurrently(
+        lambda: grade("exact_built", edges0x, layersx),
+        lambda: grade("nn_descent_built", edges0n, layersn),
     )
+    return g_exact.unionByName(g_nnd)
 
 
 # =====================================================================
