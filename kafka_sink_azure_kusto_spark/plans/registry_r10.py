@@ -253,23 +253,59 @@ def graph_search_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         multiprobe_cells,
     )
 
+    from kafka_sink_azure_kusto_spark.functions.parallelism import (
+        run_concurrently,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % _GS_QMOD == 0)
-    gt = brute_force_topk(emb, queries, k=_AUD_K).select(
-        F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
-    ).localCheckpoint()
-    tot = gt.agg(F.count(F.lit(1)).alias("n_possible"))
 
-    gvis = (
-        graph_search_topk(
-            emb, queries, _search_edges_spark(emb),
-            rounds=_GS_ROUNDS, beam=_GS_BEAM, entry_stride=_GS_ENTRY,
-            return_visited=True,
+    def _gt_arm() -> DataFrame:
+        return brute_force_topk(emb, queries, k=_AUD_K).select(
+            F.col("query_id").alias("qid"), F.col("neighbor_id").alias("nid")
+        ).localCheckpoint()
+
+    def _graph_arm() -> DataFrame:
+        return (
+            graph_search_topk(
+                emb, queries, _search_edges_spark(emb),
+                rounds=_GS_ROUNDS, beam=_GS_BEAM, entry_stride=_GS_ENTRY,
+                return_visited=True,
+            )
+            .filter(F.col("nid") != F.col("query_id"))
+            .select(F.col("query_id").alias("qid"), "nid", "score")
+            .localCheckpoint()
         )
-        .filter(F.col("nid") != F.col("query_id"))
-        .select(F.col("query_id").alias("qid"), "nid", "score")
-        .localCheckpoint()
-    )
+
+    def _ivf_arm() -> DataFrame:
+        cents = cell_centroids(emb, cell_col="label").select(
+            "cell",
+            F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid"),
+        )
+        qc = multiprobe_cells(
+            queries.select(
+                F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+            ),
+            cents, n_probe=1, query_id_col="qid", query_vec_col="qv",
+        )
+        return (
+            emb.select(
+                F.col("vec_id").alias("nid"),
+                F.col("embedding").alias("cv"),
+                F.col("label").alias("cell"),
+            )
+            .join(F.broadcast(qc), "cell")
+            .filter(F.col("nid") != F.col("qid"))
+            .select(
+                "qid", "nid", cosine(F.col("qv"), F.col("cv")).alias("score")
+            )
+            .localCheckpoint()
+        )
+
+    # ground truth, graph-search arm, and IVF-multiprobe arm are
+    # independent materializations — overlap them (guide §2.6)
+    gt, gvis, icand = run_concurrently(_gt_arm, _graph_arm, _ivf_arm)
+    tot = gt.agg(F.count(F.lit(1)).alias("n_possible"))
     gw = Window.partitionBy("qid").orderBy(
         F.col("score").desc(), F.col("nid").asc()
     )
@@ -277,27 +313,6 @@ def graph_search_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         gvis.withColumn("rnk", F.row_number().over(gw))
         .filter(F.col("rnk") <= _AUD_K)
         .select("qid", "nid")
-    )
-
-    cents = cell_centroids(emb, cell_col="label").select(
-        "cell", F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid")
-    )
-    qc = multiprobe_cells(
-        queries.select(
-            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
-        ),
-        cents, n_probe=1, query_id_col="qid", query_vec_col="qv",
-    )
-    icand = (
-        emb.select(
-            F.col("vec_id").alias("nid"),
-            F.col("embedding").alias("cv"),
-            F.col("label").alias("cell"),
-        )
-        .join(F.broadcast(qc), "cell")
-        .filter(F.col("nid") != F.col("qid"))
-        .select("qid", "nid", cosine(F.col("qv"), F.col("cv")).alias("score"))
-        .localCheckpoint()
     )
     ires = (
         icand.withColumn("rnk", F.row_number().over(gw))

@@ -35,6 +35,9 @@ from kafka_sink_azure_kusto_spark.plans.registry import (
     _workdir,
     register,
 )
+from kafka_sink_azure_kusto_spark.functions.parallelism import (
+    run_concurrently,
+)
 from kafka_sink_azure_kusto_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------
@@ -200,12 +203,6 @@ def _run_pq_stream_loop_uncached(
         .select("vec_id", "m", "code", "qerr", "block")
         .localCheckpoint()
     )
-    seed_codes.write.partitionBy("block").parquet(code_dir)
-    seed_codes.groupBy("m").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("qerr").alias("sum_qerr"),
-    ).write.parquet(os.path.join(reg_dir, "seed"))
-
     # ---- stream batches (shared loop algebra, see module header)
     plus1 = F.expr("transform(v, x -> x + CAST(1.0 AS DOUBLE))")
     b0 = (
@@ -222,13 +219,37 @@ def _run_pq_stream_loop_uncached(
         )
         .withColumn("seq", F.lit(1))
     )
-    # to_json omits NULL fields, so tombstones travel as {vec_id,seq}
-    chunks = [
-        [r[0] for r in b.select(F.to_json(F.struct("vec_id", "v", "seq"))).collect()]
-        for b in (b0, b1)
-    ]
     replay = os.path.join(work, "replay")
-    _stage_chunks(chunks, replay)
+
+    def _stage_replay() -> None:
+        # to_json omits NULL fields, so tombstones travel as
+        # {vec_id,seq}
+        chunks = [
+            [
+                r[0]
+                for r in b.select(
+                    F.to_json(F.struct("vec_id", "v", "seq"))
+                ).collect()
+            ]
+            for b in (b0, b1)
+        ]
+        _stage_chunks(chunks, replay)
+
+    # seed store write, seed drift-register write (both off the
+    # checkpointed seed codes) and the replay staging collects are
+    # independent — overlap them (guide §2.6); on-disk state unchanged
+    from kafka_sink_azure_kusto_spark.functions.parallelism import (
+        run_concurrently,
+    )
+
+    run_concurrently(
+        lambda: seed_codes.write.partitionBy("block").parquet(code_dir),
+        lambda: seed_codes.groupBy("m").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("qerr").alias("sum_qerr"),
+        ).write.parquet(os.path.join(reg_dir, "seed")),
+        _stage_replay,
+    )
 
     def upsert_and_probe(batch_df, epoch_id: int) -> None:
         ep = int(epoch_id)
@@ -1078,15 +1099,21 @@ def streaming_ivfpq_index_maintenance(
 
     cb = spark.createDataFrame(cb_rows, cb_schema)
     seed = dbl.filter(F.col("vec_id") % 3 == 0)
-    (
-        S.pq_encode(seed, cb, _PQ_M, _PQ_SUB, vec_col="v")
-        .join(F.broadcast(seed.select("vec_id", F.col("label").alias("cell"))),
-              "vec_id")
-        .select("vec_id", "m", "code", "qerr", "cell")
-        .localCheckpoint()
-        .write.partitionBy("cell")
-        .parquet(idx_dir)
-    )
+
+    def _write_seed_store() -> None:
+        (
+            S.pq_encode(seed, cb, _PQ_M, _PQ_SUB, vec_col="v")
+            .join(
+                F.broadcast(
+                    seed.select("vec_id", F.col("label").alias("cell"))
+                ),
+                "vec_id",
+            )
+            .select("vec_id", "m", "code", "qerr", "cell")
+            .localCheckpoint()
+            .write.partitionBy("cell")
+            .parquet(idx_dir)
+        )
 
     plus1 = F.expr("transform(v, x -> x + CAST(1.0 AS DOUBLE))")
     b0 = (
@@ -1113,7 +1140,10 @@ def streaming_ivfpq_index_maintenance(
         for b in (b0, b1)
     ]
     replay = os.path.join(work, "replay")
-    _stage_chunks(chunks, replay)
+    # seed-store write ∥ replay staging: independent (guide §2.6)
+    run_concurrently(
+        _write_seed_store, lambda: _stage_chunks(chunks, replay)
+    )
 
     def upsert_and_probe(batch_df, epoch_id: int) -> None:
         ep = int(epoch_id)
@@ -1512,13 +1542,23 @@ def pq_retrain_improvement_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("transform(v, x -> x + CAST(1.0 AS DOUBLE))"),
         ).otherwise(F.col("v")),
     ).localCheckpoint()
-    stale_cb = pq_train(
-        dbl, _PQ_M, _PQ_SUB, num_codes=_PQ_CODES, iters=_PT_ITERS,
-        vec_col="v", round_means=_PT_ROUND,
+    from kafka_sink_azure_kusto_spark.functions.parallelism import (
+        run_concurrently,
     )
-    retr_cb = pq_train(
-        fs, _PQ_M, _PQ_SUB, num_codes=_PQ_CODES, iters=_PT_ITERS,
-        vec_col="v", round_means=_PT_ROUND,
+
+    # the stale and retrained trainings are independent iterate-collect
+    # chains (pq_train collects the tiny codebook per Lloyd iteration)
+    # — overlap them (guide §2.6); each follows its own deterministic
+    # trajectory, values unchanged
+    stale_cb, retr_cb = run_concurrently(
+        lambda: pq_train(
+            dbl, _PQ_M, _PQ_SUB, num_codes=_PQ_CODES, iters=_PT_ITERS,
+            vec_col="v", round_means=_PT_ROUND,
+        ),
+        lambda: pq_train(
+            fs, _PQ_M, _PQ_SUB, num_codes=_PQ_CODES, iters=_PT_ITERS,
+            vec_col="v", round_means=_PT_ROUND,
+        ),
     )
 
     def arm(cb, col):

@@ -36,6 +36,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_sink_azure_kusto_spark.functions.parallelism import (
+    run_concurrently,
+)
 from kafka_sink_azure_kusto_spark.functions.sampling import (
     md5_unit_interval_sql,
 )
@@ -956,7 +959,6 @@ def _run_vocab_stream_loop(
         )
 
     lp_seed = spark.read.parquet(vocab_dir)
-    oov_stats(seedw, lp_seed).write.parquet(os.path.join(reg, "oov_seed"))
 
     # ---- stream batches (shared loop algebra, text edition)
     mut = F.translate(F.col("text"), "aeiou", "zzzzz")
@@ -976,34 +978,61 @@ def _run_vocab_stream_loop(
         )
         .withColumn("seq", F.lit(1))
     )
-    chunks = [
-        [r[0] for r in b.select(F.to_json(F.struct("doc_id", "text", "seq"))).collect()]
-        for b in (b0, b1)
-    ]
     replay = os.path.join(work, "replay")
-    _stage_chunks(chunks, replay)
+
+    def _stage_replay() -> None:
+        chunks = [
+            [
+                r[0]
+                for r in b.select(
+                    F.to_json(F.struct("doc_id", "text", "seq"))
+                ).collect()
+            ]
+            for b in (b0, b1)
+        ]
+        _stage_chunks(chunks, replay)
+
+    # the seed coverage-register write (reads the persisted seed vocab)
+    # and the replay staging collects are independent — overlap them
+    # (guide §2.6); on-disk registers unchanged
+    run_concurrently(
+        lambda: oov_stats(seedw, lp_seed).write.parquet(
+            os.path.join(reg, "oov_seed")
+        ),
+        _stage_replay,
+    )
 
     def update_vocab(batch_df, epoch_id: int) -> None:
         ep = int(epoch_id)
         mb = batch_df.sparkSession
-        st = U.word_count_upsert(
-            batch_df, store, n_blocks=_VB_BLOCKS, seq_col="seq"
-        )
-        st["deltas"].write.mode("overwrite").parquet(
-            os.path.join(reg, f"hist_stream/epoch={ep}")
-        )
-        # per-epoch coverage registers: the batch's LIVE text under the
-        # PERSISTED seed vocabulary (the serving store, not a recompute)
-        w = Window.partitionBy("doc_id").orderBy(F.col("seq").desc())
-        live = (
-            batch_df.withColumn("_r", F.row_number().over(w))
-            .filter((F.col("_r") == 1) & F.col("text").isNotNull())
-            .drop("_r")
-        )
-        bw = U.word_counts(live)
-        oov_stats(bw, mb.read.parquet(vocab_dir)).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(reg, f"oov_stream/epoch={ep}"))
+
+        def _upsert_store() -> None:
+            st = U.word_count_upsert(
+                batch_df, store, n_blocks=_VB_BLOCKS, seq_col="seq"
+            )
+            st["deltas"].write.mode("overwrite").parquet(
+                os.path.join(reg, f"hist_stream/epoch={ep}")
+            )
+
+        def _coverage_register() -> None:
+            # per-epoch coverage registers: the batch's LIVE text under
+            # the PERSISTED seed vocabulary (the serving store, not a
+            # recompute) — reads only the batch + the seed vocab store,
+            # so it shares no state with the doc-store upsert
+            w = Window.partitionBy("doc_id").orderBy(F.col("seq").desc())
+            live = (
+                batch_df.withColumn("_r", F.row_number().over(w))
+                .filter((F.col("_r") == 1) & F.col("text").isNotNull())
+                .drop("_r")
+            )
+            bw = U.word_counts(live)
+            oov_stats(bw, mb.read.parquet(vocab_dir)).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(reg, f"oov_stream/epoch={ep}"))
+
+        # independent per-batch chains (disjoint inputs/outputs) —
+        # overlap them (guide §2.6)
+        run_concurrently(_upsert_store, _coverage_register)
 
     stream = (
         spark.readStream.schema("doc_id long, text string, seq int")
