@@ -241,6 +241,15 @@ HEADLINE = [
     "vocab_drift_retrain_audit",
     "ivfpq_nprobe_search",
     "adc_nprobe_recall_audit",
+    # r14 build (added during the r14 optimization round — the
+    # interrupted build registered these 5 but never benched them;
+    # the bench contract allows ADDING entries): composed IVF-PQ
+    # serving reads + the vocab-store serving read
+    "ivfpq_serving_pipeline",
+    "ivfpq_serving_recall_audit",
+    "ivfpq_residual_serving_pipeline",
+    "ivfpq_residual_gain_audit",
+    "vocab_store_incremental_encode",
 ]
 
 

@@ -601,11 +601,11 @@ def _run_ivf_stream_loop(
         "label",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
     )
-    idx_dir = os.path.join(work, "idx")
-    dbl.filter(F.col("vec_id") % 3 == 0).select(
-        "vec_id", "v", F.col("label").alias("cell")
-    ).write.partitionBy("cell").parquet(idx_dir)
+    from kafka_sink_azure_kusto_spark.functions.parallelism import (
+        run_concurrently,
+    )
 
+    idx_dir = os.path.join(work, "idx")
     plus1 = F.expr("transform(v, x -> x + CAST(1.0 AS DOUBLE))")
     b0 = (
         dbl.filter(F.col("vec_id") % 3 == 1)
@@ -623,18 +623,29 @@ def _run_ivf_stream_loop(
         )
         .withColumn("seq", F.lit(1))
     )
-    # to_json omits NULL fields, so tombstones travel as {vec_id,label,seq}
-    chunks = [
-        [
-            r[0]
-            for r in b.select(
-                F.to_json(F.struct("vec_id", "label", "v", "seq"))
-            ).collect()
-        ]
-        for b in (b0, b1)
-    ]
     replay = os.path.join(work, "replay")
-    _stage_chunks(chunks, replay)
+
+    def _stage_replay() -> None:
+        # to_json omits NULL fields, so tombstones travel as
+        # {vec_id,label,seq}
+        chunks = [
+            [
+                r[0]
+                for r in b.select(
+                    F.to_json(F.struct("vec_id", "label", "v", "seq"))
+                ).collect()
+            ]
+            for b in (b0, b1)
+        ]
+        _stage_chunks(chunks, replay)
+
+    # seed index write ∥ replay staging: independent (guide §2.6)
+    run_concurrently(
+        lambda: dbl.filter(F.col("vec_id") % 3 == 0).select(
+            "vec_id", "v", F.col("label").alias("cell")
+        ).write.partitionBy("cell").parquet(idx_dir),
+        _stage_replay,
+    )
     probes_dir = os.path.join(work, "probes")
 
     def cell_files() -> dict:
@@ -1579,29 +1590,38 @@ def streaming_dsir_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     _stage_chunks(chunks, replay)
     reg = os.path.join(work, "registers")
 
+    from kafka_sink_azure_kusto_spark.functions.parallelism import (
+        run_concurrently,
+    )
+
     def update_registers(batch_df, epoch_id: int) -> None:
         ep = int(epoch_id)
-        feats = dsir_features(batch_df, "text", "doc_id")
-        # per-doc bucket multiplicities (doc-disjoint across batches)
-        feats.groupBy("doc_id", "bucket").agg(
-            F.count(F.lit(1)).cast("long").alias("n")
-        ).write.mode("overwrite").parquet(
-            os.path.join(reg, f"docfeats/epoch={ep}")
-        )
-        # raw-side bucket registers (≤256 rows per epoch)
-        feats.groupBy("bucket").agg(
-            F.count(F.lit(1)).cast("long").alias("r_part")
-        ).write.mode("overwrite").parquet(
-            os.path.join(reg, f"raw/epoch={ep}")
-        )
-        # target-side registers from the batch's target members
-        tgt = dsir_features(
-            batch_df.filter(F.col("doc_id") % 25 == 0), "text", "doc_id"
-        )
-        tgt.groupBy("bucket").agg(
-            F.count(F.lit(1)).cast("long").alias("t_part")
-        ).write.mode("overwrite").parquet(
-            os.path.join(reg, f"tgt/epoch={ep}")
+        # one featurization per batch (bounded by |batch|), shared by
+        # all three register writes instead of re-tokenizing per write
+        feats = dsir_features(batch_df, "text", "doc_id").localCheckpoint()
+        # the three register writes are independent (disjoint outputs,
+        # same checkpointed features) — overlap them (guide §2.6)
+        run_concurrently(
+            # per-doc bucket multiplicities (doc-disjoint across batches)
+            lambda: feats.groupBy("doc_id", "bucket").agg(
+                F.count(F.lit(1)).cast("long").alias("n")
+            ).write.mode("overwrite").parquet(
+                os.path.join(reg, f"docfeats/epoch={ep}")
+            ),
+            # raw-side bucket registers (≤256 rows per epoch)
+            lambda: feats.groupBy("bucket").agg(
+                F.count(F.lit(1)).cast("long").alias("r_part")
+            ).write.mode("overwrite").parquet(
+                os.path.join(reg, f"raw/epoch={ep}")
+            ),
+            # target-side registers from the batch's target members
+            lambda: dsir_features(
+                batch_df.filter(F.col("doc_id") % 25 == 0), "text", "doc_id"
+            ).groupBy("bucket").agg(
+                F.count(F.lit(1)).cast("long").alias("t_part")
+            ).write.mode("overwrite").parquet(
+                os.path.join(reg, f"tgt/epoch={ep}")
+            ),
         )
 
     stream = (

@@ -1866,14 +1866,12 @@ def streaming_mih_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
     )
+    from kafka_sink_azure_kusto_spark.functions.parallelism import (
+        run_concurrently,
+    )
+
     code_dir = os.path.join(work, "codes")
     seed = dbl.filter(F.col("vec_id") % 3 == 0)
-    sign_bit_words(seed, "v").withColumn(
-        "block", (F.col("vec_id") % 8).cast("int")
-    ).select("vec_id", "v", "w0", "w1", "block").write.partitionBy(
-        "block"
-    ).parquet(code_dir)
-
     plus1 = F.expr("transform(v, x -> x + CAST(1.0 AS DOUBLE))")
     b0 = (
         dbl.filter(F.col("vec_id") % 3 == 1)
@@ -1891,17 +1889,29 @@ def streaming_mih_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .withColumn("seq", F.lit(1))
     )
-    chunks = [
-        [
-            r[0]
-            for r in b.select(
-                F.to_json(F.struct("vec_id", "v", "seq"))
-            ).collect()
-        ]
-        for b in (b0, b1)
-    ]
     replay = os.path.join(work, "replay")
-    _stage_chunks(chunks, replay)
+
+    def _stage_replay() -> None:
+        chunks = [
+            [
+                r[0]
+                for r in b.select(
+                    F.to_json(F.struct("vec_id", "v", "seq"))
+                ).collect()
+            ]
+            for b in (b0, b1)
+        ]
+        _stage_chunks(chunks, replay)
+
+    # seed code-store write ∥ replay staging: independent (guide §2.6)
+    run_concurrently(
+        lambda: sign_bit_words(seed, "v").withColumn(
+            "block", (F.col("vec_id") % 8).cast("int")
+        ).select("vec_id", "v", "w0", "w1", "block").write.partitionBy(
+            "block"
+        ).parquet(code_dir),
+        _stage_replay,
+    )
     probes_dir = os.path.join(work, "probes")
 
     def upsert_and_probe(batch_df, epoch_id: int) -> None:

@@ -176,22 +176,29 @@ def _np_store(spark: SparkSession, sf_dir: str):
         .localCheckpoint()
     )
     store = os.path.join(_workdir("np_codes_"), "codes")
-    (
-        S.pq_encode(dbl, cb, _PQ_M, _PQ_SUB, vec_col="v")
-        .join(
-            F.broadcast(dbl.select("vec_id", F.col("label").alias("cell"))),
-            "vec_id",
-        )
-        .select("vec_id", "m", "code", "cell")
-        .write.partitionBy("cell")
-        .parquet(store)
+
+    # store write, centroid build, and the query checkpoint are
+    # independent materializations — overlap them (guide §2.6)
+    _, cents, queries = run_concurrently(
+        lambda: (
+            S.pq_encode(dbl, cb, _PQ_M, _PQ_SUB, vec_col="v")
+            .join(
+                F.broadcast(
+                    dbl.select("vec_id", F.col("label").alias("cell"))
+                ),
+                "vec_id",
+            )
+            .select("vec_id", "m", "code", "cell")
+            .write.partitionBy("cell")
+            .parquet(store)
+        ),
+        lambda: S.cell_centroids(dbl, cell_col="label", vec_col="v").select(
+            "cell",
+            F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid"),
+        ).localCheckpoint(),
+        lambda: dbl.filter(F.col("vec_id") < _NP_NQ).localCheckpoint(),
     )
     codes = spark.read.parquet(store)
-    cents = S.cell_centroids(dbl, cell_col="label", vec_col="v").select(
-        "cell",
-        F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid"),
-    ).localCheckpoint()
-    queries = dbl.filter(F.col("vec_id") < _NP_NQ).localCheckpoint()
     _NP_MEMO[key] = (dbl, cb, codes, cents, queries)
     return _NP_MEMO[key]
 
@@ -309,28 +316,40 @@ def adc_nprobe_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    gt = (
-        dbl.select("vec_id", F.col("v").alias("cv"))
-        .crossJoin(F.broadcast(qdf))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("_d2", d2)
-        .withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.col("_d2").asc(), F.col("vec_id").asc()
-                )
-            ),
+    def _gt_arm() -> DataFrame:
+        return (
+            dbl.select("vec_id", F.col("v").alias("cv"))
+            .crossJoin(F.broadcast(qdf))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn("_d2", d2)
+            .withColumn(
+                "rnk",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.col("_d2").asc(), F.col("vec_id").asc()
+                    )
+                ),
+            )
+            .filter(F.col("rnk") <= _NP_K)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+            .localCheckpoint()
         )
-        .filter(F.col("rnk") <= _NP_K)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-        .localCheckpoint()
+
+    # ground truth and the three arms' probed-cell checkpoints are
+    # independent — overlap them (guide §2.6)
+    gt, *qcells_by_arm = run_concurrently(
+        _gt_arm,
+        *[
+            lambda np_=np_: S.multiprobe_cells(
+                qdf, cents, np_
+            ).localCheckpoint()
+            for np_ in _NP_ARMS
+        ],
     )
     tot = gt.agg(F.count(F.lit(1)).alias("n_possible"))
     cell_of = dbl.select("vec_id", F.col("label").alias("cell"))
     rows = None
-    for np_ in _NP_ARMS:
-        qcells = S.multiprobe_cells(qdf, cents, np_).localCheckpoint()
+    for np_, qcells in zip(_NP_ARMS, qcells_by_arm):
         res = S.pq_adc_topk(
             codes, queries, cb, _PQ_M, _PQ_SUB, k=_NP_K,
             query_vec_col="v", codes_cell_col="cell", query_cells=qcells,

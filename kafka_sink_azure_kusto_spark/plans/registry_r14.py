@@ -28,6 +28,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_sink_azure_kusto_spark.functions.parallelism import (
+    run_concurrently,
+)
 from kafka_sink_azure_kusto_spark.plans.registry import (
     _workdir,
     register,
@@ -176,27 +179,38 @@ def _sv_store(spark: SparkSession, sf_dir: str):
     if key in _SV_MEMO:
         return _SV_MEMO[key]
     dbl, _ = _hl_corpus(spark, sf_dir)
-    cb = S.pq_train(
-        dbl, _PQ_M, _PQ_SUB, num_codes=_PQ_CODES, iters=_PT_ITERS,
-        vec_col="v", round_means=_PT_ROUND,
-    ).localCheckpoint()
     store = os.path.join(_workdir("sv_codes_"), "codes")
-    (
-        S.pq_encode(dbl, cb, _PQ_M, _PQ_SUB, vec_col="v")
-        .join(
-            F.broadcast(dbl.select("vec_id", F.col("label").alias("cell"))),
-            "vec_id",
+
+    def _train_and_write() -> DataFrame:
+        cb = S.pq_train(
+            dbl, _PQ_M, _PQ_SUB, num_codes=_PQ_CODES, iters=_PT_ITERS,
+            vec_col="v", round_means=_PT_ROUND,
+        ).localCheckpoint()
+        (
+            S.pq_encode(dbl, cb, _PQ_M, _PQ_SUB, vec_col="v")
+            .join(
+                F.broadcast(
+                    dbl.select("vec_id", F.col("label").alias("cell"))
+                ),
+                "vec_id",
+            )
+            .select("vec_id", "m", "code", "cell")
+            .write.partitionBy("cell")
+            .parquet(store)
         )
-        .select("vec_id", "m", "code", "cell")
-        .write.partitionBy("cell")
-        .parquet(store)
+        return cb
+
+    # the train→encode→write chain, the centroid build, and the query
+    # checkpoint are independent — overlap them (guide §2.6)
+    cb, cents, queries = run_concurrently(
+        _train_and_write,
+        lambda: S.cell_centroids(dbl, cell_col="label", vec_col="v").select(
+            "cell",
+            F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid"),
+        ).localCheckpoint(),
+        lambda: dbl.filter(F.col("vec_id") < _SV_NQ).localCheckpoint(),
     )
     codes = spark.read.parquet(store)
-    cents = S.cell_centroids(dbl, cell_col="label", vec_col="v").select(
-        "cell",
-        F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid"),
-    ).localCheckpoint()
-    queries = dbl.filter(F.col("vec_id") < _SV_NQ).localCheckpoint()
     _SV_MEMO[key] = (dbl, cb, codes, cents, queries)
     return _SV_MEMO[key]
 

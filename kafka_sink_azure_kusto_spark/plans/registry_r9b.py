@@ -334,13 +334,24 @@ def knn_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # audit's cost is the brute-force pass, and a sample estimates
     # recall just as well (the audited builders still run in full);
     # unsampled, the two brute passes were 85 s at sf0.1 (5000^2 pairs)
+    from kafka_sink_azure_kusto_spark.functions.parallelism import (
+        run_concurrently,
+    )
+
     queries = emb.filter(F.col("vec_id") % 20 == 0)
-    gt = brute_force_topk(emb, queries, k=_KNN_K).select(
-        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
-    ).localCheckpoint()
-    seed_full = lsh_topk_directed(
-        emb, num_planes=_KNN_PLANES, k=_KNN_K, bucket_cap=_KNN_CAP, bands=2
-    ).localCheckpoint()  # graded directly AND reused as the refine seed
+    # ground truth and the LSH seed are independent materializations —
+    # overlap them (guide §2.6); values unchanged
+    gt, seed_full = run_concurrently(
+        lambda: brute_force_topk(emb, queries, k=_KNN_K).select(
+            F.col("query_id").alias("src"),
+            F.col("neighbor_id").alias("dst"),
+        ).localCheckpoint(),
+        # graded directly AND reused as the refine seed
+        lambda: lsh_topk_directed(
+            emb, num_planes=_KNN_PLANES, k=_KNN_K,
+            bucket_cap=_KNN_CAP, bands=2,
+        ).localCheckpoint(),
+    )
     seed = seed_full.select("src", "dst")
     refined = nn_descent_refine(
         emb, num_planes=_KNN_PLANES, k=_KNN_K, bucket_cap=_KNN_CAP, bands=2,
