@@ -23,12 +23,18 @@ cannot change any of their values.
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 from typing import Any, TypeVar
 
 from pyspark.sql import DataFrame
 
 _T = TypeVar("_T")
+
+# thread-local marker: set while a run_concurrently worker thunk is
+# executing, so nested calls can detect they are already inside a
+# worker and degrade to sequential execution (see the nesting guard)
+_IN_WORKER = threading.local()
 
 
 def ensure_min_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
@@ -47,7 +53,11 @@ def ensure_min_parallelism(df: DataFrame, target: int | None = None) -> DataFram
     return df.repartition(t)
 
 
-def run_concurrently(*thunks: Callable[[], _T], max_workers: int | None = None) -> list[Any]:
+def run_concurrently(
+    *thunks: Callable[[], _T],
+    max_workers: int | None = None,
+    when_nested: str = "sequential",
+) -> list[Any]:
     """Materialize INDEPENDENT driver-side work items concurrently and
     return their results in ``thunks`` order (spark_optimization_guide
     §2.6 "overlap independent jobs"): Spark's scheduler happily runs
@@ -73,8 +83,23 @@ def run_concurrently(*thunks: Callable[[], _T], max_workers: int | None = None) 
     (job group/description) is inherited and cleaned up under the
     pinned-thread mode that PySpark uses by default.
     """
-    if len(thunks) == 1:
-        return [thunks[0]()]
+    if not thunks:  # ThreadPoolExecutor(max_workers=0) raises (ADVICE r14)
+        return []
+    if len(thunks) == 1 or (
+        when_nested == "sequential" and getattr(_IN_WORKER, "active", False)
+    ):
+        # NESTING GUARD (ADVICE r14 #3): by default a run_concurrently
+        # reached from inside another run_concurrently worker runs its
+        # thunks SEQUENTIALLY, so total in-flight jobs stay bounded by
+        # the top-level fan-out. The hazard is real: the maintenance
+        # kernels' internal job folds, nested under 3 concurrent
+        # per-layer upsert chains, measured pathological multi-second
+        # scheduler stalls at local[32] (r15: 91 s outliers on a loop
+        # whose quiet wall is ~18 s) and multiply peak localCheckpoint
+        # storage. The few orchestration sites whose nested fan-out is
+        # bounded and r14-measured-good (audit arms → layer builds)
+        # pass when_nested="parallel" explicitly.
+        return [t() for t in thunks]
     from concurrent.futures import ThreadPoolExecutor
 
     try:
@@ -83,6 +108,15 @@ def run_concurrently(*thunks: Callable[[], _T], max_workers: int | None = None) 
         def _itt(f):
             return f
 
+    def _mark(t: Callable[[], _T]) -> Callable[[], _T]:
+        def inner():
+            _IN_WORKER.active = True
+            try:
+                return t()
+            finally:
+                _IN_WORKER.active = False
+        return inner
+
     with ThreadPoolExecutor(max_workers=max_workers or len(thunks)) as pool:
-        futures = [pool.submit(_itt(t)) for t in thunks]
+        futures = [pool.submit(_itt(_mark(t))) for t in thunks]
         return [f.result() for f in futures]

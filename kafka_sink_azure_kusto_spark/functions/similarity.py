@@ -1356,28 +1356,38 @@ def ivf_index_upsert(
         .join(F.broadcast(batch.select("vec_id").distinct()), "vec_id")
         .select("cell")
     )
-    # materialized pre-write: `affected` now has lineage through the
-    # index parquet this function overwrites, and the `emptied` branch
-    # re-evaluates it AFTER the rewrite
-    affected = (
-        batch.select("cell").distinct().unionByName(old_cells).distinct()
-    ).localCheckpoint()
+    # affected cells as a collected literal list (VERDICT r14 #2): one
+    # bounded collect replaces the pre-write checkpoint (a list cannot
+    # be invalidated by the rewrite), keep prunes with a plain isin()
+    # filter instead of a broadcast join, and the store write overlaps
+    # the kept-cells collect (both read the checkpointed rewrite —
+    # guide §2.6). Values unchanged.
+    from kafka_sink_azure_kusto_spark.functions.parallelism import (
+        run_concurrently,
+    )
+
+    affected = sorted(
+        r["cell"]
+        for r in batch.select("cell")
+        .unionByName(old_cells)
+        .distinct()
+        .collect()  # bounded: ≤ |batch| + |batch| cells
+    )
     keep = (
-        idx.join(F.broadcast(affected), "cell")
+        idx.filter(F.col("cell").isin(affected))
         .join(batch.select("vec_id"), "vec_id", "left_anti")
         .select("vec_id", "v", "cell")
     )
     live = batch.filter(F.col("v").isNotNull()).select("vec_id", "v", "cell")
     rewrite = keep.unionByName(live).localCheckpoint()
-    rewrite.write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy("cell").parquet(idx_dir)
-    emptied = [
-        r["cell"]
-        for r in affected.join(
-            rewrite.select("cell").distinct(), "cell", "left_anti"
-        ).collect()  # bounded: ≤ |affected cells|
-    ]
+    _, kept_rows = run_concurrently(
+        lambda: rewrite.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("cell").parquet(idx_dir),
+        lambda: rewrite.select("cell").distinct().collect(),  # ≤ |affected|
+    )
+    kept = {r["cell"] for r in kept_rows}
+    emptied = [c for c in affected if c not in kept]
     for c in emptied:
         _store_delete_partition(spark, idx_dir, f"cell={c}")
     return emptied
@@ -1505,21 +1515,36 @@ def knn_graph_upsert(
     # is structurally worse at 100 TB: every downstream corpus scan
     # paid the distinct-shuffle + broadcast anti-join instead of a
     # plain store read. The read-after-write barrier stays.)
-    vec_affected = batch.select("block").distinct().localCheckpoint()
+    # per-epoch job folding (VERDICT r14 #2): affected blocks as one
+    # bounded collect + literal isin() (replaces the checkpoint + the
+    # broadcast join + the final anti-join collect); the store write
+    # overlaps the kept-blocks collect (both read the checkpointed
+    # vrewrite — guide §2.6). Values unchanged.
+    from kafka_sink_azure_kusto_spark.functions.parallelism import (
+        run_concurrently,
+    )
+
+    vec_affected = sorted(
+        r["block"]
+        for r in batch.select("block").distinct().collect()  # ≤ n_blocks
+    )
     vstore = spark.read.parquet(vec_dir)
     vkeep = (
-        vstore.join(F.broadcast(vec_affected), "block")
+        vstore.filter(F.col("block").isin(vec_affected))
         .join(batch_ids, "vec_id", "left_anti")
         .select("vec_id", "v", "block")
     )
     vrewrite = vkeep.unionByName(live.select("vec_id", "v", "block")).localCheckpoint()
-    vrewrite.write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy("block").parquet(vec_dir)
-    for r in vec_affected.join(
-        vrewrite.select("block").distinct(), "block", "left_anti"
-    ).collect():  # bounded: ≤ |batch| blocks
-        _store_delete_partition(spark, vec_dir, f"block={r['block']}")
+    _, vkept_rows = run_concurrently(
+        lambda: vrewrite.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("block").parquet(vec_dir),
+        lambda: vrewrite.select("block").distinct().collect(),  # ≤ n_blocks
+    )
+    vkept = {r["block"] for r in vkept_rows}
+    for blk in vec_affected:
+        if blk not in vkept:
+            _store_delete_partition(spark, vec_dir, f"block={blk}")
 
     corpus = spark.read.parquet(vec_dir)  # post-batch state
     graph = spark.read.parquet(graph_dir)
@@ -1568,7 +1593,21 @@ def knn_graph_upsert(
         .join(corpus.select(F.col("vec_id").alias("src")), "src", "left_semi")
         .localCheckpoint()
     )
-    n_frontier = frontier.count()
+    # the frontier count and the affected-blocks collect are
+    # independent reads of the checkpointed frontier/batch — overlap
+    # them (guide §2.6); the cap check still happens BEFORE anything
+    # broadcasts the frontier (the recompute plan executes at the
+    # grewrite checkpoint below)
+    n_frontier, affected_rows = run_concurrently(
+        frontier.count,
+        lambda: frontier.unionByName(
+            batch_ids.withColumnRenamed("vec_id", "src")
+        )
+        .select((F.col("src") % n_blocks).cast("int").alias("block"))
+        .distinct()
+        .collect(),  # bounded: ≤ n_blocks
+    )
+    affected = sorted(r["block"] for r in affected_rows)
     if max_broadcast_frontier is not None and n_frontier > max_broadcast_frontier:
         raise ValueError(
             f"knn_graph_upsert: frontier {n_frontier} exceeds "
@@ -1610,38 +1649,33 @@ def knn_graph_upsert(
         .withColumn("block", (F.col("src") % n_blocks).cast("int"))
     )
 
-    # ---- 4. rewrite only the affected adjacency partitions
-    affected = (
-        frontier.unionByName(batch_ids.withColumnRenamed("vec_id", "src"))
-        .select((F.col("src") % n_blocks).cast("int").alias("block"))
-        .distinct()
-        .localCheckpoint()
-    )
+    # ---- 4. rewrite only the affected adjacency partitions (the
+    # affected list was collected above, overlapped with the frontier
+    # count; isin() prunes the scan statically)
     drop = frontier.unionByName(
         batch_ids.withColumnRenamed("vec_id", "src")
     ).distinct()
     gkeep = (
-        graph.join(F.broadcast(affected), "block")
+        graph.filter(F.col("block").isin(affected))
         .join(drop, "src", "left_anti")
         .select("src", "dst", "score", "block")
     )
     grewrite = gkeep.unionByName(
         recomputed.select("src", "dst", "score", "block")
     ).localCheckpoint()
-    grewrite.write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy("block").parquet(graph_dir)
-    emptied = [
-        r["block"]
-        for r in affected.join(
-            grewrite.select("block").distinct(), "block", "left_anti"
-        ).collect()  # bounded: ≤ |affected blocks|
-    ]
+    _, gkept_rows = run_concurrently(
+        lambda: grewrite.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("block").parquet(graph_dir),
+        lambda: grewrite.select("block").distinct().collect(),  # ≤ n_blocks
+    )
+    gkept = {r["block"] for r in gkept_rows}
+    emptied = [blk for blk in affected if blk not in gkept]
     for blk in emptied:
         _store_delete_partition(spark, graph_dir, f"block={blk}")
     return {
         "n_frontier": n_frontier,
-        "affected_blocks": sorted(r["block"] for r in affected.collect()),
+        "affected_blocks": affected,
         "emptied_blocks": sorted(emptied),
     }
 
@@ -2034,11 +2068,25 @@ def mih_code_upsert(
         .withColumn("block", (F.col("vec_id") % n_blocks).cast("int"))
         .localCheckpoint()
     )
-    affected = latest.select("block").distinct().localCheckpoint()
+    # per-epoch job folding (VERDICT r14 #2): one per-block count
+    # aggregate replaces the affected-blocks checkpoint AND the two
+    # final counts; keep prunes with a literal isin() instead of a
+    # broadcast join; the store write overlaps the kept-blocks collect
+    # (both read the checkpointed rewrite). Guide §2.6; 7 sequential
+    # jobs → 4 slots, values unchanged.
+    from kafka_sink_azure_kusto_spark.functions.parallelism import (
+        run_concurrently,
+    )
+
+    block_counts = latest.groupBy("block").agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect()  # bounded: ≤ n_blocks rows
+    affected = sorted(int(r["block"]) for r in block_counts)
+    batch_rows = sum(int(r["n"]) for r in block_counts)
     if _store_exists(spark, code_dir):
         idx = spark.read.parquet(code_dir)
         keep = (
-            idx.join(F.broadcast(affected), "block")
+            idx.filter(F.col("block").isin(affected))
             .join(latest.select("vec_id"), "vec_id", "left_anti")
             .select("vec_id", "v", "w0", "w1", "block")
         )
@@ -2048,20 +2096,19 @@ def mih_code_upsert(
         latest.filter(F.col("v").isNotNull()), "v"
     ).select("vec_id", "v", "w0", "w1", "block")
     rewrite = (adds if keep is None else keep.unionByName(adds)).localCheckpoint()
-    rewrite.write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy("block").parquet(code_dir)
-    emptied = [
-        r["block"]
-        for r in affected.join(
-            rewrite.select("block").distinct(), "block", "left_anti"
-        ).collect()  # bounded: ≤ n_blocks
-    ]
+    _, kept_rows = run_concurrently(
+        lambda: rewrite.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("block").parquet(code_dir),
+        lambda: rewrite.select("block").distinct().collect(),  # ≤ n_blocks
+    )
+    kept_blocks = {r["block"] for r in kept_rows}
+    emptied = [b for b in affected if b not in kept_blocks]
     for blk in emptied:
         _store_delete_partition(spark, code_dir, f"block={blk}")
     return {
-        "batch_rows": latest.count(),
-        "affected_blocks": affected.count(),
+        "batch_rows": batch_rows,
+        "affected_blocks": len(affected),
         "emptied_blocks": len(emptied),
     }
 
@@ -2122,12 +2169,36 @@ def pq_code_upsert(
         .withColumn("block", (F.col("vec_id") % n_blocks).cast("int"))
         .localCheckpoint()
     )
-    # affected blocks as a collected literal list — bounded ≤ n_blocks
-    # by construction, and a plain isin() filter costs one partition-
-    # pruned scan instead of a checkpoint + broadcast join per epoch
-    affected = sorted(
-        r["block"] for r in latest.select("block").distinct().collect()
+    # per-epoch job folding (VERDICT r14 #2): the 8 sequential barrier
+    # jobs of the r14 shape collapse into 4 slots — (a) one per-block
+    # count aggregate replaces the separate affected-blocks collect AND
+    # the final latest.count(); (b) that collect overlaps the adds
+    # checkpoint (both read only the checkpointed latest); (c) the
+    # drift collect overlaps the rewrite checkpoint; (d) the store
+    # write overlaps the kept-blocks collect (both read the
+    # checkpointed rewrite). Guide §2.6; every folded pair is
+    # independent by construction, values unchanged.
+    from kafka_sink_azure_kusto_spark.functions.parallelism import (
+        run_concurrently,
     )
+
+    block_counts, adds = run_concurrently(
+        lambda: latest.groupBy("block")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect(),  # bounded: ≤ n_blocks rows
+        lambda: pq_encode(
+            latest.filter(F.col("v").isNotNull()),
+            codebook, num_subspaces, sub_len, id_col="vec_id", vec_col="v",
+        )
+        .withColumn("block", (F.col("vec_id") % n_blocks).cast("int"))
+        .select("vec_id", "m", "code", "qerr", "block")
+        .localCheckpoint(),
+    )
+    # affected blocks as a literal list — a plain isin() filter costs
+    # one partition-pruned scan instead of a checkpoint + broadcast
+    # join per epoch
+    affected = sorted(int(r["block"]) for r in block_counts)
+    batch_rows = sum(int(r["n"]) for r in block_counts)
     if _store_exists(spark, code_dir):
         idx = spark.read.parquet(code_dir)
         keep = (
@@ -2137,34 +2208,29 @@ def pq_code_upsert(
         )
     else:
         keep = None  # first run only — the store has never been written
-    adds = (
-        pq_encode(
-            latest.filter(F.col("v").isNotNull()),
-            codebook, num_subspaces, sub_len, id_col="vec_id", vec_col="v",
-        )
-        .withColumn("block", (F.col("vec_id") % n_blocks).cast("int"))
-        .select("vec_id", "m", "code", "qerr", "block")
-        .localCheckpoint()
+    drift_rows, rewrite = run_concurrently(
+        lambda: adds.groupBy("m")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("qerr").alias("sq"))
+        .collect(),  # bounded: ≤ num_subspaces rows
+        lambda: (
+            adds if keep is None else keep.unionByName(adds)
+        ).localCheckpoint(),
     )
     drift = [
-        (int(r["m"]), int(r["n"]), float(r["sq"]))
-        for r in adds.groupBy("m")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("qerr").alias("sq"))
-        .collect()  # bounded: ≤ num_subspaces rows
+        (int(r["m"]), int(r["n"]), float(r["sq"])) for r in drift_rows
     ]
-    rewrite = (adds if keep is None else keep.unionByName(adds)).localCheckpoint()
-    rewrite.write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy("block").parquet(code_dir)
-    kept_blocks = {
-        r["block"]
-        for r in rewrite.select("block").distinct().collect()  # ≤ n_blocks
-    }
+    _, kept_rows = run_concurrently(
+        lambda: rewrite.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("block").parquet(code_dir),
+        lambda: rewrite.select("block").distinct().collect(),  # ≤ n_blocks
+    )
+    kept_blocks = {r["block"] for r in kept_rows}
     emptied = [b for b in affected if b not in kept_blocks]
     for blk in emptied:
         _store_delete_partition(spark, code_dir, f"block={blk}")
     return {
-        "batch_rows": latest.count(),
+        "batch_rows": batch_rows,
         "affected_blocks": len(affected),
         "emptied_blocks": len(emptied),
         "drift": sorted(drift),
@@ -2346,13 +2412,29 @@ def ivfpq_code_upsert(
         .drop("_r", "_seq")
         .localCheckpoint()
     )
-    claimed = {r["cell"] for r in latest.select("cell").distinct().collect()}
-    if _store_exists(spark, idx_dir):
-        idx = spark.read.parquet(idx_dir)
+    # per-epoch job folding (VERDICT r14 #2): one per-cell count
+    # aggregate replaces the claimed-cells collect AND the final
+    # latest.count(); it overlaps the cell-move lookup AND the adds
+    # checkpoint (all three read only the checkpointed latest / the
+    # store's thin (vec_id, cell) projection); the drift collect
+    # overlaps the rewrite checkpoint; the store write overlaps the
+    # kept-cells collect. Guide §2.6; 9 sequential jobs → 4 slots,
+    # values unchanged.
+    from kafka_sink_azure_kusto_spark.functions.parallelism import (
+        run_concurrently,
+    )
+
+    live = latest.filter(F.col("v").isNotNull())
+    store_exists = _store_exists(spark, idx_dir)
+    idx = spark.read.parquet(idx_dir) if store_exists else None
+
+    def _current_cells() -> set:
         # cell-move lookup: (vec_id, cell) only — cell is the partition
         # column and vec_id one thin column, a pruned metadata-ish scan
         # with the ≤|batch| id set broadcast
-        current = {
+        if idx is None:
+            return set()
+        return {
             r["cell"]
             for r in idx.select("vec_id", "cell")
             .join(F.broadcast(latest.select("vec_id").distinct()), "vec_id")
@@ -2360,42 +2442,51 @@ def ivfpq_code_upsert(
             .distinct()
             .collect()  # bounded: ≤ |batch| cells
         }
-        affected = sorted(claimed | current)
-        keep = (
-            idx.filter(F.col("cell").isin(affected))
-            .join(latest.select("vec_id"), "vec_id", "left_anti")
-            .select("vec_id", "m", "code", "qerr", "cell")
-        )
-    else:
-        affected = sorted(claimed)
-        keep = None  # first run only — the store has never been written
-    live = latest.filter(F.col("v").isNotNull())
-    adds = (
-        pq_encode(live, codebook, num_subspaces, sub_len,
-                  id_col="vec_id", vec_col="v")
+
+    cell_counts, current, adds = run_concurrently(
+        lambda: latest.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect(),  # bounded: ≤ |batch| cells
+        _current_cells,
+        lambda: pq_encode(live, codebook, num_subspaces, sub_len,
+                          id_col="vec_id", vec_col="v")
         .join(F.broadcast(live.select("vec_id", "cell")), "vec_id")
         .select("vec_id", "m", "code", "qerr", "cell")
-        .localCheckpoint()
+        .localCheckpoint(),
+    )
+    claimed = {r["cell"] for r in cell_counts}
+    batch_rows = sum(int(r["n"]) for r in cell_counts)
+    affected = sorted(claimed | current)
+    keep = (
+        idx.filter(F.col("cell").isin(affected))
+        .join(latest.select("vec_id"), "vec_id", "left_anti")
+        .select("vec_id", "m", "code", "qerr", "cell")
+        if idx is not None
+        else None  # first run only — the store has never been written
+    )
+    drift_rows, rewrite = run_concurrently(
+        lambda: adds.groupBy("m")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("qerr").alias("sq"))
+        .collect(),  # bounded: ≤ num_subspaces rows
+        lambda: (
+            adds if keep is None else keep.unionByName(adds)
+        ).localCheckpoint(),
     )
     drift = [
-        (int(r["m"]), int(r["n"]), float(r["sq"]))
-        for r in adds.groupBy("m")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("qerr").alias("sq"))
-        .collect()  # bounded: ≤ num_subspaces rows
+        (int(r["m"]), int(r["n"]), float(r["sq"])) for r in drift_rows
     ]
-    rewrite = (adds if keep is None else keep.unionByName(adds)).localCheckpoint()
-    rewrite.write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy("cell").parquet(idx_dir)
-    kept = {
-        r["cell"]
-        for r in rewrite.select("cell").distinct().collect()  # ≤ |affected|
-    }
+    _, kept_rows = run_concurrently(
+        lambda: rewrite.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("cell").parquet(idx_dir),
+        lambda: rewrite.select("cell").distinct().collect(),  # ≤ |affected|
+    )
+    kept = {r["cell"] for r in kept_rows}
     emptied = [c for c in affected if c not in kept]
     for c in emptied:
         _store_delete_partition(spark, idx_dir, f"cell={c}")
     return {
-        "batch_rows": latest.count(),
+        "batch_rows": batch_rows,
         "affected_cells": len(affected),
         "emptied_cells": len(emptied),
         "drift": sorted(drift),
@@ -2483,7 +2574,10 @@ def hierarchical_layers_nn_descent(
     # its thunk, so every computed edge list is bit-identical to the
     # sequential build
     built: list[tuple[dict, DataFrame, DataFrame]] = run_concurrently(
-        *[lambda s=spec: _build_layer(s) for spec in layer_specs]
+        *[lambda s=spec: _build_layer(s) for spec in layer_specs],
+        # orchestration-level nesting (e.g. under an audit's arm fork)
+        # measured good in r14 — keep the layers concurrent even there
+        when_nested="parallel",
     )
     edges0 = built[0][2]
     upper = [

@@ -410,11 +410,23 @@ def word_count_upsert(
         .withColumn("block", (F.col("doc_id") % n_blocks).cast("int"))
         .localCheckpoint()
     )
-    affected = sorted(
-        r["block"] for r in latest.select("block").distinct().collect()
-    )  # bounded ≤ n_blocks
-    new_rows = (
-        latest.filter(F.col("text").isNotNull())
+    # per-epoch job folding (VERDICT r14 #2): one per-block count
+    # aggregate replaces the affected-blocks collect AND the final
+    # latest.count(), and it overlaps the new-rows checkpoint (both
+    # read only the checkpointed latest); the deltas checkpoint
+    # overlaps the rewrite checkpoint (independent consumers of the
+    # checkpointed new_rows + the pre-overwrite store); the store
+    # write overlaps the kept-blocks collect. Guide §2.6; 8 sequential
+    # jobs → 4 slots, values unchanged.
+    from kafka_sink_azure_kusto_spark.functions.parallelism import (
+        run_concurrently,
+    )
+
+    block_counts, new_rows = run_concurrently(
+        lambda: latest.groupBy("block")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect(),  # bounded ≤ n_blocks rows
+        lambda: latest.filter(F.col("text").isNotNull())
         .select(
             "doc_id", "block",
             F.explode(F.split("text", " ")).alias("word"),
@@ -422,8 +434,10 @@ def word_count_upsert(
         .filter(F.col("word") != "")
         .groupBy("doc_id", "block", "word")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .localCheckpoint()
+        .localCheckpoint(),
     )
+    affected = sorted(int(r["block"]) for r in block_counts)
+    batch_docs = sum(int(r["n"]) for r in block_counts)
     if _store_exists(spark, store_dir):
         idx = spark.read.parquet(store_dir)
         old_rows = (
@@ -443,30 +457,36 @@ def word_count_upsert(
         if old_rows is not None
         else spark.createDataFrame([], "word string, delta long")
     )
-    deltas = (
-        new_rows.select("word", F.col("cnt").alias("delta"))
+    deltas, rewrite = run_concurrently(
+        # BOTH checkpoints run BEFORE the overwrite below invalidates
+        # the store lineage; they are independent consumers of the
+        # checkpointed new_rows + the pre-overwrite store scan
+        lambda: new_rows.select("word", F.col("cnt").alias("delta"))
         .unionByName(neg)
         .groupBy("word")
         .agg(F.sum("delta").cast("long").alias("delta"))
         .filter(F.col("delta") != 0)
-        .localCheckpoint()  # BEFORE the overwrite below invalidates lineage
+        .localCheckpoint(),
+        lambda: (
+            new_rows.select("doc_id", "word", "cnt", "block")
+            if keep is None
+            else keep.unionByName(
+                new_rows.select("doc_id", "word", "cnt", "block")
+            )
+        ).localCheckpoint(),
     )
-    rewrite = (
-        new_rows.select("doc_id", "word", "cnt", "block")
-        if keep is None
-        else keep.unionByName(new_rows.select("doc_id", "word", "cnt", "block"))
-    ).localCheckpoint()
-    rewrite.write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy("block").parquet(store_dir)
-    kept_blocks = {
-        r["block"] for r in rewrite.select("block").distinct().collect()
-    }  # ≤ n_blocks
+    _, kept_rows = run_concurrently(
+        lambda: rewrite.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("block").parquet(store_dir),
+        lambda: rewrite.select("block").distinct().collect(),  # ≤ n_blocks
+    )
+    kept_blocks = {r["block"] for r in kept_rows}
     emptied = [blk for blk in affected if blk not in kept_blocks]
     for blk in emptied:
         _store_delete_partition(spark, store_dir, f"block={blk}")
     return {
-        "batch_docs": latest.count(),
+        "batch_docs": batch_docs,
         "affected_blocks": len(affected),
         "emptied_blocks": len(emptied),
         "deltas": deltas,

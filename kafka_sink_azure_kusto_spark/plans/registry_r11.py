@@ -137,7 +137,11 @@ def _run_knn_graph_stream_loop(
         run_concurrently,
     )
 
-    seed = dbl.filter(F.col("vec_id") % 3 == 0)
+    # checkpoint the seed ONCE before forking (VERDICT r14 #1): the r14
+    # overlap had both thunks scan the same LAZY filter concurrently,
+    # so the cheap store write contended with the all-pairs graph
+    # build for the same scan instead of sharing a materialized frame
+    seed = dbl.filter(F.col("vec_id") % 3 == 0).localCheckpoint()
     # seed vector store and seed exact graph are independent writes —
     # overlap them (guide §2.6); on-disk state unchanged
     run_concurrently(

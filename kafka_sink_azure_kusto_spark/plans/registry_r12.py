@@ -545,6 +545,9 @@ def _hl_layers(dbl, memo_key: tuple[str, str] | None = None):
         .select("src", "dst").localCheckpoint(),
         lambda: knn_graph_build_exact(dbl, k=_HL_GK0, vec_col="v")
         .select("src", "dst").localCheckpoint(),
+        # orchestration-level nesting (called under an audit's arm
+        # fork) measured good in r14 — keep the builds concurrent
+        when_nested="parallel",
     )
     mk = lambda df: df.select(F.col("vec_id").alias("nid"))  # noqa: E731
     result = (edges0, [
@@ -1268,7 +1271,9 @@ def streaming_hierarchical_graph_maintenance(
         vdir, gdir = dirs[name]
         members = seed.filter(F.col("vec_id") % stride == 0)
         # the vector-store write and the exact-graph build+write are
-        # independent jobs over the same lazy member subset
+        # independent jobs over the same lazy member subset; nested
+        # under the 3-way layer fork below — the 3×2 fan-out measured
+        # good in r14, so keep it concurrent
         run_concurrently(
             lambda: members.withColumn(
                 "block", (F.col("vec_id") % n_blocks).cast("int")
@@ -1276,6 +1281,7 @@ def streaming_hierarchical_graph_maintenance(
             lambda: knn_graph_build_exact(
                 members, k=deg, vec_col="v", n_blocks=n_blocks
             ).write.partitionBy("block").parquet(gdir),
+            when_nested="parallel",
         )
 
     # the three layer stores are independent — overlap their seed
