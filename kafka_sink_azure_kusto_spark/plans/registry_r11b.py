@@ -968,6 +968,13 @@ def graph_modularity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e_in") / m
             - (F.col("d_sum") / (2 * m)) * (F.col("d_sum") / (2 * m)),
         )
+        # materialized ONCE (tiny: one row per community): the final
+        # plan referenced `per` twice — the rows and, through the
+        # broadcast Q aggregate, the whole ein/dsum join subtree again
+        # (both SortMergeJoin chains verbatim in the r14 plan dump,
+        # nodes 7-46 vs 52-91) — so every edge-label join ran twice
+        # per action. One checkpoint halves that work at any scale.
+        .localCheckpoint()
     )
     q = per.agg(F.sum("contrib").alias("q"))
     return per.crossJoin(F.broadcast(q)).select(
@@ -1802,7 +1809,18 @@ def similarity_mih_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    return arm("isotropic", iso).unionByName(arm("clustered", clu))
+    # the two corpora's arms are independent (each pays an eager
+    # sign-bit-code checkpoint + the query-cap guard inside
+    # binary_hamming_topk / brute_force_topk) — build them concurrently
+    # (guide §2.6, VERDICT r14 #6); the union stays lazy
+    from kafka_sink_azure_kusto_spark.functions.parallelism import (
+        run_concurrently,
+    )
+
+    arm_iso, arm_clu = run_concurrently(
+        lambda: arm("isotropic", iso), lambda: arm("clustered", clu)
+    )
+    return arm_iso.unionByName(arm_clu)
 
 
 # ---------------------------------------------------------------------
