@@ -96,6 +96,7 @@ def clear_gate_memos() -> None:
     registry_r13._NP_MEMO.clear()
     registry_r13._VB_MEMO.clear()
     registry_r14._SV_MEMO.clear()
+    registry_r14._SV_BASE_MEMO.clear()
     registry_r14._RS_MEMO.clear()
 
 

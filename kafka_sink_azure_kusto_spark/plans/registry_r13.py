@@ -945,21 +945,25 @@ def _run_vocab_stream_loop(
     # persist the seed histogram register and the seed vocabulary store
     seed = docs.filter(F.col("doc_id") % 3 == 0)
     st = U.word_count_upsert(seed, store, n_blocks=_VB_BLOCKS)
-    st["deltas"].write.parquet(os.path.join(reg, "hist_seed"))
-    seedw = (
-        spark.read.parquet(os.path.join(reg, "hist_seed"))
-        .select(
-            "word",
-            F.col("delta").alias("wcnt"),
-            F.length("word").cast("int").alias("wlen"),
-        )
+    # the seed register write and the seed-vocabulary train both
+    # consume the CHECKPOINTED deltas — derive the vocabulary from the
+    # checkpoint directly (a (word string, delta long) parquet
+    # round-trip is exact, so values are unchanged) and overlap the
+    # two writes (guide §2.6) instead of write → read-back → train
+    seedw = st["deltas"].select(
+        "word",
+        F.col("delta").alias("wcnt"),
+        F.length("word").cast("int").alias("wlen"),
     )
-    U.lp_table(
-        U.seed_substring_counts(
-            seedw.filter(F.col("wlen") <= _VB_MAXW), _VB_MAXP
-        ),
-        _VB_CAP,
-    ).write.parquet(vocab_dir)
+    run_concurrently(
+        lambda: st["deltas"].write.parquet(os.path.join(reg, "hist_seed")),
+        lambda: U.lp_table(
+            U.seed_substring_counts(
+                seedw.filter(F.col("wlen") <= _VB_MAXW), _VB_MAXP
+            ),
+            _VB_CAP,
+        ).write.parquet(vocab_dir),
+    )
 
     def oov_stats(words: DataFrame, lp: DataFrame) -> DataFrame:
         """(n_tokens, n_oov) of a word histogram under piece table

@@ -163,16 +163,43 @@ _SV_PIPELINE_ORACLE = f"""
 
 
 _SV_MEMO: dict = {}
+_SV_BASE_MEMO: dict = {}
+
+
+def _sv_base(spark: SparkSession, sf_dir: str):
+    """Shared serving BASE, memoized per process: boosted corpus, 6-dp
+    cell centroids, full-precision queries. Split out of `_sv_store`
+    (r15) so the RESIDUAL pipelines — which never read the plain code
+    store — stop paying the plain train→encode→write chain just to get
+    the centroids and queries."""
+    from kafka_sink_azure_kusto_spark.functions import similarity as S
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _SV_BASE_MEMO:
+        return _SV_BASE_MEMO[key]
+    dbl, _ = _hl_corpus(spark, sf_dir)
+    # the centroid build and the query checkpoint are independent —
+    # overlap them (guide §2.6); "parallel" when nested under
+    # _sv_store's train ∥ base fork (bounded 1+2 fan-out)
+    cents, queries = run_concurrently(
+        lambda: S.cell_centroids(dbl, cell_col="label", vec_col="v").select(
+            "cell",
+            F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid"),
+        ).localCheckpoint(),
+        lambda: dbl.filter(F.col("vec_id") < _SV_NQ).localCheckpoint(),
+        when_nested="parallel",
+    )
+    _SV_BASE_MEMO[key] = (dbl, cents, queries)
+    return _SV_BASE_MEMO[key]
 
 
 def _sv_store(spark: SparkSession, sf_dir: str):
     """Serving substrate, memoized per process (shared by the pipeline
-    gate and the recall audit, same policy as _NP_MEMO): boosted
-    corpus, TRAINED codebook (pq_train, {_PT_ITERS} Lloyd iterations,
-    {_PT_ROUND}-dp-quantized updates — the pq_codebook_train recipe),
-    cell-partitioned code store written to parquet and READ BACK (cell
-    pruning happens at the scan), 6-dp centroids, full-precision
-    queries."""
+    gate and the recall audit, same policy as _NP_MEMO): the serving
+    base above + the TRAINED codebook (pq_train, {_PT_ITERS} Lloyd
+    iterations, {_PT_ROUND}-dp-quantized updates — the pq_codebook_train
+    recipe) and the cell-partitioned code store written to parquet and
+    READ BACK (cell pruning happens at the scan)."""
     from kafka_sink_azure_kusto_spark.functions import similarity as S
 
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -200,15 +227,11 @@ def _sv_store(spark: SparkSession, sf_dir: str):
         )
         return cb
 
-    # the train→encode→write chain, the centroid build, and the query
-    # checkpoint are independent — overlap them (guide §2.6)
-    cb, cents, queries = run_concurrently(
+    # the train→encode→write chain and the base build (centroids ∥
+    # queries) are independent — overlap them (guide §2.6)
+    cb, (_, cents, queries) = run_concurrently(
         _train_and_write,
-        lambda: S.cell_centroids(dbl, cell_col="label", vec_col="v").select(
-            "cell",
-            F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid"),
-        ).localCheckpoint(),
-        lambda: dbl.filter(F.col("vec_id") < _SV_NQ).localCheckpoint(),
+        lambda: _sv_base(spark, sf_dir),
     )
     codes = spark.read.parquet(store)
     _SV_MEMO[key] = (dbl, cb, codes, cents, queries)
@@ -347,25 +370,29 @@ def ivfpq_serving_recall_audit(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    gt = (
-        dbl.select("vec_id", F.col("v").alias("cv"))
-        .crossJoin(F.broadcast(qdf))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("_d2", d2)
-        .withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.col("_d2").asc(), F.col("vec_id").asc()
-                )
-            ),
-        )
-        .filter(F.col("rnk") <= _SV_K)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-        .localCheckpoint()
+    # brute-force GT and the probed-cell checkpoint are independent —
+    # overlap them (guide §2.6)
+    gt, qcells = run_concurrently(
+        lambda: (
+            dbl.select("vec_id", F.col("v").alias("cv"))
+            .crossJoin(F.broadcast(qdf))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn("_d2", d2)
+            .withColumn(
+                "rnk",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.col("_d2").asc(), F.col("vec_id").asc()
+                    )
+                ),
+            )
+            .filter(F.col("rnk") <= _SV_K)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+            .localCheckpoint()
+        ),
+        lambda: S.multiprobe_cells(qdf, cents, _SV_PROBE).localCheckpoint(),
     )
     tot = gt.agg(F.count(F.lit(1)).alias("n_possible"))
-    qcells = S.multiprobe_cells(qdf, cents, _SV_PROBE).localCheckpoint()
     cell_of = dbl.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("cell")
     )
@@ -576,7 +603,10 @@ def _rs_store(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
     if key in _RS_MEMO:
         return _RS_MEMO[key]
-    dbl, _, _, cents, queries = _sv_store(spark, sf_dir)
+    # r15: only the BASE (corpus, centroids, queries) is needed — the
+    # plain code store this used to build via _sv_store is never read
+    # by the residual pipelines
+    dbl, cents, queries = _sv_base(spark, sf_dir)
     rcorp = S.with_residuals(
         dbl.select("vec_id", F.col("label").alias("cell"), "v"),
         cents, vec_col="v",
@@ -758,7 +788,6 @@ def ivfpq_residual_gain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_sink_azure_kusto_spark.functions import similarity as S
 
     dbl, pcb, pcodes, cents, queries = _sv_store(spark, sf_dir)
-    _, rcb, rcodes, _, _ = _rs_store(spark, sf_dir)
     qdf = queries.select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qvec")
     )
@@ -769,33 +798,45 @@ def ivfpq_residual_gain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    gt = (
-        dbl.select("vec_id", F.col("v").alias("cv"))
-        .crossJoin(F.broadcast(qdf))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("_d2", d2)
-        .withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(
-                    F.col("_d2").asc(), F.col("vec_id").asc()
-                )
-            ),
+
+    def _gt_arm() -> DataFrame:
+        return (
+            dbl.select("vec_id", F.col("v").alias("cv"))
+            .crossJoin(F.broadcast(qdf))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .withColumn("_d2", d2)
+            .withColumn(
+                "rnk",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.col("_d2").asc(), F.col("vec_id").asc()
+                    )
+                ),
+            )
+            .filter(F.col("rnk") <= _SV_K)
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+            .localCheckpoint()
         )
-        .filter(F.col("rnk") <= _SV_K)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-        .localCheckpoint()
+
+    # brute-force GT, the probed-cell checkpoint, and the WHOLE
+    # residual substrate build are independent given _sv_store —
+    # overlap them (guide §2.6), then the two shortlist checkpoints
+    gt, qcells, (_, rcb, rcodes, _, _) = run_concurrently(
+        _gt_arm,
+        lambda: S.multiprobe_cells(qdf, cents, _SV_PROBE).localCheckpoint(),
+        lambda: _rs_store(spark, sf_dir),
     )
     tot = gt.agg(F.count(F.lit(1)).alias("n_possible"))
-    qcells = S.multiprobe_cells(qdf, cents, _SV_PROBE).localCheckpoint()
-    plain_short = S.pq_adc_topk(
-        pcodes, queries, pcb, _PQ_M, _PQ_SUB, k=max(_RS_BUDGETS),
-        query_vec_col="v", codes_cell_col="cell", query_cells=qcells,
-    ).select("query_id", "neighbor_id", "rank").localCheckpoint()
-    res_short = S.ivf_pq_residual_topk(
-        rcodes, queries, rcb, cents, _PQ_M, _PQ_SUB,
-        n_probe=_SV_PROBE, k=max(_RS_BUDGETS), query_vec_col="v",
-    ).select("query_id", "neighbor_id", "rank").localCheckpoint()
+    plain_short, res_short = run_concurrently(
+        lambda: S.pq_adc_topk(
+            pcodes, queries, pcb, _PQ_M, _PQ_SUB, k=max(_RS_BUDGETS),
+            query_vec_col="v", codes_cell_col="cell", query_cells=qcells,
+        ).select("query_id", "neighbor_id", "rank").localCheckpoint(),
+        lambda: S.ivf_pq_residual_topk(
+            rcodes, queries, rcb, cents, _PQ_M, _PQ_SUB,
+            n_probe=_SV_PROBE, k=max(_RS_BUDGETS), query_vec_col="v",
+        ).select("query_id", "neighbor_id", "rank").localCheckpoint(),
+    )
     rows = None
     for enc, short in (("plain", plain_short), ("residual", res_short)):
         for b in _RS_BUDGETS:
