@@ -171,13 +171,19 @@ def minhash_signatures_df(
             ),
         )
 
-        def mh(h: int) -> Column:
+        # each hash as ONE parsed SQL string instead of a 5-call py4j
+        # Column chain — identical expressions, but plan construction
+        # cost ~0.4 s of pure driver time per call at 16 hashes
+        # (measured via cProfile on dedup_store_compaction_lifecycle,
+        # which builds signatures 4×); L suffixes keep the literals
+        # long-typed exactly like F.lit did
+        def mh_sql(h: int) -> str:
             a, b = COMPACT_PERMS[h]
-            return (F.lit(a) * F.col("_x") + F.lit(b)) % p
+            return f"({a}L * _x + {b}L) % {COMPACT_MERSENNE}L"
     else:
-        def mh(h: int) -> Column:
-            return F.md5(F.concat(F.lit(f"{h}:"), F.col("s")))
-    aggs = [F.min(mh(h)).alias(f"m{h}") for h in range(num_hashes)]
+        def mh_sql(h: int) -> str:
+            return f"md5(concat('{h}:', s))"
+    aggs = [F.expr(f"min({mh_sql(h)}) AS m{h}") for h in range(num_hashes)]
     wide = sh.groupBy("id").agg(*aggs)
     return wide.select(
         "id", F.array(*[F.col(f"m{h}") for h in range(num_hashes)]).alias("sig")

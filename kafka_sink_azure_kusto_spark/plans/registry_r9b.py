@@ -853,21 +853,30 @@ def matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         brute_force_topk,
     )
 
+    from kafka_sink_azure_kusto_spark.functions.parallelism import (
+        run_concurrently,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     # same deterministic 1-in-20 query sample as knn_recall_audit —
     # both brute-force arms are quadratic in the query-side size
     queries = emb.filter(F.col("vec_id") % 20 == 0)
-    gt = brute_force_topk(emb, queries, k=_MAT_K).select(
-        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
-    ).localCheckpoint()
     trunc = emb.select(
         "vec_id", F.slice("embedding", 1, _MAT_DIM).alias("embedding")
     )
     tq = queries.select(
         "vec_id", F.slice("embedding", 1, _MAT_DIM).alias("embedding")
     )
-    tr = brute_force_topk(trunc, tq, k=_MAT_K).select(
-        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+    # the full-dimension GT arm and the truncated arm are independent
+    # quadratic scans — materialize them concurrently (guide §2.6);
+    # the grading semi-join stays lazy off the two checkpoints
+    gt, tr = run_concurrently(
+        lambda: brute_force_topk(emb, queries, k=_MAT_K).select(
+            F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+        ).localCheckpoint(),
+        lambda: brute_force_topk(trunc, tq, k=_MAT_K).select(
+            F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+        ).localCheckpoint(),
     )
     tot = gt.agg(F.count(F.lit(1)).alias("n_possible"))
     hits = gt.join(tr, ["src", "dst"], "left_semi").agg(
