@@ -40,27 +40,26 @@ def fk_audit(
     BroadcastNestedLoopJoin of single rows in the plan — the scalar
     combine shape, constant cost at any scale)."""
     keys = parent.select(F.col(pk_col).alias("__pk")).distinct()
-    non_null = child.filter(F.col(fk_col).isNotNull())
-    orphans = non_null.join(
-        keys, non_null[fk_col] == keys["__pk"], "left_anti"
-    )
-    totals = child.agg(
+    # ONE child scan: a left join against the distinct parent keys
+    # classifies every row in a single pass (matched / orphan / NULL
+    # fk — a NULL fk never equals any key, and a NULL parent pk never
+    # matches either, exactly like the anti-join it replaces), and one
+    # aggregate derives all four counters. The previous shape scanned
+    # the child twice (totals aggregate + anti-join aggregate), which
+    # at fact-table scale doubles the heaviest input's I/O.
+    orphan = F.col(fk_col).isNotNull() & F.col("__pk").isNull()
+    joined = child.join(keys, child[fk_col] == keys["__pk"], "left")
+    return joined.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.count(F.when(F.col(fk_col).isNull(), 1)).alias("n_null_fk"),
-    )
-    orphan_stats = orphans.agg(
-        F.count(F.lit(1)).alias("n_orphan_rows"),
-        F.countDistinct(fk_col).alias("n_orphan_keys"),
-    )
-    return (
-        totals.crossJoin(orphan_stats)
-        .select(
-            F.lit(relation).alias("relation"),
-            "n_rows",
-            "n_null_fk",
-            "n_orphan_rows",
-            "n_orphan_keys",
-        )
+        F.count(F.when(orphan, 1)).alias("n_orphan_rows"),
+        F.countDistinct(F.when(orphan, F.col(fk_col))).alias("n_orphan_keys"),
+    ).select(
+        F.lit(relation).alias("relation"),
+        "n_rows",
+        "n_null_fk",
+        "n_orphan_rows",
+        "n_orphan_keys",
     )
 
 

@@ -813,16 +813,21 @@ def _copurchase_lpa(spark: SparkSession, sf_dir: str):
         .distinct()
         .select("node", F.col("node").alias("lbl"))
     )
-    wp = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl").asc())
     for _ in range(_LPA_ITERS):
         msgs = und.join(
             lbl.select(F.col("node").alias("dst"), "lbl"), "dst"
         ).select(F.col("src").alias("node"), "lbl")
         cnt = msgs.groupBy("node", "lbl").agg(F.count(F.lit(1)).alias("c"))
+        # per-node modal label via max(struct(c, -lbl)) — identical
+        # tie-break to ORDER BY c DESC, lbl ASC (labels are nonnegative
+        # part keys, so max(-lbl) = min(lbl)), but as an aggregate it
+        # map-side-combines to one candidate per node per partition
+        # and never sorts; the window form paid a full per-round sort
+        # and shuffled every (node, lbl, c) row
         lbl = (
-            cnt.withColumn("pr", F.row_number().over(wp))
-            .filter(F.col("pr") == 1)
-            .select("node", "lbl")
+            cnt.groupBy("node")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))).alias("t"))
+            .select("node", (-F.col("t.nl")).alias("lbl"))
         )
     return ed, lbl.localCheckpoint()
 
