@@ -69,7 +69,10 @@ def ordered_prefix_sum(
         .repartitionByRange(n, *cols)
         .sortWithinPartitions(*cols)
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        # lazy: the partials job below is what materializes the
+        # checkpoint — one pass over the staged frame instead of an
+        # eager-checkpoint pass followed by a partials pass
+        .localCheckpoint(eager=False)
     )
     # Pass 1: per-partition totals -> exclusive scan on the driver.
     partials = staged.groupBy("_pid").agg(F.sum("_v").alias("_t")).collect()
