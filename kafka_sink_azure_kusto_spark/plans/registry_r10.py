@@ -1636,15 +1636,20 @@ def streaming_dsir_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).write.mode("overwrite").parquet(
                 os.path.join(reg, f"raw/epoch={ep}")
             ),
-            # target-side registers from the batch's target members
-            lambda: dsir_features(
-                batch_df.filter(F.col("doc_id") % 25 == 0), "text", "doc_id"
-            ).groupBy("bucket").agg(
+            # target-side registers: featurization is per-doc, so the
+            # doc_id filter commutes through it — derive from the SAME
+            # checkpointed features instead of re-tokenizing the
+            # filtered batch (the second tokenization pass per epoch)
+            lambda: feats.filter(F.col("doc_id") % 25 == 0)
+            .groupBy("bucket").agg(
                 F.count(F.lit(1)).cast("long").alias("t_part")
             ).write.mode("overwrite").parquet(
                 os.path.join(reg, f"tgt/epoch={ep}")
             ),
         )
+        # all three writes are materialized; drop the checkpoint blocks
+        # so a long-running stream doesn't accumulate one per epoch
+        feats.unpersist()
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
