@@ -764,6 +764,100 @@ def _avro_field_step(v, p, bts, typ):
     )
 
 
+def _avro_field_hex_sql(v: str, p: str, typ) -> str:
+    """SQL text of :func:`_avro_field_hex` over column name ``v`` and
+    cursor fragment ``p`` (the zero-py4j construction path — see the
+    SQL-twin block in protobuf_io; same rationale, same gates)."""
+    return f"hex(substr({v}, CAST({p} AS INT), {_avro_nbytes(typ)}))"
+
+
+def _avro_field_bytes_sql(hx: str, typ) -> str:
+    """SQL text of :func:`_avro_field_bytes` over hex column ``hx``."""
+    elems = ", ".join(
+        f"CAST(conv(substring({hx}, {2 * i + 1}, 2), 16, 10) AS BIGINT)"
+        for i in range(_avro_nbytes(typ))
+    )
+    return f"array({elems})"
+
+
+def _avro_field_step_sql(v: str, p: str, bts: str, typ) -> str:
+    """SQL text of :func:`_avro_field_step` over column names ``v`` /
+    ``bts`` and cursor fragment ``p``."""
+    from kafka_sink_azure_kusto_spark.functions.protobuf_io import (
+        _ieee_double_sql,
+        _ieee_float_sql,
+    )
+
+    def b(i: int) -> str:
+        return f"get({bts}, {i})"
+
+    def or_all(parts: list) -> str:
+        acc = parts[0]
+        for c in parts[1:]:
+            acc = f"({acc} | {c})"
+        return acc
+
+    if typ == "boolean":
+        return (
+            f"named_struct("
+            f"'val', CASE WHEN ({b(0)} IS NOT NULL) THEN ({b(0)} = 1) END, "
+            f"'np', CAST(CASE WHEN ({b(0)} IS NOT NULL) "
+            f"THEN (({p}) + 1) END AS BIGINT))"
+        )
+    if typ == "double":
+        bits = or_all([f"shiftleft({b(i)}, {8 * i})" for i in range(8)])
+        return (
+            f"named_struct('val', {_ieee_double_sql(bits)}, "
+            f"'np', CAST(CASE WHEN (({bits}) IS NOT NULL) "
+            f"THEN (({p}) + 8) END AS BIGINT))"
+        )
+    if typ == "float":
+        bits = or_all([f"shiftleft({b(i)}, {8 * i})" for i in range(4)])
+        return (
+            f"named_struct('val', CAST({_ieee_float_sql(bits)} AS FLOAT), "
+            f"'np', CAST(CASE WHEN (({bits}) IS NOT NULL) "
+            f"THEN (({p}) + 4) END AS BIGINT))"
+        )
+
+    # zigzag varint (int/long value, or string/bytes length)
+    vval = f"({b(0)} % 128)"
+    vlen_whens = [f"WHEN ({b(0)} < 128) THEN 1"]
+    cont = f"({b(0)} >= 128)"
+    for i in range(1, 10):
+        vval = (
+            f"({vval} | (CASE WHEN {cont} THEN "
+            f"shiftleft(({b(i)} % 128), {7 * i}) ELSE 0 END))"
+        )
+        vlen_whens.append(f"WHEN ({cont} AND ({b(i)} < 128)) THEN {i + 1}")
+        if i < 9:
+            cont = f"({cont} AND ({b(i)} >= 128))"
+    vlen = f"CASE {' '.join(vlen_whens)} END"
+    zz = f"(shiftrightunsigned({vval}, 1) ^ -({vval} & 1))"
+    if typ in ("long", "int"):
+        return (
+            f"named_struct("
+            f"'val', CASE WHEN (({vlen}) IS NOT NULL) THEN {zz} END, "
+            f"'np', CAST(CASE WHEN (({vlen}) IS NOT NULL) "
+            f"THEN (({p}) + ({vlen})) END AS BIGINT))"
+        )
+    # string / bytes — same fit guard + ANSI clamp as the Column twin
+    dstart = f"(({p}) + ({vlen}))"
+    fits = (
+        f"(((({vlen}) IS NOT NULL) AND ({zz} >= 0)) "
+        f"AND ((({dstart} + {zz}) - 1) <= length({v})))"
+    )
+    zz_clamped = (
+        f"greatest(CAST(-1 AS BIGINT), "
+        f"least({zz}, CAST(length({v}) AS BIGINT) + 1))"
+    )
+    sval = f"substr({v}, CAST({dstart} AS INT), CAST({zz_clamped} AS INT))"
+    val = f"CAST({sval} AS STRING)" if typ == "string" else sval
+    return (
+        f"named_struct('val', CASE WHEN {fits} THEN {val} END, "
+        f"'np', CAST(CASE WHEN {fits} THEN ({dstart} + {zz}) END AS BIGINT))"
+    )
+
+
 def attach_avro_codegen_decode(
     df,
     body_col,
@@ -790,20 +884,22 @@ def attach_avro_codegen_decode(
     body = F.col(body_col) if isinstance(body_col, str) else body_col
     bname = f"{pre}_body"
     df = df.withColumn(bname, body)
+    # SQL-text construction path (one F.expr per projected column) —
+    # see the SQL-twin block in protobuf_io for the rationale/gates
     step_of = {}
     byte_cols = []
     prev = None
     for i, f in enumerate(avro_schema["fields"]):
-        p = F.lit(1).cast("long") if prev is None else F.col(f"{prev}.np")
+        p = "CAST(1 AS BIGINT)" if prev is None else f"{prev}.np"
         hxc = f"{pre}_h{i}"
-        df = df.withColumn(hxc, _avro_field_hex(F.col(bname), p, f["type"]))
+        df = df.withColumn(hxc, F.expr(_avro_field_hex_sql(bname, p, f["type"])))
         byte_cols.append(hxc)
         bts = f"{pre}_b{i}"
-        df = df.withColumn(bts, _avro_field_bytes(F.col(hxc), f["type"]))
+        df = df.withColumn(bts, F.expr(_avro_field_bytes_sql(hxc, f["type"])))
         byte_cols.append(bts)
         name = f"{pre}_f{i}"
         df = df.withColumn(
-            name, _avro_field_step(F.col(bname), p, F.col(bts), f["type"])
+            name, F.expr(_avro_field_step_sql(bname, p, bts, f["type"]))
         )
         step_of[f["name"]] = name
         prev = name
@@ -817,8 +913,9 @@ def attach_avro_codegen_decode(
     fields = []
     for sf in schema.fields:
         step = step_of.get(sf.name)
+        dt = sf.dataType.simpleString()
         if step is None:
-            fields.append(F.lit(None).cast(sf.dataType).alias(sf.name))
+            fields.append(f"'{sf.name}', CAST(NULL AS {dt})")
         else:
             # try_cast, not cast: a malformed varint can decode a value
             # outside the declared Spark type's range (e.g. a 5-byte
@@ -826,10 +923,12 @@ def attach_avro_codegen_decode(
             # bare cast would throw and kill the job — out-of-range
             # decodes to NULL instead (DLQ semantics; found by the r9
             # mutated-body property test).
-            fields.append(
-                F.col(f"{step}.val").try_cast(sf.dataType).alias(sf.name)
-            )
+            fields.append(f"'{sf.name}', try_cast({step}.val AS {dt})")
     df = df.withColumn(
-        out_col, F.when(F.col(bname).isNotNull(), F.struct(*fields))
+        out_col,
+        F.expr(
+            f"CASE WHEN {bname} IS NOT NULL "
+            f"THEN named_struct({', '.join(fields)}) END"
+        ),
     )
     return df.drop(bname, *step_of.values(), *byte_cols)

@@ -503,6 +503,176 @@ def _codegen_step(v, p, bts, scan, need_f64=True, need_f32=True, need_len=True):
     return F.struct(*members)
 
 
+# ---------------------------------------------------------------------------
+# SQL-text twins of the walk-step builders.
+#
+# Why they exist (r15, guide §7.3 "very large expression trees"): every
+# Column operation in classic PySpark costs several py4j round-trips
+# (reflection getattr + call), and the bounded walk builds hundreds of
+# operations per step — profiling registry_wire_decode attributed ~5 s
+# of its 7 s warm wall to DRIVER-SIDE plan construction (46k py4j calls
+# for one build; message_index_struct alone was 11k calls / 1.4 s).
+# Assembling the same expression as ONE SQL string in pure Python and
+# parsing it with a single F.expr() call removes all but one round-trip
+# per projected column. The text mirrors the Column builders
+# operation-for-operation (same operator tree after parsing — CASE WHEN
+# for when-chains, named_struct for aliased structs, left-associative
+# AND/OR/| chains), so semantics, codegen size discipline, and plan
+# shape are unchanged; the differential property suites
+# (test_wire_property / test_protobuf / test_avro_property) and the
+# DuckDB oracle gate the equivalence.
+# ---------------------------------------------------------------------------
+
+
+def _codegen_step_hex_sql(v: str, p: str) -> str:
+    """SQL text of :func:`_codegen_step_hex` over column name ``v`` and
+    cursor fragment ``p``."""
+    return f"hex(substr({v}, CAST({p} AS INT), 11))"
+
+
+def _codegen_step_bytes_sql(hx: str) -> str:
+    """SQL text of :func:`_codegen_step_bytes` over column name ``hx``."""
+    elems = ", ".join(
+        f"CAST(conv(substring({hx}, {2 * i + 1}, 2), 16, 10) AS BIGINT)"
+        for i in range(0, 11)
+    )
+    return f"array({elems})"
+
+
+def _codegen_step_scan_sql(
+    bts: str, p: str, need_f64=True, need_f32=True, need_len=True
+) -> str:
+    """SQL text of :func:`_codegen_step_scan` over byte-array column
+    name ``bts`` and cursor fragment ``p``."""
+
+    def b(i: int) -> str:
+        return f"get({bts}, {i})"
+
+    vval = f"({b(1)} % 128)"
+    vlen_whens = [f"WHEN ({b(1)} < 128) THEN 1"]
+    cont = f"({b(1)} >= 128)"
+    for i in range(2, 11):
+        vval = (
+            f"({vval} | (CASE WHEN {cont} THEN "
+            f"shiftleft(({b(i)} % 128), {7 * (i - 1)}) ELSE 0 END))"
+        )
+        vlen_whens.append(f"WHEN ({cont} AND ({b(i)} < 128)) THEN {i}")
+        if i < 10:
+            cont = f"({cont} AND ({b(i)} >= 128))"
+    vlen = f"CASE {' '.join(vlen_whens)} END"
+
+    def or_all(parts: list) -> str:
+        acc = parts[0]
+        for c in parts[1:]:
+            acc = f"({acc} | {c})"
+        return acc
+
+    members = [
+        f"'vv', CAST({vval} AS BIGINT)",
+        f"'vl', CAST({vlen} AS INT)",
+    ]
+    if need_f64:
+        f64 = or_all([f"shiftleft({b(i)}, {8 * (i - 1)})" for i in range(1, 9)])
+        members.append(f"'f64', CAST({f64} AS BIGINT)")
+    if need_f32:
+        f32 = or_all([f"shiftleft({b(i)}, {8 * (i - 1)})" for i in range(1, 5)])
+        members.append(f"'f32', CAST({f32} AS BIGINT)")
+    if need_len:
+        llen1 = f"({b(1)} < 128)"
+        dlen = (
+            f"CASE WHEN {llen1} THEN {b(1)} "
+            f"WHEN ({b(2)} < 128) THEN (({b(1)} % 128) | shiftleft({b(2)}, 7)) END"
+        )
+        dstart = f"CASE WHEN {llen1} THEN (({p}) + 2) ELSE (({p}) + 3) END"
+        members.append(f"'dl', CAST({dlen} AS BIGINT)")
+        members.append(f"'ds', CAST({dstart} AS BIGINT)")
+    return f"named_struct({', '.join(members)})"
+
+
+def _codegen_step_sql(
+    v: str, p: str, bts: str, scan: str,
+    need_f64=True, need_f32=True, need_len=True,
+) -> str:
+    """SQL text of :func:`_codegen_step` over column names ``v`` /
+    ``bts`` / ``scan`` and cursor fragment ``p``."""
+    tag = f"get({bts}, 0)"
+    fld = f"CAST(shiftright({tag}, 3) AS INT)"
+    wt = f"CAST(({tag} % 8) AS INT)"
+    vlen = f"{scan}.vl"
+
+    tag_ok = f"(({tag} IS NOT NULL) AND ({tag} < 128))"
+    wt0_ok = f"(({wt} = 0) AND ({vlen} IS NOT NULL))"
+    ok = f"({tag_ok} AND {wt0_ok})"
+    ival_whens = [f"WHEN {wt0_ok} THEN {scan}.vv"]
+    np_whens = [f"WHEN {wt0_ok} THEN ((({p}) + 1) + {vlen})"]
+    if need_f64:
+        ok = f"({ok} OR ({tag_ok} AND ({wt} = 1)))"
+        ival_whens.append(f"WHEN ({wt} = 1) THEN {scan}.f64")
+        np_whens.append(f"WHEN ({wt} = 1) THEN (({p}) + 9)")
+    if need_f32:
+        ok = f"({ok} OR ({tag_ok} AND ({wt} = 5)))"
+        ival_whens.append(f"WHEN ({wt} = 5) THEN {scan}.f32")
+        np_whens.append(f"WHEN ({wt} = 5) THEN (({p}) + 5)")
+    wt2_ok = None
+    if need_len:
+        dlen = f"{scan}.dl"
+        dstart = f"{scan}.ds"
+        wt2_ok = (
+            f"((({wt} = 2) AND ({dlen} IS NOT NULL)) "
+            f"AND ((({dstart} + {dlen}) - 1) <= length({v})))"
+        )
+        ok = f"({ok} OR ({tag_ok} AND {wt2_ok}))"
+        np_whens.append(f"WHEN {wt2_ok} THEN ({dstart} + {dlen})")
+    ival = f"CASE {' '.join(ival_whens)} END"
+    np = f"CASE {' '.join(np_whens)} END"
+    members = [
+        f"'fld', CASE WHEN {ok} THEN {fld} END",
+        f"'wt', CASE WHEN {ok} THEN {wt} END",
+        f"'ival', CAST(CASE WHEN {ok} THEN {ival} END AS BIGINT)",
+    ]
+    if need_len:
+        sval = (
+            f"substr({v}, CAST({scan}.ds AS INT), CAST({scan}.dl AS INT))"
+        )
+        members.append(
+            f"'sval', CAST(CASE WHEN ({ok} AND {wt2_ok}) THEN {sval} END AS BINARY)"
+        )
+    members.append(f"'np', CAST(CASE WHEN {ok} THEN {np} END AS BIGINT)")
+    return f"named_struct({', '.join(members)})"
+
+
+def _ieee_double_sql(bits: str) -> str:
+    """SQL text of :func:`_ieee_double` over bit-pattern fragment
+    ``bits``."""
+    e = f"(shiftrightunsigned({bits}, 52) & 2047)"
+    m = f"({bits} & {(1 << 52) - 1})"
+    sign = f"(CASE WHEN ({bits} < 0) THEN -1.0D ELSE 1.0D END)"
+    return (
+        f"CASE WHEN ({e} = 2047) THEN "
+        f"(CASE WHEN ({m} = 0) THEN ({sign} * CAST('Infinity' AS DOUBLE)) "
+        f"ELSE CAST('NaN' AS DOUBLE) END) "
+        f"WHEN ({e} = 0) THEN (({sign} * CAST({m} AS DOUBLE)) * {2.0 ** -1074!r}D) "
+        f"ELSE (({sign} * CAST(({m} | {1 << 52}) AS DOUBLE)) "
+        f"* power(2.0D, CAST(({e} - 1075) AS DOUBLE))) END"
+    )
+
+
+def _ieee_float_sql(bits: str) -> str:
+    """SQL text of :func:`_ieee_float` over bit-pattern fragment
+    ``bits``."""
+    e = f"(shiftrightunsigned({bits}, 23) & 255)"
+    m = f"({bits} & {(1 << 23) - 1})"
+    sign = f"(CASE WHEN (({bits} & {1 << 31}) != 0) THEN -1.0D ELSE 1.0D END)"
+    return (
+        f"CASE WHEN ({e} = 255) THEN "
+        f"(CASE WHEN ({m} = 0) THEN ({sign} * CAST('Infinity' AS DOUBLE)) "
+        f"ELSE CAST('NaN' AS DOUBLE) END) "
+        f"WHEN ({e} = 0) THEN (({sign} * CAST({m} AS DOUBLE)) * {2.0 ** -149!r}D) "
+        f"ELSE (({sign} * CAST(({m} | {1 << 23}) AS DOUBLE)) "
+        f"* power(2.0D, CAST(({e} - 150) AS DOUBLE))) END"
+    )
+
+
 def _ieee_double(bits):
     """Exact IEEE-754 binary64 from its bit pattern (a long column)."""
     from pyspark.sql import functions as F
@@ -607,28 +777,30 @@ def attach_codegen_decode(
     pre = f"_pbcg_{_uuid.uuid4().hex[:8]}"
     bname = f"{pre}_body"
     df = df.withColumn(bname, body)
+    # the walk/assembly expressions are assembled as SQL TEXT and parsed
+    # with one F.expr per projected column — the Column builders above
+    # stay as the readable reference, the _sql twins are what runs (the
+    # driver-side py4j construction cost dominated this decode's wall;
+    # see the SQL-twin block)
     names = []
     for k in range(n_steps):
-        p = (
-            F.lit(1).cast("long")
-            if k == 0
-            else F.col(f"{names[-1]}.np")
-        )
+        p = "CAST(1 AS BIGINT)" if k == 0 else f"{names[-1]}.np"
         hxc = f"{pre}_h{k}"
-        df = df.withColumn(hxc, _codegen_step_hex(F.col(bname), p))
+        df = df.withColumn(hxc, F.expr(_codegen_step_hex_sql(bname, p)))
         bts = f"{pre}_b{k}"
-        df = df.withColumn(bts, _codegen_step_bytes(F.col(hxc)))
+        df = df.withColumn(bts, F.expr(_codegen_step_bytes_sql(hxc)))
         scan = f"{pre}_v{k}"
         df = df.withColumn(
             scan,
-            _codegen_step_scan(F.col(bts), p, need_f64, need_f32, need_len),
+            F.expr(_codegen_step_scan_sql(bts, p, need_f64, need_f32, need_len)),
         )
         name = f"{pre}_s{k}"
         df = df.withColumn(
             name,
-            _codegen_step(
-                F.col(bname), p, F.col(bts), F.col(scan),
-                need_f64, need_f32, need_len,
+            F.expr(
+                _codegen_step_sql(
+                    bname, p, bts, scan, need_f64, need_f32, need_len
+                )
             ),
         )
         names.append(name)
@@ -646,42 +818,73 @@ def attach_codegen_decode(
             ((num, typ) for num, (nm, typ) in by_num.items() if nm == f.name),
             None,
         )
+        dt = f.dataType.simpleString()
         if spec is None:
-            fields.append(F.lit(None).cast(f.dataType).alias(f.name))
+            fields.append(f"'{f.name}', CAST(NULL AS {dt})")
             continue
         num, typ = spec
         wt_want = _WIRE_TYPE_OF[typ]
         arms = []
         for name in reversed(names):  # later steps first: last wins
-            s = F.col(name)
-            hit = (s.getField("fld") == num) & (s.getField("wt") == wt_want)
-            ival = s.getField("ival")
+            hit = f"(({name}.fld = {num}) AND ({name}.wt = {wt_want}))"
+            ival = f"{name}.ival"
             if typ == "int64":
                 val = ival
             elif typ == "sint64":
-                val = F.shiftrightunsigned(ival, 1).bitwiseXOR(
-                    -(ival.bitwiseAND(F.lit(1)))
-                )
+                val = f"(shiftrightunsigned({ival}, 1) ^ -({ival} & 1))"
             elif typ == "bool":
-                val = ival != 0
+                val = f"({ival} != 0)"
             elif typ == "string":
-                val = s.getField("sval").cast("string")
+                val = f"CAST({name}.sval AS STRING)"
             elif typ == "bytes":
-                val = s.getField("sval")
+                val = f"{name}.sval"
             elif typ == "double":
-                val = _ieee_double(ival)
+                val = _ieee_double_sql(ival)
             else:  # float
-                val = _ieee_float(ival)
-            arms.append(F.when(hit, val))
-        fields.append(F.coalesce(*arms).cast(f.dataType).alias(f.name))
-    payload = F.when(F.col(bname).isNotNull(), F.struct(*fields))
-    df = df.withColumn(out_col, payload)
+                val = _ieee_float_sql(ival)
+            arms.append(f"CASE WHEN {hit} THEN {val} END")
+        fields.append(f"'{f.name}', CAST(coalesce({', '.join(arms)}) AS {dt})")
+    payload = (
+        f"CASE WHEN {bname} IS NOT NULL "
+        f"THEN named_struct({', '.join(fields)}) END"
+    )
+    df = df.withColumn(out_col, F.expr(payload))
     aux_cols = [f"{pre}_h{k}" for k in range(n_steps)] + [
         f"{pre}_b{k}" for k in range(n_steps)
     ] + [
         f"{pre}_v{k}" for k in range(n_steps)
     ]
     return df.drop(bname, *names, *aux_cols)
+
+
+def varint_encode_sql(x: str, max_bytes: int = 5) -> str:
+    """SQL text of :func:`varint_encode_expr` over fragment ``x`` —
+    the zero-py4j construction path (see the SQL-twin block above)."""
+    xc = f"CAST(({x}) AS BIGINT)"
+
+    def byte_hex(b: str) -> str:
+        return f"lpad(hex(CAST(({b}) AS BIGINT)), 2, '0')"
+
+    def group(i: int) -> str:
+        return f"(shiftrightunsigned({xc}, {7 * i}) % 128)"
+
+    whens = [
+        f"WHEN ({xc} < 0) THEN CAST(NULL AS STRING)",
+        f"WHEN ({xc} < 128) THEN {byte_hex(group(0))}",
+    ]
+    for n in range(2, max_bytes + 1):
+        parts = [byte_hex(f"({group(i)} + 128)") for i in range(n - 1)]
+        parts.append(byte_hex(group(n - 1)))
+        whens.append(
+            f"WHEN ({xc} < {1 << (7 * n)}) THEN concat({', '.join(parts)})"
+        )
+    return f"unhex(CASE {' '.join(whens)} END)"
+
+
+def zigzag_encode_sql(x: str) -> str:
+    """SQL text of :func:`zigzag_encode_expr` over fragment ``x``."""
+    c = f"CAST(({x}) AS BIGINT)"
+    return f"(shiftleft({c}, 1) ^ shiftright({c}, 63))"
 
 
 def varint_encode_expr(x, max_bytes: int = 5):
@@ -692,8 +895,15 @@ def varint_encode_expr(x, max_bytes: int = 5):
     in the plan (the same role unhex/lpad/hex play for the wire header
     in wire_frame_split). Values outside the bound yield NULL — a
     fixture generator bug should surface as missing rows, not silent
-    truncation."""
+    truncation.
+
+    Accepts a Column, or a SQL fragment string (the cheap path: the
+    whole chain is assembled as text and parsed with one F.expr call —
+    see the SQL-twin block above)."""
     from pyspark.sql import functions as F
+
+    if isinstance(x, str):
+        return F.expr(varint_encode_sql(x, max_bytes))
 
     def byte_hex(b):  # two-hex-digit string of a byte value column
         return F.lpad(F.hex(b.cast("long")), 2, "0")
@@ -719,8 +929,11 @@ def varint_encode_expr(x, max_bytes: int = 5):
 def zigzag_encode_expr(x):
     """Builtin-expression zigzag mapping of a long column (the avro
     int/long and protobuf sint encoding): (x << 1) XOR (x >> 63) —
-    all bitwise, exact for the full signed range."""
+    all bitwise, exact for the full signed range. Accepts a Column or
+    a SQL fragment string (see varint_encode_expr)."""
     from pyspark.sql import functions as F
 
+    if isinstance(x, str):
+        return F.expr(zigzag_encode_sql(x))
     c = x.cast("long")
     return F.shiftleft(c, 1).bitwiseXOR(F.shiftright(c, 63))

@@ -195,6 +195,49 @@ def message_index_struct(v: Column) -> Column:
     return chain.otherwise(branch("unsupported", null_lst, null_pos))
 
 
+def message_index_struct_sql(v: str) -> str:
+    """SQL text of :func:`message_index_struct` over column name ``v``
+    — the zero-py4j construction path (the Column builder's ~11k py4j
+    round-trips were ~1.4 s of driver time per plan build; see the
+    SQL-twin block in protobuf_io for the pattern and its gates). The
+    text mirrors the Column version branch-for-branch; the shared
+    ``hexpre`` slice is textually inlined per byte exactly as the
+    Column tree inlines its subexpression."""
+    blen = f"length({v})"
+    hexpre = f"hex(substring({v}, 6, {1 + MAX_MESSAGE_INDEXES}))"
+
+    def b(i: int) -> str:  # prefix byte i (0 = count byte)
+        return f"CAST(conv(substring({hexpre}, {2 * i + 1}, 2), 16, 10) AS INT)"
+
+    null_lst = "CAST(NULL AS ARRAY<INT>)"
+    null_pos = "CAST(NULL AS INT)"
+
+    def branch(status: str, lst: str, pos: str) -> str:
+        return f"named_struct('s', '{status}', 'idx', {lst}, 'p', {pos})"
+
+    b0 = b(0)
+    whens = [f"WHEN ({blen} < 6) THEN {branch('truncated', null_lst, null_pos)}"]
+    # fast path: single byte 0x00 ⇒ indexes [0], body at 7
+    whens.append(f"WHEN ({b0} = 0) THEN {branch('ok', 'array(0)', '7')}")
+    for c in range(1, MAX_MESSAGE_INDEXES + 1):
+        is_count = f"({b0} = {2 * c})"
+        entries = [b(i) for i in range(1, c + 1)]
+        ok = f"({is_count} AND ({blen} >= {6 + c}))"
+        for e in entries:
+            ok = f"(({ok} AND ({e} < 128)) AND (({e} % 2) = 0))"
+        lst = f"array({', '.join(f'shiftright({e}, 1)' for e in entries)})"
+        whens.append(f"WHEN {ok} THEN {branch('ok', lst, str(7 + c))}")
+        # right count byte but frame ends before the entries
+        whens.append(
+            f"WHEN ({is_count} AND ({blen} < {6 + c})) "
+            f"THEN {branch('truncated', null_lst, null_pos)}"
+        )
+    return (
+        f"CASE {' '.join(whens)} "
+        f"ELSE {branch('unsupported', null_lst, null_pos)} END"
+    )
+
+
 def _with_frame_meta(df: DataFrame, handlers: dict, value_col: str):
     """Shared frame-split/routing stage: adds ``wire_schema_id`` and
     ``wire_status`` (plus the internal ``_wire_idx`` struct when any
@@ -224,7 +267,7 @@ def _with_frame_meta(df: DataFrame, handlers: dict, value_col: str):
     # re-inline its CaseWhen (codegen 64 KB guard, see message_index_struct).
     out = df.withColumn("wire_schema_id", sid).withColumn("_wire_base", base_status)
     if any_indexed_protobuf:
-        out = out.withColumn("_wire_idx", message_index_struct(v))
+        out = out.withColumn("_wire_idx", F.expr(message_index_struct_sql(value_col)))
         idx_status = F.col("_wire_idx").getField("s")
         idx_list = F.col("_wire_idx").getField("idx")
 

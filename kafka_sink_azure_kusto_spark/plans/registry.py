@@ -792,7 +792,7 @@ def registry_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     absent (VERDICT r6 #2)."""
     from kafka_sink_azure_kusto_spark.functions.protobuf_io import (
         varint_encode_expr,
-        zigzag_encode_expr,
+        zigzag_encode_sql,
     )
     from kafka_sink_azure_kusto_spark.functions.wire_format import (
         decode_wire_frames,
@@ -822,13 +822,15 @@ def registry_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit('{"eid":'), eid.cast("string"),
         F.lit(',"uid":'), uid.cast("string"), F.lit("}"),
     ).cast("binary")
+    # string args take the SQL-text construction path (one F.expr per
+    # encode chain instead of hundreds of py4j Column calls)
     pbody = F.concat(
-        F.unhex(F.lit("08")), varint_encode_expr(eid),
-        F.unhex(F.lit("10")), varint_encode_expr(uid),
+        F.unhex(F.lit("08")), varint_encode_expr("event_id"),
+        F.unhex(F.lit("10")), varint_encode_expr("user_id"),
     )
     abody = F.concat(
-        varint_encode_expr(zigzag_encode_expr(eid), 6),
-        varint_encode_expr(zigzag_encode_expr(uid), 6),
+        varint_encode_expr(zigzag_encode_sql("event_id"), 6),
+        varint_encode_expr(zigzag_encode_sql("user_id"), 6),
     )
 
     def be32(schema_id: int):
