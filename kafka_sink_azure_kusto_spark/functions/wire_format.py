@@ -125,6 +125,22 @@ def wire_schema_id(v: Column) -> Column:
     )
 
 
+def wire_magic_sql(v: str) -> str:
+    """SQL text of :func:`wire_magic` over column name ``v``."""
+    return (
+        f"CASE WHEN (length({v}) >= 1) "
+        f"THEN CAST(conv(hex(substring({v}, 1, 1)), 16, 10) AS INT) END"
+    )
+
+
+def wire_schema_id_sql(v: str) -> str:
+    """SQL text of :func:`wire_schema_id` over column name ``v``."""
+    return (
+        f"CASE WHEN (length({v}) >= 5) "
+        f"THEN CAST(conv(hex(substring({v}, 2, 4)), 16, 10) AS BIGINT) END"
+    )
+
+
 def wire_body(v: Column) -> Column:
     """Serialized body after the 5-byte header (empty binary when the
     frame has no body bytes)."""
@@ -245,16 +261,19 @@ def _with_frame_meta(df: DataFrame, handlers: dict, value_col: str):
     Python. Returns (df, any_indexed_protobuf)."""
     if not handlers:
         raise ValueError("wire frame decoding requires at least one handler")
-    v = F.col(value_col)
-    magic = wire_magic(v)
-    sid = wire_schema_id(v)
-    blen = F.length(v)
-    known_ids = [int(i) for i in handlers]
+    # SQL-text construction path (see the SQL-twin block in protobuf_io):
+    # the status chains mirror the previous Column chains branch-for-
+    # branch — `NOT (id IN (...))` keeps isin()'s three-valued NULL
+    # semantics (NULL id falls through to 'ok' exactly as before, and
+    # is only NULL when the frame is < 5 bytes, caught first).
+    v = value_col
+    known_ids = ", ".join(str(int(i)) for i in handlers)
     base_status = (
-        F.when(blen < 5, F.lit(STATUS_TRUNCATED))
-        .when(magic != MAGIC_BYTE, F.lit(STATUS_BAD_MAGIC))
-        .when(~sid.isin(known_ids), F.lit(STATUS_UNKNOWN_ID))
-        .otherwise(F.lit(STATUS_OK))
+        f"CASE WHEN (length({v}) < 5) THEN '{STATUS_TRUNCATED}' "
+        f"WHEN (({wire_magic_sql(v)}) != {MAGIC_BYTE}) "
+        f"THEN '{STATUS_BAD_MAGIC}' "
+        f"WHEN (NOT (({wire_schema_id_sql(v)}) IN ({known_ids}))) "
+        f"THEN '{STATUS_UNKNOWN_ID}' ELSE '{STATUS_OK}' END"
     )
     any_indexed_protobuf = any(
         h["fmt"].strip().lower() == "protobuf"
@@ -265,36 +284,46 @@ def _with_frame_meta(df: DataFrame, handlers: dict, value_col: str):
     # regardless of status — DLQ triage needs the routing info. The index
     # struct is PROJECTED ONCE so downstream field references don't
     # re-inline its CaseWhen (codegen 64 KB guard, see message_index_struct).
-    out = df.withColumn("wire_schema_id", sid).withColumn("_wire_base", base_status)
+    out = df.withColumns(
+        {
+            "wire_schema_id": F.expr(wire_schema_id_sql(v)),
+            "_wire_base": F.expr(base_status),
+        }
+    )
     if any_indexed_protobuf:
-        out = out.withColumn("_wire_idx", F.expr(message_index_struct_sql(value_col)))
-        idx_status = F.col("_wire_idx").getField("s")
-        idx_list = F.col("_wire_idx").getField("idx")
+        out = out.withColumn("_wire_idx", F.expr(message_index_struct_sql(v)))
 
     # refine the base status for protobuf ids: index parse problems and
     # index-list mismatches become DLQ statuses (K4), never exceptions
-    base_col = F.col("_wire_base")
-    status: Column = base_col
-    refinements: list[tuple[Column, str]] = []
+    status = "_wire_base"
+    refinements: list[str] = []
     for schema_id, h in handlers.items():
         if h["fmt"].strip().lower() != "protobuf":
             continue
         declared = h.get("message_indexes", [0])
         if declared is None:
             continue  # bare body — no index prefix on this id's frames
-        m = (base_col == STATUS_OK) & (F.col("wire_schema_id") == int(schema_id))
-        refinements.append((m & (idx_status == "truncated"), STATUS_TRUNCATED))
-        refinements.append((m & (idx_status == "unsupported"), STATUS_UNSUPPORTED_INDEX))
-        expected = F.array(*[F.lit(int(i)).cast("int") for i in declared])
+        m = (
+            f"((_wire_base = '{STATUS_OK}') "
+            f"AND (wire_schema_id = {int(schema_id)}))"
+        )
         refinements.append(
-            (m & (idx_status == "ok") & (idx_list != expected), STATUS_UNKNOWN_INDEX)
+            f"WHEN ({m} AND (_wire_idx.s = 'truncated')) "
+            f"THEN '{STATUS_TRUNCATED}'"
+        )
+        refinements.append(
+            f"WHEN ({m} AND (_wire_idx.s = 'unsupported')) "
+            f"THEN '{STATUS_UNSUPPORTED_INDEX}'"
+        )
+        expected = ", ".join(f"CAST({int(i)} AS INT)" for i in declared)
+        refinements.append(
+            f"WHEN ((({m} AND (_wire_idx.s = 'ok'))) "
+            f"AND (NOT (_wire_idx.idx = array({expected})))) "
+            f"THEN '{STATUS_UNKNOWN_INDEX}'"
         )
     if refinements:
-        chain = F.when(*refinements[0])
-        for cond, s in refinements[1:]:
-            chain = chain.when(cond, F.lit(s))
-        status = chain.otherwise(base_col)
-    return out.withColumn("wire_status", status), any_indexed_protobuf
+        status = f"CASE {' '.join(refinements)} ELSE _wire_base END"
+    return out.withColumn("wire_status", F.expr(status)), any_indexed_protobuf
 
 
 def wire_frame_audit(

@@ -791,7 +791,7 @@ def registry_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen walk, so the whole plan is Python-free when the jars are
     absent (VERDICT r6 #2)."""
     from kafka_sink_azure_kusto_spark.functions.protobuf_io import (
-        varint_encode_expr,
+        varint_encode_sql,
         zigzag_encode_sql,
     )
     from kafka_sink_azure_kusto_spark.functions.wire_format import (
@@ -817,39 +817,41 @@ def registry_wire_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = ensure_min_parallelism(
         load_table(spark, sf_dir, "events").select("event_id", "user_id")
     )
-    eid, uid = F.col("event_id"), F.col("user_id")
-    jbody = F.concat(
-        F.lit('{"eid":'), eid.cast("string"),
-        F.lit(',"uid":'), uid.cast("string"), F.lit("}"),
-    ).cast("binary")
-    # string args take the SQL-text construction path (one F.expr per
-    # encode chain instead of hundreds of py4j Column calls)
-    pbody = F.concat(
-        F.unhex(F.lit("08")), varint_encode_expr("event_id"),
-        F.unhex(F.lit("10")), varint_encode_expr("user_id"),
+    # the whole frame synthesis is assembled as SQL text and parsed
+    # with ONE F.expr — the py4j-free construction path (see the
+    # SQL-twin block in protobuf_io); the text mirrors the previous
+    # Column chain branch-for-branch
+    jbody = (
+        "CAST(concat('{\"eid\":', CAST(event_id AS STRING), "
+        "',\"uid\":', CAST(user_id AS STRING), '}') AS BINARY)"
     )
-    abody = F.concat(
-        varint_encode_expr(zigzag_encode_sql("event_id"), 6),
-        varint_encode_expr(zigzag_encode_sql("user_id"), 6),
+    pbody = (
+        f"concat(unhex('08'), {varint_encode_sql('event_id')}, "
+        f"unhex('10'), {varint_encode_sql('user_id')})"
+    )
+    abody = (
+        f"concat({varint_encode_sql(zigzag_encode_sql('event_id'), 6)}, "
+        f"{varint_encode_sql(zigzag_encode_sql('user_id'), 6)})"
     )
 
-    def be32(schema_id: int):
-        return F.unhex(F.lpad(F.hex(F.lit(schema_id)), 8, "0"))
+    def be32(schema_id: int) -> str:
+        return f"unhex(lpad(hex({schema_id}), 8, '0'))"
 
-    magic0 = F.unhex(F.lit("00"))
-    m = eid % 8
+    magic0 = "unhex('00')"
+    m = "(event_id % 8)"
     frame = (
-        F.when(m == 0, F.concat(magic0, be32(1), jbody))
+        f"CASE WHEN ({m} = 0) THEN concat({magic0}, {be32(1)}, {jbody}) "
         # [0] compresses to 0x00; [1,2] → zz-count 0x04 + 0x02 0x04;
         # [1] → 0x02 0x02 (mismatches handler 2's declared [0])
-        .when(m == 1, F.concat(magic0, be32(2), F.unhex(F.lit("00")), pbody))
-        .when(m == 2, F.concat(magic0, be32(99), jbody))
-        .when(m == 3, F.concat(F.unhex(F.lit("01")), be32(1), jbody))
-        .when(m == 4, F.concat(magic0, be32(3), abody))
-        .when(m == 5, F.concat(magic0, be32(4), F.unhex(F.lit("040204")), pbody))
-        .when(m == 6, F.concat(magic0, be32(2), F.unhex(F.lit("0202")), pbody))
-        .otherwise(F.concat(magic0, be32(1)))
+        f"WHEN ({m} = 1) THEN concat({magic0}, {be32(2)}, unhex('00'), {pbody}) "
+        f"WHEN ({m} = 2) THEN concat({magic0}, {be32(99)}, {jbody}) "
+        f"WHEN ({m} = 3) THEN concat(unhex('01'), {be32(1)}, {jbody}) "
+        f"WHEN ({m} = 4) THEN concat({magic0}, {be32(3)}, {abody}) "
+        f"WHEN ({m} = 5) THEN concat({magic0}, {be32(4)}, unhex('040204'), {pbody}) "
+        f"WHEN ({m} = 6) THEN concat({magic0}, {be32(2)}, unhex('0202'), {pbody}) "
+        f"ELSE concat({magic0}, {be32(1)}) END"
     )
+    frame = F.expr(frame)
     # spread AFTER synthesis: the exchange between frame build and frame
     # parse (a) runs the heavy codegen parse on every core (same spread
     # rationale as wire_frame_split) and (b) keeps build and parse in
